@@ -1,0 +1,132 @@
+"""TS.RANGE / TS.REVRANGE / the per-series core of TS.MRANGE.
+
+Reference lifecycle (SURVEY §3.1): SeriesIterator -> [FilterTS] ->
+[FilterValue] -> [AggregationIterator] -> COUNT limit
+(src/tsdb.c:1363-1426, src/reply.c:175-213).
+
+Spark translation: one declarative plan —
+  filter(key) . filter(ts between) . [isin] . [value between]
+  . [groupBy(key, bucket).agg(...)] . [per-key row_number limit]
+Catalyst pushes the key/ts filters into the parquet scan (row-group
+pruning = the reference's chunk seek) and runs the bucketed aggregation as
+partial+final hash aggregate — a single shuffle keyed by (key, bucket),
+which is the plan that survives a 1000-executor / 100 TB scale-up.
+
+COUNT semantics: the reference applies COUNT per series (reply loop,
+src/reply.c:180-192), so the limit here is a per-key row_number, evaluated
+after filters and aggregation.
+
+Empty-bucket (EMPTY) semantics are in operators/empty.py; time-weighted
+average in operators/twa.py.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from redistimeseries_spark import MAX_TS, MIN_TS
+from redistimeseries_spark.functions.aggs import AGGREGATORS, agg_expr, sanitize
+from redistimeseries_spark.functions.buckets import bucket_start, report_ts, resolve_align
+
+
+def _as_list(x):
+    if x is None:
+        return None
+    return [x] if isinstance(x, str) else list(x)
+
+
+def ts_range(
+    samples: DataFrame,
+    start: int = MIN_TS,
+    end: int = MAX_TS,
+    keys=None,
+    *,
+    filter_by_ts=None,
+    filter_by_value: tuple[float, float] | None = None,
+    aggregations: list[str] | str | None = None,
+    bucket_dur: int | None = None,
+    align="0",
+    bucket_ts: str = "-",
+    empty: bool = False,
+    rev: bool = False,
+    count: int | None = None,
+) -> DataFrame:
+    """Build the TS.RANGE plan.  Returns (key, ts, value) for raw scans or
+    (key, ts, <agg...>) for aggregated queries, ordered by ts (desc if rev).
+    """
+    df = samples
+    keys = _as_list(keys)
+    if keys is not None:
+        df = df.filter(F.col("key") == keys[0]) if len(keys) == 1 else df.filter(
+            F.col("key").isin(keys)
+        )
+    if start > MIN_TS:
+        df = df.filter(F.col("ts") >= F.lit(start))
+    if end < MAX_TS:
+        df = df.filter(F.col("ts") <= F.lit(end))
+    if filter_by_ts is not None:
+        # reference caps at 128 values (src/query_language.h:53); isin over a
+        # literal list stays a scan-level predicate, no join needed.
+        df = df.filter(F.col("ts").isin([int(t) for t in filter_by_ts]))
+    if filter_by_value is not None:
+        lo, hi = filter_by_value
+        # NaN never passes (src/filter_iterator.c:18-24): Spark orders NaN
+        # above all doubles so `<= hi` already rejects it; keep explicit guard.
+        df = df.filter(~F.isnan("value") & (F.col("value") >= lo) & (F.col("value") <= hi))
+
+    aggs = _as_list(aggregations)
+    if aggs:
+        if bucket_dur is None or bucket_dur <= 0:
+            raise ValueError("aggregation requires bucket_dur > 0")
+        align_ts = resolve_align(align, start, end)
+        bucket = bucket_start(F.col("ts"), bucket_dur, align_ts)
+        df = df.withColumn("__bucket", bucket)
+
+        plain = [a for a in aggs if a != "twa"]
+        exprs = [agg_expr(a, F.col("value"), F.col("ts")) for a in plain]
+        # validSamplesInBucket (src/filter_iterator.c:389-401): a bucket whose
+        # samples are all NaN is treated as empty and not emitted.
+        exprs.append(
+            F.count(F.when(~F.isnan("value"), 1)).alias("__n_valid")
+        )
+        out = df.groupBy("key", "__bucket").agg(*exprs)
+
+        if "twa" in aggs and not empty:
+            from redistimeseries_spark.operators.twa import twa_buckets
+
+            tw = twa_buckets(df, bucket_dur, align_ts, start, end)
+            out = out.join(tw, ["key", "__bucket"], "left")
+
+        if empty:
+            from redistimeseries_spark.operators.empty import fill_empty_buckets
+
+            if "twa" in aggs:
+                from redistimeseries_spark.operators.twa import twa_buckets
+
+                tw = twa_buckets(df, bucket_dur, align_ts, start, end, empty=True)
+                out = out.join(tw, ["key", "__bucket"], "full")
+            out = fill_empty_buckets(
+                out, df, aggs, bucket_dur, align_ts, start, end
+            )
+        else:
+            out = out.filter(F.col("__n_valid") > 0)
+
+        out = out.select(
+            "key",
+            report_ts(F.col("__bucket"), bucket_dur, bucket_ts).alias("ts"),
+            *[sanitize(a) for a in aggs],
+        )
+        df = out
+    else:
+        df = df.select("key", "ts", "value")
+
+    order = F.col("ts").desc() if rev else F.col("ts").asc()
+    if count is not None:
+        w = Window.partitionBy("key").orderBy(order)
+        df = (
+            df.withColumn("__rn", F.row_number().over(w))
+            .filter(F.col("__rn") <= count)
+            .drop("__rn")
+        )
+    return df.orderBy("key", order)

@@ -1,0 +1,156 @@
+"""Time-weighted average (TWA) bucketed aggregator.
+
+Reference semantics (src/compaction.c:302-459, forward direction):
+  For each bucket [ta, tb) with ta = max(bucket_start, range_start),
+  tb = min(bucket_start + dur, range_end):
+    * consecutive in-bucket samples add trapezoid (v1+v2)(t2-t1)/2;
+    * if a previous sample exists in the iterated range (last sample of an
+      earlier bucket) the bucket is extended to ta: interpolate
+      vab = v1 + (ta-t1)(v2-v1)/(t2-t1) and add (vab+v2)(t2-ta)/2, with
+      first_ts = ta; otherwise first_ts = first in-bucket sample ts;
+    * symmetrically a following sample extends to tb with
+      (vab+v1)(tb-t1)/2 and last_ts = tb;
+    * finalize = res / |last_ts - first_ts|, or the single sample's value
+      when last_ts == first_ts (src/compaction.c:408-419 TwaFinalize).
+  NaN samples are excluded entirely (nonNaNValueValid).
+
+Empty / NaN-only buckets under EMPTY (src/filter_iterator.c:307-386):
+  neighbors = nearest non-NaN filtered samples left of ta / right of tb
+  (twa_get_samples_from_left/right); with both sides present the value is
+  the average of the line through them evaluated at ta and tb; one-sided
+  values use a sample-spacing heuristic to decide NaN vs nearest value.
+
+Spark shape: the integration is inherently sequential per series, so it runs
+as a vectorized numpy kernel inside applyInPandas grouped by key — one
+shuffle by key, series processed in parallel across executors; within a key
+the work is O(n) numpy, no Python-per-row cost.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from redistimeseries_spark import MAX_TS
+
+
+def _twa_kernel(
+    t: np.ndarray,  # int64 sorted ts of valid (non-NaN) samples
+    v: np.ndarray,  # float64 values
+    b: np.ndarray,  # int64 bucket start per sample
+    dur: int,
+    range_start: int,
+    range_end: int,
+):
+    """Return (buckets, twa_values) for buckets containing >=1 valid sample."""
+    ub, inv = np.unique(b, return_inverse=True)
+    fi = np.searchsorted(b, ub, "left")
+    li = np.searchsorted(b, ub, "right") - 1
+    first_ts = t[fi].astype(np.float64)
+    last_ts = t[li].astype(np.float64)
+    res = np.zeros(len(ub))
+    if len(t) >= 2:
+        t1, t2 = t[:-1].astype(np.float64), t[1:].astype(np.float64)
+        v1, v2 = v[:-1], v[1:]
+        same = b[:-1] == b[1:]
+        np.add.at(res, inv[1:], np.where(same, (v1 + v2) * (t2 - t1) / 2.0, 0.0))
+        cross = np.nonzero(~same)[0]
+        if len(cross) > 0:
+            dv = v2 - v1
+            dt = t2 - t1
+            # close previous bucket at tb
+            tb = np.minimum(b[:-1].astype(np.float64) + dur, float(range_end))
+            vab_prev = v1 + (tb - t1) * dv / dt
+            np.add.at(res, inv[:-1][cross], ((vab_prev + v1) * (tb - t1) / 2.0)[cross])
+            last_ts[inv[:-1][cross]] = tb[cross]
+            # open next bucket at ta
+            ta = np.maximum(b[1:].astype(np.float64), float(range_start))
+            vab_cur = v1 + (ta - t1) * dv / dt
+            np.add.at(res, inv[1:][cross], ((vab_cur + v2) * (t2 - ta) / 2.0)[cross])
+            first_ts[inv[1:][cross]] = ta[cross]
+    span = last_ts - first_ts
+    twa = np.where(span == 0, v[li], np.divide(res, np.abs(span), where=span != 0))
+    return ub, twa
+
+
+def _empty_bucket_val(
+    bucket: int, dur: int, t: np.ndarray, v: np.ndarray, range_start: int, range_end: int
+) -> float:
+    """twa_calc_empty_bucket_val (src/filter_iterator.c:307-386) over the
+    in-range valid samples (see module docstring for the edge-case note)."""
+    ta = max(bucket, range_start)
+    tb = min(bucket + dur, range_end)
+    left = np.searchsorted(t, ta, "left")  # samples with ts < ta: t[:left]
+    right = np.searchsorted(t, tb, "left")  # samples with ts >= tb: t[right:]
+    n_before = min(left, 2)
+    n_after = min(len(t) - right, 2)
+    is_empty, both = True, False
+    if n_before > 1 and t[left - 1] + (t[left - 1] - t[left - 2]) > ta:
+        is_empty = False
+    if n_after > 1 and tb + (t[right + 1] - t[right]) > t[right]:
+        is_empty = False
+    if n_before != 0 and n_after != 0:
+        is_empty, both = False, True
+    if is_empty:
+        return float("nan")
+    if both:
+        tl, vl = float(t[left - 1]), v[left - 1]
+        tr, vr = float(t[right]), v[right]
+        dv, dt = vr - vl, tr - tl
+        va = vl + (ta - tl) * dv / dt
+        vb = vl + (tb - tl) * dv / dt
+        return (va + vb) / 2.0
+    if n_after > 1:
+        delta = t[right + 1] - t[right]
+        return float("nan") if tb + delta // 2 <= t[right] else v[right]
+    delta = t[left - 1] - t[left - 2]
+    return float("nan") if t[left - 1] + delta // 2 <= ta else v[left - 1]
+
+
+def twa_buckets(
+    df: DataFrame,
+    dur: int,
+    align_ts: int,
+    start: int,
+    end: int,
+    empty: bool = False,
+) -> DataFrame:
+    """df: filtered samples with a precomputed __bucket column.
+    Returns (key, __bucket, twa).  With empty=True also emits interior
+    empty / NaN-only buckets with the interpolated value."""
+    range_end = min(end, MAX_TS)
+
+    def fn(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values("ts")
+        key = pdf["key"].iloc[0]
+        valid = ~pdf["value"].isna() & ~np.isnan(pdf["value"].to_numpy())
+        t = pdf.loc[valid, "ts"].to_numpy(np.int64)
+        v = pdf.loc[valid, "value"].to_numpy(np.float64)
+        b = pdf.loc[valid, "__bucket"].to_numpy(np.int64)
+        if len(t) == 0:
+            ub = np.empty(0, np.int64)
+            twa = np.empty(0, np.float64)
+        else:
+            ub, twa = _twa_kernel(t, v, b, dur, start, range_end)
+        if empty:
+            ball = pdf["__bucket"].to_numpy(np.int64)
+            lo, hi = ball.min(), ball.max()
+            spine = np.arange(lo, hi + 1, dur, dtype=np.int64)
+            out_b, out_v = [], []
+            nonempty = dict(zip(ub.tolist(), twa.tolist()))
+            for bk in spine.tolist():
+                if bk in nonempty:
+                    out_b.append(bk)
+                    out_v.append(nonempty[bk])
+                else:
+                    out_b.append(bk)
+                    out_v.append(_empty_bucket_val(bk, dur, t, v, start, range_end))
+            ub = np.asarray(out_b, np.int64)
+            twa = np.asarray(out_v, np.float64)
+        return pd.DataFrame({"key": key, "__bucket": ub, "twa": twa})
+
+    return df.select("key", "ts", "value", "__bucket").groupBy("key").applyInPandas(
+        fn, "key string, __bucket long, twa double"
+    )

@@ -1,0 +1,104 @@
+"""TSStore — the engine's dataset handle: samples + labels + catalog.
+
+The driver's `events` table maps onto the reference's samples model
+(FIXTURES.md): one time series per `key = event_type || '_' || user_id % K`,
+`ts` = epoch milliseconds, `value` = value.  Labels derived per key:
+type / user_bucket / parity.
+
+At scale the samples table would be a Parquet/Delta table written sorted by
+(key, ts) — file-level min/max stats then prune time ranges exactly like the
+reference's chunk index (src/tsdb.c:242-246 big-endian first-ts keying).
+`TSStore.write_layout` materializes that layout.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+USER_BUCKETS = 10
+
+
+def read_parquet(spark: SparkSession, path: str) -> DataFrame:
+    """Read driver testdata parquet.  The files carry TIMESTAMP(NANOS)
+    columns, which Spark only reads via the nanosAsLong legacy conf — the
+    column then surfaces as long nanoseconds since epoch."""
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    return spark.read.parquet(path)
+
+# DuckDB-side CTE producing the identical samples/labels views, used by
+# __spark_entry__.oracle_sql() so Spark and the oracle read the same model.
+SAMPLES_SQL = f"""
+samples AS (
+  SELECT event_type || '_' || CAST(user_id % {USER_BUCKETS} AS VARCHAR) AS key,
+         CAST(epoch_ms(ts) AS BIGINT) AS ts,
+         value
+  FROM events
+)
+""".strip()
+
+LABELS_SQL = f"""
+keyset AS (
+  SELECT DISTINCT
+         event_type || '_' || CAST(user_id % {USER_BUCKETS} AS VARCHAR) AS key,
+         event_type AS type,
+         CAST(user_id % {USER_BUCKETS} AS VARCHAR) AS user_bucket,
+         CASE WHEN user_id % 2 = 0 THEN 'even' ELSE 'odd' END AS parity
+  FROM events
+),
+labels AS (
+  SELECT key, 'type' AS label, type AS value FROM keyset
+  UNION ALL SELECT key, 'user_bucket', user_bucket FROM keyset
+  UNION ALL SELECT key, 'parity', parity FROM keyset
+)
+""".strip()
+
+ORACLE_PREFIX = f"WITH {SAMPLES_SQL},\n{LABELS_SQL}"
+
+
+@dataclass
+class TSStore:
+    samples: DataFrame  # (key string, ts long epoch-ms, value double)
+    labels: DataFrame  # (key string, label string, value string)
+
+    @classmethod
+    def from_events(cls, spark: SparkSession, sf_dir: str) -> "TSStore":
+        ev = read_parquet(spark, f"{sf_dir}/events.parquet")
+        key = F.concat_ws("_", "event_type", (F.col("user_id") % USER_BUCKETS).cast("string"))
+        # testdata timestamps are TIMESTAMP(NANOS) -> long nanos (see
+        # read_parquet); integer-div to epoch ms == DuckDB epoch_ms floor.
+        samples = ev.select(
+            key.alias("key"),
+            F.expr("ts div 1000000").alias("ts"),
+            F.col("value").cast("double").alias("value"),
+        )
+        keys = ev.select(
+            key.alias("key"),
+            F.col("event_type").alias("type"),
+            (F.col("user_id") % USER_BUCKETS).cast("string").alias("user_bucket"),
+            F.when(F.col("user_id") % 2 == 0, F.lit("even")).otherwise("odd").alias("parity"),
+        ).distinct()
+        labels = (
+            keys.selectExpr("key", "stack(3, 'type', type, 'user_bucket', user_bucket, 'parity', parity) AS (label, value)")
+        )
+        return cls(samples=samples, labels=labels)
+
+    @classmethod
+    def from_dataframes(cls, samples: DataFrame, labels: DataFrame | None = None) -> "TSStore":
+        if labels is None:
+            labels = samples.sparkSession.createDataFrame([], "key string, label string, value string")
+        return cls(samples=samples, labels=labels)
+
+    def write_layout(self, path: str, time_bucket_ms: int = 86_400_000) -> None:
+        """Materialize the scale layout: partitioned by time bucket, sorted by
+        (key, ts) within files so parquet stats prune both dimensions."""
+        (
+            self.samples.withColumn("day", (F.col("ts") / time_bucket_ms).cast("long"))
+            .repartition("day")
+            .sortWithinPartitions("key", "ts")
+            .write.mode("overwrite")
+            .partitionBy("day")
+            .parquet(path)
+        )
