@@ -1,10 +1,13 @@
-"""Driver contract for the spark-graft builder (PySpark target).
+"""Driver contract for the sparkts engine.
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+`queries()` exposes one entry per implemented operator from SURVEY.md §2;
+`oracle_sql()` carries the DuckDB-equivalent SQL for the differential
+correctness gate (the reference's own oracle pattern:
+tests/flow/test_ts_nrange_compare.py).
+
+The events table maps to the reference's samples model via store.TSStore
+(key = event_type '_' user_id%10, ts = epoch ms, value); the same mapping
+is a CTE prefix on the oracle side so both engines query the same model.
 """
 
 from __future__ import annotations
@@ -12,27 +15,462 @@ from __future__ import annotations
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from redistimeseries_spark.functions.aggs import agg_sql, sanitize
+from redistimeseries_spark.functions.buckets import bucket_sql
+from redistimeseries_spark.operators.labels import matched_keys, query_labels
+from redistimeseries_spark.operators.multi import ts_mget, ts_mrange
+from redistimeseries_spark.operators.nrange import ts_nrange
+from redistimeseries_spark.operators.range_query import ts_range
+from redistimeseries_spark.store import ORACLE_PREFIX, TSStore
+from redistimeseries_spark.streaming.compaction import CompactionRule, latest_value, materialize_rule
+from redistimeseries_spark.write.dup_policy import resolve_duplicates
+from redistimeseries_spark.write.mutate import ignore_filter, incrby, ts_del
+from redistimeseries_spark.write.retention import retention_clamp
+
+# ---- shared query constants (epoch ms; data spans 2024-01-01 .. 2024-01-31)
+T0 = 1704067200000  # 2024-01-01
+H = 3_600_000
+D14 = T0 + 14 * 86_400_000
+D21 = T0 + 21 * 86_400_000
+RANGE_KEY = "click_3"
+NKEYS = ["click_1", "view_2", "error_0"]
+
+
+def _store(spark: SparkSession, sf_dir: str) -> TSStore:
+    return TSStore.from_events(spark, sf_dir)
+
+
+def _raw(spark, sf_dir):
+    """samples + event_id seq for write-path operators."""
+    from redistimeseries_spark.store import USER_BUCKETS, read_parquet
+
+    ev = read_parquet(spark, f"{sf_dir}/events.parquet")
+    key = F.concat_ws("_", "event_type", (F.col("user_id") % USER_BUCKETS).cast("string"))
+    return ev.select(
+        key.alias("key"),
+        F.expr("ts div 1000000").alias("ts"),
+        F.col("value").cast("double").alias("value"),
+        F.col("event_id").alias("seq"),
+    )
+
+
+RAW_SQL = (
+    "rawseq AS (SELECT event_type || '_' || CAST(user_id % 10 AS VARCHAR) AS key, "
+    "CAST(epoch_ms(ts) AS BIGINT) AS ts, value, event_id AS seq FROM events)"
+)
+
+
+# --------------------------------------------------------------------------
+# queries
+# --------------------------------------------------------------------------
+
+def q_range_raw(spark, sf_dir):
+    st = _store(spark, sf_dir)
+    return ts_range(st.samples, D14, D21, keys=RANGE_KEY)
+
+
+def q_revrange_count(spark, sf_dir):
+    st = _store(spark, sf_dir)
+    return ts_range(st.samples, keys=NKEYS, rev=True, count=10)
+
+
+def q_range_filter_value(spark, sf_dir):
+    st = _store(spark, sf_dir)
+    return ts_range(st.samples, D14, D21, filter_by_value=(50.0, 200.0))
+
+
+def q_range_filter_ts(spark, sf_dir):
+    st = _store(spark, sf_dir)
+    wanted = [
+        r.ts
+        for r in st.samples.filter(F.col("key") == RANGE_KEY)
+        .orderBy("ts")
+        .limit(50)
+        .collect()
+    ]
+    return ts_range(st.samples, keys=RANGE_KEY, filter_by_ts=wanted)
+
+
+def q_agg_avg_1h(spark, sf_dir):
+    st = _store(spark, sf_dir)
+    return ts_range(st.samples, aggregations=["avg"], bucket_dur=H)
+
+
+def q_agg_multi_align(spark, sf_dir):
+    st = _store(spark, sf_dir)
+    return ts_range(
+        st.samples,
+        D14,
+        D21,
+        aggregations=["min", "max", "avg", "count"],
+        bucket_dur=2 * H,
+        align="start",
+        bucket_ts="~",
+    )
+
+
+def q_agg_all14(spark, sf_dir):
+    st = _store(spark, sf_dir)
+    return ts_range(
+        st.samples,
+        D14,
+        D21,
+        aggregations=[
+            "min", "max", "range", "sum", "avg", "count", "count_nan",
+            "count_all", "first", "last", "std.p", "std.s", "var.p", "var.s",
+        ],
+        bucket_dur=6 * H,
+    )
+
+
+def q_agg_twa(spark, sf_dir):
+    st = _store(spark, sf_dir)
+    return ts_range(st.samples, D14, D21, aggregations=["twa"], bucket_dur=2 * H)
+
+
+def q_agg_empty(spark, sf_dir):
+    st = _store(spark, sf_dir)
+    # one key + a long bucket so interior gaps exist
+    return ts_range(
+        st.samples,
+        keys=RANGE_KEY,
+        aggregations=["sum", "count", "last"],
+        bucket_dur=30 * 60 * 1000,
+        empty=True,
+    )
+
+
+def q_get(spark, sf_dir):
+    st = _store(spark, sf_dir)
+    return ts_range(st.samples, keys=RANGE_KEY, rev=True, count=1)
+
+
+def q_mget(spark, sf_dir):
+    st = _store(spark, sf_dir)
+    return ts_mget(st.samples, st.labels, ["type=click"])
+
+
+def q_queryindex(spark, sf_dir):
+    st = _store(spark, sf_dir)
+    return matched_keys(st.labels, ["type=click", "parity=even"])
+
+
+def q_queryindex_neg(spark, sf_dir):
+    st = _store(spark, sf_dir)
+    return matched_keys(st.labels, ["type!=", "type!=(click,view)", "parity=odd"])
+
+
+def q_querylabels_values(spark, sf_dir):
+    st = _store(spark, sf_dir)
+    return query_labels(st.labels, "values", "type", filters=["parity=even"])
+
+
+def q_mrange_max_1h(spark, sf_dir):
+    st = _store(spark, sf_dir)
+    return ts_mrange(
+        st.samples, st.labels, ["type=click"], D14, D21,
+        aggregations=["max"], bucket_dur=H,
+    )
+
+
+def q_mrange_groupby_sum(spark, sf_dir):
+    st = _store(spark, sf_dir)
+    return ts_mrange(
+        st.samples, st.labels, ["type=(click,view)"], D14, D21,
+        aggregations=["sum"], bucket_dur=H,
+        groupby="parity", reduce="sum",
+    )
+
+
+def q_nrange_pivot(spark, sf_dir):
+    st = _store(spark, sf_dir)
+    return ts_nrange(
+        st.samples, NKEYS, D14, D21,
+        agg_specs={"click_1": ["min", "max"], "view_2": ["avg"], "error_0": ["sum"]},
+        bucket_dur=6 * H,
+    )
+
+
+def q_dup_last(spark, sf_dir):
+    return resolve_duplicates(
+        _raw(spark, sf_dir).withColumn("ts", F.expr("ts - ts % 60000")), "last"
+    )
+
+
+def q_dup_sum(spark, sf_dir):
+    return resolve_duplicates(
+        _raw(spark, sf_dir).withColumn("ts", F.expr("ts - ts % 60000")), "sum"
+    )
+
+
+def q_dup_min(spark, sf_dir):
+    return resolve_duplicates(
+        _raw(spark, sf_dir).withColumn("ts", F.expr("ts - ts % 60000")), "min"
+    )
+
+
+def q_incrby(spark, sf_dir):
+    return incrby(_raw(spark, sf_dir))
+
+
+def q_retention_clamp(spark, sf_dir):
+    st = _store(spark, sf_dir)
+    return retention_clamp(st.samples, 7 * 86_400_000)
+
+
+def q_del_range(spark, sf_dir):
+    st = _store(spark, sf_dir)
+    surviving, _ = ts_del(st.samples, RANGE_KEY, D14, D21)
+    return surviving.filter(F.col("key") == RANGE_KEY)
+
+
+def q_compaction_avg_10m(spark, sf_dir):
+    st = _store(spark, sf_dir)
+    rule = CompactionRule(None, "_avg_10m", "avg", 600_000)
+    return materialize_rule(st.samples, rule)
+
+
+def q_compaction_latest(spark, sf_dir):
+    st = _store(spark, sf_dir)
+    rule = CompactionRule(None, "_avg_10m", "avg", 600_000)
+    return latest_value(st.samples, rule)
+
+
+def q_ignore_filter(spark, sf_dir):
+    st = _store(spark, sf_dir)
+    return ignore_filter(st.samples, 600_000, 5.0)
 
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship: label-filtered per-series 1h max buckets (TS.MRANGE)."""
+    return q_mrange_max_1h(spark, "/root/testdata/sf0.001")
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
+    return {
+        "ts_range_raw": q_range_raw,
+        "ts_revrange_count": q_revrange_count,
+        "ts_range_filter_value": q_range_filter_value,
+        "ts_range_filter_ts": q_range_filter_ts,
+        "ts_agg_avg_1h": q_agg_avg_1h,
+        "ts_agg_multi_align": q_agg_multi_align,
+        "ts_agg_all14": q_agg_all14,
+        "ts_agg_twa": q_agg_twa,
+        "ts_agg_empty": q_agg_empty,
+        "ts_get": q_get,
+        "ts_mget": q_mget,
+        "ts_queryindex": q_queryindex,
+        "ts_queryindex_neg": q_queryindex_neg,
+        "ts_querylabels_values": q_querylabels_values,
+        "ts_mrange_max_1h": q_mrange_max_1h,
+        "ts_mrange_groupby_sum": q_mrange_groupby_sum,
+        "ts_nrange_pivot": q_nrange_pivot,
+        "ts_dup_last": q_dup_last,
+        "ts_dup_sum": q_dup_sum,
+        "ts_dup_min": q_dup_min,
+        "ts_incrby": q_incrby,
+        "ts_retention_clamp": q_retention_clamp,
+        "ts_del_range": q_del_range,
+        "ts_compaction_avg_10m": q_compaction_avg_10m,
+        "ts_compaction_latest": q_compaction_latest,
+        "ts_ignore_filter": q_ignore_filter,  # sequential kept-set semantics: rows-only
+    }
 
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+
+# --------------------------------------------------------------------------
+# oracles
+# --------------------------------------------------------------------------
+
+def _agg_oracle(aggs, dur, align, start, end, bucket_ts="-", where="TRUE"):
+    b = bucket_sql("ts", dur, align)
+    shift = {"-": "", "~": f" + {dur // 2}", "+": f" + {dur}"}[bucket_ts]
+    cols = ", ".join(f"{agg_sql(a)} AS {sanitize(a)}" for a in aggs)
+    return f"""{ORACLE_PREFIX}
+SELECT key, {b}{shift} AS ts, {cols}
+FROM samples
+WHERE ts BETWEEN {start} AND {end} AND ({where})
+GROUP BY key, 2
+HAVING count(CASE WHEN NOT isnan(value) THEN 1 END) > 0"""
+
+
+def _twa_oracle(start, end, dur, align=0):
+    b = bucket_sql("ts", dur, align)
+    return f"""{ORACLE_PREFIX},
+s AS (
+  SELECT key, ts, value, {b} AS b FROM samples
+  WHERE ts BETWEEN {start} AND {end} AND NOT isnan(value)
+),
+p AS (
+  SELECT key, ts, value, b,
+         lead(ts) OVER w AS nts, lead(value) OVER w AS nv, lead(b) OVER w AS nb
+  FROM s WINDOW w AS (PARTITION BY key ORDER BY ts)
+),
+contrib AS (
+  SELECT key, b AS bucket, (value+nv)*(nts-ts)/2.0 AS area,
+         CAST(NULL AS DOUBLE) AS sf, CAST(NULL AS DOUBLE) AS sl
+  FROM p WHERE nb = b
+  UNION ALL
+  SELECT key, b,
+         ((value + (LEAST(b+{dur}, {end}) - ts)*(nv-value)/(nts-ts)) + value)
+           * (LEAST(b+{dur}, {end}) - ts)/2.0,
+         NULL, CAST(LEAST(b+{dur}, {end}) AS DOUBLE)
+  FROM p WHERE nb IS NOT NULL AND nb <> b
+  UNION ALL
+  SELECT key, nb,
+         ((value + (GREATEST(nb, {start}) - ts)*(nv-value)/(nts-ts)) + nv)
+           * (nts - GREATEST(nb, {start}))/2.0,
+         CAST(GREATEST(nb, {start}) AS DOUBLE), NULL
+  FROM p WHERE nb IS NOT NULL AND nb <> b
+),
+base AS (
+  SELECT key, b AS bucket, min(ts) AS fts, max(ts) AS lts, max_by(value, ts) AS lastv
+  FROM s GROUP BY 1, 2
+),
+agg AS (
+  SELECT key, bucket, sum(area) AS res, max(sf) AS sf, max(sl) AS sl
+  FROM contrib GROUP BY 1, 2
+)
+SELECT b.key, b.bucket AS ts,
+  CASE WHEN coalesce(a.sl, CAST(b.lts AS DOUBLE)) = coalesce(a.sf, CAST(b.fts AS DOUBLE))
+       THEN b.lastv
+       ELSE coalesce(a.res, 0) / abs(coalesce(a.sl, CAST(b.lts AS DOUBLE)) - coalesce(a.sf, CAST(b.fts AS DOUBLE)))
+  END AS twa
+FROM base b LEFT JOIN agg a USING (key, bucket)"""
+
+
+def _empty_oracle(key, dur):
+    b = bucket_sql("ts", dur, 0)
+    return f"""{ORACLE_PREFIX},
+s AS (SELECT key, ts, value, {b} AS b FROM samples WHERE key = '{key}'),
+agg AS (
+  SELECT key, b, {agg_sql('sum')} AS sum, {agg_sql('count')} AS count,
+         {agg_sql('last')} AS last,
+         count(CASE WHEN NOT isnan(value) THEN 1 END) AS nv
+  FROM s GROUP BY 1, 2
+),
+bounds AS (SELECT key, min(b) AS lo, max(b) AS hi FROM s GROUP BY 1),
+spine AS (SELECT key, unnest(generate_series(lo, hi, {dur})) AS b FROM bounds),
+j AS (SELECT spine.key, spine.b, agg.sum, agg.count, agg.last, agg.nv
+      FROM spine LEFT JOIN agg ON spine.key = agg.key AND spine.b = agg.b)
+SELECT key, b AS ts,
+  CASE WHEN nv > 0 THEN sum ELSE 0.0 END AS sum,
+  CASE WHEN nv > 0 THEN count ELSE 0.0 END AS count,
+  last_value(CASE WHEN nv > 0 THEN last END IGNORE NULLS)
+    OVER (PARTITION BY key ORDER BY b ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS last
+FROM j"""
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    dup60 = "SELECT key, ts - ts % 60000 AS ts, value, seq FROM rawseq"
+    return {
+        "ts_range_raw": f"{ORACLE_PREFIX} SELECT key, ts, value FROM samples "
+        f"WHERE key = '{RANGE_KEY}' AND ts BETWEEN {D14} AND {D21}",
+        "ts_revrange_count": f"""{ORACLE_PREFIX}
+            SELECT key, ts, value FROM (
+              SELECT key, ts, value,
+                     row_number() OVER (PARTITION BY key ORDER BY ts DESC) AS rn
+              FROM samples WHERE key IN ({','.join(repr(k) for k in NKEYS)}))
+            WHERE rn <= 10""",
+        "ts_range_filter_value": f"{ORACLE_PREFIX} SELECT key, ts, value FROM samples "
+        f"WHERE ts BETWEEN {D14} AND {D21} AND NOT isnan(value) "
+        f"AND value BETWEEN 50.0 AND 200.0",
+        "ts_range_filter_ts": f"""{ORACLE_PREFIX}
+            SELECT key, ts, value FROM samples
+            WHERE key = '{RANGE_KEY}' AND ts IN (
+              SELECT ts FROM samples WHERE key = '{RANGE_KEY}' ORDER BY ts LIMIT 50)""",
+        "ts_agg_avg_1h": _agg_oracle(["avg"], H, 0, 0, 1 << 62),
+        "ts_agg_multi_align": _agg_oracle(
+            ["min", "max", "avg", "count"], 2 * H, D14, D14, D21, bucket_ts="~"
+        ),
+        "ts_agg_all14": _agg_oracle(
+            [
+                "min", "max", "range", "sum", "avg", "count", "count_nan",
+                "count_all", "first", "last", "std.p", "std.s", "var.p", "var.s",
+            ],
+            6 * H, 0, D14, D21,
+        ),
+        "ts_agg_twa": _twa_oracle(D14, D21, 2 * H),
+        "ts_agg_empty": _empty_oracle(RANGE_KEY, 30 * 60 * 1000),
+        "ts_get": f"""{ORACLE_PREFIX}
+            SELECT key, max(ts) AS ts, max_by(value, ts) AS value
+            FROM samples WHERE key = '{RANGE_KEY}' GROUP BY key""",
+        "ts_mget": f"""{ORACLE_PREFIX}
+            SELECT key, max(ts) AS ts, max_by(value, ts) AS value FROM samples
+            WHERE key IN (SELECT key FROM labels WHERE label='type' AND value='click')
+            GROUP BY key""",
+        "ts_queryindex": f"""{ORACLE_PREFIX}
+            SELECT DISTINCT key FROM labels WHERE key IN
+              (SELECT key FROM labels WHERE label='type' AND value='click')
+            AND key IN (SELECT key FROM labels WHERE label='parity' AND value='even')""",
+        "ts_queryindex_neg": f"""{ORACLE_PREFIX}
+            SELECT DISTINCT key FROM labels
+            WHERE key IN (SELECT key FROM labels WHERE label='type')
+              AND key NOT IN (SELECT key FROM labels WHERE label='type'
+                              AND value IN ('click','view'))
+              AND key IN (SELECT key FROM labels WHERE label='parity' AND value='odd')""",
+        "ts_querylabels_values": f"""{ORACLE_PREFIX}
+            SELECT DISTINCT value FROM labels WHERE label = 'type'
+            AND key IN (SELECT key FROM labels WHERE label='parity' AND value='even')""",
+        "ts_mrange_max_1h": _agg_oracle(
+            ["max"], H, 0, D14, D21,
+            where=f"key IN (SELECT key FROM labels WHERE label='type' AND value='click')",
+        ),
+        "ts_mrange_groupby_sum": f"""{ORACLE_PREFIX},
+            per AS (
+              SELECT key, {bucket_sql('ts', H, 0)} AS ts, {agg_sql('sum')} AS sum
+              FROM samples
+              WHERE ts BETWEEN {D14} AND {D21}
+                AND key IN (SELECT key FROM labels WHERE label='type'
+                            AND value IN ('click','view'))
+              GROUP BY 1, 2
+              HAVING count(CASE WHEN NOT isnan(value) THEN 1 END) > 0)
+            SELECT 'parity=' || l.value AS key, per.ts,
+                   coalesce(sum(CASE WHEN NOT isnan(per.sum) THEN per.sum END), 'NaN'::DOUBLE) AS sum
+            FROM per JOIN (SELECT key, value FROM labels WHERE label='parity') l
+              ON per.key = l.key
+            GROUP BY 1, 2""",
+        "ts_nrange_pivot": f"""{ORACLE_PREFIX},
+            b AS (SELECT key, {bucket_sql('ts', 6 * H, 0)} AS ts, value FROM samples
+                  WHERE ts BETWEEN {D14} AND {D21}),
+            g AS (SELECT key, ts,
+                         min(value) AS mn, max(value) AS mx, avg(value) AS av,
+                         sum(value) AS sm
+                  FROM b WHERE key IN ('click_1','view_2','error_0') GROUP BY 1,2)
+            SELECT ts,
+              coalesce(max(CASE WHEN key='click_1' THEN mn END), 'NaN'::DOUBLE) AS click_1_min,
+              coalesce(max(CASE WHEN key='click_1' THEN mx END), 'NaN'::DOUBLE) AS click_1_max,
+              coalesce(max(CASE WHEN key='view_2' THEN av END), 'NaN'::DOUBLE) AS view_2_avg,
+              coalesce(max(CASE WHEN key='error_0' THEN sm END), 'NaN'::DOUBLE) AS error_0_sum
+            FROM g GROUP BY ts""",
+        "ts_dup_last": f"{ORACLE_PREFIX}, {RAW_SQL}, d AS ({dup60}) "
+        "SELECT key, ts, max_by(value, seq) AS value FROM d GROUP BY key, ts",
+        "ts_dup_sum": f"{ORACLE_PREFIX}, {RAW_SQL}, d AS ({dup60}) "
+        "SELECT key, ts, sum(value) AS value FROM d GROUP BY key, ts",
+        "ts_dup_min": f"{ORACLE_PREFIX}, {RAW_SQL}, d AS ({dup60}) "
+        "SELECT key, ts, min(value) AS value FROM d GROUP BY key, ts",
+        "ts_incrby": f"""{ORACLE_PREFIX}, {RAW_SQL}
+            SELECT key, ts, sum(value) OVER (PARTITION BY key ORDER BY seq
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS value
+            FROM rawseq""",
+        "ts_retention_clamp": f"""{ORACLE_PREFIX}
+            SELECT s.key, s.ts, s.value FROM samples s
+            JOIN (SELECT key, max(ts) - {7 * 86_400_000} AS h FROM samples GROUP BY key) m
+              ON s.key = m.key
+            WHERE s.ts >= m.h""",
+        "ts_del_range": f"""{ORACLE_PREFIX}
+            SELECT key, ts, value FROM samples
+            WHERE key = '{RANGE_KEY}' AND ts NOT BETWEEN {D14} AND {D21}""",
+        "ts_compaction_avg_10m": f"""{ORACLE_PREFIX},
+            b AS (SELECT key, {bucket_sql('ts', 600_000, 0)} AS b, value FROM samples),
+            o AS (SELECT key, {bucket_sql('max(ts)', 600_000, 0)} AS open FROM samples GROUP BY key)
+            SELECT b.key || '_avg_10m' AS key, b.b AS ts, avg(b.value) AS value
+            FROM b JOIN o ON b.key = o.key
+            WHERE b.b < o.open GROUP BY b.key, b.b""",
+        "ts_compaction_latest": f"""{ORACLE_PREFIX},
+            b AS (SELECT key, {bucket_sql('ts', 600_000, 0)} AS b, value FROM samples),
+            g AS (SELECT key || '_avg_10m' AS key, b AS ts, avg(value) AS value
+                  FROM b GROUP BY 1, 2)
+            SELECT key, max(ts) AS ts, max_by(value, ts) AS value FROM g GROUP BY key""",
+    }

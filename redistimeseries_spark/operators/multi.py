@@ -1,0 +1,124 @@
+"""Multi-series queries: TS.MGET, TS.MRANGE/TS.MREVRANGE, GROUPBY...REDUCE.
+
+Reference: src/module.c:2132-2265 (mget), 624-688 (mrange),
+src/resultset.c:156-242 + src/multiseries_*.c (groupby/reduce).
+
+Spark shapes (all one- or two-shuffle plans that hold at 100 TB):
+  * mget     — groupBy(key).agg(max_by) with map-side partial aggregation;
+               the reference's O(1) lastSample becomes a partial-agg scan,
+               or a maintained `latest` table at ingest time (see
+               streaming/compaction.py).
+  * mrange   — label match (broadcast semi-join, labels << samples) then
+               the per-series ts_range pipeline; per-series grouping is the
+               shuffle key so series parallelize across executors exactly
+               like the reference's shard fan-out (src/libmr_commands.c).
+  * groupby  — the reference's k-way heap merge + per-ts reduce
+               (src/multiseries_sample_iterator.c:47-87) is just a second
+               groupBy((label_value, ts)) — Spark's shuffle IS the merge.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from redistimeseries_spark import MAX_TS, MIN_TS
+from redistimeseries_spark.functions.aggs import AGGREGATORS, sanitize
+from redistimeseries_spark.operators.labels import matched_keys, with_labels
+from redistimeseries_spark.operators.range_query import ts_range
+
+
+def ts_mget(
+    samples: DataFrame,
+    labels: DataFrame,
+    filters: list[str],
+    selected_labels: list[str] | None = None,
+    with_labels_flag: bool = False,
+) -> DataFrame:
+    """Last sample of every matching series: (key, ts, value [, labels...]).
+
+    Reference replies the last *raw* sample (src/module.c:2132-2265);
+    NaN values are legal last samples, so no NaN filtering here."""
+    keys = matched_keys(labels, filters)
+    df = samples.join(F.broadcast(keys), "key", "left_semi")
+    out = df.groupBy("key").agg(
+        F.max("ts").alias("ts"),
+        F.max_by("value", "ts").alias("value"),
+    )
+    if with_labels_flag or selected_labels is not None:
+        out = with_labels(out, labels, selected_labels)
+    return out
+
+
+def ts_mrange(
+    samples: DataFrame,
+    labels: DataFrame,
+    filters: list[str],
+    start: int = MIN_TS,
+    end: int = MAX_TS,
+    *,
+    groupby: str | None = None,
+    reduce: str | None = None,
+    selected_labels: list[str] | None = None,
+    with_labels_flag: bool = False,
+    **range_kwargs,
+) -> DataFrame:
+    """TS.MRANGE: per-series range pipeline over label-matched series,
+    optionally GROUPBY label REDUCE reducer.
+
+    GROUPBY semantics (src/resultset.c:156-242): series are partitioned by
+    the value of `groupby`; per distinct timestamp the reducer merges that
+    timestamp's values across the group's series.  Output series name is
+    "label=value" (src/resultset.c:226-242).  A timestamp where every
+    series' value is NaN reduces to NaN (count reducers: 0)
+    (src/multiseries_agg_dup_sample_iterator.c:46-59).
+    """
+    keys = matched_keys(labels, filters)
+    df = samples.join(F.broadcast(keys), "key", "left_semi")
+    out = ts_range(df, start, end, **range_kwargs)
+
+    if groupby is None:
+        if with_labels_flag or selected_labels is not None:
+            out = with_labels(out, labels, selected_labels)
+        return out
+
+    if reduce is None:
+        raise ValueError("GROUPBY requires REDUCE")
+    # value column of the per-series stage: 'value' for raw, the (single)
+    # aggregator column otherwise (multi-agg + groupby is not in the
+    # reference surface either).
+    aggs = range_kwargs.get("aggregations")
+    vcol = "value" if not aggs else sanitize(aggs if isinstance(aggs, str) else aggs[0])
+
+    grp_lbl = labels.filter(F.col("label") == groupby).select(
+        "key", F.col("value").alias("__grpval")
+    )
+    joined = out.join(F.broadcast(grp_lbl), "key", "inner")
+    builder, _ = AGGREGATORS[reduce]
+    if builder is None:
+        raise ValueError(f"reducer {reduce} not supported")
+    # all-NaN timestamp reduces to NaN, not absent
+    # (src/multiseries_agg_dup_sample_iterator.c:46-59); count-family already
+    # yields 0 there.
+    if reduce == "sum":
+        # bucket-agg sum has finalizeEmpty 0, but the cross-series reducer
+        # yields NaN for an all-NaN timestamp (SURVEY §2.5)
+        rexpr = F.sum(F.when(~F.isnan(vcol), F.col(vcol)))
+    else:
+        rexpr = builder(F.col(vcol), F.col("ts"))
+    if not reduce.startswith("count"):
+        rexpr = F.coalesce(rexpr, F.lit(float("nan")))
+    red = (
+        joined.groupBy("__grpval", "ts")
+        .agg(
+            rexpr.alias(vcol),
+            F.sort_array(F.collect_set("key")).alias("__sources"),
+        )
+        .select(
+            F.concat(F.lit(groupby + "="), F.col("__grpval")).alias("key"),
+            "ts",
+            vcol,
+            "__sources",
+        )
+    )
+    return red.drop("__sources") if not with_labels_flag else red

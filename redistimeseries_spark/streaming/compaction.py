@@ -1,0 +1,90 @@
+"""Compaction rules (TS.CREATERULE) — continuous downsampling.
+
+Reference: per-rule running agg context; when a sample lands in a newer
+bucket the previous bucket is finalized into the dest series with a
+DP_LAST upsert (src/module.c:915-984).  The bucket containing the source's
+last sample is therefore OPEN — not yet in dest; LATEST materializes it on
+the fly by finalizing a clone of the live context (src/tsdb.c:1468-1501).
+
+Batch shape: dest = bucketed aggregation of src restricted to closed
+buckets — one shuffle on (key, bucket).  Incremental maintenance = re-run
+restricted to buckets touched by a micro-batch / delete
+(write/mutate.affected_buckets) and MERGE into the dest table; the
+recompute set is tiny so the MERGE join is broadcast.  The streaming
+variant (structured streaming window agg) lives in streaming/ingest.py.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from redistimeseries_spark.functions.aggs import agg_expr
+from redistimeseries_spark.functions.buckets import bucket_start
+
+
+@dataclass
+class CompactionRule:
+    src_key_pattern: str | None  # None = all keys
+    dest_suffix: str  # dest key = src key + dest_suffix
+    agg: str
+    bucket_ms: int
+    align_ts: int = 0
+
+
+def closed_buckets(
+    samples: DataFrame, bucket_ms: int, align_ts: int = 0
+) -> DataFrame:
+    """Aggregatable (key, bucket) pairs strictly before the open bucket."""
+    last = samples.groupBy("key").agg(F.max("ts").alias("__last_ts"))
+    return last.select(
+        "key", bucket_start(F.col("__last_ts"), bucket_ms, align_ts).alias("__open")
+    )
+
+
+def materialize_rule(
+    samples: DataFrame,
+    rule: CompactionRule,
+    include_open: bool = False,
+) -> DataFrame:
+    """Dest-series samples for a rule: (key, ts, value) where ts is the
+    bucket start (reference compaction always reports bucket start) and key
+    is the dest key.  include_open=False replicates the closed-bucket-only
+    dest content; True = the LATEST view (open bucket finalized on the fly).
+    """
+    df = samples
+    if rule.src_key_pattern is not None:
+        df = df.filter(F.col("key").rlike(rule.src_key_pattern))
+    b = bucket_start(F.col("ts"), rule.bucket_ms, rule.align_ts)
+    agg = (
+        df.withColumn("__bucket", b)
+        .groupBy("key", "__bucket")
+        .agg(
+            agg_expr(rule.agg, F.col("value"), F.col("ts"), alias="value"),
+            F.count(F.when(~F.isnan("value"), 1)).alias("__n_valid"),
+        )
+        .filter(F.col("__n_valid") > 0)
+    )
+    if not include_open:
+        opens = closed_buckets(df, rule.bucket_ms, rule.align_ts)
+        agg = agg.join(F.broadcast(opens), "key", "left").filter(
+            F.col("__bucket") < F.col("__open")
+        )
+    return agg.select(
+        F.concat(F.col("key"), F.lit(rule.dest_suffix)).alias("key"),
+        F.col("__bucket").alias("ts"),
+        "value",
+    )
+
+
+def latest_value(
+    samples: DataFrame, rule: CompactionRule
+) -> DataFrame:
+    """TS.GET/MGET ... LATEST on a compaction destination: last closed
+    bucket unioned with the finalized open bucket, then max_by(ts)."""
+    full = materialize_rule(samples, rule, include_open=True)
+    return full.groupBy("key").agg(
+        F.max("ts").alias("ts"), F.max_by("value", "ts").alias("value")
+    )
