@@ -1,0 +1,106 @@
+"""Benchmark harness (BASELINE.md protocol).
+
+Runs the headline workloads (B1-B7 analogues of the reference's benchmark
+matrix) at $SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1) on
+local[$SPARK_GRAFT_CPUS] and prints ONE JSON line.
+
+Each query is forced with the noop sink (full execution, no driver
+collect), timed after a JVM warm-up pass.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from pyspark.sql import functions as F
+
+from redistimeseries_spark import get_spark
+from redistimeseries_spark.operators.labels import matched_keys
+from redistimeseries_spark.operators.multi import ts_mget, ts_mrange
+from redistimeseries_spark.operators.range_query import ts_range
+from redistimeseries_spark.store import TSStore
+from redistimeseries_spark.write.dup_policy import resolve_duplicates
+
+H = 3_600_000
+
+
+def benchmarks(st, raw):
+    return {
+        # B1: TS.RANGE full-series scan (scaling-ts_range_90k_datapoints.yml)
+        "b1_range_full_key": lambda: ts_range(st.samples, keys="click_3"),
+        # B2: TS.MRANGE AVG 1h over one label's series
+        "b2_mrange_avg_1h": lambda: ts_mrange(
+            st.samples, st.labels, ["type=click"], aggregations=["avg"], bucket_dur=H
+        ),
+        # B3: max 1h, ~10% of series (user_bucket=0 -> 5/50 keys)
+        "b3_mrange_max_10pct": lambda: ts_mrange(
+            st.samples, st.labels, ["user_bucket=0"], aggregations=["max"], bucket_dur=H
+        ),
+        # B4: TS.MGET last-sample fan-out, all series
+        "b4_mget_all": lambda: ts_mget(st.samples, st.labels, ["type!="]),
+        # B5: TS.QUERYINDEX
+        "b5_queryindex": lambda: matched_keys(st.labels, ["type=click", "parity=even"]),
+        # B6: GROUPBY label REDUCE sum
+        "b6_groupby_reduce": lambda: ts_mrange(
+            st.samples, st.labels, ["type!="], aggregations=["sum"], bucket_dur=H,
+            groupby="parity", reduce="sum",
+        ),
+        # B7: ingest with duplicate-policy merge
+        "b7_ingest_dup_last": lambda: resolve_duplicates(
+            raw.withColumn("ts", F.expr("ts - ts % 60000")), "last"
+        ),
+        # B8: the bespoke heavy operator
+        "b8_twa_2h": lambda: ts_range(st.samples, aggregations=["twa"], bucket_dur=2 * H),
+    }
+
+
+def main():
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    sf = float(sf_dir.rstrip("/").rsplit("sf", 1)[-1])
+    spark = get_spark("bench")
+    spark.sparkContext.setLogLevel("ERROR")
+    st = TSStore.from_events(spark, sf_dir)
+
+    from __spark_entry__ import _raw
+
+    raw = _raw(spark, sf_dir)
+
+    # cache the base tables once: the reference serves queries from an
+    # in-memory store, so the query benchmark should not re-pay parquet scan
+    st.samples.cache().count()
+    st.labels.cache().count()
+    raw.cache().count()
+
+    bms = benchmarks(st, raw)
+
+    def force(df):
+        df.write.mode("overwrite").format("noop").save()
+
+    force(bms["b1_range_full_key"]())  # warm-up
+
+    times = {}
+    for name, build in bms.items():
+        t0 = time.time()
+        force(build())
+        times[name] = round(time.time() - t0, 3)
+
+    print(
+        json.dumps(
+            {
+                "metric": "headline_queries_total_wall",
+                "value": round(sum(times.values()), 3),
+                "unit": "sec",
+                "queries": times,
+                "sf": sf,
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()
