@@ -243,6 +243,156 @@ def q_ignore_filter(spark, sf_dir):
     return ignore_filter(st.samples, 600_000, 5.0)
 
 
+# --------------------------------------------------------------------------
+# training-data pipeline operators (dedup / similarity / text / multimodal)
+# --------------------------------------------------------------------------
+
+def _docs(spark, sf_dir):
+    from redistimeseries_spark.store import read_parquet
+
+    return read_parquet(spark, f"{sf_dir}/documents.parquet")
+
+
+def _dup_corpus(spark, sf_dir):
+    """documents + exact copies at doc_id+100000 (planted duplicates)."""
+    d = _docs(spark, sf_dir).select("doc_id", "text")
+    return d.union(d.select((F.col("doc_id") + 100000).alias("doc_id"), "text"))
+
+
+DUP_CORPUS_SQL = (
+    "corpus AS (SELECT doc_id, text FROM documents "
+    "UNION ALL SELECT doc_id + 100000, text FROM documents)"
+)
+
+
+def _near_corpus(spark, sf_dir):
+    """documents + lightly-mutated copies (planted near-duplicates)."""
+    d = _docs(spark, sf_dir).select("doc_id", "text")
+    return d.union(
+        d.select(
+            (F.col("doc_id") + 100000).alias("doc_id"),
+            F.concat("text", F.lit(" zqz zqz zqz")).alias("text"),
+        )
+    )
+
+
+NEAR_CORPUS_SQL = (
+    "corpus AS (SELECT doc_id, text FROM documents "
+    "UNION ALL SELECT doc_id + 100000, text || ' zqz zqz zqz' FROM documents)"
+)
+
+
+def _emb_corpus(spark, sf_dir):
+    """embeddings + perturbed copies at vec_id+100000 (planted near-dups)."""
+    from redistimeseries_spark.store import read_parquet
+
+    e = read_parquet(spark, f"{sf_dir}/embeddings.parquet").select(
+        "vec_id", "label", F.col("embedding").cast("array<double>").alias("embedding")
+    )
+    pert = e.select(
+        (F.col("vec_id") + 100000).alias("vec_id"),
+        "label",
+        F.expr(
+            "concat(array(element_at(embedding, 1) + 0.01), slice(embedding, 2, size(embedding) - 1))"
+        ).alias("embedding"),
+    )
+    return e.union(pert)
+
+
+EMB_CORPUS_SQL = (
+    "corpus AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS embedding FROM embeddings "
+    "UNION ALL SELECT vec_id + 100000, label, "
+    "list_prepend(CAST(embedding[1] AS DOUBLE) + 0.01, CAST(embedding[2:] AS DOUBLE[])) "
+    "FROM embeddings)"
+)
+
+
+def q_dedup_exact(spark, sf_dir):
+    from redistimeseries_spark.pipeline.dedup import exact_dedup
+
+    return exact_dedup(_dup_corpus(spark, sf_dir))
+
+
+def q_minhash_signatures(spark, sf_dir):
+    from redistimeseries_spark.pipeline.dedup import minhash_signatures
+
+    return minhash_signatures(_docs(spark, sf_dir))
+
+
+def q_minhash_lsh_pairs(spark, sf_dir):
+    from redistimeseries_spark.pipeline.dedup import minhash_lsh_pairs
+
+    return minhash_lsh_pairs(_near_corpus(spark, sf_dir))
+
+
+def q_simhash(spark, sf_dir):
+    from redistimeseries_spark.pipeline.dedup import simhash
+
+    return simhash(_docs(spark, sf_dir))
+
+
+def q_ngram_jaccard(spark, sf_dir):
+    from redistimeseries_spark.pipeline.dedup import ngram_jaccard_pairs
+
+    return ngram_jaccard_pairs(_near_corpus(spark, sf_dir), n=3, threshold=0.4)
+
+
+def q_embed_neardup(spark, sf_dir):
+    from redistimeseries_spark.pipeline.dedup import embedding_neardup_pairs
+
+    return embedding_neardup_pairs(_emb_corpus(spark, sf_dir), threshold=0.99)
+
+
+def q_ann_cosine_topk(spark, sf_dir):
+    from redistimeseries_spark.pipeline.similarity import cosine_topk
+    from redistimeseries_spark.store import read_parquet
+
+    return cosine_topk(read_parquet(spark, f"{sf_dir}/embeddings.parquet"), 0, 20)
+
+
+def q_ann_lsh_topk(spark, sf_dir):
+    from redistimeseries_spark.pipeline.similarity import lsh_topk
+    from redistimeseries_spark.store import read_parquet
+
+    return lsh_topk(read_parquet(spark, f"{sf_dir}/embeddings.parquet"), 0, 20)
+
+
+def q_lang_id(spark, sf_dir):
+    from redistimeseries_spark.pipeline.text import lang_scores
+
+    return lang_scores(_docs(spark, sf_dir))
+
+
+def q_quality(spark, sf_dir):
+    from redistimeseries_spark.pipeline.text import quality_scores
+
+    return quality_scores(_docs(spark, sf_dir))
+
+
+def q_token_count(spark, sf_dir):
+    from redistimeseries_spark.pipeline.text import token_counts
+
+    return token_counts(_docs(spark, sf_dir))
+
+
+def q_fingerprint(spark, sf_dir):
+    from redistimeseries_spark.pipeline.text import fingerprints
+
+    return fingerprints(_docs(spark, sf_dir))
+
+
+def q_mm_features(spark, sf_dir):
+    from redistimeseries_spark.pipeline.multimodal import attach_payload, extract_features
+
+    return extract_features(attach_payload(_docs(spark, sf_dir)))
+
+
+def q_mm_frame_sample(spark, sf_dir):
+    from redistimeseries_spark.pipeline.multimodal import attach_payload, frame_sample
+
+    return frame_sample(attach_payload(_docs(spark, sf_dir)))
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: label-filtered per-series 1h max buckets (TS.MRANGE)."""
     return q_mrange_max_1h(spark, "/root/testdata/sf0.001")
@@ -276,6 +426,20 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ts_compaction_avg_10m": q_compaction_avg_10m,
         "ts_compaction_latest": q_compaction_latest,
         "ts_ignore_filter": q_ignore_filter,  # sequential kept-set semantics: rows-only
+        "dl_dedup_exact": q_dedup_exact,
+        "dl_minhash_signatures": q_minhash_signatures,
+        "dl_minhash_lsh_pairs": q_minhash_lsh_pairs,
+        "dl_simhash": q_simhash,
+        "dl_ngram_jaccard": q_ngram_jaccard,
+        "dl_embed_neardup": q_embed_neardup,
+        "dl_ann_cosine_topk": q_ann_cosine_topk,
+        "dl_ann_lsh_topk": q_ann_lsh_topk,
+        "dl_lang_id": q_lang_id,
+        "dl_quality": q_quality,
+        "dl_token_count": q_token_count,
+        "dl_fingerprint": q_fingerprint,
+        "dl_mm_features": q_mm_features,
+        "dl_mm_frame_sample": q_mm_frame_sample,
     }
 
 
@@ -360,6 +524,150 @@ SELECT key, b AS ts,
   last_value(CASE WHEN nv > 0 THEN last END IGNORE NULLS)
     OVER (PARTITION BY key ORDER BY b ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS last
 FROM j"""
+
+
+def _occ_sql(word: str) -> str:
+    pad = f"' ' || lower(text) || ' '"
+    needle = f"' {word} '"
+    return (
+        f"CAST((length({pad}) - length(replace({pad}, {needle}, ' '))) / {len(word) + 1} AS BIGINT)"
+    )
+
+
+def _lang_oracle() -> str:
+    from redistimeseries_spark.pipeline.text import LANG_MARKERS
+
+    score_cols = []
+    for lang, words in LANG_MARKERS.items():
+        score_cols.append(" + ".join(_occ_sql(w) for w in words) + f" AS score_{lang}")
+    langs = list(LANG_MARKERS)
+    best = "greatest(" + ", ".join(f"score_{l}" for l in langs) + ")"
+    pred = "CASE " + " ".join(
+        f"WHEN score_{l} = {best} THEN '{l}'" for l in langs
+    ) + " ELSE 'unknown' END"
+    return f"""SELECT doc_id, score_en, score_fr, score_de, score_es,
+      CASE WHEN {best} > 0 THEN {pred} ELSE 'unknown' END AS lang_pred
+    FROM (SELECT doc_id, {', '.join(score_cols)} FROM documents)"""
+
+
+def _pipeline_oracles() -> dict[str, str]:
+    from redistimeseries_spark.pipeline.dedup import simhash_expr_sql
+    from redistimeseries_spark.pipeline.text import LANG_MARKERS
+
+    # DuckDB hex() uses uppercase A-F; lower() it before nibble lookup
+    nib = "instr('0123456789abcdef', substr(lower(hex(encode(text))), {p}, 1)) - 1"
+    first_b = f"16 * ({nib.format(p=1)}) + ({nib.format(p=2)})"
+    last_b = (
+        f"16 * ({nib.format(p='2 * octet_length(encode(text)) - 1')})"
+        f" + ({nib.format(p='2 * octet_length(encode(text))')})"
+    )
+    stop_en = " + ".join(_occ_sql(w) for w in LANG_MARKERS["en"])
+    words = "list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), x -> x <> '')"
+    shingle_cte = (
+        "sh AS (SELECT DISTINCT doc_id, substr(lower(text), i, 5) AS shingle "
+        "FROM corpus, unnest(generate_series(1, greatest(length(lower(text)) - 4, 1))) AS t(i))"
+    )
+    mh_cte = (
+        "mh AS (SELECT doc_id, h, min(md5(CAST(h AS VARCHAR) || ':' || shingle)) AS minhash "
+        "FROM sh, unnest(generate_series(0, 7)) AS hh(h) GROUP BY 1, 2)"
+    )
+    return {
+        "dl_dedup_exact": f"""WITH {DUP_CORPUS_SQL}
+            SELECT md5(text) AS text_hash, min(doc_id) AS keeper,
+                   count(*) AS n_copies
+            FROM corpus GROUP BY 1""",
+        "dl_minhash_signatures": f"""WITH corpus AS (SELECT doc_id, text FROM documents),
+            {shingle_cte}, {mh_cte}
+            SELECT doc_id, h, minhash FROM mh""",
+        "dl_minhash_lsh_pairs": f"""WITH {NEAR_CORPUS_SQL},
+            {shingle_cte}, {mh_cte},
+            band AS (SELECT doc_id, h // 2 AS band,
+                            array_to_string(list_sort(list(minhash)), '|') AS band_key
+                     FROM mh GROUP BY doc_id, h // 2)
+            SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+            FROM band a JOIN band b
+              ON a.band = b.band AND a.band_key = b.band_key AND a.doc_id < b.doc_id""",
+        "dl_simhash": f"""WITH toks AS (
+              SELECT doc_id, t.tok FROM documents, unnest({words}) AS t(tok))
+            SELECT doc_id, CAST({simhash_expr_sql(16, 'tok')} AS BIGINT) AS simhash
+            FROM toks GROUP BY doc_id""",
+        "dl_ngram_jaccard": f"""WITH {NEAR_CORPUS_SQL},
+            w AS (SELECT doc_id, {words} AS ws FROM corpus),
+            g AS (SELECT DISTINCT doc_id, array_to_string(ws[i:i+2], ' ') AS gram
+                  FROM w, unnest(generate_series(1, greatest(len(ws) - 2, 1))) AS t(i)),
+            sizes AS (SELECT doc_id, count(*) AS sz FROM g GROUP BY 1),
+            inter AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS i
+                      FROM g a JOIN g b ON a.gram = b.gram AND a.doc_id < b.doc_id
+                      GROUP BY 1, 2)
+            SELECT doc_a, doc_b,
+                   round(CAST(i AS DOUBLE) / (sa.sz + sb.sz - i), 6) AS jaccard
+            FROM inter JOIN sizes sa ON doc_a = sa.doc_id
+                       JOIN sizes sb ON doc_b = sb.doc_id
+            WHERE CAST(i AS DOUBLE) / (sa.sz + sb.sz - i) >= 0.4""",
+        "dl_embed_neardup": f"""WITH {EMB_CORPUS_SQL},
+            d AS (SELECT vec_id, label, embedding AS v,
+                         sqrt(list_dot_product(embedding, embedding)) AS nrm
+                  FROM corpus)
+            SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+                   round(list_dot_product(a.v, b.v) / (a.nrm * b.nrm), 6) AS cos
+            FROM d a JOIN d b ON a.label = b.label AND a.vec_id < b.vec_id
+            WHERE list_dot_product(a.v, b.v) / (a.nrm * b.nrm) >= 0.99""",
+        "dl_ann_cosine_topk": """WITH d AS (
+              SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+            q AS (SELECT v AS qv, sqrt(list_dot_product(v, v)) AS qn FROM d WHERE vec_id = 0),
+            s AS (SELECT vec_id,
+                         list_dot_product(v, qv) / (sqrt(list_dot_product(v, v)) * qn) AS c
+                  FROM d, q WHERE vec_id <> 0)
+            SELECT vec_id, round(c, 6) AS cos
+            FROM (SELECT * FROM s ORDER BY c DESC, vec_id LIMIT 20)""",
+        "dl_ann_lsh_topk": """WITH d AS (
+              SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+            bk AS (SELECT vec_id, v,
+                          (CASE WHEN v[1] >= 0 THEN 1 ELSE 0 END) + (CASE WHEN v[2] >= 0 THEN 2 ELSE 0 END)
+                        + (CASE WHEN v[3] >= 0 THEN 4 ELSE 0 END) + (CASE WHEN v[4] >= 0 THEN 8 ELSE 0 END)
+                        + (CASE WHEN v[5] >= 0 THEN 16 ELSE 0 END) + (CASE WHEN v[6] >= 0 THEN 32 ELSE 0 END)
+                        + (CASE WHEN v[7] >= 0 THEN 64 ELSE 0 END) + (CASE WHEN v[8] >= 0 THEN 128 ELSE 0 END)
+                          AS bucket FROM d),
+            q AS (SELECT v AS qv, sqrt(list_dot_product(v, v)) AS qn, bucket AS qb
+                  FROM bk WHERE vec_id = 0),
+            s AS (SELECT vec_id,
+                         list_dot_product(v, qv) / (sqrt(list_dot_product(v, v)) * qn) AS c
+                  FROM bk, q WHERE bucket = qb AND vec_id <> 0)
+            SELECT vec_id, round(c, 6) AS cos
+            FROM (SELECT * FROM s ORDER BY c DESC, vec_id LIMIT 20)""",
+        "dl_lang_id": _lang_oracle(),
+        "dl_quality": f"""SELECT doc_id,
+              len({words}) AS n_words,
+              round(length(regexp_replace(lower(text), '[^a-z]', '', 'g'))
+                    / greatest(length(text), 1), 6) AS alpha_ratio,
+              round(length(regexp_replace(text, '[^.,;:!?]', '', 'g'))
+                    / greatest(length(text), 1), 6) AS punct_ratio,
+              round(({stop_en}) / greatest(len({words}), 1), 6) AS stopword_ratio,
+              round(least(len({words}) / 100.0, 1.0) * 0.5
+                    + least(({stop_en}) / greatest(len({words}), 1) * 10, 1.0) * 0.3
+                    + (length(regexp_replace(lower(text), '[^a-z]', '', 'g'))
+                       / greatest(length(text), 1)) * 0.2, 6) AS quality
+            FROM documents""",
+        "dl_token_count": """SELECT doc_id,
+              len(list_filter(string_split_regex(text, '\\s+'), x -> x <> '')) AS ws_tokens,
+              CAST(ceil(length(regexp_replace(text, '\\s', '', 'g')) / 4.0) AS BIGINT) AS bpe_tokens_est
+            FROM documents""",
+        "dl_fingerprint": """WITH n AS (
+              SELECT doc_id, regexp_replace(lower(text), '\\s+', ' ', 'g') AS nt FROM documents)
+            SELECT doc_id, md5(nt) AS exact_fp,
+                   (SELECT min(md5(substr(nt, i, 8)))
+                    FROM unnest(generate_series(1, greatest(length(nt) - 7, 1))) AS t(i)) AS min_gram_fp
+            FROM n""",
+        "dl_mm_features": f"""SELECT doc_id, 'image' AS media_type,
+              CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+              {first_b} AS first_byte, {last_b} AS last_byte
+            FROM documents""",
+        "dl_mm_frame_sample": f"""SELECT doc_id, o AS offset,
+              16 * (instr('0123456789abcdef', substr(lower(hex(encode(text))), 2 * o + 1, 1)) - 1)
+              + (instr('0123456789abcdef', substr(lower(hex(encode(text))), 2 * o + 2, 1)) - 1) AS byte_val
+            FROM documents,
+                 unnest(generate_series(0, octet_length(encode(text)) - 1, 64)) AS t(o)""",
+    }
 
 
 def oracle_sql() -> dict[str, str]:
@@ -473,4 +781,5 @@ def oracle_sql() -> dict[str, str]:
             g AS (SELECT key || '_avg_10m' AS key, b AS ts, avg(value) AS value
                   FROM b GROUP BY 1, 2)
             SELECT key, max(ts) AS ts, max_by(value, ts) AS value FROM g GROUP BY key""",
+        **_pipeline_oracles(),
     }

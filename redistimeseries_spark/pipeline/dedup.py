@@ -1,0 +1,215 @@
+"""Deduplication operators for training-data pipelines.
+
+All hashing is md5-based so the Spark plans and the DuckDB oracles compute
+bit-identical signatures (no engine-private hash functions).
+
+Scale shapes:
+  * exact       — one groupBy on the content hash; map-side partial agg.
+  * minhash LSH — shingle explode -> per-(doc, hashfn) min -> band keys ->
+                  self-join on band bucket.  The band join replaces the
+                  O(n^2) pairwise compare with a join keyed on equal band
+                  signatures; at 100 TB add banding salt + length bucketing
+                  to bound bucket skew (AQE skew-join handles stragglers).
+  * simhash     — token explode -> 16 weighted-bit sums -> fingerprint;
+                  near-dups = fingerprints at small Hamming distance (the
+                  bucket key here is the fingerprint itself).
+  * ngram jaccard — shingle-join candidate pairs + exact Jaccard verify,
+                  the verify runs only on pairs sharing >=1 shingle.
+  * embedding   — cosine pairs within a coarse bucket (label / LSH sign
+                  bits), avoiding the all-pairs product.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+# ---- shared tokenization (identical text in Spark SQL and DuckDB) --------
+WORD_RE = "[^a-z0-9]+"
+
+
+def _words(col: str = "text"):
+    return F.array_remove(F.split(F.lower(F.col(col)), WORD_RE), "")
+
+
+def exact_dedup(docs: DataFrame) -> DataFrame:
+    """Hash-groupBy exact dedup: one row per distinct text with the keeper
+    (min doc_id) and the duplicate count."""
+    return (
+        docs.select(F.md5(F.col("text")).alias("text_hash"), "doc_id")
+        .groupBy("text_hash")
+        .agg(
+            F.min("doc_id").alias("keeper"),
+            F.count(F.lit(1)).cast("long").alias("n_copies"),
+        )
+    )
+
+
+def char_shingles(docs: DataFrame, k: int = 5) -> DataFrame:
+    """(doc_id, shingle) — distinct lowercased char k-grams."""
+    return docs.select(
+        "doc_id",
+        F.explode(
+            F.expr(
+                f"array_distinct(transform(sequence(1, greatest(length(lower(text)) - {k - 1}, 1)),"
+                f" i -> substring(lower(text), i, {k})))"
+            )
+        ).alias("shingle"),
+    ).distinct()
+
+
+def minhash_signatures(
+    docs: DataFrame, num_hashes: int = 8, k: int = 5
+) -> DataFrame:
+    """(doc_id, h, minhash) — minhash_h(doc) = min(md5(h || ':' || shingle)).
+    Lexicographic min over md5 hex is a valid permutation min and is
+    reproducible in any engine with md5."""
+    sh = char_shingles(docs, k)
+    hs = F.explode(F.array(*[F.lit(i) for i in range(num_hashes)])).alias("h")
+    return (
+        sh.select("doc_id", "shingle", hs)
+        .select(
+            "doc_id",
+            "h",
+            F.md5(F.concat_ws(":", F.col("h").cast("string"), "shingle")).alias("hv"),
+        )
+        .groupBy("doc_id", "h")
+        .agg(F.min("hv").alias("minhash"))
+    )
+
+
+def minhash_lsh_pairs(
+    docs: DataFrame, num_hashes: int = 8, bands: int = 4, k: int = 5
+) -> DataFrame:
+    """Candidate near-duplicate pairs (doc_a < doc_b) sharing at least one
+    LSH band (rows-per-band = num_hashes / bands)."""
+    rows = num_hashes // bands
+    sig = minhash_signatures(docs, num_hashes, k)
+    band = (
+        sig.withColumn("band", (F.col("h") / rows).cast("int"))
+        .groupBy("doc_id", "band")
+        .agg(F.concat_ws("|", F.sort_array(F.collect_list("minhash"))).alias("band_key"))
+    )
+    a = band.alias("a")
+    b = band.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.band_key") == F.col("b.band_key"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
+        )
+        .distinct()
+    )
+
+
+def _nibble(expr: str) -> str:
+    return f"(instr('0123456789abcdef', {expr}) - 1)"
+
+
+def simhash_expr_sql(bits: int = 16, tok: str = "tok") -> str:
+    """SQL fragment: SUM over exploded tokens -> simhash fingerprint.
+    Bit b uses hex digit b//4 of md5(token), bit b%4; each token occurrence
+    votes +1/-1; bit set iff the sum is positive.  Valid in both Spark SQL
+    and DuckDB (md5/substr/instr/floor arithmetic only)."""
+    terms = []
+    for b in range(bits):
+        nib = _nibble(f"substr(md5({tok}), {b // 4 + 1}, 1)")
+        bit = f"(CAST(floor({nib} / {2 ** (b % 4)}) AS INT) % 2)"
+        terms.append(
+            f"(CASE WHEN sum(CASE WHEN {bit} = 1 THEN 1 ELSE -1 END) > 0"
+            f" THEN {2 ** b} ELSE 0 END)"
+        )
+    return " + ".join(terms)
+
+
+def simhash(docs: DataFrame, bits: int = 16) -> DataFrame:
+    """(doc_id, simhash) — 16-bit simhash over word tokens."""
+    toks = docs.select("doc_id", F.explode(_words()).alias("tok"))
+    return toks.groupBy("doc_id").agg(
+        F.expr(simhash_expr_sql(bits)).cast("long").alias("simhash")
+    )
+
+
+def word_ngrams(docs: DataFrame, n: int = 3) -> DataFrame:
+    """(doc_id, gram) — distinct word n-grams."""
+    return docs.select(
+        "doc_id",
+        F.explode(
+            F.expr(
+                f"array_distinct(transform("
+                f"  sequence(1, greatest(size(array_remove(split(lower(text), '{WORD_RE}'), '')) - {n - 1}, 1)),"
+                f"  i -> concat_ws(' ', slice(array_remove(split(lower(text), '{WORD_RE}'), ''), i, {n}))))"
+            )
+        ).alias("gram"),
+    ).distinct()
+
+
+def ngram_jaccard_pairs(
+    docs: DataFrame, n: int = 3, threshold: float = 0.4
+) -> DataFrame:
+    """Exact n-gram Jaccard over candidate pairs that share >=1 gram.
+    Returns (doc_a, doc_b, jaccard >= threshold)."""
+    g = word_ngrams(docs, n)
+    sizes = g.groupBy("doc_id").agg(F.count(F.lit(1)).alias("sz"))
+    a, b = g.alias("a"), g.alias("b")
+    inter = (
+        a.join(b, (F.col("a.gram") == F.col("b.gram")) & (F.col("a.doc_id") < F.col("b.doc_id")))
+        .groupBy(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .agg(F.count(F.lit(1)).alias("inter"))
+    )
+    sa = sizes.select(F.col("doc_id").alias("doc_a"), F.col("sz").alias("sza"))
+    sb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("sz").alias("szb"))
+    return (
+        inter.join(F.broadcast(sa), "doc_a")
+        .join(F.broadcast(sb), "doc_b")
+        .withColumn(
+            "jaccard",
+            F.col("inter") / (F.col("sza") + F.col("szb") - F.col("inter")),
+        )
+        .filter(F.col("jaccard") >= threshold)
+        .select("doc_a", "doc_b", F.round("jaccard", 6).alias("jaccard"))
+    )
+
+
+def embedding_neardup_pairs(
+    emb: DataFrame, threshold: float = 0.99, bucket_col: str = "label"
+) -> DataFrame:
+    """Near-duplicate vectors by cosine within a coarse bucket (the 100 TB
+    path buckets by LSH sign bits; the fixture's `label` plays that role).
+    Returns (vec_a, vec_b, cos)."""
+    d = emb.select(
+        "vec_id",
+        F.col(bucket_col).alias("bucket"),
+        F.col("embedding").cast("array<double>").alias("v"),
+        F.sqrt(
+            F.aggregate(
+                F.transform(F.col("embedding").cast("array<double>"), lambda x: x * x),
+                F.lit(0.0),
+                lambda acc, x: acc + x,
+            )
+        ).alias("norm"),
+    )
+    a, b = d.alias("a"), d.alias("b")
+    dot = F.aggregate(
+        F.zip_with(F.col("a.v"), F.col("b.v"), lambda x, y: x * y),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    return (
+        a.join(
+            b,
+            (F.col("a.bucket") == F.col("b.bucket"))
+            & (F.col("a.vec_id") < F.col("b.vec_id")),
+        )
+        .select(
+            F.col("a.vec_id").alias("vec_a"),
+            F.col("b.vec_id").alias("vec_b"),
+            (dot / (F.col("a.norm") * F.col("b.norm"))).alias("cos"),
+        )
+        .filter(F.col("cos") >= threshold)
+        .select("vec_a", "vec_b", F.round("cos", 6).alias("cos"))
+    )

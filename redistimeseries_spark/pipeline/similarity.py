@@ -1,0 +1,86 @@
+"""Similarity search over embedding columns (array<float>).
+
+Brute-force cosine top-k is the correctness baseline: a broadcast of the
+query vector + a JVM-side fold (zip_with / aggregate) per row + Spark's
+TakeOrderedAndProject for the top-k — no Python in the hot path, no full
+sort (the top-k is a bounded heap per partition + driver merge), so the
+plan scales linearly with corpus size across executors.
+
+The scale path prunes candidates first: an LSH bucket from the sign bits
+of the leading dimensions (deterministic, engine-portable); at 100 TB the
+same shape becomes IVF — a k-means coarse quantizer table broadcast to the
+scan, probing nprobe nearest centroids.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def _dot(a: Column, b: Column) -> Column:
+    return F.aggregate(F.zip_with(a, b, lambda x, y: x * y), F.lit(0.0), lambda s, x: s + x)
+
+
+def _norm(a: Column) -> Column:
+    return F.sqrt(F.aggregate(F.transform(a, lambda x: x * x), F.lit(0.0), lambda s, x: s + x))
+
+
+def cosine_topk(
+    emb: DataFrame, query_vec_id: int, k: int = 20
+) -> DataFrame:
+    """Brute-force cosine top-k against the embedding of `query_vec_id`.
+    Returns (vec_id, cos) — ties broken by vec_id for determinism."""
+    d = emb.select("vec_id", F.col("embedding").cast("array<double>").alias("v"))
+    q = d.filter(F.col("vec_id") == query_vec_id).select(
+        F.col("v").alias("q"), _norm(F.col("v")).alias("qn")
+    )
+    scored = (
+        d.crossJoin(F.broadcast(q))
+        .filter(F.col("vec_id") != query_vec_id)
+        .select(
+            "vec_id",
+            (_dot(F.col("v"), F.col("q")) / (_norm(F.col("v")) * F.col("qn"))).alias("cos"),
+        )
+    )
+    return (
+        scored.orderBy(F.col("cos").desc(), F.col("vec_id").asc())
+        .limit(k)
+        .select("vec_id", F.round("cos", 6).alias("cos"))
+    )
+
+
+def sign_bucket(v: Column, bits: int = 8) -> Column:
+    """LSH bucket id from the sign bits of the first `bits` dimensions."""
+    out = F.lit(0)
+    for i in range(bits):
+        out = out + F.when(F.element_at(v, i + 1) >= 0, F.lit(2**i)).otherwise(F.lit(0))
+    return out
+
+
+def lsh_topk(
+    emb: DataFrame, query_vec_id: int, k: int = 20, bits: int = 8
+) -> DataFrame:
+    """Bucketed ANN: search only vectors sharing the query's sign-bit
+    bucket — the candidate set shrinks ~2^bits-fold; recall trades off
+    accordingly (probe neighboring buckets to recover it at scale)."""
+    d = emb.select(
+        "vec_id",
+        F.col("embedding").cast("array<double>").alias("v"),
+    ).withColumn("bucket", sign_bucket(F.col("v"), bits))
+    q = d.filter(F.col("vec_id") == query_vec_id).select(
+        F.col("v").alias("q"), _norm(F.col("v")).alias("qn"), F.col("bucket").alias("qb")
+    )
+    scored = (
+        d.join(F.broadcast(q), F.col("bucket") == F.col("qb"))
+        .filter(F.col("vec_id") != query_vec_id)
+        .select(
+            "vec_id",
+            (_dot(F.col("v"), F.col("q")) / (_norm(F.col("v")) * F.col("qn"))).alias("cos"),
+        )
+    )
+    return (
+        scored.orderBy(F.col("cos").desc(), F.col("vec_id").asc())
+        .limit(k)
+        .select("vec_id", F.round("cos", 6).alias("cos"))
+    )

@@ -1,0 +1,106 @@
+"""Text analysis: language-ID, quality scoring, token counting,
+document fingerprinting.
+
+Everything is built-in expression work (JVM, codegen) — no UDFs — so these
+run at full scan speed over 100 TB of documents.  The formulas are
+deliberately portable (replace/length/md5 arithmetic) so the DuckDB
+oracles compute the identical numbers.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from redistimeseries_spark.pipeline.dedup import WORD_RE
+
+# marker stopwords per language for the n-gram-free heuristic;
+# counted as padded substrings so word boundaries are respected.
+LANG_MARKERS = {
+    "en": ["the", "and", "of", "to", "is"],
+    "fr": ["le", "la", "les", "et", "est"],
+    "de": ["der", "die", "und", "ist", "das"],
+    "es": ["el", "los", "de", "es", "y"],
+}
+
+
+def _occurrences(text: Column, word: str) -> Column:
+    """Count word occurrences via length arithmetic (portable to any SQL)."""
+    padded = F.concat(F.lit(" "), F.lower(text), F.lit(" "))
+    needle = f" {word} "
+    return (
+        (F.length(padded) - F.length(F.replace(padded, F.lit(needle), F.lit(" "))))
+        / (len(needle) - 1)
+    ).cast("long")
+
+
+def lang_scores(docs: DataFrame) -> DataFrame:
+    """(doc_id, score_en, score_fr, score_de, score_es, lang_pred)."""
+    cols = []
+    for lang, words in LANG_MARKERS.items():
+        s = None
+        for w in words:
+            o = _occurrences(F.col("text"), w)
+            s = o if s is None else s + o
+        cols.append(s.alias(f"score_{lang}"))
+    out = docs.select("doc_id", *cols)
+    langs = list(LANG_MARKERS)
+    best = F.greatest(*[F.col(f"score_{l}") for l in langs])
+    pred = F.lit("unknown")
+    for l in reversed(langs):  # earlier language wins ties
+        pred = F.when(F.col(f"score_{l}") == best, F.lit(l)).otherwise(pred)
+    return out.withColumn("lang_pred", F.when(best > 0, pred).otherwise(F.lit("unknown")))
+
+
+def quality_scores(docs: DataFrame) -> DataFrame:
+    """Heuristic quality features + a composite score in [0, 1]:
+    word count, mean word length, punctuation ratio, stopword ratio."""
+    words = F.array_remove(F.split(F.lower(F.col("text")), WORD_RE), "")
+    n_words = F.size(words)
+    n_chars = F.length("text")
+    n_alpha = F.length(F.regexp_replace(F.lower("text"), "[^a-z]", ""))
+    n_punct = F.length(F.regexp_replace("text", "[^.,;:!?]", ""))
+    stop = None
+    for w in LANG_MARKERS["en"]:
+        o = _occurrences(F.col("text"), w)
+        stop = o if stop is None else stop + o
+    return docs.select(
+        "doc_id",
+        n_words.alias("n_words"),
+        F.round(n_alpha / F.greatest(n_chars, F.lit(1)), 6).alias("alpha_ratio"),
+        F.round(n_punct / F.greatest(n_chars, F.lit(1)), 6).alias("punct_ratio"),
+        F.round(stop / F.greatest(n_words, F.lit(1)), 6).alias("stopword_ratio"),
+        F.round(
+            F.least(n_words / F.lit(100.0), F.lit(1.0)) * 0.5
+            + F.least(stop / F.greatest(n_words, F.lit(1)) * 10, F.lit(1.0)) * 0.3
+            + (n_alpha / F.greatest(n_chars, F.lit(1))) * 0.2,
+            6,
+        ).alias("quality"),
+    )
+
+
+def token_counts(docs: DataFrame) -> DataFrame:
+    """Whitespace tokens + a BPE-ish subword estimate (the standard
+    chars/4 heuristic, counted on non-space chars)."""
+    ws = F.size(F.array_remove(F.split(F.col("text"), "\\s+"), ""))
+    non_space = F.length(F.regexp_replace("text", "\\s", ""))
+    return docs.select(
+        "doc_id",
+        ws.alias("ws_tokens"),
+        F.ceil(non_space / 4.0).cast("long").alias("bpe_tokens_est"),
+    )
+
+
+def fingerprints(docs: DataFrame, k: int = 8) -> DataFrame:
+    """Content fingerprints: exact md5 of normalized text + a winnowing-style
+    min-hash over char k-grams (robust to local edits)."""
+    norm = F.regexp_replace(F.lower(F.col("text")), "\\s+", " ")
+    grams = F.expr(
+        f"transform(sequence(1, greatest(length(regexp_replace(lower(text), '\\\\s+', ' ')) - {k - 1}, 1)),"
+        f" i -> md5(substring(regexp_replace(lower(text), '\\\\s+', ' '), i, {k})))"
+    )
+    return docs.select(
+        "doc_id",
+        F.md5(norm).alias("exact_fp"),
+        F.array_min(grams).alias("min_gram_fp"),
+    )
