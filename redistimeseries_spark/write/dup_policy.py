@@ -3,15 +3,18 @@
 Reference: handleDuplicateSample (src/generic_chunk.c:62-93):
   on (key, ts) collision — BLOCK -> error; FIRST -> keep old; LAST -> new;
   MIN/MAX -> extremum; SUM -> old+new.
-  NaN rules: MIN/MAX/SUM with exactly one NaN -> error; otherwise the
-  non-NaN side wins (both NaN -> NaN).
+  NaN rules: with exactly one NaN and policy MIN/MAX/SUM the *write is
+  rejected* (stored value unchanged); for FIRST/LAST the non-NaN side wins
+  regardless of policy; both-NaN keeps NaN.
 
-Batch shape: the reference applies the policy pairwise at arrival order;
-over a batch that folds to:
-  FIRST/LAST  -> value at min/max arrival order (seq column)
-  MIN/MAX/SUM -> associative fold over the group
-Arrival order must be explicit (a `seq` column, e.g. event_id) — a
-distributed batch has no implicit order.
+Batch shape: the reference applies the policy pairwise at arrival order
+(seq column, e.g. event_id — a distributed batch has no implicit order).
+The pairwise fold collapses to one aggregate per group:
+  FIRST / LAST  -> first/last NON-NaN arrival (NaN only if all are NaN)
+  MIN/MAX/SUM   -> NaN if the FIRST arrival is NaN (every later mixed
+                   merge is rejected, so the NaN sticks); otherwise the
+                   aggregate over the non-NaN values (NaN arrivals after a
+                   valid first are each rejected).
 
 This is a single groupBy (one shuffle) with map-side partial aggregation;
 at ingest scale it runs inside foreachBatch before a MERGE INTO the samples
@@ -42,29 +45,24 @@ def resolve_duplicates(
         raise ValueError(f"bad duplicate policy {policy!r}")
     g = raw.groupBy("key", "ts")
     v, s = F.col("value"), F.col(seq_col)
-    nn = F.when(~F.isnan(v), v)  # non-NaN side wins for min/max/sum
+    valid_seq = F.when(~F.isnan(v), s)  # seq of non-NaN arrivals only
+    nn = F.when(~F.isnan(v), v)
+    nan = F.lit(float("nan"))
+    first_is_nan = F.isnan(F.min_by(v, s))
     if policy == "first":
-        out = g.agg(F.min_by("value", seq_col).alias("value"))
-    elif policy in ("last", "block"):
-        # block: collisions are rejected at ingest; the fold keeps the first
+        out = g.agg(F.coalesce(F.min_by(v, valid_seq), nan).alias("value"))
+    elif policy == "block":
+        # collisions are rejected at ingest: the stored value is the first
         # arrival (callers route the rest through blocked_rows)
-        out = (
-            g.agg(F.max_by("value", seq_col).alias("value"))
-            if policy == "last"
-            else g.agg(F.min_by("value", seq_col).alias("value"))
-        )
+        out = g.agg(F.min_by(v, s).alias("value"))
+    elif policy == "last":
+        out = g.agg(F.coalesce(F.max_by(v, valid_seq), nan).alias("value"))
     elif policy == "min":
-        out = g.agg(
-            F.when(F.count(nn) == 0, F.first(v)).otherwise(F.min(nn)).alias("value")
-        )
+        out = g.agg(F.when(first_is_nan, nan).otherwise(F.min(nn)).alias("value"))
     elif policy == "max":
-        out = g.agg(
-            F.when(F.count(nn) == 0, F.first(v)).otherwise(F.max(nn)).alias("value")
-        )
-    else:  # sum: NaNs drop out unless all values are NaN
-        out = g.agg(
-            F.when(F.count(nn) == 0, F.first(v)).otherwise(F.sum(nn)).alias("value")
-        )
+        out = g.agg(F.when(first_is_nan, nan).otherwise(F.max(nn)).alias("value"))
+    else:  # sum
+        out = g.agg(F.when(first_is_nan, nan).otherwise(F.sum(nn)).alias("value"))
     return out.select("key", "ts", "value")
 
 

@@ -1,0 +1,119 @@
+"""F4 fixture: clustered samples with multi-bucket interior gaps.
+
+Oracle: a literal sequential transcription of the reference's
+AggregationIterator + TwaAddValue/TwaAddNextBucketFirstSample model
+(src/compaction.c:302-459, src/filter_iterator.c:307-506) — structurally
+independent from the vectorized numpy kernel under test."""
+
+import math
+
+from tests.conftest import NAN, rows_match
+
+from redistimeseries_spark.operators.range_query import ts_range
+
+# samples: two clusters with a 3-bucket gap, irregular spacing
+T = [0, 800, 1500, 2200, 9500, 10200, 11000, 11900]
+V = [10.0, 12.0, 8.0, 9.0, 30.0, 34.0, 31.0, 29.0]
+DUR = 2000
+START, END = 0, 2**62
+
+
+def py_twa_buckets(ts, vs, dur, start, end):
+    """Forward iteration exactly as the C context does."""
+    out = {}
+    bucket_of = lambda t: t - t % dur
+    n = len(ts)
+    i = 0
+    prev = None  # last sample of previous bucket
+    while i < n:
+        b = bucket_of(ts[i])
+        j = i
+        while j < n and bucket_of(ts[j]) == b:
+            j += 1
+        res = 0.0
+        ta, tb = max(b, start), min(b + dur, end)
+        # first sample: left boundary
+        if prev is not None:
+            t1, v1 = prev
+            t2, v2 = ts[i], vs[i]
+            vab = v1 + (ta - t1) * (v2 - v1) / (t2 - t1)
+            res += (vab + v2) * (t2 - ta) / 2.0
+            first_ts = ta
+        else:
+            first_ts = ts[i]
+        for k in range(i + 1, j):
+            res += (vs[k - 1] + vs[k]) * (ts[k] - ts[k - 1]) / 2.0
+        if j < n:  # next bucket's first sample: right boundary
+            t1, v1 = ts[j - 1], vs[j - 1]
+            t2, v2 = ts[j], vs[j]
+            vab = v1 + (tb - t1) * (v2 - v1) / (t2 - t1)
+            res += (vab + v1) * (tb - t1) / 2.0
+            last_ts = tb
+        else:
+            last_ts = ts[j - 1]
+        out[b] = vs[j - 1] if last_ts == first_ts else res / abs(last_ts - first_ts)
+        prev = (ts[j - 1], vs[j - 1])
+        i = j
+    return out
+
+
+def py_twa_empty(b, dur, ts, vs, start, end):
+    """twa_calc_empty_bucket_val transcription (interior gaps)."""
+    ta, tb = max(b, start), min(b + dur, end)
+    before = [(t, v) for t, v in zip(ts, vs) if t < ta][-2:]
+    after = [(t, v) for t, v in zip(ts, vs) if t >= tb][:2]
+    if before and after:
+        (tl, vl), (tr, vr) = before[-1], after[0]
+        va = vl + (ta - tl) * (vr - vl) / (tr - tl)
+        vb = vl + (tb - tl) * (vr - vl) / (tr - tl)
+        return (va + vb) / 2.0
+    return NAN  # not exercised by this fixture
+
+
+def test_twa_values(samples_df):
+    df = samples_df([("k", t, v) for t, v in zip(T, V)])
+    out = {
+        r.ts: r.twa
+        for r in ts_range(df, aggregations=["twa"], bucket_dur=DUR).collect()
+    }
+    exp = py_twa_buckets(T, V, DUR, START, END)
+    assert set(out) == set(exp)
+    for b in exp:
+        assert math.isclose(out[b], exp[b], rel_tol=1e-9), (b, out[b], exp[b])
+
+
+def test_empty_spine_locf_and_twa(samples_df):
+    df = samples_df([("k", t, v) for t, v in zip(T, V)])
+    out = ts_range(
+        df, aggregations=["sum", "count", "last", "twa"], bucket_dur=DUR, empty=True
+    ).collect()
+    buckets = [r.ts for r in out]
+    # spine covers first..last bucket inclusive, no edge gaps beyond data
+    assert buckets == list(range(0, 10001, DUR))
+    by_b = {r.ts: r for r in out}
+    nonempty = py_twa_buckets(T, V, DUR, START, END)
+    for b in range(0, 10001, DUR):
+        r = by_b[b]
+        in_bucket = [(t, v) for t, v in zip(T, V) if b <= t < b + DUR]
+        if in_bucket:
+            assert r.sum == sum(v for _, v in in_bucket)
+            assert r["count"] == len(in_bucket)
+            assert r.last == in_bucket[-1][1]
+            assert math.isclose(r.twa, nonempty[b], rel_tol=1e-9)
+        else:
+            assert r.sum == 0.0 and r["count"] == 0.0
+            # LOCF from the previous kept sample
+            prior = [v for t, v in zip(T, V) if t < b]
+            assert r.last == prior[-1]
+            exp_twa = py_twa_empty(b, DUR, T, V, START, END)
+            assert math.isclose(r.twa, exp_twa, rel_tol=1e-9), (b, r.twa, exp_twa)
+
+
+def test_empty_edge_gaps_not_emitted(samples_df):
+    # query range extends far beyond data: no buckets before/after data
+    df = samples_df([("k", t, v) for t, v in zip(T, V)])
+    out = ts_range(
+        df, 0, 10**9, aggregations=["sum"], bucket_dur=DUR, empty=True
+    ).collect()
+    assert min(r.ts for r in out) == 0
+    assert max(r.ts for r in out) == 10000

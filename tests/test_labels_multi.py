@@ -1,0 +1,75 @@
+"""Label predicate forms (src/indexer.h:29-51), GROUPBY/REDUCE outer-join
+semantics (F8), and NRANGE NaN fill (F9)."""
+
+import math
+
+import pytest
+
+from tests.conftest import NAN
+
+from redistimeseries_spark.operators.labels import matched_keys, parse_filter
+from redistimeseries_spark.operators.multi import ts_mrange
+from redistimeseries_spark.operators.nrange import ts_nrange
+
+
+@pytest.fixture(scope="module")
+def labels(spark):
+    rows = [
+        ("a", "region", "eu"), ("a", "env", "prod"),
+        ("b", "region", "us"), ("b", "env", "prod"),
+        ("c", "region", "eu"),
+        ("d", "region", "ap"), ("d", "env", "dev"),
+    ]
+    return spark.createDataFrame(rows, "key string, label string, value string")
+
+
+def keys(labels, filters):
+    return sorted(r.key for r in matched_keys(labels, filters).collect())
+
+
+def test_predicate_forms(labels):
+    assert keys(labels, ["region=eu"]) == ["a", "c"]
+    assert keys(labels, ["region!=eu", "region!="]) == ["b", "d"]
+    assert keys(labels, ["region=(eu,us)"]) == ["a", "b", "c"]
+    assert keys(labels, ["region!=(eu,us)", "region!="]) == ["d"]
+    assert keys(labels, ["env=", "region!="]) == ["c"]  # env absent
+    assert keys(labels, ["env!="]) == ["a", "b", "d"]  # env exists
+    assert keys(labels, ["region=eu", "env=prod"]) == ["a"]
+
+
+def test_inclusive_required(labels):
+    with pytest.raises(ValueError):
+        matched_keys(labels, ["region!=eu"])
+
+
+def test_parse_forms():
+    assert parse_filter("l=v").op == "eq"
+    assert parse_filter("l!=v").op == "ne"
+    assert parse_filter("l=").op == "notexists"
+    assert parse_filter("l!=").op == "exists"
+    assert parse_filter("l=(a,b)").values == ["a", "b"]
+    assert parse_filter("l!=(a,b)").op == "notin"
+
+
+def test_groupby_reduce_nan_semantics(spark, labels, samples_df):
+    # keys a (eu) and c (eu): c has NaN at ts where a has value and vice versa
+    df = samples_df(
+        [("a", 0, 1.0), ("a", 1000, NAN), ("c", 0, 2.0), ("c", 1000, NAN),
+         ("c", 2000, 5.0)]
+    )
+    out = {
+        (r.key, r.ts): r.value
+        for r in ts_mrange(
+            df, labels, ["region=eu"], groupby="region", reduce="sum"
+        ).collect()
+    }
+    assert out[("region=eu", 0)] == 3.0
+    assert math.isnan(out[("region=eu", 1000)])  # all-NaN ts -> NaN
+    assert out[("region=eu", 2000)] == 5.0  # missing series ignored
+
+
+def test_nrange_nan_fill(spark, samples_df):
+    df = samples_df([("a", 0, 1.0), ("a", 1000, 2.0), ("b", 1000, 5.0)])
+    out = {r.ts: (r.a, r.b) for r in ts_nrange(df, ["a", "b"]).collect()}
+    assert out[0][0] == 1.0 and math.isnan(out[0][1])
+    assert out[1000] == (2.0, 5.0)
