@@ -1,0 +1,392 @@
+"""TimeSeriesEngine — the user-facing command surface.
+
+One class exposing the reference's whole command vocabulary
+(src/module.c:2763-2850 registration table) as Python methods over the
+Spark operators: CREATE / ALTER / ADD / MADD / INCRBY / DECRBY / DEL /
+CREATERULE / DELETERULE / RANGE / REVRANGE / GET / MGET / MRANGE /
+MREVRANGE / NRANGE / QUERYINDEX / QUERYLABELS / READ / INFO, plus the
+module-level config (COMPACTION_POLICY auto-rules, RETENTION_POLICY,
+DUPLICATE_POLICY — src/config.c:82-180).
+
+Catalog state (series configs, labels, rules) is driver-side metadata —
+tiny, like the reference's keyspace dict; sample data lives in DataFrames
+(optionally parquet-backed via `path`).  Ingest is buffered and folded with
+the series' duplicate policy on flush, which is exactly the reference's
+arrival-order pairwise merge collapsed per batch (write/dup_policy.py).
+
+Time arguments accept epoch-ms ints or reference duration strings
+(parse_policies.c lookup: ''/m=ms, s=sec, M=min, h=hour, d=day) and the
+query sentinels '-' (0), '+' (max), '$' (last ts + 1)
+(src/query_language.c:673-693, src/module.c:1765-1820).
+"""
+
+from __future__ import annotations
+
+import re
+from dataclasses import dataclass, field
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from redistimeseries_spark import MAX_TS, MIN_TS
+from redistimeseries_spark.operators.labels import matched_keys, query_labels
+from redistimeseries_spark.operators.multi import ts_mget, ts_mrange
+from redistimeseries_spark.operators.nrange import ts_nrange
+from redistimeseries_spark.operators.range_query import ts_range
+from redistimeseries_spark.streaming.compaction import CompactionRule, materialize_rule
+from redistimeseries_spark.write.dup_policy import resolve_duplicates
+from redistimeseries_spark.write.mutate import ignore_filter
+from redistimeseries_spark.write.retention import retention_clamp
+
+_UNITS = {"": 1, "m": 1, "s": 1000, "M": 60_000, "h": 3_600_000, "d": 86_400_000}
+
+
+def parse_duration_ms(v) -> int:
+    """'1h' -> 3600000 etc (parse_policies.c:22-60 unit table)."""
+    if isinstance(v, int):
+        return v
+    m = re.fullmatch(r"(\d+)([msMhd]?)", str(v))
+    if not m:
+        raise ValueError(f"bad duration {v!r}")
+    return int(m.group(1)) * _UNITS[m.group(2)]
+
+
+@dataclass
+class SimpleCompactionRule:
+    agg: str
+    bucket_ms: int
+    retention_ms: int = 0
+    align_ts: int = 0
+
+
+def parse_compaction_policy(spec: str) -> list[SimpleCompactionRule]:
+    """'max:1M:1h;avg:2h:10d[:align]' -> rules (parse_policies.c:62-120)."""
+    rules = []
+    for part in spec.split(";"):
+        toks = part.split(":")
+        if len(toks) not in (3, 4):
+            raise ValueError(f"bad policy item {part!r} (want agg:bucket:retention[:align])")
+        rules.append(
+            SimpleCompactionRule(
+                agg=toks[0].lower(),
+                bucket_ms=parse_duration_ms(toks[1]),
+                retention_ms=parse_duration_ms(toks[2]),
+                align_ts=parse_duration_ms(toks[3]) if len(toks) == 4 else 0,
+            )
+        )
+    return rules
+
+
+@dataclass
+class SeriesConfig:
+    key: str
+    retention_ms: int = 0
+    duplicate_policy: str | None = None
+    labels: dict[str, str] = field(default_factory=dict)
+    ignore_max_time_diff: int = 0
+    ignore_max_val_diff: float = 0.0
+    src_key: str | None = None  # non-None iff compaction destination
+
+
+@dataclass
+class Rule:
+    src_key: str
+    dest_key: str
+    agg: str
+    bucket_ms: int
+    align_ts: int = 0
+
+
+class TimeSeriesEngine:
+    def __init__(
+        self,
+        spark: SparkSession,
+        compaction_policy: str | None = None,
+        retention_policy=0,
+        duplicate_policy: str = "block",
+    ):
+        self.spark = spark
+        self.series: dict[str, SeriesConfig] = {}
+        self.rules: list[Rule] = []
+        self.default_retention = parse_duration_ms(retention_policy)
+        self.default_dup_policy = duplicate_policy
+        self.auto_rules = (
+            parse_compaction_policy(compaction_policy) if compaction_policy else []
+        )
+        self._samples = spark.createDataFrame([], "key string, ts long, value double")
+        self._pending: list[tuple[str, int, float, str | None]] = []
+        self._seq = 0
+
+    # ---- DDL ------------------------------------------------------------
+    def create(
+        self,
+        key: str,
+        retention=None,
+        labels: dict[str, str] | None = None,
+        duplicate_policy: str | None = None,
+        ignore_max_time_diff: int = 0,
+        ignore_max_val_diff: float = 0.0,
+        chunk_size: int | None = None,  # accepted, physical no-op on parquet
+        encoding: str | None = None,  # ditto (parquet encodes)
+    ) -> SeriesConfig:
+        if key in self.series:
+            raise ValueError(f"series {key!r} exists")
+        cfg = SeriesConfig(
+            key=key,
+            retention_ms=parse_duration_ms(
+                retention if retention is not None else self.default_retention
+            ),
+            duplicate_policy=duplicate_policy,
+            labels=dict(labels or {}),
+            ignore_max_time_diff=ignore_max_time_diff,
+            ignore_max_val_diff=ignore_max_val_diff,
+        )
+        self.series[key] = cfg
+        # COMPACTION_POLICY auto-rules (src/module.c:1085-1093)
+        for r in self.auto_rules:
+            dest = f"{key}_{r.agg}_{r.bucket_ms}"
+            if dest not in self.series:
+                self.series[dest] = SeriesConfig(
+                    key=dest, retention_ms=r.retention_ms, src_key=key
+                )
+                self.rules.append(Rule(key, dest, r.agg, r.bucket_ms, r.align_ts))
+        return cfg
+
+    def alter(self, key: str, retention=None, labels=None, duplicate_policy=None):
+        cfg = self._cfg(key)
+        if retention is not None:
+            cfg.retention_ms = parse_duration_ms(retention)
+        if labels is not None:
+            cfg.labels = dict(labels)  # full relabel, reindexed (src/module.c:1252)
+        if duplicate_policy is not None:
+            cfg.duplicate_policy = duplicate_policy
+        return cfg
+
+    def create_rule(self, src: str, dest: str, agg: str, bucket, align_ts=0):
+        self._cfg(src), self._cfg(dest)
+        if any(r.dest_key == dest for r in self.rules):
+            raise ValueError(f"{dest!r} is already a compaction destination")
+        if src == dest:
+            raise ValueError("src == dest")
+        self.series[dest].src_key = src
+        self.rules.append(
+            Rule(src, dest, agg, parse_duration_ms(bucket), parse_duration_ms(align_ts))
+        )
+
+    def delete_rule(self, src: str, dest: str):
+        n = len(self.rules)
+        self.rules = [r for r in self.rules if not (r.src_key == src and r.dest_key == dest)]
+        if len(self.rules) == n:
+            raise ValueError("no such rule")
+        self.series[dest].src_key = None
+
+    # ---- ingest ---------------------------------------------------------
+    def add(self, key: str, ts, value: float, on_duplicate: str | None = None, **create_kwargs):
+        if key not in self.series:
+            self.create(key, **create_kwargs)  # auto-create (src/module.c:1085)
+        self._pending.append((key, parse_duration_ms(ts), float(value), on_duplicate))
+
+    def madd(self, triples):
+        for key, ts, value in triples:
+            self.add(key, ts, value)
+
+    def incrby(self, key: str, delta: float, ts=None):
+        last_ts, last_val = self._last(key)
+        ts = parse_duration_ms(ts) if ts is not None else last_ts + 1
+        if ts < last_ts:
+            raise ValueError("TS.INCRBY timestamp must be >= last (src/module.c:1469)")
+        self.add(key, ts, (last_val or 0.0) + delta, on_duplicate="last")
+
+    def decrby(self, key: str, delta: float, ts=None):
+        self.incrby(key, -delta, ts)
+
+    def delete(self, key: str, from_ts, to_ts) -> int:
+        self.flush()
+        lo, hi = parse_duration_ms(from_ts), parse_duration_ms(to_ts)
+        hit = (F.col("key") == key) & F.col("ts").between(lo, hi)
+        n = self._samples.filter(hit).count()
+        self._samples = self._samples.filter(~hit).localCheckpoint()
+        return n
+
+    def flush(self):
+        """Fold pending writes into the store with per-series dup policy +
+        retention + IGNORE semantics — the batch analogue of foreachBatch
+        MERGE (SURVEY §2.8/§3.2)."""
+        if not self._pending:
+            return
+        rows = []
+        for key, ts, value, on_dup in self._pending:
+            rows.append((key, ts, value, self._seq, on_dup))
+            self._seq += 1
+        self._pending.clear()
+        batch = self.spark.createDataFrame(
+            rows, "key string, ts long, value double, seq long, on_dup string"
+        )
+        existing = self._samples.select(
+            "key", "ts", "value", F.lit(-1).cast("long").alias("seq"),
+            F.lit(None).cast("string").alias("on_dup"),
+        )
+        merged = existing.unionByName(batch)
+        parts = []
+        for policy, keys in self._keys_by_policy():
+            sub = merged.filter(F.col("key").isin(keys))
+            parts.append(resolve_duplicates(sub, policy))
+        out = parts[0]
+        for p in parts[1:]:
+            out = out.unionByName(p)
+        for cfg in self.series.values():
+            if cfg.ignore_max_time_diff > 0 or cfg.ignore_max_val_diff > 0:
+                keep = out.filter(F.col("key") != cfg.key)
+                seq = ignore_filter(
+                    out.filter(F.col("key") == cfg.key),
+                    cfg.ignore_max_time_diff,
+                    cfg.ignore_max_val_diff,
+                )
+                out = keep.unionByName(seq)
+        self._samples = out.localCheckpoint()  # materialize the fold
+
+    def _keys_by_policy(self):
+        by = {}
+        for cfg in self.series.values():
+            by.setdefault(cfg.duplicate_policy or self.default_dup_policy, []).append(cfg.key)
+        return by.items()
+
+    # ---- queries --------------------------------------------------------
+    @property
+    def samples(self) -> DataFrame:
+        self.flush()
+        return self._samples
+
+    @property
+    def labels_df(self) -> DataFrame:
+        rows = [
+            (cfg.key, lbl, val)
+            for cfg in self.series.values()
+            for lbl, val in cfg.labels.items()
+        ]
+        return self.spark.createDataFrame(rows or [], "key string, label string, value string")
+
+    def _cfg(self, key: str) -> SeriesConfig:
+        if key not in self.series:
+            raise KeyError(f"no such series {key!r}")
+        return self.series[key]
+
+    def _resolve_ts(self, v, key: str | None = None) -> int:
+        if v == "-":
+            return MIN_TS
+        if v == "+":
+            return MAX_TS
+        if v == "$":  # TS.READ: last ts + 1 (src/module.c:1765-1820)
+            return self._last(key)[0] + 1
+        return parse_duration_ms(v)
+
+    def _last(self, key: str):
+        r = (
+            self.samples.filter(F.col("key") == key)
+            .groupBy()
+            .agg(F.max("ts").alias("t"), F.max_by("value", "ts").alias("v"))
+            .collect()[0]
+        )
+        return (r.t if r.t is not None else -1), r.v
+
+    def _series_df(self, key: str, latest: bool) -> DataFrame:
+        cfg = self._cfg(key)
+        df = self.samples
+        if cfg.src_key is not None:
+            # compaction destination: materialized from its rule
+            rule = next(r for r in self.rules if r.dest_key == key)
+            df = materialize_rule(
+                df.filter(F.col("key") == rule.src_key),
+                CompactionRule(None, "", rule.agg, rule.bucket_ms, rule.align_ts),
+                include_open=latest,
+            ).withColumn("key", F.lit(key))
+        else:
+            df = df.filter(F.col("key") == key)
+        if cfg.retention_ms > 0:
+            df = retention_clamp(df, cfg.retention_ms)
+        return df
+
+    def range(self, key: str, from_ts="-", to_ts="+", latest: bool = False, **kw) -> DataFrame:
+        if "bucket_dur" in kw:
+            kw["bucket_dur"] = parse_duration_ms(kw["bucket_dur"])
+        return ts_range(
+            self._series_df(key, latest),
+            self._resolve_ts(from_ts, key),
+            self._resolve_ts(to_ts, key),
+            **kw,
+        ).drop("key")
+
+    def revrange(self, key: str, from_ts="-", to_ts="+", **kw) -> DataFrame:
+        return self.range(key, from_ts, to_ts, rev=True, **kw)
+
+    def get(self, key: str, latest: bool = False):
+        rows = self._series_df(key, latest).orderBy(F.col("ts").desc()).take(1)
+        return (rows[0].ts, rows[0].value) if rows else None
+
+    def mget(self, filters: list[str], **kw) -> DataFrame:
+        return ts_mget(self.samples, self.labels_df, filters, **kw)
+
+    def mrange(self, filters: list[str], from_ts="-", to_ts="+", **kw) -> DataFrame:
+        if "bucket_dur" in kw:
+            kw["bucket_dur"] = parse_duration_ms(kw["bucket_dur"])
+        return ts_mrange(
+            self.samples, self.labels_df, filters,
+            self._resolve_ts(from_ts), self._resolve_ts(to_ts), **kw,
+        )
+
+    def mrevrange(self, filters, from_ts="-", to_ts="+", **kw) -> DataFrame:
+        return self.mrange(filters, from_ts, to_ts, rev=True, **kw)
+
+    def nrange(self, keys: list[str], from_ts="-", to_ts="+", **kw) -> DataFrame:
+        return ts_nrange(
+            self.samples, keys, self._resolve_ts(from_ts), self._resolve_ts(to_ts), **kw
+        )
+
+    def queryindex(self, filters: list[str]) -> list[str]:
+        return sorted(r.key for r in matched_keys(self.labels_df, filters).collect())
+
+    def querylabels(self, mode="labels", label=None, filters=None) -> list[str]:
+        col = "label" if mode == "labels" else "value"
+        return sorted(
+            r[col] for r in query_labels(self.labels_df, mode, label, filters).collect()
+        )
+
+    def read(self, key: str, cursor="-", min_count: int = 0, max_count: int | None = None):
+        """Batch TS.READ: samples with ts >= cursor ascending; returns
+        (rows, next_cursor).  Empty (not partial) below min_count — the
+        blocking variant is streaming/tail_read.py."""
+        start = 0 if cursor == "-" else self._resolve_ts(cursor, key)
+        df = (
+            self.samples.filter((F.col("key") == key) & (F.col("ts") >= start))
+            .orderBy("ts")
+        )
+        rows = df.take(max_count) if max_count else df.collect()
+        if len(rows) < min_count:
+            return [], cursor
+        return [(r.ts, r.value) for r in rows], (rows[-1].ts + 1 if rows else cursor)
+
+    def info(self, key: str) -> dict:
+        cfg = self._cfg(key)
+        agg = (
+            self.samples.filter(F.col("key") == key)
+            .groupBy()
+            .agg(
+                F.count("*").alias("n"),
+                F.min("ts").alias("first"),
+                F.max("ts").alias("last"),
+            )
+            .collect()[0]
+        )
+        return {
+            "key": key,
+            "total_samples": agg.n,
+            "first_timestamp": agg.first,
+            "last_timestamp": agg.last,
+            "retention_ms": cfg.retention_ms,
+            "duplicate_policy": cfg.duplicate_policy or self.default_dup_policy,
+            "labels": dict(cfg.labels),
+            "source_key": cfg.src_key,
+            "rules": [
+                (r.dest_key, r.bucket_ms, r.agg) for r in self.rules if r.src_key == key
+            ],
+        }

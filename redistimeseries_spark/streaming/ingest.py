@@ -1,0 +1,207 @@
+"""Structured Streaming ingestion — TS.ADD/TS.MADD as a stream.
+
+Reference write path (src/module.c:1000-1055, SURVEY §3.2): per sample —
+retention reject -> ignore filter -> dup-policy upsert/append -> per-rule
+compaction context update -> signal blocked readers.
+
+Spark shape: `readStream -> foreachBatch(StreamingStore.process_batch)`.
+The store is an append-only parquet log with a monotonically increasing
+`seq` per row (arrival order).  Duplicate policy is folded at read time
+(merge-on-read; resolve_duplicates is associative per the pairwise C
+semantics), and `compact()` rewrites the log into resolved form — the
+LSM-style equivalent of Delta `MERGE INTO`, which is the drop-in
+replacement when a transactional table format is available.  Per batch the
+store also maintains:
+
+  * a `latest` table (one row per key — the reference's O(1)
+    lastTimestamp/lastValue, src/tsdb.h:69-70), rewritten per batch from
+    old-latest ∪ batch (tiny: |keys| rows);
+  * each compaction rule's dest table, recomputing ONLY the (key, bucket)
+    pairs the batch touched (src/tsdb.c:622-660 SeriesCalcRange recompute)
+    — out-of-order and in-bucket upserts repair the right buckets.
+
+At 100 TB scale: the log partitions by arrival day; the dest recompute
+reads only the touched source buckets (ts-range pruned scan); `latest` and
+rule dests are small enough to broadcast.
+"""
+
+from __future__ import annotations
+
+import os
+import time
+from dataclasses import dataclass, field
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from redistimeseries_spark.functions.buckets import bucket_start
+from redistimeseries_spark.streaming.compaction import CompactionRule
+from redistimeseries_spark.functions.aggs import agg_expr
+from redistimeseries_spark.write.dup_policy import resolve_duplicates
+
+SAMPLES_SCHEMA = "key string, ts long, value double"
+
+
+@dataclass
+class StreamingStore:
+    spark: SparkSession
+    root: str
+    duplicate_policy: str = "last"
+    rules: list[CompactionRule] = field(default_factory=list)
+    _batch_id: int = 0
+
+    @property
+    def log_dir(self):
+        return os.path.join(self.root, "samples_log")
+
+    @property
+    def latest_dir(self):
+        return os.path.join(self.root, "latest")
+
+    def rule_dir(self, rule: CompactionRule):
+        return os.path.join(self.root, f"rule{rule.dest_suffix}")
+
+    def _read(self, path, schema) -> DataFrame:
+        if not os.path.isdir(path):
+            return self.spark.createDataFrame([], schema)
+        return self.spark.read.schema(
+            self.spark.createDataFrame([], schema).schema
+        ).parquet(path)
+
+    # ---- the foreachBatch body ------------------------------------------
+    def process_batch(self, batch: DataFrame, batch_id: int):
+        spark = self.spark
+        batch = batch.select("key", "ts", "value").withColumn(
+            "seq",
+            F.lit(batch_id * 1_000_000_000) + F.monotonically_increasing_id(),
+        )
+        batch.persist()
+        # 1. append to the log (arrival order preserved via seq)
+        batch.write.mode("append").parquet(self.log_dir)
+        # 2. latest table: old ∪ batch -> max_by (tiny rewrite)
+        latest_schema = "key string, ts long, value double"
+        old = self._read(self.latest_dir, latest_schema)
+        new_latest = (
+            old.unionByName(batch.select("key", "ts", "value"))
+            .groupBy("key")
+            .agg(F.max("ts").alias("ts"), F.max_by("value", "ts").alias("value"))
+        )
+        tmp = self.latest_dir + ".tmp"
+        new_latest.write.mode("overwrite").parquet(tmp)
+        self._swap(tmp, self.latest_dir)
+        # 3. per-rule dest recompute, touched buckets only
+        for rule in self.rules:
+            touched = (
+                batch.select(
+                    "key",
+                    bucket_start(F.col("ts"), rule.bucket_ms, rule.align_ts).alias("__bucket"),
+                )
+                .distinct()
+            )
+            src = self.samples()  # resolved view incl. this batch
+            recomputed = (
+                src.withColumn(
+                    "__bucket", bucket_start(F.col("ts"), rule.bucket_ms, rule.align_ts)
+                )
+                .join(F.broadcast(touched), ["key", "__bucket"], "left_semi")
+                .groupBy("key", "__bucket")
+                .agg(agg_expr(rule.agg, F.col("value"), F.col("ts"), alias="value"))
+            )
+            dest_schema = "key string, ts long, value double"
+            old_dest = self._read(self.rule_dir(rule), dest_schema)
+            kept = old_dest.join(
+                F.broadcast(touched.withColumnRenamed("__bucket", "ts")),
+                ["key", "ts"],
+                "left_anti",
+            )
+            new_dest = kept.unionByName(
+                recomputed.select("key", F.col("__bucket").alias("ts"), "value")
+            )
+            tmp = self.rule_dir(rule) + ".tmp"
+            new_dest.write.mode("overwrite").parquet(tmp)
+            self._swap(tmp, self.rule_dir(rule))
+        batch.unpersist()
+        self._batch_id = batch_id
+
+    @staticmethod
+    def _swap(tmp: str, final: str):
+        import shutil
+
+        if os.path.isdir(final):
+            shutil.rmtree(final)
+        os.rename(tmp, final)
+
+    # ---- read views ------------------------------------------------------
+    def samples(self) -> DataFrame:
+        """Merge-on-read view with duplicate policy folded."""
+        log = self._read(self.log_dir, SAMPLES_SCHEMA + ", seq long")
+        return resolve_duplicates(log, self.duplicate_policy)
+
+    def latest(self) -> DataFrame:
+        return self._read(self.latest_dir, SAMPLES_SCHEMA)
+
+    def rule_table(self, rule: CompactionRule, include_open: bool = False) -> DataFrame:
+        """Closed-bucket dest view; include_open=True is the LATEST view."""
+        df = self._read(self.rule_dir(rule), SAMPLES_SCHEMA)
+        if include_open:
+            return df
+        opens = self.latest().select(
+            "key", bucket_start(F.col("ts"), rule.bucket_ms, rule.align_ts).alias("__open")
+        )
+        return (
+            df.join(F.broadcast(opens), "key", "left")
+            .filter(F.col("ts") < F.col("__open"))
+            .drop("__open")
+        )
+
+    def compact(self):
+        """Rewrite the log in resolved form (the periodic MERGE job)."""
+        resolved = self.samples().withColumn("seq", F.lit(0).cast("long"))
+        tmp = self.log_dir + ".tmp"
+        resolved.write.mode("overwrite").parquet(tmp)
+        self._swap(tmp, self.log_dir)
+
+
+def start_ingest(
+    stream: DataFrame, store: StreamingStore, checkpoint: str | None = None, **trigger
+):
+    """Attach the store to a streaming DataFrame (file/rate/kafka source).
+    trigger: e.g. availableNow=True (drain, for tests/backfill) or
+    processingTime='5 seconds'."""
+    q = (
+        stream.writeStream.foreachBatch(store.process_batch)
+        .option(
+            "checkpointLocation",
+            checkpoint or os.path.join(store.root, "_checkpoint"),
+        )
+        .trigger(**(trigger or {"availableNow": True}))
+        .start()
+    )
+    return q
+
+
+def tail_read(
+    store: StreamingStore,
+    key: str,
+    cursor: int = 0,
+    min_count: int = 1,
+    max_count: int | None = None,
+    timeout_s: float = 5.0,
+    poll_s: float = 0.25,
+):
+    """TS.READ BLOCK analogue (src/module.c:1889-2130): wait until at least
+    `min_count` samples with ts >= cursor exist for `key`, polling the
+    store's micro-batch output; on timeout flush whatever qualifies
+    (possibly empty).  Returns (rows, next_cursor)."""
+    deadline = time.monotonic() + timeout_s
+    while True:
+        df = (
+            store.samples()
+            .filter((F.col("key") == key) & (F.col("ts") >= cursor))
+            .orderBy("ts")
+        )
+        rows = df.take(max_count) if max_count else df.collect()
+        if len(rows) >= min_count or time.monotonic() >= deadline:
+            out = [(r.ts, r.value) for r in rows]
+            return out, (out[-1][0] + 1 if out else cursor)
+        time.sleep(poll_s)

@@ -1,0 +1,134 @@
+"""End-to-end engine facade: the reference's flow-test scenarios
+(tests/flow/test_ts_add.py, test_ts_createrule.py, test_ooo.py shapes)
+driven through the TS.* command surface."""
+
+import math
+
+import pytest
+
+from redistimeseries_spark.engine import (
+    TimeSeriesEngine,
+    parse_compaction_policy,
+    parse_duration_ms,
+)
+
+
+@pytest.fixture
+def eng(spark):
+    return TimeSeriesEngine(spark, duplicate_policy="last")
+
+
+def test_duration_parsing():
+    assert parse_duration_ms("1500") == 1500
+    assert parse_duration_ms("5m") == 5
+    assert parse_duration_ms("10s") == 10_000
+    assert parse_duration_ms("2M") == 120_000
+    assert parse_duration_ms("1h") == 3_600_000
+    assert parse_duration_ms("2d") == 172_800_000
+    with pytest.raises(ValueError):
+        parse_duration_ms("1x")
+
+
+def test_policy_parsing():
+    rules = parse_compaction_policy("max:1M:1h;avg:2h:10d:30s")
+    assert (rules[0].agg, rules[0].bucket_ms, rules[0].retention_ms) == ("max", 60_000, 3_600_000)
+    assert (rules[1].agg, rules[1].align_ts) == ("avg", 30_000)
+
+
+def test_create_add_range(eng):
+    eng.create("cpu", labels={"host": "h1"})
+    eng.madd([("cpu", 1000, 1.0), ("cpu", 2000, 2.0), ("cpu", 3000, 3.0)])
+    out = eng.range("cpu", 1000, 2500).collect()
+    assert [(r.ts, r.value) for r in out] == [(1000, 1.0), (2000, 2.0)]
+    assert eng.get("cpu") == (3000, 3.0)
+
+
+def test_out_of_order_upsert_last(eng):
+    eng.create("s")
+    eng.madd([("s", 1000, 1.0), ("s", 3000, 3.0)])
+    eng.add("s", 2000, 99.0)  # out-of-order insert (test_ooo.py shape)
+    eng.add("s", 1000, 5.0)  # collision -> LAST wins
+    out = eng.range("s").collect()
+    assert [(r.ts, r.value) for r in out] == [(1000, 5.0), (2000, 99.0), (3000, 3.0)]
+
+
+def test_block_policy_keeps_first(spark):
+    eng = TimeSeriesEngine(spark)  # default block
+    eng.create("s")
+    eng.add("s", 1000, 1.0)
+    eng.add("s", 1000, 2.0)
+    assert eng.get("s") == (1000, 1.0)
+
+
+def test_incrby(eng):
+    eng.create("c")
+    eng.incrby("c", 5.0, ts=10)
+    eng.incrby("c", 2.5, ts=20)
+    eng.decrby("c", 1.0, ts=30)
+    assert eng.get("c") == (30, 6.5)
+    with pytest.raises(ValueError):
+        eng.incrby("c", 1.0, ts=5)
+
+
+def test_compaction_rule_and_latest(eng):
+    eng.create("src")
+    eng.create("dst")
+    eng.create_rule("src", "dst", "avg", 1000)
+    eng.madd([("src", 0, 1.0), ("src", 500, 3.0), ("src", 1000, 10.0), ("src", 2100, 7.0)])
+    closed = eng.range("dst").collect()  # open bucket (2000) excluded
+    assert [(r.ts, r.value) for r in closed] == [(0, 2.0), (1000, 10.0)]
+    assert eng.get("dst") == (1000, 10.0)
+    assert eng.get("dst", latest=True) == (2000, 7.0)
+    eng.delete_rule("src", "dst")
+    assert not eng.rules
+
+
+def test_retention_clamps_range(eng):
+    eng.create("r", retention=5000)
+    eng.madd([("r", 0, 1.0), ("r", 4000, 2.0), ("r", 10_000, 3.0)])
+    out = eng.range("r").collect()
+    # horizon = last(10000) - retention(5000): only ts >= 5000 survive
+    assert [r.ts for r in out] == [10_000]
+
+
+def test_del_and_info(eng):
+    eng.create("d", labels={"a": "b"})
+    eng.madd([("d", i * 1000, float(i)) for i in range(10)])
+    assert eng.delete("d", 2000, 4000) == 3
+    info = eng.info("d")
+    assert info["total_samples"] == 7
+    assert info["labels"] == {"a": "b"}
+
+
+def test_auto_rules_from_policy(spark):
+    eng = TimeSeriesEngine(spark, compaction_policy="max:1s:1h", duplicate_policy="last")
+    eng.create("m")
+    assert any(r.src_key == "m" and r.agg == "max" for r in eng.rules)
+    eng.madd([("m", 0, 5.0), ("m", 200, 9.0), ("m", 1500, 2.0)])
+    dest = eng.rules[0].dest_key
+    out = eng.range(dest).collect()
+    assert [(r.ts, r.value) for r in out] == [(0, 9.0)]
+
+
+def test_read_cursor(eng):
+    eng.create("t")
+    eng.madd([("t", i * 100, float(i)) for i in range(5)])
+    rows, cur = eng.read("t", cursor=200)
+    assert rows == [(200, 2.0), (300, 3.0), (400, 4.0)]
+    rows2, cur2 = eng.read("t", cursor=cur)
+    assert rows2 == [] and cur2 == cur
+    eng.add("t", 600, 6.0)
+    rows3, _ = eng.read("t", cursor=cur)
+    assert rows3 == [(600, 6.0)]
+    # min_count gate: not enough rows -> empty
+    rows4, _ = eng.read("t", cursor="$", min_count=2)
+    assert rows4 == []
+
+
+def test_queryindex_querylabels(eng):
+    eng.create("a", labels={"t": "x", "r": "eu"})
+    eng.create("b", labels={"t": "y", "r": "eu"})
+    assert eng.queryindex(["r=eu"]) == ["a", "b"]
+    assert eng.queryindex(["r=eu", "t!=x"]) == ["b"]
+    assert eng.querylabels("labels") == ["r", "t"]
+    assert eng.querylabels("values", "t") == ["x", "y"]

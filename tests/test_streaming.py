@@ -1,0 +1,95 @@
+"""Structured Streaming ingest: micro-batched TS.ADD stream through
+foreachBatch with dup-policy fold, latest-table maintenance, incremental
+compaction-rule repair (incl. out-of-order bucket recompute), and the
+TS.READ tail with timeout semantics."""
+
+import os
+import threading
+import time
+
+import pytest
+
+from redistimeseries_spark.streaming.compaction import CompactionRule
+from redistimeseries_spark.streaming.ingest import StreamingStore, start_ingest, tail_read
+
+SCHEMA = "key string, ts long, value double"
+
+
+def write_input(spark, d, rows, name):
+    spark.createDataFrame(rows, SCHEMA).coalesce(1).write.mode("append").parquet(
+        os.path.join(d, "in")
+    )
+
+
+@pytest.fixture
+def dirs(tmp_path):
+    return str(tmp_path)
+
+
+def drain(spark, d, store):
+    stream = (
+        spark.readStream.schema(SCHEMA)
+        .option("maxFilesPerTrigger", "1")  # force multiple micro-batches
+        .parquet(os.path.join(d, "in"))
+    )
+    q = start_ingest(stream, store, availableNow=True)
+    q.awaitTermination(120)
+
+
+def test_ingest_batches_and_rules(spark, dirs):
+    rule = CompactionRule(None, "_avg_1s", "avg", 1000)
+    store = StreamingStore(spark, os.path.join(dirs, "store"), "last", [rule])
+    write_input(spark, dirs, [("k", 0, 1.0), ("k", 500, 3.0), ("k", 1200, 5.0)], "b1")
+    write_input(spark, dirs, [("k", 1300, 7.0), ("k", 400, 9.0)], "b2")  # ooo upsert
+    drain(spark, dirs, store)
+
+    got = sorted((r.ts, r.value) for r in store.samples().collect())
+    # 400 arrives later; ts distinct so it's an out-of-order insert
+    assert got == [(0, 1.0), (400, 9.0), (500, 3.0), (1200, 5.0), (1300, 7.0)]
+
+    latest = {r.key: (r.ts, r.value) for r in store.latest().collect()}
+    assert latest["k"] == (1300, 7.0)
+
+    # closed bucket 0 recomputed after the late 400 arrival: avg(1,9,3)
+    closed = {r.ts: r.value for r in store.rule_table(rule).collect()}
+    assert closed == {0: (1.0 + 9.0 + 3.0) / 3}
+    # open bucket visible in the LATEST view
+    full = {r.ts: r.value for r in store.rule_table(rule, include_open=True).collect()}
+    assert full[1000] == 6.0
+
+
+def test_dup_policy_across_batches(spark, dirs):
+    store = StreamingStore(spark, os.path.join(dirs, "store"), "sum", [])
+    write_input(spark, dirs, [("k", 100, 1.0)], "b1")
+    write_input(spark, dirs, [("k", 100, 2.5)], "b2")
+    drain(spark, dirs, store)
+    assert [(r.ts, r.value) for r in store.samples().collect()] == [(100, 3.5)]
+    store.compact()
+    assert [(r.ts, r.value) for r in store.samples().collect()] == [(100, 3.5)]
+
+
+def test_tail_read_block_and_timeout(spark, dirs):
+    store = StreamingStore(spark, os.path.join(dirs, "store"), "last", [])
+    write_input(spark, dirs, [("k", 0, 1.0), ("k", 10, 2.0)], "b1")
+    drain(spark, dirs, store)
+
+    rows, cur = tail_read(store, "k", cursor=0, min_count=1, timeout_s=2)
+    assert rows == [(0, 1.0), (10, 2.0)] and cur == 11
+
+    # timeout flush: nothing beyond cursor yet -> empty after deadline
+    t0 = time.monotonic()
+    rows2, cur2 = tail_read(store, "k", cursor=cur, min_count=1, timeout_s=1.0)
+    assert rows2 == [] and cur2 == cur and time.monotonic() - t0 >= 0.9
+
+    # blocked reader woken by a new append from another thread
+    def later():
+        time.sleep(1.0)
+        spark2 = store.spark
+        b = spark2.createDataFrame([("k", 20, 9.0, 10**12)], SCHEMA + ", seq long")
+        b.write.mode("append").parquet(store.log_dir)
+
+    th = threading.Thread(target=later)
+    th.start()
+    rows3, _ = tail_read(store, "k", cursor=cur, min_count=1, timeout_s=10)
+    th.join()
+    assert rows3 == [(20, 9.0)]
