@@ -243,6 +243,34 @@ def q_ignore_filter(spark, sf_dir):
     return ignore_filter(st.samples, 600_000, 5.0)
 
 
+def q_mrange_withlabels(spark, sf_dir):
+    st = _store(spark, sf_dir)
+    return ts_mrange(
+        st.samples, st.labels, ["type=error"], D14, D21,
+        aggregations=["avg"], bucket_dur=6 * H,
+        selected_labels=["type", "parity"],
+    )
+
+
+def q_align_end(spark, sf_dir):
+    st = _store(spark, sf_dir)
+    return ts_range(
+        st.samples, D14, D21, keys=NKEYS,
+        aggregations=["count", "sum"], bucket_dur=2 * H,
+        align="end", bucket_ts="+",
+    )
+
+
+def q_nrange_raw(spark, sf_dir):
+    st = _store(spark, sf_dir)
+    return ts_nrange(st.samples, NKEYS, D14, D21)
+
+
+def q_querylabels_names(spark, sf_dir):
+    st = _store(spark, sf_dir)
+    return query_labels(st.labels, "labels", filters=["type=click"])
+
+
 # --------------------------------------------------------------------------
 # training-data pipeline operators (dedup / similarity / text / multimodal)
 # --------------------------------------------------------------------------
@@ -415,6 +443,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ts_queryindex_neg": q_queryindex_neg,
         "ts_querylabels_values": q_querylabels_values,
         "ts_mrange_max_1h": q_mrange_max_1h,
+        "ts_mrange_withlabels": q_mrange_withlabels,
+        "ts_align_end": q_align_end,
+        "ts_nrange_raw": q_nrange_raw,
+        "ts_querylabels_names": q_querylabels_names,
         "ts_mrange_groupby_sum": q_mrange_groupby_sum,
         "ts_nrange_pivot": q_nrange_pivot,
         "ts_dup_last": q_dup_last,
@@ -725,6 +757,36 @@ def oracle_sql() -> dict[str, str]:
             ["max"], H, 0, D14, D21,
             where=f"key IN (SELECT key FROM labels WHERE label='type' AND value='click')",
         ),
+        "ts_mrange_withlabels": f"""{ORACLE_PREFIX},
+            per AS (
+              SELECT key, {bucket_sql('ts', 6 * H, 0)} AS ts, {agg_sql('avg')} AS avg
+              FROM samples
+              WHERE ts BETWEEN {D14} AND {D21}
+                AND key IN (SELECT key FROM labels WHERE label='type' AND value='error')
+              GROUP BY 1, 2
+              HAVING count(CASE WHEN NOT isnan(value) THEN 1 END) > 0),
+            wide AS (SELECT key,
+                            max(CASE WHEN label='type' THEN value END) AS type,
+                            max(CASE WHEN label='parity' THEN value END) AS parity
+                     FROM labels GROUP BY key)
+            SELECT per.key, per.ts, per.avg, wide.type, wide.parity
+            FROM per LEFT JOIN wide ON per.key = wide.key""",
+        "ts_align_end": _agg_oracle(
+            ["count", "sum"], 2 * H, D21, D14, D21, bucket_ts="+",
+            where=f"key IN ({','.join(repr(k) for k in NKEYS)})",
+        ),
+        "ts_nrange_raw": f"""{ORACLE_PREFIX},
+            s AS (SELECT key, ts, value FROM samples
+                  WHERE key IN ('click_1','view_2','error_0')
+                    AND ts BETWEEN {D14} AND {D21})
+            SELECT ts,
+              coalesce(max(CASE WHEN key='click_1' THEN value END), 'NaN'::DOUBLE) AS click_1,
+              coalesce(max(CASE WHEN key='view_2' THEN value END), 'NaN'::DOUBLE) AS view_2,
+              coalesce(max(CASE WHEN key='error_0' THEN value END), 'NaN'::DOUBLE) AS error_0
+            FROM s GROUP BY ts""",
+        "ts_querylabels_names": f"""{ORACLE_PREFIX}
+            SELECT DISTINCT label FROM labels
+            WHERE key IN (SELECT key FROM labels WHERE label='type' AND value='click')""",
         "ts_mrange_groupby_sum": f"""{ORACLE_PREFIX},
             per AS (
               SELECT key, {bucket_sql('ts', H, 0)} AS ts, {agg_sql('sum')} AS sum

@@ -83,6 +83,10 @@ class TSStore:
         labels = (
             keys.selectExpr("key", "stack(3, 'type', type, 'user_bucket', user_bucket, 'parity', parity) AS (label, value)")
         )
+        # the labels dimension is a catalog table in a real deployment (one
+        # row per series per label, << samples); cache it so repeated label
+        # predicates don't re-scan the fact table deriving it
+        labels = labels.cache()
         return cls(samples=samples, labels=labels)
 
     @classmethod
