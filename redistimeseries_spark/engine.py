@@ -323,8 +323,20 @@ class TimeSeriesEngine:
         rows = self._series_df(key, latest).orderBy(F.col("ts").desc()).take(1)
         return (rows[0].ts, rows[0].value) if rows else None
 
-    def mget(self, filters: list[str], **kw) -> DataFrame:
-        return ts_mget(self.samples, self.labels_df, filters, **kw)
+    def mget(self, filters: list[str], latest: bool = False, **kw) -> DataFrame:
+        """TS.MGET; latest=True finalizes the open bucket for matched series
+        that are compaction destinations (src/tsdb.c:1468-1501)."""
+        out = ts_mget(self.samples, self.labels_df, filters, **kw)
+        dests = {r.dest_key for r in self.rules}
+        matched = {r.key for r in matched_keys(self.labels_df, filters).collect()}
+        hit = sorted(matched & dests)
+        if not hit:
+            return out
+        # compaction destinations materialize from their rule (closed buckets;
+        # latest=True additionally finalizes the open bucket)
+        rows = [(k, *self.get(k, latest=latest)) for k in hit]
+        repl = self.spark.createDataFrame(rows, "key string, ts long, value double")
+        return out.filter(~F.col("key").isin(hit)).unionByName(repl)
 
     def mrange(self, filters: list[str], from_ts="-", to_ts="+", **kw) -> DataFrame:
         if "bucket_dur" in kw:

@@ -99,10 +99,34 @@ class TSStore:
         """Materialize the scale layout: partitioned by time bucket, sorted by
         (key, ts) within files so parquet stats prune both dimensions."""
         (
-            self.samples.withColumn("day", (F.col("ts") / time_bucket_ms).cast("long"))
+            self.samples.withColumn(
+                "day", F.expr(f"ts div {time_bucket_ms}")
+            )
             .repartition("day")
             .sortWithinPartitions("key", "ts")
             .write.mode("overwrite")
             .partitionBy("day")
             .parquet(path)
         )
+
+
+def read_layout(
+    spark: SparkSession,
+    path: str,
+    start: int | None = None,
+    end: int | None = None,
+    time_bucket_ms: int = 86_400_000,
+) -> DataFrame:
+    """Open a write_layout store with the time-range predicate REWRITTEN to
+    also hit the partition column: `ts BETWEEN` alone only prunes row
+    groups; the derived `day` conjunct prunes whole directory partitions
+    (PartitionFilters) — the reference's chunk-index seek at file-system
+    granularity (src/series_iterator.c:40-56)."""
+    df = spark.read.parquet(path)
+    if start is not None:
+        df = df.filter(
+            (F.col("day") >= start // time_bucket_ms) & (F.col("ts") >= start)
+        )
+    if end is not None:
+        df = df.filter((F.col("day") <= end // time_bucket_ms) & (F.col("ts") <= end))
+    return df.select("key", "ts", "value")

@@ -48,6 +48,7 @@ class StreamingStore:
     root: str
     duplicate_policy: str = "last"
     rules: list[CompactionRule] = field(default_factory=list)
+    retention_ms: int = 0  # late-beyond-retention reject (src/module.c:1006-1012)
     _batch_id: int = 0
 
     @property
@@ -57,6 +58,10 @@ class StreamingStore:
     @property
     def latest_dir(self):
         return os.path.join(self.root, "latest")
+
+    @property
+    def errors_dir(self):
+        return os.path.join(self.root, "errors")
 
     def rule_dir(self, rule: CompactionRule):
         return os.path.join(self.root, f"rule{rule.dest_suffix}")
@@ -76,6 +81,14 @@ class StreamingStore:
             F.lit(batch_id * 1_000_000_000) + F.monotonically_increasing_id(),
         )
         batch.persist()
+        # 0. reject samples older than the retention horizon (the reference
+        # errors the write, src/module.c:1006-1012) -> error sink
+        if self.retention_ms > 0:
+            from redistimeseries_spark.write.retention import reject_late
+
+            cur_max = self.latest().select("key", F.col("ts").alias("max_ts"))
+            batch, late = reject_late(batch, cur_max, self.retention_ms)
+            late.write.mode("append").parquet(self.errors_dir)
         # 1. append to the log (arrival order preserved via seq)
         batch.write.mode("append").parquet(self.log_dir)
         # 2. latest table: old ∪ batch -> max_by (tiny rewrite)

@@ -125,6 +125,17 @@ def test_read_cursor(eng):
     assert rows4 == []
 
 
+def test_mget_latest_on_compaction_dest(eng):
+    eng.create("src", labels={"kind": "raw"})
+    eng.create("dst", labels={"kind": "agg"})
+    eng.create_rule("src", "dst", "avg", 1000)
+    eng.madd([("src", 0, 1.0), ("src", 500, 3.0), ("src", 1500, 10.0)])
+    closed = {r.key: (r.ts, r.value) for r in eng.mget(["kind=agg"]).collect()}
+    assert closed["dst"] == (0, 2.0)  # open bucket 1000 excluded
+    latest = {r.key: (r.ts, r.value) for r in eng.mget(["kind=agg"], latest=True).collect()}
+    assert latest["dst"] == (1000, 10.0)
+
+
 def test_queryindex_querylabels(eng):
     eng.create("a", labels={"t": "x", "r": "eu"})
     eng.create("b", labels={"t": "y", "r": "eu"})

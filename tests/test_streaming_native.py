@@ -1,0 +1,100 @@
+"""Native Structured Streaming paths: watermark+window compaction rule
+(append mode = closed-bucket emission), applyInPandasWithState INCRBY,
+late-beyond-retention reject to the error sink, and layout partition
+pruning."""
+
+import os
+
+import pytest
+
+from redistimeseries_spark.store import TSStore, read_layout
+from redistimeseries_spark.streaming.ingest import StreamingStore, start_ingest
+from redistimeseries_spark.streaming.stateful import incrby_stream
+from redistimeseries_spark.streaming.window_rules import windowed_rule
+
+SCHEMA = "key string, ts long, value double"
+SEQ_SCHEMA = SCHEMA + ", seq long"
+
+
+def feed(spark, d, rows, schema=SCHEMA):
+    spark.createDataFrame(rows, schema).coalesce(1).write.mode("append").parquet(
+        os.path.join(d, "in")
+    )
+
+
+def test_windowed_rule_append_emits_closed_buckets(spark, tmp_path):
+    d = str(tmp_path)
+    feed(spark, d, [("k", 0, 1.0), ("k", 500, 3.0), ("k", 1200, 5.0), ("k", 2400, 7.0)])
+    stream = spark.readStream.schema(SCHEMA).parquet(os.path.join(d, "in"))
+    out = windowed_rule(stream, "max", 1000)
+    q = (
+        out.writeStream.format("memory")
+        .queryName("dest_max")
+        .outputMode("append")
+        .option("checkpointLocation", os.path.join(d, "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = {r.ts: r.value for r in spark.sql("SELECT * FROM dest_max").collect()}
+    # watermark reached 2400 -> buckets 0 and 1000 closed; 2000 still open
+    assert got == {0: 3.0, 1000: 5.0}
+
+
+def test_windowed_rule_rejects_non_streamable():
+    with pytest.raises(ValueError):
+        windowed_rule(None, "twa", 1000)
+
+
+def test_stateful_incrby_across_batches(spark, tmp_path):
+    d = str(tmp_path)
+    feed(spark, d, [("c", 10, 5.0, 0), ("c", 20, 2.5, 1)], SEQ_SCHEMA)
+    feed(spark, d, [("c", 30, -1.0, 2), ("c", 5, 99.0, 3)], SEQ_SCHEMA)  # ts<last dropped
+    stream = (
+        spark.readStream.schema(SEQ_SCHEMA)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(os.path.join(d, "in"))
+    )
+    q = (
+        incrby_stream(stream)
+        .writeStream.format("memory")
+        .queryName("counter")
+        .outputMode("append")
+        .option("checkpointLocation", os.path.join(d, "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = sorted((r.ts, r.value) for r in spark.sql("SELECT * FROM counter").collect())
+    assert got == [(10, 5.0), (20, 7.5), (30, 6.5)]  # state crossed the batch boundary
+
+
+def test_retention_reject_to_error_sink(spark, tmp_path):
+    d = str(tmp_path)
+    store = StreamingStore(spark, os.path.join(d, "store"), "last", [], retention_ms=1000)
+    feed(spark, d, [("k", 10_000, 1.0)])
+    feed(spark, d, [("k", 5_000, 2.0)])  # older than 10000 - 1000 -> rejected
+    stream = (
+        spark.readStream.schema(SCHEMA)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(os.path.join(d, "in"))
+    )
+    q = start_ingest(stream, store, availableNow=True)
+    q.awaitTermination(120)
+    assert [(r.ts, r.value) for r in store.samples().collect()] == [(10_000, 1.0)]
+    errs = spark.read.parquet(store.errors_dir).collect()
+    assert [(r.ts, r.value) for r in errs] == [(5_000, 2.0)]
+
+
+def test_layout_partition_pruning(spark, tmp_path, samples_df):
+    day = 86_400_000
+    rows = [("k", day * i + 50, float(i)) for i in range(5)]
+    st = TSStore.from_dataframes(samples_df(rows))
+    path = str(tmp_path / "layout")
+    st.write_layout(path)
+    df = read_layout(spark, path, start=day * 2, end=day * 3 + 100)
+    assert sorted(r.ts for r in df.collect()) == [day * 2 + 50, day * 3 + 50]
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters: [" in plan
+    pf = [l for l in plan.splitlines() if "PartitionFilters" in l][0]
+    assert "day" in pf and "isnotnull(day" in pf or "(day" in pf
