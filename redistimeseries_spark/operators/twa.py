@@ -109,6 +109,95 @@ def _empty_bucket_val(
     return float("nan") if t[left - 1] + delta // 2 <= ta else v[left - 1]
 
 
+def twa_buckets_expr(
+    df: DataFrame, dur: int, start: int, end: int
+) -> DataFrame:
+    """Pure-JVM TWA (no Python in the hot path): consecutive-pair trapezoid
+    terms via a lag window, cross-bucket boundary terms exploded to the two
+    buckets they close/open, then one (key, bucket) aggregation.  Term
+    derivation mirrors TwaAddValue/TwaAddNextBucketFirstSample
+    (src/compaction.c:348-419) exactly; see _twa_kernel for the same math
+    in numpy (used by the EMPTY path and cross-checked in tests)."""
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("key").orderBy("ts")
+    rng_end = float(min(end, MAX_TS))
+    d = (
+        df.filter(~F.isnan("value"))
+        .select("key", "ts", "value", "__bucket")
+        .withColumn("pts", F.lag("ts").over(w))
+        .withColumn("pv", F.lag("value").over(w))
+        .withColumn("pb", F.lag("__bucket").over(w))
+    )
+    ts, v, b = F.col("ts").cast("double"), F.col("value"), F.col("__bucket")
+    pts, pv, pb = F.col("pts").cast("double"), F.col("pv"), F.col("pb")
+    slope = (v - pv) / (ts - pts)
+    tb = F.least(pb.cast("double") + F.lit(float(dur)), F.lit(rng_end))
+    ta = F.greatest(b.cast("double"), F.lit(float(start)))
+    vab_prev = pv + (tb - pts) * slope
+    vab_cur = pv + (ta - pts) * slope
+    terms = (
+        d.withColumn(
+            "__terms",
+            F.when(
+                pb.isNull(),
+                F.array().cast(
+                    "array<struct<bucket:bigint,area:double,sf:double,sl:double>>"
+                ),
+            )
+            .when(
+                pb == b,
+                F.array(
+                    F.struct(
+                        b.alias("bucket"),
+                        ((pv + v) * (ts - pts) / 2.0).alias("area"),
+                        F.lit(None).cast("double").alias("sf"),
+                        F.lit(None).cast("double").alias("sl"),
+                    )
+                ),
+            )
+            .otherwise(
+                F.array(
+                    F.struct(  # close previous bucket at tb
+                        pb.alias("bucket"),
+                        ((vab_prev + pv) * (tb - pts) / 2.0).alias("area"),
+                        F.lit(None).cast("double").alias("sf"),
+                        tb.alias("sl"),
+                    ),
+                    F.struct(  # open current bucket at ta
+                        b.alias("bucket"),
+                        ((vab_cur + v) * (ts - ta) / 2.0).alias("area"),
+                        ta.alias("sf"),
+                        F.lit(None).cast("double").alias("sl"),
+                    ),
+                )
+            ),
+        )
+        .select("key", F.explode("__terms").alias("t"))
+        .select("key", "t.bucket", "t.area", "t.sf", "t.sl")
+        .groupBy("key", "bucket")
+        .agg(F.sum("area").alias("res"), F.max("sf").alias("sf"), F.max("sl").alias("sl"))
+    )
+    base = (
+        df.filter(~F.isnan("value"))
+        .groupBy("key", F.col("__bucket").alias("bucket"))
+        .agg(
+            F.min("ts").cast("double").alias("fts"),
+            F.max("ts").cast("double").alias("lts"),
+            F.max_by("value", "ts").alias("lastv"),
+        )
+    )
+    first_ts = F.coalesce(F.col("sf"), F.col("fts"))
+    last_ts = F.coalesce(F.col("sl"), F.col("lts"))
+    return base.join(terms, ["key", "bucket"], "left").select(
+        "key",
+        F.col("bucket").alias("__bucket"),
+        F.when(last_ts == first_ts, F.col("lastv"))
+        .otherwise(F.coalesce(F.col("res"), F.lit(0.0)) / F.abs(last_ts - first_ts))
+        .alias("twa"),
+    )
+
+
 def twa_buckets(
     df: DataFrame,
     dur: int,
@@ -119,7 +208,12 @@ def twa_buckets(
 ) -> DataFrame:
     """df: filtered samples with a precomputed __bucket column.
     Returns (key, __bucket, twa).  With empty=True also emits interior
-    empty / NaN-only buckets with the interpolated value."""
+    empty / NaN-only buckets with the interpolated value.
+
+    Non-EMPTY queries take the pure-JVM expression path; EMPTY needs the
+    neighbor-interpolation lookups and runs the numpy kernel per key."""
+    if not empty:
+        return twa_buckets_expr(df, dur, start, end)
     range_end = min(end, MAX_TS)
 
     def fn(pdf: pd.DataFrame) -> pd.DataFrame:
