@@ -421,12 +421,55 @@ def q_mm_frame_sample(spark, sf_dir):
     return frame_sample(attach_payload(_docs(spark, sf_dir)))
 
 
+# Float columns produced by non-associative arithmetic (sum/avg/var/twa...)
+# can differ between engines in the last ulp (summation order); round them
+# to 6 dp in BOTH the Spark query and the oracle so value hashes are
+# byte-stable.  Selection aggregates (min/max/first/last) and raw values
+# are bit-exact and stay unrounded.
+ROUND_MAP: dict[str, list[str]] = {
+    "ts_agg_avg_1h": ["avg"],
+    "ts_agg_multi_align": ["avg"],
+    "ts_agg_all14": ["sum", "avg", "range", "std_p", "std_s", "var_p", "var_s"],
+    "ts_agg_twa": ["twa"],
+    "ts_agg_empty": ["sum"],
+    "ts_align_end": ["sum"],
+    "ts_mrange_withlabels": ["avg"],
+    "ts_mrange_groupby_sum": ["sum"],
+    "ts_nrange_pivot": ["view_2_avg", "error_0_sum"],
+    "ts_dup_sum": ["value"],
+    "ts_incrby": ["value"],
+    "ts_compaction_avg_10m": ["value"],
+    "ts_compaction_latest": ["value"],
+}
+
+
+def _wrap_round(fn, cols):
+    def wrapped(spark, sf_dir, _fn=fn, _cols=cols):
+        df = _fn(spark, sf_dir)
+        return df.withColumns({c: F.round(F.col(c), 6) for c in _cols})
+
+    return wrapped
+
+
+def _round_oracle(sql: str, cols: list[str]) -> str:
+    repl = ", ".join(f"round({c}, 6) AS {c}" for c in cols)
+    return f"SELECT * REPLACE ({repl}) FROM ({sql})"
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: label-filtered per-series 1h max buckets (TS.MRANGE)."""
     return q_mrange_max_1h(spark, "/root/testdata/sf0.001")
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
+    base = _base_queries()
+    return {
+        name: (_wrap_round(fn, ROUND_MAP[name]) if name in ROUND_MAP else fn)
+        for name, fn in base.items()
+    }
+
+
+def _base_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "ts_range_raw": q_range_raw,
         "ts_revrange_count": q_revrange_count,
@@ -703,6 +746,14 @@ def _pipeline_oracles() -> dict[str, str]:
 
 
 def oracle_sql() -> dict[str, str]:
+    base = _base_oracles()
+    return {
+        name: (_round_oracle(sql, ROUND_MAP[name]) if name in ROUND_MAP else sql)
+        for name, sql in base.items()
+    }
+
+
+def _base_oracles() -> dict[str, str]:
     dup60 = "SELECT key, ts - ts % 60000 AS ts, value, seq FROM rawseq"
     return {
         "ts_range_raw": f"{ORACLE_PREFIX} SELECT key, ts, value FROM samples "

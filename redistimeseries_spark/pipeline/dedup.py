@@ -65,7 +65,7 @@ def minhash_signatures(
     Lexicographic min over md5 hex is a valid permutation min and is
     reproducible in any engine with md5."""
     sh = char_shingles(docs, k)
-    hs = F.explode(F.array(*[F.lit(i) for i in range(num_hashes)])).alias("h")
+    hs = F.explode(F.array(*[F.lit(i).cast("long") for i in range(num_hashes)])).alias("h")
     return (
         sh.select("doc_id", "shingle", hs)
         .select(

@@ -25,7 +25,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 FEATURE_SCHEMA = (
-    "doc_id long, media_type string, n_bytes long, first_byte int, last_byte int"
+    "doc_id long, media_type string, n_bytes long, first_byte long, last_byte long"
 )
 
 
@@ -86,4 +86,4 @@ def frame_sample(media: DataFrame, every_n_bytes: int = 64) -> DataFrame:
                     rows.append((doc_id, off, payload[off]))
             yield pd.DataFrame(rows, columns=["doc_id", "offset", "byte_val"])
 
-    return media.mapInPandas(fn, "doc_id long, offset long, byte_val int")
+    return media.mapInPandas(fn, "doc_id long, offset long, byte_val long")

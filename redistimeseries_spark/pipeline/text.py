@@ -66,7 +66,7 @@ def quality_scores(docs: DataFrame) -> DataFrame:
         stop = o if stop is None else stop + o
     return docs.select(
         "doc_id",
-        n_words.alias("n_words"),
+        n_words.cast("long").alias("n_words"),
         F.round(n_alpha / F.greatest(n_chars, F.lit(1)), 6).alias("alpha_ratio"),
         F.round(n_punct / F.greatest(n_chars, F.lit(1)), 6).alias("punct_ratio"),
         F.round(stop / F.greatest(n_words, F.lit(1)), 6).alias("stopword_ratio"),
@@ -86,7 +86,7 @@ def token_counts(docs: DataFrame) -> DataFrame:
     non_space = F.length(F.regexp_replace("text", "\\s", ""))
     return docs.select(
         "doc_id",
-        ws.alias("ws_tokens"),
+        ws.cast("long").alias("ws_tokens"),
         F.ceil(non_space / 4.0).cast("long").alias("bpe_tokens_est"),
     )
 

@@ -54,16 +54,14 @@ def main(sf_dir: str = "/root/testdata/sf0.01", only: list[str] | None = None):
             continue
         p2 = p[cols].sort_values(cols).reset_index(drop=True)
         o2 = o[cols].sort_values(cols).reset_index(drop=True)
-        for c in cols:
-            if p2[c].dtype.kind == "f":
-                p2[c] = p2[c].round(6)
-            if o2[c].dtype.kind == "f":
-                o2[c] = o2[c].round(6)
-            if o2[c].dtype != p2[c].dtype:
-                try:
-                    o2[c] = o2[c].astype(p2[c].dtype)
-                except Exception:
-                    pass
+        # STRICT: no dtype coercion, no extra rounding — mirrors a driver
+        # that hashes values as-is; determinism must live in the queries.
+        dt = {c: (str(p2[c].dtype), str(o2[c].dtype)) for c in cols
+              if p2[c].dtype != o2[c].dtype}
+        if dt:
+            print(f"{name}: DTYPE MISMATCH {dt}")
+            failures.append(name)
+            continue
         if len(p2) != len(o2):
             print(f"{name}: ROWCOUNT {len(p2)} vs {len(o2)}")
             failures.append(name)
