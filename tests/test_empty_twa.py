@@ -109,6 +109,19 @@ def test_empty_spine_locf_and_twa(samples_df):
             assert math.isclose(r.twa, exp_twa, rel_tol=1e-9), (b, r.twa, exp_twa)
 
 
+def test_empty_rev_same_values_desc_order(samples_df):
+    # reverse iteration emits the same bucket values in descending order;
+    # LOCF still inherits from the chronologically OLDER neighbor
+    # (src/filter_iterator.c:473-506 reverse note)
+    df = samples_df([("k", t, v) for t, v in zip(T, V)])
+    fwd = ts_range(df, aggregations=["sum", "last"], bucket_dur=DUR, empty=True).collect()
+    rev = ts_range(
+        df, aggregations=["sum", "last"], bucket_dur=DUR, empty=True, rev=True
+    ).collect()
+    assert [r.ts for r in rev] == [r.ts for r in fwd][::-1]
+    assert {(r.ts, r.sum, r.last) for r in rev} == {(r.ts, r.sum, r.last) for r in fwd}
+
+
 def test_empty_edge_gaps_not_emitted(samples_df):
     # query range extends far beyond data: no buckets before/after data
     df = samples_df([("k", t, v) for t, v in zip(T, V)])

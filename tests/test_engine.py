@@ -125,6 +125,27 @@ def test_read_cursor(eng):
     assert rows4 == []
 
 
+def test_del_cascades_into_rule_dest(eng):
+    # ContinuousDeletion (src/tsdb.c:772-793): deleting src samples must be
+    # reflected in the rule destination. Dest materializes from src on read,
+    # so consistency is structural — prove it.
+    eng.create("src")
+    eng.create("dst")
+    eng.create_rule("src", "dst", "sum", 1000)
+    eng.madd([("src", 0, 1.0), ("src", 500, 3.0), ("src", 1500, 10.0), ("src", 2500, 1.0)])
+    assert [(r.ts, r.value) for r in eng.range("dst").collect()] == [(0, 4.0), (1000, 10.0)]
+    eng.delete("src", 400, 600)  # removes the 500 sample
+    assert [(r.ts, r.value) for r in eng.range("dst").collect()] == [(0, 1.0), (1000, 10.0)]
+
+
+def test_alter_relabel_reindexes(eng):
+    eng.create("x", labels={"env": "dev"})
+    assert eng.queryindex(["env=dev"]) == ["x"]
+    eng.alter("x", labels={"env": "prod", "team": "a"})
+    assert eng.queryindex(["env=dev"]) == []
+    assert eng.queryindex(["env=prod", "team=a"]) == ["x"]
+
+
 def test_mget_latest_on_compaction_dest(eng):
     eng.create("src", labels={"kind": "raw"})
     eng.create("dst", labels={"kind": "agg"})
