@@ -128,60 +128,47 @@ def twa_buckets_expr(
         .withColumn("pts", F.lag("ts").over(w))
         .withColumn("pv", F.lag("value").over(w))
         .withColumn("pb", F.lag("__bucket").over(w))
+        .withColumn("nts", F.lead("ts").over(w))
+        .withColumn("nv", F.lead("value").over(w))
+        .withColumn("nb", F.lead("__bucket").over(w))
     )
     ts, v, b = F.col("ts").cast("double"), F.col("value"), F.col("__bucket")
     pts, pv, pb = F.col("pts").cast("double"), F.col("pv"), F.col("pb")
-    slope = (v - pv) / (ts - pts)
-    tb = F.least(pb.cast("double") + F.lit(float(dur)), F.lit(rng_end))
+    nts, nv, nb = F.col("nts").cast("double"), F.col("nv"), F.col("nb")
+    # each sample contributes every term touching its own bucket, so one
+    # window pass + one (key, bucket) aggregation covers the whole operator:
+    #   * in-bucket trapezoid with the previous sample (same bucket);
+    #   * bucket-open term when the previous sample lies in an older bucket
+    #     (interpolate at ta, extends first_ts to ta);
+    #   * bucket-close term when the next sample lies in a newer bucket —
+    #     computed here from the *lead* row instead of exploding it from the
+    #     crossing row (interpolate at tb, extends last_ts to tb).
     ta = F.greatest(b.cast("double"), F.lit(float(start)))
-    vab_prev = pv + (tb - pts) * slope
-    vab_cur = pv + (ta - pts) * slope
-    terms = (
-        d.withColumn(
-            "__terms",
-            F.when(
-                pb.isNull(),
-                F.array().cast(
-                    "array<struct<bucket:bigint,area:double,sf:double,sl:double>>"
-                ),
-            )
-            .when(
-                pb == b,
-                F.array(
-                    F.struct(
-                        b.alias("bucket"),
-                        ((pv + v) * (ts - pts) / 2.0).alias("area"),
-                        F.lit(None).cast("double").alias("sf"),
-                        F.lit(None).cast("double").alias("sl"),
-                    )
-                ),
-            )
-            .otherwise(
-                F.array(
-                    F.struct(  # close previous bucket at tb
-                        pb.alias("bucket"),
-                        ((vab_prev + pv) * (tb - pts) / 2.0).alias("area"),
-                        F.lit(None).cast("double").alias("sf"),
-                        tb.alias("sl"),
-                    ),
-                    F.struct(  # open current bucket at ta
-                        b.alias("bucket"),
-                        ((vab_cur + v) * (ts - ta) / 2.0).alias("area"),
-                        ta.alias("sf"),
-                        F.lit(None).cast("double").alias("sl"),
-                    ),
-                )
-            ),
-        )
-        .select("key", F.explode("__terms").alias("t"))
-        .select("key", "t.bucket", "t.area", "t.sf", "t.sl")
-        .groupBy("key", "bucket")
-        .agg(F.sum("area").alias("res"), F.max("sf").alias("sf"), F.max("sl").alias("sl"))
+    tb = F.least(b.cast("double") + F.lit(float(dur)), F.lit(rng_end))
+    opens = pb.isNotNull() & (pb != b)
+    closes = nb.isNotNull() & (nb != b)
+    vab_open = pv + (ta - pts) * (v - pv) / (ts - pts)
+    vab_close = v + (tb - ts) * (nv - v) / (nts - ts)
+    area = (
+        F.when(pb == b, (pv + v) * (ts - pts) / 2.0).otherwise(0.0)
+        + F.when(opens, (vab_open + v) * (ts - ta) / 2.0).otherwise(0.0)
+        + F.when(closes, (vab_close + v) * (tb - ts) / 2.0).otherwise(0.0)
     )
-    base = (
-        df.filter(~F.isnan("value"))
-        .groupBy("key", F.col("__bucket").alias("bucket"))
+    terms = (
+        d.select(
+            "key",
+            F.col("__bucket").alias("bucket"),
+            "ts",
+            "value",
+            area.alias("area"),
+            F.when(opens, ta).alias("sf"),
+            F.when(closes, tb).alias("sl"),
+        )
+        .groupBy("key", "bucket")
         .agg(
+            F.sum("area").alias("res"),
+            F.max("sf").alias("sf"),
+            F.max("sl").alias("sl"),
             F.min("ts").cast("double").alias("fts"),
             F.max("ts").cast("double").alias("lts"),
             F.max_by("value", "ts").alias("lastv"),
@@ -189,7 +176,7 @@ def twa_buckets_expr(
     )
     first_ts = F.coalesce(F.col("sf"), F.col("fts"))
     last_ts = F.coalesce(F.col("sl"), F.col("lts"))
-    return base.join(terms, ["key", "bucket"], "left").select(
+    return terms.select(
         "key",
         F.col("bucket").alias("__bucket"),
         F.when(last_ts == first_ts, F.col("lastv"))
