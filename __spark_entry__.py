@@ -266,6 +266,56 @@ def q_nrange_raw(spark, sf_dir):
     return ts_nrange(st.samples, NKEYS, D14, D21)
 
 
+def q_range_latest(spark, sf_dir):
+    """TS.RANGE ... LATEST on a compaction destination: closed buckets plus
+    the open bucket finalized on the fly (src/tsdb.c:1468-1501)."""
+    st = _store(spark, sf_dir)
+    rule = CompactionRule(None, "_max_1h", "max", H)
+    return materialize_rule(st.samples, rule, include_open=True).filter(
+        F.col("ts") >= D14
+    )
+
+
+def q_mrange_groupby_max(spark, sf_dir):
+    """GROUPBY/REDUCE over raw (un-aggregated) samples — the reducer path
+    with vcol = value (src/resultset.c:160-224)."""
+    st = _store(spark, sf_dir)
+    return ts_mrange(
+        st.samples, st.labels, ["type=(click,view)"], D14, D21,
+        groupby="parity", reduce="max",
+    )
+
+
+ODD_DUR = 2 * H + 60_000
+ALIGN_LIT = T0 + 12_345
+
+
+def q_agg_align_literal(spark, sf_dir):
+    """ALIGN <literal ts> with a non-round bucket duration — exercises the
+    positive-modulo bucket math off the zero lattice (src/tsdb.h:84-99)."""
+    st = _store(spark, sf_dir)
+    return ts_range(
+        st.samples, D14, D21, keys=NKEYS,
+        aggregations=["first", "last"], bucket_dur=ODD_DUR, align=ALIGN_LIT,
+    )
+
+
+def q_count_post_agg(spark, sf_dir):
+    """COUNT applies to *output* rows, i.e. after aggregation
+    (src/reply.c:180-192): first 5 buckets per series."""
+    st = _store(spark, sf_dir)
+    return ts_range(
+        st.samples, D14, D21, aggregations=["min"], bucket_dur=H, count=5
+    )
+
+
+def q_read_tail(spark, sf_dir):
+    """TS.READ batch shape: samples at ts >= cursor, ascending, capped by
+    MAX_COUNT (src/module.c:1609-2130; blocking variant in streaming/)."""
+    st = _store(spark, sf_dir)
+    return ts_range(st.samples, start=D21, keys=[RANGE_KEY], count=200)
+
+
 def q_querylabels_names(spark, sf_dir):
     st = _store(spark, sf_dir)
     return query_labels(st.labels, "labels", filters=["type=click"])
@@ -385,6 +435,15 @@ def q_ann_lsh_topk(spark, sf_dir):
     return lsh_topk(read_parquet(spark, f"{sf_dir}/embeddings.parquet"), 0, 20)
 
 
+def q_ann_ivf_topk(spark, sf_dir):
+    from redistimeseries_spark.pipeline.similarity import ivf_topk
+    from redistimeseries_spark.store import read_parquet
+
+    return ivf_topk(
+        read_parquet(spark, f"{sf_dir}/embeddings.parquet"), 0, 20, ncent=16, nprobe=4
+    )
+
+
 def q_lang_id(spark, sf_dir):
     from redistimeseries_spark.pipeline.text import lang_scores
 
@@ -500,6 +559,11 @@ def _base_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ts_del_range": q_del_range,
         "ts_compaction_avg_10m": q_compaction_avg_10m,
         "ts_compaction_latest": q_compaction_latest,
+        "ts_range_latest": q_range_latest,
+        "ts_mrange_groupby_max": q_mrange_groupby_max,
+        "ts_agg_align_literal": q_agg_align_literal,
+        "ts_count_post_agg": q_count_post_agg,
+        "ts_read_tail": q_read_tail,
         "ts_ignore_filter": q_ignore_filter,  # sequential kept-set semantics: rows-only
         "dl_dedup_exact": q_dedup_exact,
         "dl_minhash_signatures": q_minhash_signatures,
@@ -509,6 +573,7 @@ def _base_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dl_embed_neardup": q_embed_neardup,
         "dl_ann_cosine_topk": q_ann_cosine_topk,
         "dl_ann_lsh_topk": q_ann_lsh_topk,
+        "dl_ann_ivf_topk": q_ann_ivf_topk,
         "dl_lang_id": q_lang_id,
         "dl_quality": q_quality,
         "dl_token_count": q_token_count,
@@ -710,6 +775,26 @@ def _pipeline_oracles() -> dict[str, str]:
                   FROM bk, q WHERE bucket = qb AND vec_id <> 0)
             SELECT vec_id, round(c, 6) AS cos
             FROM (SELECT * FROM s ORDER BY c DESC, vec_id LIMIT 20)""",
+        "dl_ann_ivf_topk": """WITH d AS (
+              SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+            c AS (SELECT vec_id AS cid, v AS cv FROM d ORDER BY vec_id LIMIT 16),
+            sim AS (SELECT d.vec_id, d.v, c.cid,
+                           list_dot_product(d.v, c.cv)
+                             / (sqrt(list_dot_product(d.v, d.v))
+                                * sqrt(list_dot_product(c.cv, c.cv))) AS csim
+                    FROM d, c),
+            r AS (SELECT *, row_number() OVER (PARTITION BY vec_id
+                                               ORDER BY csim DESC, cid) AS rn FROM sim),
+            assigned AS (SELECT vec_id, v, cid FROM r WHERE rn = 1),
+            probes AS (SELECT cid FROM r WHERE vec_id = 0 AND rn <= 4),
+            q AS (SELECT v AS qv, sqrt(list_dot_product(v, v)) AS qn FROM d WHERE vec_id = 0),
+            s AS (SELECT a.vec_id,
+                         list_dot_product(a.v, q.qv)
+                           / (sqrt(list_dot_product(a.v, a.v)) * q.qn) AS c2
+                  FROM assigned a JOIN probes p ON a.cid = p.cid, q
+                  WHERE a.vec_id <> 0)
+            SELECT vec_id, round(c2, 6) AS cos
+            FROM (SELECT * FROM s ORDER BY c2 DESC, vec_id LIMIT 20)""",
         "dl_lang_id": _lang_oracle(),
         "dl_quality": f"""SELECT doc_id,
               len({words}) AS n_words,
@@ -894,5 +979,31 @@ def _base_oracles() -> dict[str, str]:
             g AS (SELECT key || '_avg_10m' AS key, b AS ts, avg(value) AS value
                   FROM b GROUP BY 1, 2)
             SELECT key, max(ts) AS ts, max_by(value, ts) AS value FROM g GROUP BY key""",
+        "ts_range_latest": f"""{ORACLE_PREFIX},
+            b AS (SELECT key, {bucket_sql('ts', H, 0)} AS b, value FROM samples)
+            SELECT key || '_max_1h' AS key, b AS ts,
+                   max(CASE WHEN NOT isnan(value) THEN value END) AS value
+            FROM b WHERE b >= {D14} GROUP BY 1, 2
+            HAVING count(CASE WHEN NOT isnan(value) THEN 1 END) > 0""",
+        "ts_mrange_groupby_max": f"""{ORACLE_PREFIX}
+            SELECT 'parity=' || l.value AS key, s.ts,
+                   coalesce(max(CASE WHEN NOT isnan(s.value) THEN s.value END),
+                            'NaN'::DOUBLE) AS value
+            FROM samples s
+            JOIN (SELECT key, value FROM labels WHERE label='parity') l ON s.key = l.key
+            WHERE s.ts BETWEEN {D14} AND {D21}
+              AND s.key IN (SELECT key FROM labels WHERE label='type'
+                            AND value IN ('click','view'))
+            GROUP BY 1, 2""",
+        "ts_agg_align_literal": _agg_oracle(
+            ["first", "last"], ODD_DUR, ALIGN_LIT, D14, D21,
+            where="key IN ('click_1','view_2','error_0')",
+        ),
+        "ts_count_post_agg": f"""SELECT * FROM ({_agg_oracle(['min'], H, 0, D14, D21)})
+            QUALIFY row_number() OVER (PARTITION BY key ORDER BY ts) <= 5""",
+        "ts_read_tail": f"""{ORACLE_PREFIX}
+            SELECT key, ts, value FROM samples
+            WHERE key = '{RANGE_KEY}' AND ts >= {D21}
+            ORDER BY ts LIMIT 200""",
         **_pipeline_oracles(),
     }

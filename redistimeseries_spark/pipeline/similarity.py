@@ -58,6 +58,70 @@ def sign_bucket(v: Column, bits: int = 8) -> Column:
     return out
 
 
+def ivf_topk(
+    emb: DataFrame,
+    query_vec_id: int,
+    k: int = 20,
+    ncent: int = 16,
+    nprobe: int = 4,
+) -> DataFrame:
+    """IVF ANN: a coarse quantizer partitions vectors into cells; the query
+    probes only the `nprobe` nearest cells.  Centroids here are the
+    embeddings of the `ncent` smallest vec_ids — a deterministic stand-in
+    for k-means (the partition/probe *shape* is the scale path; training
+    better centroids changes recall, not the plan).
+
+    Plan shape at 100 TB: centroid table is tiny and broadcast; cell
+    assignment is one scan + map-side argmax aggregation (no sort, no
+    window); the probe is a broadcast semi-join that prunes the scan to
+    nprobe/ncent of the corpus before the top-k heap."""
+    d = emb.select("vec_id", F.col("embedding").cast("array<double>").alias("v"))
+    cents = d.orderBy("vec_id").limit(ncent).select(
+        F.col("vec_id").alias("cid"), F.col("v").alias("cv")
+    )
+    sim = d.crossJoin(F.broadcast(cents)).select(
+        "vec_id",
+        "v",
+        "cid",
+        (_dot(F.col("v"), F.col("cv")) / (_norm(F.col("v")) * _norm(F.col("cv")))).alias(
+            "csim"
+        ),
+    )
+    # argmax cell per vector (ties -> smallest cid) as a partial-aggregatable
+    # max(struct), not a window sort
+    assigned = (
+        sim.groupBy("vec_id")
+        .agg(
+            F.any_value("v").alias("v"),
+            F.max(F.struct(F.col("csim"), (-F.col("cid")).alias("ncid"))).alias("m"),
+        )
+        .select("vec_id", "v", (-F.col("m.ncid")).alias("cid"))
+    )
+    probes = (
+        sim.filter(F.col("vec_id") == query_vec_id)
+        .orderBy(F.col("csim").desc(), F.col("cid").asc())
+        .limit(nprobe)
+        .select(F.col("cid").alias("pcid"))
+    )
+    q = d.filter(F.col("vec_id") == query_vec_id).select(
+        F.col("v").alias("q"), _norm(F.col("v")).alias("qn")
+    )
+    scored = (
+        assigned.join(F.broadcast(probes), F.col("cid") == F.col("pcid"))
+        .filter(F.col("vec_id") != query_vec_id)
+        .crossJoin(F.broadcast(q))
+        .select(
+            "vec_id",
+            (_dot(F.col("v"), F.col("q")) / (_norm(F.col("v")) * F.col("qn"))).alias("cos"),
+        )
+    )
+    return (
+        scored.orderBy(F.col("cos").desc(), F.col("vec_id").asc())
+        .limit(k)
+        .select("vec_id", F.round("cos", 6).alias("cos"))
+    )
+
+
 def lsh_topk(
     emb: DataFrame, query_vec_id: int, k: int = 20, bits: int = 8
 ) -> DataFrame:
