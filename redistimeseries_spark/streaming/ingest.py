@@ -49,6 +49,10 @@ class StreamingStore:
     duplicate_policy: str = "last"
     rules: list[CompactionRule] = field(default_factory=list)
     retention_ms: int = 0  # late-beyond-retention reject (src/module.c:1006-1012)
+    # IGNORE ingest dedup (src/module.c:986-998); active only under DP_LAST,
+    # chained across micro-batches by seeding with the latest table
+    ignore_max_time_diff: int = 0
+    ignore_max_val_diff: float = 0.0
     _batch_id: int = 0
 
     @property
@@ -89,6 +93,20 @@ class StreamingStore:
             cur_max = self.latest().select("key", F.col("ts").alias("max_ts"))
             batch, late = reject_late(batch, cur_max, self.retention_ms)
             late.write.mode("append").parquet(self.errors_dir)
+        # 0.5 IGNORE near-duplicate dedup, seeded with the stored last sample
+        # so the kept-chain is continuous across batches; dropped samples are
+        # silently ignored (the reference replies lastTimestamp, no error)
+        if self.duplicate_policy == "last" and (
+            self.ignore_max_time_diff > 0 or self.ignore_max_val_diff > 0
+        ):
+            from redistimeseries_spark.write.mutate import ignore_filter_seeded
+
+            batch = ignore_filter_seeded(
+                batch,
+                self.latest(),
+                self.ignore_max_time_diff,
+                self.ignore_max_val_diff,
+            ).persist()
         # 1. append to the log (arrival order preserved via seq)
         batch.write.mode("append").parquet(self.log_dir)
         # 2. latest table: old ∪ batch -> max_by (tiny rewrite)

@@ -85,3 +85,55 @@ def ignore_filter(
     return samples.groupBy("key").applyInPandas(
         fn, samples.schema
     )
+
+
+def ignore_filter_seeded(
+    batch: DataFrame,
+    seed: DataFrame,
+    max_time_diff: int,
+    max_val_diff: float,
+) -> DataFrame:
+    """Streaming-ingest IGNORE: like ignore_filter, but the per-key chain is
+    seeded with the last *stored* sample (src/module.c:986-998 compares the
+    incoming sample against series->lastTimestamp/lastValue), so the filter
+    is continuous across micro-batches.  seed: (key, ts, value) one row per
+    key; seed rows are not emitted."""
+    b = batch.withColumn("__seed", F.lit(False))
+    extra = [c for c in batch.columns if c not in ("key", "ts", "value")]
+    s = seed.select(
+        "key",
+        "ts",
+        "value",
+        *[F.lit(None).cast(batch.schema[c].dataType).alias(c) for c in extra],
+    ).withColumn("__seed", F.lit(True))
+
+    def fn(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values(["__seed", "ts"], ascending=[False, True])
+        t = pdf["ts"].to_numpy(np.int64)
+        v = pdf["value"].to_numpy(np.float64)
+        seeded = pdf["__seed"].to_numpy(bool)
+        keep = np.ones(len(t), dtype=bool)
+        last_t, last_v = None, None
+        for i in range(len(t)):
+            if seeded[i]:
+                last_t, last_v = t[i], v[i]
+                keep[i] = False
+                continue
+            if last_t is not None and t[i] <= last_t:
+                # ts <= lastTimestamp takes the upsert path, which the
+                # ignore filter does not guard (src/module.c:1000-1023)
+                continue
+            if last_t is not None and (
+                t[i] - last_t <= max_time_diff and abs(v[i] - last_v) <= max_val_diff
+            ):
+                keep[i] = False
+            else:
+                last_t, last_v = t[i], v[i]
+        return pdf[keep]
+
+    return (
+        b.unionByName(s)
+        .groupBy("key")
+        .applyInPandas(fn, b.schema)
+        .drop("__seed")
+    )

@@ -93,3 +93,34 @@ def test_tail_read_block_and_timeout(spark, dirs):
     rows3, _ = tail_read(store, "k", cursor=cur, min_count=1, timeout_s=10)
     th.join()
     assert rows3 == [(20, 9.0)]
+
+
+def test_ignore_filter_chains_across_batches(spark, dirs):
+    """IGNORE dedup (src/module.c:986-998): near-identical consecutive
+    samples dropped at ingest, with the kept-chain seeded from the stored
+    last sample so it continues across micro-batches."""
+    store = StreamingStore(
+        spark,
+        os.path.join(dirs, "store"),
+        "last",
+        ignore_max_time_diff=100,
+        ignore_max_val_diff=0.5,
+    )
+    # batch 1: 0 kept; 50 dropped (dt=50<=100, dv=0.2<=0.5); 120 kept
+    # (dt vs last-kept 0 is 120>100); 200 kept (dv=1.0>0.5)
+    write_input(
+        spark, dirs,
+        [("k", 0, 1.0), ("k", 50, 1.2), ("k", 120, 1.3), ("k", 200, 2.3)], "b1",
+    )
+    # batch 2 chains on stored last (200, 2.3): 250 dropped (dt=50, dv=0.1);
+    # 260 kept only if chain seeds from 200 -> dt=60<=100 but dv vs 2.3 is
+    # 0.6>0.5 -> kept; 1000 kept
+    write_input(
+        spark, dirs,
+        [("k", 250, 2.4), ("k", 260, 2.9), ("k", 1000, 5.0)], "b2",
+    )
+    drain(spark, dirs, store)
+    got = sorted((r.ts, r.value) for r in store.samples().collect())
+    assert got == [(0, 1.0), (120, 1.3), (200, 2.3), (260, 2.9), (1000, 5.0)]
+    latest = {r.key: (r.ts, r.value) for r in store.latest().collect()}
+    assert latest["k"] == (1000, 5.0)
