@@ -84,33 +84,42 @@ def ts_range(
         df = df.withColumn("__bucket", bucket)
 
         plain = [a for a in aggs if a != "twa"]
-        exprs = [agg_expr(a, F.col("value"), F.col("ts")) for a in plain]
-        # validSamplesInBucket (src/filter_iterator.c:389-401): a bucket whose
-        # samples are all NaN is treated as empty and not emitted.
-        exprs.append(
-            F.count(F.when(~F.isnan("value"), 1)).alias("__n_valid")
-        )
-        out = df.groupBy("key", "__bucket").agg(*exprs)
-
-        if "twa" in aggs and not empty:
+        if aggs == ["twa"] and not empty:
+            # twa-only fast path: twa_buckets already drops NaN-only buckets
+            # (it filters NaN samples before bucketing), so the base
+            # __n_valid aggregation — a second scan + SortMergeJoin — is
+            # unnecessary; the plan is scan -> window -> one aggregation.
             from redistimeseries_spark.operators.twa import twa_buckets
 
-            tw = twa_buckets(df, bucket_dur, align_ts, start, end)
-            out = out.join(tw, ["key", "__bucket"], "left")
+            out = twa_buckets(df, bucket_dur, align_ts, start, end)
+        else:
+            exprs = [agg_expr(a, F.col("value"), F.col("ts")) for a in plain]
+            # validSamplesInBucket (src/filter_iterator.c:389-401): a bucket
+            # whose samples are all NaN is treated as empty and not emitted.
+            exprs.append(
+                F.count(F.when(~F.isnan("value"), 1)).alias("__n_valid")
+            )
+            out = df.groupBy("key", "__bucket").agg(*exprs)
 
-        if empty:
-            from redistimeseries_spark.operators.empty import fill_empty_buckets
-
-            if "twa" in aggs:
+            if "twa" in aggs and not empty:
                 from redistimeseries_spark.operators.twa import twa_buckets
 
-                tw = twa_buckets(df, bucket_dur, align_ts, start, end, empty=True)
-                out = out.join(tw, ["key", "__bucket"], "full")
-            out = fill_empty_buckets(
-                out, df, aggs, bucket_dur, align_ts, start, end
-            )
-        else:
-            out = out.filter(F.col("__n_valid") > 0)
+                tw = twa_buckets(df, bucket_dur, align_ts, start, end)
+                out = out.join(tw, ["key", "__bucket"], "left")
+
+            if empty:
+                from redistimeseries_spark.operators.empty import fill_empty_buckets
+
+                if "twa" in aggs:
+                    from redistimeseries_spark.operators.twa import twa_buckets
+
+                    tw = twa_buckets(df, bucket_dur, align_ts, start, end, empty=True)
+                    out = out.join(tw, ["key", "__bucket"], "full")
+                out = fill_empty_buckets(
+                    out, df, aggs, bucket_dur, align_ts, start, end
+                )
+            else:
+                out = out.filter(F.col("__n_valid") > 0)
 
         out = out.select(
             "key",
