@@ -61,10 +61,17 @@ def ts_mrange(
     reduce: str | None = None,
     selected_labels: list[str] | None = None,
     with_labels_flag: bool = False,
+    exclude_empty: bool = True,
     **range_kwargs,
 ) -> DataFrame:
     """TS.MRANGE: per-series range pipeline over label-matched series,
     optionally GROUPBY label REDUCE reducer.
+
+    exclude_empty=True is the EXCLUDEEMPTY flag (SeriesQueryIfNonEmpty,
+    src/reply.c:159-173).  The reference's default reply lists every
+    matched series even when its range is empty; with exclude_empty=False
+    such series surface as one marker row (key, ts=NULL, value=NULL) —
+    the row-relational stand-in for the reference's empty array.
 
     GROUPBY semantics (src/resultset.c:156-242): series are partitioned by
     the value of `groupby`; per distinct timestamp the reducer merges that
@@ -78,6 +85,8 @@ def ts_mrange(
     out = ts_range(df, start, end, **range_kwargs)
 
     if groupby is None:
+        if not exclude_empty:
+            out = F.broadcast(keys).join(out, "key", "left")
         if with_labels_flag or selected_labels is not None:
             out = with_labels(out, labels, selected_labels)
         return out

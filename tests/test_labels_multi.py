@@ -73,3 +73,16 @@ def test_nrange_nan_fill(spark, samples_df):
     out = {r.ts: (r.a, r.b) for r in ts_nrange(df, ["a", "b"]).collect()}
     assert out[0][0] == 1.0 and math.isnan(out[0][1])
     assert out[1000] == (2.0, 5.0)
+
+
+def test_mrange_non_excluding_empty_series(spark, labels, samples_df):
+    # default TS.MRANGE replies every matched series, empty ones as an empty
+    # array (src/reply.c:159-173); exclude_empty=False emits a NULL marker row
+    df = samples_df([("a", 0, 1.0)])  # 'c' matches region=eu but has no samples
+    out = ts_mrange(df, labels, ["region=eu"], 0, 10_000, exclude_empty=False)
+    rows = {r.key: (r.ts, r.value) for r in out.collect()}
+    assert rows["a"] == (0, 1.0)
+    assert rows["c"] == (None, None)
+    # EXCLUDEEMPTY (default) drops 'c'
+    keys = {r.key for r in ts_mrange(df, labels, ["region=eu"], 0, 10_000).collect()}
+    assert keys == {"a"}
