@@ -707,9 +707,16 @@ def _pipeline_oracles() -> dict[str, str]:
         "sh AS (SELECT DISTINCT doc_id, substr(lower(text), i, 5) AS shingle "
         "FROM corpus, unnest(generate_series(1, greatest(length(lower(text)) - 4, 1))) AS t(i))"
     )
+    from redistimeseries_spark.pipeline.dedup import MINHASH_P, minhash_coeffs
+
+    coeff_rows = ", ".join(
+        f"({h}, {a}, {b})" for h, (a, b) in enumerate(minhash_coeffs(8))
+    )
     mh_cte = (
-        "mh AS (SELECT doc_id, h, min(md5(CAST(h AS VARCHAR) || ':' || shingle)) AS minhash "
-        "FROM sh, unnest(generate_series(0, 7)) AS hh(h) GROUP BY 1, 2)"
+        "xs AS (SELECT doc_id, ('0x' || substr(md5(shingle), 1, 7))::BIGINT AS x FROM sh), "
+        "mh AS (SELECT doc_id, CAST(h AS BIGINT) AS h, "
+        "min((x * a + b) % " + str(MINHASH_P) + ") AS minhash "
+        f"FROM xs, (VALUES {coeff_rows}) AS t(h, a, b) GROUP BY 1, 2)"
     )
     return {
         "dl_dedup_exact": f"""WITH {DUP_CORPUS_SQL}

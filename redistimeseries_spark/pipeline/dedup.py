@@ -58,23 +58,60 @@ def char_shingles(docs: DataFrame, k: int = 5) -> DataFrame:
     ).distinct()
 
 
+# Universal-hash minhash: one md5 per distinct shingle; permutation h is the
+# affine map (a_h * x + b_h) mod P over x = first 7 hex chars of md5(shingle)
+# as an integer (28 bits, so a*x + b stays far below int64 — DuckDB errors on
+# overflow where Spark would wrap).  P is the Mersenne prime 2^31 - 1.
+MINHASH_P = 2_147_483_647
+
+
+def minhash_coeffs(num_hashes: int) -> list[tuple[int, int]]:
+    """Deterministic (a_h, b_h) pairs, identical in query and oracle."""
+    return [
+        (
+            (2654435761 * (h + 1)) % MINHASH_P or 1,
+            (40503 * (h + 1) * 65537) % MINHASH_P,
+        )
+        for h in range(num_hashes)
+    ]
+
+
 def minhash_signatures(
     docs: DataFrame, num_hashes: int = 8, k: int = 5
 ) -> DataFrame:
-    """(doc_id, h, minhash) — minhash_h(doc) = min(md5(h || ':' || shingle)).
-    Lexicographic min over md5 hex is a valid permutation min and is
-    reproducible in any engine with md5."""
-    sh = char_shingles(docs, k)
-    hs = F.explode(F.array(*[F.lit(i).cast("long") for i in range(num_hashes)])).alias("h")
-    return (
-        sh.select("doc_id", "shingle", hs)
-        .select(
-            "doc_id",
-            "h",
-            F.md5(F.concat_ws(":", F.col("h").cast("string"), "shingle")).alias("hv"),
-        )
-        .groupBy("doc_id", "h")
-        .agg(F.min("hv").alias("minhash"))
+    """(doc_id, h, minhash) — minhash_h(doc) = min over shingles of
+    (a_h * md5_28(shingle) + b_h) mod P.
+
+    Scale shape: entirely map-side — shingling, the single md5 per shingle,
+    and all num_hashes permutation minima run as array higher-order
+    functions inside one projection over the docs scan; no explode, no
+    shuffle, output one row per (doc, h).  (The naive shape — explode
+    shingles, distinct, md5 per (h, shingle), groupBy — shuffles
+    |docs| x |shingles| x num_hashes rows and did not finish at 500k docs;
+    this one is a linear scan.)"""
+    coeffs = minhash_coeffs(num_hashes)
+    shingles = F.expr(
+        f"array_distinct(transform(sequence(1, greatest(length(lower(text)) - {k - 1}, 1)),"
+        f" i -> substring(lower(text), i, {k})))"
+    )
+    xs = F.transform(
+        shingles, lambda s: F.conv(F.substring(F.md5(s), 1, 7), 16, 10).cast("long")
+    )
+    d = docs.select("doc_id", xs.alias("__xs"))
+
+    def _perm(a: int, b: int):
+        return lambda x: (x * F.lit(a) + F.lit(b)) % F.lit(MINHASH_P)
+
+    wide = d.select(
+        "doc_id",
+        *[
+            F.array_min(F.transform(F.col("__xs"), _perm(a, b))).alias(f"mh{h}")
+            for h, (a, b) in enumerate(coeffs)
+        ],
+    )
+    stack = ", ".join(f"{h}L, mh{h}" for h in range(num_hashes))
+    return wide.select(
+        "doc_id", F.expr(f"stack({num_hashes}, {stack}) AS (h, minhash)")
     )
 
 
