@@ -23,7 +23,7 @@ from redistimeseries_spark.operators.labels import matched_keys, query_labels
 from redistimeseries_spark.operators.multi import ts_mget, ts_mrange
 from redistimeseries_spark.operators.nrange import ts_nrange
 from redistimeseries_spark.operators.range_query import ts_range
-from redistimeseries_spark.store import ORACLE_PREFIX, TSStore
+from redistimeseries_spark.store import ORACLE_PREFIX, SAMPLES_SQL, TSStore
 from redistimeseries_spark.streaming.compaction import CompactionRule, latest_value, materialize_rule
 from redistimeseries_spark.write.dup_policy import resolve_duplicates
 from redistimeseries_spark.write.mutate import ignore_filter, incrby, ts_del
@@ -199,6 +199,18 @@ def q_dup_last(spark, sf_dir):
     )
 
 
+def q_dup_first(spark, sf_dir):
+    return resolve_duplicates(
+        _raw(spark, sf_dir).withColumn("ts", F.expr("ts - ts % 60000")), "first"
+    )
+
+
+def q_dup_max(spark, sf_dir):
+    return resolve_duplicates(
+        _raw(spark, sf_dir).withColumn("ts", F.expr("ts - ts % 60000")), "max"
+    )
+
+
 def q_dup_sum(spark, sf_dir):
     return resolve_duplicates(
         _raw(spark, sf_dir).withColumn("ts", F.expr("ts - ts % 60000")), "sum"
@@ -241,6 +253,36 @@ def q_compaction_latest(spark, sf_dir):
 def q_ignore_filter(spark, sf_dir):
     st = _store(spark, sf_dir)
     return ignore_filter(st.samples, 600_000, 5.0)
+
+
+def q_revrange_agg_count(spark, sf_dir):
+    """REV + AGGREGATION + COUNT: the limit applies to the newest buckets
+    (post-agg, reverse order — src/reply.c:180-192)."""
+    st = _store(spark, sf_dir)
+    return ts_range(
+        st.samples, D14, D21, keys=NKEYS,
+        aggregations=["max"], bucket_dur=H, rev=True, count=5,
+    )
+
+
+def q_mrange_noexclude(spark, sf_dir):
+    """Non-excluding MRANGE (reference default reply): every matched series
+    appears; an empty one surfaces as a (key, NULL, NULL) marker row."""
+    st = _store(spark, sf_dir)
+    return ts_mrange(
+        st.samples, st.labels, ["type=error"], D14, D21,
+        filter_by_value=(250.0, 400.0), exclude_empty=False,
+    )
+
+
+def q_mrange_groupby_count(spark, sf_dir):
+    """GROUPBY/REDUCE count over raw samples — count-family reducer yields
+    0 (not NaN) at an all-NaN timestamp (src/multiseries_agg_dup_sample_iterator.c:46-59)."""
+    st = _store(spark, sf_dir)
+    return ts_mrange(
+        st.samples, st.labels, ["type=(click,view)"], D14, D21,
+        groupby="parity", reduce="count",
+    )
 
 
 def q_mrange_withlabels(spark, sf_dir):
@@ -552,8 +594,13 @@ def _base_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ts_mrange_groupby_sum": q_mrange_groupby_sum,
         "ts_nrange_pivot": q_nrange_pivot,
         "ts_dup_last": q_dup_last,
+        "ts_dup_first": q_dup_first,
+        "ts_dup_max": q_dup_max,
         "ts_dup_sum": q_dup_sum,
         "ts_dup_min": q_dup_min,
+        "ts_revrange_agg_count": q_revrange_agg_count,
+        "ts_mrange_noexclude": q_mrange_noexclude,
+        "ts_mrange_groupby_count": q_mrange_groupby_count,
         "ts_incrby": q_incrby,
         "ts_retention_clamp": q_retention_clamp,
         "ts_del_range": q_del_range,
@@ -564,7 +611,7 @@ def _base_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ts_agg_align_literal": q_agg_align_literal,
         "ts_count_post_agg": q_count_post_agg,
         "ts_read_tail": q_read_tail,
-        "ts_ignore_filter": q_ignore_filter,  # sequential kept-set semantics: rows-only
+        "ts_ignore_filter": q_ignore_filter,
         "dl_dedup_exact": q_dedup_exact,
         "dl_minhash_signatures": q_minhash_signatures,
         "dl_minhash_lsh_pairs": q_minhash_lsh_pairs,
@@ -959,6 +1006,13 @@ def _base_oracles() -> dict[str, str]:
             FROM g GROUP BY ts""",
         "ts_dup_last": f"{ORACLE_PREFIX}, {RAW_SQL}, d AS ({dup60}) "
         "SELECT key, ts, max_by(value, seq) AS value FROM d GROUP BY key, ts",
+        "ts_dup_first": f"{ORACLE_PREFIX}, {RAW_SQL}, d AS ({dup60}) "
+        "SELECT key, ts, coalesce(min_by(value, CASE WHEN NOT isnan(value) "
+        "THEN seq END), 'NaN'::DOUBLE) AS value FROM d GROUP BY key, ts",
+        "ts_dup_max": f"{ORACLE_PREFIX}, {RAW_SQL}, d AS ({dup60}) "
+        "SELECT key, ts, CASE WHEN isnan(min_by(value, seq)) THEN 'NaN'::DOUBLE "
+        "ELSE max(CASE WHEN NOT isnan(value) THEN value END) END AS value "
+        "FROM d GROUP BY key, ts",
         "ts_dup_sum": f"{ORACLE_PREFIX}, {RAW_SQL}, d AS ({dup60}) "
         "SELECT key, ts, sum(value) AS value FROM d GROUP BY key, ts",
         "ts_dup_min": f"{ORACLE_PREFIX}, {RAW_SQL}, d AS ({dup60}) "
@@ -1012,5 +1066,52 @@ def _base_oracles() -> dict[str, str]:
             SELECT key, ts, value FROM samples
             WHERE key = '{RANGE_KEY}' AND ts >= {D21}
             ORDER BY ts LIMIT 200""",
+        "ts_revrange_agg_count": f"""SELECT * FROM (
+            {_agg_oracle(['max'], H, 0, D14, D21,
+                         where=f"key IN ({','.join(repr(k) for k in NKEYS)})")})
+            QUALIFY row_number() OVER (PARTITION BY key ORDER BY ts DESC) <= 5""",
+        "ts_mrange_noexclude": f"""{ORACLE_PREFIX},
+            matched AS (SELECT DISTINCT key FROM labels
+                        WHERE label = 'type' AND value = 'error'),
+            r AS (SELECT key, ts, value FROM samples
+                  WHERE ts BETWEEN {D14} AND {D21} AND NOT isnan(value)
+                    AND value BETWEEN 250.0 AND 400.0
+                    AND key IN (SELECT key FROM matched))
+            SELECT m.key, r.ts, r.value
+            FROM matched m LEFT JOIN r ON m.key = r.key""",
+        "ts_mrange_groupby_count": f"""{ORACLE_PREFIX}
+            SELECT 'parity=' || l.value AS key, s.ts,
+                   CAST(count(CASE WHEN NOT isnan(s.value) THEN 1 END)
+                        AS DOUBLE) AS value
+            FROM samples s
+            JOIN (SELECT key, value FROM labels WHERE label='parity') l
+              ON s.key = l.key
+            WHERE s.ts BETWEEN {D14} AND {D21}
+              AND s.key IN (SELECT key FROM labels WHERE label='type'
+                            AND value IN ('click','view'))
+            GROUP BY 1, 2""",
+        # IGNORE dedup is a per-key sequential kept-chain (each decision
+        # depends on the previous KEPT sample, src/module.c:986-998): the
+        # oracle walks the chain with a recursive CTE stepping row_number.
+        "ts_ignore_filter": f"""WITH RECURSIVE {SAMPLES_SQL},
+            ord AS (SELECT key, ts, value,
+                           row_number() OVER (PARTITION BY key ORDER BY ts) AS rn
+                    FROM samples),
+            chain AS (
+              SELECT key, rn, ts, value, ts AS kept_ts, value AS kept_v, TRUE AS keep
+              FROM ord WHERE rn = 1
+              UNION ALL
+              SELECT o.key, o.rn, o.ts, o.value,
+                     CASE WHEN o.ts - c.kept_ts <= 600000
+                               AND abs(o.value - c.kept_v) <= 5.0
+                          THEN c.kept_ts ELSE o.ts END,
+                     CASE WHEN o.ts - c.kept_ts <= 600000
+                               AND abs(o.value - c.kept_v) <= 5.0
+                          THEN c.kept_v ELSE o.value END,
+                     NOT (o.ts - c.kept_ts <= 600000
+                          AND abs(o.value - c.kept_v) <= 5.0)
+              FROM chain c JOIN ord o ON o.key = c.key AND o.rn = c.rn + 1
+            )
+            SELECT key, ts, value FROM chain WHERE keep""",
         **_pipeline_oracles(),
     }
