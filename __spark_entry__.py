@@ -255,6 +255,16 @@ def q_ignore_filter(spark, sf_dir):
     return ignore_filter(st.samples, 600_000, 5.0)
 
 
+def q_agg_twa_empty(spark, sf_dir):
+    """TWA + EMPTY: gap buckets get the neighbor-interpolated value
+    (twa_calc_empty_bucket_val, src/filter_iterator.c:307-386)."""
+    st = _store(spark, sf_dir)
+    return ts_range(
+        st.samples, D14, D21, keys=RANGE_KEY,
+        aggregations=["twa"], bucket_dur=30 * 60 * 1000, empty=True,
+    )
+
+
 def q_revrange_agg_count(spark, sf_dir):
     """REV + AGGREGATION + COUNT: the limit applies to the newest buckets
     (post-agg, reverse order — src/reply.c:180-192)."""
@@ -532,6 +542,7 @@ ROUND_MAP: dict[str, list[str]] = {
     "ts_agg_multi_align": ["avg"],
     "ts_agg_all14": ["sum", "avg", "range", "std_p", "std_s", "var_p", "var_s"],
     "ts_agg_twa": ["twa"],
+    "ts_agg_twa_empty": ["twa"],
     "ts_agg_empty": ["sum"],
     "ts_align_end": ["sum"],
     "ts_mrange_withlabels": ["avg"],
@@ -580,6 +591,7 @@ def _base_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ts_agg_multi_align": q_agg_multi_align,
         "ts_agg_all14": q_agg_all14,
         "ts_agg_twa": q_agg_twa,
+        "ts_agg_twa_empty": q_agg_twa_empty,
         "ts_agg_empty": q_agg_empty,
         "ts_get": q_get,
         "ts_mget": q_mget,
@@ -689,6 +701,98 @@ SELECT b.key, b.bucket AS ts,
        ELSE coalesce(a.res, 0) / abs(coalesce(a.sl, CAST(b.lts AS DOUBLE)) - coalesce(a.sf, CAST(b.fts AS DOUBLE)))
   END AS twa
 FROM base b LEFT JOIN agg a USING (key, bucket)"""
+
+
+def _twa_empty_oracle(key, start, end, dur):
+    """TWA with EMPTY for one key: the non-empty buckets reuse the trapezoid
+    oracle; each gap bucket applies twa_calc_empty_bucket_val
+    (src/filter_iterator.c:307-386) — nearest valid neighbors left of ta /
+    right of tb (up to 2 each side), both-sides => mean of the line through
+    them at ta and tb, one-sided => sample-spacing heuristic."""
+    b = bucket_sql("ts", dur, 0)
+    return f"""{ORACLE_PREFIX},
+s AS (
+  SELECT ts, value, {b} AS b FROM samples
+  WHERE key = '{key}' AND ts BETWEEN {start} AND {end} AND NOT isnan(value)
+),
+sall AS (
+  SELECT {b} AS b FROM samples WHERE key = '{key}' AND ts BETWEEN {start} AND {end}
+),
+p AS (
+  SELECT ts, value, b,
+         lead(ts) OVER w AS nts, lead(value) OVER w AS nv, lead(b) OVER w AS nb
+  FROM s WINDOW w AS (ORDER BY ts)
+),
+contrib AS (
+  SELECT b AS bucket, (value+nv)*(nts-ts)/2.0 AS area,
+         CAST(NULL AS DOUBLE) AS sf, CAST(NULL AS DOUBLE) AS sl
+  FROM p WHERE nb = b
+  UNION ALL
+  SELECT b,
+         ((value + (LEAST(b+{dur}, {end}) - ts)*(nv-value)/(nts-ts)) + value)
+           * (LEAST(b+{dur}, {end}) - ts)/2.0,
+         NULL, CAST(LEAST(b+{dur}, {end}) AS DOUBLE)
+  FROM p WHERE nb IS NOT NULL AND nb <> b
+  UNION ALL
+  SELECT nb,
+         ((value + (GREATEST(nb, {start}) - ts)*(nv-value)/(nts-ts)) + nv)
+           * (nts - GREATEST(nb, {start}))/2.0,
+         CAST(GREATEST(nb, {start}) AS DOUBLE), NULL
+  FROM p WHERE nb IS NOT NULL AND nb <> b
+),
+base AS (
+  SELECT b AS bucket, min(ts) AS fts, max(ts) AS lts, max_by(value, ts) AS lastv
+  FROM s GROUP BY 1
+),
+agg AS (
+  SELECT bucket, sum(area) AS res, max(sf) AS sf, max(sl) AS sl
+  FROM contrib GROUP BY 1
+),
+ne AS (
+  SELECT b.bucket AS ts,
+    CASE WHEN coalesce(a.sl, CAST(b.lts AS DOUBLE)) = coalesce(a.sf, CAST(b.fts AS DOUBLE))
+         THEN b.lastv
+         ELSE coalesce(a.res, 0) / abs(coalesce(a.sl, CAST(b.lts AS DOUBLE)) - coalesce(a.sf, CAST(b.fts AS DOUBLE)))
+    END AS twa
+  FROM base b LEFT JOIN agg a USING (bucket)
+),
+sw AS (
+  SELECT ts, value, lag(ts) OVER (ORDER BY ts) AS pts, lead(ts) OVER (ORDER BY ts) AS nts
+  FROM s
+),
+bounds AS (SELECT min(b) AS lo, max(b) AS hi FROM sall),
+spine AS (SELECT unnest(generate_series(lo, hi, {dur})) AS bk FROM bounds),
+gap AS (
+  SELECT bk, GREATEST(bk, {start}) AS ta, LEAST(bk + {dur}, {end}) AS tb
+  FROM spine WHERE bk NOT IN (SELECT ts FROM ne)
+),
+g1 AS (
+  SELECT gap.*,
+         (SELECT max(ts) FROM s WHERE s.ts < gap.ta) AS tl1,
+         (SELECT min(ts) FROM s WHERE s.ts >= gap.tb) AS tr1
+  FROM gap
+),
+g2 AS (
+  SELECT g1.*, l.value AS vl1, l.pts AS tl2, r.value AS vr1, r.nts AS tr2
+  FROM g1 LEFT JOIN sw l ON l.ts = g1.tl1
+          LEFT JOIN sw r ON r.ts = g1.tr1
+)
+SELECT '{key}' AS key, ts, twa FROM ne
+UNION ALL
+SELECT '{key}', bk AS ts,
+  CASE
+    WHEN tl1 IS NOT NULL AND tr1 IS NOT NULL THEN
+      ((vl1 + (ta - tl1) * (vr1 - vl1) / (tr1 - tl1)) +
+       (vl1 + (tb - tl1) * (vr1 - vl1) / (tr1 - tl1))) / 2.0
+    WHEN tr1 IS NOT NULL THEN
+      CASE WHEN tr2 IS NULL OR tb + (tr2 - tr1) // 2 <= tr1
+           THEN 'NaN'::DOUBLE ELSE vr1 END
+    WHEN tl1 IS NOT NULL THEN
+      CASE WHEN tl2 IS NULL OR tl1 + (tl1 - tl2) // 2 <= ta
+           THEN 'NaN'::DOUBLE ELSE vl1 END
+    ELSE 'NaN'::DOUBLE
+  END AS twa
+FROM g2"""
 
 
 def _empty_oracle(key, dur):
@@ -922,6 +1026,7 @@ def _base_oracles() -> dict[str, str]:
             6 * H, 0, D14, D21,
         ),
         "ts_agg_twa": _twa_oracle(D14, D21, 2 * H),
+        "ts_agg_twa_empty": _twa_empty_oracle(RANGE_KEY, D14, D21, 30 * 60 * 1000),
         "ts_agg_empty": _empty_oracle(RANGE_KEY, 30 * 60 * 1000),
         "ts_get": f"""{ORACLE_PREFIX}
             SELECT key, max(ts) AS ts, max_by(value, ts) AS value
