@@ -373,6 +373,59 @@ def q_querylabels_names(spark, sf_dir):
     return query_labels(st.labels, "labels", filters=["type=click"])
 
 
+def q_agg_empty_nan(spark, sf_dir):
+    """EMPTY with the NaN-family finalizeEmpty aggregators: gap buckets emit
+    NaN for min/max/avg, unlike sum/count's 0 (src/compaction.c agg class
+    tables .finalizeEmpty)."""
+    st = _store(spark, sf_dir)
+    return ts_range(
+        st.samples, keys=RANGE_KEY,
+        aggregations=["min", "max", "avg"], bucket_dur=30 * 60 * 1000,
+        empty=True,
+    )
+
+
+def q_filter_combo_agg(spark, sf_dir):
+    """Full iterator chain: SeriesIterator -> FilterTS -> FilterValue ->
+    AggregationIterator (src/tsdb.c:1363-1426) — FILTER_BY_TS intersected
+    with FILTER_BY_VALUE feeding an ALIGN start aggregation."""
+    st = _store(spark, sf_dir)
+    wanted = [
+        r.ts
+        for r in st.samples.filter(
+            (F.col("key") == RANGE_KEY) & F.col("ts").between(D14, D21)
+        )
+        .orderBy("ts")
+        .limit(120)
+        .collect()
+    ]
+    return ts_range(
+        st.samples, D14, D21, keys=RANGE_KEY,
+        filter_by_ts=wanted, filter_by_value=(0.0, 300.0),
+        aggregations=["sum", "count"], bucket_dur=6 * H, align="start",
+    )
+
+
+def q_mrange_groupby_avg(spark, sf_dir):
+    """GROUPBY/REDUCE avg over per-series 2h avg buckets — a ratio reducer
+    over the post-agg sample streams (src/resultset.c:160-224)."""
+    st = _store(spark, sf_dir)
+    return ts_mrange(
+        st.samples, st.labels, ["type=(click,view)"], D14, D21,
+        aggregations=["avg"], bucket_dur=2 * H,
+        groupby="parity", reduce="avg",
+    )
+
+
+def q_mget_withlabels(spark, sf_dir):
+    """TS.MGET WITHLABELS: last raw sample of each matched series plus its
+    full label set (src/module.c:2132-2265)."""
+    st = _store(spark, sf_dir)
+    return ts_mget(
+        st.samples, st.labels, ["type=(view,error)"], with_labels_flag=True
+    )
+
+
 # --------------------------------------------------------------------------
 # training-data pipeline operators (dedup / similarity / text / multimodal)
 # --------------------------------------------------------------------------
@@ -544,6 +597,9 @@ ROUND_MAP: dict[str, list[str]] = {
     "ts_agg_twa": ["twa"],
     "ts_agg_twa_empty": ["twa"],
     "ts_agg_empty": ["sum"],
+    "ts_agg_empty_nan": ["avg"],
+    "ts_filter_combo_agg": ["sum"],
+    "ts_mrange_groupby_avg": ["avg"],
     "ts_align_end": ["sum"],
     "ts_mrange_withlabels": ["avg"],
     "ts_mrange_groupby_sum": ["sum"],
@@ -603,6 +659,10 @@ def _base_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ts_align_end": q_align_end,
         "ts_nrange_raw": q_nrange_raw,
         "ts_querylabels_names": q_querylabels_names,
+        "ts_agg_empty_nan": q_agg_empty_nan,
+        "ts_filter_combo_agg": q_filter_combo_agg,
+        "ts_mrange_groupby_avg": q_mrange_groupby_avg,
+        "ts_mget_withlabels": q_mget_withlabels,
         "ts_mrange_groupby_sum": q_mrange_groupby_sum,
         "ts_nrange_pivot": q_nrange_pivot,
         "ts_dup_last": q_dup_last,
@@ -817,6 +877,28 @@ SELECT key, b AS ts,
 FROM j"""
 
 
+def _empty_nan_oracle(key, dur):
+    """EMPTY for the NaN-finalizeEmpty family (min/max/avg)."""
+    b = bucket_sql("ts", dur, 0)
+    return f"""{ORACLE_PREFIX},
+s AS (SELECT key, ts, value, {b} AS b FROM samples WHERE key = '{key}'),
+agg AS (
+  SELECT key, b, {agg_sql('min')} AS min, {agg_sql('max')} AS max,
+         {agg_sql('avg')} AS avg,
+         count(CASE WHEN NOT isnan(value) THEN 1 END) AS nv
+  FROM s GROUP BY 1, 2
+),
+bounds AS (SELECT key, min(b) AS lo, max(b) AS hi FROM s GROUP BY 1),
+spine AS (SELECT key, unnest(generate_series(lo, hi, {dur})) AS b FROM bounds),
+j AS (SELECT spine.key, spine.b, agg.min, agg.max, agg.avg, agg.nv
+      FROM spine LEFT JOIN agg ON spine.key = agg.key AND spine.b = agg.b)
+SELECT key, b AS ts,
+  CASE WHEN nv > 0 THEN min ELSE 'NaN'::DOUBLE END AS min,
+  CASE WHEN nv > 0 THEN max ELSE 'NaN'::DOUBLE END AS max,
+  CASE WHEN nv > 0 THEN avg ELSE 'NaN'::DOUBLE END AS avg
+FROM j"""
+
+
 def _occ_sql(word: str) -> str:
     pad = f"' ' || lower(text) || ' '"
     needle = f"' {word} '"
@@ -1028,6 +1110,44 @@ def _base_oracles() -> dict[str, str]:
         "ts_agg_twa": _twa_oracle(D14, D21, 2 * H),
         "ts_agg_twa_empty": _twa_empty_oracle(RANGE_KEY, D14, D21, 30 * 60 * 1000),
         "ts_agg_empty": _empty_oracle(RANGE_KEY, 30 * 60 * 1000),
+        "ts_agg_empty_nan": _empty_nan_oracle(RANGE_KEY, 30 * 60 * 1000),
+        "ts_filter_combo_agg": _agg_oracle(
+            ["sum", "count"], 6 * H, D14, D14, D21,
+            where=(
+                f"key = '{RANGE_KEY}' AND NOT isnan(value) "
+                f"AND value BETWEEN 0.0 AND 300.0 AND ts IN ("
+                f"SELECT ts FROM samples WHERE key = '{RANGE_KEY}' "
+                f"AND ts BETWEEN {D14} AND {D21} ORDER BY ts LIMIT 120)"
+            ),
+        ),
+        "ts_mrange_groupby_avg": f"""{ORACLE_PREFIX},
+            per AS (
+              SELECT key, {bucket_sql('ts', 2 * H, 0)} AS ts, {agg_sql('avg')} AS avg
+              FROM samples
+              WHERE ts BETWEEN {D14} AND {D21}
+                AND key IN (SELECT key FROM labels WHERE label='type'
+                            AND value IN ('click','view'))
+              GROUP BY 1, 2
+              HAVING count(CASE WHEN NOT isnan(value) THEN 1 END) > 0)
+            SELECT 'parity=' || l.value AS key, per.ts,
+                   coalesce(avg(CASE WHEN NOT isnan(per.avg) THEN per.avg END),
+                            'NaN'::DOUBLE) AS avg
+            FROM per JOIN (SELECT key, value FROM labels WHERE label='parity') l
+              ON per.key = l.key
+            GROUP BY 1, 2""",
+        "ts_mget_withlabels": f"""{ORACLE_PREFIX},
+            m AS (SELECT key, max(ts) AS ts, max_by(value, ts) AS value
+                  FROM samples
+                  WHERE key IN (SELECT key FROM labels WHERE label='type'
+                                AND value IN ('view','error'))
+                  GROUP BY key),
+            wide AS (SELECT key,
+                            max(CASE WHEN label='type' THEN value END) AS type,
+                            max(CASE WHEN label='user_bucket' THEN value END) AS user_bucket,
+                            max(CASE WHEN label='parity' THEN value END) AS parity
+                     FROM labels GROUP BY key)
+            SELECT m.key, m.ts, m.value, wide.type, wide.user_bucket, wide.parity
+            FROM m LEFT JOIN wide ON m.key = wide.key""",
         "ts_get": f"""{ORACLE_PREFIX}
             SELECT key, max(ts) AS ts, max_by(value, ts) AS value
             FROM samples WHERE key = '{RANGE_KEY}' GROUP BY key""",
