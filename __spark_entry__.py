@@ -244,6 +244,14 @@ def q_compaction_avg_10m(spark, sf_dir):
     return materialize_rule(st.samples, rule)
 
 
+def q_compaction_twa_1h(spark, sf_dir):
+    """TWA compaction rule — the reference carries boundary samples across
+    buckets (twaAddBucketParams, src/module.c:943-958); closed buckets only."""
+    st = _store(spark, sf_dir)
+    rule = CompactionRule(None, "_twa_1h", "twa", H)
+    return materialize_rule(st.samples, rule)
+
+
 def q_compaction_latest(spark, sf_dir):
     st = _store(spark, sf_dir)
     rule = CompactionRule(None, "_avg_10m", "avg", 600_000)
@@ -465,6 +473,32 @@ NEAR_CORPUS_SQL = (
 )
 
 
+def _chain_corpus(spark, sf_dir):
+    """documents + two generations of mutated copies — near-dup pairs form
+    chains doc ~ doc' ~ doc'' whose transitive closure is one component."""
+    d = _docs(spark, sf_dir).select("doc_id", "text")
+    return (
+        d.union(
+            d.select(
+                (F.col("doc_id") + 100000).alias("doc_id"),
+                F.concat("text", F.lit(" zqz zqz zqz")).alias("text"),
+            )
+        ).union(
+            d.select(
+                (F.col("doc_id") + 200000).alias("doc_id"),
+                F.concat("text", F.lit(" zqz zqz zqz xqx xqx xqx")).alias("text"),
+            )
+        )
+    )
+
+
+CHAIN_CORPUS_SQL = (
+    "corpus AS (SELECT doc_id, text FROM documents "
+    "UNION ALL SELECT doc_id + 100000, text || ' zqz zqz zqz' FROM documents "
+    "UNION ALL SELECT doc_id + 200000, text || ' zqz zqz zqz xqx xqx xqx' FROM documents)"
+)
+
+
 def _emb_corpus(spark, sf_dir):
     """embeddings + perturbed copies at vec_id+100000 (planted near-dups)."""
     from redistimeseries_spark.store import read_parquet
@@ -518,6 +552,15 @@ def q_ngram_jaccard(spark, sf_dir):
     from redistimeseries_spark.pipeline.dedup import ngram_jaccard_pairs
 
     return ngram_jaccard_pairs(_near_corpus(spark, sf_dir), n=3, threshold=0.4)
+
+
+def q_dedup_components(spark, sf_dir):
+    """Transitive closure of near-dup candidate pairs: n-gram Jaccard pairs
+    over a mutation-chain corpus -> connected components (keeper = min id)."""
+    from redistimeseries_spark.pipeline.dedup import connected_components, ngram_jaccard_pairs
+
+    pairs = ngram_jaccard_pairs(_chain_corpus(spark, sf_dir), n=3, threshold=0.3)
+    return connected_components(pairs.select("doc_a", "doc_b"))
 
 
 def q_embed_neardup(spark, sf_dir):
@@ -607,6 +650,7 @@ ROUND_MAP: dict[str, list[str]] = {
     "ts_dup_sum": ["value"],
     "ts_incrby": ["value"],
     "ts_compaction_avg_10m": ["value"],
+    "ts_compaction_twa_1h": ["value"],
     "ts_compaction_latest": ["value"],
 }
 
@@ -677,6 +721,7 @@ def _base_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ts_retention_clamp": q_retention_clamp,
         "ts_del_range": q_del_range,
         "ts_compaction_avg_10m": q_compaction_avg_10m,
+        "ts_compaction_twa_1h": q_compaction_twa_1h,
         "ts_compaction_latest": q_compaction_latest,
         "ts_range_latest": q_range_latest,
         "ts_mrange_groupby_max": q_mrange_groupby_max,
@@ -689,6 +734,7 @@ def _base_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dl_minhash_lsh_pairs": q_minhash_lsh_pairs,
         "dl_simhash": q_simhash,
         "dl_ngram_jaccard": q_ngram_jaccard,
+        "dl_dedup_components": q_dedup_components,
         "dl_embed_neardup": q_embed_neardup,
         "dl_ann_cosine_topk": q_ann_cosine_topk,
         "dl_ann_lsh_topk": q_ann_lsh_topk,
@@ -984,6 +1030,26 @@ def _pipeline_oracles() -> dict[str, str]:
             FROM inter JOIN sizes sa ON doc_a = sa.doc_id
                        JOIN sizes sb ON doc_b = sb.doc_id
             WHERE CAST(i AS DOUBLE) / (sa.sz + sb.sz - i) >= 0.4""",
+        "dl_dedup_components": f"""WITH RECURSIVE {CHAIN_CORPUS_SQL},
+            w AS (SELECT doc_id, {words} AS ws FROM corpus),
+            g AS (SELECT DISTINCT doc_id, array_to_string(ws[i:i+2], ' ') AS gram
+                  FROM w, unnest(generate_series(1, greatest(len(ws) - 2, 1))) AS t(i)),
+            sizes AS (SELECT doc_id, count(*) AS sz FROM g GROUP BY 1),
+            inter AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS i
+                      FROM g a JOIN g b ON a.gram = b.gram AND a.doc_id < b.doc_id
+                      GROUP BY 1, 2),
+            pr AS (SELECT doc_a, doc_b
+                   FROM inter JOIN sizes sa ON doc_a = sa.doc_id
+                              JOIN sizes sb ON doc_b = sb.doc_id
+                   WHERE CAST(i AS DOUBLE) / (sa.sz + sb.sz - i) >= 0.3),
+            edges AS (SELECT doc_a AS s, doc_b AS d FROM pr
+                      UNION SELECT doc_b, doc_a FROM pr),
+            reach AS (
+              SELECT s AS node, s AS r FROM edges
+              UNION
+              SELECT e.s, reach.r FROM edges e JOIN reach ON e.d = reach.node
+            )
+            SELECT node AS doc_id, min(r) AS component FROM reach GROUP BY node""",
         "dl_embed_neardup": f"""WITH {EMB_CORPUS_SQL},
             d AS (SELECT vec_id, label, embedding AS v,
                          sqrt(list_dot_product(embedding, embedding)) AS nrm
@@ -1260,6 +1326,13 @@ def _base_oracles() -> dict[str, str]:
             SELECT b.key || '_avg_10m' AS key, b.b AS ts, avg(b.value) AS value
             FROM b JOIN o ON b.key = o.key
             WHERE b.b < o.open GROUP BY b.key, b.b""",
+        "ts_compaction_twa_1h": f"""WITH {SAMPLES_SQL},
+            o AS (SELECT key, {bucket_sql('max(ts)', H, 0)} AS open
+                  FROM samples GROUP BY key)
+            SELECT t.key || '_twa_1h' AS key, t.ts, t.twa AS value
+            FROM ({_twa_oracle(0, 1 << 62, H)}) t
+            JOIN o ON t.key = o.key
+            WHERE t.ts < o.open""",
         "ts_compaction_latest": f"""{ORACLE_PREFIX},
             b AS (SELECT key, {bucket_sql('ts', 600_000, 0)} AS b, value FROM samples),
             g AS (SELECT key || '_avg_10m' AS key, b AS ts, avg(value) AS value

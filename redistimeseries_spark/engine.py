@@ -22,6 +22,7 @@ query sentinels '-' (0), '+' (max), '$' (last ts + 1)
 
 from __future__ import annotations
 
+import math
 import re
 from dataclasses import dataclass, field
 
@@ -131,6 +132,10 @@ class TimeSeriesEngine:
     ) -> SeriesConfig:
         if key in self.series:
             raise ValueError(f"series {key!r} exists")
+        for name in (labels or {}):
+            if "=" in name:
+                # label names may not contain '=' (src/indexer.c:590-596)
+                raise ValueError(f"label name {name!r} may not contain '='")
         cfg = SeriesConfig(
             key=key,
             retention_ms=parse_duration_ms(
@@ -182,15 +187,22 @@ class TimeSeriesEngine:
 
     # ---- ingest ---------------------------------------------------------
     def add(self, key: str, ts, value: float, on_duplicate: str | None = None, **create_kwargs):
+        ts_ms = parse_duration_ms(ts)
+        if ts_ms < 0:
+            # negative timestamps rejected at parse (src/module.c:1076-1079)
+            raise ValueError("TS.ADD timestamp must be >= 0")
         if key not in self.series:
             self.create(key, **create_kwargs)  # auto-create (src/module.c:1085)
-        self._pending.append((key, parse_duration_ms(ts), float(value), on_duplicate))
+        self._pending.append((key, ts_ms, float(value), on_duplicate))
 
     def madd(self, triples):
         for key, ts, value in triples:
             self.add(key, ts, value)
 
     def incrby(self, key: str, delta: float, ts=None):
+        if math.isnan(delta):
+            # NaN delta rejected (src/module.c:1469-1564)
+            raise ValueError("TS.INCRBY/DECRBY value may not be NaN")
         last_ts, last_val = self._last(key)
         ts = parse_duration_ms(ts) if ts is not None else last_ts + 1
         if ts < last_ts:

@@ -29,6 +29,9 @@ from redistimeseries_spark import MAX_TS, MIN_TS
 from redistimeseries_spark.functions.aggs import AGGREGATORS, agg_expr, sanitize
 from redistimeseries_spark.functions.buckets import bucket_start, report_ts, resolve_align
 
+# src/query_language.h:53
+MAX_TS_VALUES_FILTER = 128
+
 
 def _as_list(x):
     if x is None:
@@ -66,9 +69,15 @@ def ts_range(
     if end < MAX_TS:
         df = df.filter(F.col("ts") <= F.lit(end))
     if filter_by_ts is not None:
-        # reference caps at 128 values (src/query_language.h:53); isin over a
-        # literal list stays a scan-level predicate, no join needed.
-        df = df.filter(F.col("ts").isin([int(t) for t in filter_by_ts]))
+        # reference stops parsing after 128 values (MAX_TS_VALUES_FILTER,
+        # src/query_language.h:53, parse loop src/query_language.c:620) —
+        # replicate the silent truncation; negatives are a parse error there
+        # (src/query_language.c:30-38).  isin over a literal list stays a
+        # scan-level predicate, no join needed.
+        wanted = [int(t) for t in filter_by_ts][:MAX_TS_VALUES_FILTER]
+        if any(t < 0 for t in wanted):
+            raise ValueError("FILTER_BY_TS timestamps must be >= 0")
+        df = df.filter(F.col("ts").isin(wanted))
     if filter_by_value is not None:
         lo, hi = filter_by_value
         # NaN never passes (src/filter_iterator.c:18-24): Spark orders NaN
@@ -77,6 +86,10 @@ def ts_range(
 
     aggs = _as_list(aggregations)
     if aggs:
+        unknown = [a for a in aggs if a not in AGGREGATORS]
+        if unknown:
+            # "TSDB: Unknown aggregation type" (src/query_language.c)
+            raise ValueError(f"unknown aggregation type(s): {unknown}")
         if bucket_dur is None or bucket_dur <= 0:
             raise ValueError("aggregation requires bucket_dur > 0")
         align_ts = resolve_align(align, start, end)

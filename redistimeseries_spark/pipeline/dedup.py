@@ -212,6 +212,56 @@ def ngram_jaccard_pairs(
     )
 
 
+def connected_components(
+    pairs: DataFrame,
+    a_col: str = "doc_a",
+    b_col: str = "doc_b",
+    max_iter: int = 25,
+) -> DataFrame:
+    """(doc_id, component) — transitive closure of near-dup pairs; a doc's
+    component is the smallest doc_id reachable through the pair graph (the
+    canonical keeper), so A~B and B~C collapse into one group even when A~C
+    was never emitted as a candidate pair.
+
+    Shape: iterative min-label propagation — each round every node takes
+    min(own label, neighbors' labels); one shuffle join + one aggregation
+    per round, converging in O(graph diameter) rounds (near-dup graphs are
+    shallow: diameter ~ duplication-chain length, not corpus size).
+    localCheckpoint truncates lineage so the plan doesn't grow with rounds.
+    At 100 TB, hub nodes (boilerplate shared by millions of docs) skew the
+    join key; AQE skew-join splits those partitions, and the
+    large-star/small-star variant (same join primitive, alternating
+    directions) bounds per-round traffic if needed.
+    """
+    e = pairs.select(F.col(a_col).alias("src"), F.col(b_col).alias("dst"))
+    edges = (
+        e.union(e.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
+        .distinct()
+        .localCheckpoint()
+    )
+    labels = (
+        edges.select(F.col("src").alias("node"))
+        .distinct()
+        .withColumn("comp", F.col("node"))
+        .localCheckpoint()
+    )
+    prev_sum = None
+    for _ in range(max_iter):
+        prop = edges.join(
+            labels.withColumnRenamed("node", "src"), "src"
+        ).select(F.col("dst").alias("node"), "comp")
+        labels = (
+            labels.union(prop).groupBy("node").agg(F.min("comp").alias("comp"))
+        ).localCheckpoint()
+        # min-propagation is monotone: the label total strictly decreases
+        # until fixpoint, so one scalar action per round detects convergence.
+        cur_sum = labels.agg(F.sum("comp")).collect()[0][0]
+        if cur_sum == prev_sum:
+            break
+        prev_sum = cur_sum
+    return labels.select(F.col("node").alias("doc_id"), F.col("comp").alias("component"))
+
+
 def embedding_neardup_pairs(
     emb: DataFrame, threshold: float = 0.99, bucket_col: str = "label"
 ) -> DataFrame:

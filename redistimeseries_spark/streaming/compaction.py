@@ -58,15 +58,27 @@ def materialize_rule(
     if rule.src_key_pattern is not None:
         df = df.filter(F.col("key").rlike(rule.src_key_pattern))
     b = bucket_start(F.col("ts"), rule.bucket_ms, rule.align_ts)
-    agg = (
-        df.withColumn("__bucket", b)
-        .groupBy("key", "__bucket")
-        .agg(
-            agg_expr(rule.agg, F.col("value"), F.col("ts"), alias="value"),
-            F.count(F.when(~F.isnan("value"), 1)).alias("__n_valid"),
+    if rule.agg == "twa":
+        # TWA rules carry boundary samples across buckets in the reference
+        # (twaAddBucketParams, src/module.c:943-958); the batch equivalent is
+        # the full-series TWA with unclamped neighbors.
+        from redistimeseries_spark import MAX_TS, MIN_TS
+        from redistimeseries_spark.operators.twa import twa_buckets
+
+        agg = twa_buckets(
+            df.withColumn("__bucket", b),
+            rule.bucket_ms, rule.align_ts, MIN_TS, MAX_TS,
+        ).withColumnRenamed("twa", "value")
+    else:
+        agg = (
+            df.withColumn("__bucket", b)
+            .groupBy("key", "__bucket")
+            .agg(
+                agg_expr(rule.agg, F.col("value"), F.col("ts"), alias="value"),
+                F.count(F.when(~F.isnan("value"), 1)).alias("__n_valid"),
+            )
+            .filter(F.col("__n_valid") > 0)
         )
-        .filter(F.col("__n_valid") > 0)
-    )
     if not include_open:
         opens = closed_buckets(df, rule.bucket_ms, rule.align_ts)
         agg = agg.join(F.broadcast(opens), "key", "left").filter(

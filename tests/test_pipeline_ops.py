@@ -5,6 +5,7 @@ import pytest
 from pyspark.sql import functions as F
 
 from redistimeseries_spark.pipeline.dedup import (
+    connected_components,
     exact_dedup,
     minhash_lsh_pairs,
     ngram_jaccard_pairs,
@@ -87,3 +88,22 @@ def test_multimodal_stub_raises(spark):
         extract_features(attach_payload(d), use_real_decoder=True).collect()
     ok = extract_features(attach_payload(d)).collect()[0]
     assert ok.n_bytes == 3 and ok.first_byte == 97 and ok.last_byte == 99
+
+
+def test_connected_components_transitive(spark):
+    # chain 1-2-3 (no direct 1-3 pair), chain 10-11, singleton edge 20-21:
+    # components collapse transitively to the min id
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (10, 11), (20, 21)], "doc_a long, doc_b long"
+    )
+    got = {r.doc_id: r.component for r in connected_components(pairs).collect()}
+    assert got == {1: 1, 2: 1, 3: 1, 10: 10, 11: 10, 20: 20, 21: 20}
+
+
+def test_connected_components_long_chain(spark):
+    # diameter > 2 exercises the iteration-until-fixpoint path
+    pairs = spark.createDataFrame(
+        [(i, i + 1) for i in range(1, 9)], "doc_a long, doc_b long"
+    )
+    got = {r.doc_id: r.component for r in connected_components(pairs).collect()}
+    assert got == {i: 1 for i in range(1, 10)}

@@ -61,6 +61,161 @@ def test_dup_policy_fold_random(spark, data):
             assert feq(got[f"k{i}"], exp), (policy, seq, got[f"k{i}"], exp)
 
 
+GRID_AGGS = [
+    "min", "max", "range", "sum", "avg", "count", "count_nan", "count_all",
+    "first", "last", "std.p", "std.s", "var.p", "var.s",
+]
+
+
+def _one_agg(a, n_all, valid, locf):
+    """One aggregator over one bucket, sequential reference semantics
+    (src/compaction.c class tables; finalizeEmpty + LOCF for `last`)."""
+    nv = len(valid)
+    vs = [v for _, v in valid]
+    if nv == 0:
+        if a in ("sum", "count", "count_nan", "count_all"):
+            return 0.0
+        if a == "last":
+            return locf if locf is not None else NAN
+        return NAN
+    if a == "min":
+        return min(vs)
+    if a == "max":
+        return max(vs)
+    if a == "range":
+        return max(vs) - min(vs)
+    if a == "sum":
+        return math.fsum(vs)
+    if a == "avg":
+        return math.fsum(vs) / nv
+    if a == "count":
+        return float(nv)
+    if a == "count_nan":
+        return float(n_all - nv)
+    if a == "count_all":
+        return float(n_all)
+    if a == "first":
+        return min(valid)[1]
+    if a == "last":
+        return max(valid)[1]
+    mean = math.fsum(vs) / nv
+    var_p = math.fsum((x - mean) ** 2 for x in vs) / nv
+    if a == "var.p":
+        return var_p
+    if a == "std.p":
+        return math.sqrt(var_p)
+    if nv == 1:
+        return 0.0  # src/compaction.c:503-516
+    var_s = var_p * nv / (nv - 1)
+    return var_s if a == "var.s" else math.sqrt(var_s)
+
+
+def _range_oracle(rows, *, start, end, fts=None, fval=None, aggs=None,
+                  dur=None, align=0, bucket_ts="-", empty=False,
+                  rev=False, count=None):
+    """Sequential TS.RANGE simulation: the full RangeArgs option grid
+    (src/tsdb.c:1363-1426 pipeline; src/filter_iterator.c bucketizer)."""
+    sel = [(t, v) for t, v in rows if start <= t <= end]
+    if fts is not None:
+        s = set(fts)
+        sel = [(t, v) for t, v in sel if t in s]
+    if fval is not None:
+        lo, hi = fval
+        sel = [(t, v) for t, v in sel if not math.isnan(v) and lo <= v <= hi]
+    sel.sort()
+    if aggs is None:
+        out = [(t, (v,)) for t, v in sel]
+        if rev:
+            out = out[::-1]
+        return out[:count] if count is not None else out
+    buckets: dict[int, list] = {}
+    for t, v in sel:
+        b = max(t - (t - align) % dur, 0)
+        buckets.setdefault(b, []).append((t, v))
+    if not buckets:
+        return []
+    bks = sorted(buckets)
+    spine = list(range(bks[0], bks[-1] + 1, dur)) if empty else bks
+    shift = {"-": 0, "~": dur // 2, "+": dur}[bucket_ts]
+    out, locf = [], None
+    for b in spine:
+        samples = buckets.get(b, [])
+        valid = [(t, v) for t, v in samples if not math.isnan(v)]
+        if not valid and not empty:
+            continue
+        out.append(
+            (b + shift, tuple(_one_agg(a, len(samples), valid, locf) for a in aggs))
+        )
+        if valid:
+            locf = max(valid)[1]
+    if rev:
+        out = out[::-1]
+    return out[:count] if count is not None else out
+
+
+@settings(
+    max_examples=14,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(data=st.data())
+def test_range_grid_matches_oracle(spark, data):
+    """The reference's differential pattern (tests/flow/test_ts_nrange_compare.py)
+    over the whole option grid: random series × [filters] × [aggs] × align ×
+    buckettimestamp × empty × rev × count vs the sequential oracle."""
+    n = data.draw(st.integers(1, 50))
+    tss = sorted(data.draw(st.sets(st.integers(0, 60_000), min_size=n, max_size=n)))
+    vals = [data.draw(value_st) for _ in tss]
+    rows = list(zip(tss, vals))
+
+    start = data.draw(st.integers(0, 30_000))
+    end = data.draw(st.integers(start, 70_000))
+    fts = (
+        data.draw(st.lists(st.sampled_from(tss), min_size=1, max_size=20))
+        if data.draw(st.booleans())
+        else None
+    )
+    fval = (-5e5, 5e5) if data.draw(st.booleans()) else None
+    rev = data.draw(st.booleans())
+    count = data.draw(st.one_of(st.none(), st.integers(1, 8)))
+
+    if data.draw(st.booleans()):
+        aggs = data.draw(
+            st.lists(st.sampled_from(GRID_AGGS), min_size=1, max_size=4, unique=True)
+        )
+        dur = data.draw(st.integers(1, 15_000))
+        align = data.draw(st.integers(0, 2 * dur))
+        bucket_ts = data.draw(st.sampled_from(["-", "~", "+"]))
+        empty = data.draw(st.booleans())
+    else:
+        aggs = dur = None
+        align, bucket_ts, empty = 0, "-", False
+
+    df = spark.createDataFrame(
+        [("k", int(t), float(v)) for t, v in rows],
+        "key string, ts long, value double",
+    )
+    res = ts_range(
+        df, start, end, keys="k",
+        filter_by_ts=fts, filter_by_value=fval,
+        aggregations=aggs, bucket_dur=dur, align=align,
+        bucket_ts=bucket_ts, empty=empty, rev=rev, count=count,
+    ).collect()
+    got = [(r[1], tuple(r[2:])) for r in res]
+    exp = _range_oracle(
+        rows, start=start, end=end, fts=fts, fval=fval, aggs=aggs,
+        dur=dur, align=align, bucket_ts=bucket_ts, empty=empty,
+        rev=rev, count=count,
+    )
+    ctx = dict(start=start, end=end, fts=fts, fval=fval, aggs=aggs, dur=dur,
+               align=align, bucket_ts=bucket_ts, empty=empty, rev=rev, count=count)
+    assert len(got) == len(exp), (ctx, got, exp)
+    for (gts, gvs), (ets, evs) in zip(got, exp):
+        assert gts == ets, (ctx, got, exp)
+        for gv, ev in zip(gvs, evs):
+            assert feq(gv, ev, tol=1e-7), (ctx, gts, gv, ev)
+
+
 def _bucket(ts: np.ndarray, dur: int, align: int) -> np.ndarray:
     b = ts - (ts - align) % dur
     return np.maximum(b, 0)
