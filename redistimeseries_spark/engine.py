@@ -196,8 +196,17 @@ class TimeSeriesEngine:
         self._pending.append((key, ts_ms, float(value), on_duplicate))
 
     def madd(self, triples):
+        """Batched TS.ADD: per-triple result array — the resolved timestamp
+        on success, the error on failure; failed triples are not ingested
+        (only successful ones replicated, src/module.c:1115-1161)."""
+        out = []
         for key, ts, value in triples:
-            self.add(key, ts, value)
+            try:
+                self.add(key, ts, value)
+                out.append(self._pending[-1][1])
+            except ValueError as exc:
+                out.append(exc)
+        return out
 
     def incrby(self, key: str, delta: float, ts=None):
         if math.isnan(delta):
@@ -389,7 +398,11 @@ class TimeSeriesEngine:
             return [], cursor
         return [(r.ts, r.value) for r in rows], (rows[-1].ts + 1 if rows else cursor)
 
-    def info(self, key: str) -> dict:
+    def info(self, key: str, debug: bool = False) -> dict:
+        """TS.INFO [DEBUG] (src/module.c:156-280).  DEBUG adds per-chunk
+        stats; our chunk analog is the day partition of the scale layout
+        (SURVEY §1.5): one entry per day with sample count and ts bounds —
+        the same min/max metadata parquet row-group stats prune on."""
         cfg = self._cfg(key)
         agg = (
             self.samples.filter(F.col("key") == key)
@@ -401,7 +414,29 @@ class TimeSeriesEngine:
             )
             .collect()[0]
         )
+        chunks = None
+        if debug:
+            chunks = [
+                {
+                    "chunk": r.day,
+                    "samples": r.n,
+                    "first_timestamp": r.first,
+                    "last_timestamp": r.last,
+                }
+                for r in (
+                    self.samples.filter(F.col("key") == key)
+                    .groupBy(F.expr("ts div 86400000").alias("day"))
+                    .agg(
+                        F.count("*").alias("n"),
+                        F.min("ts").alias("first"),
+                        F.max("ts").alias("last"),
+                    )
+                    .orderBy("day")
+                    .collect()
+                )
+            ]
         return {
+            **({"chunks": chunks} if debug else {}),
             "key": key,
             "total_samples": agg.n,
             "first_timestamp": agg.first,

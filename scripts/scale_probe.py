@@ -1,0 +1,146 @@
+"""Reproducible scale probe (BASELINE.md "Scale check" sections).
+
+Replicates the sf0.1 events table REPLICAS× into the day-partitioned
+(key, ts)-sorted layout (each replica becomes a distinct key, so 1000×
+data is also 1000× series — the reference's scaling-ts_* benchmark axis),
+then times the headline workloads over the on-disk layout with a noop
+sink, fresh plans, nothing cached.
+
+Usage:
+    python scripts/scale_probe.py [REPLICAS] [LAYOUT_DIR]
+    # defaults: 100 replicas (10M rows), /tmp/sparkts_scale_<REPLICAS>
+
+The layout is reused if it already exists (delete the dir to force a
+rewrite).  Prints one JSON line per query plus a summary line.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from pyspark.sql import functions as F
+
+from redistimeseries_spark import get_spark
+from redistimeseries_spark.operators.multi import ts_mget, ts_mrange
+from redistimeseries_spark.operators.range_query import ts_range
+from redistimeseries_spark.store import TSStore, read_layout
+
+H = 3_600_000
+DAY = 86_400_000
+
+
+def build_layout(spark, sf_dir: str, replicas: int, path: str) -> None:
+    st = TSStore.from_events(spark, sf_dir)
+    rep = (
+        st.samples.withColumn(
+            "__r", F.explode(F.sequence(F.lit(0), F.lit(replicas - 1)))
+        )
+        .select(
+            F.concat_ws("_", "key", F.col("__r").cast("string")).alias("key"),
+            "ts",
+            "value",
+        )
+    )
+    t0 = time.time()
+    (
+        rep.withColumn("day", F.expr(f"ts div {DAY}"))
+        .repartition("day")
+        .sortWithinPartitions("key", "ts")
+        .write.mode("overwrite")
+        .partitionBy("day")
+        .parquet(path)
+    )
+    print(json.dumps({"stage": "write_layout", "sec": round(time.time() - t0, 1)}))
+
+
+def replicated_labels(spark, sf_dir: str, replicas: int):
+    st = TSStore.from_events(spark, sf_dir)
+    return (
+        st.labels.withColumn(
+            "__r", F.explode(F.sequence(F.lit(0), F.lit(replicas - 1)))
+        )
+        .select(
+            F.concat_ws("_", "key", F.col("__r").cast("string")).alias("key"),
+            "label",
+            "value",
+        )
+    )
+
+
+def main():
+    replicas = int(sys.argv[1]) if len(sys.argv) > 1 else 100
+    path = (
+        sys.argv[2]
+        if len(sys.argv) > 2
+        else f"/tmp/sparkts_scale_{replicas}"
+    )
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    spark = get_spark("scale_probe")
+    spark.sparkContext.setLogLevel("ERROR")
+
+    if not os.path.exists(path):
+        build_layout(spark, sf_dir, replicas, path)
+
+    samples = read_layout(spark, path)
+    labels = replicated_labels(spark, sf_dir, replicas).cache()
+    labels.count()
+    n = samples.count()
+    lo, hi = samples.agg(F.min("ts"), F.max("ts")).collect()[0]
+    print(json.dumps({"stage": "layout", "rows": n, "path": path}))
+
+    one_key = "click_3_0"
+    probes = {
+        "b1_range_one_key_full": lambda: ts_range(samples, keys=one_key),
+        "b1_range_one_key_7d": lambda: ts_range(
+            read_layout(spark, path, start=hi - 7 * DAY, end=hi), keys=one_key
+        ),
+        "b2_agg_avg_1h_all": lambda: ts_range(
+            samples, aggregations=["avg"], bucket_dur=H
+        ),
+        "b3_mrange_max_label": lambda: ts_mrange(
+            samples, labels, ["type=click"], aggregations=["max"], bucket_dur=H
+        ),
+        "b4_mget_all": lambda: ts_mget(samples, labels, ["type!="]),
+        "b6_groupby_reduce_sum": lambda: ts_mrange(
+            samples, labels, ["type!="], aggregations=["sum"], bucket_dur=H,
+            groupby="parity", reduce="sum",
+        ),
+        "b8_twa_2h_all": lambda: ts_range(
+            samples, aggregations=["twa"], bucket_dur=2 * H
+        ),
+    }
+
+    def force(df):
+        df.write.mode("overwrite").format("noop").save()
+
+    times = {}
+    for name, build in probes.items():
+        best = float("inf")
+        for _ in range(2):
+            t0 = time.time()
+            force(build())
+            best = min(best, time.time() - t0)
+        times[name] = round(best, 2)
+        print(json.dumps({"query": name, "sec": times[name]}))
+
+    print(
+        json.dumps(
+            {
+                "metric": "scale_probe_total_wall",
+                "replicas": replicas,
+                "rows": n,
+                "value": round(sum(times.values()), 2),
+                "unit": "sec",
+                "queries": times,
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

@@ -164,3 +164,25 @@ def test_queryindex_querylabels(eng):
     assert eng.queryindex(["r=eu", "t!=x"]) == ["b"]
     assert eng.querylabels("labels") == ["r", "t"]
     assert eng.querylabels("values", "t") == ["x", "y"]
+
+
+def test_madd_per_triple_results(eng):
+    eng.create("pt")
+    res = eng.madd([("pt", 1000, 1.0), ("pt", -5, 2.0), ("pt", 2000, 3.0)])
+    # success -> resolved ts; failure -> the error; failed triple not ingested
+    assert res[0] == 1000 and res[2] == 2000
+    assert isinstance(res[1], ValueError)
+    eng.flush()
+    assert sorted(r.ts for r in eng.range("pt").collect()) == [1000, 2000]
+
+
+def test_info_debug_chunks(eng):
+    eng.create("dk")
+    day = 86_400_000
+    eng.madd([("dk", 100, 1.0), ("dk", 200, 2.0), ("dk", day + 300, 3.0)])
+    eng.flush()
+    info = eng.info("dk", debug=True)
+    assert info["total_samples"] == 3
+    chunks = info["chunks"]
+    assert [(c["chunk"], c["samples"]) for c in chunks] == [(0, 2), (1, 1)]
+    assert chunks[0]["first_timestamp"] == 100 and chunks[0]["last_timestamp"] == 200
