@@ -34,14 +34,24 @@ def windowed_rule(
     agg: str,
     bucket_ms: int,
     watermark_delay_ms: int = 0,
+    align_ts: int = 0,
 ) -> DataFrame:
     """stream: streaming DF (key, ts epoch-ms, value).  Returns a streaming
     DF (key, ts=bucket_start_ms, value) that, in append output mode, emits
-    each bucket exactly once when it closes."""
+    each bucket exactly once when it closes.
+
+    align_ts: rule alignment (TS.CREATERULE alignTimestamp) — the bucket
+    lattice is offset by align mod dur (CalcBucketStart, src/tsdb.h:88-99);
+    window()'s startTime parameter expresses exactly that shift."""
     if agg not in STREAMING_AGGS:
         raise ValueError(f"{agg} is not streamable in append mode (use foreachBatch)")
     with_time = stream.withColumn("__event_time", F.timestamp_millis(F.col("ts")))
-    win = F.window("__event_time", f"{bucket_ms} milliseconds")
+    win = F.window(
+        "__event_time",
+        f"{bucket_ms} milliseconds",
+        f"{bucket_ms} milliseconds",
+        f"{align_ts % bucket_ms} milliseconds",
+    )
     out = (
         with_time.withWatermark("__event_time", f"{watermark_delay_ms} milliseconds")
         .groupBy("key", win.alias("__w"))

@@ -98,3 +98,22 @@ def test_layout_partition_pruning(spark, tmp_path, samples_df):
     assert "PartitionFilters: [" in plan
     pf = [l for l in plan.splitlines() if "PartitionFilters" in l][0]
     assert "day" in pf and "isnotnull(day" in pf or "(day" in pf
+
+def test_windowed_rule_aligned(spark, tmp_path):
+    d = str(tmp_path)
+    feed(spark, d, [("k", 300, 1.0), ("k", 800, 3.0), ("k", 1400, 5.0), ("k", 2600, 7.0)])
+    stream = spark.readStream.schema(SCHEMA).parquet(os.path.join(d, "in"))
+    # align=300: bucket lattice 300, 1300, 2300 (CalcBucketStart offset)
+    out = windowed_rule(stream, "sum", 1000, align_ts=300)
+    q = (
+        out.writeStream.format("memory")
+        .queryName("dest_aligned")
+        .outputMode("append")
+        .option("checkpointLocation", os.path.join(d, "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = {r.ts: r.value for r in spark.sql("SELECT * FROM dest_aligned").collect()}
+    # watermark 2600 -> buckets 300 and 1300 closed; 2300 still open
+    assert got == {300: 4.0, 1300: 5.0}
