@@ -326,6 +326,18 @@ def q_nrange_raw(spark, sf_dir):
     return ts_nrange(st.samples, NKEYS, D14, D21)
 
 
+def q_nrange_rev_count(spark, sf_dir):
+    """TS.NREVRANGE + per-key AGGREGATION + COUNT: the per-key limit keeps
+    the newest buckets, then the pivot NaN-fills timestamps a key lost to
+    its own limit (src/reply.c:381-473, COUNT src/reply.c:180-192)."""
+    st = _store(spark, sf_dir)
+    return ts_nrange(
+        st.samples, NKEYS, D14, D21,
+        agg_specs={"click_1": ["max"], "view_2": ["max"], "error_0": ["max"]},
+        bucket_dur=6 * H, rev=True, count=4,
+    )
+
+
 def q_range_latest(spark, sf_dir):
     """TS.RANGE ... LATEST on a compaction destination: closed buckets plus
     the open bucket finalized on the fly (src/tsdb.c:1468-1501)."""
@@ -709,6 +721,7 @@ def _base_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ts_mget_withlabels": q_mget_withlabels,
         "ts_mrange_groupby_sum": q_mrange_groupby_sum,
         "ts_nrange_pivot": q_nrange_pivot,
+        "ts_nrange_rev_count": q_nrange_rev_count,
         "ts_dup_last": q_dup_last,
         "ts_dup_first": q_dup_first,
         "ts_dup_max": q_dup_max,
@@ -1295,6 +1308,21 @@ def _base_oracles() -> dict[str, str]:
               coalesce(max(CASE WHEN key='view_2' THEN av END), 'NaN'::DOUBLE) AS view_2_avg,
               coalesce(max(CASE WHEN key='error_0' THEN sm END), 'NaN'::DOUBLE) AS error_0_sum
             FROM g GROUP BY ts""",
+        "ts_nrange_rev_count": f"""{ORACLE_PREFIX},
+            b AS (SELECT key, {bucket_sql('ts', 6 * H, 0)} AS ts,
+                         max(CASE WHEN NOT isnan(value) THEN value END) AS m
+                  FROM samples
+                  WHERE ts BETWEEN {D14} AND {D21}
+                    AND key IN ('click_1','view_2','error_0')
+                  GROUP BY 1, 2
+                  HAVING count(CASE WHEN NOT isnan(value) THEN 1 END) > 0),
+            r AS (SELECT * FROM b
+                  QUALIFY row_number() OVER (PARTITION BY key ORDER BY ts DESC) <= 4)
+            SELECT ts,
+              coalesce(max(CASE WHEN key='click_1' THEN m END), 'NaN'::DOUBLE) AS click_1_max,
+              coalesce(max(CASE WHEN key='view_2' THEN m END), 'NaN'::DOUBLE) AS view_2_max,
+              coalesce(max(CASE WHEN key='error_0' THEN m END), 'NaN'::DOUBLE) AS error_0_max
+            FROM r GROUP BY ts""",
         "ts_dup_last": f"{ORACLE_PREFIX}, {RAW_SQL}, d AS ({dup60}) "
         "SELECT key, ts, max_by(value, seq) AS value FROM d GROUP BY key, ts",
         "ts_dup_first": f"{ORACLE_PREFIX}, {RAW_SQL}, d AS ({dup60}) "

@@ -60,6 +60,7 @@ def ts_nrange(
                 keys=[k],
                 aggregations=aggs,
                 bucket_dur=bucket_dur,
+                rev=rev,
                 **range_kwargs,
             )
             # long form: (key, ts, agg_name, value)

@@ -123,11 +123,16 @@ def ivf_topk(
 
 
 def lsh_topk(
-    emb: DataFrame, query_vec_id: int, k: int = 20, bits: int = 8
+    emb: DataFrame, query_vec_id: int, k: int = 20, bits: int = 8,
+    multiprobe: int = 0,
 ) -> DataFrame:
     """Bucketed ANN: search only vectors sharing the query's sign-bit
     bucket — the candidate set shrinks ~2^bits-fold; recall trades off
-    accordingly (probe neighboring buckets to recover it at scale)."""
+    accordingly.  multiprobe=r widens the probe to every bucket within
+    Hamming distance r of the query's (standard multi-probe LSH): the
+    candidate set grows ~sum(C(bits, i), i<=r)-fold and recall recovers.
+    The probe predicate is pure JVM bit arithmetic
+    (bit_count(bucket XOR qb) <= r) against a 1-row broadcast."""
     d = emb.select(
         "vec_id",
         F.col("embedding").cast("array<double>").alias("v"),
@@ -135,8 +140,13 @@ def lsh_topk(
     q = d.filter(F.col("vec_id") == query_vec_id).select(
         F.col("v").alias("q"), _norm(F.col("v")).alias("qn"), F.col("bucket").alias("qb")
     )
+    probe_cond = (
+        F.bit_count(F.col("bucket").bitwiseXOR(F.col("qb"))) <= multiprobe
+        if multiprobe > 0
+        else F.col("bucket") == F.col("qb")
+    )
     scored = (
-        d.join(F.broadcast(q), F.col("bucket") == F.col("qb"))
+        d.join(F.broadcast(q), probe_cond)
         .filter(F.col("vec_id") != query_vec_id)
         .select(
             "vec_id",

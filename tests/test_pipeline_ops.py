@@ -107,3 +107,21 @@ def test_connected_components_long_chain(spark):
     )
     got = {r.doc_id: r.component for r in connected_components(pairs).collect()}
     assert got == {i: 1 for i in range(1, 10)}
+
+
+def test_ann_recall_vs_brute_force(spark):
+    """IVF probes the nprobe nearest cells -> full recall on the fixture;
+    single-probe sign-LSH is the recall floor (random embeddings are the
+    LSH worst case) and multi-probe (Hamming<=2 buckets) recovers part of
+    it — recall must be monotone in the probe radius."""
+    from redistimeseries_spark.pipeline.similarity import ivf_topk, lsh_topk
+    from redistimeseries_spark.store import read_parquet
+
+    emb = read_parquet(spark, "/root/testdata/sf0.001/embeddings.parquet")
+    brute = {r.vec_id for r in cosine_topk(emb, 0, 10).collect()}
+    ivf = {r.vec_id for r in ivf_topk(emb, 0, 10, ncent=8, nprobe=4).collect()}
+    assert len(brute & ivf) / 10 >= 0.9
+    l0 = {r.vec_id for r in lsh_topk(emb, 0, 10).collect()}
+    l2 = {r.vec_id for r in lsh_topk(emb, 0, 10, multiprobe=2).collect()}
+    r0, r2 = len(brute & l0) / 10, len(brute & l2) / 10
+    assert r2 >= r0 and r2 >= 0.2
