@@ -437,6 +437,19 @@ def q_mrange_groupby_avg(spark, sf_dir):
     )
 
 
+def q_mrange_groupby_empty(spark, sf_dir):
+    """GROUPBY/REDUCE over per-series EMPTY aggregations: gap buckets enter
+    the reducer as NaN (invalid), so a timestamp where every grouped series
+    is in a gap reduces to NaN, and one where any series has data reduces
+    normally (src/multiseries_agg_dup_sample_iterator.c:46-59)."""
+    st = _store(spark, sf_dir)
+    return ts_mrange(
+        st.samples, st.labels, ["type=(click,view)"], D14, D21,
+        aggregations=["max"], bucket_dur=6 * H, empty=True,
+        groupby="parity", reduce="max",
+    )
+
+
 def q_mget_withlabels(spark, sf_dir):
     """TS.MGET WITHLABELS: last raw sample of each matched series plus its
     full label set (src/module.c:2132-2265)."""
@@ -718,6 +731,7 @@ def _base_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ts_agg_empty_nan": q_agg_empty_nan,
         "ts_filter_combo_agg": q_filter_combo_agg,
         "ts_mrange_groupby_avg": q_mrange_groupby_avg,
+        "ts_mrange_groupby_empty": q_mrange_groupby_empty,
         "ts_mget_withlabels": q_mget_withlabels,
         "ts_mrange_groupby_sum": q_mrange_groupby_sum,
         "ts_nrange_pivot": q_nrange_pivot,
@@ -1213,6 +1227,31 @@ def _base_oracles() -> dict[str, str]:
                             'NaN'::DOUBLE) AS avg
             FROM per JOIN (SELECT key, value FROM labels WHERE label='parity') l
               ON per.key = l.key
+            GROUP BY 1, 2""",
+        "ts_mrange_groupby_empty": f"""{ORACLE_PREFIX},
+            s AS (SELECT key, ts, value, {bucket_sql('ts', 6 * H, 0)} AS b
+                  FROM samples
+                  WHERE ts BETWEEN {D14} AND {D21}
+                    AND key IN (SELECT key FROM labels WHERE label='type'
+                                AND value IN ('click','view'))),
+            agg AS (SELECT key, b,
+                           max(CASE WHEN NOT isnan(value) THEN value END) AS m,
+                           count(CASE WHEN NOT isnan(value) THEN 1 END) AS nv
+                    FROM s GROUP BY 1, 2),
+            bounds AS (SELECT key, min(b) AS lo, max(b) AS hi FROM s GROUP BY 1),
+            spine AS (SELECT key, unnest(generate_series(lo, hi, {6 * H})) AS b
+                      FROM bounds),
+            filled AS (SELECT spine.key, spine.b AS ts,
+                              CASE WHEN agg.nv > 0 THEN agg.m
+                                   ELSE 'NaN'::DOUBLE END AS v
+                       FROM spine LEFT JOIN agg
+                         ON spine.key = agg.key AND spine.b = agg.b)
+            SELECT 'parity=' || l.value AS key, f.ts,
+                   coalesce(max(CASE WHEN NOT isnan(f.v) THEN f.v END),
+                            'NaN'::DOUBLE) AS max
+            FROM filled f
+            JOIN (SELECT key, value FROM labels WHERE label='parity') l
+              ON f.key = l.key
             GROUP BY 1, 2""",
         "ts_mget_withlabels": f"""{ORACLE_PREFIX},
             m AS (SELECT key, max(ts) AS ts, max_by(value, ts) AS value
