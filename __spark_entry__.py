@@ -437,6 +437,19 @@ def q_mrange_groupby_avg(spark, sf_dir):
     )
 
 
+def q_agg_empty_multi_twa(spark, sf_dir):
+    """Multi-agg + EMPTY with TWA in the mix: one bucket row carries the
+    sum 0-fill, the last LOCF, and the twa neighbor interpolation — the
+    reference's single-pass N-aggregator iterator over gap buckets
+    (src/filter_iterator.c:234-286, 389-443)."""
+    st = _store(spark, sf_dir)
+    return ts_range(
+        st.samples, D14, D21, keys=RANGE_KEY,
+        aggregations=["sum", "last", "twa"], bucket_dur=30 * 60 * 1000,
+        empty=True,
+    )
+
+
 def q_mrange_groupby_empty(spark, sf_dir):
     """GROUPBY/REDUCE over per-series EMPTY aggregations: gap buckets enter
     the reducer as NaN (invalid), so a timestamp where every grouped series
@@ -664,6 +677,7 @@ ROUND_MAP: dict[str, list[str]] = {
     "ts_agg_all14": ["sum", "avg", "range", "std_p", "std_s", "var_p", "var_s"],
     "ts_agg_twa": ["twa"],
     "ts_agg_twa_empty": ["twa"],
+    "ts_agg_empty_multi_twa": ["sum", "twa"],
     "ts_agg_empty": ["sum"],
     "ts_agg_empty_nan": ["avg"],
     "ts_filter_combo_agg": ["sum"],
@@ -717,6 +731,7 @@ def _base_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ts_agg_all14": q_agg_all14,
         "ts_agg_twa": q_agg_twa,
         "ts_agg_twa_empty": q_agg_twa_empty,
+        "ts_agg_empty_multi_twa": q_agg_empty_multi_twa,
         "ts_agg_empty": q_agg_empty,
         "ts_get": q_get,
         "ts_mget": q_mget,
@@ -948,6 +963,32 @@ SELECT key, b AS ts,
   last_value(CASE WHEN nv > 0 THEN last END IGNORE NULLS)
     OVER (PARTITION BY key ORDER BY b ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS last
 FROM j"""
+
+
+def _empty_multi_twa_oracle(key, start, end, dur):
+    """sum (0-fill) + last (LOCF) + twa (interpolation) on one EMPTY spine:
+    range-clamped variant of _empty_oracle joined to the twa-empty oracle."""
+    b = bucket_sql("ts", dur, 0)
+    base = f"""{ORACLE_PREFIX},
+s AS (SELECT key, ts, value, {b} AS b FROM samples
+      WHERE key = '{key}' AND ts BETWEEN {start} AND {end}),
+agg AS (
+  SELECT key, b, {agg_sql('sum')} AS sum, {agg_sql('last')} AS last,
+         count(CASE WHEN NOT isnan(value) THEN 1 END) AS nv
+  FROM s GROUP BY 1, 2
+),
+bounds AS (SELECT key, min(b) AS lo, max(b) AS hi FROM s GROUP BY 1),
+spine AS (SELECT key, unnest(generate_series(lo, hi, {dur})) AS b FROM bounds),
+j AS (SELECT spine.key, spine.b, agg.sum, agg.last, agg.nv
+      FROM spine LEFT JOIN agg ON spine.key = agg.key AND spine.b = agg.b)
+SELECT key, b AS ts,
+  CASE WHEN nv > 0 THEN sum ELSE 0.0 END AS sum,
+  last_value(CASE WHEN nv > 0 THEN last END IGNORE NULLS)
+    OVER (PARTITION BY key ORDER BY b ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS last
+FROM j"""
+    return f"""SELECT e.key, e.ts, e.sum, e.last, t.twa
+FROM ({base}) e JOIN ({_twa_empty_oracle(key, start, end, dur)}) t
+  USING (key, ts)"""
 
 
 def _empty_nan_oracle(key, dur):
@@ -1204,6 +1245,9 @@ def _base_oracles() -> dict[str, str]:
         "ts_agg_twa_empty": _twa_empty_oracle(RANGE_KEY, D14, D21, 30 * 60 * 1000),
         "ts_agg_empty": _empty_oracle(RANGE_KEY, 30 * 60 * 1000),
         "ts_agg_empty_nan": _empty_nan_oracle(RANGE_KEY, 30 * 60 * 1000),
+        "ts_agg_empty_multi_twa": _empty_multi_twa_oracle(
+            RANGE_KEY, D14, D21, 30 * 60 * 1000
+        ),
         "ts_filter_combo_agg": _agg_oracle(
             ["sum", "count"], 6 * H, D14, D14, D21,
             where=(
