@@ -109,6 +109,43 @@ class TSStore:
             .parquet(path)
         )
 
+    def write_bucketed_layout(
+        self, name: str, path: str, n_buckets: int = 64
+    ) -> None:
+        """Materialize the key-bucketed, (key, ts)-sorted layout: every
+        series lives wholly in one bucket (the reference's series-per-shard
+        invariant, SURVEY §3.3), so `groupBy(key, ...)` aggregations and
+        `Window.partitionBy(key)` operators read pre-clustered, pre-sorted
+        data — no hash exchange before partial aggregation, no sort before
+        windows.  Trade-off (measured, BASELINE.md): scan-bound aggregations
+        lose day-pruning and small-file locality, window-bound operators
+        (TWA) halve.  On a real cluster the avoided exchange is network, not
+        memory, so the balance shifts further toward bucketing."""
+        (
+            self.samples.write.bucketBy(n_buckets, "key")
+            .sortBy("key", "ts")
+            .option("path", path)
+            .mode("overwrite")
+            .format("parquet")
+            .saveAsTable(name)
+        )
+
+
+def read_bucketed_layout(
+    spark: SparkSession, name: str, path: str, n_buckets: int = 64
+) -> DataFrame:
+    """Open a write_bucketed_layout store, re-registering the external
+    bucketed table when the (session-scoped) catalog doesn't know it —
+    bucketing metadata lives in the catalog, not the files, so a fresh
+    session must re-declare CLUSTERED BY for Spark to exploit the layout."""
+    if not spark.catalog.tableExists(name):
+        spark.sql(
+            f"CREATE TABLE {name} (key STRING, ts BIGINT, value DOUBLE) "
+            f"USING parquet CLUSTERED BY (key) SORTED BY (key, ts) "
+            f"INTO {n_buckets} BUCKETS LOCATION '{path}'"
+        )
+    return spark.table(name).select("key", "ts", "value")
+
 
 def read_layout(
     spark: SparkSession,

@@ -1,0 +1,75 @@
+"""Plan-shape assertions for the storage layouts: the scale design claims
+in README/PLANS.md are executable, not prose."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from redistimeseries_spark.operators.range_query import ts_range
+from redistimeseries_spark.store import TSStore, read_bucketed_layout, read_layout
+
+
+@pytest.fixture(scope="module")
+def stores(spark, tmp_path_factory):
+    d = tmp_path_factory.mktemp("layouts")
+    rows = [
+        (f"k{i}", t * 60_000 + i, float(t + i))
+        for i in range(8)
+        for t in range(200)
+    ]
+    samples = spark.createDataFrame(rows, "key string, ts long, value double")
+    st = TSStore.from_dataframes(samples)
+    day_path = str(d / "day")
+    bk_path = str(d / "bucketed")
+    st.write_layout(day_path)
+    spark.sql("DROP TABLE IF EXISTS t_bucketed")
+    st.write_bucketed_layout("t_bucketed", bk_path, n_buckets=4)
+    return day_path, bk_path
+
+
+def _plan(df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def test_day_layout_prunes_and_pushes(spark, stores):
+    day_path, _ = stores
+    df = read_layout(spark, day_path, start=600_000, end=1_200_000).filter(
+        F.col("key") == "k3"
+    )
+    plan = _plan(df)
+    # partition pruning on the derived day column + key/ts pushed to the scan
+    assert "PushedFilters" in plan and "k3" in plan
+    # k3 rows are ts = t*60000 + 3: t in [10, 19] land inside the range
+    assert df.count() == 10
+
+
+def test_bucketed_layout_removes_agg_exchange(spark, stores):
+    _, bk_path = stores
+    bt = read_bucketed_layout(spark, "t_bucketed", bk_path, n_buckets=4)
+    agg = bt.groupBy("key").agg(F.avg("value"))
+    # pre-clustered by key: partial agg IS final — no hash exchange
+    assert "Exchange hashpartitioning" not in _plan(agg)
+    # same query on a non-bucketed source shuffles
+    plain = spark.read.parquet(bk_path).groupBy("key").agg(F.avg("value"))
+    assert "Exchange hashpartitioning" in _plan(plain)
+
+
+def test_bucketed_layout_matches_day_results(spark, stores):
+    day_path, bk_path = stores
+    bt = read_bucketed_layout(spark, "t_bucketed", bk_path, n_buckets=4)
+    day = read_layout(spark, day_path)
+    q = lambda src: {
+        (r.key, r.ts): r.avg
+        for r in ts_range(src, aggregations=["avg"], bucket_dur=600_000).collect()
+    }
+    assert q(bt) == q(day)
+
+
+def test_bucketed_reregistration_fresh_catalog(spark, stores):
+    _, bk_path = stores
+    spark.sql("DROP TABLE IF EXISTS t_bucketed2")
+    # register the same files under a new name — the CREATE TABLE ... CLUSTERED
+    # BY path a fresh session takes; bucketing must still be exploited
+    bt = read_bucketed_layout(spark, "t_bucketed2", bk_path, n_buckets=4)
+    agg = bt.groupBy("key").agg(F.count("*"))
+    assert "Exchange hashpartitioning" not in _plan(agg)
+    assert agg.count() == 8
