@@ -1,0 +1,54 @@
+"""The SQL surface (register_sql) answers the same queries as the Python
+API — the views + inlined SQL UDFs are a complete alternate front-end."""
+
+from pyspark.sql import functions as F
+
+from redistimeseries_spark.operators.range_query import ts_range
+from redistimeseries_spark.sql import register_sql
+from redistimeseries_spark.store import TSStore
+
+
+def test_sql_matches_api(spark, samples_df):
+    rows = [("a", t * 1000, float(t % 7)) for t in range(100)] + [
+        ("b", t * 1000 + 3, float(t)) for t in range(50)
+    ]
+    st = TSStore.from_dataframes(samples_df(rows))
+    register_sql(spark, st)
+
+    got = {
+        (r.key, r.ts): r.avg
+        for r in spark.sql(
+            """SELECT key, ts_bucket(ts, 10000, 0) AS ts, avg(value) AS avg
+               FROM ts_samples GROUP BY key, ts_bucket(ts, 10000, 0)"""
+        ).collect()
+    }
+    exp = {
+        (r.key, r.ts): r.avg
+        for r in ts_range(st.samples, aggregations=["avg"], bucket_dur=10_000).collect()
+    }
+    assert got == exp
+
+
+def test_sql_bucket_udf_is_inlined(spark, samples_df):
+    st = TSStore.from_dataframes(samples_df([("a", 1000, 1.0)]))
+    register_sql(spark, st)
+    plan = (
+        spark.sql("SELECT ts_bucket(ts, 7000, 123) AS b FROM ts_samples")
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    # declarative SQL UDF: inlined pmod arithmetic, no PythonUDF node
+    assert "pmod" in plan and "PythonUDF" not in plan
+    r = spark.sql("SELECT ts_bucket(15000, 7000, 123) AS b").collect()[0]
+    assert r.b == 15000 - (15000 - 123) % 7000
+
+
+def test_sql_report_modes(spark, samples_df):
+    st = TSStore.from_dataframes(samples_df([("a", 1000, 1.0)]))
+    register_sql(spark, st)
+    r = spark.sql(
+        "SELECT ts_bucket_report(100, 60, '-') AS s, "
+        "ts_bucket_report(100, 60, '~') AS m, ts_bucket_report(100, 60, '+') AS e"
+    ).collect()[0]
+    assert (r.s, r.m, r.e) == (100, 130, 160)
