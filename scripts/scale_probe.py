@@ -137,6 +137,27 @@ def main():
         ),
     }
 
+    # SPARK_GRAFT_BUCKETED=1: also build the key-bucketed layout and probe
+    # the shuffle-free groupBy / sort-free window plans on it (BASELINE.md
+    # layout experiment at full probe scale)
+    if os.environ.get("SPARK_GRAFT_BUCKETED") == "1":
+        from redistimeseries_spark.store import TSStore, read_bucketed_layout
+
+        bk_path = f"{path}_bucketed"
+        tbl = f"sparkts_probe_bucketed_{replicas}"
+        if not os.path.exists(bk_path):
+            t0 = time.time()
+            spark.sql(f"DROP TABLE IF EXISTS {tbl}")
+            TSStore.from_dataframes(samples).write_bucketed_layout(tbl, bk_path)
+            print(json.dumps({"stage": "bucketed_write", "sec": round(time.time() - t0, 1)}))
+        bk = read_bucketed_layout(spark, tbl, bk_path)
+        probes["b2_agg_avg_1h_bucketed"] = lambda: ts_range(
+            bk, aggregations=["avg"], bucket_dur=H
+        )
+        probes["b8_twa_2h_bucketed"] = lambda: ts_range(
+            bk, aggregations=["twa"], bucket_dur=2 * H
+        )
+
     def force(df):
         df.write.mode("overwrite").format("noop").save()
 

@@ -216,6 +216,73 @@ def test_range_grid_matches_oracle(spark, data):
             assert feq(gv, ev, tol=1e-7), (ctx, gts, gv, ev)
 
 
+def _reduce_oracle(vals: list[float], reduce: str) -> float:
+    """Cross-series per-timestamp reducer (MultiSeriesReduce semantics:
+    NaN values are invalid, all-NaN -> NaN, count-family -> count of valid —
+    src/multiseries_agg_dup_sample_iterator.c:17-66)."""
+    valid = [v for v in vals if not math.isnan(v)]
+    if reduce == "count":
+        return float(len(valid))
+    if not valid:
+        return NAN
+    if reduce == "sum":
+        return math.fsum(valid)
+    if reduce == "min":
+        return min(valid)
+    if reduce == "max":
+        return max(valid)
+    if reduce == "avg":
+        return math.fsum(valid) / len(valid)
+    mean = math.fsum(valid) / len(valid)
+    return math.sqrt(math.fsum((x - mean) ** 2 for x in valid) / len(valid))  # std.p
+
+
+@settings(
+    max_examples=8,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(data=st.data())
+def test_groupby_reduce_matches_oracle(spark, data):
+    """Random series/labels: GROUPBY label REDUCE r vs the sequential
+    per-timestamp reducer (the reference's heap-merge + reduce,
+    src/resultset.c:160-224)."""
+    from redistimeseries_spark.operators.multi import ts_mrange
+
+    nkeys = data.draw(st.integers(2, 6))
+    groups = [data.draw(st.sampled_from(["g0", "g1"])) for _ in range(nkeys)]
+    series = {}
+    rows = []
+    for i in range(nkeys):
+        n = data.draw(st.integers(1, 15))
+        tss = data.draw(st.sets(st.integers(0, 20), min_size=n, max_size=n))
+        series[i] = {t * 1000: data.draw(value_st) for t in tss}
+        rows += [(f"k{i}", t, v) for t, v in series[i].items()]
+    reduce = data.draw(st.sampled_from(["sum", "max", "min", "avg", "count", "std.p"]))
+
+    samples = spark.createDataFrame(rows, "key string, ts long, value double")
+    labels = spark.createDataFrame(
+        [(f"k{i}", "grp", g) for i, g in enumerate(groups)],
+        "key string, label string, value string",
+    )
+    got = {
+        (r.key, r.ts): r.value
+        for r in ts_mrange(
+            samples, labels, ["grp=(g0,g1)"], groupby="grp", reduce=reduce
+        ).collect()
+    }
+    exp = {}
+    for g in set(groups):
+        members = [i for i, gg in enumerate(groups) if gg == g]
+        all_ts = sorted({t for i in members for t in series[i]})
+        for t in all_ts:
+            vals = [series[i][t] for i in members if t in series[i]]
+            exp[(f"grp={g}", t)] = _reduce_oracle(vals, reduce)
+    assert set(got) == set(exp), (groups, reduce, sorted(got), sorted(exp))
+    for k in exp:
+        assert feq(got[k], exp[k], tol=1e-9), (k, got[k], exp[k], reduce)
+
+
 def _bucket(ts: np.ndarray, dur: int, align: int) -> np.ndarray:
     b = ts - (ts - align) % dur
     return np.maximum(b, 0)
