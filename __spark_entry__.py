@@ -312,6 +312,16 @@ def q_mrange_withlabels(spark, sf_dir):
     )
 
 
+def q_mrange_multiagg(spark, sf_dir):
+    """TS.MRANGE with a multi-aggregator spec (AGGREGATION min,max,avg —
+    src/query_language.c:347-373): one pass, N output columns per series."""
+    st = _store(spark, sf_dir)
+    return ts_mrange(
+        st.samples, st.labels, ["parity=odd"], D14, D21,
+        aggregations=["min", "max", "avg"], bucket_dur=12 * H,
+    )
+
+
 def q_align_end(spark, sf_dir):
     st = _store(spark, sf_dir)
     return ts_range(
@@ -684,6 +694,7 @@ ROUND_MAP: dict[str, list[str]] = {
     "ts_mrange_groupby_avg": ["avg"],
     "ts_align_end": ["sum"],
     "ts_mrange_withlabels": ["avg"],
+    "ts_mrange_multiagg": ["avg"],
     "ts_mrange_groupby_sum": ["sum"],
     "ts_nrange_pivot": ["view_2_avg", "error_0_sum"],
     "ts_dup_sum": ["value"],
@@ -740,6 +751,7 @@ def _base_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ts_querylabels_values": q_querylabels_values,
         "ts_mrange_max_1h": q_mrange_max_1h,
         "ts_mrange_withlabels": q_mrange_withlabels,
+        "ts_mrange_multiagg": q_mrange_multiagg,
         "ts_align_end": q_align_end,
         "ts_nrange_raw": q_nrange_raw,
         "ts_querylabels_names": q_querylabels_names,
@@ -1330,6 +1342,10 @@ def _base_oracles() -> dict[str, str]:
         "ts_querylabels_values": f"""{ORACLE_PREFIX}
             SELECT DISTINCT value FROM labels WHERE label = 'type'
             AND key IN (SELECT key FROM labels WHERE label='parity' AND value='even')""",
+        "ts_mrange_multiagg": _agg_oracle(
+            ["min", "max", "avg"], 12 * H, 0, D14, D21,
+            where="key IN (SELECT key FROM labels WHERE label='parity' AND value='odd')",
+        ),
         "ts_mrange_max_1h": _agg_oracle(
             ["max"], H, 0, D14, D21,
             where=f"key IN (SELECT key FROM labels WHERE label='type' AND value='click')",
