@@ -617,6 +617,16 @@ def q_embed_neardup(spark, sf_dir):
     return embedding_neardup_pairs(_emb_corpus(spark, sf_dir), threshold=0.99)
 
 
+def q_embed_neardup_lsh(spark, sf_dir):
+    """Label-free near-dup blocking: the self-join keys on the embedding's
+    own sign-bit LSH bucket (the 100 TB path — no dimension table)."""
+    from redistimeseries_spark.pipeline.dedup import embedding_neardup_pairs
+
+    return embedding_neardup_pairs(
+        _emb_corpus(spark, sf_dir), threshold=0.99, bucket_col=None
+    )
+
+
 def q_ann_cosine_topk(spark, sf_dir):
     from redistimeseries_spark.pipeline.similarity import cosine_topk
     from redistimeseries_spark.store import read_parquet
@@ -790,6 +800,7 @@ def _base_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dl_ngram_jaccard": q_ngram_jaccard,
         "dl_dedup_components": q_dedup_components,
         "dl_embed_neardup": q_embed_neardup,
+        "dl_embed_neardup_lsh": q_embed_neardup_lsh,
         "dl_ann_cosine_topk": q_ann_cosine_topk,
         "dl_ann_lsh_topk": q_ann_lsh_topk,
         "dl_ann_ivf_topk": q_ann_ivf_topk,
@@ -1138,6 +1149,21 @@ def _pipeline_oracles() -> dict[str, str]:
                    round(list_dot_product(a.v, b.v) / (a.nrm * b.nrm), 6) AS cos
             FROM d a JOIN d b ON a.label = b.label AND a.vec_id < b.vec_id
             WHERE list_dot_product(a.v, b.v) / (a.nrm * b.nrm) >= 0.99""",
+        "dl_embed_neardup_lsh": (
+            lambda sb: f"""WITH {EMB_CORPUS_SQL},
+            bk AS (SELECT vec_id, embedding AS v, {sb} AS bucket,
+                          sqrt(list_dot_product(embedding, embedding)) AS nrm
+                   FROM corpus)
+            SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+                   round(list_dot_product(a.v, b.v) / (a.nrm * b.nrm), 6) AS cos
+            FROM bk a JOIN bk b ON a.bucket = b.bucket AND a.vec_id < b.vec_id
+            WHERE list_dot_product(a.v, b.v) / (a.nrm * b.nrm) >= 0.99"""
+        )(
+            " + ".join(
+                f"(CASE WHEN embedding[{i + 1}] >= 0 THEN {2 ** i} ELSE 0 END)"
+                for i in range(8)
+            )
+        ),
         "dl_ann_cosine_topk": """WITH d AS (
               SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
             q AS (SELECT v AS qv, sqrt(list_dot_product(v, v)) AS qn FROM d WHERE vec_id = 0),

@@ -263,14 +263,22 @@ def connected_components(
 
 
 def embedding_neardup_pairs(
-    emb: DataFrame, threshold: float = 0.99, bucket_col: str = "label"
+    emb: DataFrame, threshold: float = 0.99, bucket_col: str | None = "label"
 ) -> DataFrame:
-    """Near-duplicate vectors by cosine within a coarse bucket (the 100 TB
-    path buckets by LSH sign bits; the fixture's `label` plays that role).
+    """Near-duplicate vectors by cosine within a coarse bucket.
+    bucket_col=None derives the bucket from the embedding's own sign bits
+    (pipeline/similarity.sign_bucket) — the label-free 100 TB path: no
+    all-pairs product, the self-join keys on the 2^bits-way LSH blocking.
     Returns (vec_a, vec_b, cos)."""
+    if bucket_col is None:
+        from redistimeseries_spark.pipeline.similarity import sign_bucket
+
+        bucket = sign_bucket(F.col("embedding").cast("array<double>"))
+    else:
+        bucket = F.col(bucket_col)
     d = emb.select(
         "vec_id",
-        F.col(bucket_col).alias("bucket"),
+        bucket.alias("bucket"),
         F.col("embedding").cast("array<double>").alias("v"),
         F.sqrt(
             F.aggregate(
