@@ -674,6 +674,14 @@ def q_fingerprint(spark, sf_dir):
     return fingerprints(_docs(spark, sf_dir))
 
 
+def q_rolling_fingerprint(spark, sf_dir):
+    """Rabin-Karp rolling-hash fingerprint (min over 8-char windows) —
+    zero-shuffle map pass, identical Horner arithmetic in both engines."""
+    from redistimeseries_spark.pipeline.text import rolling_fingerprints
+
+    return rolling_fingerprints(_docs(spark, sf_dir))
+
+
 def q_mm_features(spark, sf_dir):
     from redistimeseries_spark.pipeline.multimodal import attach_payload, extract_features
 
@@ -808,6 +816,7 @@ def _base_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dl_quality": q_quality,
         "dl_token_count": q_token_count,
         "dl_fingerprint": q_fingerprint,
+        "dl_rolling_fingerprint": q_rolling_fingerprint,
         "dl_mm_features": q_mm_features,
         "dl_mm_frame_sample": q_mm_frame_sample,
     }
@@ -1062,7 +1071,7 @@ def _lang_oracle() -> str:
 
 def _pipeline_oracles() -> dict[str, str]:
     from redistimeseries_spark.pipeline.dedup import simhash_expr_sql
-    from redistimeseries_spark.pipeline.text import LANG_MARKERS
+    from redistimeseries_spark.pipeline.text import LANG_MARKERS, rolling_hash_core
 
     # DuckDB hex() uses uppercase A-F; lower() it before nibble lookup
     nib = "instr('0123456789abcdef', substr(lower(hex(encode(text))), {p}, 1)) - 1"
@@ -1229,6 +1238,14 @@ def _pipeline_oracles() -> dict[str, str]:
             SELECT doc_id, md5(nt) AS exact_fp,
                    (SELECT min(md5(substr(nt, i, 8)))
                     FROM unnest(generate_series(1, greatest(length(nt) - 7, 1))) AS t(i)) AS min_gram_fp
+            FROM n""",
+        "dl_rolling_fingerprint": f"""WITH n AS (
+              SELECT doc_id, regexp_replace(lower(text), '\\s+', ' ', 'g') AS nt
+              FROM documents)
+            SELECT doc_id,
+              CAST(list_min(list_transform(
+                     generate_series(1, greatest(length(nt) - 7, 1)),
+                     i -> {rolling_hash_core()})) AS BIGINT) AS roll_fp
             FROM n""",
         "dl_mm_features": f"""SELECT doc_id, 'image' AS media_type,
               CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,

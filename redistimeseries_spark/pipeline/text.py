@@ -104,3 +104,37 @@ def fingerprints(docs: DataFrame, k: int = 8) -> DataFrame:
         F.md5(norm).alias("exact_fp"),
         F.array_min(grams).alias("min_gram_fp"),
     )
+
+
+# Rabin-Karp polynomial rolling hash: base 257, modulus 2^31-1, Horner
+# folding keeps every intermediate < 2^40 (no int64 overflow in either
+# engine).  The expression text is engine-neutral (ascii/substr/%), so the
+# identical core runs in Spark SQL and the DuckDB oracle.
+ROLL_W = 8
+
+
+def rolling_hash_core(var: str = "i", s: str = "nt", w: int = ROLL_W) -> str:
+    # seed cast to BIGINT: ascii() is int32 in both engines and Horner's
+    # h*257 would overflow it; the cast promotes the whole chain.
+    h = f"CAST(ascii(substr({s}, {var}, 1)) AS BIGINT)"
+    for j in range(1, w):
+        h = f"(({h} * 257 + ascii(substr({s}, {var} + {j}, 1))) % 2147483647)"
+    return h
+
+
+def rolling_fingerprints(docs: DataFrame, w: int = ROLL_W) -> DataFrame:
+    """(doc_id, roll_fp) — winnowing-style minimum of the Rabin-Karp rolling
+    hash over all w-char windows of the normalized text.  Entirely map-side
+    (one projection, array higher-order functions, no shuffle) — the same
+    zero-shuffle shape as minhash_signatures."""
+    core = rolling_hash_core("i", "nt", w)
+    return docs.select(
+        "doc_id",
+        F.regexp_replace(F.lower(F.col("text")), "\\s+", " ").alias("nt"),
+    ).select(
+        "doc_id",
+        F.expr(
+            f"array_min(transform(sequence(1, greatest(length(nt) - {w - 1}, 1)),"
+            f" i -> {core}))"
+        ).cast("long").alias("roll_fp"),
+    )
