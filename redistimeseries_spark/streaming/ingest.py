@@ -129,15 +129,50 @@ class StreamingStore:
                 )
                 .distinct()
             )
+            if rule.agg == "twa":
+                # a sample in bucket B also changes the boundary
+                # interpolation of B-1 and B+1 (twaAddBucketParams,
+                # src/module.c:943-958) — widen the repair set one bucket
+                # each way, then recompute from the full per-key series so
+                # the kernel sees its neighbor samples.
+                touched = (
+                    touched.select(
+                        "key",
+                        F.explode(
+                            F.array(
+                                F.col("__bucket") - rule.bucket_ms,
+                                F.col("__bucket"),
+                                F.col("__bucket") + rule.bucket_ms,
+                            )
+                        ).alias("__bucket"),
+                    )
+                    .filter(F.col("__bucket") >= 0)
+                    .distinct()
+                )
             src = self.samples()  # resolved view incl. this batch
-            recomputed = (
-                src.withColumn(
+            if rule.agg == "twa":
+                from redistimeseries_spark import MAX_TS, MIN_TS
+                from redistimeseries_spark.operators.twa import twa_buckets
+
+                per_key = src.join(
+                    F.broadcast(touched.select("key").distinct()), "key", "left_semi"
+                ).withColumn(
                     "__bucket", bucket_start(F.col("ts"), rule.bucket_ms, rule.align_ts)
                 )
-                .join(F.broadcast(touched), ["key", "__bucket"], "left_semi")
-                .groupBy("key", "__bucket")
-                .agg(agg_expr(rule.agg, F.col("value"), F.col("ts"), alias="value"))
-            )
+                recomputed = (
+                    twa_buckets(per_key, rule.bucket_ms, rule.align_ts, MIN_TS, MAX_TS)
+                    .withColumnRenamed("twa", "value")
+                    .join(F.broadcast(touched), ["key", "__bucket"], "left_semi")
+                )
+            else:
+                recomputed = (
+                    src.withColumn(
+                        "__bucket", bucket_start(F.col("ts"), rule.bucket_ms, rule.align_ts)
+                    )
+                    .join(F.broadcast(touched), ["key", "__bucket"], "left_semi")
+                    .groupBy("key", "__bucket")
+                    .agg(agg_expr(rule.agg, F.col("value"), F.col("ts"), alias="value"))
+                )
             dest_schema = "key string, ts long, value double"
             old_dest = self._read(self.rule_dir(rule), dest_schema)
             kept = old_dest.join(

@@ -124,3 +124,31 @@ def test_ignore_filter_chains_across_batches(spark, dirs):
     assert got == [(0, 1.0), (120, 1.3), (200, 2.3), (260, 2.9), (1000, 5.0)]
     latest = {r.key: (r.ts, r.value) for r in store.latest().collect()}
     assert latest["k"] == (1000, 5.0)
+
+
+def test_twa_rule_incremental_matches_batch(spark, dirs):
+    """TWA rule repair must widen to neighbor buckets (a sample in B moves
+    the boundary interpolation of B-1/B+1): after multi-batch + out-of-order
+    ingest, the incrementally-maintained dest equals a from-scratch batch
+    materialization over the final samples."""
+    from redistimeseries_spark.streaming.compaction import materialize_rule
+
+    rule = CompactionRule(None, "_twa_1s", "twa", 1000)
+    store = StreamingStore(spark, os.path.join(dirs, "store"), "last", [rule])
+    write_input(spark, dirs, [("k", 100, 1.0), ("k", 900, 3.0), ("k", 1400, 5.0)], "b1")
+    # second batch: appends into bucket 2 AND an ooo insert into bucket 0,
+    # which changes the twa of buckets 0 (interior), and 1 (left boundary)
+    write_input(spark, dirs, [("k", 2100, 7.0), ("k", 600, 9.0)], "b2")
+    drain(spark, dirs, store)
+
+    got = {
+        r.ts: r.value
+        for r in store.rule_table(rule, include_open=True).collect()
+    }
+    exp = {
+        r.ts: r.value
+        for r in materialize_rule(store.samples(), rule, include_open=True).collect()
+    }
+    assert got.keys() == exp.keys()
+    for b in exp:
+        assert abs(got[b] - exp[b]) < 1e-9, (b, got[b], exp[b])
