@@ -258,6 +258,78 @@ def q_compaction_latest(spark, sf_dir):
     return latest_value(st.samples, rule)
 
 
+def _run_bounded_stream(streaming_df, name_prefix):
+    """Drain a streaming DF through a memory sink with availableNow and
+    return the batch result table (bounded replay harness for gating
+    streaming operators against SQL oracles)."""
+    import os
+    import tempfile
+    import uuid
+
+    qname = f"{name_prefix}_{uuid.uuid4().hex[:8]}"
+    ckpt = os.path.join(tempfile.mkdtemp(prefix=f"sparkts_{name_prefix}_"), "ckpt")
+    q = (
+        streaming_df.writeStream.format("memory")
+        .queryName(qname)
+        .outputMode("append")
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(600)
+    spark = streaming_df.sparkSession
+    return spark.table(qname)
+
+
+def q_stream_rule_avg_1m(spark, sf_dir):
+    """TS.CREATERULE as native Structured Streaming: bounded replay of the
+    events stream through a watermark + tumbling-window aggregation in
+    append mode.  A bucket emits exactly once, when the event-time
+    watermark (delay 0 -> global max ts) passes its end — the streaming
+    form of the reference's finalize-on-newer-sample rule engine
+    (src/module.c:915-984).  Deterministic on static input: the emitted
+    set is exactly the buckets with bucket_end <= max(ts), which is what
+    the oracle states."""
+    import os
+    import tempfile
+
+    from redistimeseries_spark.streaming.window_rules import windowed_rule
+
+    st = _store(spark, sf_dir)
+    src = os.path.join(tempfile.mkdtemp(prefix="sparkts_srule_"), "in")
+    st.samples.select("key", "ts", "value").coalesce(2).write.parquet(src)
+    stream = spark.readStream.schema("key string, ts long, value double").parquet(src)
+    out = _run_bounded_stream(windowed_rule(stream, "avg", 60_000), "gate_srule")
+    return out.select("key", "ts", "value")
+
+
+def q_stream_incrby(spark, sf_dir):
+    """TS.INCRBY as a stateful stream (applyInPandasWithState): per-key
+    running counter with the reference's ts >= last check
+    (src/module.c:1509).  Every 7th event's ts is shoved 40 days back so
+    it violates monotonicity and is dropped unless it opens its series.
+    The kept-chain is plain-SQL-expressible because the running max over
+    kept rows equals the running max over all rows (the argmax row is
+    always kept), so the oracle is a window max + running sum."""
+    import os
+    import tempfile
+
+    from redistimeseries_spark.streaming.stateful import incrby_stream
+
+    inc = _raw(spark, sf_dir).withColumn(
+        "ts",
+        F.col("ts")
+        - F.when(F.col("seq") % 7 == 0, F.lit(3_456_000_000)).otherwise(F.lit(0)),
+    )
+    src = os.path.join(tempfile.mkdtemp(prefix="sparkts_sincr_"), "in")
+    inc.select("key", "ts", "value", "seq").coalesce(1).write.parquet(src)
+    stream = spark.readStream.schema(
+        "key string, ts long, value double, seq long"
+    ).parquet(src)
+    out = _run_bounded_stream(incrby_stream(stream), "gate_sincr")
+    return out.select("key", "ts", "value")
+
+
 def q_ignore_filter(spark, sf_dir):
     st = _store(spark, sf_dir)
     return ignore_filter(st.samples, 600_000, 5.0)
@@ -720,6 +792,8 @@ ROUND_MAP: dict[str, list[str]] = {
     "ts_compaction_avg_10m": ["value"],
     "ts_compaction_twa_1h": ["value"],
     "ts_compaction_latest": ["value"],
+    "ts_stream_rule_avg_1m": ["value"],
+    "ts_stream_incrby": ["value"],
 }
 
 
@@ -795,6 +869,8 @@ def _base_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ts_compaction_avg_10m": q_compaction_avg_10m,
         "ts_compaction_twa_1h": q_compaction_twa_1h,
         "ts_compaction_latest": q_compaction_latest,
+        "ts_stream_rule_avg_1m": q_stream_rule_avg_1m,
+        "ts_stream_incrby": q_stream_incrby,
         "ts_range_latest": q_range_latest,
         "ts_mrange_groupby_max": q_mrange_groupby_max,
         "ts_agg_align_literal": q_agg_align_literal,
@@ -1508,6 +1584,27 @@ def _base_oracles() -> dict[str, str]:
             g AS (SELECT key || '_avg_10m' AS key, b AS ts, avg(value) AS value
                   FROM b GROUP BY 1, 2)
             SELECT key, max(ts) AS ts, max_by(value, ts) AS value FROM g GROUP BY key""",
+        # append-mode emission = buckets whose end the final watermark
+        # (global max ts, delay 0) has passed; verified <= not < above
+        "ts_stream_rule_avg_1m": f"""{ORACLE_PREFIX},
+            b AS (SELECT key, {bucket_sql('ts', 60_000, 0)} AS b, value FROM samples),
+            m AS (SELECT max(ts) AS mx FROM samples)
+            SELECT b.key, b.b AS ts, avg(b.value) AS value
+            FROM b, m WHERE b.b + 60000 <= m.mx GROUP BY b.key, b.b""",
+        # kept iff ts >= running max of prior rows (argmax row is always
+        # kept, so kept-max == all-max); value = running sum over kept
+        "ts_stream_incrby": f"""{ORACLE_PREFIX}, {RAW_SQL},
+            inc AS (SELECT key,
+                           ts - CASE WHEN seq % 7 = 0 THEN 3456000000 ELSE 0 END AS ts,
+                           value, seq FROM rawseq),
+            w AS (SELECT key, ts, value, seq,
+                         max(ts) OVER (PARTITION BY key ORDER BY seq
+                           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS prior_max
+                  FROM inc),
+            kept AS (SELECT * FROM w WHERE prior_max IS NULL OR ts >= prior_max)
+            SELECT key, ts, sum(value) OVER (PARTITION BY key ORDER BY seq
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS value
+            FROM kept""",
         "ts_range_latest": f"""{ORACLE_PREFIX},
             b AS (SELECT key, {bucket_sql('ts', H, 0)} AS b, value FROM samples)
             SELECT key || '_max_1h' AS key, b AS ts,

@@ -95,6 +95,38 @@ def test_tail_read_block_and_timeout(spark, dirs):
     assert rows3 == [(20, 9.0)]
 
 
+def test_tail_read_min_count_parks_until_satisfied(spark, dirs):
+    """min_count > 1 parks past the first qualifying sample; max_count
+    truncates the reply (src/module.c:1889-2130 min/max batch bounds)."""
+    store = StreamingStore(spark, os.path.join(dirs, "store"), "last", [])
+    write_input(spark, dirs, [("k", 0, 1.0)], "b1")
+    drain(spark, dirs, store)
+
+    def later():
+        time.sleep(1.0)
+        b = store.spark.createDataFrame(
+            [("k", 5, 2.0, 10**12), ("k", 9, 3.0, 10**12 + 1)], SCHEMA + ", seq long"
+        )
+        b.write.mode("append").parquet(store.log_dir)
+
+    th = threading.Thread(target=later)
+    th.start()
+    t0 = time.monotonic()
+    # one sample is already readable, but min_count=3 must keep us parked
+    # until the background append lands
+    rows, cur = tail_read(store, "k", cursor=0, min_count=3, timeout_s=10)
+    th.join()
+    assert time.monotonic() - t0 >= 0.9
+    assert rows == [(0, 1.0), (5, 2.0), (9, 3.0)] and cur == 10
+
+    # max_count truncation: reply capped, cursor advances only past the
+    # returned prefix so the remainder is readable next call
+    rows2, cur2 = tail_read(store, "k", cursor=0, min_count=1, max_count=2, timeout_s=2)
+    assert rows2 == [(0, 1.0), (5, 2.0)] and cur2 == 6
+    rows3, _ = tail_read(store, "k", cursor=cur2, min_count=1, timeout_s=2)
+    assert rows3 == [(9, 3.0)]
+
+
 def test_ignore_filter_chains_across_batches(spark, dirs):
     """IGNORE dedup (src/module.c:986-998): near-identical consecutive
     samples dropped at ingest, with the kept-chain seeded from the stored
