@@ -330,6 +330,16 @@ def q_stream_incrby(spark, sf_dir):
     return out.select("key", "ts", "value")
 
 
+def q_info_chunks(spark, sf_dir):
+    """TS.INFO DEBUG chunk map for one series — per-day-chunk sample count
+    and ts bounds (src/module.c:156-280); same function engine.info(debug)
+    renders."""
+    from redistimeseries_spark.engine import chunk_stats
+
+    st = _store(spark, sf_dir)
+    return chunk_stats(st.samples, RANGE_KEY)
+
+
 def q_ignore_filter(spark, sf_dir):
     st = _store(spark, sf_dir)
     return ignore_filter(st.samples, 600_000, 5.0)
@@ -871,6 +881,7 @@ def _base_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ts_compaction_latest": q_compaction_latest,
         "ts_stream_rule_avg_1m": q_stream_rule_avg_1m,
         "ts_stream_incrby": q_stream_incrby,
+        "ts_info_chunks": q_info_chunks,
         "ts_range_latest": q_range_latest,
         "ts_mrange_groupby_max": q_mrange_groupby_max,
         "ts_agg_align_literal": q_agg_align_literal,
@@ -1591,6 +1602,10 @@ def _base_oracles() -> dict[str, str]:
             m AS (SELECT max(ts) AS mx FROM samples)
             SELECT b.key, b.b AS ts, avg(b.value) AS value
             FROM b, m WHERE b.b + 60000 <= m.mx GROUP BY b.key, b.b""",
+        "ts_info_chunks": f"""{ORACLE_PREFIX}
+            SELECT ts // 86400000 AS chunk, count(*) AS samples,
+                   min(ts) AS first_timestamp, max(ts) AS last_timestamp
+            FROM samples WHERE key = '{RANGE_KEY}' GROUP BY 1""",
         # kept iff ts >= running max of prior rows (argmax row is always
         # kept, so kept-max == all-max); value = running sum over kept
         "ts_stream_incrby": f"""{ORACLE_PREFIX}, {RAW_SQL},

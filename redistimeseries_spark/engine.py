@@ -52,6 +52,24 @@ def parse_duration_ms(v) -> int:
     return int(m.group(1)) * _UNITS[m.group(2)]
 
 
+CHUNK_MS = 86_400_000  # chunk analog = day partition of the scale layout
+
+
+def chunk_stats(samples: DataFrame, key: str) -> DataFrame:
+    """TS.INFO DEBUG per-chunk stats (src/module.c:156-280): sample count
+    and ts bounds per chunk.  Our chunk is the day partition (SURVEY §1.5)
+    — the same min/max metadata parquet row-group stats prune on."""
+    return (
+        samples.filter(F.col("key") == key)
+        .groupBy(F.expr(f"ts div {CHUNK_MS}").alias("chunk"))
+        .agg(
+            F.count("*").alias("samples"),
+            F.min("ts").alias("first_timestamp"),
+            F.max("ts").alias("last_timestamp"),
+        )
+    )
+
+
 @dataclass
 class SimpleCompactionRule:
     agg: str
@@ -418,22 +436,12 @@ class TimeSeriesEngine:
         if debug:
             chunks = [
                 {
-                    "chunk": r.day,
-                    "samples": r.n,
-                    "first_timestamp": r.first,
-                    "last_timestamp": r.last,
+                    "chunk": r.chunk,
+                    "samples": r.samples,
+                    "first_timestamp": r.first_timestamp,
+                    "last_timestamp": r.last_timestamp,
                 }
-                for r in (
-                    self.samples.filter(F.col("key") == key)
-                    .groupBy(F.expr("ts div 86400000").alias("day"))
-                    .agg(
-                        F.count("*").alias("n"),
-                        F.min("ts").alias("first"),
-                        F.max("ts").alias("last"),
-                    )
-                    .orderBy("day")
-                    .collect()
-                )
+                for r in chunk_stats(self.samples, key).orderBy("chunk").collect()
             ]
         return {
             **({"chunks": chunks} if debug else {}),
