@@ -27,6 +27,11 @@ from redistimeseries_spark.functions.aggs import AGGREGATORS, sanitize
 from redistimeseries_spark.operators.labels import matched_keys, with_labels
 from redistimeseries_spark.operators.range_query import ts_range
 
+# (bucket aggregator, GROUPBY reducer) pairs that commute: the two-stage
+# per-series-agg -> cross-series-reduce pipeline equals a single direct
+# aggregation over the merged group, enabling the one-shuffle fused plan.
+_FUSABLE = {("sum", "sum"), ("min", "min"), ("max", "max")}
+
 
 def ts_mget(
     samples: DataFrame,
@@ -62,6 +67,7 @@ def ts_mrange(
     selected_labels: list[str] | None = None,
     with_labels_flag: bool = False,
     exclude_empty: bool = True,
+    fuse: bool = True,
     **range_kwargs,
 ) -> DataFrame:
     """TS.MRANGE: per-series range pipeline over label-matched series,
@@ -102,10 +108,37 @@ def ts_mrange(
     grp_lbl = labels.filter(F.col("label") == groupby).select(
         "key", F.col("value").alias("__grpval")
     )
-    joined = out.join(F.broadcast(grp_lbl), "key", "inner")
     builder, _ = AGGREGATORS[reduce]
     if builder is None:
         raise ValueError(f"reducer {reduce} not supported")
+
+    agg_single = (
+        aggs if isinstance(aggs, str) else (aggs[0] if aggs and len(aggs) == 1 else None)
+    )
+    if (
+        fuse
+        and not with_labels_flag
+        and (agg_single, reduce) in _FUSABLE
+        and range_kwargs.get("count") is None
+        and not range_kwargs.get("empty")
+    ):
+        # The bucket aggregator and the cross-series reducer commute (both
+        # sum / both min / both max), so per-series-agg-then-reduce
+        # collapses into ONE aggregation keyed by (group name, bucket):
+        # relabel each sample's key to its group's output name and run the
+        # ordinary range plan.  One shuffle instead of two — at 100M rows
+        # this halves the GROUPBY wall (see BASELINE.md) — and ts_range's
+        # only-NaN-bucket drop (__n_valid) is exactly the reducer's
+        # all-NaN rule lifted to the group level, since a per-series
+        # only-NaN bucket never reaches the reducer either.
+        relabeled = df.join(F.broadcast(grp_lbl), "key", "inner").select(
+            F.concat(F.lit(groupby + "="), F.col("__grpval")).alias("key"),
+            "ts",
+            "value",
+        )
+        return ts_range(relabeled, start, end, **range_kwargs)
+
+    joined = out.join(F.broadcast(grp_lbl), "key", "inner")
     # all-NaN timestamp reduces to NaN, not absent
     # (src/multiseries_agg_dup_sample_iterator.c:46-59); count-family already
     # yields 0 there.

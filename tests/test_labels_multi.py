@@ -5,7 +5,7 @@ import math
 
 import pytest
 
-from tests.conftest import NAN
+from tests.conftest import NAN, feq
 
 from redistimeseries_spark.operators.labels import matched_keys, parse_filter
 from redistimeseries_spark.operators.multi import ts_mrange
@@ -86,3 +86,49 @@ def test_mrange_non_excluding_empty_series(spark, labels, samples_df):
     # EXCLUDEEMPTY (default) drops 'c'
     keys = {r.key for r in ts_mrange(df, labels, ["region=eu"], 0, 10_000).collect()}
     assert keys == {"a"}
+
+
+def _gb(df, labels, agg, reduce, fuse, **kw):
+    return ts_mrange(
+        df, labels, ["region!="], aggregations=[agg], bucket_dur=1000,
+        groupby="region", reduce=reduce, fuse=fuse, **kw,
+    )
+
+
+def test_groupby_fused_equals_two_stage(spark, labels, samples_df):
+    """(sum,sum)/(min,min)/(max,max) commute, so the one-shuffle fused plan
+    must equal per-series-agg-then-reduce — including the all-NaN rules:
+    a per-series only-NaN bucket never reaches the reducer, and a bucket
+    that is only-NaN across the whole group emits nothing."""
+    df = samples_df(
+        [
+            ("a", 0, 1.0), ("a", 100, NAN), ("a", 1100, NAN),  # a: b1 all-NaN
+            ("c", 150, 2.0), ("c", 1200, NAN), ("c", 2500, 7.0),  # eu b1 all-NaN
+            ("b", 0, 5.0), ("b", 2100, NAN),  # us b2 all-NaN group-wide
+            ("d", 50, -3.0), ("d", 999, 4.0),
+        ]
+    )
+    for agg, red in [("sum", "sum"), ("min", "min"), ("max", "max")]:
+        fused = {(r.key, r.ts): getattr(r, agg) for r in _gb(df, labels, agg, red, True).collect()}
+        twostage = {(r.key, r.ts): getattr(r, agg) for r in _gb(df, labels, agg, red, False).collect()}
+        assert fused.keys() == twostage.keys(), (agg, red)
+        for k in fused:
+            assert feq(fused[k], twostage[k]), (agg, red, k, fused[k], twostage[k])
+
+
+def test_groupby_fused_plan_single_shuffle(spark, labels, samples_df):
+    """The fused plan carries exactly one hash exchange (the (group, bucket)
+    aggregation); the two-stage plan needs two."""
+    df = samples_df([("a", 0, 1.0), ("b", 100, 2.0), ("c", 1100, 3.0)])
+
+    def hash_exchanges(q):
+        plan = q._jdf.queryExecution().executedPlan().toString()
+        return plan.count("Exchange hashpartitioning")
+
+    two_stage = hash_exchanges(_gb(df, labels, "sum", "sum", False))
+    # fusing drops exactly the per-series aggregation exchange
+    assert hash_exchanges(_gb(df, labels, "sum", "sum", True)) == two_stage - 1
+    # non-commuting pairs must NOT fuse (avg of sums is not a global avg)
+    assert hash_exchanges(_gb(df, labels, "sum", "avg", True)) == two_stage
+    # per-series COUNT limit depends on series identity -> no fusion
+    assert hash_exchanges(_gb(df, labels, "sum", "sum", True, count=5)) >= two_stage
