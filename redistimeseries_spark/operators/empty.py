@@ -62,6 +62,11 @@ def fill_empty_buckets(
         elif a == "last":
             locf = F.last(F.when(valid, F.col(name)), ignorenulls=True).over(w)
             cols.append(F.coalesce(locf, F.lit(float("nan"))).alias(name))
+        elif a in ("count_nan", "count_all"):
+            # these validate NaN samples (nanValueValid / allValueValid,
+            # src/compaction.c:944-978): an only-NaN bucket reports its real
+            # count, not finalizeEmpty 0 — only true gap rows fold to 0.
+            cols.append(F.coalesce(F.col(name), F.lit(0.0)).alias(name))
         else:
             cols.append(
                 F.when(valid, F.col(name)).otherwise(F.lit(empty_value(a))).alias(name)

@@ -26,7 +26,12 @@ from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from redistimeseries_spark import MAX_TS, MIN_TS
-from redistimeseries_spark.functions.aggs import AGGREGATORS, agg_expr, sanitize
+from redistimeseries_spark.functions.aggs import (
+    AGGREGATORS,
+    agg_expr,
+    empty_value,
+    sanitize,
+)
 from redistimeseries_spark.functions.buckets import bucket_start, report_ts, resolve_align
 
 # src/query_language.h:53
@@ -110,14 +115,29 @@ def ts_range(
             # validSamplesInBucket (src/filter_iterator.c:389-401): a bucket
             # whose samples are all NaN is treated as empty and not emitted.
             exprs.append(
-                F.count(F.when(~F.isnan("value"), 1)).alias("__n_valid")
+                F.count(
+                    F.when(F.col("value").isNotNull() & ~F.isnan("value"), 1)
+                ).alias("__n_valid")
             )
             out = df.groupBy("key", "__bucket").agg(*exprs)
+
+            # count_nan / count_all have their own isValueValid (nanValueValid /
+            # allValueValid, src/compaction.c:944-978), so their presence widens
+            # the bucket-emit rule: a bucket emits iff ANY requested aggregator
+            # saw a sample it considers valid (validSamplesInBucket,
+            # src/filter_iterator.c:1286-1292).
+            count_classes = {"count_nan", "count_all"}
+            has_count_class = bool(count_classes & set(aggs))
 
             if "twa" in aggs and not empty:
                 from redistimeseries_spark.operators.twa import twa_buckets
 
-                tw = twa_buckets(df, bucket_dur, align_ts, start, end)
+                # with a count-class aggregator, only-NaN buckets emit and twa
+                # takes its finalizeEmpty (gap interpolation) value there —
+                # the empty=True spine carries exactly those values.
+                tw = twa_buckets(
+                    df, bucket_dur, align_ts, start, end, empty=has_count_class
+                )
                 out = out.join(tw, ["key", "__bucket"], "left")
 
             if empty:
@@ -131,8 +151,52 @@ def ts_range(
                 out = fill_empty_buckets(
                     out, df, aggs, bucket_dur, align_ts, start, end
                 )
-            else:
+            elif not has_count_class:
                 out = out.filter(F.col("__n_valid") > 0)
+            else:
+                invalid = F.col("__n_valid") == 0
+                if "last" in aggs:
+                    # aggLast.finalizeEmpty returns the LOCF-carried context
+                    # value (finalize_empty_last_value + LastValueReset keeping
+                    # value across buckets, src/compaction.c:81-84,115-121):
+                    # an emitted only-NaN bucket reports the previous bucket's
+                    # last valid sample, NaN if unseeded.  Chronological window
+                    # regardless of rev — the reference seeds reverse iteration
+                    # to agree with forward (src/filter_iterator.c:473-506).
+                    w = (
+                        Window.partitionBy("key")
+                        .orderBy("__bucket")
+                        .rowsBetween(Window.unboundedPreceding, 0)
+                    )
+                    locf = F.last(
+                        F.when(~invalid, F.col("last")), ignorenulls=True
+                    ).over(w)
+                    out = out.withColumn("last", locf)
+                conds = []
+                if set(aggs) - count_classes:
+                    conds.append(F.col("__n_valid") > 0)
+                if "count_nan" in aggs:
+                    # count_nan's own column IS the per-bucket NaN count
+                    conds.append(F.col("count_nan") > 0)
+                if "count_all" not in aggs:
+                    # count_all validates every sample, so its presence means
+                    # every sample-bearing bucket emits (no filter at all)
+                    pred = conds[0]
+                    for c in conds[1:]:
+                        pred = pred | c
+                    out = out.filter(pred)
+                # per-agg finalizeEmpty for aggregators whose own valid set is
+                # empty in an emitted bucket (finalize_empty_with_NAN / _ZERO;
+                # sum/count already fold to 0 in their builders)
+                out = out.withColumns(
+                    {
+                        sanitize(a): F.coalesce(
+                            F.col(sanitize(a)), F.lit(empty_value(a))
+                        )
+                        for a in aggs
+                        if a not in count_classes
+                    }
+                )
 
         out = out.select(
             "key",

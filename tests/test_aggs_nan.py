@@ -68,13 +68,21 @@ def test_all14_with_nans(samples_df):
     buckets = {}
     for _, ts, v in rows:
         buckets.setdefault(ts - ts % dur, []).append((ts, v))
+    # count_all is among the aggregators, so EVERY sample-bearing bucket
+    # emits (allValueValid sets validSamplesInBucket,
+    # src/filter_iterator.c:1286-1292); aggregators that saw nothing valid
+    # take finalizeEmpty, and `last` LOCF-carries the previous bucket's
+    # value (finalize_empty_last_value, src/compaction.c:81-84,115-121).
     expected = []
+    locf = NAN
     for b, pairs in sorted(buckets.items()):
-        if not any(not math.isnan(v) for _, v in pairs):
-            continue  # all-NaN bucket suppressed (src/filter_iterator.c:394)
-        expected.append(
-            ("k", b, *[py_agg(a, pairs) for a in AGGS])
-        )
+        vals = [py_agg(a, pairs) for a in AGGS]
+        i_last = AGGS.index("last")
+        if math.isnan(vals[i_last]):
+            vals[i_last] = locf
+        else:
+            locf = vals[i_last]
+        expected.append(("k", b, *vals))
     rows_match([tuple(r) for r in out], expected)
 
 
@@ -82,3 +90,51 @@ def test_all_nan_bucket_suppressed(samples_df):
     df = samples_df([("k", 0, 1.0), ("k", 10_000, NAN), ("k", 10_500, NAN)])
     out = ts_range(df, aggregations=["min"], bucket_dur=10_000).collect()
     assert [r.ts for r in out] == [0]
+
+
+def test_only_nan_bucket_emits_with_count_classes(samples_df):
+    """count_all / count_nan validate NaN samples (allValueValid /
+    nanValueValid, src/compaction.c:944-978), so their presence makes
+    only-NaN buckets emit, with finalizeEmpty for the other aggregators."""
+    df = samples_df(
+        [("k", 0, 1.0), ("k", 10_000, NAN), ("k", 10_500, NAN), ("k", 20_100, 7.0)]
+    )
+    out = {
+        r.ts: r
+        for r in ts_range(
+            df, aggregations=["count_all", "min", "last"], bucket_dur=10_000
+        ).collect()
+    }
+    assert set(out) == {0, 10_000, 20_000}
+    mid = out[10_000]
+    assert mid.count_all == 2.0
+    assert math.isnan(mid.min)  # finalizeEmpty NaN
+    assert mid.last == 1.0  # LOCF carry from bucket 0
+    assert out[0].last == 1.0 and out[20_000].last == 7.0
+
+
+def test_count_nan_only_emits_nan_buckets(samples_df):
+    """AGGREGATION count_nan alone: a NaN-free bucket validates no sample
+    for any requested aggregator -> not emitted."""
+    df = samples_df([("k", 0, 1.0), ("k", 10_000, NAN), ("k", 20_100, 3.0)])
+    out = ts_range(df, aggregations=["count_nan"], bucket_dur=10_000).collect()
+    assert [(r.ts, r.count_nan) for r in out] == [(10_000, 1.0)]
+
+
+def test_empty_mode_count_all_reports_real_count(samples_df):
+    """EMPTY: an only-NaN bucket reports count_all = its sample count (the
+    bucket is NOT shouldBucketIgnored when count_all validated samples);
+    true gap buckets report finalizeEmpty 0."""
+    df = samples_df(
+        [("k", 0, 1.0), ("k", 10_000, NAN), ("k", 30_000, 2.0)]
+    )
+    out = {
+        r.ts: r
+        for r in ts_range(
+            df, aggregations=["count_all", "sum"], bucket_dur=10_000, empty=True
+        ).collect()
+    }
+    assert set(out) == {0, 10_000, 20_000, 30_000}
+    assert out[10_000].count_all == 1.0  # only-NaN bucket: real count
+    assert out[20_000].count_all == 0.0  # gap bucket: finalizeEmpty
+    assert out[10_000].sum == 0.0 and out[20_000].sum == 0.0
