@@ -1,10 +1,16 @@
 """Bucket math, replicated exactly from the reference.
 
-Reference: CalcBucketStart (src/tsdb.h:84-99) —
+Reference: CalcBucketStart (src/tsdb.h:89-95) —
   bucket(ts) = ts - ((ts - align) mod dur)   with positive modulo,
-  clamped to >= 0.
+  UNCLAMPED: the internal bucket grid may start at a negative timestamp
+  (e.g. ALIGN later than an early sample).  BucketStartNormalize
+  (src/tsdb.h:97-99) clamps to >= 0 only when the bucket is *reported*
+  (filter_iterator.c:1071, module.c:922) — grouping, spine generation and
+  joins all run on the unclamped grid, otherwise the grid turns irregular
+  near 0 and real buckets collide into the clamped one.
 BUCKETTIMESTAMP (src/filter_iterator.c:42-55): reported timestamp is the
-bucket start ('-'), midpoint ('~', start + dur/2 integer), or end ('+').
+normalized bucket start ('-'), midpoint ('~', start + dur/2 integer), or
+end ('+') — the shift applies after normalization.
 ALIGN (src/tsdb.c:1392-1407): alignment = raw query start / query end /
 explicit timestamp (note: the *unclamped* query start, even when retention
 clamps the scan).
@@ -17,8 +23,15 @@ from pyspark.sql import functions as F
 
 
 def bucket_start(ts: Column, dur: int, align: int = 0) -> Column:
-    b = ts - F.pmod(ts - F.lit(align).cast("long"), F.lit(dur).cast("long"))
-    return F.greatest(F.lit(0).cast("long"), b)
+    """Unclamped bucket start (CalcBucketStart) — grouping key, NOT the
+    reported timestamp.  Use report_ts/normalize_bucket for output."""
+    return ts - F.pmod(ts - F.lit(align).cast("long"), F.lit(dur).cast("long"))
+
+
+def normalize_bucket(bucket: Column) -> Column:
+    """BucketStartNormalize (src/tsdb.h:97-99): clamp negative bucket
+    starts to 0 when reporting."""
+    return F.greatest(F.lit(0).cast("long"), bucket)
 
 
 def resolve_align(align, start_ts: int, end_ts: int) -> int:
@@ -31,28 +44,31 @@ def resolve_align(align, start_ts: int, end_ts: int) -> int:
 
 
 def report_ts(bucket: Column, dur: int, bucket_ts: str = "-") -> Column:
-    """Shift the reported bucket timestamp per BUCKETTIMESTAMP."""
+    """Normalize (clamp >= 0) then shift per BUCKETTIMESTAMP — the
+    reference normalizes before calc_bucket_ts (filter_iterator.c:1071 then
+    :42-55)."""
+    b = normalize_bucket(bucket)
     if bucket_ts in ("-", "start", "low"):
-        return bucket
+        return b
     if bucket_ts in ("~", "mid"):
-        return bucket + F.lit(dur // 2).cast("long")
+        return b + F.lit(dur // 2).cast("long")
     if bucket_ts in ("+", "end", "high"):
-        return bucket + F.lit(dur).cast("long")
+        return b + F.lit(dur).cast("long")
     raise ValueError(f"bad BUCKETTIMESTAMP {bucket_ts!r}")
 
 
 def bucket_sql(ts_expr: str, dur: int, align: int = 0) -> str:
-    """DuckDB-side expression mirroring bucket_start (positive pmod)."""
-    return (
-        f"GREATEST(0, {ts_expr} - ((({ts_expr} - {align}) % {dur} + {dur}) % {dur}))"
-    )
+    """DuckDB-side expression mirroring bucket_start (positive pmod,
+    unclamped grouping grid)."""
+    return f"({ts_expr} - ((({ts_expr} - {align}) % {dur} + {dur}) % {dur}))"
 
 
 def report_ts_sql(bucket_expr: str, dur: int, bucket_ts: str = "-") -> str:
+    b = f"GREATEST(0, {bucket_expr})"
     if bucket_ts in ("-", "start", "low"):
-        return bucket_expr
+        return b
     if bucket_ts in ("~", "mid"):
-        return f"({bucket_expr} + {dur // 2})"
+        return f"({b} + {dur // 2})"
     if bucket_ts in ("+", "end", "high"):
-        return f"({bucket_expr} + {dur})"
+        return f"({b} + {dur})"
     raise ValueError(f"bad BUCKETTIMESTAMP {bucket_ts!r}")
