@@ -44,13 +44,13 @@ def _store(spark: SparkSession, sf_dir: str) -> TSStore:
 
 def _raw(spark, sf_dir):
     """samples + event_id seq for write-path operators."""
-    from redistimeseries_spark.store import USER_BUCKETS, read_parquet
+    from redistimeseries_spark.store import USER_BUCKETS, epoch_ms, read_parquet
 
     ev = read_parquet(spark, f"{sf_dir}/events.parquet")
     key = F.concat_ws("_", "event_type", (F.col("user_id") % USER_BUCKETS).cast("string"))
     return ev.select(
         key.alias("key"),
-        F.expr("ts div 1000000").alias("ts"),
+        epoch_ms(ev).alias("ts"),
         F.col("value").cast("double").alias("value"),
         F.col("event_id").alias("seq"),
     )

@@ -22,11 +22,25 @@ USER_BUCKETS = 10
 
 
 def read_parquet(spark: SparkSession, path: str) -> DataFrame:
-    """Read driver testdata parquet.  The files carry TIMESTAMP(NANOS)
-    columns, which Spark only reads via the nanosAsLong legacy conf — the
-    column then surfaces as long nanoseconds since epoch."""
+    """Read driver testdata parquet.  Timestamp physical types have varied
+    across driver generations (TIMESTAMP(NANOS) → long nanos via the legacy
+    conf; TIMESTAMP(MICROS) without tz → TIMESTAMP_NTZ).  Session timezone
+    is pinned to UTC so NTZ wall-clock values convert to the same instants
+    DuckDB's epoch_ms computes on naive timestamps."""
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
     return spark.read.parquet(path)
+
+
+def epoch_ms(df: DataFrame, col: str = "ts"):
+    """Column expression converting `col` to epoch milliseconds, robust to
+    the dtype the parquet reader produced: bigint (legacy nanos), timestamp,
+    or timestamp_ntz (interpreted as UTC — session tz is pinned by
+    read_parquet, matching DuckDB `epoch_ms` on naive timestamps)."""
+    dt = dict(df.dtypes).get(col)
+    if dt == "bigint":
+        return F.expr(f"{col} div 1000000")
+    return F.expr(f"unix_micros(cast({col} AS timestamp)) div 1000")
 
 # DuckDB-side CTE producing the identical samples/labels views, used by
 # __spark_entry__.oracle_sql() so Spark and the oracle read the same model.
@@ -67,11 +81,9 @@ class TSStore:
     def from_events(cls, spark: SparkSession, sf_dir: str) -> "TSStore":
         ev = read_parquet(spark, f"{sf_dir}/events.parquet")
         key = F.concat_ws("_", "event_type", (F.col("user_id") % USER_BUCKETS).cast("string"))
-        # testdata timestamps are TIMESTAMP(NANOS) -> long nanos (see
-        # read_parquet); integer-div to epoch ms == DuckDB epoch_ms floor.
         samples = ev.select(
             key.alias("key"),
-            F.expr("ts div 1000000").alias("ts"),
+            epoch_ms(ev).alias("ts"),
             F.col("value").cast("double").alias("value"),
         )
         keys = ev.select(
