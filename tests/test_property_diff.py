@@ -72,8 +72,14 @@ def _one_agg(a, n_all, valid, locf):
     (src/compaction.c class tables; finalizeEmpty + LOCF for `last`)."""
     nv = len(valid)
     vs = [v for _, v in valid]
+    # count-class aggregators validate their own sample sets (nanValueValid /
+    # allValueValid, src/compaction.c:944-978) — defined even when nv == 0
+    if a == "count_nan":
+        return float(n_all - nv)
+    if a == "count_all":
+        return float(n_all)
     if nv == 0:
-        if a in ("sum", "count", "count_nan", "count_all"):
+        if a in ("sum", "count"):
             return 0.0
         if a == "last":
             return locf if locf is not None else NAN
@@ -90,10 +96,6 @@ def _one_agg(a, n_all, valid, locf):
         return math.fsum(vs) / nv
     if a == "count":
         return float(nv)
-    if a == "count_nan":
-        return float(n_all - nv)
-    if a == "count_all":
-        return float(n_all)
     if a == "first":
         return min(valid)[1]
     if a == "last":
@@ -130,7 +132,9 @@ def _range_oracle(rows, *, start, end, fts=None, fval=None, aggs=None,
         return out[:count] if count is not None else out
     buckets: dict[int, list] = {}
     for t, v in sel:
-        b = max(t - (t - align) % dur, 0)
+        # group on the UNCLAMPED grid (CalcBucketStart); clamp only at report
+        # (BucketStartNormalize) — mirrors functions/buckets.py
+        b = t - (t - align) % dur
         buckets.setdefault(b, []).append((t, v))
     if not buckets:
         return []
@@ -141,10 +145,20 @@ def _range_oracle(rows, *, start, end, fts=None, fval=None, aggs=None,
     for b in spine:
         samples = buckets.get(b, [])
         valid = [(t, v) for t, v in samples if not math.isnan(v)]
-        if not valid and not empty:
+        # validSamplesInBucket is per-aggregator (src/filter_iterator.c:1280-1291):
+        # a bucket emits iff ANY requested agg validates >=1 sample — count_nan
+        # validates NaN samples (nanValueValid), count_all validates every
+        # sample, everything else validates non-NaN samples.
+        def sees(a):
+            if a == "count_nan":
+                return len(samples) - len(valid) > 0
+            if a == "count_all":
+                return len(samples) > 0
+            return len(valid) > 0
+        if not empty and not any(sees(a) for a in aggs):
             continue
         out.append(
-            (b + shift, tuple(_one_agg(a, len(samples), valid, locf) for a in aggs))
+            (max(b, 0) + shift, tuple(_one_agg(a, len(samples), valid, locf) for a in aggs))
         )
         if valid:
             locf = max(valid)[1]
@@ -284,8 +298,11 @@ def test_groupby_reduce_matches_oracle(spark, data):
 
 
 def _bucket(ts: np.ndarray, dur: int, align: int) -> np.ndarray:
-    b = ts - (ts - align) % dur
-    return np.maximum(b, 0)
+    """Raw CalcBucketStart — UNCLAMPED, as the engine's internal __bucket
+    column: the TWA window of the (single possible) negative first bucket
+    is [0, raw_start + dur), not [0, dur) (filter_iterator.c:984-991 passes
+    BucketStartNormalize(raw) as ta but raw + dur as tb)."""
+    return ts - (ts - align) % dur
 
 
 @settings(
@@ -331,7 +348,8 @@ def test_twa_jvm_matches_kernel(spark, data):
         return
     b = _bucket(t, dur, align)
     ub, twa = _twa_kernel(t, v, b, dur, MIN_TS, MAX_TS)
-    exp = dict(zip(ub.tolist(), twa.tolist()))
+    # reported keys are BucketStartNormalize(raw) — clamp for comparison
+    exp = {max(int(k), 0): x for k, x in zip(ub.tolist(), twa.tolist())}
     assert set(got) == set(exp), (sorted(got), sorted(exp))
     for bk in exp:
         assert feq(got[bk], exp[bk], tol=1e-9), (bk, got[bk], exp[bk], dur, align)
