@@ -377,11 +377,29 @@ class TimeSeriesEngine:
         repl = self.spark.createDataFrame(rows, "key string, ts long, value double")
         return out.filter(~F.col("key").isin(hit)).unionByName(repl)
 
-    def mrange(self, filters: list[str], from_ts="-", to_ts="+", **kw) -> DataFrame:
+    def _samples_with_dests(self, latest: bool) -> DataFrame:
+        """samples + materialized compaction-destination series: the
+        reference's multi-series pipeline iterates dest series like any
+        other (src/module.c:624-688 plumbs `latest` via RangeArgs), and
+        LATEST finalizes each dest's open bucket on the fly
+        (src/tsdb.c:1468-1501)."""
+        df = self.samples
+        for r in self.rules:
+            dest = materialize_rule(
+                self.samples.filter(F.col("key") == r.src_key),
+                CompactionRule(None, "", r.agg, r.bucket_ms, r.align_ts),
+                include_open=latest,
+            ).withColumn("key", F.lit(r.dest_key))
+            df = df.unionByName(dest)
+        return df
+
+    def mrange(self, filters: list[str], from_ts="-", to_ts="+",
+               latest: bool = False, **kw) -> DataFrame:
         if "bucket_dur" in kw:
             kw["bucket_dur"] = parse_duration_ms(kw["bucket_dur"])
+        samples = self._samples_with_dests(latest) if self.rules else self.samples
         return ts_mrange(
-            self.samples, self.labels_df, filters,
+            samples, self.labels_df, filters,
             self._resolve_ts(from_ts), self._resolve_ts(to_ts), **kw,
         )
 

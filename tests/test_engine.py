@@ -157,6 +157,19 @@ def test_mget_latest_on_compaction_dest(eng):
     assert latest["dst"] == (1000, 10.0)
 
 
+def test_mrange_latest_on_compaction_dest(eng):
+    """MRANGE sees dest series (src/module.c:624-688); LATEST finalizes the
+    open bucket (src/tsdb.c:1468-1501)."""
+    eng.create("src", labels={"kind": "raw"})
+    eng.create("dst", labels={"kind": "agg"})
+    eng.create_rule("src", "dst", "avg", 1000)
+    eng.madd([("src", 0, 1.0), ("src", 500, 3.0), ("src", 1500, 10.0)])
+    closed = [(r.ts, r.value) for r in eng.mrange(["kind=agg"]).collect()]
+    assert closed == [(0, 2.0)]  # open bucket 1000 excluded by default
+    latest = [(r.ts, r.value) for r in eng.mrange(["kind=agg"], latest=True).collect()]
+    assert latest == [(0, 2.0), (1000, 10.0)]
+
+
 def test_queryindex_querylabels(eng):
     eng.create("a", labels={"t": "x", "r": "eu"})
     eng.create("b", labels={"t": "y", "r": "eu"})
