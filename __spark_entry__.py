@@ -1230,7 +1230,7 @@ def _pipeline_oracles() -> dict[str, str]:
               ON a.band = b.band AND a.band_key = b.band_key AND a.doc_id < b.doc_id""",
         "dl_simhash": f"""WITH toks AS (
               SELECT doc_id, t.tok FROM documents, unnest({words}) AS t(tok))
-            SELECT doc_id, CAST({simhash_expr_sql(16, 'tok')} AS BIGINT) AS simhash
+            SELECT doc_id, CAST({simhash_expr_sql(64, 'tok')} AS BIGINT) AS simhash
             FROM toks GROUP BY doc_id""",
         "dl_ngram_jaccard": f"""WITH {NEAR_CORPUS_SQL},
             w AS (SELECT doc_id, {words} AS ws FROM corpus),

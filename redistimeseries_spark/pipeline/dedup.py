@@ -8,13 +8,20 @@ Scale shapes:
   * minhash LSH — shingle explode -> per-(doc, hashfn) min -> band keys ->
                   self-join on band bucket.  The band join replaces the
                   O(n^2) pairwise compare with a join keyed on equal band
-                  signatures; at 100 TB add banding salt + length bucketing
-                  to bound bucket skew (AQE skew-join handles stragglers).
-  * simhash     — token explode -> 16 weighted-bit sums -> fingerprint;
+                  signatures; buckets above `max_bucket` (giant
+                  near-identical clusters) switch to star expansion — each
+                  member pairs with the bucket's min doc_id only, so output
+                  stays linear while connected-components still recovers
+                  the full cluster.  AQE skew-join handles partition-level
+                  stragglers below the cap.
+  * simhash     — token explode -> 64 weighted-bit sums -> fingerprint;
                   near-dups = fingerprints at small Hamming distance (the
                   bucket key here is the fingerprint itself).
   * ngram jaccard — shingle-join candidate pairs + exact Jaccard verify,
-                  the verify runs only on pairs sharing >=1 shingle.
+                  the verify runs only on pairs sharing >=1 shingle; grams
+                  shared by more than `max_doc_freq` docs are cut before
+                  the self-join (the standard df-cut — one boilerplate gram
+                  otherwise makes the candidate join quadratic on its key).
   * embedding   — cosine pairs within a coarse bucket (label / LSH sign
                   bits), avoiding the all-pairs product.
 """
@@ -116,10 +123,23 @@ def minhash_signatures(
 
 
 def minhash_lsh_pairs(
-    docs: DataFrame, num_hashes: int = 8, bands: int = 4, k: int = 5
+    docs: DataFrame,
+    num_hashes: int = 8,
+    bands: int = 4,
+    k: int = 5,
+    max_bucket: int = 4096,
 ) -> DataFrame:
     """Candidate near-duplicate pairs (doc_a < doc_b) sharing at least one
-    LSH band (rows-per-band = num_hashes / bands)."""
+    LSH band (rows-per-band = num_hashes / bands).
+
+    Buckets with more than `max_bucket` members — giant near-identical
+    clusters (boilerplate pages, empty docs) — would emit O(m^2) pairs from
+    the self-join; they switch to star expansion instead: every member
+    pairs with the bucket's min doc_id only.  Output stays linear in bucket
+    size and connected_components recovers exactly the same clusters, which
+    is what the candidate pairs exist for."""
+    from pyspark.sql import Window
+
     rows = num_hashes // bands
     sig = minhash_signatures(docs, num_hashes, k)
     band = (
@@ -127,44 +147,54 @@ def minhash_lsh_pairs(
         .groupBy("doc_id", "band")
         .agg(F.concat_ws("|", F.sort_array(F.collect_list("minhash"))).alias("band_key"))
     )
-    a = band.alias("a")
-    b = band.alias("b")
-    return (
-        a.join(
-            b,
-            (F.col("a.band") == F.col("b.band"))
-            & (F.col("a.band_key") == F.col("b.band_key"))
-            & (F.col("a.doc_id") < F.col("b.doc_id")),
-        )
-        .select(
-            F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
-        )
-        .distinct()
+    w = Window.partitionBy("band", "band_key")
+    band = band.withColumn("__bsz", F.count(F.lit(1)).over(w)).withColumn(
+        "__rep", F.min("doc_id").over(w)
     )
+    small = band.filter(F.col("__bsz") <= max_bucket)
+    a = small.alias("a")
+    b = small.alias("b")
+    all_pairs = a.join(
+        b,
+        (F.col("a.band") == F.col("b.band"))
+        & (F.col("a.band_key") == F.col("b.band_key"))
+        & (F.col("a.doc_id") < F.col("b.doc_id")),
+    ).select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+    star = band.filter(
+        (F.col("__bsz") > max_bucket) & (F.col("doc_id") != F.col("__rep"))
+    ).select(F.col("__rep").alias("doc_a"), F.col("doc_id").alias("doc_b"))
+    return all_pairs.union(star).distinct()
 
 
 def _nibble(expr: str) -> str:
     return f"(instr('0123456789abcdef', {expr}) - 1)"
 
 
-def simhash_expr_sql(bits: int = 16, tok: str = "tok") -> str:
+def simhash_expr_sql(bits: int = 64, tok: str = "tok") -> str:
     """SQL fragment: SUM over exploded tokens -> simhash fingerprint.
     Bit b uses hex digit b//4 of md5(token), bit b%4; each token occurrence
     votes +1/-1; bit set iff the sum is positive.  Valid in both Spark SQL
-    and DuckDB (md5/substr/instr/floor arithmetic only)."""
+    and DuckDB (md5/substr/instr/floor arithmetic only).  bits=64 packs
+    into a signed int64 — bit 63 is the sign bit, so its weight is the
+    int64 minimum (two's complement; written as an expression because
+    neither parser takes the literal directly)."""
+    if not 1 <= bits <= 64:
+        raise ValueError("simhash bits must be in [1, 64]")
     terms = []
     for b in range(bits):
         nib = _nibble(f"substr(md5({tok}), {b // 4 + 1}, 1)")
         bit = f"(CAST(floor({nib} / {2 ** (b % 4)}) AS INT) % 2)"
+        weight = str(2**b) if b < 63 else "(-9223372036854775807 - 1)"
         terms.append(
             f"(CASE WHEN sum(CASE WHEN {bit} = 1 THEN 1 ELSE -1 END) > 0"
-            f" THEN {2 ** b} ELSE 0 END)"
+            f" THEN {weight} ELSE 0 END)"
         )
     return " + ".join(terms)
 
 
-def simhash(docs: DataFrame, bits: int = 16) -> DataFrame:
-    """(doc_id, simhash) — 16-bit simhash over word tokens."""
+def simhash(docs: DataFrame, bits: int = 64) -> DataFrame:
+    """(doc_id, simhash) — 64-bit simhash over word tokens (16 bits
+    collision-swamps at corpus scale: birthday bound ~2^8 docs)."""
     toks = docs.select("doc_id", F.explode(_words()).alias("tok"))
     return toks.groupBy("doc_id").agg(
         F.expr(simhash_expr_sql(bits)).cast("long").alias("simhash")
@@ -186,23 +216,38 @@ def word_ngrams(docs: DataFrame, n: int = 3) -> DataFrame:
 
 
 def ngram_jaccard_pairs(
-    docs: DataFrame, n: int = 3, threshold: float = 0.4
+    docs: DataFrame, n: int = 3, threshold: float = 0.4, max_doc_freq: int = 10_000
 ) -> DataFrame:
     """Exact n-gram Jaccard over candidate pairs that share >=1 gram.
-    Returns (doc_a, doc_b, jaccard >= threshold)."""
+    Returns (doc_a, doc_b, jaccard >= threshold).
+
+    Scale shape: per-doc gram counts ride the gram rows through the
+    self-join (no driver-side broadcast of a |docs|-row table; the joins
+    that remain are key-partitioned and AQE picks their strategy), and
+    grams shared by more than `max_doc_freq` documents are cut before the
+    self-join — one boilerplate gram shared by millions of docs would
+    otherwise make the candidate join quadratic on that key.  The cut
+    removes the gram from both the intersection and the sizes, so the
+    Jaccard stays exact over the retained gram vocabulary."""
     g = word_ngrams(docs, n)
+    hot = (
+        g.groupBy("gram")
+        .agg(F.count(F.lit(1)).alias("__df"))
+        .filter(F.col("__df") > max_doc_freq)
+        .select("gram")
+    )
+    g = g.join(hot, "gram", "left_anti")
     sizes = g.groupBy("doc_id").agg(F.count(F.lit(1)).alias("sz"))
-    a, b = g.alias("a"), g.alias("b")
-    inter = (
+    gsz = g.join(sizes, "doc_id")
+    a, b = gsz.alias("a"), gsz.alias("b")
+    return (
         a.join(b, (F.col("a.gram") == F.col("b.gram")) & (F.col("a.doc_id") < F.col("b.doc_id")))
         .groupBy(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
-        .agg(F.count(F.lit(1)).alias("inter"))
-    )
-    sa = sizes.select(F.col("doc_id").alias("doc_a"), F.col("sz").alias("sza"))
-    sb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("sz").alias("szb"))
-    return (
-        inter.join(F.broadcast(sa), "doc_a")
-        .join(F.broadcast(sb), "doc_b")
+        .agg(
+            F.count(F.lit(1)).alias("inter"),
+            F.first("a.sz").alias("sza"),
+            F.first("b.sz").alias("szb"),
+        )
         .withColumn(
             "jaccard",
             F.col("inter") / (F.col("sza") + F.col("szb") - F.col("inter")),

@@ -38,12 +38,41 @@ def test_minhash_finds_near_dup(docs):
     assert (1, 2) not in pairs
 
 
+MASK64 = (1 << 64) - 1
+
+
+def _ham(a, b):
+    return bin((a ^ b) & MASK64).count("1")
+
+
 def test_simhash_near_dup_close(docs):
     h = {r.doc_id: r.simhash for r in simhash(docs).collect()}
     assert h[1] == h[3]
-    ham_14 = bin(h[1] ^ h[4]).count("1")
-    ham_12 = bin(h[1] ^ h[2]).count("1")
-    assert ham_14 < ham_12
+    assert _ham(h[1], h[4]) < _ham(h[1], h[2])
+
+
+def test_simhash_64bit_separation(docs):
+    """64-bit fingerprints: unrelated docs land far apart (a 16-bit
+    fingerprint collision-swamps at ~2^8 docs — the reason for widening),
+    near-dups stay within a small Hamming radius."""
+    h = {r.doc_id: r.simhash for r in simhash(docs).collect()}
+    assert all(-(1 << 63) <= v < (1 << 63) for v in h.values())
+    assert _ham(h[1], h[4]) <= 16  # one-word edit
+    assert _ham(h[1], h[2]) >= 20  # unrelated content
+
+
+def test_minhash_star_expansion_caps_giant_buckets(spark):
+    """Buckets above max_bucket emit member->representative star pairs
+    (linear) instead of all pairs (quadratic); components are identical."""
+    rows = [(i, "same boilerplate text repeated everywhere forever") for i in range(1, 7)]
+    d = spark.createDataFrame(rows, "doc_id long, text string")
+    full = {(r.doc_a, r.doc_b) for r in minhash_lsh_pairs(d).collect()}
+    star = {(r.doc_a, r.doc_b) for r in minhash_lsh_pairs(d, max_bucket=3).collect()}
+    assert full == {(a, b) for a in range(1, 7) for b in range(a + 1, 7)}
+    assert star == {(1, b) for b in range(2, 7)}  # min doc_id is the hub
+    comp = {r.doc_id: r.component for r in connected_components(
+        spark.createDataFrame(sorted(star), "doc_a long, doc_b long")).collect()}
+    assert comp == {i: 1 for i in range(1, 7)}
 
 
 def test_jaccard_exact(docs):
@@ -52,6 +81,25 @@ def test_jaccard_exact(docs):
     assert out[(1, 3)] == 1.0
     assert 0.1 <= out[(1, 4)] < 1.0
     assert (1, 2) not in out
+
+
+def test_jaccard_no_forced_broadcast(docs):
+    """Per-doc size tables must not carry a driver-side broadcast hint —
+    at corpus scale they are |docs| rows; AQE picks the join strategy."""
+    plan = ngram_jaccard_pairs(docs)._jdf.queryExecution().analyzed().toString()
+    assert "ResolvedHint" not in plan
+
+
+def test_jaccard_df_cut(spark):
+    """Grams above max_doc_freq leave both intersection and sizes."""
+    rows = [(1, "alpha beta gamma delta one"),
+            (2, "alpha beta gamma delta two"),
+            (3, "alpha beta gamma delta three")]
+    d = spark.createDataFrame(rows, "doc_id long, text string")
+    with_cut = ngram_jaccard_pairs(d, n=3, threshold=0.01, max_doc_freq=2).collect()
+    assert with_cut == []  # every shared gram has df=3 and is cut
+    without = ngram_jaccard_pairs(d, n=3, threshold=0.01).collect()
+    assert len(without) == 3  # all pairs share the boilerplate grams
 
 
 def test_cosine_topk_finds_twin(spark):
