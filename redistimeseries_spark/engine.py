@@ -424,12 +424,17 @@ class TimeSeriesEngine:
         """Batch TS.READ: samples with ts >= cursor ascending; returns
         (rows, next_cursor).  Empty (not partial) below min_count — the
         blocking variant is streaming/tail_read.py."""
+        from redistimeseries_spark.streaming.ingest import DEFAULT_READ_CAP
+
         start = 0 if cursor == "-" else self._resolve_ts(cursor, key)
-        df = (
+        # always a bounded take — TS.READ is a cursor protocol, so the cap
+        # is a page boundary; an uncapped collect on a lagging cursor would
+        # materialize the whole suffix on the driver
+        rows = (
             self.samples.filter((F.col("key") == key) & (F.col("ts") >= start))
             .orderBy("ts")
+            .take(max(min_count, max_count or DEFAULT_READ_CAP))
         )
-        rows = df.take(max_count) if max_count else df.collect()
         if len(rows) < min_count:
             return [], cursor
         return [(r.ts, r.value) for r in rows], (rows[-1].ts + 1 if rows else cursor)

@@ -39,6 +39,10 @@ from redistimeseries_spark.streaming.compaction import CompactionRule
 from redistimeseries_spark.functions.aggs import agg_expr
 from redistimeseries_spark.write.dup_policy import resolve_duplicates
 
+# page size for reads with no explicit max_count — TS.READ is a cursor
+# protocol, so a cap is a page boundary, not a truncation
+DEFAULT_READ_CAP = 10_000
+
 SAMPLES_SCHEMA = "key string, ts long, value double"
 
 
@@ -260,13 +264,17 @@ def tail_read(
     store's micro-batch output; on timeout flush whatever qualifies
     (possibly empty).  Returns (rows, next_cursor)."""
     deadline = time.monotonic() + timeout_s
+    # never an unbounded collect in a poll loop: a lagging cursor would
+    # re-materialize the whole suffix every poll_s; the cap bounds each
+    # poll and the advancing cursor lets callers drain in pages
+    cap = max(min_count, max_count or DEFAULT_READ_CAP)
     while True:
-        df = (
+        rows = (
             store.samples()
             .filter((F.col("key") == key) & (F.col("ts") >= cursor))
             .orderBy("ts")
+            .take(cap)
         )
-        rows = df.take(max_count) if max_count else df.collect()
         if len(rows) >= min_count or time.monotonic() >= deadline:
             out = [(r.ts, r.value) for r in rows]
             return out, (out[-1][0] + 1 if out else cursor)

@@ -57,30 +57,77 @@ def affected_buckets(deleted: DataFrame, bucket_ms: int, align: int = 0) -> Data
     ).distinct()
 
 
+def _kept_chain(
+    t: np.ndarray,
+    v: np.ndarray,
+    max_time_diff: int,
+    max_val_diff: float,
+    anchor_t: int | None = None,
+    anchor_v: float | None = None,
+    upsert_passthrough: bool = False,
+) -> np.ndarray:
+    """Boolean keep-mask of the reference kept-chain (src/module.c:986-998):
+    a sample is dropped iff it is within BOTH diffs of the previously KEPT
+    sample.  anchor_t/anchor_v seed the chain (streaming continuation across
+    micro-batches); with upsert_passthrough, rows at ts <= current anchor
+    pass through kept without becoming the anchor (the upsert path is not
+    guarded by IGNORE, src/module.c:1000-1023).
+
+    The chain is sequential in its anchors, but between two anchors every
+    comparison is against the SAME anchor — so the scan from each anchor is
+    a vectorized numpy window, grown geometrically until the next
+    breakpoint appears.  Work is ~O(n) with a 64-wide constant instead of
+    per-row Python."""
+    n = len(t)
+    keep = np.zeros(n, dtype=bool)
+    i = 0
+    have = anchor_t is not None
+    at = int(anchor_t) if have else 0
+    av = float(anchor_v) if have else 0.0
+    while i < n:
+        if not have:
+            keep[i] = True
+            at, av, have = int(t[i]), float(v[i]), True
+            i += 1
+            continue
+        j, step, nxt = i, 64, -1
+        while j < n:
+            hi = min(n, j + step)
+            seg_t = t[j:hi]
+            brk = (seg_t - at > max_time_diff) | (np.abs(v[j:hi] - av) > max_val_diff)
+            if upsert_passthrough:
+                newer = seg_t > at
+                brk &= newer
+                passthrough = ~newer
+            else:
+                passthrough = np.zeros(hi - j, dtype=bool)
+            if brk.any():
+                w = int(np.argmax(brk))
+                keep[j : j + w][passthrough[:w]] = True
+                nxt = j + w
+                break
+            keep[j:hi][passthrough] = True
+            j = hi
+            step *= 2
+        if nxt < 0:
+            break
+        keep[nxt] = True
+        at, av = int(t[nxt]), float(v[nxt])
+        i = nxt + 1
+    return keep
+
+
 def ignore_filter(
     samples: DataFrame, max_time_diff: int, max_val_diff: float
 ) -> DataFrame:
     """Sequentially drop near-identical consecutive samples per key
     (kept-sample semantics, src/module.c:986-998)."""
-    if max_time_diff <= 0 and max_val_diff <= 0:
-        # fast path: exact-consecutive-duplicate only comparison is still
-        # sequential; fall through to the kernel for correctness
-        pass
 
     def fn(pdf: pd.DataFrame) -> pd.DataFrame:
         pdf = pdf.sort_values("ts")
         t = pdf["ts"].to_numpy(np.int64)
         v = pdf["value"].to_numpy(np.float64)
-        keep = np.ones(len(t), dtype=bool)
-        last_t, last_v = None, None
-        for i in range(len(t)):
-            if last_t is not None and (
-                t[i] - last_t <= max_time_diff and abs(v[i] - last_v) <= max_val_diff
-            ):
-                keep[i] = False
-            else:
-                last_t, last_v = t[i], v[i]
-        return pdf[keep]
+        return pdf[_kept_chain(t, v, max_time_diff, max_val_diff)]
 
     return samples.groupBy("key").applyInPandas(
         fn, samples.schema
@@ -108,28 +155,18 @@ def ignore_filter_seeded(
     ).withColumn("__seed", F.lit(True))
 
     def fn(pdf: pd.DataFrame) -> pd.DataFrame:
-        pdf = pdf.sort_values(["__seed", "ts"], ascending=[False, True])
-        t = pdf["ts"].to_numpy(np.int64)
-        v = pdf["value"].to_numpy(np.float64)
+        pdf = pdf.sort_values("ts")
         seeded = pdf["__seed"].to_numpy(bool)
-        keep = np.ones(len(t), dtype=bool)
-        last_t, last_v = None, None
-        for i in range(len(t)):
-            if seeded[i]:
-                last_t, last_v = t[i], v[i]
-                keep[i] = False
-                continue
-            if last_t is not None and t[i] <= last_t:
-                # ts <= lastTimestamp takes the upsert path, which the
-                # ignore filter does not guard (src/module.c:1000-1023)
-                continue
-            if last_t is not None and (
-                t[i] - last_t <= max_time_diff and abs(v[i] - last_v) <= max_val_diff
-            ):
-                keep[i] = False
-            else:
-                last_t, last_v = t[i], v[i]
-        return pdf[keep]
+        sd, body = pdf[seeded], pdf[~seeded]
+        t = body["ts"].to_numpy(np.int64)
+        v = body["value"].to_numpy(np.float64)
+        at = int(sd["ts"].iloc[0]) if len(sd) else None
+        av = float(sd["value"].iloc[0]) if len(sd) else None
+        return body[
+            _kept_chain(
+                t, v, max_time_diff, max_val_diff, at, av, upsert_passthrough=True
+            )
+        ]
 
     return (
         b.unionByName(s)

@@ -125,6 +125,22 @@ def test_read_cursor(eng):
     assert rows4 == []
 
 
+def test_read_pages_without_max_count(eng, monkeypatch):
+    """No max_count never means an unbounded collect: reads page at
+    DEFAULT_READ_CAP and the cursor drains the rest."""
+    import redistimeseries_spark.streaming.ingest as ingest
+
+    monkeypatch.setattr(ingest, "DEFAULT_READ_CAP", 3)
+    eng.create("pg")
+    eng.madd([("pg", i * 10, float(i)) for i in range(7)])
+    rows, cur = eng.read("pg")
+    assert [t for t, _ in rows] == [0, 10, 20]  # one page, not the suffix
+    rows2, cur2 = eng.read("pg", cursor=cur)
+    assert [t for t, _ in rows2] == [30, 40, 50]
+    rows3, _ = eng.read("pg", cursor=cur2)
+    assert [t for t, _ in rows3] == [60]
+
+
 def test_del_cascades_into_rule_dest(eng):
     # ContinuousDeletion (src/tsdb.c:772-793): deleting src samples must be
     # reflected in the rule destination. Dest materializes from src on read,

@@ -297,6 +297,44 @@ def test_groupby_reduce_matches_oracle(spark, data):
         assert feq(got[k], exp[k], tol=1e-9), (k, got[k], exp[k], reduce)
 
 
+@settings(max_examples=60, deadline=None)
+@given(data=st.data())
+def test_kept_chain_kernel_matches_sequential(data):
+    """The vectorized geometric-window kept-chain (write/mutate._kept_chain)
+    vs the literal per-row reference loop (src/module.c:986-1023) on random
+    series, seeds, and diff thresholds — pure numpy, no Spark session."""
+    from redistimeseries_spark.write.mutate import _kept_chain
+
+    n = data.draw(st.integers(0, 200))
+    ts = sorted(data.draw(st.lists(st.integers(0, 500), min_size=n, max_size=n)))
+    vs = [data.draw(st.floats(-10, 10, allow_nan=False)) for _ in range(n)]
+    mtd = data.draw(st.integers(0, 30))
+    mvd = data.draw(st.floats(0, 5, allow_nan=False))
+    seeded = data.draw(st.booleans())
+    passthrough = data.draw(st.booleans())
+    at = data.draw(st.integers(0, 500)) if seeded else None
+    av = data.draw(st.floats(-10, 10, allow_nan=False)) if seeded else None
+
+    t = np.asarray(ts, np.int64)
+    v = np.asarray(vs, np.float64)
+    got = _kept_chain(t, v, mtd, mvd, at, av, upsert_passthrough=passthrough)
+
+    exp = np.zeros(n, dtype=bool)
+    last_t, last_v = at, av
+    for i in range(n):
+        if passthrough and last_t is not None and ts[i] <= last_t:
+            exp[i] = True  # upsert path, anchor unchanged
+            continue
+        if last_t is not None and (
+            ts[i] - last_t <= mtd and abs(vs[i] - last_v) <= mvd
+        ):
+            exp[i] = False
+        else:
+            exp[i] = True
+            last_t, last_v = ts[i], vs[i]
+    assert got.tolist() == exp.tolist(), (ts, vs, mtd, mvd, at, av, passthrough)
+
+
 def _bucket(ts: np.ndarray, dur: int, align: int) -> np.ndarray:
     """Raw CalcBucketStart — UNCLAMPED, as the engine's internal __bucket
     column: the TWA window of the (single possible) negative first bucket
