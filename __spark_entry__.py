@@ -542,7 +542,7 @@ def q_mrange_groupby_avg(spark, sf_dir):
     return ts_mrange(
         st.samples, st.labels, ["type=(click,view)"], D14, D21,
         aggregations=["avg"], bucket_dur=2 * H,
-        groupby="parity", reduce="avg",
+        groupby="parity", reduce="avg", with_labels_flag=True,
     )
 
 
@@ -1435,13 +1435,22 @@ def _base_oracles() -> dict[str, str]:
                 AND key IN (SELECT key FROM labels WHERE label='type'
                             AND value IN ('click','view'))
               GROUP BY 1, 2
-              HAVING count(CASE WHEN NOT isnan(value) THEN 1 END) > 0)
+              HAVING count(CASE WHEN NOT isnan(value) THEN 1 END) > 0),
+            members AS (
+              SELECT l.value AS grp, string_agg(k.key, ',' ORDER BY k.key) AS src
+              FROM (SELECT DISTINCT key FROM labels WHERE label='type'
+                    AND value IN ('click','view')) k
+              JOIN (SELECT key, value FROM labels WHERE label='parity') l
+                ON k.key = l.key
+              GROUP BY 1)
             SELECT 'parity=' || l.value AS key, per.ts,
                    coalesce(avg(CASE WHEN NOT isnan(per.avg) THEN per.avg END),
-                            'NaN'::DOUBLE) AS avg
+                            'NaN'::DOUBLE) AS avg,
+                   'avg' AS __reducer__, m.src AS __source__
             FROM per JOIN (SELECT key, value FROM labels WHERE label='parity') l
               ON per.key = l.key
-            GROUP BY 1, 2""",
+            JOIN members m ON m.grp = l.value
+            GROUP BY 1, 2, 4, 5""",
         "ts_mrange_groupby_empty": f"""{ORACLE_PREFIX},
             s AS (SELECT key, ts, value, {bucket_sql('ts', 6 * H, 0)} AS b
                   FROM samples

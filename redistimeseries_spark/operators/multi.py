@@ -39,17 +39,29 @@ def ts_mget(
     filters: list[str],
     selected_labels: list[str] | None = None,
     with_labels_flag: bool = False,
+    latest_table: DataFrame | None = None,
 ) -> DataFrame:
     """Last sample of every matching series: (key, ts, value [, labels...]).
 
     Reference replies the last *raw* sample (src/module.c:2132-2265);
-    NaN values are legal last samples, so no NaN filtering here."""
+    NaN values are legal last samples, so no NaN filtering here.
+
+    latest_table: an ingest-maintained (key, ts, value) last-sample table
+    (streaming/ingest.StreamingStore maintains one per micro-batch); when
+    given, MGET is a semi-join against |keys| rows — the analogue of the
+    reference's O(1) series->lastSample read — instead of a full samples
+    scan (7-23 s vs 1.0 s at 100M rows, BASELINE.md)."""
     keys = matched_keys(labels, filters)
-    df = samples.join(F.broadcast(keys), "key", "left_semi")
-    out = df.groupBy("key").agg(
-        F.max("ts").alias("ts"),
-        F.max_by("value", "ts").alias("value"),
-    )
+    if latest_table is not None:
+        out = latest_table.select("key", "ts", "value").join(
+            F.broadcast(keys), "key", "left_semi"
+        )
+    else:
+        df = samples.join(F.broadcast(keys), "key", "left_semi")
+        out = df.groupBy("key").agg(
+            F.max("ts").alias("ts"),
+            F.max_by("value", "ts").alias("value"),
+        )
     if with_labels_flag or selected_labels is not None:
         out = with_labels(out, labels, selected_labels)
     return out
@@ -150,17 +162,21 @@ def ts_mrange(
         rexpr = builder(F.col(vcol), F.col("ts"))
     if not reduce.startswith("count"):
         rexpr = F.coalesce(rexpr, F.lit(float("nan")))
-    red = (
-        joined.groupBy("__grpval", "ts")
-        .agg(
-            rexpr.alias(vcol),
-            F.sort_array(F.collect_set("key")).alias("__sources"),
-        )
-        .select(
-            F.concat(F.lit(groupby + "="), F.col("__grpval")).alias("key"),
-            "ts",
-            vcol,
-            "__sources",
-        )
+    red = joined.groupBy("__grpval", "ts").agg(rexpr.alias(vcol))
+    name = F.concat(F.lit(groupby + "="), F.col("__grpval")).alias("key")
+    if not with_labels_flag:
+        return red.select(name, "ts", vcol)
+    # synthetic-series labels (createReducedSeriesLabels,
+    # src/resultset.c:125-143 + 200-215): __reducer__ is the reducer name,
+    # __source__ the comma-joined keys of ALL group members (the whole
+    # matched group, not per-timestamp contributors); sorted here for
+    # determinism where the reference follows index iteration order.  The
+    # membership table is one row per group — broadcast.
+    members = (
+        keys.join(F.broadcast(grp_lbl), "key")
+        .groupBy("__grpval")
+        .agg(F.concat_ws(",", F.sort_array(F.collect_set("key"))).alias("__source__"))
     )
-    return red.drop("__sources") if not with_labels_flag else red
+    return red.join(F.broadcast(members), "__grpval").select(
+        name, "ts", vcol, F.lit(reduce).alias("__reducer__"), "__source__"
+    )

@@ -132,3 +132,21 @@ def test_groupby_fused_plan_single_shuffle(spark, labels, samples_df):
     assert hash_exchanges(_gb(df, labels, "sum", "avg", True)) == two_stage
     # per-series COUNT limit depends on series identity -> no fusion
     assert hash_exchanges(_gb(df, labels, "sum", "sum", True, count=5)) >= two_stage
+
+
+def test_mget_latest_table_path_matches_scan(spark, labels):
+    """ts_mget answered from an ingest-maintained latest table must equal
+    the samples-scan path (the O(|keys|) vs O(rows) trade, multi.py)."""
+    from pyspark.sql import functions as F
+
+    from redistimeseries_spark.operators.multi import ts_mget
+
+    rows = [("a", 1, 1.0), ("a", 9, 5.0), ("b", 3, 2.0), ("c", 2, 7.0), ("c", 8, NAN)]
+    samples = spark.createDataFrame(rows, "key string, ts long, value double")
+    latest = samples.groupBy("key").agg(
+        F.max("ts").alias("ts"), F.max_by("value", "ts").alias("value")
+    )
+    scan = {(r.key, r.ts) for r in ts_mget(samples, labels, ["region=eu"]).collect()}
+    fast = {(r.key, r.ts) for r in
+            ts_mget(samples, labels, ["region=eu"], latest_table=latest).collect()}
+    assert scan == fast == {("a", 9), ("c", 8)}
