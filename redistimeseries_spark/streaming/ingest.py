@@ -45,6 +45,18 @@ DEFAULT_READ_CAP = 10_000
 
 SAMPLES_SCHEMA = "key string, ts long, value double"
 
+# physical partitioning of the maintained tables: `latest` is hash-bucketed
+# by key, rule dests are day-partitioned by bucket ts — so a micro-batch
+# rewrites only the partitions its keys/buckets fall in (dynamic partition
+# overwrite), never the whole table.  Delta MERGE is the managed drop-in;
+# this is the same access pattern on raw parquet.
+LATEST_BUCKETS = 64
+DAY_MS = 86_400_000
+
+
+def _pk(col):
+    return F.pmod(F.hash(col), F.lit(LATEST_BUCKETS))
+
 
 @dataclass
 class StreamingStore:
@@ -81,6 +93,15 @@ class StreamingStore:
             self.spark.createDataFrame([], schema).schema
         ).parquet(path)
 
+    def _raw(self, path, partition_col: str) -> DataFrame:
+        """Read a partitioned maintained table WITH its partition column
+        (discovered from the directory layout), empty-safe."""
+        if not os.path.isdir(path):
+            return self.spark.createDataFrame(
+                [], SAMPLES_SCHEMA + f", {partition_col} int"
+            )
+        return self.spark.read.parquet(path)
+
     # ---- the foreachBatch body ------------------------------------------
     def process_batch(self, batch: DataFrame, batch_id: int):
         spark = self.spark
@@ -113,17 +134,29 @@ class StreamingStore:
             ).persist()
         # 1. append to the log (arrival order preserved via seq)
         batch.write.mode("append").parquet(self.log_dir)
-        # 2. latest table: old ∪ batch -> max_by (tiny rewrite)
-        latest_schema = "key string, ts long, value double"
-        old = self._read(self.latest_dir, latest_schema)
+        # 2. latest table: PARTITION-SCOPED upsert.  Only the <=64 hash
+        # buckets containing this batch's keys are read (static partition
+        # pruning via the isin literal), merged with the batch, and
+        # dynamically overwritten — at 100M keys the other buckets are
+        # never touched, instead of the previous full-table rewrite+swap.
+        pks = [
+            r.pk for r in batch.select(_pk(F.col("key")).alias("pk")).distinct().collect()
+        ]
+        old = self._raw(self.latest_dir, partition_col="pk")
         new_latest = (
-            old.unionByName(batch.select("key", "ts", "value"))
+            old.filter(F.col("pk").isin(pks))
+            .select("key", "ts", "value")
+            .unionByName(batch.select("key", "ts", "value"))
             .groupBy("key")
             .agg(F.max("ts").alias("ts"), F.max_by("value", "ts").alias("value"))
         )
-        tmp = self.latest_dir + ".tmp"
-        new_latest.write.mode("overwrite").parquet(tmp)
-        self._swap(tmp, self.latest_dir)
+        (
+            new_latest.withColumn("pk", _pk(F.col("key")))
+            .write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy("pk")
+            .parquet(self.latest_dir)
+        )
         # 3. per-rule dest recompute, touched buckets only
         for rule in self.rules:
             touched = (
@@ -177,19 +210,37 @@ class StreamingStore:
                     .groupBy("key", "__bucket")
                     .agg(agg_expr(rule.agg, F.col("value"), F.col("ts"), alias="value"))
                 )
-            dest_schema = "key string, ts long, value double"
-            old_dest = self._read(self.rule_dir(rule), dest_schema)
-            kept = old_dest.join(
-                F.broadcast(touched.withColumnRenamed("__bucket", "ts")),
-                ["key", "ts"],
-                "left_anti",
+            # PARTITION-SCOPED dest upsert: dests are day-partitioned by
+            # bucket ts; a micro-batch's touched buckets cluster in recent
+            # days, so only those day partitions are read (isin pruning),
+            # repaired, and dynamically overwritten — historical days are
+            # never rewritten.
+            days = [
+                r.d
+                for r in touched.select(
+                    F.expr(f"__bucket div {DAY_MS}").alias("d")
+                ).distinct().collect()
+            ]
+            old_dest = self._raw(self.rule_dir(rule), partition_col="__day")
+            kept = (
+                old_dest.filter(F.col("__day").isin(days))
+                .select("key", "ts", "value")
+                .join(
+                    F.broadcast(touched.withColumnRenamed("__bucket", "ts")),
+                    ["key", "ts"],
+                    "left_anti",
+                )
             )
-            new_dest = kept.unionByName(
+            new_part = kept.unionByName(
                 recomputed.select("key", F.col("__bucket").alias("ts"), "value")
             )
-            tmp = self.rule_dir(rule) + ".tmp"
-            new_dest.write.mode("overwrite").parquet(tmp)
-            self._swap(tmp, self.rule_dir(rule))
+            (
+                new_part.withColumn("__day", F.expr(f"ts div {DAY_MS}"))
+                .write.mode("overwrite")
+                .option("partitionOverwriteMode", "dynamic")
+                .partitionBy("__day")
+                .parquet(self.rule_dir(rule))
+            )
         batch.unpersist()
         self._batch_id = batch_id
 
@@ -208,11 +259,11 @@ class StreamingStore:
         return resolve_duplicates(log, self.duplicate_policy)
 
     def latest(self) -> DataFrame:
-        return self._read(self.latest_dir, SAMPLES_SCHEMA)
+        return self._raw(self.latest_dir, "pk").select("key", "ts", "value")
 
     def rule_table(self, rule: CompactionRule, include_open: bool = False) -> DataFrame:
         """Closed-bucket dest view; include_open=True is the LATEST view."""
-        df = self._read(self.rule_dir(rule), SAMPLES_SCHEMA)
+        df = self._raw(self.rule_dir(rule), "__day").select("key", "ts", "value")
         if include_open:
             return df
         opens = self.latest().select(

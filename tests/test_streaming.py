@@ -184,3 +184,43 @@ def test_twa_rule_incremental_matches_batch(spark, dirs):
     assert got.keys() == exp.keys()
     for b in exp:
         assert abs(got[b] - exp[b]) < 1e-9, (b, got[b], exp[b])
+
+
+def test_partition_scoped_maintenance(spark, dirs):
+    """A micro-batch must rewrite ONLY the latest-table hash buckets and
+    dest day-partitions it touches — untouched partition files stay
+    byte-identical on disk (the 100M-key scale requirement)."""
+    from pyspark.sql import functions as F
+
+    from redistimeseries_spark.streaming.ingest import DAY_MS, _pk
+
+    rule = CompactionRule(None, "_avg_1s", "avg", 1000)
+    store = StreamingStore(spark, os.path.join(dirs, "store"), "last", [rule])
+    day1 = 5 * DAY_MS
+    write_input(spark, dirs, [("a", 100, 1.0), ("b", day1 + 100, 2.0)], "b1")
+    drain(spark, dirs, store)
+
+    def snapshot(root):
+        out = {}
+        for dirpath, _, files in os.walk(root):
+            for f in files:
+                p = os.path.join(dirpath, f)
+                out[p] = os.path.getmtime(p)
+        return out
+
+    pk_a = spark.range(1).select(_pk(F.lit("a")).alias("p")).collect()[0].p
+    pk_b = spark.range(1).select(_pk(F.lit("b")).alias("p")).collect()[0].p
+    assert pk_a != pk_b  # fixture precondition for a meaningful assertion
+
+    before_latest = snapshot(os.path.join(store.latest_dir, f"pk={pk_b}"))
+    before_dest = snapshot(os.path.join(store.rule_dir(rule), "__day=5"))
+
+    # second stream touching only key a / day 0
+    write_input(spark, dirs, [("a", 200, 3.0)], "b2")
+    drain(spark, dirs, store)
+
+    assert snapshot(os.path.join(store.latest_dir, f"pk={pk_b}")) == before_latest
+    assert snapshot(os.path.join(store.rule_dir(rule), "__day=5")) == before_dest
+    # and the touched side did advance
+    latest = {r.key: (r.ts, r.value) for r in store.latest().collect()}
+    assert latest["a"] == (200, 3.0) and latest["b"] == (day1 + 100, 2.0)
