@@ -33,6 +33,61 @@ def retention_clamp(samples: DataFrame, retention_ms: int) -> DataFrame:
     )
 
 
+def evict(
+    spark,
+    layout_path: str,
+    retention_ms: int,
+    time_bucket_ms: int = 86_400_000,
+) -> dict:
+    """Physical retention eviction over a `TSStore.write_layout` store —
+    the batch analogue of the reference's SeriesTrim on chunk rollover
+    (src/tsdb.c:207-239).  The global horizon is max(ts) - retention;
+    whole `day=` partitions strictly older than the horizon's day are
+    DROPPED (a directory delete, no data rewrite — the 100 TB shape),
+    and only the single boundary partition is rewritten with its
+    surviving suffix.  Returns {"dropped": [...], "horizon": ...}.
+
+    Per-key horizons (the reference's per-series lastTimestamp) are a
+    query-time concern handled by retention_clamp; the physical job uses
+    the global horizon, which is safe (never drops data a per-key clamp
+    would keep) when ingest rejects late-beyond-retention samples
+    (reject_late)."""
+    import os
+    import shutil
+
+    if retention_ms <= 0 or not os.path.isdir(layout_path):
+        return {"dropped": [], "horizon": None}
+    df = spark.read.parquet(layout_path)
+    row = df.agg(F.max("ts").alias("m")).collect()[0]
+    if row.m is None:
+        return {"dropped": [], "horizon": None}
+    horizon = row.m - retention_ms
+    hday = horizon // time_bucket_ms
+    dropped = []
+    for entry in sorted(os.listdir(layout_path)):
+        if not entry.startswith("day="):
+            continue
+        day = int(entry.split("=", 1)[1])
+        if day < hday:
+            shutil.rmtree(os.path.join(layout_path, entry))
+            dropped.append(entry)
+    # boundary partition: rewrite only its surviving suffix
+    bdir = os.path.join(layout_path, f"day={hday}")
+    if os.path.isdir(bdir):
+        surviving = (
+            spark.read.parquet(bdir)
+            .filter(F.col("ts") >= horizon)
+            .sortWithinPartitions("key", "ts")
+        )
+        tmp = bdir + ".tmp"
+        surviving.coalesce(max(1, surviving.rdd.getNumPartitions() // 4)).write.mode(
+            "overwrite"
+        ).parquet(tmp)
+        shutil.rmtree(bdir)
+        os.rename(tmp, bdir)
+    return {"dropped": dropped, "horizon": horizon}
+
+
 def reject_late(
     incoming: DataFrame, current_max: DataFrame, retention_ms: int
 ) -> tuple[DataFrame, DataFrame]:

@@ -73,3 +73,33 @@ def test_bucketed_reregistration_fresh_catalog(spark, stores):
     agg = bt.groupBy("key").agg(F.count("*"))
     assert "Exchange hashpartitioning" not in _plan(agg)
     assert agg.count() == 8
+
+
+def test_evict_drops_whole_partitions_and_trims_boundary(spark, tmp_path):
+    """SeriesTrim analogue (src/tsdb.c:207-239): whole partitions older
+    than the horizon's day are directory-dropped; only the boundary
+    partition is rewritten; results equal a ts >= horizon filter."""
+    import os
+
+    from redistimeseries_spark.write.retention import evict
+
+    day = 1000  # small time_bucket for the test
+    rows = [("k", t, float(t)) for t in range(0, 5000, 100)]
+    samples = spark.createDataFrame(rows, "key string, ts long, value double")
+    path = str(tmp_path / "store")
+    TSStore.from_dataframes(samples).write_layout(path, time_bucket_ms=day)
+    assert sorted(e for e in os.listdir(path) if e.startswith("day=")) == [
+        f"day={i}" for i in range(5)
+    ]
+
+    # max ts = 4900; retention 2000 -> horizon 2900, horizon day 2
+    out = evict(spark, path, retention_ms=2000, time_bucket_ms=day)
+    assert out == {"dropped": ["day=0", "day=1"], "horizon": 2900}
+    left = sorted(e for e in os.listdir(path) if e.startswith("day="))
+    assert left == ["day=2", "day=3", "day=4"]
+    got = sorted(r.ts for r in spark.read.parquet(path).collect())
+    assert got == list(range(2900, 5000, 100))
+
+    # idempotent when nothing is older than the horizon day
+    again = evict(spark, path, retention_ms=2000, time_bucket_ms=day)
+    assert again["dropped"] == []
