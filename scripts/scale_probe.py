@@ -135,6 +135,12 @@ def main():
         "b8_twa_2h_all": lambda: ts_range(
             samples, aggregations=["twa"], bucket_dur=2 * H
         ),
+        # the sequential-per-key IGNORE kept-chain (vectorized numpy
+        # kernel, write/mutate._kept_chain) — must sit on the same profile
+        # as the window/agg workloads, not dominate it
+        "b10_ignore_chain": lambda: __import__(
+            "redistimeseries_spark.write.mutate", fromlist=["ignore_filter"]
+        ).ignore_filter(samples, 60_000, 0.5),
     }
 
     # SPARK_GRAFT_BUCKETED=1: also build the key-bucketed layout and probe
