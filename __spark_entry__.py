@@ -267,8 +267,11 @@ def q_mrange_latest(spark, sf_dir):
     st = _store(spark, sf_dir)
     rule = CompactionRule(None, "_avg_10m", "avg", 600_000)
     dest = materialize_rule(st.samples, rule, include_open=True)
-    dest_labels = dest.select("key").distinct().select(
-        "key",
+    # dest-series labels derive from the (cached, broadcast-sized) labels
+    # dimension — NOT from dest.select(key).distinct(), which would
+    # re-aggregate the fact table just to list keys
+    dest_labels = st.labels.select("key").distinct().select(
+        F.concat(F.col("key"), F.lit(rule.dest_suffix)).alias("key"),
         F.lit("src_type").alias("label"),
         F.split_part(F.col("key"), F.lit("_"), F.lit(1)).alias("value"),
     )
