@@ -713,6 +713,19 @@ def q_dedup_components(spark, sf_dir):
     return connected_components(pairs.select("doc_a", "doc_b"))
 
 
+def q_dedup_components_star(spark, sf_dir):
+    """Same closure via large-star/small-star alternation (the O(log n)-
+    round, hub-flattening variant) — must equal the propagation result,
+    gated against the same recursive-CTE oracle."""
+    from redistimeseries_spark.pipeline.dedup import (
+        connected_components_star,
+        ngram_jaccard_pairs,
+    )
+
+    pairs = ngram_jaccard_pairs(_chain_corpus(spark, sf_dir), n=3, threshold=0.3)
+    return connected_components_star(pairs.select("doc_a", "doc_b"))
+
+
 def q_embed_neardup(spark, sf_dir):
     from redistimeseries_spark.pipeline.dedup import embedding_neardup_pairs
 
@@ -937,6 +950,7 @@ def _base_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ts_dup_min": q_dup_min,
         "ts_revrange_agg_count": q_revrange_agg_count,
         "ts_info_chunks": q_info_chunks,
+        "dl_dedup_components_star": q_dedup_components_star,
     }
 
 
@@ -1377,8 +1391,15 @@ def _pipeline_oracles() -> dict[str, str]:
     }
 
 
+def _with_aliases(oracles: dict[str, str]) -> dict[str, str]:
+    # the star-CC variant must produce exactly the propagation result —
+    # same recursive-CTE oracle
+    oracles["dl_dedup_components_star"] = oracles["dl_dedup_components"]
+    return oracles
+
+
 def oracle_sql() -> dict[str, str]:
-    base = _base_oracles()
+    base = _with_aliases(_base_oracles())
     return {
         name: (_round_oracle(sql, ROUND_MAP[name]) if name in ROUND_MAP else sql)
         for name, sql in base.items()

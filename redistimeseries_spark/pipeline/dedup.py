@@ -307,6 +307,83 @@ def connected_components(
     return labels.select(F.col("node").alias("doc_id"), F.col("comp").alias("component"))
 
 
+def connected_components_star(
+    pairs: DataFrame,
+    a_col: str = "doc_a",
+    b_col: str = "doc_b",
+    max_iter: int = 20,
+) -> DataFrame:
+    """(doc_id, component) via large-star/small-star alternation — the
+    O(log n)-round MapReduce connected-components algorithm (Kiveris et
+    al., "Connected Components in MapReduce and Beyond"; public algorithm,
+    re-derived here in DataFrame form).  Same contract as
+    connected_components (component = min reachable doc_id), different
+    scale envelope: min-label propagation needs O(diameter) rounds and
+    ships a hub's full neighbor list through the join every round; the
+    star operations rewire strictly-larger (large-star) /
+    smaller-or-equal (small-star) neighbors onto the neighborhood minimum,
+    halving chains each round and flattening hubs into stars.
+
+    Each round is two groupBy-min + join passes over the edge list;
+    convergence is detected from a (count, sum) edge-set signature —
+    monotone under star rewiring, so a fixpoint signature means a fixpoint
+    edge set."""
+    e = (
+        pairs.select(F.col(a_col).alias("u"), F.col(b_col).alias("v"))
+        .filter(F.col("u") != F.col("v"))
+        .distinct()
+        .localCheckpoint()
+    )
+
+    def sym(edges):
+        return edges.union(
+            edges.select(F.col("v").alias("u"), F.col("u").alias("v"))
+        ).distinct()
+
+    def neighborhood_min(s):
+        return s.groupBy("u").agg(
+            F.least(F.min("v"), F.first("u")).alias("m")
+        )
+
+    prev_sig = None
+    for _ in range(max_iter):
+        # large-star: (v, m) for every neighbor v > u
+        s = sym(e)
+        m = neighborhood_min(s)
+        e = (
+            s.join(m, "u")
+            .filter(F.col("v") > F.col("u"))
+            .select(F.col("v").alias("u"), F.col("m").alias("v"))
+            .filter(F.col("u") != F.col("v"))
+            .distinct()
+            .localCheckpoint()
+        )
+        # small-star: (v, m) for v <= u, plus (u, m)
+        s = sym(e)
+        m = neighborhood_min(s)
+        j = s.join(m, "u")
+        e = (
+            j.filter(F.col("v") <= F.col("u"))
+            .select(F.col("v").alias("u"), F.col("m").alias("v"))
+            .union(j.select("u", F.col("m").alias("v")))
+            .filter(F.col("u") != F.col("v"))
+            .distinct()
+            .localCheckpoint()
+        )
+        sig = e.agg(
+            F.count(F.lit(1)), F.sum("u"), F.sum("v")
+        ).collect()[0]
+        if tuple(sig) == prev_sig:
+            break
+        prev_sig = tuple(sig)
+    # fixpoint edges are (node -> root) stars; roots map to themselves
+    out = e.select(F.col("u").alias("doc_id"), F.col("v").alias("component"))
+    roots = out.select(F.col("component").alias("doc_id")).distinct().withColumn(
+        "component", F.col("doc_id")
+    )
+    return out.union(roots).groupBy("doc_id").agg(F.min("component").alias("component"))
+
+
 def embedding_neardup_pairs(
     emb: DataFrame, threshold: float = 0.99, bucket_col: str | None = "label"
 ) -> DataFrame:

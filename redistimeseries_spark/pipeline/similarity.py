@@ -58,27 +58,9 @@ def sign_bucket(v: Column, bits: int = 8) -> Column:
     return out
 
 
-def ivf_topk(
-    emb: DataFrame,
-    query_vec_id: int,
-    k: int = 20,
-    ncent: int = 16,
-    nprobe: int = 4,
-) -> DataFrame:
-    """IVF ANN: a coarse quantizer partitions vectors into cells; the query
-    probes only the `nprobe` nearest cells.  Centroids here are the
-    embeddings of the `ncent` smallest vec_ids — a deterministic stand-in
-    for k-means (the partition/probe *shape* is the scale path; training
-    better centroids changes recall, not the plan).
-
-    Plan shape at 100 TB: centroid table is tiny and broadcast; cell
-    assignment is one scan + map-side argmax aggregation (no sort, no
-    window); the probe is a broadcast semi-join that prunes the scan to
-    nprobe/ncent of the corpus before the top-k heap."""
-    d = emb.select("vec_id", F.col("embedding").cast("array<double>").alias("v"))
-    cents = d.orderBy("vec_id").limit(ncent).select(
-        F.col("vec_id").alias("cid"), F.col("v").alias("cv")
-    )
+def _assign_cells(d: DataFrame, cents: DataFrame) -> DataFrame:
+    """(vec_id, v, cid): nearest-centroid cell per vector — broadcast
+    cross-join + partial-aggregatable max(struct) argmax, no window sort."""
     sim = d.crossJoin(F.broadcast(cents)).select(
         "vec_id",
         "v",
@@ -87,9 +69,7 @@ def ivf_topk(
             "csim"
         ),
     )
-    # argmax cell per vector (ties -> smallest cid) as a partial-aggregatable
-    # max(struct), not a window sort
-    assigned = (
+    return (
         sim.groupBy("vec_id")
         .agg(
             F.any_value("v").alias("v"),
@@ -97,8 +77,72 @@ def ivf_topk(
         )
         .select("vec_id", "v", (-F.col("m.ncid")).alias("cid"))
     )
+
+
+def train_centroids(
+    emb: DataFrame, ncent: int = 16, iters: int = 3, dim: int | None = None
+) -> DataFrame:
+    """Distributed Lloyd iterations for the IVF coarse quantizer: (cid, cv).
+
+    Deterministic init (embeddings of the `ncent` smallest vec_ids); each
+    iteration is one broadcast assign + one groupBy element-wise mean — the
+    standard Spark k-means shape without an MLlib dependency.  The mean is
+    `dim` scalar avg() aggregates (one shuffle of ncent*dim cells, not a
+    posexplode of corpus*dim rows), so an iteration costs one corpus scan.
+    Empty cells keep their previous centroid (standard Lloyd fixup)."""
+    d = emb.select("vec_id", F.col("embedding").cast("array<double>").alias("v"))
+    if dim is None:
+        dim = len(d.select("v").first().v)
+    cents = d.orderBy("vec_id").limit(ncent).select(
+        F.col("vec_id").cast("long").alias("cid"), F.col("v").alias("cv")
+    )
+    for _ in range(iters):
+        assigned = _assign_cells(d, cents)
+        means = assigned.groupBy("cid").agg(
+            F.array(
+                *[F.avg(F.element_at(F.col("v"), i + 1)) for i in range(dim)]
+            ).alias("mv")
+        )
+        cents = (
+            cents.join(means, "cid", "left")
+            .select("cid", F.coalesce(F.col("mv"), F.col("cv")).alias("cv"))
+            .localCheckpoint()  # truncate lineage across iterations
+        )
+    return cents
+
+
+def ivf_topk(
+    emb: DataFrame,
+    query_vec_id: int,
+    k: int = 20,
+    ncent: int = 16,
+    nprobe: int = 4,
+    centroids: DataFrame | None = None,
+) -> DataFrame:
+    """IVF ANN: a coarse quantizer partitions vectors into cells; the query
+    probes only the `nprobe` nearest cells.  Default centroids are the
+    embeddings of the `ncent` smallest vec_ids — deterministic, so the
+    DuckDB oracle can replicate them; pass `centroids=train_centroids(...)`
+    for Lloyd-trained cells (changes recall, not the plan shape).
+
+    Plan shape at 100 TB: centroid table is tiny and broadcast; cell
+    assignment is one scan + map-side argmax aggregation (no sort, no
+    window); the probe is a broadcast semi-join that prunes the scan to
+    nprobe/ncent of the corpus before the top-k heap."""
+    d = emb.select("vec_id", F.col("embedding").cast("array<double>").alias("v"))
+    cents = centroids if centroids is not None else d.orderBy("vec_id").limit(
+        ncent
+    ).select(F.col("vec_id").cast("long").alias("cid"), F.col("v").alias("cv"))
+    assigned = _assign_cells(d, cents)
     probes = (
-        sim.filter(F.col("vec_id") == query_vec_id)
+        d.filter(F.col("vec_id") == query_vec_id)
+        .crossJoin(F.broadcast(cents))
+        .select(
+            "cid",
+            (
+                _dot(F.col("v"), F.col("cv")) / (_norm(F.col("v")) * _norm(F.col("cv")))
+            ).alias("csim"),
+        )
         .orderBy(F.col("csim").desc(), F.col("cid").asc())
         .limit(nprobe)
         .select(F.col("cid").alias("pcid"))

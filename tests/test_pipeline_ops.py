@@ -173,3 +173,52 @@ def test_ann_recall_vs_brute_force(spark):
     l2 = {r.vec_id for r in lsh_topk(emb, 0, 10, multiprobe=2).collect()}
     r0, r2 = len(brute & l0) / 10, len(brute & l2) / 10
     assert r2 >= r0 and r2 >= 0.2
+
+
+def test_connected_components_star_matches_propagation(spark):
+    """Large-star/small-star CC vs min-label propagation on random graphs
+    (both must produce component = min reachable id)."""
+    import random
+
+    from redistimeseries_spark.pipeline.dedup import connected_components_star
+
+    rng = random.Random(7)
+    for trial in range(4):
+        n = rng.randint(2, 30)
+        m = rng.randint(1, 40)
+        pairs = [(rng.randint(1, n), rng.randint(1, n)) for _ in range(m)]
+        pairs = [(a, b) for a, b in pairs if a != b] or [(1, 2)]
+        df = spark.createDataFrame(pairs, "doc_a long, doc_b long")
+        base = {r.doc_id: r.component for r in connected_components(df).collect()}
+        star = {r.doc_id: r.component for r in connected_components_star(df).collect()}
+        assert star == base, (trial, sorted(pairs), star, base)
+
+
+def test_connected_components_star_long_chain_few_rounds(spark):
+    """A 64-node chain collapses within the round budget (O(log n), where
+    min-label propagation would need ~n rounds)."""
+    from redistimeseries_spark.pipeline.dedup import connected_components_star
+
+    pairs = spark.createDataFrame(
+        [(i, i + 1) for i in range(1, 64)], "doc_a long, doc_b long"
+    )
+    got = {r.doc_id: r.component for r in
+           connected_components_star(pairs, max_iter=8).collect()}
+    assert got == {i: 1 for i in range(1, 65)}
+
+
+def test_ivf_trained_centroids_recall(spark):
+    """Lloyd-trained centroids keep the IVF contract (same plan shape) and
+    hold the recall bar on the fixture corpus."""
+    from redistimeseries_spark.pipeline.similarity import (
+        cosine_topk, ivf_topk, train_centroids,
+    )
+    from redistimeseries_spark.store import read_parquet
+
+    emb = read_parquet(spark, "/root/testdata/sf0.001/embeddings.parquet")
+    cents = train_centroids(emb, ncent=8, iters=2)
+    assert cents.count() == 8
+    brute = {r.vec_id for r in cosine_topk(emb, 0, 10).collect()}
+    trained = {r.vec_id for r in
+               ivf_topk(emb, 0, 10, nprobe=4, centroids=cents).collect()}
+    assert len(brute & trained) / 10 >= 0.8
