@@ -75,38 +75,46 @@ def _twa_kernel(
     return ub, twa
 
 
-def _empty_bucket_val(
-    bucket: int, dur: int, t: np.ndarray, v: np.ndarray, range_start: int, range_end: int
-) -> float:
+def _empty_bucket_vals(
+    b: np.ndarray, dur: int, t: np.ndarray, v: np.ndarray, range_start: int, range_end: int
+) -> np.ndarray:
     """twa_calc_empty_bucket_val (src/filter_iterator.c:307-386) over the
-    in-range valid samples (see module docstring for the edge-case note)."""
-    ta = max(bucket, range_start)
-    tb = min(bucket + dur, range_end)
+    in-range valid samples, VECTORIZED over all empty buckets at once —
+    searchsorted + guarded gathers + masks, no per-bucket Python (see
+    module docstring for the edge-case note)."""
+    n = len(t)
+    if n == 0 or len(b) == 0:
+        return np.full(len(b), np.nan)
+    ta = np.maximum(b.astype(np.float64), float(range_start))
+    tb = np.minimum(b.astype(np.float64) + float(dur), float(range_end))
     left = np.searchsorted(t, ta, "left")  # samples with ts < ta: t[:left]
     right = np.searchsorted(t, tb, "left")  # samples with ts >= tb: t[right:]
-    n_before = min(left, 2)
-    n_after = min(len(t) - right, 2)
-    is_empty, both = True, False
-    if n_before > 1 and t[left - 1] + (t[left - 1] - t[left - 2]) > ta:
-        is_empty = False
-    if n_after > 1 and tb + (t[right + 1] - t[right]) > t[right]:
-        is_empty = False
-    if n_before != 0 and n_after != 0:
-        is_empty, both = False, True
-    if is_empty:
-        return float("nan")
-    if both:
-        tl, vl = float(t[left - 1]), v[left - 1]
-        tr, vr = float(t[right]), v[right]
-        dv, dt = vr - vl, tr - tl
-        va = vl + (ta - tl) * dv / dt
-        vb = vl + (tb - tl) * dv / dt
-        return (va + vb) / 2.0
-    if n_after > 1:
-        delta = t[right + 1] - t[right]
-        return float("nan") if tb + delta // 2 <= t[right] else v[right]
-    delta = t[left - 1] - t[left - 2]
-    return float("nan") if t[left - 1] + delta // 2 <= ta else v[left - 1]
+    nb = np.minimum(left, 2)
+    na = np.minimum(n - right, 2)
+    clip = lambda i: np.clip(i, 0, n - 1)  # guarded gather; masks gate use
+    tl1, tl2 = t[clip(left - 1)], t[clip(left - 2)]
+    tr0, tr1 = t[clip(right)], t[clip(right + 1)]
+    vl1, vr0 = v[clip(left - 1)], v[clip(right)]
+
+    is_empty = np.ones(len(b), dtype=bool)
+    is_empty[(nb > 1) & (tl1 + (tl1 - tl2) > ta)] = False
+    is_empty[(na > 1) & (tb + (tr1 - tr0) > tr0)] = False
+    both = (nb != 0) & (na != 0)
+    is_empty[both] = False
+
+    out = np.full(len(b), np.nan)
+    dv, dt = vr0 - vl1, (tr0 - tl1).astype(np.float64)
+    with np.errstate(divide="ignore", invalid="ignore"):
+        va = vl1 + (ta - tl1) * dv / dt
+        vb = vl1 + (tb - tl1) * dv / dt
+    out[both] = ((va + vb) / 2.0)[both]
+    right_only = ~is_empty & ~both & (na > 1)
+    keep = right_only & ~(tb + (tr1 - tr0) // 2 <= tr0)
+    out[keep] = vr0[keep]
+    left_only = ~is_empty & ~both & ~(na > 1)
+    keep = left_only & ~(tl1 + (tl1 - tl2) // 2 <= ta)
+    out[keep] = vl1[keep]
+    return out
 
 
 def twa_buckets_expr(
@@ -219,17 +227,18 @@ def twa_buckets(
             ball = pdf["__bucket"].to_numpy(np.int64)
             lo, hi = ball.min(), ball.max()
             spine = np.arange(lo, hi + 1, dur, dtype=np.int64)
-            out_b, out_v = [], []
-            nonempty = dict(zip(ub.tolist(), twa.tolist()))
-            for bk in spine.tolist():
-                if bk in nonempty:
-                    out_b.append(bk)
-                    out_v.append(nonempty[bk])
-                else:
-                    out_b.append(bk)
-                    out_v.append(_empty_bucket_val(bk, dur, t, v, start, range_end))
-            ub = np.asarray(out_b, np.int64)
-            twa = np.asarray(out_v, np.float64)
+            vals = np.full(len(spine), np.nan)
+            filled = np.zeros(len(spine), dtype=bool)
+            if len(ub):
+                pos = ((ub - lo) // dur).astype(np.int64)
+                vals[pos] = twa
+                filled[pos] = True
+            gaps = ~filled
+            if gaps.any():
+                vals[gaps] = _empty_bucket_vals(
+                    spine[gaps], dur, t, v, start, range_end
+                )
+            ub, twa = spine, vals
         return pd.DataFrame({"key": key, "__bucket": ub, "twa": twa})
 
     return df.select("key", "ts", "value", "__bucket").groupBy("key").applyInPandas(
