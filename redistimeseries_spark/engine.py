@@ -398,6 +398,20 @@ class TimeSeriesEngine:
         if "bucket_dur" in kw:
             kw["bucket_dur"] = parse_duration_ms(kw["bucket_dur"])
         samples = self._samples_with_dests(latest) if self.rules else self.samples
+        # per-series retention clamps apply to every range query
+        # (src/tsdb.c:1367-1374); the retentions dim is the series catalog
+        rets = [
+            (cfg.key, cfg.retention_ms)
+            for cfg in self.series.values()
+            if cfg.retention_ms > 0
+        ]
+        if rets:
+            from redistimeseries_spark.write.retention import retention_clamp_per_key
+
+            samples = retention_clamp_per_key(
+                samples,
+                self.spark.createDataFrame(rets, "key string, retention_ms long"),
+            )
         return ts_mrange(
             samples, self.labels_df, filters,
             self._resolve_ts(from_ts), self._resolve_ts(to_ts), **kw,

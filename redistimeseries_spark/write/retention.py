@@ -33,6 +33,26 @@ def retention_clamp(samples: DataFrame, retention_ms: int) -> DataFrame:
     )
 
 
+def retention_clamp_per_key(samples: DataFrame, retentions: DataFrame) -> DataFrame:
+    """Multi-series clamp: retentions is a (key, retention_ms) dimension —
+    one row per series with retention > 0 (broadcast-sized; it is the
+    series catalog).  Keys absent from it pass unclamped.  The horizon is
+    per-key max(ts) - retention, exactly the reference's per-series
+    lastTimestamp - retentionTime (src/tsdb.c:1367-1374) lifted to the
+    multi-series pipeline."""
+    hz = (
+        samples.join(F.broadcast(retentions), "key")
+        .groupBy("key")
+        .agg(F.max("ts").alias("__mx"), F.first("retention_ms").alias("__r"))
+        .select("key", (F.col("__mx") - F.col("__r")).alias("__horizon"))
+    )
+    return (
+        samples.join(F.broadcast(hz), "key", "left")
+        .filter(F.col("__horizon").isNull() | (F.col("ts") >= F.col("__horizon")))
+        .drop("__horizon")
+    )
+
+
 def evict(
     spark,
     layout_path: str,

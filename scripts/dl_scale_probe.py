@@ -1,0 +1,103 @@
+"""Training-data-pipeline scale probe (BASELINE.md "dedup family" section).
+
+Replicates the sf0.1 documents table REPLICAS x with a per-replica token
+appended to the text — every original doc becomes a cluster of REPLICAS
+near-duplicates, which is the realistic shape for a dedup workload (the
+candidate joins must cope with |cluster|^2 pair candidates per cluster,
+not just corpus size).  Times the dedup/text family with a noop sink.
+
+Usage:
+    python scripts/dl_scale_probe.py [REPLICAS]   # default 20 -> 100k docs
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from pyspark.sql import functions as F
+
+from redistimeseries_spark import get_spark
+from redistimeseries_spark.pipeline.dedup import (
+    connected_components_star,
+    exact_dedup,
+    minhash_lsh_pairs,
+    minhash_signatures,
+    ngram_jaccard_pairs,
+    simhash,
+)
+from redistimeseries_spark.pipeline.text import lang_scores, token_counts
+
+
+def main():
+    replicas = int(sys.argv[1]) if len(sys.argv) > 1 else 20
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    spark = get_spark("dl_scale_probe")
+    spark.sparkContext.setLogLevel("ERROR")
+
+    base = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    docs = (
+        base.withColumn("__r", F.explode(F.sequence(F.lit(0), F.lit(replicas - 1))))
+        .select(
+            (F.col("doc_id") * replicas + F.col("__r")).alias("doc_id"),
+            # replica 0 keeps the original text (an exact-dup anchor);
+            # others append a marker token -> near-duplicates
+            F.when(F.col("__r") == 0, F.col("text"))
+            .otherwise(F.concat(F.col("text"), F.lit(" rep"), F.col("__r")))
+            .alias("text"),
+        )
+        # the explode of one tiny parquet split leaves ONE partition — a
+        # real corpus arrives in many files; spread it before timing
+        .repartition(spark.sparkContext.defaultParallelism)
+        .cache()
+    )
+    n = docs.count()
+    print(json.dumps({"stage": "corpus", "docs": n, "replicas": replicas}), flush=True)
+
+    lsh = lambda: minhash_lsh_pairs(docs)
+    probes = {
+        "d1_exact_dedup": lambda: exact_dedup(docs),
+        "d2_minhash_signatures": lambda: minhash_signatures(docs),
+        "d3_minhash_lsh_pairs": lsh,
+        "d4_simhash64": lambda: simhash(docs),
+        "d5_lang_id": lambda: lang_scores(docs),
+        "d6_token_counts": lambda: token_counts(docs),
+        "d7_ngram_jaccard_t08": lambda: ngram_jaccard_pairs(docs, threshold=0.8),
+        "d8_components_star": lambda: connected_components_star(
+            lsh().localCheckpoint()
+        ),
+    }
+
+    def force(df):
+        df.write.mode("overwrite").format("noop").save()
+
+    times = {}
+    for name, build in probes.items():
+        best = float("inf")
+        for _ in range(2):
+            t0 = time.time()
+            force(build())
+            best = min(best, time.time() - t0)
+        times[name] = round(best, 2)
+        print(json.dumps({"query": name, "sec": times[name]}), flush=True)
+
+    print(
+        json.dumps(
+            {
+                "metric": "dl_scale_probe_total_wall",
+                "replicas": replicas,
+                "docs": n,
+                "value": round(sum(times.values()), 2),
+                "unit": "sec",
+                "queries": times,
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

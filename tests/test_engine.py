@@ -215,3 +215,15 @@ def test_info_debug_chunks(eng):
     chunks = info["chunks"]
     assert [(c["chunk"], c["samples"]) for c in chunks] == [(0, 2), (1, 1)]
     assert chunks[0]["first_timestamp"] == 100 and chunks[0]["last_timestamp"] == 200
+
+
+def test_mrange_applies_per_series_retention(eng):
+    """Per-series retention clamps every range query (src/tsdb.c:1367-1374),
+    including the multi-series pipeline; series without retention pass."""
+    eng.create("ra", retention=1000, labels={"grp": "g"})
+    eng.create("rb", labels={"grp": "g"})  # unlimited
+    eng.madd([("ra", 0, 1.0), ("ra", 500, 2.0), ("ra", 5000, 3.0),
+              ("rb", 0, 7.0), ("rb", 5000, 8.0)])
+    got = {(r.key, r.ts) for r in eng.mrange(["grp=g"]).collect()}
+    # ra horizon = 5000 - 1000 = 4000: ts 0/500 clamped; rb keeps everything
+    assert got == {("ra", 5000), ("rb", 0), ("rb", 5000)}
