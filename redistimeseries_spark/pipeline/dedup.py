@@ -127,7 +127,7 @@ def minhash_lsh_pairs(
     num_hashes: int = 8,
     bands: int = 4,
     k: int = 5,
-    max_bucket: int = 4096,
+    max_bucket: int = 1024,
 ) -> DataFrame:
     """Candidate near-duplicate pairs (doc_a < doc_b) sharing at least one
     LSH band (rows-per-band = num_hashes / bands).

@@ -15,6 +15,7 @@ from __future__ import annotations
 
 from collections.abc import Iterator
 
+import numpy as np
 import pandas as pd
 from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 
@@ -29,19 +30,27 @@ def _incr_fn(
         last_ts, last_value = state.get
     else:
         last_ts, last_value = -1, 0.0
-    out_ts, out_val = [], []
+    # accepted iff ts >= running max of prior ACCEPTED ts — which equals the
+    # running max of ALL prior ts (an accepted row always raises the max to
+    # itself), so the reference's reject-if-ts<last rule (src/module.c:1509)
+    # vectorizes to a prefix-max mask + cumsum per Arrow chunk.
+    outs = []
     for pdf in pdfs:
         pdf = pdf.sort_values("seq")
-        for ts, delta in zip(pdf["ts"], pdf["value"]):
-            ts = int(ts)
-            if ts < last_ts:
-                continue  # reference rejects ts < last (src/module.c:1509)
-            last_value = last_value + float(delta)
-            last_ts = ts
-            out_ts.append(ts)
-            out_val.append(last_value)
+        t = pdf["ts"].to_numpy(np.int64)
+        d = pdf["value"].to_numpy(np.float64)
+        prior = np.maximum.accumulate(np.concatenate(([last_ts], t)))[:-1]
+        keep = t >= prior
+        kt = t[keep]
+        kv = last_value + np.cumsum(d[keep])
+        if len(kt):
+            last_ts = int(max(last_ts, kt[-1]))
+            last_value = float(kv[-1])
+        outs.append(pd.DataFrame({"key": key[0], "ts": kt, "value": kv}))
     state.update((last_ts, last_value))
-    yield pd.DataFrame({"key": key[0], "ts": out_ts, "value": out_val})
+    yield pd.concat(outs) if outs else pd.DataFrame(
+        {"key": [], "ts": [], "value": []}
+    )
 
 
 def incrby_stream(increments):
