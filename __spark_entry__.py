@@ -726,6 +726,23 @@ def q_dedup_components_star(spark, sf_dir):
     return connected_components_star(pairs.select("doc_a", "doc_b"))
 
 
+def q_simhash_pairs(spark, sf_dir):
+    """Simhash near-dup pairs: pigeonhole-blocked segment join (exact for
+    Hamming <= max_hamming), bit_count verify — gated against an all-pairs
+    DuckDB oracle, so the gate proves the blocking loses no pairs."""
+    from redistimeseries_spark.pipeline.dedup import simhash_hamming_pairs
+
+    return simhash_hamming_pairs(_near_corpus(spark, sf_dir), max_hamming=3)
+
+
+def q_dedup_pipeline(spark, sf_dir):
+    """End-to-end dedup: LSH candidates -> Jaccard verify -> components ->
+    canonical keep/drop decision per doc."""
+    from redistimeseries_spark.pipeline.dedup import dedup_pipeline
+
+    return dedup_pipeline(_near_corpus(spark, sf_dir), threshold=0.4)
+
+
 def q_embed_neardup(spark, sf_dir):
     from redistimeseries_spark.pipeline.dedup import embedding_neardup_pairs
 
@@ -903,7 +920,6 @@ def _base_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ts_compaction_avg_10m": q_compaction_avg_10m,
         "ts_compaction_twa_1h": q_compaction_twa_1h,
         "ts_compaction_latest": q_compaction_latest,
-        "ts_range_latest": q_range_latest,
         "ts_stream_rule_avg_1m": q_stream_rule_avg_1m,
         "ts_stream_incrby": q_stream_incrby,
         "ts_count_post_agg": q_count_post_agg,
@@ -913,10 +929,11 @@ def _base_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dl_minhash_signatures": q_minhash_signatures,
         "dl_minhash_lsh_pairs": q_minhash_lsh_pairs,
         "dl_simhash": q_simhash,
+        "dl_simhash_pairs": q_simhash_pairs,
         "dl_ngram_jaccard": q_ngram_jaccard,
         "dl_dedup_components": q_dedup_components,
+        "dl_dedup_pipeline": q_dedup_pipeline,
         "dl_embed_neardup": q_embed_neardup,
-        "dl_embed_neardup_lsh": q_embed_neardup_lsh,
         "dl_ann_cosine_topk": q_ann_cosine_topk,
         "dl_ann_lsh_topk": q_ann_lsh_topk,
         "dl_ann_ivf_topk": q_ann_ivf_topk,
@@ -928,6 +945,8 @@ def _base_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dl_mm_features": q_mm_features,
         "dl_mm_frame_sample": q_mm_frame_sample,
         # --- tail: family variants, locally gated -----------------------
+        "ts_range_latest": q_range_latest,
+        "dl_embed_neardup_lsh": q_embed_neardup_lsh,
         "ts_agg_empty_multi_twa": q_agg_empty_multi_twa,
         "ts_agg_empty_nan": q_agg_empty_nan,
         "ts_agg_align_literal": q_agg_align_literal,
@@ -1249,6 +1268,48 @@ def _pipeline_oracles() -> dict[str, str]:
               SELECT doc_id, t.tok FROM documents, unnest({words}) AS t(tok))
             SELECT doc_id, CAST({simhash_expr_sql(64, 'tok')} AS BIGINT) AS simhash
             FROM toks GROUP BY doc_id""",
+        "dl_simhash_pairs": f"""WITH {NEAR_CORPUS_SQL},
+            toks AS (SELECT doc_id, t.tok FROM corpus, unnest({words}) AS t(tok)),
+            sh AS (SELECT doc_id, CAST({simhash_expr_sql(64, 'tok')} AS BIGINT) AS simhash
+                   FROM toks GROUP BY doc_id)
+            SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+                   CAST(bit_count(xor(a.simhash, b.simhash)) AS BIGINT) AS hamming
+            FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+            WHERE bit_count(xor(a.simhash, b.simhash)) <= 3""",
+        "dl_dedup_pipeline": f"""WITH RECURSIVE {NEAR_CORPUS_SQL},
+            {shingle_cte}, {mh_cte},
+            band AS (SELECT doc_id, h // 2 AS band,
+                            array_to_string(list_sort(list(minhash)), '|') AS band_key
+                     FROM mh GROUP BY doc_id, h // 2),
+            cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+                     FROM band a JOIN band b
+                       ON a.band = b.band AND a.band_key = b.band_key
+                      AND a.doc_id < b.doc_id),
+            w AS (SELECT doc_id, {words} AS ws FROM corpus),
+            g AS (SELECT DISTINCT doc_id, array_to_string(ws[i:i+2], ' ') AS gram
+                  FROM w, unnest(generate_series(1, greatest(len(ws) - 2, 1))) AS t(i)),
+            sizes AS (SELECT doc_id, count(*) AS sz FROM g GROUP BY 1),
+            inter AS (SELECT c.doc_a, c.doc_b, count(*) AS i
+                      FROM cand c
+                      JOIN g ga ON ga.doc_id = c.doc_a
+                      JOIN g gb ON gb.doc_id = c.doc_b AND gb.gram = ga.gram
+                      GROUP BY 1, 2),
+            pr AS (SELECT i.doc_a, i.doc_b
+                   FROM inter i JOIN sizes sa ON i.doc_a = sa.doc_id
+                                JOIN sizes sb ON i.doc_b = sb.doc_id
+                   WHERE CAST(i.i AS DOUBLE) / (sa.sz + sb.sz - i.i) >= 0.4),
+            edges AS (SELECT doc_a AS s, doc_b AS d FROM pr
+                      UNION SELECT doc_b, doc_a FROM pr),
+            reach AS (
+              SELECT s AS node, s AS r FROM edges
+              UNION
+              SELECT e.s, reach.r FROM edges e JOIN reach ON e.d = reach.node
+            ),
+            comp AS (SELECT node AS doc_id, min(r) AS component FROM reach GROUP BY node)
+            SELECT c.doc_id,
+                   coalesce(p.component, c.doc_id) AS canonical,
+                   coalesce(p.component, c.doc_id) = c.doc_id AS keep
+            FROM corpus c LEFT JOIN comp p ON c.doc_id = p.doc_id""",
         "dl_ngram_jaccard": f"""WITH {NEAR_CORPUS_SQL},
             w AS (SELECT doc_id, {words} AS ws FROM corpus),
             g AS (SELECT DISTINCT doc_id, array_to_string(ws[i:i+2], ' ') AS gram

@@ -201,6 +201,61 @@ def simhash(docs: DataFrame, bits: int = 64) -> DataFrame:
     )
 
 
+def simhash_hamming_pairs(
+    docs: DataFrame, max_hamming: int = 3, bits: int = 64
+) -> DataFrame:
+    """(doc_a, doc_b, hamming) — near-duplicate pairs whose simhash
+    fingerprints differ in at most `max_hamming` bits.
+
+    Pigeonhole blocking (Manku et al., "Detecting Near-Duplicates for Web
+    Crawling", WWW'07 — public algorithm): split the `bits`-bit
+    fingerprint into max_hamming+1 contiguous segments; any pair within
+    distance max_hamming agrees on at least one segment, so a self-join
+    keyed on (segment index, segment value) proposes EVERY qualifying pair
+    — the blocked join is exact, no recall loss — and `bit_count(a XOR b)`
+    disposes.  Output is distinct pairs with doc_a < doc_b.
+
+    Scale shape: the join is keyed on segment values, never all-pairs; a
+    segment bucket's size is bounded by the number of docs sharing 16
+    fingerprint bits — i.e. by near-identical-cluster size, the same hub
+    population the LSH band cap handles.  AQE skew-join splits oversized
+    buckets at runtime.
+    """
+    nb = max_hamming + 1
+    width = bits // nb
+    sig = simhash(docs, bits)
+    seg_exprs = []
+    for i in range(nb):
+        lo = i * width
+        w = width if i < nb - 1 else bits - lo
+        mask = (1 << w) - 1
+        seg_exprs.append(f"{i}, shiftrightunsigned(simhash, {lo}) & {mask}L")
+    segs = sig.select(
+        "doc_id",
+        "simhash",
+        F.expr(f"stack({nb}, {', '.join(seg_exprs)}) AS (seg, segval)"),
+    )
+    a, b = segs.alias("a"), segs.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.seg") == F.col("b.seg"))
+            & (F.col("a.segval") == F.col("b.segval"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            F.col("a.simhash").alias("__sha"),
+            F.col("b.simhash").alias("__shb"),
+        )
+        .distinct()
+        .withColumn("hamming", F.expr("bit_count(__sha ^ __shb)").cast("long"))
+        .filter(F.col("hamming") <= max_hamming)
+        .select("doc_a", "doc_b", "hamming")
+    )
+
+
 def word_ngrams(docs: DataFrame, n: int = 3) -> DataFrame:
     """(doc_id, gram) — distinct word n-grams."""
     return docs.select(
@@ -254,6 +309,82 @@ def ngram_jaccard_pairs(
         )
         .filter(F.col("jaccard") >= threshold)
         .select("doc_a", "doc_b", F.round("jaccard", 6).alias("jaccard"))
+    )
+
+
+def ngram_jaccard_verify(
+    docs: DataFrame, pairs: DataFrame, n: int = 3, threshold: float = 0.4
+) -> DataFrame:
+    """(doc_a, doc_b, jaccard) — exact n-gram Jaccard restricted to the
+    given candidate pairs.  This is the scale path: a blocking stage
+    (MinHash LSH, simhash segments) proposes candidates and this verify
+    disposes — the gram self-join over the whole corpus that the
+    standalone `ngram_jaccard_pairs` pays never happens, so cost is
+    O(|pairs| x grams-per-doc), not O(corpus-quadratic-per-gram).
+    Candidate pairs sharing zero grams drop out below any threshold > 0.
+    """
+    g = word_ngrams(docs, n)
+    sizes = g.groupBy("doc_id").agg(F.count(F.lit(1)).alias("sz"))
+    p = pairs.select("doc_a", "doc_b")
+    inter = (
+        p.join(g.select(F.col("doc_id").alias("doc_a"), "gram"), "doc_a")
+        .join(g.select(F.col("doc_id").alias("doc_b"), "gram"), ["doc_b", "gram"])
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count(F.lit(1)).alias("inter"))
+    )
+    return (
+        inter.join(
+            sizes.select(F.col("doc_id").alias("doc_a"), F.col("sz").alias("sza")),
+            "doc_a",
+        )
+        .join(
+            sizes.select(F.col("doc_id").alias("doc_b"), F.col("sz").alias("szb")),
+            "doc_b",
+        )
+        .withColumn(
+            "jaccard",
+            F.col("inter") / (F.col("sza") + F.col("szb") - F.col("inter")),
+        )
+        .filter(F.col("jaccard") >= threshold)
+        .select("doc_a", "doc_b", F.round("jaccard", 6).alias("jaccard"))
+    )
+
+
+def dedup_pipeline(
+    docs: DataFrame,
+    num_hashes: int = 8,
+    bands: int = 4,
+    k: int = 5,
+    n: int = 3,
+    threshold: float = 0.4,
+    max_bucket: int = 1024,
+) -> DataFrame:
+    """End-to-end near-duplicate removal — the composed propose/dispose/
+    cluster/keep chain a training-data pipeline actually runs:
+
+        MinHash-LSH band join   (propose candidate pairs, never all-pairs)
+     -> exact n-gram Jaccard    (dispose: verify only the candidates)
+     -> connected components    (large-star/small-star, O(log n) rounds)
+     -> canonical per cluster   (min doc_id keeps; the rest drop)
+
+    Returns one row per input doc: (doc_id, canonical, keep) where
+    canonical is the min doc_id of the doc's near-dup cluster (itself if
+    unpaired) and keep is true iff doc_id == canonical.  Downstream keeps
+    `filter(keep)` — or joins on canonical to attribute provenance.
+
+    Every stage is a keyed join or aggregation: nothing in the chain is
+    all-pairs or driver-materialized, so the composition inherits each
+    stage's scale envelope.
+    """
+    cand = minhash_lsh_pairs(docs, num_hashes, bands, k, max_bucket)
+    edges = ngram_jaccard_verify(docs, cand, n, threshold).select("doc_a", "doc_b")
+    comp = connected_components_star(edges)
+    return (
+        docs.select("doc_id")
+        .join(comp, "doc_id", "left")
+        .withColumn("canonical", F.coalesce("component", F.col("doc_id")))
+        .withColumn("keep", F.col("doc_id") == F.col("canonical"))
+        .select("doc_id", "canonical", "keep")
     )
 
 

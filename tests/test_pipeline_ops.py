@@ -222,3 +222,56 @@ def test_ivf_trained_centroids_recall(spark):
     trained = {r.vec_id for r in
                ivf_topk(emb, 0, 10, nprobe=4, centroids=cents).collect()}
     assert len(brute & trained) / 10 >= 0.8
+
+
+def test_simhash_pairs_blocking_exact(spark):
+    """Pigeonhole blocking must find EVERY pair within the Hamming radius:
+    compare the blocked join against a brute-force all-pairs scan on a
+    corpus with planted 1-edit near-dups."""
+    from itertools import combinations
+
+    from redistimeseries_spark.pipeline.dedup import simhash, simhash_hamming_pairs
+
+    rows = [(i, f"shared boilerplate prefix tokens alpha beta gamma delta w{i}")
+            for i in range(1, 21)]
+    rows += [(100 + i, t) for i, t in
+             [(1, "totally unrelated corpus entry about streaming engines"),
+              (2, "another distinct document concerning parquet metadata")]]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    h = {r.doc_id: r.simhash for r in simhash(docs).collect()}
+    want = {
+        (a, b)
+        for a, b in combinations(sorted(h), 2)
+        if bin((h[a] ^ h[b]) & ((1 << 64) - 1)).count("1") <= 3
+    }
+    got = {(r.doc_a, r.doc_b) for r in simhash_hamming_pairs(docs, 3).collect()}
+    assert got == want
+    assert want, "fixture must plant at least one close pair"
+
+
+def test_jaccard_verify_matches_standalone_on_candidates(docs):
+    """ngram_jaccard_verify(candidates) == ngram_jaccard_pairs restricted
+    to those candidates — the verify is the same exact Jaccard, minus the
+    corpus-wide gram self-join."""
+    from redistimeseries_spark.pipeline.dedup import ngram_jaccard_verify
+
+    full = {(r.doc_a, r.doc_b): r.jaccard
+            for r in ngram_jaccard_pairs(docs, threshold=0.3).collect()}
+    cand = docs.sparkSession.createDataFrame(
+        [(1, 3), (1, 4), (1, 2)], "doc_a long, doc_b long"
+    )
+    got = {(r.doc_a, r.doc_b): r.jaccard
+           for r in ngram_jaccard_verify(docs, cand, threshold=0.3).collect()}
+    assert got == {k: v for k, v in full.items() if k in {(1, 3), (1, 4), (1, 2)}}
+
+
+def test_dedup_pipeline_keeps_one_per_cluster(docs):
+    """End-to-end: docs 1/3/4 collapse to canonical 1; doc 2 survives."""
+    from redistimeseries_spark.pipeline.dedup import dedup_pipeline
+
+    out = {r.doc_id: (r.canonical, r.keep)
+           for r in dedup_pipeline(docs, threshold=0.3).collect()}
+    assert out[1] == (1, True)
+    assert out[3] == (1, False)
+    assert out[4] == (1, False)
+    assert out[2] == (2, True)
