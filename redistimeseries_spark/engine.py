@@ -420,9 +420,16 @@ class TimeSeriesEngine:
     def mrevrange(self, filters, from_ts="-", to_ts="+", **kw) -> DataFrame:
         return self.mrange(filters, from_ts, to_ts, rev=True, **kw)
 
-    def nrange(self, keys: list[str], from_ts="-", to_ts="+", **kw) -> DataFrame:
+    def nrange(self, keys: list[str], from_ts="-", to_ts="+",
+               latest: bool = False, **kw) -> DataFrame:
+        """TS.NRANGE/NREVRANGE; like mrange, compaction-destination keys
+        materialize from their rule so they are addressable like any other
+        series, and LATEST finalizes their open bucket (the reference
+        plumbs `latest` through RangeArgs for the N-key variants too —
+        commands.json TS.NRANGE/TS.NREVRANGE)."""
+        samples = self._samples_with_dests(latest) if self.rules else self.samples
         return ts_nrange(
-            self.samples, keys, self._resolve_ts(from_ts), self._resolve_ts(to_ts), **kw
+            samples, keys, self._resolve_ts(from_ts), self._resolve_ts(to_ts), **kw
         )
 
     def queryindex(self, filters: list[str]) -> list[str]:

@@ -7,7 +7,8 @@ candidate joins must cope with |cluster|^2 pair candidates per cluster,
 not just corpus size).  Times the dedup/text family with a noop sink.
 
 Usage:
-    python scripts/dl_scale_probe.py [REPLICAS]   # default 20 -> 100k docs
+    python scripts/dl_scale_probe.py [REPLICAS] [probe,probe,...]
+    # default 20 -> 100k docs; optional comma list runs a probe subset
 """
 
 from __future__ import annotations
@@ -24,11 +25,13 @@ from pyspark.sql import functions as F
 from redistimeseries_spark import get_spark
 from redistimeseries_spark.pipeline.dedup import (
     connected_components_star,
+    dedup_pipeline,
     exact_dedup,
     minhash_lsh_pairs,
     minhash_signatures,
     ngram_jaccard_pairs,
     simhash,
+    simhash_hamming_pairs,
 )
 from redistimeseries_spark.pipeline.text import lang_scores, token_counts
 
@@ -61,8 +64,7 @@ def main():
     probes = {
         "d1_exact_dedup": lambda: exact_dedup(docs),
         "d2_minhash_signatures": lambda: minhash_signatures(docs),
-        # default cap: hub band-buckets (thousands of docs sharing a band)
-        # still emit all pairs below 4096 — the honest default number
+        # default cap (1024): hub band-buckets above it star-expand
         "d3_minhash_lsh_pairs": lambda: minhash_lsh_pairs(docs),
         # dedup-tuned cap: buckets over 256 star-expand; downstream
         # connected components recover identical clusters from ~100x
@@ -75,7 +77,18 @@ def main():
         "d8_components_star": lambda: connected_components_star(
             minhash_lsh_pairs(docs, max_bucket=256).localCheckpoint()
         ),
+        # segment-blocked simhash pairs (exact within Hamming radius)
+        "d9_simhash_pairs": lambda: simhash_hamming_pairs(docs),
+        # the composed chain: LSH propose -> Jaccard verify on candidates
+        # only -> components -> keep/drop.  Compare against d7: the same
+        # Jaccard arithmetic standalone pays the corpus-wide gram
+        # self-join; here it runs on proposed pairs alone.
+        "d10_dedup_pipeline": lambda: dedup_pipeline(docs, max_bucket=256),
     }
+
+    if len(sys.argv) > 2:
+        only = set(sys.argv[2].split(","))
+        probes = {k: v for k, v in probes.items() if k in only}
 
     def force(df):
         df.write.mode("overwrite").format("noop").save()

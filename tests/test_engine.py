@@ -186,6 +186,21 @@ def test_mrange_latest_on_compaction_dest(eng):
     assert latest == [(0, 2.0), (1000, 10.0)]
 
 
+def test_nrange_latest_on_compaction_dest(eng):
+    """NRANGE addresses dest keys like any series and LATEST finalizes the
+    open bucket (commands.json TS.NRANGE/TS.NREVRANGE carry LATEST)."""
+    eng.create("nsrc", labels={"kind": "nraw"})
+    eng.create("ndst", labels={"kind": "nagg"})
+    eng.create_rule("nsrc", "ndst", "sum", 1000)
+    eng.madd([("nsrc", 0, 1.0), ("nsrc", 500, 3.0), ("nsrc", 1500, 10.0)])
+    closed = [(r.ts, r.ndst) for r in
+              eng.nrange(["ndst"]).orderBy("ts").collect()]
+    assert closed == [(0, 4.0)]
+    latest = [(r.ts, r.ndst) for r in
+              eng.nrange(["ndst"], latest=True).orderBy("ts").collect()]
+    assert latest == [(0, 4.0), (1000, 10.0)]
+
+
 def test_queryindex_querylabels(eng):
     eng.create("a", labels={"t": "x", "r": "eu"})
     eng.create("b", labels={"t": "y", "r": "eu"})
