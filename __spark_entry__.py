@@ -743,6 +743,24 @@ def q_dedup_pipeline(spark, sf_dir):
     return dedup_pipeline(_near_corpus(spark, sf_dir), threshold=0.4)
 
 
+def q_hash_split(spark, sf_dir):
+    """Deterministic md5-bucket train/val/test assignment — reproducible
+    across engines/partitionings, unlike randomSplit."""
+    from redistimeseries_spark.pipeline.curation import hash_split
+
+    return hash_split(_docs(spark, sf_dir).select("doc_id", "text"))
+
+
+def q_decontaminate(spark, sf_dir):
+    """n-gram-overlap benchmark decontamination: every 50th doc acts as
+    the eval set; training docs sharing any 5-gram with it are flagged."""
+    from redistimeseries_spark.pipeline.curation import decontaminate
+
+    docs = _docs(spark, sf_dir).select("doc_id", "text")
+    ev = docs.filter(F.col("doc_id") % 50 == 0)
+    return decontaminate(docs, ev, n=5)
+
+
 def q_embed_neardup(spark, sf_dir):
     from redistimeseries_spark.pipeline.dedup import embedding_neardup_pairs
 
@@ -942,11 +960,13 @@ def _base_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dl_token_count": q_token_count,
         "dl_fingerprint": q_fingerprint,
         "dl_rolling_fingerprint": q_rolling_fingerprint,
+        "dl_hash_split": q_hash_split,
+        "dl_decontaminate": q_decontaminate,
         "dl_mm_features": q_mm_features,
-        "dl_mm_frame_sample": q_mm_frame_sample,
         # --- tail: family variants, locally gated -----------------------
         "ts_range_latest": q_range_latest,
         "dl_embed_neardup_lsh": q_embed_neardup_lsh,
+        "dl_mm_frame_sample": q_mm_frame_sample,
         "ts_agg_empty_multi_twa": q_agg_empty_multi_twa,
         "ts_agg_empty_nan": q_agg_empty_nan,
         "ts_agg_align_literal": q_agg_align_literal,
@@ -1268,6 +1288,27 @@ def _pipeline_oracles() -> dict[str, str]:
               SELECT doc_id, t.tok FROM documents, unnest({words}) AS t(tok))
             SELECT doc_id, CAST({simhash_expr_sql(64, 'tok')} AS BIGINT) AS simhash
             FROM toks GROUP BY doc_id""",
+        "dl_hash_split": """WITH b AS (
+              SELECT doc_id,
+                     ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 7))::BIGINT
+                       % 10000 AS bucket
+              FROM documents)
+            SELECT doc_id, bucket,
+                   CASE WHEN bucket < 9000 THEN 'train'
+                        WHEN bucket < 9500 THEN 'val'
+                        ELSE 'test' END AS split
+            FROM b""",
+        "dl_decontaminate": f"""WITH
+            w AS (SELECT doc_id, {words} AS ws FROM documents),
+            g AS (SELECT DISTINCT doc_id, array_to_string(ws[i:i+4], ' ') AS gram
+                  FROM w, unnest(generate_series(1, greatest(len(ws) - 4, 1))) AS t(i)),
+            ge AS (SELECT DISTINCT gram FROM g WHERE doc_id % 50 = 0),
+            hits AS (SELECT g.doc_id, count(*) AS contaminated_grams
+                     FROM g JOIN ge ON g.gram = ge.gram GROUP BY 1)
+            SELECT d.doc_id,
+                   coalesce(h.contaminated_grams, 0) AS contaminated_grams,
+                   coalesce(h.contaminated_grams, 0) > 0 AS contaminated
+            FROM documents d LEFT JOIN hits h ON d.doc_id = h.doc_id""",
         "dl_simhash_pairs": f"""WITH {NEAR_CORPUS_SQL},
             toks AS (SELECT doc_id, t.tok FROM corpus, unnest({words}) AS t(tok)),
             sh AS (SELECT doc_id, CAST({simhash_expr_sql(64, 'tok')} AS BIGINT) AS simhash

@@ -1,0 +1,92 @@
+"""Dataset-curation operators: deterministic splits and benchmark
+decontamination.
+
+Both are map-side or broadcast-join passes — nothing here shuffles the
+corpus:
+
+  * hash_split      — split assignment is a pure expression over md5 of
+                      the doc id: reproducible across runs/engines
+                      (unlike randomSplit, which depends on partitioning),
+                      stable under corpus growth (a doc's split never
+                      changes when other docs arrive), and zero-shuffle.
+  * decontaminate   — training docs sharing any word n-gram with an
+                      evaluation set are flagged.  The eval side is small
+                      by definition (benchmarks are KBs-to-MBs against a
+                      100 TB corpus), so its distinct gram set broadcasts;
+                      the corpus side stays a map-side hash-join probe —
+                      no corpus shuffle, no all-pairs.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from redistimeseries_spark.pipeline.dedup import word_ngrams
+
+# md5-prefix arithmetic identical in Spark SQL and DuckDB (same trick as
+# the minhash signatures in pipeline/dedup.py)
+_HASH_BUCKETS = 10_000
+
+
+def hash_split(
+    docs: DataFrame,
+    fractions: dict[str, float] | None = None,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """(doc_id, bucket, split) — deterministic split assignment.
+
+    bucket = md5(doc_id) mod 10000; splits claim contiguous bucket ranges
+    in the given order, so fractions {"train": .9, "val": .05, "test": .05}
+    map to [0, 9000), [9000, 9500), [9500, 10000).  Assignment depends
+    only on the doc id — re-running, repartitioning, or growing the
+    corpus never reassigns an existing doc.
+    """
+    fractions = fractions or {"train": 0.9, "val": 0.05, "test": 0.05}
+    if abs(sum(fractions.values()) - 1.0) > 1e-9:
+        raise ValueError("split fractions must sum to 1")
+    bucket = (
+        F.conv(F.substring(F.md5(F.col(id_col).cast("string")), 1, 7), 16, 10)
+        .cast("long")
+        % _HASH_BUCKETS
+    )
+    out = docs.select(F.col(id_col).alias("doc_id"), bucket.alias("bucket"))
+    expr = None
+    lo = 0
+    for name, frac in fractions.items():
+        hi = lo + int(round(frac * _HASH_BUCKETS))
+        cond = F.col("bucket") < F.lit(hi)
+        expr = F.when(cond, F.lit(name)) if expr is None else expr.when(cond, F.lit(name))
+        lo = hi
+    return out.withColumn("split", expr)
+
+
+def decontaminate(
+    docs: DataFrame, eval_docs: DataFrame, n: int = 5
+) -> DataFrame:
+    """(doc_id, contaminated_grams, contaminated) — one row per training
+    doc; contaminated_grams counts the doc's distinct word n-grams that
+    also appear anywhere in the evaluation set (n-gram–overlap
+    decontamination, the standard pre-training hygiene pass).
+
+    Scale shape: the eval gram vocabulary is broadcast (eval sets are
+    tiny relative to the corpus — the hint is the semantics here, not a
+    size guess) and the corpus grams probe it map-side; the only shuffle
+    is the per-doc count aggregation, partial-agg first.
+    """
+    g = word_ngrams(docs, n)
+    ge = word_ngrams(eval_docs, n).select("gram").distinct()
+    hits = (
+        g.join(F.broadcast(ge), "gram")
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("contaminated_grams"))
+    )
+    return (
+        docs.select("doc_id")
+        .join(hits, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce("contaminated_grams", F.lit(0)).alias("contaminated_grams"),
+            (F.coalesce("contaminated_grams", F.lit(0)) > 0).alias("contaminated"),
+        )
+    )

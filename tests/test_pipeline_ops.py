@@ -275,3 +275,48 @@ def test_dedup_pipeline_keeps_one_per_cluster(docs):
     assert out[3] == (1, False)
     assert out[4] == (1, False)
     assert out[2] == (2, True)
+
+
+def test_hash_split_deterministic_and_fractioned(spark):
+    """Same doc -> same split on every run; fractions land within a loose
+    tolerance; growing the corpus never reassigns an existing doc."""
+    from redistimeseries_spark.pipeline.curation import hash_split
+
+    docs = spark.range(2000).selectExpr("id AS doc_id", "'x' AS text")
+    a = {r.doc_id: r.split for r in hash_split(docs).collect()}
+    b = {r.doc_id: r.split for r in hash_split(docs).collect()}
+    assert a == b
+    n = len(a)
+    frac = {s: sum(1 for v in a.values() if v == s) / n for s in set(a.values())}
+    assert 0.85 < frac["train"] < 0.95
+    grown = spark.range(4000).selectExpr("id AS doc_id", "'x' AS text")
+    g = {r.doc_id: r.split for r in hash_split(grown).collect()}
+    assert all(g[k] == v for k, v in a.items())
+
+
+def test_hash_split_rejects_bad_fractions(spark):
+    from redistimeseries_spark.pipeline.curation import hash_split
+
+    docs = spark.range(10).selectExpr("id AS doc_id")
+    with pytest.raises(ValueError):
+        hash_split(docs, {"train": 0.5, "val": 0.1})
+
+
+def test_decontaminate_flags_overlap(spark):
+    """A training doc sharing a 5-gram with the eval set is flagged; a
+    disjoint doc is not; counts are per distinct shared gram."""
+    from redistimeseries_spark.pipeline.curation import decontaminate
+
+    train = spark.createDataFrame(
+        [(1, "alpha beta gamma delta epsilon zeta"),
+         (2, "totally different words here about engines and planes")],
+        "doc_id long, text string",
+    )
+    ev = spark.createDataFrame(
+        [(99, "prefix alpha beta gamma delta epsilon suffix")],
+        "doc_id long, text string",
+    )
+    out = {r.doc_id: (r.contaminated_grams, r.contaminated)
+           for r in decontaminate(train, ev, n=5).collect()}
+    assert out[1][1] is True and out[1][0] >= 1
+    assert out[2] == (0, False)
