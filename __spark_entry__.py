@@ -844,6 +844,42 @@ def q_mm_frame_sample(spark, sf_dir):
     return frame_sample(attach_payload(_docs(spark, sf_dir)))
 
 
+def q_repetition(spark, sf_dir):
+    """Gopher-style repetition/boilerplate signals (dup lines, top 1/2-gram
+    share) — per-doc keyed aggregations, no corpus-wide hot key."""
+    from redistimeseries_spark.pipeline.text import repetition_signals
+
+    return repetition_signals(_docs(spark, sf_dir))
+
+
+def q_ngram_lm(spark, sf_dir):
+    """Char-trigram LM perplexity proxy: model trained on the corpus
+    (vocab-bounded agg), docs scored by mean log-prob via a vocab-sized
+    join AQE broadcasts."""
+    from redistimeseries_spark.pipeline.text import char_ngram_lm_scores
+
+    return char_ngram_lm_scores(_docs(spark, sf_dir))
+
+
+def q_sample_stratified(spark, sf_dir):
+    """Deterministic hash-ordered top-25 per language: count -> hash-cut ->
+    exact window on survivors (never a full-stratum single-reducer sort)."""
+    from redistimeseries_spark.pipeline.curation import stratified_sample
+
+    return stratified_sample(_docs(spark, sf_dir), "lang", 25)
+
+
+MADD_RETENTION = 14 * 86_400_000
+
+
+def q_madd_status(spark, sf_dir):
+    """TS.MADD per-triple reply array at scale: LATE / DUPLICATE / OK via
+    two key-partitioned windows (src/module.c:1115-1161)."""
+    from redistimeseries_spark.write.mutate import madd_status
+
+    return madd_status(_raw(spark, sf_dir), retention_ms=MADD_RETENTION)
+
+
 # Float columns produced by non-associative arithmetic (sum/avg/var/twa...)
 # can differ between engines in the last ulp (summation order); round them
 # to 6 dp in BOTH the Spark query and the oracle so value hashes are
@@ -917,10 +953,8 @@ def _base_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ts_range_filter_value": q_range_filter_value,
         "ts_range_filter_ts": q_range_filter_ts,
         "ts_agg_avg_1h": q_agg_avg_1h,
-        "ts_agg_multi_align": q_agg_multi_align,
         "ts_agg_all14": q_agg_all14,
         "ts_agg_twa": q_agg_twa,
-        "ts_agg_twa_empty": q_agg_twa_empty,
         "ts_agg_empty": q_agg_empty,
         "ts_get": q_get,
         "ts_mget_withlabels": q_mget_withlabels,
@@ -936,13 +970,12 @@ def _base_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ts_retention_clamp": q_retention_clamp,
         "ts_del_range": q_del_range,
         "ts_compaction_avg_10m": q_compaction_avg_10m,
-        "ts_compaction_twa_1h": q_compaction_twa_1h,
         "ts_compaction_latest": q_compaction_latest,
         "ts_stream_rule_avg_1m": q_stream_rule_avg_1m,
         "ts_stream_incrby": q_stream_incrby,
-        "ts_count_post_agg": q_count_post_agg,
         "ts_read_tail": q_read_tail,
         "ts_ignore_filter": q_ignore_filter,
+        "ts_madd_status": q_madd_status,
         "dl_dedup_exact": q_dedup_exact,
         "dl_minhash_signatures": q_minhash_signatures,
         "dl_minhash_lsh_pairs": q_minhash_lsh_pairs,
@@ -962,9 +995,16 @@ def _base_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dl_rolling_fingerprint": q_rolling_fingerprint,
         "dl_hash_split": q_hash_split,
         "dl_decontaminate": q_decontaminate,
+        "dl_repetition": q_repetition,
+        "dl_ngram_lm": q_ngram_lm,
+        "dl_sample_stratified": q_sample_stratified,
         "dl_mm_features": q_mm_features,
         # --- tail: family variants, locally gated -----------------------
         "ts_range_latest": q_range_latest,
+        "ts_count_post_agg": q_count_post_agg,
+        "ts_agg_multi_align": q_agg_multi_align,
+        "ts_agg_twa_empty": q_agg_twa_empty,
+        "ts_compaction_twa_1h": q_compaction_twa_1h,
         "dl_embed_neardup_lsh": q_embed_neardup_lsh,
         "dl_mm_frame_sample": q_mm_frame_sample,
         "ts_agg_empty_multi_twa": q_agg_empty_multi_twa,
@@ -1490,6 +1530,63 @@ def _pipeline_oracles() -> dict[str, str]:
               + (instr('0123456789abcdef', substr(lower(hex(encode(text))), 2 * o + 2, 1)) - 1) AS byte_val
             FROM documents,
                  unnest(generate_series(0, octet_length(encode(text)) - 1, 64)) AS t(o)""",
+        "dl_repetition": """WITH
+            lines AS (SELECT doc_id, unnest(list_filter(string_split(text, chr(10)), x -> x <> '')) AS line
+                      FROM documents),
+            lc AS (SELECT doc_id, line, count(*) AS cnt FROM lines GROUP BY doc_id, line),
+            ls AS (SELECT doc_id, sum(cnt) AS n_lines, count(*) AS n_distinct,
+                          sum(length(line) * cnt) AS tot_chars,
+                          sum(CASE WHEN cnt > 1 THEN length(line) * cnt ELSE 0 END) AS dup_chars
+                   FROM lc GROUP BY doc_id),
+            words AS (SELECT doc_id,
+                             unnest(list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'), x -> x <> '')) AS tok
+                      FROM documents),
+            wc AS (SELECT doc_id, tok, count(*) AS cnt FROM words GROUP BY doc_id, tok),
+            ws AS (SELECT doc_id, max(cnt) / sum(cnt) AS top_word_frac FROM wc GROUP BY doc_id),
+            warr AS (SELECT doc_id, list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'), x -> x <> '') AS w
+                     FROM documents),
+            bg AS (SELECT doc_id,
+                          unnest(CASE WHEN len(w) >= 2
+                                 THEN list_transform(range(1, len(w)), i -> w[i] || ' ' || w[i + 1])
+                                 ELSE [] END) AS tok
+                   FROM warr),
+            bc AS (SELECT doc_id, tok, count(*) AS cnt FROM bg GROUP BY doc_id, tok),
+            bs AS (SELECT doc_id, max(cnt) / sum(cnt) AS top_bigram_frac FROM bc GROUP BY doc_id)
+            SELECT d.doc_id,
+                   round(coalesce(1 - n_distinct / n_lines, 0.0), 6) AS dup_line_frac,
+                   round(coalesce(dup_chars / tot_chars, 0.0), 6) AS dup_line_char_frac,
+                   round(coalesce(top_word_frac, 0.0), 6) AS top_word_frac,
+                   round(coalesce(top_bigram_frac, 0.0), 6) AS top_bigram_frac
+            FROM documents d
+            LEFT JOIN ls USING (doc_id) LEFT JOIN ws USING (doc_id) LEFT JOIN bs USING (doc_id)""",
+        "dl_ngram_lm": """WITH
+            n AS (SELECT doc_id, regexp_replace(lower(text), '\\s+', ' ', 'g') AS nt FROM documents),
+            occ AS (SELECT doc_id,
+                           unnest(CASE WHEN length(nt) >= 3
+                                  THEN list_transform(range(1, length(nt) - 1), i -> substr(nt, CAST(i AS INT), 3))
+                                  ELSE [] END) AS gram
+                    FROM n),
+            model AS (SELECT gram, count(*) AS cnt FROM occ GROUP BY gram),
+            tot AS (SELECT sum(cnt) AS total FROM model),
+            scored AS (SELECT doc_id, count(*) AS n_grams, avg(ln(cnt / total)) AS avg_logp
+                       FROM occ JOIN model USING (gram) CROSS JOIN tot GROUP BY doc_id)
+            SELECT d.doc_id, coalesce(n_grams, 0) AS n_grams,
+                   round(avg_logp, 6) AS avg_logp
+            FROM documents d LEFT JOIN scored USING (doc_id)""",
+        "dl_sample_stratified": """SELECT stratum, doc_id, rn FROM (
+              SELECT lang AS stratum, doc_id,
+                     row_number() OVER (PARTITION BY lang
+                                        ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rn
+              FROM documents)
+            WHERE rn <= 25""",
+        "ts_madd_status": f"""WITH {RAW_SQL}
+            SELECT key, ts, seq,
+                   CASE WHEN ts < max(ts) OVER (PARTITION BY key ORDER BY seq
+                                                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+                                 - {MADD_RETENTION} THEN 'LATE'
+                        WHEN row_number() OVER (PARTITION BY key, ts ORDER BY seq) > 1 THEN 'DUPLICATE'
+                        ELSE 'OK' END AS status
+            FROM rawseq""",
     }
 
 

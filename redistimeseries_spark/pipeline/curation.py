@@ -90,3 +90,56 @@ def decontaminate(
             (F.coalesce("contaminated_grams", F.lit(0)) > 0).alias("contaminated"),
         )
     )
+
+
+def stratified_sample(
+    docs: DataFrame,
+    stratum_col: str = "lang",
+    n: int = 50,
+    id_col: str = "doc_id",
+    safety: int = 8,
+) -> DataFrame:
+    """(stratum, doc_id, rn) — exactly min(n, |stratum|) docs per stratum,
+    chosen deterministically: the n smallest md5(doc_id) hashes.  The
+    balanced-sampling pass a training-data pipeline runs per language /
+    source; hash order makes the draw uniform, reproducible across
+    engines, and stable under repartitioning (unlike df.sampleBy).
+
+    Scale shape: the naive `row_number over (partition by stratum)` sorts
+    every stratum's full population through one task — a single-reducer
+    bottleneck when one language holds half of 100 TB.  Instead:
+      1. count each stratum (partial-agg shuffle, |strata| rows),
+      2. keep rows whose 32-bit hash prefix falls below `safety * n / cnt`
+         — a map-side cut leaving ~safety*n rows per stratum,
+      3. run the exact window on the survivors only.
+    The cut keeps the true top-n with overwhelming probability (Chernoff:
+    P[< n of cnt rows under a safety*n/cnt cut] < e^{-n(safety-1)^2/2s});
+    a per-stratum survivor count (|strata|-row collect) verifies, and any
+    undershoot falls back to the exact unfiltered window, so the result is
+    ALWAYS exact."""
+    from pyspark.sql import Window
+
+    h = F.md5(F.col(id_col).cast("string"))
+    d = docs.select(
+        F.col(stratum_col).alias("stratum"), F.col(id_col).alias("doc_id")
+    ).withColumn("__h", h)
+    # 32-bit uniform from the hash prefix, same arithmetic as hash_split
+    u32 = F.conv(F.substring("__h", 1, 8), 16, 10).cast("long")
+    counts = d.groupBy("stratum").agg(F.count(F.lit(1)).alias("__cnt"))
+    cut = d.join(F.broadcast(counts), "stratum").filter(
+        u32 * F.col("__cnt") <= F.lit(safety * n) * F.lit(2**32)
+    )
+    survivors = {
+        r["stratum"]: r["ok"]
+        for r in cut.groupBy("stratum")
+        .agg((F.count(F.lit(1)) >= F.least(F.min("__cnt"), F.lit(n))).alias("ok"))
+        .collect()
+    }
+    if not all(survivors.values()) or len(survivors) < counts.count():
+        cut = d  # fall back to the exact full window (never at uniform hash)
+    w = Window.partitionBy("stratum").orderBy("__h", "doc_id")
+    return (
+        cut.withColumn("rn", F.row_number().over(w).cast("long"))
+        .filter(F.col("rn") <= n)
+        .select("stratum", "doc_id", "rn")
+    )

@@ -138,3 +138,125 @@ def rolling_fingerprints(docs: DataFrame, w: int = ROLL_W) -> DataFrame:
             f" i -> {core}))"
         ).cast("long").alias("roll_fp"),
     )
+
+
+def repetition_signals(docs: DataFrame) -> DataFrame:
+    """Gopher-style repetition / boilerplate signals per document
+    (Rae et al. 2021 §A1.1 quality filters, public spec):
+
+      dup_line_frac       1 - distinct_lines / lines
+      dup_line_char_frac  chars living in lines that occur more than once
+      top_word_frac       share of word occurrences taken by the most
+                          frequent word
+      top_bigram_frac     same for word 2-grams
+
+    Shape: two explode -> (doc_id, token) count -> per-doc aggregate
+    chains, joined back on doc_id.  Every shuffle is keyed by
+    (doc_id, token) or doc_id — no corpus-wide hot key, so the plan is
+    embarrassingly parallel at 100 TB.  Docs with no lines/words keep a
+    row (left joins) with zeroed signals.
+    """
+    lines_arr = F.array_remove(F.split(F.col("text"), "\n"), "")
+    words_arr = F.array_remove(F.split(F.lower(F.col("text")), WORD_RE), "")
+
+    lines = docs.select("doc_id", F.explode(lines_arr).alias("line"))
+    line_stats = (
+        lines.groupBy("doc_id", "line")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .groupBy("doc_id")
+        .agg(
+            F.sum("cnt").alias("n_lines"),
+            F.count(F.lit(1)).alias("n_distinct"),
+            F.sum(F.length("line") * F.col("cnt")).alias("tot_chars"),
+            F.sum(
+                F.when(F.col("cnt") > 1, F.length("line") * F.col("cnt")).otherwise(0)
+            ).alias("dup_chars"),
+        )
+    )
+
+    def _top_frac(tok_df, out):
+        return (
+            tok_df.groupBy("doc_id", "tok")
+            .agg(F.count(F.lit(1)).alias("cnt"))
+            .groupBy("doc_id")
+            .agg((F.max("cnt") / F.sum("cnt")).alias(out))
+        )
+
+    words = docs.select("doc_id", F.explode(words_arr).alias("tok"))
+    bigrams = docs.select(
+        "doc_id",
+        F.explode(
+            F.when(
+                F.size(words_arr) >= 2,
+                F.expr(
+                    f"transform(sequence(1, size(array_remove(split(lower(text), '{WORD_RE}'), '')) - 1),"
+                    f" i -> concat(element_at(array_remove(split(lower(text), '{WORD_RE}'), ''), i), ' ',"
+                    f"             element_at(array_remove(split(lower(text), '{WORD_RE}'), ''), i + 1)))"
+                ),
+            ).otherwise(F.array().cast("array<string>"))
+        ).alias("tok"),
+    )
+
+    return (
+        docs.select("doc_id")
+        .join(line_stats, "doc_id", "left")
+        .join(_top_frac(words, "top_word_frac"), "doc_id", "left")
+        .join(_top_frac(bigrams, "top_bigram_frac"), "doc_id", "left")
+        .select(
+            "doc_id",
+            F.round(
+                F.coalesce(1 - F.col("n_distinct") / F.col("n_lines"), F.lit(0.0)), 6
+            ).alias("dup_line_frac"),
+            F.round(
+                F.coalesce(F.col("dup_chars") / F.col("tot_chars"), F.lit(0.0)), 6
+            ).alias("dup_line_char_frac"),
+            F.round(F.coalesce("top_word_frac", F.lit(0.0)), 6).alias("top_word_frac"),
+            F.round(F.coalesce("top_bigram_frac", F.lit(0.0)), 6).alias(
+                "top_bigram_frac"
+            ),
+        )
+    )
+
+
+def char_ngram_lm_scores(docs: DataFrame, n: int = 3) -> DataFrame:
+    """Perplexity-proxy quality score: a character n-gram unigram LM is
+    trained on the corpus itself (count / total over all n-gram
+    occurrences), then every document is scored by the mean log-probability
+    of its n-grams — the cheap stand-in for the KenLM-style perplexity
+    filter in public pipeline recipes (CCNet, Dolma).
+
+    Two aggregation stages: (1) model = groupBy(gram).count() over the
+    exploded occurrences — vocab-bounded output (|charset|^n rows), tiny
+    next to the corpus; (2) score = occurrences ⋈ model (vocab-sized build
+    side, AQE broadcasts it) -> groupBy(doc_id).avg.  Zero-gram docs
+    (shorter than n after normalization) keep a row with n_grams = 0 and
+    NULL score."""
+    nt = F.regexp_replace(F.lower(F.col("text")), "\\s+", " ")
+    grams_expr = F.when(
+        F.length(nt) >= n,
+        F.expr(
+            f"transform(sequence(1, length(regexp_replace(lower(text), '\\\\s+', ' ')) - {n - 1}),"
+            f" i -> substring(regexp_replace(lower(text), '\\\\s+', ' '), i, {n}))"
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    occ = docs.select("doc_id", F.explode(grams_expr).alias("gram"))
+    model = occ.groupBy("gram").agg(F.count(F.lit(1)).alias("cnt"))
+    total = model.agg(F.sum("cnt").alias("total"))
+    scored = (
+        occ.join(model, "gram")
+        .crossJoin(total)
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_grams"),
+            F.avg(F.log(F.col("cnt") / F.col("total"))).alias("avg_logp"),
+        )
+    )
+    return (
+        docs.select("doc_id")
+        .join(scored, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce("n_grams", F.lit(0)).alias("n_grams"),
+            F.round("avg_logp", 6).alias("avg_logp"),
+        )
+    )

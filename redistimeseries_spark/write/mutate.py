@@ -174,3 +174,46 @@ def ignore_filter_seeded(
         .applyInPandas(fn, b.schema)
         .drop("__seed")
     )
+
+
+def madd_status(raw: DataFrame, retention_ms: int | None = None) -> DataFrame:
+    """(key, ts, seq, status) — TS.MADD's per-triple reply array, computed
+    distributedly: the reference walks the batch and answers each triple
+    with its resolved timestamp or its error (src/module.c:1115-1161,
+    failed triples never ingested/replicated).  With DUPLICATE_POLICY
+    BLOCK the two rejection classes are
+
+      LATE       ts older than (max accepted ts so far) - retention
+                 (src/tsdb.c:676-686 retention check precedes the
+                 duplicate path)
+      DUPLICATE  a same-(key, ts) triple was already accepted earlier in
+                 arrival (seq) order (upsert blocked, src/tsdb.c:688-705)
+
+    Sequential semantics collapse to two per-key windows because rejected
+    triples never advance lastTimestamp: a LATE triple is <= the running
+    max by definition, and a DUPLICATE equals an earlier accepted ts — so
+    the running max over ALL triples equals the running max over accepted
+    ones, and 'first arrival per (key, ts)' identifies the accepted
+    upsert.  Both windows are key-partitioned — no corpus-wide sort, and
+    the bucketed (key, ts)-sorted layout satisfies them without an
+    exchange."""
+    w_prev = (
+        Window.partitionBy("key")
+        .orderBy("seq")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    w_dup = Window.partitionBy("key", "ts").orderBy("seq")
+    out = raw.withColumn("__rn", F.row_number().over(w_dup))
+    late = F.lit(False)
+    if retention_ms is not None:
+        out = out.withColumn("__runmax", F.max("ts").over(w_prev))
+        late = F.col("ts") < F.col("__runmax") - F.lit(retention_ms)
+    return out.select(
+        "key",
+        "ts",
+        "seq",
+        F.when(late, F.lit("LATE"))
+        .when(F.col("__rn") > 1, F.lit("DUPLICATE"))
+        .otherwise(F.lit("OK"))
+        .alias("status"),
+    )

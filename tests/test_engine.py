@@ -242,3 +242,36 @@ def test_mrange_applies_per_series_retention(eng):
     got = {(r.key, r.ts) for r in eng.mrange(["grp=g"]).collect()}
     # ra horizon = 5000 - 1000 = 4000: ts 0/500 clamped; rb keeps everything
     assert got == {("ra", 5000), ("rb", 0), ("rb", 5000)}
+
+
+def test_madd_status_distributed_matches_sequential(spark):
+    """madd_status's two-window formulation equals a literal sequential
+    replay of the reference's per-triple accept/reject chain
+    (src/module.c:1115-1161, src/tsdb.c:676-705)."""
+    from redistimeseries_spark.write.mutate import madd_status
+
+    triples = [  # (key, ts, seq) — crafted dups + late arrivals
+        ("a", 100, 1), ("a", 200, 2), ("a", 100, 3),  # dup of accepted
+        ("a", 1000, 4), ("a", 50, 5),  # late: 50 < 1000 - 500
+        ("a", 50, 6),  # late again (same ts as a rejected triple)
+        ("b", 10, 7), ("b", 10, 8), ("b", 20, 9),
+    ]
+    retention = 500
+    df = spark.createDataFrame(
+        [(k, t, float(t), s) for k, t, s in triples],
+        "key string, ts long, value double, seq long",
+    )
+    got = {r.seq: r.status for r in madd_status(df, retention_ms=retention).collect()}
+
+    # sequential oracle
+    last, seen, want = {}, set(), {}
+    for k, t, s in sorted(triples, key=lambda x: x[2]):
+        if k in last and t < last[k] - retention:
+            want[s] = "LATE"
+        elif (k, t) in seen:
+            want[s] = "DUPLICATE"
+        else:
+            want[s] = "OK"
+            seen.add((k, t))
+            last[k] = max(last.get(k, 0), t)
+    assert got == want

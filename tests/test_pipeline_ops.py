@@ -320,3 +320,62 @@ def test_decontaminate_flags_overlap(spark):
            for r in decontaminate(train, ev, n=5).collect()}
     assert out[1][1] is True and out[1][0] >= 1
     assert out[2] == (0, False)
+
+
+def test_repetition_signals_planted(spark):
+    from redistimeseries_spark.pipeline.text import repetition_signals
+
+    docs = spark.createDataFrame(
+        [
+            (1, "unique one\nunique two\nunique three"),  # no repetition
+            (2, "same line\nsame line\nother"),  # 2 of 3 lines duplicated
+            (3, "spam spam spam spam ham"),  # top word 4/5, top bigram 3/4
+            (4, ""),  # degenerate: no lines, no words
+        ],
+        "doc_id long, text string",
+    )
+    out = {r.doc_id: r for r in repetition_signals(docs).collect()}
+    assert out[1].dup_line_frac == 0.0
+    assert out[2].dup_line_frac == pytest.approx(1 - 2 / 3, abs=1e-6)
+    # "same line" chars (9*2=18) of 23 total line chars live in dup lines
+    assert out[2].dup_line_char_frac == pytest.approx(18 / 23, abs=1e-6)
+    assert out[3].top_word_frac == pytest.approx(4 / 5, abs=1e-6)
+    assert out[3].top_bigram_frac == pytest.approx(3 / 4, abs=1e-6)
+    assert out[4].dup_line_frac == 0.0 and out[4].top_word_frac == 0.0
+
+
+def test_char_ngram_lm_scores_ranks_ood_text(spark):
+    from redistimeseries_spark.pipeline.text import char_ngram_lm_scores
+
+    # corpus dominated by one phrase; the outlier doc's trigrams are rare
+    rows = [(i, "the common phrase repeats here") for i in range(20)]
+    rows.append((99, "zzqxj vvkwq zzqxj"))
+    rows.append((100, "ab"))  # shorter than a trigram
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r.doc_id: r for r in char_ngram_lm_scores(docs).collect()}
+    assert out[0].avg_logp > out[99].avg_logp  # in-distribution scores higher
+    assert out[100].n_grams == 0 and out[100].avg_logp is None
+    assert len(out) == 22  # every doc keeps a row
+
+
+def test_stratified_sample_exact_and_deterministic(spark):
+    from redistimeseries_spark.pipeline.curation import stratified_sample
+
+    rows = [(i, "en" if i % 3 else "fr") for i in range(300)]
+    docs = spark.createDataFrame(rows, "doc_id long, lang string")
+    out = stratified_sample(docs, "lang", 10)
+    got = out.groupBy("stratum").count().collect()
+    assert {r.stratum: r["count"] for r in got} == {"en": 10, "fr": 10}
+    # deterministic across invocations and independent of partitioning
+    again = stratified_sample(docs.repartition(7), "lang", 10)
+    assert sorted(map(tuple, out.collect())) == sorted(map(tuple, again.collect()))
+
+
+def test_stratified_sample_small_stratum_takes_all(spark):
+    from redistimeseries_spark.pipeline.curation import stratified_sample
+
+    docs = spark.createDataFrame(
+        [(1, "en"), (2, "en"), (3, "fr")], "doc_id long, lang string"
+    )
+    out = stratified_sample(docs, "lang", 5).collect()
+    assert len(out) == 3  # min(n, |stratum|) per stratum, nothing dropped
