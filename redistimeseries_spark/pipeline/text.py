@@ -150,58 +150,69 @@ def repetition_signals(docs: DataFrame) -> DataFrame:
                           frequent word
       top_bigram_frac     same for word 2-grams
 
-    Shape: two explode -> (doc_id, token) count -> per-doc aggregate
-    chains, joined back on doc_id.  Every shuffle is keyed by
-    (doc_id, token) or doc_id — no corpus-wide hot key, so the plan is
-    embarrassingly parallel at 100 TB.  Docs with no lines/words keep a
-    row (left joins) with zeroed signals.
+    Shape: ONE scan of the corpus.  Lines, words and word-2-grams are
+    tagged and concatenated into a single token array in one projection,
+    exploded once, counted by (doc_id, kind, token), reduced to per-
+    (doc_id, kind) stats, and pivoted back to columns with a conditional
+    aggregation — so the text column is read once, not once per signal.
+    Every shuffle is keyed by (doc_id, ...) — no corpus-wide hot key, so
+    the plan is embarrassingly parallel at 100 TB.  Docs with no
+    lines/words keep a row (left join from the doc spine; the spine scan
+    prunes to the doc_id column only) with zeroed signals.
     """
     lines_arr = F.array_remove(F.split(F.col("text"), "\n"), "")
-    words_arr = F.array_remove(F.split(F.lower(F.col("text")), WORD_RE), "")
-
-    lines = docs.select("doc_id", F.explode(lines_arr).alias("line"))
-    line_stats = (
-        lines.groupBy("doc_id", "line")
+    words_sql = f"array_remove(split(lower(text), '{WORD_RE}'), '')"
+    bigrams_sql = (
+        f"CASE WHEN size({words_sql}) >= 2 THEN "
+        f"transform(sequence(1, size({words_sql}) - 1),"
+        f" i -> concat(element_at({words_sql}, i), ' ', element_at({words_sql}, i + 1)))"
+        f" ELSE array() END"
+    )
+    tagged = (
+        F.concat(
+            F.transform(lines_arr, lambda x: F.struct(F.lit("L").alias("kind"), x.alias("tok"))),
+            F.transform(
+                F.expr(words_sql), lambda x: F.struct(F.lit("W").alias("kind"), x.alias("tok"))
+            ),
+            F.transform(
+                F.expr(bigrams_sql).cast("array<string>"),
+                lambda x: F.struct(F.lit("B").alias("kind"), x.alias("tok")),
+            ),
+        )
+    )
+    toks = docs.select("doc_id", F.explode(tagged).alias("t")).select(
+        "doc_id", F.col("t.kind").alias("kind"), F.col("t.tok").alias("tok")
+    )
+    stats = (
+        toks.groupBy("doc_id", "kind", "tok")
         .agg(F.count(F.lit(1)).alias("cnt"))
-        .groupBy("doc_id")
+        .groupBy("doc_id", "kind")
         .agg(
-            F.sum("cnt").alias("n_lines"),
+            F.sum("cnt").alias("n"),
             F.count(F.lit(1)).alias("n_distinct"),
-            F.sum(F.length("line") * F.col("cnt")).alias("tot_chars"),
+            F.sum(F.length("tok") * F.col("cnt")).alias("tot_chars"),
             F.sum(
-                F.when(F.col("cnt") > 1, F.length("line") * F.col("cnt")).otherwise(0)
+                F.when(F.col("cnt") > 1, F.length("tok") * F.col("cnt")).otherwise(0)
             ).alias("dup_chars"),
+            F.max("cnt").alias("top_cnt"),
         )
     )
 
-    def _top_frac(tok_df, out):
-        return (
-            tok_df.groupBy("doc_id", "tok")
-            .agg(F.count(F.lit(1)).alias("cnt"))
-            .groupBy("doc_id")
-            .agg((F.max("cnt") / F.sum("cnt")).alias(out))
-        )
+    def _k(kind, col):
+        return F.max(F.when(F.col("kind") == kind, F.col(col)))
 
-    words = docs.select("doc_id", F.explode(words_arr).alias("tok"))
-    bigrams = docs.select(
-        "doc_id",
-        F.explode(
-            F.when(
-                F.size(words_arr) >= 2,
-                F.expr(
-                    f"transform(sequence(1, size(array_remove(split(lower(text), '{WORD_RE}'), '')) - 1),"
-                    f" i -> concat(element_at(array_remove(split(lower(text), '{WORD_RE}'), ''), i), ' ',"
-                    f"             element_at(array_remove(split(lower(text), '{WORD_RE}'), ''), i + 1)))"
-                ),
-            ).otherwise(F.array().cast("array<string>"))
-        ).alias("tok"),
+    pivoted = stats.groupBy("doc_id").agg(
+        _k("L", "n").alias("n_lines"),
+        _k("L", "n_distinct").alias("n_distinct"),
+        _k("L", "tot_chars").alias("tot_chars"),
+        _k("L", "dup_chars").alias("dup_chars"),
+        (_k("W", "top_cnt") / _k("W", "n")).alias("top_word_frac"),
+        (_k("B", "top_cnt") / _k("B", "n")).alias("top_bigram_frac"),
     )
 
     return (
         docs.select("doc_id")
-        .join(line_stats, "doc_id", "left")
-        .join(_top_frac(words, "top_word_frac"), "doc_id", "left")
-        .join(_top_frac(bigrams, "top_bigram_frac"), "doc_id", "left")
+        .join(pivoted, "doc_id", "left")
         .select(
             "doc_id",
             F.round(
