@@ -33,7 +33,13 @@ from redistimeseries_spark.pipeline.dedup import (
     simhash,
     simhash_hamming_pairs,
 )
-from redistimeseries_spark.pipeline.text import lang_scores, token_counts
+from redistimeseries_spark.pipeline.curation import stratified_sample
+from redistimeseries_spark.pipeline.text import (
+    char_ngram_lm_scores,
+    lang_scores,
+    repetition_signals,
+    token_counts,
+)
 
 
 def main():
@@ -52,6 +58,7 @@ def main():
             F.when(F.col("__r") == 0, F.col("text"))
             .otherwise(F.concat(F.col("text"), F.lit(" rep"), F.col("__r")))
             .alias("text"),
+            F.col("lang"),
         )
         # the explode of one tiny parquet split leaves ONE partition — a
         # real corpus arrives in many files; spread it before timing
@@ -84,6 +91,12 @@ def main():
         # Jaccard arithmetic standalone pays the corpus-wide gram
         # self-join; here it runs on proposed pairs alone.
         "d10_dedup_pipeline": lambda: dedup_pipeline(docs, max_bucket=256),
+        # single-scan tagged-token plan (lines+words+bigrams in one pass)
+        "d11_repetition": lambda: repetition_signals(docs),
+        # two passes by construction: train the trigram model, score docs
+        "d12_ngram_lm": lambda: char_ngram_lm_scores(docs),
+        # count -> hash-cut -> window on ~8n survivors per stratum
+        "d13_stratified_sample": lambda: stratified_sample(docs, "lang", 1000),
     }
 
     if len(sys.argv) > 2:
