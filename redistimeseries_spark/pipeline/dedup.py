@@ -54,15 +54,21 @@ def exact_dedup(docs: DataFrame) -> DataFrame:
 
 def char_shingles(docs: DataFrame, k: int = 5) -> DataFrame:
     """(doc_id, shingle) — distinct lowercased char k-grams."""
-    return docs.select(
-        "doc_id",
-        F.explode(
-            F.expr(
-                f"array_distinct(transform(sequence(1, greatest(length(lower(text)) - {k - 1}, 1)),"
-                f" i -> substring(lower(text), i, {k})))"
-            )
-        ).alias("shingle"),
-    ).distinct()
+    # lowered text projected before the lambda: an inlined lower(text)
+    # re-evaluates per element (O(len^2) per doc)
+    return (
+        docs.select("doc_id", F.lower(F.col("text")).alias("lt"))
+        .select(
+            "doc_id",
+            F.explode(
+                F.expr(
+                    f"array_distinct(transform(sequence(1, greatest(length(lt) - {k - 1}, 1)),"
+                    f" i -> substring(lt, i, {k})))"
+                )
+            ).alias("shingle"),
+        )
+        .distinct()
+    )
 
 
 # Universal-hash minhash: one md5 per distinct shingle; permutation h is the
@@ -97,14 +103,17 @@ def minhash_signatures(
     |docs| x |shingles| x num_hashes rows and did not finish at 500k docs;
     this one is a linear scan.)"""
     coeffs = minhash_coeffs(num_hashes)
+    # lowered text projected before the shingle lambda (inlined lower()
+    # would re-evaluate per element — O(len^2) per doc)
+    lowered = docs.select("doc_id", F.lower(F.col("text")).alias("lt"))
     shingles = F.expr(
-        f"array_distinct(transform(sequence(1, greatest(length(lower(text)) - {k - 1}, 1)),"
-        f" i -> substring(lower(text), i, {k})))"
+        f"array_distinct(transform(sequence(1, greatest(length(lt) - {k - 1}, 1)),"
+        f" i -> substring(lt, i, {k})))"
     )
     xs = F.transform(
         shingles, lambda s: F.conv(F.substring(F.md5(s), 1, 7), 16, 10).cast("long")
     )
-    d = docs.select("doc_id", xs.alias("__xs"))
+    d = lowered.select("doc_id", xs.alias("__xs"))
 
     def _perm(a: int, b: int):
         return lambda x: (x * F.lit(a) + F.lit(b)) % F.lit(MINHASH_P)
@@ -258,16 +267,24 @@ def simhash_hamming_pairs(
 
 def word_ngrams(docs: DataFrame, n: int = 3) -> DataFrame:
     """(doc_id, gram) — distinct word n-grams."""
-    return docs.select(
-        "doc_id",
-        F.explode(
-            F.expr(
-                f"array_distinct(transform("
-                f"  sequence(1, greatest(size(array_remove(split(lower(text), '{WORD_RE}'), '')) - {n - 1}, 1)),"
-                f"  i -> concat_ws(' ', slice(array_remove(split(lower(text), '{WORD_RE}'), ''), i, {n}))))"
-            )
-        ).alias("gram"),
-    ).distinct()
+    # word array projected before the lambda: the inlined split would
+    # re-evaluate per gram position (O(n_words^2) per doc)
+    return (
+        docs.select(
+            "doc_id",
+            F.expr(f"array_remove(split(lower(text), '{WORD_RE}'), '')").alias("wa"),
+        )
+        .select(
+            "doc_id",
+            F.explode(
+                F.expr(
+                    f"array_distinct(transform(sequence(1, greatest(size(wa) - {n - 1}, 1)),"
+                    f" i -> concat_ws(' ', slice(wa, i, {n}))))"
+                )
+            ).alias("gram"),
+        )
+        .distinct()
+    )
 
 
 def ngram_jaccard_pairs(

@@ -94,14 +94,18 @@ def token_counts(docs: DataFrame) -> DataFrame:
 def fingerprints(docs: DataFrame, k: int = 8) -> DataFrame:
     """Content fingerprints: exact md5 of normalized text + a winnowing-style
     min-hash over char k-grams (robust to local edits)."""
-    norm = F.regexp_replace(F.lower(F.col("text")), "\\s+", " ")
+    # normalized text projected before the lambda: an inlined
+    # regexp_replace re-evaluates per window (O(len^2) per doc)
     grams = F.expr(
-        f"transform(sequence(1, greatest(length(regexp_replace(lower(text), '\\\\s+', ' ')) - {k - 1}, 1)),"
-        f" i -> md5(substring(regexp_replace(lower(text), '\\\\s+', ' '), i, {k})))"
+        f"transform(sequence(1, greatest(length(nt) - {k - 1}, 1)),"
+        f" i -> md5(substring(nt, i, {k})))"
     )
     return docs.select(
         "doc_id",
-        F.md5(norm).alias("exact_fp"),
+        F.regexp_replace(F.lower(F.col("text")), "\\s+", " ").alias("nt"),
+    ).select(
+        "doc_id",
+        F.md5(F.col("nt")).alias("exact_fp"),
         F.array_min(grams).alias("min_gram_fp"),
     )
 
