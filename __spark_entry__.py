@@ -175,6 +175,17 @@ def q_mrange_max_1h(spark, sf_dir):
     )
 
 
+def q_mrange_twa(spark, sf_dir):
+    """TS.MRANGE FILTER type=view AGGREGATION twa 2h — the trapezoid
+    integration runs per matched series after the broadcast label
+    semi-join; same single-window JVM plan as TS.RANGE twa."""
+    st = _store(spark, sf_dir)
+    return ts_mrange(
+        st.samples, st.labels, ["type=view"], D14, D21,
+        aggregations=["twa"], bucket_dur=2 * H,
+    )
+
+
 def q_mrange_groupby_sum(spark, sf_dir):
     st = _store(spark, sf_dir)
     return ts_mrange(
@@ -891,6 +902,7 @@ ROUND_MAP: dict[str, list[str]] = {
     "ts_agg_all14": ["sum", "avg", "range", "std_p", "std_s", "var_p", "var_s"],
     "ts_agg_twa": ["twa"],
     "ts_agg_twa_empty": ["twa"],
+    "ts_mrange_twa": ["twa"],
     "ts_agg_empty_multi_twa": ["sum", "twa"],
     "ts_agg_empty": ["sum"],
     "ts_agg_empty_nan": ["avg"],
@@ -1016,6 +1028,7 @@ def _base_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ts_queryindex_neg": q_queryindex_neg,
         "ts_querylabels_names": q_querylabels_names,
         "ts_mrange_withlabels": q_mrange_withlabels,
+        "ts_mrange_twa": q_mrange_twa,
         "ts_mrange_noexclude": q_mrange_noexclude,
         "ts_mrange_groupby_sum": q_mrange_groupby_sum,
         "ts_mrange_groupby_count": q_mrange_groupby_count,
@@ -1049,12 +1062,12 @@ GROUP BY key, 2
 HAVING count(CASE WHEN NOT isnan(value) THEN 1 END) > 0"""
 
 
-def _twa_oracle(start, end, dur, align=0):
+def _twa_oracle(start, end, dur, align=0, where="TRUE"):
     b = bucket_sql("ts", dur, align)
     return f"""{ORACLE_PREFIX},
 s AS (
   SELECT key, ts, value, {b} AS b FROM samples
-  WHERE ts BETWEEN {start} AND {end} AND NOT isnan(value)
+  WHERE ts BETWEEN {start} AND {end} AND NOT isnan(value) AND {where}
 ),
 p AS (
   SELECT key, ts, value, b,
@@ -1732,6 +1745,10 @@ def _base_oracles() -> dict[str, str]:
         "ts_querylabels_values": f"""{ORACLE_PREFIX}
             SELECT DISTINCT value FROM labels WHERE label = 'type'
             AND key IN (SELECT key FROM labels WHERE label='parity' AND value='even')""",
+        "ts_mrange_twa": _twa_oracle(
+            D14, D21, 2 * H,
+            where="key IN (SELECT key FROM labels WHERE label='type' AND value='view')",
+        ),
         "ts_mrange_multiagg": _agg_oracle(
             ["min", "max", "avg"], 12 * H, 0, D14, D21,
             where="key IN (SELECT key FROM labels WHERE label='parity' AND value='odd')",
