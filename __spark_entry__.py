@@ -811,6 +811,21 @@ def q_ann_ivf_topk(spark, sf_dir):
     )
 
 
+ANN_BATCH_QIDS = [0, 1, 2]
+
+
+def q_ann_batch(spark, sf_dir):
+    """Batch IVF ANN: one corpus cell-assignment, per-query probes, and a
+    WindowGroupLimit partial top-k per qid."""
+    from redistimeseries_spark.pipeline.similarity import ivf_topk_batch
+    from redistimeseries_spark.store import read_parquet
+
+    return ivf_topk_batch(
+        read_parquet(spark, f"{sf_dir}/embeddings.parquet"),
+        ANN_BATCH_QIDS, k=10, ncent=16, nprobe=4,
+    )
+
+
 def q_lang_id(spark, sf_dir):
     from redistimeseries_spark.pipeline.text import lang_scores
 
@@ -1018,6 +1033,7 @@ def _base_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ts_agg_twa_empty": q_agg_twa_empty,
         "ts_compaction_twa_1h": q_compaction_twa_1h,
         "dl_embed_neardup_lsh": q_embed_neardup_lsh,
+        "dl_ann_batch": q_ann_batch,
         "dl_mm_frame_sample": q_mm_frame_sample,
         "ts_agg_empty_multi_twa": q_agg_empty_multi_twa,
         "ts_agg_empty_nan": q_agg_empty_nan,
@@ -1503,6 +1519,31 @@ def _pipeline_oracles() -> dict[str, str]:
                   WHERE a.vec_id <> 0)
             SELECT vec_id, round(c2, 6) AS cos
             FROM (SELECT * FROM s ORDER BY c2 DESC, vec_id LIMIT 20)""",
+        "dl_ann_batch": f"""WITH d AS (
+              SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+            c AS (SELECT vec_id AS cid, v AS cv FROM d ORDER BY vec_id LIMIT 16),
+            sim AS (SELECT d.vec_id, d.v, c.cid,
+                           list_dot_product(d.v, c.cv)
+                             / (sqrt(list_dot_product(d.v, d.v))
+                                * sqrt(list_dot_product(c.cv, c.cv))) AS csim
+                    FROM d, c),
+            r AS (SELECT *, row_number() OVER (PARTITION BY vec_id
+                                               ORDER BY csim DESC, cid) AS rn FROM sim),
+            assigned AS (SELECT vec_id, v, cid FROM r WHERE rn = 1),
+            qs AS (SELECT vec_id AS qid, v AS qv, sqrt(list_dot_product(v, v)) AS qn
+                   FROM d WHERE vec_id IN ({','.join(map(str, ANN_BATCH_QIDS))})),
+            probes AS (SELECT vec_id AS qid, cid FROM r
+                       WHERE vec_id IN ({','.join(map(str, ANN_BATCH_QIDS))}) AND rn <= 4),
+            s AS (SELECT q.qid, a.vec_id,
+                         list_dot_product(a.v, q.qv)
+                           / (sqrt(list_dot_product(a.v, a.v)) * q.qn) AS c2
+                  FROM assigned a JOIN probes p ON a.cid = p.cid
+                  JOIN qs q ON q.qid = p.qid
+                  WHERE a.vec_id <> q.qid),
+            rk AS (SELECT qid, vec_id, c2,
+                          row_number() OVER (PARTITION BY qid
+                                             ORDER BY c2 DESC, vec_id) AS rn FROM s)
+            SELECT qid, vec_id, round(c2, 6) AS cos FROM rk WHERE rn <= 10""",
         "dl_lang_id": _lang_oracle(),
         "dl_quality": f"""SELECT doc_id,
               len({words}) AS n_words,

@@ -202,3 +202,69 @@ def lsh_topk(
         .limit(k)
         .select("vec_id", F.round("cos", 6).alias("cos"))
     )
+
+
+def ivf_topk_batch(
+    emb: DataFrame,
+    query_vec_ids: list[int],
+    k: int = 10,
+    ncent: int = 16,
+    nprobe: int = 4,
+    centroids: DataFrame | None = None,
+) -> DataFrame:
+    """(qid, vec_id, cos) — IVF ANN for a query SET: top-k per query.
+
+    The realistic retrieval shape (embedding-dedup probes, RAG batch
+    lookups): the corpus is cell-assigned ONCE, each query probes its
+    `nprobe` nearest cells, and the probe table (|queries| x nprobe rows,
+    carrying the query vector) broadcasts into a join on cell id — a
+    corpus row is scored only against the queries probing its cell, never
+    |corpus| x |queries|.  The per-query top-k is `row_number <= k` over a
+    qid-partitioned window, which Spark's InferWindowGroupLimit rewrites
+    into a partial per-partition top-k heap before the shuffle (the
+    many-group analogue of TakeOrderedAndProject), so no query's full
+    candidate list is ever sorted in one task."""
+    from pyspark.sql import Window
+
+    d = emb.select("vec_id", F.col("embedding").cast("array<double>").alias("v"))
+    cents = centroids if centroids is not None else d.orderBy("vec_id").limit(
+        ncent
+    ).select(F.col("vec_id").cast("long").alias("cid"), F.col("v").alias("cv"))
+    assigned = _assign_cells(d, cents)
+    qs = d.filter(F.col("vec_id").isin(query_vec_ids)).select(
+        F.col("vec_id").alias("qid"),
+        F.col("v").alias("qv"),
+        _norm(F.col("v")).alias("qn"),
+    )
+    qsim = qs.crossJoin(F.broadcast(cents)).select(
+        "qid",
+        "qv",
+        "qn",
+        "cid",
+        (_dot(F.col("qv"), F.col("cv")) / (F.col("qn") * _norm(F.col("cv")))).alias(
+            "csim"
+        ),
+    )
+    wq = Window.partitionBy("qid").orderBy(F.col("csim").desc(), F.col("cid").asc())
+    probes = (
+        qsim.withColumn("prn", F.row_number().over(wq))
+        .filter(F.col("prn") <= nprobe)
+        .select("qid", "qv", "qn", "cid")
+    )
+    scored = (
+        assigned.join(F.broadcast(probes), "cid")
+        .filter(F.col("vec_id") != F.col("qid"))
+        .select(
+            "qid",
+            "vec_id",
+            (_dot(F.col("v"), F.col("qv")) / (_norm(F.col("v")) * F.col("qn"))).alias(
+                "cos"
+            ),
+        )
+    )
+    w = Window.partitionBy("qid").orderBy(F.col("cos").desc(), F.col("vec_id").asc())
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= k)
+        .select("qid", "vec_id", F.round("cos", 6).alias("cos"))
+    )

@@ -379,3 +379,18 @@ def test_stratified_sample_small_stratum_takes_all(spark):
     )
     out = stratified_sample(docs, "lang", 5).collect()
     assert len(out) == 3  # min(n, |stratum|) per stratum, nothing dropped
+
+
+def test_ivf_batch_matches_single_query(spark):
+    from redistimeseries_spark.pipeline.similarity import ivf_topk, ivf_topk_batch
+    from redistimeseries_spark.store import read_parquet
+
+    emb = read_parquet(spark, "/root/testdata/sf0.001/embeddings.parquet")
+    batch = ivf_topk_batch(emb, [0, 5], k=10, ncent=16, nprobe=4)
+    got0 = [(r.vec_id, r.cos) for r in batch.filter(F.col("qid") == 0).orderBy("cos", ascending=False).collect()]
+    want0 = [(r.vec_id, r.cos) for r in ivf_topk(emb, 0, 10, ncent=16, nprobe=4).collect()]
+    assert got0 == want0
+    # the per-query top-k must be a partial heap before the shuffle, not a
+    # full per-query sort (Spark rewrites row_number<=k into WindowGroupLimit)
+    plan = batch._jdf.queryExecution().executedPlan().toString()
+    assert "WindowGroupLimit" in plan
