@@ -334,6 +334,41 @@ def q_stream_rule_avg_1m(spark, sf_dir):
     return out.select("key", "ts", "value")
 
 
+def q_stream_dedup(spark, sf_dir):
+    """Incremental corpus dedup: the documents table replayed as two
+    micro-batches (split at the median doc_id, plus planted exact copies
+    in batch 2) through DedupStream — batch 2 dedups against batch 1 via
+    the fingerprint/band state store, never by rescanning batch 1.
+    Rows-only gate: the near-dup kept-chain is sequential across the
+    band-sharing graph, so no closed-form SQL oracle exists; semantics
+    are pinned by tests/test_streaming_native.py."""
+    import os
+    import tempfile
+
+    from redistimeseries_spark.pipeline.streaming_dedup import start_dedup_stream
+
+    d = tempfile.mkdtemp(prefix="sparkts_sdedup_")
+    docs = _docs(spark, sf_dir).select("doc_id", "text")
+    median = docs.approxQuantile("doc_id", [0.5], 0.0)[0]
+    in_dir = os.path.join(d, "in")
+    docs.filter(F.col("doc_id") <= median).write.mode("append").parquet(in_dir)
+    ds, q = start_dedup_stream(
+        spark, in_dir, os.path.join(d, "state"), os.path.join(d, "ckpt")
+    )
+    q.awaitTermination(300)
+    late = docs.filter(F.col("doc_id") > median)
+    # planted cross-batch exact dups: copies of batch-1 docs
+    copies = docs.filter(F.col("doc_id") <= median).limit(20).select(
+        (F.col("doc_id") + 1_000_000).alias("doc_id"), "text"
+    )
+    late.unionByName(copies).write.mode("append").parquet(in_dir)
+    ds, q = start_dedup_stream(
+        spark, in_dir, os.path.join(d, "state"), os.path.join(d, "ckpt")
+    )
+    q.awaitTermination(300)
+    return ds.decisions().orderBy("doc_id")
+
+
 def q_stream_incrby(spark, sf_dir):
     """TS.INCRBY as a stateful stream (applyInPandasWithState): per-key
     running counter with the reference's ts >= last check
@@ -1034,6 +1069,7 @@ def _base_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ts_compaction_twa_1h": q_compaction_twa_1h,
         "dl_embed_neardup_lsh": q_embed_neardup_lsh,
         "dl_ann_batch": q_ann_batch,
+        "dl_stream_dedup": q_stream_dedup,
         "dl_mm_frame_sample": q_mm_frame_sample,
         "ts_agg_empty_multi_twa": q_agg_empty_multi_twa,
         "ts_agg_empty_nan": q_agg_empty_nan,

@@ -1,0 +1,186 @@
+"""Incremental (streaming) corpus deduplication.
+
+A 100 TB training corpus is not deduplicated once — it grows, and each
+increment must dedup against everything already accepted WITHOUT
+rescanning the accepted corpus.  The state that makes that possible is
+tiny relative to the text: one md5 per accepted doc (exact) and
+`bands` short band-keys per accepted doc (MinHash LSH near-dup), kept in
+an append-only parquet store.
+
+Per micro-batch (foreachBatch, same durable-state pattern as
+streaming/ingest.StreamingStore):
+
+  1. fingerprints + band keys for the new docs — the zero-shuffle map
+     pass from pipeline/dedup.minhash_signatures;
+  2. within-batch exact dedup (min doc_id per fp wins);
+  3. join batch fps against the fp store        -> `exact_dup`;
+  4. join batch band keys against the band store -> `near_dup`
+     (candidate-level: the verify stage of dedup_pipeline applies when
+     text is retained);
+  5. survivors' fps + bands APPEND to the store; every doc's verdict is
+     appended to a decisions log.
+
+Scale shape: joins are keyed by fp / (band, band_key) — hash joins
+against a store that is O(accepted docs), never O(corpus text); appends
+are partition-local.  On a real deployment the two stores are Delta
+tables with a (band % N) partitioning so each batch touches all
+partitions but only ~|batch| rows; hub band-keys (boilerplate) hit the
+same AQE skew handling as the batch LSH join.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from redistimeseries_spark.pipeline.dedup import minhash_signatures
+
+FP_SCHEMA = "fp string, doc_id long"
+BAND_SCHEMA = "band int, band_key string, doc_id long"
+DECISION_SCHEMA = "doc_id long, status string, dup_of long"
+
+
+class DedupStream:
+    """foreachBatch target maintaining the fingerprint/band state."""
+
+    def __init__(
+        self,
+        spark: SparkSession,
+        state_dir: str,
+        num_hashes: int = 8,
+        bands: int = 4,
+        k: int = 5,
+    ):
+        self.spark = spark
+        self.state_dir = state_dir
+        self.num_hashes, self.bands, self.k = num_hashes, bands, k
+        os.makedirs(state_dir, exist_ok=True)
+
+    def _read(self, sub: str, schema: str) -> DataFrame:
+        path = os.path.join(self.state_dir, sub)
+        try:
+            return self.spark.read.schema(schema).parquet(path)
+        except Exception:
+            return self.spark.createDataFrame([], schema)
+
+    def fp_store(self) -> DataFrame:
+        return self._read("fps", FP_SCHEMA)
+
+    def band_store(self) -> DataFrame:
+        return self._read("bands", BAND_SCHEMA)
+
+    def decisions(self) -> DataFrame:
+        return self._read("decisions", DECISION_SCHEMA)
+
+    def _append(self, df: DataFrame, sub: str) -> None:
+        df.write.mode("append").parquet(os.path.join(self.state_dir, sub))
+
+    def _batch_features(self, batch: DataFrame):
+        rows = self.num_hashes // self.bands
+        fps = batch.select(
+            "doc_id",
+            F.md5(F.regexp_replace(F.lower(F.col("text")), "\\s+", " ")).alias("fp"),
+        )
+        band_keys = (
+            minhash_signatures(batch, self.num_hashes, self.k)
+            .withColumn("band", (F.col("h") / rows).cast("int"))
+            .groupBy("doc_id", "band")
+            .agg(
+                F.concat_ws("|", F.sort_array(F.collect_list("minhash"))).alias(
+                    "band_key"
+                )
+            )
+        )
+        return fps, band_keys
+
+    def process_batch(self, batch: DataFrame, batch_id: int) -> None:
+        fps, band_keys = self._batch_features(batch)
+        fps = fps.localCheckpoint()  # the md5 pass runs once, not per join
+
+        # within-batch exact winners, then the store lookup
+        first = fps.groupBy("fp").agg(F.min("doc_id").alias("winner"))
+        fps = fps.join(first, "fp")
+        store_hit = self.fp_store().withColumnRenamed("doc_id", "stored_doc")
+        fps = fps.join(
+            store_hit.groupBy("fp").agg(F.min("stored_doc").alias("stored_doc")),
+            "fp",
+            "left",
+        )
+        exact = fps.select(
+            "doc_id",
+            "fp",
+            F.when(F.col("stored_doc").isNotNull(), F.col("stored_doc"))
+            .when(F.col("doc_id") != F.col("winner"), F.col("winner"))
+            .alias("dup_of"),
+        ).localCheckpoint()
+
+        survivors = exact.filter(F.col("dup_of").isNull()).select("doc_id", "fp")
+        bk = band_keys.join(survivors.select("doc_id"), "doc_id")
+
+        # near-dup: any shared band key with an accepted doc (store first,
+        # then earlier-batch survivors via min-doc_id on the same key)
+        stored_bands = self.band_store().withColumnRenamed("doc_id", "near_doc")
+        near_store = (
+            bk.join(stored_bands, ["band", "band_key"])
+            .groupBy("doc_id")
+            .agg(F.min("near_doc").alias("near_of"))
+        )
+        in_batch = (
+            bk.alias("a")
+            .join(
+                bk.alias("b"),
+                (F.col("a.band") == F.col("b.band"))
+                & (F.col("a.band_key") == F.col("b.band_key"))
+                & (F.col("a.doc_id") > F.col("b.doc_id")),
+            )
+            .groupBy(F.col("a.doc_id").alias("doc_id"))
+            .agg(F.min("b.doc_id").alias("near_of"))
+        )
+        near = (
+            near_store.unionByName(in_batch)
+            .groupBy("doc_id")
+            .agg(F.min("near_of").alias("near_of"))
+            .localCheckpoint()
+        )
+
+        decisions = (
+            exact.join(near, "doc_id", "left")
+            .select(
+                "doc_id",
+                F.when(F.col("dup_of").isNotNull(), F.lit("exact_dup"))
+                .when(F.col("near_of").isNotNull(), F.lit("near_dup"))
+                .otherwise(F.lit("kept"))
+                .alias("status"),
+                F.coalesce("dup_of", "near_of").alias("dup_of"),
+            )
+            .localCheckpoint()
+        )
+
+        kept = decisions.filter(F.col("status") == "kept").select("doc_id")
+        self._append(survivors.join(kept, "doc_id").select("fp", "doc_id"), "fps")
+        self._append(
+            bk.join(kept, "doc_id").select("band", "band_key", "doc_id"), "bands"
+        )
+        self._append(decisions, "decisions")
+
+
+def start_dedup_stream(
+    spark: SparkSession,
+    in_dir: str,
+    state_dir: str,
+    checkpoint_dir: str,
+    schema: str = "doc_id long, text string",
+    **dedup_kwargs,
+):
+    """Wire a parquet-directory document stream into DedupStream."""
+    ds = DedupStream(spark, state_dir, **dedup_kwargs)
+    stream = spark.readStream.schema(schema).parquet(in_dir)
+    q = (
+        stream.writeStream.foreachBatch(ds.process_batch)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    return ds, q

@@ -117,3 +117,43 @@ def test_windowed_rule_aligned(spark, tmp_path):
     got = {r.ts: r.value for r in spark.sql("SELECT * FROM dest_aligned").collect()}
     # watermark 2600 -> buckets 300 and 1300 closed; 2300 still open
     assert got == {300: 4.0, 1300: 5.0}
+
+
+def test_incremental_dedup_across_batches(spark, tmp_path):
+    """Batch 2 must dedup against batch 1's accepted docs via the state
+    store, not by rescanning batch 1."""
+    from redistimeseries_spark.pipeline.streaming_dedup import start_dedup_stream
+
+    d = str(tmp_path)
+    doc_schema = "doc_id long, text string"
+    b1 = [
+        (1, "the quick brown fox jumps over the lazy dog tonight"),
+        (2, "completely different content about spark and parquet"),
+        (3, "the quick brown fox jumps over the lazy dog tonight"),  # in-batch exact dup of 1
+    ]
+    b2 = [
+        (10, "the quick brown fox jumps over the lazy dog tonight"),  # exact dup of stored 1
+        (11, "the quick brown fox jumps over the lazy dog at night"),  # near-dup of stored 1
+        (12, "entirely novel text mentioning structured streaming state"),
+    ]
+    os.makedirs(os.path.join(d, "in"), exist_ok=True)
+    spark.createDataFrame(b1, doc_schema).write.mode("append").parquet(os.path.join(d, "in"))
+    ds, q = start_dedup_stream(
+        spark, os.path.join(d, "in"), os.path.join(d, "state"), os.path.join(d, "ckpt")
+    )
+    q.awaitTermination(120)
+    spark.createDataFrame(b2, doc_schema).write.mode("append").parquet(os.path.join(d, "in"))
+    ds2, q2 = start_dedup_stream(
+        spark, os.path.join(d, "in"), os.path.join(d, "state"), os.path.join(d, "ckpt")
+    )
+    q2.awaitTermination(120)
+
+    got = {r.doc_id: (r.status, r.dup_of) for r in ds2.decisions().collect()}
+    assert got[1] == ("kept", None)
+    assert got[2] == ("kept", None)
+    assert got[3] == ("exact_dup", 1)
+    assert got[10] == ("exact_dup", 1)
+    assert got[11][0] == "near_dup" and got[11][1] == 1
+    assert got[12] == ("kept", None)
+    # state holds only accepted docs
+    assert {r.doc_id for r in ds2.fp_store().collect()} == {1, 2, 12}
