@@ -38,3 +38,51 @@ def register_sql(spark: SparkSession, store: TSStore, prefix: str = "ts_") -> No
     store.labels.createOrReplaceTempView(f"{prefix}labels")
     spark.sql(_TS_BUCKET_SQL)
     spark.sql(_TS_REPORT_SQL)
+
+
+# ---- training-data pipeline vocabulary ------------------------------------
+# Scalar document functions as declarative SQL UDFs: Catalyst inlines the
+# body at the call site, so `SELECT dl_exact_fp(text) FROM docs` compiles
+# to the same whole-stage-codegen expression the DataFrame operators in
+# pipeline/text.py build — no Python, no serialization boundary.
+
+_PIPELINE_FN_SQL = [
+    # normalized text (the shared canonical form of fingerprints/simhash)
+    """CREATE OR REPLACE TEMPORARY FUNCTION dl_norm_text(t STRING)
+       RETURNS STRING
+       RETURN regexp_replace(lower(t), '\\\\s+', ' ')""",
+    # whitespace token count (pipeline/text.token_counts)
+    """CREATE OR REPLACE TEMPORARY FUNCTION dl_ws_tokens(t STRING)
+       RETURNS BIGINT
+       RETURN size(array_remove(split(t, '\\\\s+'), ''))""",
+    # BPE-ish subword estimate (chars/4 on non-space chars)
+    """CREATE OR REPLACE TEMPORARY FUNCTION dl_bpe_tokens_est(t STRING)
+       RETURNS BIGINT
+       RETURN CAST(ceil(length(regexp_replace(t, '\\\\s', '')) / 4.0) AS BIGINT)""",
+    # exact content fingerprint (pipeline/text.fingerprints)
+    """CREATE OR REPLACE TEMPORARY FUNCTION dl_exact_fp(t STRING)
+       RETURNS STRING
+       RETURN md5(regexp_replace(lower(t), '\\\\s+', ' '))""",
+    # deterministic split bucket (pipeline/curation.hash_split)
+    """CREATE OR REPLACE TEMPORARY FUNCTION dl_hash_bucket(id BIGINT)
+       RETURNS BIGINT
+       RETURN CAST(conv(substring(md5(CAST(id AS STRING)), 1, 7), 16, 10) AS BIGINT) % 10000""",
+    # distinct char k-shingles (pipeline/dedup.char_shingles)
+    """CREATE OR REPLACE TEMPORARY FUNCTION dl_shingles(t STRING, k INT)
+       RETURNS ARRAY<STRING>
+       RETURN array_distinct(transform(
+           sequence(1, greatest(length(lower(t)) - k + 1, 1)),
+           i -> substring(lower(t), i, k)))""",
+]
+
+
+def register_pipeline_sql(spark: SparkSession, docs=None, emb=None) -> None:
+    """Register the dl_* scalar functions (and optional `documents` /
+    `embeddings` temp views) so the pipeline vocabulary is reachable from
+    `spark.sql(...)` alongside the ts_* surface."""
+    for stmt in _PIPELINE_FN_SQL:
+        spark.sql(stmt)
+    if docs is not None:
+        docs.createOrReplaceTempView("documents")
+    if emb is not None:
+        emb.createOrReplaceTempView("embeddings")

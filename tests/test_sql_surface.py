@@ -52,3 +52,46 @@ def test_sql_report_modes(spark, samples_df):
         "ts_bucket_report(100, 60, '~') AS m, ts_bucket_report(100, 60, '+') AS e"
     ).collect()[0]
     assert (r.s, r.m, r.e) == (100, 130, 160)
+
+
+def test_pipeline_sql_functions_match_dataframe_ops(spark):
+    from redistimeseries_spark.pipeline.curation import hash_split
+    from redistimeseries_spark.pipeline.text import fingerprints, token_counts
+    from redistimeseries_spark.sql import register_pipeline_sql
+
+    docs = spark.createDataFrame(
+        [(1, "The quick  Brown fox"), (2, "one\ntwo three\tfour")],
+        "doc_id long, text string",
+    )
+    register_pipeline_sql(spark, docs=docs)
+    got = {
+        r.doc_id: r
+        for r in spark.sql(
+            "SELECT doc_id, dl_ws_tokens(text) AS ws, dl_bpe_tokens_est(text) AS bpe, "
+            "dl_exact_fp(text) AS fp, dl_hash_bucket(doc_id) AS bucket, "
+            "size(dl_shingles(text, 5)) AS nsh FROM documents"
+        ).collect()
+    }
+    tk = {r.doc_id: r for r in token_counts(docs).collect()}
+    fp = {r.doc_id: r for r in fingerprints(docs).collect()}
+    hs = {r.doc_id: r for r in hash_split(docs).collect()}
+    for i in (1, 2):
+        assert got[i].ws == tk[i].ws_tokens
+        assert got[i].bpe == tk[i].bpe_tokens_est
+        assert got[i].fp == fp[i].exact_fp
+        assert got[i].bucket == hs[i].bucket
+        assert got[i].nsh > 0
+
+
+def test_pipeline_sql_functions_stay_jvm_side(spark):
+    from redistimeseries_spark.sql import register_pipeline_sql
+
+    docs = spark.createDataFrame([(1, "abc def")], "doc_id long, text string")
+    register_pipeline_sql(spark, docs=docs)
+    plan = (
+        spark.sql("SELECT dl_exact_fp(text), dl_ws_tokens(text) FROM documents")
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "PythonUDF" not in plan and "md5" in plan
