@@ -369,6 +369,25 @@ def q_stream_dedup(spark, sf_dir):
     return ds.decisions().orderBy("doc_id")
 
 
+def q_asof_join(spark, sf_dir):
+    """As-of join: for every click sample the latest view sample of the
+    same user bucket at-or-before its ts — the zero-join union-window
+    plan; DuckDB's native ASOF LEFT JOIN is the oracle."""
+    from redistimeseries_spark.operators.asof import ts_asof_join
+
+    st = _store(spark, sf_dir)
+
+    def side(prefix):
+        return (
+            st.samples.filter(F.col("key").startswith(prefix))
+            .select(F.element_at(F.split("key", "_"), 2).alias("b"), "ts", "value")
+            .groupBy("b", "ts")
+            .agg(F.max("value").alias("value"))
+        )
+
+    return ts_asof_join(side("click_"), side("view_"), on="b")
+
+
 def q_stream_incrby(spark, sf_dir):
     """TS.INCRBY as a stateful stream (applyInPandasWithState): per-key
     running counter with the reference's ts >= last check
@@ -1063,6 +1082,7 @@ def _base_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dl_mm_features": q_mm_features,
         # --- tail: family variants, locally gated -----------------------
         "ts_range_latest": q_range_latest,
+        "ts_asof_join": q_asof_join,
         "ts_count_post_agg": q_count_post_agg,
         "ts_agg_multi_align": q_agg_multi_align,
         "ts_agg_twa_empty": q_agg_twa_empty,
@@ -1669,6 +1689,13 @@ def _pipeline_oracles() -> dict[str, str]:
                                         ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rn
               FROM documents)
             WHERE rn <= 25""",
+        "ts_asof_join": f"""{ORACLE_PREFIX},
+            l AS (SELECT string_split(key, '_')[2] AS b, ts, max(value) AS value
+                  FROM samples WHERE key LIKE 'click%' GROUP BY 1, 2),
+            r AS (SELECT string_split(key, '_')[2] AS b, ts, max(value) AS value
+                  FROM samples WHERE key LIKE 'view%' GROUP BY 1, 2)
+            SELECT l.b, l.ts, l.value, r.ts AS right_ts, r.value AS right_value
+            FROM l ASOF LEFT JOIN r ON l.b = r.b AND l.ts >= r.ts""",
         "ts_madd_status": f"""WITH {RAW_SQL}
             SELECT key, ts, seq,
                    CASE WHEN ts < max(ts) OVER (PARTITION BY key ORDER BY seq

@@ -150,3 +150,29 @@ def test_mget_latest_table_path_matches_scan(spark, labels):
     fast = {(r.key, r.ts) for r in
             ts_mget(samples, labels, ["region=eu"], latest_table=latest).collect()}
     assert scan == fast == {("a", 9), ("c", 8)}
+
+
+def test_asof_join_planted(spark, samples_df):
+    from redistimeseries_spark.operators.asof import ts_asof_join
+
+    left = samples_df([("a", 100, 1.0), ("a", 200, 2.0), ("a", 300, 3.0), ("b", 50, 9.0)])
+    right = samples_df([("a", 100, 10.0), ("a", 250, 20.0)])
+    got = {
+        (r.key, r.ts): (r.right_ts, r.right_value)
+        for r in ts_asof_join(left, right).collect()
+    }
+    assert got[("a", 100)] == (100, 10.0)  # inclusive at equal ts
+    assert got[("a", 200)] == (100, 10.0)
+    assert got[("a", 300)] == (250, 20.0)
+    assert got[("b", 50)] == (None, None)  # no right series at all
+
+
+def test_asof_join_tolerance(spark, samples_df):
+    from redistimeseries_spark.operators.asof import ts_asof_join
+
+    left = samples_df([("a", 1000, 1.0)])
+    right = samples_df([("a", 100, 10.0)])
+    ok = ts_asof_join(left, right, tolerance_ms=900).collect()[0]
+    assert ok.right_ts == 100
+    stale = ts_asof_join(left, right, tolerance_ms=899).collect()[0]
+    assert stale.right_ts is None and stale.right_value is None
