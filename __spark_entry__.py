@@ -369,6 +369,19 @@ def q_stream_dedup(spark, sf_dir):
     return ds.decisions().orderBy("doc_id")
 
 
+def q_rollup_route(spark, sf_dir):
+    """Materialized-view rewrite: a 1h max query answered from the 10m max
+    compaction dest (exact — max composes); oracle computes the same 1h
+    max directly from the raw samples, proving the rewrite."""
+    from redistimeseries_spark.operators.rollup import range_from_rollup
+
+    st = _store(spark, sf_dir)
+    fine = ts_range(st.samples, aggregations=["max"], bucket_dur=600_000).select(
+        "key", "ts", F.col("max").alias("value")
+    )
+    return range_from_rollup(fine, "max", 600_000, H)
+
+
 def q_asof_join(spark, sf_dir):
     """As-of join: for every click sample the latest view sample of the
     same user bucket at-or-before its ts — the zero-join union-window
@@ -1083,6 +1096,7 @@ def _base_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # --- tail: family variants, locally gated -----------------------
         "ts_range_latest": q_range_latest,
         "ts_asof_join": q_asof_join,
+        "ts_rollup_route": q_rollup_route,
         "ts_count_post_agg": q_count_post_agg,
         "ts_agg_multi_align": q_agg_multi_align,
         "ts_agg_twa_empty": q_agg_twa_empty,
@@ -1689,6 +1703,7 @@ def _pipeline_oracles() -> dict[str, str]:
                                         ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rn
               FROM documents)
             WHERE rn <= 25""",
+        "ts_rollup_route": _agg_oracle(["max"], H, 0, 0, 1 << 62),
         "ts_asof_join": f"""{ORACLE_PREFIX},
             l AS (SELECT string_split(key, '_')[2] AS b, ts, max(value) AS value
                   FROM samples WHERE key LIKE 'click%' GROUP BY 1, 2),

@@ -7,6 +7,8 @@ import pytest
 
 from tests.conftest import NAN, feq
 
+from pyspark.sql import functions as F
+
 from redistimeseries_spark.operators.labels import matched_keys, parse_filter
 from redistimeseries_spark.operators.multi import ts_mrange
 from redistimeseries_spark.operators.nrange import ts_nrange
@@ -176,3 +178,33 @@ def test_asof_join_tolerance(spark, samples_df):
     assert ok.right_ts == 100
     stale = ts_asof_join(left, right, tolerance_ms=899).collect()[0]
     assert stale.right_ts is None and stale.right_value is None
+
+
+def test_rollup_route_composable_exact(spark, samples_df):
+    """Every composable aggregator routed through a fine dest equals the
+    direct coarse aggregation on the raw samples."""
+    from redistimeseries_spark.operators.range_query import ts_range
+    from redistimeseries_spark.operators.rollup import range_from_rollup
+
+    s = samples_df(
+        [("k", t, float(v)) for t, v in
+         [(0, 5), (90, 2), (250, 7), (980, 1), (1010, 4), (1500, 9), (2100, 3)]]
+    )
+    for agg in ["min", "max", "sum", "count", "first", "last"]:
+        fine = ts_range(s, aggregations=[agg], bucket_dur=100).select(
+            "key", "ts", F.col(agg).alias("value")
+        )
+        got = {(r.key, r.ts): r[agg] for r in range_from_rollup(fine, agg, 100, 1000).collect()}
+        want = {(r.key, r.ts): r[agg] for r in ts_range(s, aggregations=[agg], bucket_dur=1000).collect()}
+        assert got == want, agg
+
+
+def test_rollup_route_rejects_non_composable(spark, samples_df):
+    from redistimeseries_spark.operators.rollup import range_from_rollup
+
+    s = samples_df([("k", 0, 1.0)])
+    import pytest as _pt
+    with _pt.raises(ValueError):
+        range_from_rollup(s, "avg", 100, 1000)
+    with _pt.raises(ValueError):
+        range_from_rollup(s, "max", 300, 1000)  # 1000 % 300 != 0
