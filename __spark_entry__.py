@@ -937,6 +937,14 @@ def q_mm_frame_sample(spark, sf_dir):
     return frame_sample(attach_payload(_docs(spark, sf_dir)))
 
 
+def q_pii(spark, sf_dir):
+    """PII-shaped substring counts (emails/urls/phones/ipv4) — pure
+    regexp_count projection, zero shuffle."""
+    from redistimeseries_spark.pipeline.text import pii_signals
+
+    return pii_signals(_docs(spark, sf_dir))
+
+
 def q_repetition(spark, sf_dir):
     """Gopher-style repetition/boilerplate signals (dup lines, top 1/2-gram
     share) — per-doc keyed aggregations, no corpus-wide hot key."""
@@ -1103,6 +1111,7 @@ def _base_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ts_compaction_twa_1h": q_compaction_twa_1h,
         "dl_embed_neardup_lsh": q_embed_neardup_lsh,
         "dl_ann_batch": q_ann_batch,
+        "dl_pii": q_pii,
         "dl_stream_dedup": q_stream_dedup,
         "dl_mm_frame_sample": q_mm_frame_sample,
         "ts_agg_empty_multi_twa": q_agg_empty_multi_twa,
@@ -1654,6 +1663,16 @@ def _pipeline_oracles() -> dict[str, str]:
               + (instr('0123456789abcdef', substr(lower(hex(encode(text))), 2 * o + 2, 1)) - 1) AS byte_val
             FROM documents,
                  unnest(generate_series(0, octet_length(encode(text)) - 1, 64)) AS t(o)""",
+        "dl_pii": """SELECT doc_id,
+              len(regexp_extract_all(text, '[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+\\.[a-zA-Z]{2,}')) AS n_emails,
+              len(regexp_extract_all(text, 'https?://[^\\s]+')) AS n_urls,
+              len(regexp_extract_all(text, '\\b\\d{3}[-.]\\d{3,4}[-.]\\d{4}\\b')) AS n_phones,
+              len(regexp_extract_all(text, '\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b')) AS n_ipv4,
+              (len(regexp_extract_all(text, '[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+\\.[a-zA-Z]{2,}'))
+               + len(regexp_extract_all(text, 'https?://[^\\s]+'))
+               + len(regexp_extract_all(text, '\\b\\d{3}[-.]\\d{3,4}[-.]\\d{4}\\b'))
+               + len(regexp_extract_all(text, '\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b'))) > 0 AS has_pii
+            FROM documents""",
         "dl_repetition": """WITH
             lines AS (SELECT doc_id, unnest(list_filter(string_split(text, chr(10)), x -> x <> '')) AS line
                       FROM documents),

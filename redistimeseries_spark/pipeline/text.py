@@ -279,3 +279,33 @@ def char_ngram_lm_scores(docs: DataFrame, n: int = 3) -> DataFrame:
             F.round("avg_logp", 6).alias("avg_logp"),
         )
     )
+
+
+# PII surface patterns — deliberately conservative, identical semantics
+# under Java regex (Spark) and RE2 (DuckDB oracle): character classes,
+# \b, bounded repetition only.
+PII_PATTERNS = {
+    "emails": r"[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+\.[a-zA-Z]{2,}",
+    "urls": r"https?://[^\s]+",
+    "phones": r"\b\d{3}[-.]\d{3,4}[-.]\d{4}\b",
+    "ipv4": r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b",
+}
+
+
+def pii_signals(docs: DataFrame) -> DataFrame:
+    """(doc_id, n_emails, n_urls, n_phones, n_ipv4, has_pii) — counts of
+    PII-shaped substrings, the screening signal a curation pipeline uses
+    to route documents to scrubbing/drop.  Pure regexp_count expressions:
+    one projection over the scan, zero shuffle, trivially parallel at
+    100 TB.  (Counting, not extraction: the signal decides routing; the
+    scrub itself is a downstream regexp_replace pass.)"""
+    counts = [
+        F.regexp_count("text", F.lit(p)).cast("long").alias(f"n_{k}")
+        for k, p in PII_PATTERNS.items()
+    ]
+    out = docs.select("doc_id", *counts)
+    total = None
+    for k in PII_PATTERNS:
+        c = F.col(f"n_{k}")
+        total = c if total is None else total + c
+    return out.withColumn("has_pii", total > 0)

@@ -394,3 +394,19 @@ def test_ivf_batch_matches_single_query(spark):
     # full per-query sort (Spark rewrites row_number<=k into WindowGroupLimit)
     plan = batch._jdf.queryExecution().executedPlan().toString()
     assert "WindowGroupLimit" in plan
+
+
+def test_pii_signals_planted(spark):
+    from redistimeseries_spark.pipeline.text import pii_signals
+
+    docs = spark.createDataFrame(
+        [
+            (1, "mail a.b+c@test.org and http://x.y/z plus 555-123-4567 at 10.0.0.1"),
+            (2, "clean prose with no personal identifiers anywhere"),
+        ],
+        "doc_id long, text string",
+    )
+    got = {r.doc_id: r for r in pii_signals(docs).collect()}
+    assert (got[1].n_emails, got[1].n_urls, got[1].n_phones, got[1].n_ipv4) == (1, 1, 1, 1)
+    assert got[1].has_pii is True
+    assert got[2].has_pii is False and got[2].n_emails == 0
