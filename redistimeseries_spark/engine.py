@@ -358,6 +358,55 @@ class TimeSeriesEngine:
     def revrange(self, key: str, from_ts="-", to_ts="+", **kw) -> DataFrame:
         return self.range(key, from_ts, to_ts, rev=True, **kw)
 
+    def range_rollup(
+        self, key: str, agg: str, bucket_dur, from_ts="-", to_ts="+"
+    ) -> DataFrame:
+        """TS.RANGE AGGREGATION routed through a compaction destination
+        when EXACT (operators/rollup.py): the coarsest rule on `key` whose
+        aggregator composes, whose bucket divides the query bucket, and
+        whose alignment matches answers from its dest table —
+        |buckets|/|samples| the size of the raw scan.  Falls back to the
+        raw-samples plan otherwise.  (The reference always reads source
+        chunks; this is the materialized-view rewrite its rules enable.)"""
+        from redistimeseries_spark.operators.rollup import (
+            COMPOSABLE,
+            range_from_rollup,
+        )
+
+        dur = parse_duration_ms(bucket_dur)
+        cands = [
+            r
+            for r in self.rules
+            if r.src_key == key
+            and r.agg == agg
+            and agg in COMPOSABLE
+            and dur % r.bucket_ms == 0
+            and (r.align_ts or 0) == 0
+        ]
+        if not cands:
+            return self.range(key, from_ts, to_ts, aggregations=[agg], bucket_dur=dur)
+        rule = max(cands, key=lambda r: r.bucket_ms)
+        # LATEST view: the dest's open bucket must be finalized on the fly,
+        # else the coarse bucket containing it would miss the newest samples
+        fine = self._series_df(rule.dest_key, latest=True)
+        lo, hi = self._resolve_ts(from_ts, key), self._resolve_ts(to_ts, key)
+        fine = fine.filter(F.col("ts").between(lo, hi))
+        return range_from_rollup(fine, agg, rule.bucket_ms, dur).drop("key")
+
+    def asof_join(
+        self, left_key: str, right_key: str, tolerance_ms: int | None = None
+    ) -> DataFrame:
+        """(ts, value, right_ts, right_value) — every sample of left_key
+        with right_key's latest sample at-or-before it (operators/asof.py:
+        zero-join union-window plan)."""
+        from redistimeseries_spark.operators.asof import ts_asof_join
+
+        self.flush()
+        shared = F.lit("_")
+        left = self._series_df(left_key, False).withColumn("key", shared)
+        right = self._series_df(right_key, False).withColumn("key", shared)
+        return ts_asof_join(left, right, tolerance_ms=tolerance_ms).drop("key")
+
     def get(self, key: str, latest: bool = False):
         rows = self._series_df(key, latest).orderBy(F.col("ts").desc()).take(1)
         return (rows[0].ts, rows[0].value) if rows else None

@@ -275,3 +275,35 @@ def test_madd_status_distributed_matches_sequential(spark):
             seen.add((k, t))
             last[k] = max(last.get(k, 0), t)
     assert got == want
+
+
+def test_engine_range_rollup_routes_and_matches(spark):
+    from redistimeseries_spark.engine import TimeSeriesEngine
+
+    eng = TimeSeriesEngine(spark)
+    eng.create("src")
+    eng.create("src_max_100")
+    eng.create_rule("src", "src_max_100", "max", 100)
+    for t, v in [(0, 5.0), (40, 2.0), (120, 7.0), (980, 1.0), (1010, 4.0), (1900, 9.0)]:
+        eng.add("src", t, v)
+    routed = {(r.ts): r.max for r in eng.range_rollup("src", "max", 1000).collect()}
+    direct = {(r.ts): r.max for r in eng.range("src", aggregations=["max"], bucket_dur=1000).collect()}
+    assert routed == direct and routed  # exact rewrite
+    # no compatible rule (avg not composable) -> falls back to raw samples
+    fb = {(r.ts): r.avg for r in eng.range_rollup("src", "avg", 1000).collect()}
+    want = {(r.ts): r.avg for r in eng.range("src", aggregations=["avg"], bucket_dur=1000).collect()}
+    assert fb == want
+
+
+def test_engine_asof_join(spark):
+    from redistimeseries_spark.engine import TimeSeriesEngine
+
+    eng = TimeSeriesEngine(spark)
+    eng.create("trades")
+    eng.create("quotes")
+    for t, v in [(100, 1.0), (300, 2.0)]:
+        eng.add("trades", t, v)
+    eng.add("quotes", 90, 10.0)
+    eng.add("quotes", 250, 20.0)
+    got = {r.ts: (r.right_ts, r.right_value) for r in eng.asof_join("trades", "quotes").collect()}
+    assert got == {100: (90, 10.0), 300: (250, 20.0)}
