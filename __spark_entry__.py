@@ -369,6 +369,29 @@ def q_stream_dedup(spark, sf_dir):
     return ds.decisions().orderBy("doc_id")
 
 
+def q_session_stats(spark, sf_dir):
+    """Gap-based sessionization (30m silence splits) + per-session stats;
+    duplicates resolved to max(value) so both engines see one row per
+    (key, ts)."""
+    from redistimeseries_spark.operators.session import session_stats
+
+    st = _store(spark, sf_dir)
+    s = st.samples.groupBy("key", "ts").agg(F.max("value").alias("value"))
+    return session_stats(s, 1_800_000)
+
+
+def q_quantize(spark, sf_dir):
+    """Symmetric per-vector int8 quantization, exploded to scalar rows so
+    the value hash covers every quantized component."""
+    from redistimeseries_spark.pipeline.similarity import quantize_embeddings
+    from redistimeseries_spark.store import read_parquet
+
+    q = quantize_embeddings(read_parquet(spark, f"{sf_dir}/embeddings.parquet"))
+    return q.select(
+        "vec_id", "scale", F.posexplode("qv").alias("pos", "q")
+    ).select("vec_id", "scale", (F.col("pos") + 1).cast("long").alias("pos"), "q")
+
+
 def q_rollup_route(spark, sf_dir):
     """Materialized-view rewrite: a 1h max query answered from the 10m max
     compaction dest (exact — max composes); oracle computes the same 1h
@@ -993,6 +1016,7 @@ ROUND_MAP: dict[str, list[str]] = {
     "ts_agg_twa": ["twa"],
     "ts_agg_twa_empty": ["twa"],
     "ts_mrange_twa": ["twa"],
+    "ts_session_stats": ["sum_value"],
     "ts_agg_empty_multi_twa": ["sum", "twa"],
     "ts_agg_empty": ["sum"],
     "ts_agg_empty_nan": ["avg"],
@@ -1105,6 +1129,8 @@ def _base_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ts_range_latest": q_range_latest,
         "ts_asof_join": q_asof_join,
         "ts_rollup_route": q_rollup_route,
+        "ts_session_stats": q_session_stats,
+        "dl_quantize": q_quantize,
         "ts_count_post_agg": q_count_post_agg,
         "ts_agg_multi_align": q_agg_multi_align,
         "ts_agg_twa_empty": q_agg_twa_empty,
@@ -1723,6 +1749,29 @@ def _pipeline_oracles() -> dict[str, str]:
               FROM documents)
             WHERE rn <= 25""",
         "ts_rollup_route": _agg_oracle(["max"], H, 0, 0, 1 << 62),
+        "ts_session_stats": f"""{ORACLE_PREFIX},
+            s AS (SELECT key, ts, max(value) AS value FROM samples GROUP BY 1, 2),
+            x AS (SELECT key, ts, value,
+                         CASE WHEN lag(ts) OVER w IS NULL
+                                   OR ts - lag(ts) OVER w > 1800000
+                              THEN 1 ELSE 0 END AS st
+                  FROM s WINDOW w AS (PARTITION BY key ORDER BY ts)),
+            y AS (SELECT key, ts, value,
+                         CAST(sum(st) OVER (PARTITION BY key ORDER BY ts
+                                            ROWS UNBOUNDED PRECEDING) AS BIGINT)
+                           AS session_id
+                  FROM x)
+            SELECT key, session_id, min(ts) AS start_ts, max(ts) AS end_ts,
+                   count(*) AS n_samples, sum(value) AS sum_value
+            FROM y GROUP BY 1, 2""",
+        "dl_quantize": """WITH d AS (
+              SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+            q AS (SELECT vec_id,
+                         list_max(list_transform(v, x -> abs(x))) / 127 AS scale, v
+                  FROM d)
+            SELECT vec_id, round(scale, 9) AS scale, i AS pos,
+                   CAST(round(v[i] / greatest(scale, 1e-300), 0) AS INT) AS q
+            FROM q, unnest(generate_series(1, len(v))) AS t(i)""",
         "ts_asof_join": f"""{ORACLE_PREFIX},
             l AS (SELECT string_split(key, '_')[2] AS b, ts, max(value) AS value
                   FROM samples WHERE key LIKE 'click%' GROUP BY 1, 2),

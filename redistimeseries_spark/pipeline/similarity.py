@@ -268,3 +268,47 @@ def ivf_topk_batch(
         .filter(F.col("rn") <= k)
         .select("qid", "vec_id", F.round("cos", 6).alias("cos"))
     )
+
+
+def quantize_embeddings(emb: DataFrame, qmax: int = 127) -> DataFrame:
+    """(vec_id, scale, qv) — symmetric per-vector int8 quantization:
+    scale = max(|v|)/qmax, qv[i] = round(v[i]/scale).  A 100 TB embedding
+    store shrinks 4x (float32 -> int8) and the ANN scan becomes integer
+    dot products rescaled by sa*sb at the end — the standard storage tier
+    under an IVF/LSH index.  Pure array HOF projection, zero shuffle;
+    all-zero vectors keep scale 0 and an all-zero qv."""
+    v = F.col("embedding").cast("array<double>")
+    amax = F.array_max(F.transform(v, lambda x: F.abs(x)))
+    scale = amax / qmax
+    safe = F.greatest(scale, F.lit(1e-300))
+    qv = F.transform(v, lambda x: F.round(x / safe, 0).cast("int"))
+    return emb.select(
+        "vec_id",
+        F.round(scale, 9).alias("scale"),
+        qv.alias("qv"),
+    )
+
+
+def cosine_topk_quantized(emb: DataFrame, query_vec_id: int, k: int = 20) -> DataFrame:
+    """Brute-force cosine top-k over the int8-quantized store: integer
+    dot/norm folds rescaled at the end.  Same TakeOrderedAndProject plan
+    as cosine_topk; per-vector symmetric quantization cancels the scales
+    out of the cosine entirely, so the only error is rounding."""
+    q = quantize_embeddings(emb)
+    d = q.select("vec_id", F.col("qv").cast("array<double>").alias("v"))
+    qrow = d.filter(F.col("vec_id") == query_vec_id).select(
+        F.col("v").alias("q"), _norm(F.col("v")).alias("qn")
+    )
+    scored = (
+        d.crossJoin(F.broadcast(qrow))
+        .filter(F.col("vec_id") != query_vec_id)
+        .select(
+            "vec_id",
+            (_dot(F.col("v"), F.col("q")) / (_norm(F.col("v")) * F.col("qn"))).alias("cos"),
+        )
+    )
+    return (
+        scored.orderBy(F.col("cos").desc(), F.col("vec_id").asc())
+        .limit(k)
+        .select("vec_id", F.round("cos", 6).alias("cos"))
+    )

@@ -208,3 +208,27 @@ def test_rollup_route_rejects_non_composable(spark, samples_df):
         range_from_rollup(s, "avg", 100, 1000)
     with _pt.raises(ValueError):
         range_from_rollup(s, "max", 300, 1000)  # 1000 % 300 != 0
+
+
+def test_sessionize_planted(spark, samples_df):
+    from redistimeseries_spark.operators.session import session_stats, sessionize
+
+    s = samples_df(
+        [("k", t, 1.0) for t in [0, 100, 250, 2000, 2100, 9000]]
+        + [("j", t, 2.0) for t in [5, 4000]]
+    )
+    sess = {(r.key, r.ts): r.session_id for r in sessionize(s, 1000).collect()}
+    assert [sess[("k", t)] for t in [0, 100, 250, 2000, 2100, 9000]] == [1, 1, 1, 2, 2, 3]
+    assert [sess[("j", t)] for t in [5, 4000]] == [1, 2]
+    stats = {(r.key, r.session_id): (r.start_ts, r.end_ts, r.n_samples)
+             for r in session_stats(s, 1000).collect()}
+    assert stats[("k", 1)] == (0, 250, 3)
+    assert stats[("k", 3)] == (9000, 9000, 1)
+
+
+def test_sessionize_gap_is_strict(spark, samples_df):
+    from redistimeseries_spark.operators.session import sessionize
+
+    s = samples_df([("k", 0, 1.0), ("k", 1000, 1.0), ("k", 2001, 1.0)])
+    sess = [r.session_id for r in sessionize(s, 1000).orderBy("ts").collect()]
+    assert sess == [1, 1, 2]  # gap == 1000 stays, 1001 splits

@@ -410,3 +410,30 @@ def test_pii_signals_planted(spark):
     assert (got[1].n_emails, got[1].n_urls, got[1].n_phones, got[1].n_ipv4) == (1, 1, 1, 1)
     assert got[1].has_pii is True
     assert got[2].has_pii is False and got[2].n_emails == 0
+
+
+def test_quantized_cosine_tracks_exact(spark):
+    from redistimeseries_spark.pipeline.similarity import (
+        cosine_topk,
+        cosine_topk_quantized,
+    )
+    from redistimeseries_spark.store import read_parquet
+
+    emb = read_parquet(spark, "/root/testdata/sf0.001/embeddings.parquet")
+    exact = [r.vec_id for r in cosine_topk(emb, 0, 10).collect()]
+    quant = [r.vec_id for r in cosine_topk_quantized(emb, 0, 10).collect()]
+    # int8 rounding perturbs the tail of the ranking, not the set
+    assert len(set(exact) & set(quant)) >= 8
+    assert exact[0] == quant[0]  # the top hit survives quantization
+
+
+def test_quantize_zero_vector_safe(spark):
+    from redistimeseries_spark.pipeline.similarity import quantize_embeddings
+
+    emb = spark.createDataFrame(
+        [(1, [0.0, 0.0]), (2, [1.0, -0.5])],
+        "vec_id long, embedding array<float>",
+    )
+    got = {r.vec_id: r for r in quantize_embeddings(emb).collect()}
+    assert got[1].scale == 0.0 and got[1].qv == [0, 0]
+    assert got[2].qv == [127, -64]  # -0.5/ (1/127) = -63.5 -> away from zero
