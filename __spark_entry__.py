@@ -369,6 +369,23 @@ def q_stream_dedup(spark, sf_dir):
     return ds.decisions().orderBy("doc_id")
 
 
+def q_info_full(spark, sf_dir):
+    """Fleet-wide TS.INFO data fields: one partial-agg scan for every
+    series (the per-key reply reads the same numbers from the catalog)."""
+    from redistimeseries_spark.operators.multi import series_stats
+
+    st = _store(spark, sf_dir)
+    return series_stats(st.samples, st.labels)
+
+
+def q_curation(spark, sf_dir):
+    """Composed keep/drop curation decision (quality floor + language
+    allowlist + repetition ceilings + PII screen) with auditable reasons."""
+    from redistimeseries_spark.pipeline.curation import curation_filter
+
+    return curation_filter(_docs(spark, sf_dir))
+
+
 def q_session_stats(spark, sf_dir):
     """Gap-based sessionization (30m silence splits) + per-session stats;
     duplicates resolved to max(value) so both engines see one row per
@@ -1130,7 +1147,9 @@ def _base_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ts_asof_join": q_asof_join,
         "ts_rollup_route": q_rollup_route,
         "ts_session_stats": q_session_stats,
+        "ts_info_full": q_info_full,
         "dl_quantize": q_quantize,
+        "dl_curation": q_curation,
         "ts_count_post_agg": q_count_post_agg,
         "ts_agg_multi_align": q_agg_multi_align,
         "ts_agg_twa_empty": q_agg_twa_empty,
@@ -1749,6 +1768,14 @@ def _pipeline_oracles() -> dict[str, str]:
               FROM documents)
             WHERE rn <= 25""",
         "ts_rollup_route": _agg_oracle(["max"], H, 0, 0, 1 << 62),
+        "ts_info_full": f"""{ORACLE_PREFIX}
+            SELECT s.key, total_samples, first_timestamp, last_timestamp,
+                   coalesce(n_labels, 0) AS n_labels
+            FROM (SELECT key, count(*) AS total_samples, min(ts) AS first_timestamp,
+                         max(ts) AS last_timestamp
+                  FROM samples GROUP BY key) s
+            LEFT JOIN (SELECT key, count(*) AS n_labels FROM labels GROUP BY key) l
+              USING (key)""",
         "ts_session_stats": f"""{ORACLE_PREFIX},
             s AS (SELECT key, ts, max(value) AS value FROM samples GROUP BY 1, 2),
             x AS (SELECT key, ts, value,
@@ -1794,6 +1821,22 @@ def _with_aliases(oracles: dict[str, str]) -> dict[str, str]:
     # the star-CC variant must produce exactly the propagation result —
     # same recursive-CTE oracle
     oracles["dl_dedup_components_star"] = oracles["dl_dedup_components"]
+    # composed curation decision: the four component oracles as subqueries
+    # (each is a complete SELECT; WITH-bearing ones nest fine in FROM)
+    oracles["dl_curation"] = f"""
+        SELECT doc_id, (reasons = '') AS keep, reasons FROM (
+          SELECT q.doc_id,
+                 concat_ws(',',
+                   CASE WHEN q.n_words < 5 THEN 'short_doc' END,
+                   CASE WHEN q.quality < 0.3 THEN 'low_quality' END,
+                   CASE WHEN l.lang_pred <> 'en' THEN 'bad_lang' END,
+                   CASE WHEN r.dup_line_frac > 0.3 THEN 'repetitive_lines' END,
+                   CASE WHEN r.top_bigram_frac > 0.5 THEN 'repetitive_ngrams' END,
+                   CASE WHEN p.has_pii THEN 'pii' END) AS reasons
+          FROM ({oracles['dl_quality']}) q
+          JOIN ({oracles['dl_lang_id']}) l USING (doc_id)
+          JOIN ({oracles['dl_repetition']}) r USING (doc_id)
+          JOIN ({oracles['dl_pii']}) p USING (doc_id))"""
     return oracles
 
 

@@ -180,3 +180,25 @@ def ts_mrange(
     return red.join(F.broadcast(members), "__grpval").select(
         name, "ts", vcol, F.lit(reduce).alias("__reducer__"), "__source__"
     )
+
+
+def series_stats(samples: DataFrame, labels: DataFrame) -> DataFrame:
+    """(key, total_samples, first_timestamp, last_timestamp, n_labels) —
+    the data-derived TS.INFO fields for EVERY series in one partial-agg
+    scan (the reference answers per key from Series struct fields,
+    src/module.c:156-280; the fleet-wide variant is what an operator
+    dashboard actually queries).  Config-derived INFO fields (retention,
+    dup policy, rules) live in the engine catalog, not the data."""
+    agg = samples.groupBy("key").agg(
+        F.count(F.lit(1)).alias("total_samples"),
+        F.min("ts").alias("first_timestamp"),
+        F.max("ts").alias("last_timestamp"),
+    )
+    nl = labels.groupBy("key").agg(F.count(F.lit(1)).alias("n_labels"))
+    return agg.join(nl, "key", "left").select(
+        "key",
+        "total_samples",
+        "first_timestamp",
+        "last_timestamp",
+        F.coalesce("n_labels", F.lit(0)).alias("n_labels"),
+    )

@@ -143,3 +143,58 @@ def stratified_sample(
         .filter(F.col("rn") <= n)
         .select("stratum", "doc_id", "rn")
     )
+
+
+def curation_filter(
+    docs: DataFrame,
+    min_words: int = 5,
+    min_quality: float = 0.3,
+    langs: tuple[str, ...] = ("en",),
+    max_dup_line_frac: float = 0.3,
+    max_top_bigram_frac: float = 0.5,
+    allow_pii: bool = False,
+) -> DataFrame:
+    """(doc_id, keep, reasons) — the composed keep/drop decision a
+    pre-training pipeline applies: quality floor, language allowlist,
+    repetition ceilings, PII screen.  Each signal is the already-tested
+    operator; the composition is doc_id-keyed joins of per-doc scalar
+    tables — no new shuffle shape, and Catalyst collapses the shared
+    documents scans per branch.  `reasons` lists the failed checks in a
+    fixed order (empty string = kept) so drops are auditable."""
+    from redistimeseries_spark.pipeline.text import (
+        lang_scores,
+        pii_signals,
+        quality_scores,
+        repetition_signals,
+    )
+
+    q = quality_scores(docs).select("doc_id", "n_words", "quality")
+    l = lang_scores(docs).select("doc_id", "lang_pred")
+    r = repetition_signals(docs).select(
+        "doc_id", "dup_line_frac", "top_bigram_frac"
+    )
+    p = pii_signals(docs).select("doc_id", "has_pii")
+    j = (
+        docs.select("doc_id")
+        .join(q, "doc_id")
+        .join(l, "doc_id")
+        .join(r, "doc_id")
+        .join(p, "doc_id")
+    )
+    checks = [
+        ("short_doc", F.col("n_words") < min_words),
+        ("low_quality", F.col("quality") < min_quality),
+        ("bad_lang", ~F.col("lang_pred").isin(*langs)),
+        ("repetitive_lines", F.col("dup_line_frac") > max_dup_line_frac),
+        ("repetitive_ngrams", F.col("top_bigram_frac") > max_top_bigram_frac),
+    ]
+    if not allow_pii:
+        checks.append(("pii", F.col("has_pii")))
+    reasons = F.concat_ws(
+        ",", *[F.when(cond, F.lit(name)) for name, cond in checks]
+    )
+    return j.select(
+        "doc_id",
+        (reasons == "").alias("keep"),
+        reasons.alias("reasons"),
+    )

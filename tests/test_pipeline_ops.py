@@ -437,3 +437,20 @@ def test_quantize_zero_vector_safe(spark):
     got = {r.vec_id: r for r in quantize_embeddings(emb).collect()}
     assert got[1].scale == 0.0 and got[1].qv == [0, 0]
     assert got[2].qv == [127, -64]  # -0.5/ (1/127) = -63.5 -> away from zero
+
+
+def test_curation_filter_reasons(spark):
+    from redistimeseries_spark.pipeline.curation import curation_filter
+
+    docs = spark.createDataFrame(
+        [
+            (1, "the and of to is " * 30),  # stopword-dense english, clean
+            (2, "tiny"),  # short_doc (+low quality)
+            (3, "the and of to is contact me at a@b.com " * 10),  # pii
+        ],
+        "doc_id long, text string",
+    )
+    got = {r.doc_id: r for r in curation_filter(docs).collect()}
+    assert got[1].keep is True and got[1].reasons == ""
+    assert got[2].keep is False and "short_doc" in got[2].reasons
+    assert got[3].keep is False and got[3].reasons == "pii"
