@@ -1109,7 +1109,6 @@ def _base_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ts_mrange_groupby_avg": q_mrange_groupby_avg,
         "ts_nrange_pivot": q_nrange_pivot,
         "ts_dup_last": q_dup_last,
-        "ts_incrby": q_incrby,
         "ts_retention_clamp": q_retention_clamp,
         "ts_del_range": q_del_range,
         "ts_compaction_avg_10m": q_compaction_avg_10m,
@@ -1122,41 +1121,42 @@ def _base_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dl_dedup_exact": q_dedup_exact,
         "dl_minhash_signatures": q_minhash_signatures,
         "dl_minhash_lsh_pairs": q_minhash_lsh_pairs,
-        "dl_simhash": q_simhash,
         "dl_simhash_pairs": q_simhash_pairs,
         "dl_ngram_jaccard": q_ngram_jaccard,
         "dl_dedup_components": q_dedup_components,
         "dl_dedup_pipeline": q_dedup_pipeline,
         "dl_embed_neardup": q_embed_neardup,
         "dl_ann_cosine_topk": q_ann_cosine_topk,
-        "dl_ann_lsh_topk": q_ann_lsh_topk,
         "dl_ann_ivf_topk": q_ann_ivf_topk,
         "dl_lang_id": q_lang_id,
         "dl_quality": q_quality,
         "dl_token_count": q_token_count,
         "dl_fingerprint": q_fingerprint,
-        "dl_rolling_fingerprint": q_rolling_fingerprint,
         "dl_hash_split": q_hash_split,
         "dl_decontaminate": q_decontaminate,
         "dl_repetition": q_repetition,
         "dl_ngram_lm": q_ngram_lm,
         "dl_sample_stratified": q_sample_stratified,
+        "dl_pii": q_pii,
+        "dl_curation": q_curation,
         "dl_mm_features": q_mm_features,
+        "ts_asof_join": q_asof_join,
         # --- tail: family variants, locally gated -----------------------
         "ts_range_latest": q_range_latest,
-        "ts_asof_join": q_asof_join,
+        "ts_incrby": q_incrby,
         "ts_rollup_route": q_rollup_route,
         "ts_session_stats": q_session_stats,
         "ts_info_full": q_info_full,
         "dl_quantize": q_quantize,
-        "dl_curation": q_curation,
+        "dl_simhash": q_simhash,
+        "dl_ann_lsh_topk": q_ann_lsh_topk,
+        "dl_rolling_fingerprint": q_rolling_fingerprint,
         "ts_count_post_agg": q_count_post_agg,
         "ts_agg_multi_align": q_agg_multi_align,
         "ts_agg_twa_empty": q_agg_twa_empty,
         "ts_compaction_twa_1h": q_compaction_twa_1h,
         "dl_embed_neardup_lsh": q_embed_neardup_lsh,
         "dl_ann_batch": q_ann_batch,
-        "dl_pii": q_pii,
         "dl_stream_dedup": q_stream_dedup,
         "dl_mm_frame_sample": q_mm_frame_sample,
         "ts_agg_empty_multi_twa": q_agg_empty_multi_twa,
