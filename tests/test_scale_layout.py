@@ -103,3 +103,40 @@ def test_evict_drops_whole_partitions_and_trims_boundary(spark, tmp_path):
     # idempotent when nothing is older than the horizon day
     again = evict(spark, path, retention_ms=2000, time_bucket_ms=day)
     assert again["dropped"] == []
+
+
+def test_asof_join_plan_has_no_join(spark):
+    """The as-of join's 'zero-join' claim, asserted: one union + one
+    per-key window, no join operator, exactly one hash exchange."""
+    from redistimeseries_spark.operators.asof import ts_asof_join
+
+    l = spark.createDataFrame([("k", 10, 1.0)], "key string, ts long, value double")
+    r = spark.createDataFrame([("k", 5, 9.0)], "key string, ts long, value double")
+    plan = _plan(ts_asof_join(l, r))
+    assert "Join" not in plan  # no SortMergeJoin/BroadcastHashJoin/NestedLoop
+    assert plan.count("Exchange hashpartitioning") == 1
+
+
+def test_session_stats_single_exchange(spark):
+    """Window partitionBy(key) then groupBy(key, session_id): the key
+    partitioning satisfies the grouping's clustered distribution, so the
+    whole pipeline runs on ONE hash exchange."""
+    from redistimeseries_spark.operators.session import session_stats
+
+    s = spark.createDataFrame(
+        [("k", t, 1.0) for t in range(10)], "key string, ts long, value double"
+    )
+    assert _plan(session_stats(s, 1000)).count("Exchange hashpartitioning") == 1
+
+
+def test_stratified_sample_no_full_window_over_corpus(spark):
+    """The hash cut must reach the window input: the plan filters on the
+    u32-hash threshold BEFORE the row_number sort, so a giant stratum
+    never funnels its full population through one task."""
+    from redistimeseries_spark.pipeline.curation import stratified_sample
+
+    docs = spark.createDataFrame(
+        [(i, "en") for i in range(2000)], "doc_id long, lang string"
+    )
+    plan = _plan(stratified_sample(docs, "lang", 5))
+    assert "conv(substring" in plan and "row_number" in plan
