@@ -312,3 +312,73 @@ def cosine_topk_quantized(emb: DataFrame, query_vec_id: int, k: int = 20) -> Dat
         .limit(k)
         .select("vec_id", F.round("cos", 6).alias("cos"))
     )
+
+
+def build_ivf_index(
+    emb: DataFrame,
+    path: str,
+    ncent: int = 16,
+    train_iters: int = 0,
+) -> None:
+    """Materialize the IVF index: centroids (tiny) + the corpus
+    partitioned BY CELL on disk.  At 100 TB the cell assignment is the
+    expensive pass (one scan x ncent dot products); building once and
+    querying many is the only sane economics — `ivf_topk` recomputes it
+    per query and exists as the ad-hoc/correctness path.
+
+    Layout: `<path>/cells/cid=<k>/...` — a probe reads ONLY its nprobe
+    cell directories (partition pruning, the same mechanism as the
+    time-series day layout); `<path>/centroids/` holds the quantizer."""
+    d = emb.select("vec_id", F.col("embedding").cast("array<double>").alias("v"))
+    if train_iters > 0:
+        cents = train_centroids(emb, ncent, train_iters)
+    else:
+        cents = d.orderBy("vec_id").limit(ncent).select(
+            F.col("vec_id").cast("long").alias("cid"), F.col("v").alias("cv")
+        )
+    cents.write.mode("overwrite").parquet(f"{path}/centroids")
+    cents = emb.sparkSession.read.parquet(f"{path}/centroids")
+    (
+        _assign_cells(d, cents)
+        .write.mode("overwrite")
+        .partitionBy("cid")
+        .parquet(f"{path}/cells")
+    )
+
+
+def ivf_topk_indexed(
+    spark,
+    path: str,
+    query_vec: list[float],
+    k: int = 20,
+    nprobe: int = 4,
+) -> DataFrame:
+    """(vec_id, cos) — top-k against a build_ivf_index store.  The
+    query's nprobe cells resolve driver-side against the tiny centroid
+    table (the IVF coarse search is O(ncent), never distributed), and
+    the scan carries a `cid IN (...)` partition filter — only nprobe/
+    ncent of the index directories are read at all."""
+    cents = spark.read.parquet(f"{path}/centroids").collect()
+
+    def cos(a, b):
+        num = sum(x * y for x, y in zip(a, b))
+        na = sum(x * x for x in a) ** 0.5
+        nb = sum(x * x for x in b) ** 0.5
+        return num / (na * nb) if na and nb else 0.0
+
+    probes = sorted(
+        ((cos(query_vec, r.cv), -r.cid) for r in cents), reverse=True
+    )[:nprobe]
+    cids = [-n for _, n in probes]
+    d = spark.read.parquet(f"{path}/cells").filter(F.col("cid").isin(cids))
+    qn = sum(x * x for x in query_vec) ** 0.5
+    qcol = F.array(*[F.lit(float(x)) for x in query_vec])
+    scored = d.select(
+        "vec_id",
+        (_dot(F.col("v"), qcol) / (_norm(F.col("v")) * F.lit(qn))).alias("cos"),
+    )
+    return (
+        scored.orderBy(F.col("cos").desc(), F.col("vec_id").asc())
+        .limit(k)
+        .select("vec_id", F.round("cos", 6).alias("cos"))
+    )

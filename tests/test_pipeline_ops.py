@@ -454,3 +454,31 @@ def test_curation_filter_reasons(spark):
     assert got[1].keep is True and got[1].reasons == ""
     assert got[2].keep is False and "short_doc" in got[2].reasons
     assert got[3].keep is False and got[3].reasons == "pii"
+
+
+def test_ivf_index_build_query_matches_adhoc(spark, tmp_path):
+    """Indexed IVF == per-query IVF (same centroids, same probes), and the
+    probe scan carries a cid partition filter — only nprobe of ncent index
+    directories are read."""
+    import os
+
+    from redistimeseries_spark.pipeline.similarity import (
+        build_ivf_index,
+        ivf_topk,
+        ivf_topk_indexed,
+    )
+    from redistimeseries_spark.store import read_parquet
+
+    emb = read_parquet(spark, "/root/testdata/sf0.001/embeddings.parquet")
+    path = str(tmp_path / "ivf")
+    build_ivf_index(emb, path, ncent=16)
+    assert len([d for d in os.listdir(f"{path}/cells") if d.startswith("cid=")]) > 1
+
+    qv = emb.filter(F.col("vec_id") == 0).collect()[0].embedding
+    got = ivf_topk_indexed(spark, path, [float(x) for x in qv], k=21, nprobe=4)
+    want = [(r.vec_id, r.cos) for r in ivf_topk(emb, 0, 20, ncent=16, nprobe=4).collect()]
+    # the indexed path scores vec 0 itself (top cos=1.0); drop it to compare
+    got_rows = [(r.vec_id, r.cos) for r in got.collect() if r.vec_id != 0][:20]
+    assert got_rows == want
+    plan = got._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in plan and "cid" in plan
