@@ -391,3 +391,46 @@ def test_twa_jvm_matches_kernel(spark, data):
     assert set(got) == set(exp), (sorted(got), sorted(exp))
     for bk in exp:
         assert feq(got[bk], exp[bk], tol=1e-9), (bk, got[bk], exp[bk], dur, align)
+
+
+@settings(
+    max_examples=8,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(data=st.data())
+def test_asof_join_random_vs_sequential(spark, data):
+    """ts_asof_join's union-window formulation vs the literal definition:
+    for each left row, scan right for the max rts <= ts."""
+    from redistimeseries_spark.operators.asof import ts_asof_join
+
+    keys = ["a", "b"]
+    def side():
+        rows = []
+        for k in keys:
+            tss = data.draw(
+                st.lists(st.integers(0, 50), min_size=0, max_size=8, unique=True)
+            )
+            rows += [(k, t, float(data.draw(st.integers(-5, 5)))) for t in tss]
+        return rows
+
+    lrows, rrows = side(), side()
+    tol = data.draw(st.one_of(st.none(), st.integers(0, 20)))
+    if not lrows:
+        return
+    schema = "key string, ts long, value double"
+    got = {
+        (r.key, r.ts): (r.right_ts, r.right_value)
+        for r in ts_asof_join(
+            spark.createDataFrame(lrows, schema),
+            spark.createDataFrame(rrows or [("z", 0, 0.0)], schema),
+            tolerance_ms=tol,
+        ).collect()
+        if r.key in keys
+    }
+    for k, t, _ in lrows:
+        cand = [(rt, rv) for rk, rt, rv in rrows if rk == k and rt <= t]
+        want = max(cand) if cand else None
+        if want is not None and tol is not None and want[0] < t - tol:
+            want = None
+        assert got[(k, t)] == (want if want else (None, None)), (k, t)
