@@ -63,3 +63,35 @@ def windowed_rule(
         )
     )
     return out
+
+
+def session_rule(
+    stream: DataFrame,
+    gap_ms: int,
+    watermark_delay_ms: int = 0,
+) -> DataFrame:
+    """Gap-based sessionization as a NATIVE streaming aggregation:
+    `F.session_window(ts, gap)` merges overlapping per-key session state
+    in the state store and, in append mode, emits each closed session
+    exactly once — when the watermark passes session_end + gap (no newer
+    event can extend it).  The streaming counterpart of the batch
+    operators/session.py (whose window formulation this matches on
+    replayed input, up to the session-numbering column: streaming
+    sessions are identified by their start ts, which is stable under
+    replay; batch ordinals are not available incrementally).
+
+    Returns a streaming DF (key, start_ts, end_ts, n_samples, sum_value).
+    """
+    with_time = stream.withColumn("__t", F.timestamp_millis(F.col("ts")))
+    delay = f"{watermark_delay_ms} milliseconds"
+    return (
+        with_time.withWatermark("__t", delay)
+        .groupBy("key", F.session_window("__t", f"{gap_ms} milliseconds"))
+        .agg(
+            F.count(F.lit(1)).alias("n_samples"),
+            F.sum("value").alias("sum_value"),
+            F.min("ts").alias("start_ts"),
+            F.max("ts").alias("end_ts"),
+        )
+        .select("key", "start_ts", "end_ts", "n_samples", "sum_value")
+    )

@@ -141,6 +141,23 @@ def main():
         "b10_ignore_chain": lambda: __import__(
             "redistimeseries_spark.write.mutate", fromlist=["ignore_filter"]
         ).ignore_filter(samples, 60_000, 0.5),
+        # zero-join as-of: every click sample picks up the latest view
+        # sample of its replica bucket — one union + one window
+        "b11_asof_join": lambda: __import__(
+            "redistimeseries_spark.operators.asof", fromlist=["ts_asof_join"]
+        ).ts_asof_join(
+            samples.filter(F.col("key").startswith("click_")),
+            samples.filter(F.col("key").startswith("view_")).withColumn(
+                "key", F.regexp_replace("key", "^view_", "click_")
+            ),
+        ),
+        # gap sessionization + stats, single exchange
+        "b12_session_stats": lambda: __import__(
+            "redistimeseries_spark.operators.session", fromlist=["session_stats"]
+        ).session_stats(
+            samples.groupBy("key", "ts").agg(F.max("value").alias("value")),
+            30 * 60_000,
+        ),
     }
 
     # SPARK_GRAFT_BUCKETED=1: also build the key-bucketed layout and probe

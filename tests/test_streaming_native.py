@@ -157,3 +157,42 @@ def test_incremental_dedup_across_batches(spark, tmp_path):
     assert got[12] == ("kept", None)
     # state holds only accepted docs
     assert {r.doc_id for r in ds2.fp_store().collect()} == {1, 2, 12}
+
+
+def test_session_rule_matches_batch_sessionize(spark, tmp_path):
+    """Closed streaming sessions == batch session_stats on the same input
+    (modulo the open tail session the watermark hasn't passed)."""
+    from redistimeseries_spark.operators.session import session_stats
+    from redistimeseries_spark.streaming.window_rules import session_rule
+
+    d = str(tmp_path)
+    rows = [("k", t, 1.0) for t in [0, 400, 900, 5000, 5200, 20000]] + [
+        ("j", 100, 2.0), ("j", 9000, 3.0)
+    ]
+    feed(spark, d, rows)
+    stream = spark.readStream.schema(SCHEMA).parquet(os.path.join(d, "in"))
+    q = (
+        session_rule(stream, gap_ms=1000)
+        .writeStream.format("memory")
+        .queryName("sessions")
+        .outputMode("append")
+        .option("checkpointLocation", os.path.join(d, "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = {
+        (r.key, r.start_ts): (r.end_ts, r.n_samples, r.sum_value)
+        for r in spark.sql("SELECT * FROM sessions").collect()
+    }
+    batch = spark.createDataFrame(rows, SCHEMA)
+    want = {
+        (r.key, r.start_ts): (r.end_ts, r.n_samples, r.sum_value)
+        for r in session_stats(batch, 1000).collect()
+    }
+    # the watermark is GLOBAL (max event time = 20000): j's tail session
+    # (9000 + gap < watermark) closes too; only k's newest stays open
+    open_tails = {("k", 20000)}
+    assert set(got) == set(want) - open_tails
+    for k in got:
+        assert got[k] == want[k]
