@@ -38,6 +38,7 @@ from pyspark.sql import functions as F
 from redistimeseries_spark.pipeline.dedup import minhash_signatures
 
 FP_SCHEMA = "fp string, doc_id long"
+TEXT_SCHEMA = "doc_id long, text string"
 BAND_SCHEMA = "band int, band_key string, doc_id long"
 DECISION_SCHEMA = "doc_id long, status string, dup_of long"
 
@@ -52,10 +53,20 @@ class DedupStream:
         num_hashes: int = 8,
         bands: int = 4,
         k: int = 5,
+        verify_threshold: float | None = None,
+        ngram_n: int = 3,
     ):
+        """verify_threshold: when set, band-collision candidates are
+        DISPOSED by exact word-n-gram Jaccard (the batch dedup_pipeline's
+        propose→verify shape) before a doc is called a near-dup; the
+        state grows a kept-docs text store, read only for candidate
+        partners (semi-join pruned), so the no-corpus-rescan property
+        holds.  When None (default), a shared band alone flags near_dup
+        (candidate-level, zero text retention)."""
         self.spark = spark
         self.state_dir = state_dir
         self.num_hashes, self.bands, self.k = num_hashes, bands, k
+        self.verify_threshold, self.ngram_n = verify_threshold, ngram_n
         os.makedirs(state_dir, exist_ok=True)
 
     def _read(self, sub: str, schema: str) -> DataFrame:
@@ -73,6 +84,37 @@ class DedupStream:
 
     def decisions(self) -> DataFrame:
         return self._read("decisions", DECISION_SCHEMA)
+
+    def text_store(self) -> DataFrame:
+        return self._read("texts", TEXT_SCHEMA)
+
+    def _verify(self, batch: DataFrame, cands: DataFrame) -> DataFrame:
+        """Exact n-gram Jaccard on candidate pairs only (array_intersect
+        on one gram-set row per doc — the ngram_jaccard_verify shape)."""
+        from redistimeseries_spark.pipeline.dedup import word_ngrams
+
+        need = cands.select(F.col("cand").alias("doc_id")).distinct()
+        stored = self.text_store().join(need, "doc_id")
+        texts = batch.select("doc_id", "text").unionByName(stored)
+        gs = (
+            word_ngrams(texts, self.ngram_n)
+            .groupBy("doc_id")
+            .agg(F.collect_set("gram").alias("gs"))
+        )
+        return (
+            cands.join(gs.select("doc_id", F.col("gs").alias("ga")), "doc_id")
+            .join(
+                gs.select(F.col("doc_id").alias("cand"), F.col("gs").alias("gb")),
+                "cand",
+            )
+            .withColumn("inter", F.size(F.array_intersect("ga", "gb")))
+            .withColumn(
+                "jac",
+                F.col("inter") / (F.size("ga") + F.size("gb") - F.col("inter")),
+            )
+            .filter(F.col("jac") >= self.verify_threshold)
+            .select("doc_id", "cand")
+        )
 
     def _append(self, df: DataFrame, sub: str) -> None:
         df.write.mode("append").parquet(os.path.join(self.state_dir, sub))
@@ -119,15 +161,13 @@ class DedupStream:
         survivors = exact.filter(F.col("dup_of").isNull()).select("doc_id", "fp")
         bk = band_keys.join(survivors.select("doc_id"), "doc_id")
 
-        # near-dup: any shared band key with an accepted doc (store first,
-        # then earlier-batch survivors via min-doc_id on the same key)
+        # near-dup candidates: any shared band key with an accepted doc
+        # (store first, then earlier in-batch survivors)
         stored_bands = self.band_store().withColumnRenamed("doc_id", "near_doc")
-        near_store = (
-            bk.join(stored_bands, ["band", "band_key"])
-            .groupBy("doc_id")
-            .agg(F.min("near_doc").alias("near_of"))
+        cand_store = bk.join(stored_bands, ["band", "band_key"]).select(
+            "doc_id", F.col("near_doc").alias("cand")
         )
-        in_batch = (
+        cand_batch = (
             bk.alias("a")
             .join(
                 bk.alias("b"),
@@ -135,13 +175,14 @@ class DedupStream:
                 & (F.col("a.band_key") == F.col("b.band_key"))
                 & (F.col("a.doc_id") > F.col("b.doc_id")),
             )
-            .groupBy(F.col("a.doc_id").alias("doc_id"))
-            .agg(F.min("b.doc_id").alias("near_of"))
+            .select(F.col("a.doc_id").alias("doc_id"), F.col("b.doc_id").alias("cand"))
         )
+        cands = cand_store.unionByName(cand_batch).distinct()
+        if self.verify_threshold is not None:
+            cands = self._verify(batch, cands)
         near = (
-            near_store.unionByName(in_batch)
-            .groupBy("doc_id")
-            .agg(F.min("near_of").alias("near_of"))
+            cands.groupBy("doc_id")
+            .agg(F.min("cand").alias("near_of"))
             .localCheckpoint()
         )
 
@@ -163,6 +204,8 @@ class DedupStream:
         self._append(
             bk.join(kept, "doc_id").select("band", "band_key", "doc_id"), "bands"
         )
+        if self.verify_threshold is not None:
+            self._append(batch.select("doc_id", "text").join(kept, "doc_id"), "texts")
         self._append(decisions, "decisions")
 
 

@@ -79,4 +79,9 @@ def main(sf_dir: str = "/root/testdata/sf0.01", only: list[str] | None = None):
 
 
 if __name__ == "__main__":
-    sys.exit(main(only=sys.argv[1:] or None))
+    # usage: run_gate.py [/path/to/sfdir] [query ...]
+    args = sys.argv[1:]
+    sf = "/root/testdata/sf0.01"
+    if args and args[0].startswith("/"):
+        sf, args = args[0], args[1:]
+    sys.exit(main(sf_dir=sf, only=args or None))

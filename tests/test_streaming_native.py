@@ -196,3 +196,49 @@ def test_session_rule_matches_batch_sessionize(spark, tmp_path):
     assert set(got) == set(want) - open_tails
     for k in got:
         assert got[k] == want[k]
+
+
+def test_incremental_dedup_verify_disposes_candidates(spark, tmp_path):
+    """With a verify threshold, a band collision alone is not enough: the
+    exact-Jaccard stage keeps dissimilar candidates and flags true
+    near-dups, across batches via the kept-text store."""
+    from redistimeseries_spark.pipeline.streaming_dedup import start_dedup_stream
+
+    d = str(tmp_path)
+    doc_schema = "doc_id long, text string"
+    b1 = [(1, "the quick brown fox jumps over the lazy dog again tonight")]
+    b2 = [
+        (10, "the quick brown fox jumps over the lazy dog again at night"),  # true near-dup
+        (11, "totally unrelated words about distributed query planning")
+    ]
+    os.makedirs(os.path.join(d, "in"), exist_ok=True)
+    spark.createDataFrame(b1, doc_schema).write.mode("append").parquet(os.path.join(d, "in"))
+    ds, q = start_dedup_stream(
+        spark, os.path.join(d, "in"), os.path.join(d, "state"), os.path.join(d, "ckpt"),
+        verify_threshold=0.5,
+    )
+    q.awaitTermination(120)
+    spark.createDataFrame(b2, doc_schema).write.mode("append").parquet(os.path.join(d, "in"))
+    ds, q = start_dedup_stream(
+        spark, os.path.join(d, "in"), os.path.join(d, "state"), os.path.join(d, "ckpt"),
+        verify_threshold=0.5,
+    )
+    q.awaitTermination(120)
+    got = {r.doc_id: (r.status, r.dup_of) for r in ds.decisions().collect()}
+    assert got[1] == ("kept", None)
+    assert got[10] == ("near_dup", 1)
+    assert got[11] == ("kept", None)
+    # text store holds kept docs only
+    assert {r.doc_id for r in ds.text_store().collect()} == {1, 11}
+
+    # a sky-high threshold rejects the same candidate -> everything kept
+    d2 = str(tmp_path / "strict")
+    os.makedirs(os.path.join(d2, "in"), exist_ok=True)
+    spark.createDataFrame(b1 + b2, doc_schema).write.mode("append").parquet(os.path.join(d2, "in"))
+    ds2, q2 = start_dedup_stream(
+        spark, os.path.join(d2, "in"), os.path.join(d2, "state"), os.path.join(d2, "ckpt"),
+        verify_threshold=0.99,
+    )
+    q2.awaitTermination(120)
+    got2 = {r.doc_id: r.status for r in ds2.decisions().collect()}
+    assert got2 == {1: "kept", 10: "kept", 11: "kept"}
