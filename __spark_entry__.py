@@ -977,6 +977,14 @@ def q_mm_frame_sample(spark, sf_dir):
     return frame_sample(attach_payload(_docs(spark, sf_dir)))
 
 
+def q_quality_summary(spark, sf_dir):
+    """Per-language corpus quality rollup: exact interpolated quantiles
+    (Spark percentile == DuckDB quantile_cont) + mean doc length."""
+    from redistimeseries_spark.pipeline.text import corpus_quality_summary
+
+    return corpus_quality_summary(_docs(spark, sf_dir))
+
+
 def q_pii(spark, sf_dir):
     """PII-shaped substring counts (emails/urls/phones/ipv4) — pure
     regexp_count projection, zero shuffle."""
@@ -1148,6 +1156,7 @@ def _base_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ts_session_stats": q_session_stats,
         "ts_info_full": q_info_full,
         "dl_quantize": q_quantize,
+        "dl_quality_summary": q_quality_summary,
         "dl_simhash": q_simhash,
         "dl_ann_lsh_topk": q_ann_lsh_topk,
         "dl_rolling_fingerprint": q_rolling_fingerprint,
@@ -1837,6 +1846,15 @@ def _with_aliases(oracles: dict[str, str]) -> dict[str, str]:
           JOIN ({oracles['dl_lang_id']}) l USING (doc_id)
           JOIN ({oracles['dl_repetition']}) r USING (doc_id)
           JOIN ({oracles['dl_pii']}) p USING (doc_id))"""
+    # per-language quality rollup over the quality oracle
+    oracles["dl_quality_summary"] = f"""
+        SELECT d.lang, count(*) AS n_docs,
+               round(quantile_cont(q.quality, 0.25), 6) AS q25,
+               round(quantile_cont(q.quality, 0.5), 6) AS q50,
+               round(quantile_cont(q.quality, 0.95), 6) AS q95,
+               round(avg(q.n_words), 6) AS avg_words
+        FROM ({oracles['dl_quality']}) q JOIN documents d USING (doc_id)
+        GROUP BY d.lang"""
     return oracles
 
 

@@ -309,3 +309,22 @@ def pii_signals(docs: DataFrame) -> DataFrame:
         c = F.col(f"n_{k}")
         total = c if total is None else total + c
     return out.withColumn("has_pii", total > 0)
+
+
+def corpus_quality_summary(docs: DataFrame) -> DataFrame:
+    """(lang, n_docs, q25, q50, q95, avg_words) — the corpus-analytics
+    rollup a curation run reports per language: exact interpolated
+    quality quantiles (Spark `percentile` == DuckDB `quantile_cont`
+    semantics) and mean doc length.  One quality pass + one groupBy on
+    the tiny lang key; at 100 TB swap `percentile` for
+    `approx_percentile` (t-digest) if the per-group sort ever shows up —
+    the group cardinality (languages) is small, so each group's exact
+    quantile is a single-task sort of its doc count."""
+    qs = quality_scores(docs).join(docs.select("doc_id", "lang"), "doc_id")
+    return qs.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.round(F.expr("percentile(quality, 0.25)"), 6).alias("q25"),
+        F.round(F.expr("percentile(quality, 0.5)"), 6).alias("q50"),
+        F.round(F.expr("percentile(quality, 0.95)"), 6).alias("q95"),
+        F.round(F.avg("n_words"), 6).alias("avg_words"),
+    )
