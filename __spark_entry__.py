@@ -358,7 +358,7 @@ def q_stream_dedup(spark, sf_dir):
     q.awaitTermination(300)
     late = docs.filter(F.col("doc_id") > median)
     # planted cross-batch exact dups: copies of batch-1 docs
-    copies = docs.filter(F.col("doc_id") <= median).limit(20).select(
+    copies = docs.filter(F.col("doc_id") <= median).orderBy("doc_id").limit(20).select(
         (F.col("doc_id") + 1_000_000).alias("doc_id"), "text"
     )
     late.unionByName(copies).write.mode("append").parquet(in_dir)
@@ -1778,11 +1778,13 @@ def _pipeline_oracles() -> dict[str, str]:
             WHERE rn <= 25""",
         "ts_rollup_route": _agg_oracle(["max"], H, 0, 0, 1 << 62),
         "ts_info_full": f"""{ORACLE_PREFIX}
-            SELECT s.key, total_samples, first_timestamp, last_timestamp,
+            SELECT k.key, coalesce(total_samples, 0) AS total_samples,
+                   first_timestamp, last_timestamp,
                    coalesce(n_labels, 0) AS n_labels
-            FROM (SELECT key, count(*) AS total_samples, min(ts) AS first_timestamp,
+            FROM (SELECT key FROM samples UNION SELECT key FROM labels) k
+            LEFT JOIN (SELECT key, count(*) AS total_samples, min(ts) AS first_timestamp,
                          max(ts) AS last_timestamp
-                  FROM samples GROUP BY key) s
+                  FROM samples GROUP BY key) s USING (key)
             LEFT JOIN (SELECT key, count(*) AS n_labels FROM labels GROUP BY key) l
               USING (key)""",
         "ts_session_stats": f"""{ORACLE_PREFIX},

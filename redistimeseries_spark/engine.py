@@ -374,6 +374,7 @@ class TimeSeriesEngine:
         )
 
         dur = parse_duration_ms(bucket_dur)
+        lo, hi = self._resolve_ts(from_ts, key), self._resolve_ts(to_ts, key)
         cands = [
             r
             for r in self.rules
@@ -382,14 +383,23 @@ class TimeSeriesEngine:
             and agg in COMPOSABLE
             and dur % r.bucket_ms == 0
             and (r.align_ts or 0) == 0
+            # exactness guard 1: the range must cover WHOLE fine buckets —
+            # a fine bucket straddling lo/hi has already folded samples
+            # the raw plan would exclude (or vice versa)
+            and lo % r.bucket_ms == 0
+            and (hi >= MAX_TS or (hi + 1) % r.bucket_ms == 0)
         ]
+        # exactness guard 2: the dest materializes from UNclamped src
+        # samples; with src retention set the raw plan clamps and the
+        # routed one would not
+        if self._cfg(key).retention_ms > 0:
+            cands = []
         if not cands:
             return self.range(key, from_ts, to_ts, aggregations=[agg], bucket_dur=dur)
         rule = max(cands, key=lambda r: r.bucket_ms)
         # LATEST view: the dest's open bucket must be finalized on the fly,
         # else the coarse bucket containing it would miss the newest samples
         fine = self._series_df(rule.dest_key, latest=True)
-        lo, hi = self._resolve_ts(from_ts, key), self._resolve_ts(to_ts, key)
         fine = fine.filter(F.col("ts").between(lo, hi))
         return range_from_rollup(fine, agg, rule.bucket_ms, dur).drop("key")
 

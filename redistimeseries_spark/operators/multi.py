@@ -189,15 +189,18 @@ def series_stats(samples: DataFrame, labels: DataFrame) -> DataFrame:
     src/module.c:156-280; the fleet-wide variant is what an operator
     dashboard actually queries).  Config-derived INFO fields (retention,
     dup policy, rules) live in the engine catalog, not the data."""
+    # spine = union of both key sets: a created-but-empty series (labels,
+    # zero samples) still answers INFO in the reference
+    keys = samples.select("key").union(labels.select("key")).distinct()
     agg = samples.groupBy("key").agg(
         F.count(F.lit(1)).alias("total_samples"),
         F.min("ts").alias("first_timestamp"),
         F.max("ts").alias("last_timestamp"),
     )
     nl = labels.groupBy("key").agg(F.count(F.lit(1)).alias("n_labels"))
-    return agg.join(nl, "key", "left").select(
+    return keys.join(agg, "key", "left").join(nl, "key", "left").select(
         "key",
-        "total_samples",
+        F.coalesce("total_samples", F.lit(0)).alias("total_samples"),
         "first_timestamp",
         "last_timestamp",
         F.coalesce("n_labels", F.lit(0)).alias("n_labels"),

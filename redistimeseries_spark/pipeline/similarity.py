@@ -290,28 +290,14 @@ def quantize_embeddings(emb: DataFrame, qmax: int = 127) -> DataFrame:
 
 
 def cosine_topk_quantized(emb: DataFrame, query_vec_id: int, k: int = 20) -> DataFrame:
-    """Brute-force cosine top-k over the int8-quantized store: integer
-    dot/norm folds rescaled at the end.  Same TakeOrderedAndProject plan
-    as cosine_topk; per-vector symmetric quantization cancels the scales
-    out of the cosine entirely, so the only error is rounding."""
-    q = quantize_embeddings(emb)
-    d = q.select("vec_id", F.col("qv").cast("array<double>").alias("v"))
-    qrow = d.filter(F.col("vec_id") == query_vec_id).select(
-        F.col("v").alias("q"), _norm(F.col("v")).alias("qn")
+    """Brute-force cosine top-k over the int8-quantized store.  Per-vector
+    symmetric quantization cancels the scales out of the cosine entirely,
+    so this IS cosine_topk over the integer vectors — delegated, same
+    plan, same tiebreaks; the only error vs the float store is rounding."""
+    q = quantize_embeddings(emb).select(
+        "vec_id", F.col("qv").cast("array<float>").alias("embedding")
     )
-    scored = (
-        d.crossJoin(F.broadcast(qrow))
-        .filter(F.col("vec_id") != query_vec_id)
-        .select(
-            "vec_id",
-            (_dot(F.col("v"), F.col("q")) / (_norm(F.col("v")) * F.col("qn"))).alias("cos"),
-        )
-    )
-    return (
-        scored.orderBy(F.col("cos").desc(), F.col("vec_id").asc())
-        .limit(k)
-        .select("vec_id", F.round("cos", 6).alias("cos"))
-    )
+    return cosine_topk(q, query_vec_id, k)
 
 
 def build_ivf_index(

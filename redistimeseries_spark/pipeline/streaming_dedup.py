@@ -71,10 +71,11 @@ class DedupStream:
 
     def _read(self, sub: str, schema: str) -> DataFrame:
         path = os.path.join(self.state_dir, sub)
-        try:
-            return self.spark.read.schema(schema).parquet(path)
-        except Exception:
+        # only "no state yet" is recoverable — a corrupt/unreadable store
+        # must FAIL the batch, not silently dedup against nothing
+        if not os.path.exists(path):
             return self.spark.createDataFrame([], schema)
+        return self.spark.read.schema(schema).parquet(path)
 
     def fp_store(self) -> DataFrame:
         return self._read("fps", FP_SCHEMA)
@@ -93,9 +94,15 @@ class DedupStream:
         on one gram-set row per doc — the ngram_jaccard_verify shape)."""
         from redistimeseries_spark.pipeline.dedup import word_ngrams
 
-        need = cands.select(F.col("cand").alias("doc_id")).distinct()
-        stored = self.text_store().join(need, "doc_id")
-        texts = batch.select("doc_id", "text").unionByName(stored)
+        # gram sets only for docs that appear in a candidate pair — a
+        # 1M-doc batch with 50 candidates grams 100 docs, not 1M
+        ids = (
+            cands.select("doc_id")
+            .unionByName(cands.select(F.col("cand").alias("doc_id")))
+            .distinct()
+        )
+        stored = self.text_store().join(ids, "doc_id")
+        texts = batch.select("doc_id", "text").join(ids, "doc_id").unionByName(stored)
         gs = (
             word_ngrams(texts, self.ngram_n)
             .groupBy("doc_id")
@@ -138,13 +145,29 @@ class DedupStream:
         return fps, band_keys
 
     def process_batch(self, batch: DataFrame, batch_id: int) -> None:
+        # foreachBatch is at-least-once: a completed batch_id replaying is
+        # a no-op (marker written LAST, after every append succeeded)
+        marker = os.path.join(self.state_dir, "batches", str(batch_id))
+        if os.path.exists(marker):
+            return
+        batch_ids = batch.select("doc_id").localCheckpoint()
+        # a crash mid-appends leaves this batch's OWN rows in the stores;
+        # anti-joining them out makes the replay produce the same
+        # decisions instead of marking every doc a dup of itself
+        def _foreign(df):
+            return df.join(
+                batch_ids.withColumnRenamed("doc_id", "__b"),
+                df["doc_id"] == F.col("__b"),
+                "left_anti",
+            )
+
         fps, band_keys = self._batch_features(batch)
         fps = fps.localCheckpoint()  # the md5 pass runs once, not per join
 
         # within-batch exact winners, then the store lookup
         first = fps.groupBy("fp").agg(F.min("doc_id").alias("winner"))
         fps = fps.join(first, "fp")
-        store_hit = self.fp_store().withColumnRenamed("doc_id", "stored_doc")
+        store_hit = _foreign(self.fp_store()).withColumnRenamed("doc_id", "stored_doc")
         fps = fps.join(
             store_hit.groupBy("fp").agg(F.min("stored_doc").alias("stored_doc")),
             "fp",
@@ -163,7 +186,9 @@ class DedupStream:
 
         # near-dup candidates: any shared band key with an accepted doc
         # (store first, then earlier in-batch survivors)
-        stored_bands = self.band_store().withColumnRenamed("doc_id", "near_doc")
+        stored_bands = _foreign(self.band_store()).withColumnRenamed(
+            "doc_id", "near_doc"
+        )
         cand_store = bk.join(stored_bands, ["band", "band_key"]).select(
             "doc_id", F.col("near_doc").alias("cand")
         )
@@ -207,6 +232,8 @@ class DedupStream:
         if self.verify_threshold is not None:
             self._append(batch.select("doc_id", "text").join(kept, "doc_id"), "texts")
         self._append(decisions, "decisions")
+        os.makedirs(os.path.dirname(marker), exist_ok=True)
+        open(marker, "w").close()
 
 
 def start_dedup_stream(

@@ -67,12 +67,16 @@ _PIPELINE_FN_SQL = [
     """CREATE OR REPLACE TEMPORARY FUNCTION dl_hash_bucket(id BIGINT)
        RETURNS BIGINT
        RETURN CAST(conv(substring(md5(CAST(id AS STRING)), 1, 7), 16, 10) AS BIGINT) % 10000""",
-    # distinct char k-shingles (pipeline/dedup.char_shingles)
+    # distinct char k-shingles (pipeline/dedup.char_shingles).  A scalar
+    # SQL UDF body is one expression, so the projected-lowered-text trick
+    # is unavailable; lowercasing each k-char WINDOW keeps the work
+    # O(len*k) instead of O(len^2) (equal to char_shingles for
+    # length-preserving case mappings — all of ASCII)
     """CREATE OR REPLACE TEMPORARY FUNCTION dl_shingles(t STRING, k INT)
        RETURNS ARRAY<STRING>
        RETURN array_distinct(transform(
-           sequence(1, greatest(length(lower(t)) - k + 1, 1)),
-           i -> substring(lower(t), i, k)))""",
+           sequence(1, greatest(length(t) - k + 1, 1)),
+           i -> lower(substring(t, i, k))))""",
 ]
 
 

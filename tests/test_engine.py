@@ -307,3 +307,38 @@ def test_engine_asof_join(spark):
     eng.add("quotes", 250, 20.0)
     got = {r.ts: (r.right_ts, r.right_value) for r in eng.asof_join("trades", "quotes").collect()}
     assert got == {100: (90, 10.0), 300: (250, 20.0)}
+
+
+def test_range_rollup_falls_back_on_unaligned_range(spark):
+    """A from/to not covering whole fine buckets must NOT route: the fine
+    bucket straddling the edge has folded samples the raw plan excludes."""
+    from redistimeseries_spark.engine import TimeSeriesEngine
+
+    eng = TimeSeriesEngine(spark)
+    eng.create("src")
+    eng.create("d")
+    eng.create_rule("src", "d", "max", 100)
+    eng.add("src", 900, 7.0)
+    eng.add("src", 980, 100.0)
+    # raw plan over [0, 920] excludes ts=980 -> bucket 0 max 7.0
+    got = {r.ts: r.max for r in eng.range_rollup("src", "max", 1000, 0, 920).collect()}
+    assert got == {0: 7.0}
+    # aligned range still routes and agrees
+    routed = {r.ts: r.max for r in eng.range_rollup("src", "max", 1000, 0, 999).collect()}
+    assert routed == {0: 100.0}
+
+
+def test_range_rollup_falls_back_when_src_has_retention(spark):
+    """The dest materializes from unclamped samples; src retention makes
+    the rewrite inexact, so it must take the raw path."""
+    from redistimeseries_spark.engine import TimeSeriesEngine
+
+    eng = TimeSeriesEngine(spark)
+    eng.create("src", retention=1000)
+    eng.create("d")
+    eng.create_rule("src", "d", "max", 100)
+    eng.add("src", 0, 99.0)
+    eng.add("src", 5000, 1.0)
+    got = {r.ts: r.max for r in eng.range_rollup("src", "max", 1000).collect()}
+    want = {r.ts: r.max for r in eng.range("src", aggregations=["max"], bucket_dur=1000).collect()}
+    assert got == want and 0 not in got  # ts=0 clamped out on both paths

@@ -242,3 +242,33 @@ def test_incremental_dedup_verify_disposes_candidates(spark, tmp_path):
     q2.awaitTermination(120)
     got2 = {r.doc_id: r.status for r in ds2.decisions().collect()}
     assert got2 == {1: "kept", 10: "kept", 11: "kept"}
+
+
+def test_incremental_dedup_replay_is_idempotent(spark, tmp_path):
+    """foreachBatch is at-least-once: replaying a completed batch must not
+    double-append, and a partial-state replay (stores written, marker
+    absent) must not mark batch docs as dups of themselves."""
+    from redistimeseries_spark.pipeline.streaming_dedup import DedupStream
+
+    d = str(tmp_path / "state")
+    docs = spark.createDataFrame(
+        [(1, "alpha beta gamma delta epsilon zeta"), (2, "other words entirely here")],
+        "doc_id long, text string",
+    )
+    ds = DedupStream(spark, d)
+    ds.process_batch(docs, 0)
+    ds.process_batch(docs, 0)  # clean replay: marker short-circuits
+    assert ds.decisions().count() == 2
+    assert {r.status for r in ds.decisions().collect()} == {"kept"}
+
+    # partial-state replay: stores hold batch 1's rows but no marker
+    docs2 = spark.createDataFrame(
+        [(10, "fresh content for the second batch here")], "doc_id long, text string"
+    )
+    ds.process_batch(docs2, 1)
+    os.remove(os.path.join(d, "batches", "1"))
+    ds.process_batch(docs2, 1)  # re-run sees its own fps in the store
+    dec = [r for r in ds.decisions().collect() if r.doc_id == 10]
+    # duplicated decision rows are the replay artifact, but the STATUS must
+    # still be kept (not exact_dup-of-itself)
+    assert {(r.status, r.dup_of) for r in dec} == {("kept", None)}
