@@ -162,25 +162,32 @@ def curation_filter(
     documents scans per branch.  `reasons` lists the failed checks in a
     fixed order (empty string = kept) so drops are auditable."""
     from redistimeseries_spark.pipeline.text import (
-        lang_scores,
-        pii_signals,
-        quality_scores,
+        lang_pred_expr,
+        pii_count_exprs,
+        quality_exprs,
         repetition_signals,
     )
 
-    q = quality_scores(docs).select("doc_id", "n_words", "quality")
-    l = lang_scores(docs).select("doc_id", "lang_pred")
+    # quality, language, and PII are ROW-LOCAL — one projection over the
+    # scan, no joins (a 4-way doc_id join of the separate signal tables
+    # measured ~4x slower at 100k docs: each branch re-derived the corpus
+    # and shuffled into its own SMJ).  Only the repetition signals
+    # aggregate, so only they join back.
+    qe = quality_exprs()
+    pii_total = None
+    for c in pii_count_exprs().values():
+        pii_total = c if pii_total is None else pii_total + c
+    base = docs.select(
+        "doc_id",
+        qe["n_words"].alias("n_words"),
+        qe["quality"].alias("quality"),
+        lang_pred_expr().alias("lang_pred"),
+        (pii_total > 0).alias("has_pii"),
+    )
     r = repetition_signals(docs).select(
         "doc_id", "dup_line_frac", "top_bigram_frac"
     )
-    p = pii_signals(docs).select("doc_id", "has_pii")
-    j = (
-        docs.select("doc_id")
-        .join(q, "doc_id")
-        .join(l, "doc_id")
-        .join(r, "doc_id")
-        .join(p, "doc_id")
-    )
+    j = base.join(r, "doc_id", "left")
     checks = [
         ("short_doc", F.col("n_words") < min_words),
         ("low_quality", F.col("quality") < min_quality),

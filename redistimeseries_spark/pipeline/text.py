@@ -34,27 +34,41 @@ def _occurrences(text: Column, word: str) -> Column:
     ).cast("long")
 
 
-def lang_scores(docs: DataFrame) -> DataFrame:
-    """(doc_id, score_en, score_fr, score_de, score_es, lang_pred)."""
-    cols = []
+def lang_score_exprs() -> dict[str, Column]:
+    """Per-language marker scores as row-local columns."""
+    cols = {}
     for lang, words in LANG_MARKERS.items():
         s = None
         for w in words:
             o = _occurrences(F.col("text"), w)
             s = o if s is None else s + o
-        cols.append(s.alias(f"score_{lang}"))
-    out = docs.select("doc_id", *cols)
+        cols[f"score_{lang}"] = s
+    return cols
+
+
+def lang_pred_expr() -> Column:
+    """The predicted-language column, row-local (inlines the scores)."""
+    scores = lang_score_exprs()
     langs = list(LANG_MARKERS)
-    best = F.greatest(*[F.col(f"score_{l}") for l in langs])
+    best = F.greatest(*[scores[f"score_{l}"] for l in langs])
     pred = F.lit("unknown")
     for l in reversed(langs):  # earlier language wins ties
-        pred = F.when(F.col(f"score_{l}") == best, F.lit(l)).otherwise(pred)
-    return out.withColumn("lang_pred", F.when(best > 0, pred).otherwise(F.lit("unknown")))
+        pred = F.when(scores[f"score_{l}"] == best, F.lit(l)).otherwise(pred)
+    return F.when(best > 0, pred).otherwise(F.lit("unknown"))
 
 
-def quality_scores(docs: DataFrame) -> DataFrame:
-    """Heuristic quality features + a composite score in [0, 1]:
-    word count, mean word length, punctuation ratio, stopword ratio."""
+def lang_scores(docs: DataFrame) -> DataFrame:
+    """(doc_id, score_en, score_fr, score_de, score_es, lang_pred)."""
+    return docs.select(
+        "doc_id",
+        *[c.alias(n) for n, c in lang_score_exprs().items()],
+        lang_pred_expr().alias("lang_pred"),
+    )
+
+
+def quality_exprs() -> dict[str, Column]:
+    """The per-row quality feature columns (row-local: composable into any
+    projection without a join)."""
     words = F.array_remove(F.split(F.lower(F.col("text")), WORD_RE), "")
     n_words = F.size(words)
     n_chars = F.length("text")
@@ -64,18 +78,25 @@ def quality_scores(docs: DataFrame) -> DataFrame:
     for w in LANG_MARKERS["en"]:
         o = _occurrences(F.col("text"), w)
         stop = o if stop is None else stop + o
-    return docs.select(
-        "doc_id",
-        n_words.cast("long").alias("n_words"),
-        F.round(n_alpha / F.greatest(n_chars, F.lit(1)), 6).alias("alpha_ratio"),
-        F.round(n_punct / F.greatest(n_chars, F.lit(1)), 6).alias("punct_ratio"),
-        F.round(stop / F.greatest(n_words, F.lit(1)), 6).alias("stopword_ratio"),
-        F.round(
+    return {
+        "n_words": n_words.cast("long"),
+        "alpha_ratio": F.round(n_alpha / F.greatest(n_chars, F.lit(1)), 6),
+        "punct_ratio": F.round(n_punct / F.greatest(n_chars, F.lit(1)), 6),
+        "stopword_ratio": F.round(stop / F.greatest(n_words, F.lit(1)), 6),
+        "quality": F.round(
             F.least(n_words / F.lit(100.0), F.lit(1.0)) * 0.5
             + F.least(stop / F.greatest(n_words, F.lit(1)) * 10, F.lit(1.0)) * 0.3
             + (n_alpha / F.greatest(n_chars, F.lit(1))) * 0.2,
             6,
-        ).alias("quality"),
+        ),
+    }
+
+
+def quality_scores(docs: DataFrame) -> DataFrame:
+    """Heuristic quality features + a composite score in [0, 1]:
+    word count, mean word length, punctuation ratio, stopword ratio."""
+    return docs.select(
+        "doc_id", *[c.alias(n) for n, c in quality_exprs().items()]
     )
 
 
@@ -292,6 +313,14 @@ PII_PATTERNS = {
 }
 
 
+def pii_count_exprs() -> dict[str, Column]:
+    """Per-pattern PII counts as row-local columns."""
+    return {
+        f"n_{k}": F.regexp_count("text", F.lit(p)).cast("long")
+        for k, p in PII_PATTERNS.items()
+    }
+
+
 def pii_signals(docs: DataFrame) -> DataFrame:
     """(doc_id, n_emails, n_urls, n_phones, n_ipv4, has_pii) — counts of
     PII-shaped substrings, the screening signal a curation pipeline uses
@@ -299,11 +328,9 @@ def pii_signals(docs: DataFrame) -> DataFrame:
     one projection over the scan, zero shuffle, trivially parallel at
     100 TB.  (Counting, not extraction: the signal decides routing; the
     scrub itself is a downstream regexp_replace pass.)"""
-    counts = [
-        F.regexp_count("text", F.lit(p)).cast("long").alias(f"n_{k}")
-        for k, p in PII_PATTERNS.items()
-    ]
-    out = docs.select("doc_id", *counts)
+    out = docs.select(
+        "doc_id", *[c.alias(n) for n, c in pii_count_exprs().items()]
+    )
     total = None
     for k in PII_PATTERNS:
         c = F.col(f"n_{k}")

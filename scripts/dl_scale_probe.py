@@ -33,10 +33,11 @@ from redistimeseries_spark.pipeline.dedup import (
     simhash,
     simhash_hamming_pairs,
 )
-from redistimeseries_spark.pipeline.curation import stratified_sample
+from redistimeseries_spark.pipeline.curation import curation_filter, stratified_sample
 from redistimeseries_spark.pipeline.text import (
     char_ngram_lm_scores,
     lang_scores,
+    pii_signals,
     repetition_signals,
     token_counts,
 )
@@ -97,6 +98,10 @@ def main():
         "d12_ngram_lm": lambda: char_ngram_lm_scores(docs),
         # count -> hash-cut -> window on ~8n survivors per stratum
         "d13_stratified_sample": lambda: stratified_sample(docs, "lang", 1000),
+        # pure regexp_count projection
+        "d14_pii": lambda: pii_signals(docs),
+        # four signal chains joined on doc_id
+        "d15_curation_filter": lambda: curation_filter(docs),
     }
 
     if len(sys.argv) > 2:

@@ -482,3 +482,30 @@ def test_ivf_index_build_query_matches_adhoc(spark, tmp_path):
     assert got_rows == want
     plan = got._jdf.queryExecution().executedPlan().toString()
     assert "PartitionFilters" in plan and "cid" in plan
+
+
+def test_stratified_sample_fallback_path_still_exact(spark):
+    """safety=1 makes the hash cut undershoot with ~50% probability per
+    stratum (deterministically, given fixed doc_ids) — whichever path
+    runs, the result must equal the naive full window."""
+    from pyspark.sql import Window
+    from redistimeseries_spark.pipeline.curation import stratified_sample
+
+    docs = spark.createDataFrame(
+        [(i, "en" if i % 2 else "fr") for i in range(400)], "doc_id long, lang string"
+    )
+    got = sorted(map(tuple, stratified_sample(docs, "lang", 7, safety=1).collect()))
+    w = Window.partitionBy("lang").orderBy(F.md5(F.col("doc_id").cast("string")), "doc_id")
+    want = sorted(
+        map(
+            tuple,
+            docs.select(
+                F.col("lang").alias("stratum"),
+                "doc_id",
+                F.row_number().over(w).cast("long").alias("rn"),
+            )
+            .filter(F.col("rn") <= 7)
+            .collect(),
+        )
+    )
+    assert got == want
