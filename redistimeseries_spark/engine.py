@@ -388,14 +388,19 @@ class TimeSeriesEngine:
             # the raw plan would exclude (or vice versa)
             and lo % r.bucket_ms == 0
             and (hi >= MAX_TS or (hi + 1) % r.bucket_ms == 0)
+            # exactness guard 2b: a retention-bearing DEST would clamp the
+            # materialized fine buckets the raw plan still returns
+            and self._cfg(r.dest_key).retention_ms == 0
         ]
-        # exactness guard 2: the dest materializes from UNclamped src
+        # exactness guard 2a: the dest materializes from UNclamped src
         # samples; with src retention set the raw plan clamps and the
         # routed one would not
         if self._cfg(key).retention_ms > 0:
             cands = []
         if not cands:
-            return self.range(key, from_ts, to_ts, aggregations=[agg], bucket_dur=dur)
+            # pass the RESOLVED bounds: '$' resolution is a driver-side
+            # collect, no reason to run it twice on the fallback path
+            return self.range(key, lo, hi, aggregations=[agg], bucket_dur=dur)
         rule = max(cands, key=lambda r: r.bucket_ms)
         # LATEST view: the dest's open bucket must be finalized on the fly,
         # else the coarse bucket containing it would miss the newest samples

@@ -70,12 +70,19 @@ class DedupStream:
         os.makedirs(state_dir, exist_ok=True)
 
     def _read(self, sub: str, schema: str) -> DataFrame:
+        from pyspark.errors import AnalysisException
+
         path = os.path.join(self.state_dir, sub)
-        # only "no state yet" is recoverable — a corrupt/unreadable store
-        # must FAIL the batch, not silently dedup against nothing
-        if not os.path.exists(path):
-            return self.spark.createDataFrame([], schema)
-        return self.spark.read.schema(schema).parquet(path)
+        # only "no state yet" is recoverable — any OTHER failure (corrupt
+        # footer, permissions) must FAIL the batch, not silently dedup
+        # against nothing.  Matching on the error class keeps this correct
+        # for remote URIs (s3://, hdfs://) where os.path checks lie.
+        try:
+            return self.spark.read.schema(schema).parquet(path)
+        except AnalysisException as exc:
+            if "PATH_NOT_FOUND" in str(exc) or "Path does not exist" in str(exc):
+                return self.spark.createDataFrame([], schema)
+            raise
 
     def fp_store(self) -> DataFrame:
         return self._read("fps", FP_SCHEMA)
@@ -84,7 +91,10 @@ class DedupStream:
         return self._read("bands", BAND_SCHEMA)
 
     def decisions(self) -> DataFrame:
-        return self._read("decisions", DECISION_SCHEMA)
+        # distinct: a crash between the decisions append and the batch
+        # marker replays identical rows; the verdict per doc is
+        # deterministic, so dedup on read restores exactly-once output
+        return self._read("decisions", DECISION_SCHEMA).distinct()
 
     def text_store(self) -> DataFrame:
         return self._read("texts", TEXT_SCHEMA)
@@ -146,7 +156,9 @@ class DedupStream:
 
     def process_batch(self, batch: DataFrame, batch_id: int) -> None:
         # foreachBatch is at-least-once: a completed batch_id replaying is
-        # a no-op (marker written LAST, after every append succeeded)
+        # a no-op (marker written LAST, after every append succeeded).
+        # Markers live on the driver's filesystem; an object-store
+        # deployment swaps them for a transactional batch-id table (Delta)
         marker = os.path.join(self.state_dir, "batches", str(batch_id))
         if os.path.exists(marker):
             return

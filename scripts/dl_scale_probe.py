@@ -100,7 +100,7 @@ def main():
         "d13_stratified_sample": lambda: stratified_sample(docs, "lang", 1000),
         # pure regexp_count projection
         "d14_pii": lambda: pii_signals(docs),
-        # four signal chains joined on doc_id
+        # row-local signals in one projection + the repetition join
         "d15_curation_filter": lambda: curation_filter(docs),
     }
 

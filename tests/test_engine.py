@@ -342,3 +342,19 @@ def test_range_rollup_falls_back_when_src_has_retention(spark):
     got = {r.ts: r.max for r in eng.range_rollup("src", "max", 1000).collect()}
     want = {r.ts: r.max for r in eng.range("src", aggregations=["max"], bucket_dur=1000).collect()}
     assert got == want and 0 not in got  # ts=0 clamped out on both paths
+
+
+def test_range_rollup_falls_back_when_dest_has_retention(spark):
+    """A retention-bearing dest clamps its materialized fine buckets; the
+    raw plan does not — such a rule must not route."""
+    from redistimeseries_spark.engine import TimeSeriesEngine
+
+    eng = TimeSeriesEngine(spark)
+    eng.create("src")
+    eng.create("d", retention=1000)
+    eng.create_rule("src", "d", "max", 100)
+    eng.add("src", 0, 99.0)
+    eng.add("src", 5000, 1.0)
+    got = {r.ts: r.max for r in eng.range_rollup("src", "max", 1000).collect()}
+    want = {r.ts: r.max for r in eng.range("src", aggregations=["max"], bucket_dur=1000).collect()}
+    assert got == want and got[0] == 99.0  # raw semantics kept
