@@ -330,10 +330,19 @@ def ngram_jaccard_pairs(
 
 
 def ngram_jaccard_verify(
-    docs: DataFrame, pairs: DataFrame, n: int = 3, threshold: float = 0.4
+    docs: DataFrame,
+    pairs: DataFrame,
+    n: int = 3,
+    threshold: float = 0.4,
+    with_containment: bool = False,
 ) -> DataFrame:
-    """(doc_a, doc_b, jaccard) — exact n-gram Jaccard restricted to the
-    given candidate pairs.  This is the scale path: a blocking stage
+    """(doc_a, doc_b, jaccard[, containment]) — exact n-gram Jaccard
+    restricted to the given candidate pairs.  with_containment adds
+    |A∩B| / min(|A|, |B|): near 1.0 with a LOW jaccard means one doc is
+    embedded in the other (quote, boilerplate wrapper, prefix crawl) —
+    the standard one-sided signal symmetric Jaccard misses; such pairs
+    pass the containment filter a curation pipeline applies even though
+    they fail the jaccard one.  This is the scale path: a blocking stage
     (MinHash LSH, simhash segments) proposes candidates and this verify
     disposes — the gram self-join over the whole corpus that the
     standalone `ngram_jaccard_pairs` pays never happens.
@@ -367,7 +376,20 @@ def ngram_jaccard_verify(
             F.col("inter") / (F.size("ga") + F.size("gb") - F.col("inter")),
         )
         .filter(F.col("jaccard") >= threshold)
-        .select("doc_a", "doc_b", F.round("jaccard", 6).alias("jaccard"))
+        .select(
+            "doc_a",
+            "doc_b",
+            F.round("jaccard", 6).alias("jaccard"),
+            *(
+                [
+                    F.round(
+                        F.col("inter") / F.least(F.size("ga"), F.size("gb")), 6
+                    ).alias("containment")
+                ]
+                if with_containment
+                else []
+            ),
+        )
     )
 
 

@@ -509,3 +509,22 @@ def test_stratified_sample_fallback_path_still_exact(spark):
         )
     )
     assert got == want
+
+
+def test_jaccard_verify_containment_flags_embedded_doc(spark):
+    """A doc fully contained in a longer one: containment ~1.0 while the
+    symmetric jaccard is small."""
+    from redistimeseries_spark.pipeline.dedup import ngram_jaccard_verify
+
+    short = "alpha beta gamma delta epsilon zeta"
+    long = short + " " + " ".join(f"filler{i} word{i} extra{i}" for i in range(20))
+    docs = spark.createDataFrame(
+        [(1, short), (2, long)], "doc_id long, text string"
+    )
+    pairs = spark.createDataFrame([(1, 2)], "doc_a long, doc_b long")
+    r = ngram_jaccard_verify(docs, pairs, threshold=0.0, with_containment=True).collect()[0]
+    assert r.containment == 1.0
+    assert r.jaccard < 0.2
+    # default output shape unchanged (oracle compatibility)
+    cols = ngram_jaccard_verify(docs, pairs, threshold=0.0).columns
+    assert cols == ["doc_a", "doc_b", "jaccard"]

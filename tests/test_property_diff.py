@@ -434,3 +434,39 @@ def test_asof_join_random_vs_sequential(spark, data):
         if want is not None and tol is not None and want[0] < t - tol:
             want = None
         assert got[(k, t)] == (want if want else (None, None)), (k, t)
+
+
+@settings(
+    max_examples=8,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(data=st.data())
+def test_sessionize_random_vs_sequential(spark, data):
+    """sessionize's lag+running-sum formulation vs the literal sequential
+    definition (new session when gap > G)."""
+    from redistimeseries_spark.operators.session import sessionize
+
+    gap = data.draw(st.integers(1, 20))
+    rows = []
+    for k in ["a", "b"]:
+        tss = sorted(
+            data.draw(st.lists(st.integers(0, 100), min_size=0, max_size=12, unique=True))
+        )
+        rows += [(k, t, 0.0) for t in tss]
+    if not rows:
+        return
+    got = {
+        (r.key, r.ts): r.session_id
+        for r in sessionize(
+            spark.createDataFrame(rows, "key string, ts long, value double"), gap
+        ).collect()
+    }
+    for k in ["a", "b"]:
+        tss = sorted(t for kk, t, _ in rows if kk == k)
+        sid, prev = 0, None
+        for t in tss:
+            if prev is None or t - prev > gap:
+                sid += 1
+            assert got[(k, t)] == sid, (k, t, gap)
+            prev = t
