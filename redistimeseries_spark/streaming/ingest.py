@@ -20,9 +20,17 @@ store also maintains:
     pairs the batch touched (src/tsdb.c:622-660 SeriesCalcRange recompute)
     — out-of-order and in-bucket upserts repair the right buckets.
 
-At 100 TB scale: the log partitions by arrival day; the dest recompute
-reads only the touched source buckets (ts-range pruned scan); `latest` and
-rule dests are small enough to broadcast.
+At 100 TB scale: the log is written partitioned by SAMPLE-TIME day
+(`__day = ts div 86400000`), so every maintenance read is partition-pruned:
+
+  * rule recompute reads only the day partitions covering the touched
+    buckets (plus, for twa, single boundary samples found by an
+    exponentially-widening day probe — the Spark analogue of the
+    reference's one-sample reverse/forward iterators,
+    src/tsdb.c:1280-1306);
+  * duplicate resolution runs only over the pruned slice — per-batch cost
+    is O(touched days), independent of total log length;
+  * `latest` and rule dests are small enough to broadcast.
 """
 
 from __future__ import annotations
@@ -31,7 +39,7 @@ import os
 import time
 from dataclasses import dataclass, field
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from redistimeseries_spark.functions.buckets import bucket_start
@@ -102,6 +110,205 @@ class StreamingStore:
             )
         return self.spark.read.parquet(path)
 
+    # ---- the day-partitioned ingest log ----------------------------------
+    def _log(self) -> DataFrame:
+        """Raw log with its `__day` partition column (empty-safe)."""
+        if not os.path.isdir(self.log_dir):
+            return self.spark.createDataFrame([], SAMPLES_SCHEMA + ", seq long, __day int")
+        return self.spark.read.parquet(self.log_dir)
+
+    def _log_days(self) -> list[int]:
+        """Day partitions present on disk (a driver-side listing — one
+        directory read, the same metadata a catalog would serve)."""
+        if not os.path.isdir(self.log_dir):
+            return []
+        return sorted(
+            int(n.split("=", 1)[1])
+            for n in os.listdir(self.log_dir)
+            if n.startswith("__day=")
+        )
+
+    def _pruned(self, days: list[int]) -> DataFrame:
+        """Dup-resolved samples from ONLY the given day partitions — the
+        partition-pruned slice every per-batch maintenance read goes
+        through.  resolve_duplicates groups by (key, ts) and all rows of a
+        given ts live in one day partition, so folding the slice alone is
+        exact."""
+        if not days:
+            return self.spark.createDataFrame([], SAMPLES_SCHEMA)
+        sl = self._log().filter(F.col("__day").isin([int(d) for d in days]))
+        return resolve_duplicates(
+            sl.select("key", "ts", "value", "seq"), self.duplicate_policy
+        )
+
+    def _append_log(self, batch: DataFrame):
+        (
+            batch.select("key", "ts", "value", "seq")
+            .withColumn("__day", F.expr(f"ts div {DAY_MS}").cast("int"))
+            .write.mode("append")
+            .partitionBy("__day")
+            .parquet(self.log_dir)
+        )
+
+    def _boundary_samples(
+        self,
+        keys: DataFrame,
+        probe_days: list[int],
+        bound_ts: int,
+        before: bool,
+        already_have: DataFrame,
+    ) -> DataFrame:
+        """One adjacent sample per key outside the recompute span: the
+        newest with ts < bound_ts (before=True) or the oldest with
+        ts >= bound_ts.  This is the reference's single-sample
+        reverse/forward iterator around a twa bucket (src/tsdb.c:1280-1306)
+        re-expressed against a day-partitioned log: probe windows of
+        1, 2, 4, ... day partitions (newest-first when looking back) until
+        every key has a hit or the log is exhausted.  Micro-batches cluster
+        in recent days, so this is typically zero or one small scan; the
+        worst case (a key silent for years) degrades to one traversal of
+        that key's sparse history — what the pre-pruning code did on EVERY
+        batch for every key.
+
+        `probe_days` must be strictly outside the core span (the span's own
+        days are already in the core slice) and sorted nearest-span-first,
+        so the first window that hits a key yields its adjacent sample.
+        """
+        remaining = keys.join(already_have, "key", "left_anti")
+        n = remaining.count()
+        parts = []
+        i, step = 0, 1
+        while n > 0 and i < len(probe_days):
+            win, i, step = probe_days[i : i + step], i + step, step * 2
+            sl = self._pruned(win).join(F.broadcast(remaining), "key", "left_semi")
+            if before:
+                sl = sl.filter(F.col("ts") < bound_ts)
+                agg = [F.max("ts").alias("ts"), F.max_by("value", "ts").alias("value")]
+            else:
+                sl = sl.filter(F.col("ts") >= bound_ts)
+                agg = [F.min("ts").alias("ts"), F.min_by("value", "ts").alias("value")]
+            hit = sl.groupBy("key").agg(*agg)
+            hit.persist()  # consumed twice: anti-join bookkeeping + result
+            parts.append(hit)
+            remaining = remaining.join(hit.select("key"), "key", "left_anti")
+            n = remaining.count()
+        out = self.spark.createDataFrame([], SAMPLES_SCHEMA)
+        for p in parts:
+            out = out.unionByName(p.select("key", "ts", "value"))
+        return out
+
+    def _twa_recompute(self, rule: CompactionRule, touched: DataFrame):
+        """Pruned, exact twa repair for the (key, bucket) pairs in
+        `touched` (already arithmetic-widened ±1 bucket).  Returns the
+        EXTENDED touched set and the recomputed rows.
+
+        Exactness requires recomputing every bucket whose boundary
+        interpolation the batch's samples changed — the bucket holding the
+        nearest stored sample on each side of every touched bucket (the
+        reference re-finalizes the closed bucket with the next bucket's
+        first sample, src/tsdb.c:1276-1306); ±1-bucket arithmetic alone
+        misses neighbors across sparse gaps.  Three pruned reads:
+
+          1. core slice — the day partitions covering the touched span,
+             semi-joined to touched keys; an in-span window finds each
+             touched bucket's sample-adjacent neighbor buckets;
+          2. beyond-span neighbors — `_boundary_samples` exponential day
+             probes (typically zero scans: micro-batches cluster in recent
+             days);
+          3. after extending `touched` with the neighbor buckets, one more
+             slice + probe pass supplies the interpolation samples the twa
+             kernel needs at the extended span's edges.
+
+        Per-batch cost tracks the batch's time locality (touched days +
+        probe windows), never total log length.
+        """
+        from redistimeseries_spark import MAX_TS, MIN_TS
+        from redistimeseries_spark.operators.twa import twa_buckets
+
+        tkeys = touched.select("key").distinct()
+        all_days = self._log_days()
+
+        def span_days(a, z):
+            return [d for d in all_days if a <= d <= z]
+
+        def slice_for(lo, hi):
+            sl = self._pruned(span_days(lo // DAY_MS, (hi - 1) // DAY_MS))
+            return sl.join(F.broadcast(tkeys), "key", "left_semi")
+
+        def edge_probes(core, lo, hi):
+            before = self._boundary_samples(
+                tkeys,
+                sorted((d for d in all_days if d < lo // DAY_MS), reverse=True),
+                lo,
+                before=True,
+                already_have=core.filter(F.col("ts") < lo).select("key").distinct(),
+            )
+            after = self._boundary_samples(
+                tkeys,
+                sorted(d for d in all_days if d > (hi - 1) // DAY_MS),
+                hi,
+                before=False,
+                already_have=core.filter(F.col("ts") >= hi).select("key").distinct(),
+            )
+            return before, after
+
+        b = touched.agg(
+            F.min("__bucket").alias("lo"), F.max("__bucket").alias("hi")
+        ).collect()[0]
+        lo, hi = int(b.lo), int(b.hi) + rule.bucket_ms  # span [lo, hi)
+        core = slice_for(lo, hi)
+        core.persist()
+
+        # in-span sample-adjacent neighbors of every touched bucket edge:
+        # probe rows at each bucket's start/end, range-frame window to the
+        # nearest sample strictly before / at-or-after (no join)
+        probes = touched.select(
+            "key", F.explode(F.array("__bucket", F.col("__bucket") + rule.bucket_ms)).alias("__t")
+        ).withColumn("__s", F.lit(None).cast("long"))
+        pts = probes.unionByName(
+            core.select("key", F.col("ts").alias("__t"), F.col("ts").alias("__s"))
+        )
+        w = Window.partitionBy("key").orderBy("__t")
+        pts = pts.withColumn(
+            "__prev", F.last("__s", True).over(w.rangeBetween(Window.unboundedPreceding, -1))
+        ).withColumn(
+            "__next", F.first("__s", True).over(w.rangeBetween(0, Window.unboundedFollowing))
+        )
+        neighbors = (
+            pts.filter(F.col("__s").isNull())
+            .select("key", F.explode(F.array("__prev", "__next")).alias("ts"))
+            .filter(F.col("ts").isNotNull())
+        )
+        before1, after1 = edge_probes(core, lo, hi)
+        ext = neighbors.unionByName(
+            before1.select("key", "ts").unionByName(after1.select("key", "ts"))
+        ).select(
+            "key", bucket_start(F.col("ts"), rule.bucket_ms, rule.align_ts).alias("__bucket")
+        )
+        touched = touched.unionByName(ext).distinct()
+        touched.persist()
+
+        eb = touched.agg(
+            F.min("__bucket").alias("lo"), F.max("__bucket").alias("hi")
+        ).collect()[0]
+        lo2, hi2 = int(eb.lo), int(eb.hi) + rule.bucket_ms
+        core2 = core if (lo2, hi2) == (lo, hi) else slice_for(lo2, hi2)
+        # the extended edges still interpolate against one sample beyond
+        # the span (twaAddBucketParams neighbors, src/module.c:943-958) —
+        # these feed the kernel but are NOT recomputed themselves
+        before2, after2 = edge_probes(core2, lo2, hi2)
+        per_key = (
+            core2.unionByName(before2)
+            .unionByName(after2)
+            .withColumn("__bucket", bucket_start(F.col("ts"), rule.bucket_ms, rule.align_ts))
+        )
+        recomputed = (
+            twa_buckets(per_key, rule.bucket_ms, rule.align_ts, MIN_TS, MAX_TS)
+            .withColumnRenamed("twa", "value")
+            .join(F.broadcast(touched), ["key", "__bucket"], "left_semi")
+        )
+        return touched, recomputed
+
     # ---- the foreachBatch body ------------------------------------------
     def process_batch(self, batch: DataFrame, batch_id: int):
         spark = self.spark
@@ -132,8 +339,10 @@ class StreamingStore:
                 self.ignore_max_time_diff,
                 self.ignore_max_val_diff,
             ).persist()
-        # 1. append to the log (arrival order preserved via seq)
-        batch.write.mode("append").parquet(self.log_dir)
+        # 1. append to the log, partitioned by sample-time day (arrival
+        # order preserved via seq) — the partitioning every later
+        # maintenance read prunes on
+        self._append_log(batch)
         # 2. latest table: PARTITION-SCOPED upsert.  Only the <=64 hash
         # buckets containing this batch's keys are read (static partition
         # pruning via the isin literal), merged with the batch, and
@@ -186,24 +395,32 @@ class StreamingStore:
                     .filter(F.col("__bucket") >= 0)
                     .distinct()
                 )
-            src = self.samples()  # resolved view incl. this batch
+            # recompute source: NEVER the whole log.  The slice is pruned
+            # to the day partitions the touched buckets cover, so per-batch
+            # cost tracks the batch's time locality, not history length
+            # (the reference recomputes from chunk-local data,
+            # src/tsdb.c:622-660 — it never re-reads the series' history).
             if rule.agg == "twa":
-                from redistimeseries_spark import MAX_TS, MIN_TS
-                from redistimeseries_spark.operators.twa import twa_buckets
-
-                per_key = src.join(
-                    F.broadcast(touched.select("key").distinct()), "key", "left_semi"
-                ).withColumn(
-                    "__bucket", bucket_start(F.col("ts"), rule.bucket_ms, rule.align_ts)
-                )
-                recomputed = (
-                    twa_buckets(per_key, rule.bucket_ms, rule.align_ts, MIN_TS, MAX_TS)
-                    .withColumnRenamed("twa", "value")
-                    .join(F.broadcast(touched), ["key", "__bucket"], "left_semi")
-                )
+                touched, recomputed = self._twa_recompute(rule, touched)
             else:
+                # non-twa aggs need exactly the samples inside each touched
+                # bucket: per-bucket day coverage, exact for sparse sets
+                src_days = [
+                    r.d
+                    for r in touched.select(
+                        F.explode(
+                            F.sequence(
+                                F.expr(f"__bucket div {DAY_MS}"),
+                                F.expr(f"(__bucket + {rule.bucket_ms - 1}) div {DAY_MS}"),
+                            )
+                        ).alias("d")
+                    )
+                    .distinct()
+                    .collect()
+                ]
                 recomputed = (
-                    src.withColumn(
+                    self._pruned(src_days)
+                    .withColumn(
                         "__bucket", bucket_start(F.col("ts"), rule.bucket_ms, rule.align_ts)
                     )
                     .join(F.broadcast(touched), ["key", "__bucket"], "left_semi")
@@ -254,8 +471,11 @@ class StreamingStore:
 
     # ---- read views ------------------------------------------------------
     def samples(self) -> DataFrame:
-        """Merge-on-read view with duplicate policy folded."""
-        log = self._read(self.log_dir, SAMPLES_SCHEMA + ", seq long")
+        """Merge-on-read view with duplicate policy folded.  Callers that
+        know their ts bounds should filter on them — `ts div DAY_MS`
+        mirrors the `__day` layout, so range queries prune too (the
+        per-batch maintenance paths instead go through `_pruned`)."""
+        log = self._log().select("key", "ts", "value", "seq")
         return resolve_duplicates(log, self.duplicate_policy)
 
     def latest(self) -> DataFrame:
@@ -276,10 +496,16 @@ class StreamingStore:
         )
 
     def compact(self):
-        """Rewrite the log in resolved form (the periodic MERGE job)."""
+        """Rewrite the log in resolved form (the periodic MERGE job),
+        preserving the `__day` layout."""
         resolved = self.samples().withColumn("seq", F.lit(0).cast("long"))
         tmp = self.log_dir + ".tmp"
-        resolved.write.mode("overwrite").parquet(tmp)
+        (
+            resolved.withColumn("__day", F.expr(f"ts div {DAY_MS}").cast("int"))
+            .write.mode("overwrite")
+            .partitionBy("__day")
+            .parquet(tmp)
+        )
         self._swap(tmp, self.log_dir)
 
 

@@ -1,0 +1,124 @@
+"""Streaming-ingest scale probe: per-micro-batch maintenance cost must be
+independent of total log length (round-4 fix — day-partitioned log +
+touched-day-pruned rule recompute, streaming/ingest.py).
+
+Seeds a StreamingStore log with H days of history (same per-day density),
+then times ONE process_batch of fresh same-day samples with an avg rule and
+a twa rule attached.  Before the fix the recompute re-read + dup-resolved
+the WHOLE log every batch (O(history)); after it, wall should be flat in H.
+
+Run: python scripts/ingest_probe.py [--days 10 100] [--keys 50] [--per-day 20000]
+"""
+
+import argparse
+import os
+import shutil
+import sys
+import tempfile
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from pyspark.sql import SparkSession
+from pyspark.sql import functions as F
+
+from redistimeseries_spark.streaming.compaction import CompactionRule
+from redistimeseries_spark.streaming.ingest import DAY_MS, StreamingStore
+
+
+def seed(spark, store, days, keys, per_day):
+    """History: per_day samples/day spread over `keys` series, appended in
+    the store's own day-partitioned layout."""
+    n = days * per_day
+    # key decorrelated from day: every key writes every day (the realistic
+    # shape — a correlated seed would force the twa prev-sample probe into
+    # genuine multi-day history walks for keys silent on the batch day)
+    df = (
+        spark.range(n)
+        .select(
+            F.concat(F.lit("k"), ((F.col("id") / days).cast("long") % keys)).alias("key"),
+            (
+                (F.col("id") % days) * DAY_MS
+                + (F.col("id") * 104729) % DAY_MS
+            ).alias("ts"),
+            (F.col("id") % 1000).cast("double").alias("value"),
+            F.col("id").alias("seq"),
+        )
+    )
+    store._append_log(df)
+    # latest table must exist for the maintenance paths that seed from it
+    latest = df.groupBy("key").agg(
+        F.max("ts").alias("ts"), F.max_by("value", "ts").alias("value")
+    )
+    from redistimeseries_spark.streaming.ingest import _pk
+
+    (
+        latest.withColumn("pk", _pk(F.col("key")))
+        .write.mode("overwrite")
+        .partitionBy("pk")
+        .parquet(store.latest_dir)
+    )
+
+
+def one_batch(spark, store, days, keys, batch_rows):
+    base = (days - 1) * DAY_MS + DAY_MS // 2
+    batch = spark.range(batch_rows).select(
+        F.concat(F.lit("k"), (F.col("id") % keys)).alias("key"),
+        (base + F.col("id") * 7).alias("ts"),
+        F.col("id").cast("double").alias("value"),
+    )
+    t0 = time.monotonic()
+    store.process_batch(batch, batch_id=10_000)
+    return time.monotonic() - t0
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--days", type=int, nargs="+", default=[10, 100])
+    ap.add_argument("--keys", type=int, default=50)
+    ap.add_argument("--per-day", type=int, default=20_000)
+    ap.add_argument("--batch-rows", type=int, default=5_000)
+    a = ap.parse_args()
+
+    spark = (
+        SparkSession.builder.master(f"local[{os.environ.get('SPARK_GRAFT_CPUS', 32)}]")
+        .config("spark.sql.shuffle.partitions", "32")
+        .config("spark.driver.memory", "8g")
+        .appName("ingest_probe")
+        .getOrCreate()
+    )
+    spark.sparkContext.setLogLevel("ERROR")
+
+    results = {}
+    for days in a.days:
+        root = tempfile.mkdtemp(prefix=f"ingest_probe_{days}d_")
+        try:
+            rules = [
+                CompactionRule(None, "_avg_1h", "avg", 3_600_000),
+                CompactionRule(None, "_twa_1h", "twa", 3_600_000),
+            ]
+            store = StreamingStore(spark, os.path.join(root, "store"), "last", rules)
+            seed(spark, store, days, a.keys, a.per_day)
+            # warm once (JIT/scheduler), measure the second batch
+            one_batch(spark, store, days, a.keys, a.batch_rows)
+            wall = one_batch(spark, store, days, a.keys, a.batch_rows)
+            results[days] = wall
+            print(
+                f"history={days}d ({days * a.per_day:,} rows) "
+                f"one-batch wall = {wall:.2f}s",
+                flush=True,
+            )
+        finally:
+            shutil.rmtree(root, ignore_errors=True)
+
+    ds = sorted(results)
+    if len(ds) >= 2:
+        ratio = results[ds[-1]] / results[ds[0]]
+        print(
+            f"wall ratio {ds[-1]}d/{ds[0]}d = {ratio:.2f}x "
+            f"(history grew {ds[-1] // ds[0]}x; flat == pruned recompute)"
+        )
+
+
+if __name__ == "__main__":
+    main()

@@ -21,6 +21,21 @@ def write_input(spark, d, rows, name):
     )
 
 
+def append_log(store, rows):
+    """External append in the store's day-partitioned log layout."""
+    from pyspark.sql import functions as F
+
+    from redistimeseries_spark.streaming.ingest import DAY_MS
+
+    b = store.spark.createDataFrame(rows, SCHEMA + ", seq long")
+    (
+        b.withColumn("__day", F.expr(f"ts div {DAY_MS}").cast("int"))
+        .write.mode("append")
+        .partitionBy("__day")
+        .parquet(store.log_dir)
+    )
+
+
 @pytest.fixture
 def dirs(tmp_path):
     return str(tmp_path)
@@ -84,9 +99,7 @@ def test_tail_read_block_and_timeout(spark, dirs):
     # blocked reader woken by a new append from another thread
     def later():
         time.sleep(1.0)
-        spark2 = store.spark
-        b = spark2.createDataFrame([("k", 20, 9.0, 10**12)], SCHEMA + ", seq long")
-        b.write.mode("append").parquet(store.log_dir)
+        append_log(store, [("k", 20, 9.0, 10**12)])
 
     th = threading.Thread(target=later)
     th.start()
@@ -104,10 +117,7 @@ def test_tail_read_min_count_parks_until_satisfied(spark, dirs):
 
     def later():
         time.sleep(1.0)
-        b = store.spark.createDataFrame(
-            [("k", 5, 2.0, 10**12), ("k", 9, 3.0, 10**12 + 1)], SCHEMA + ", seq long"
-        )
-        b.write.mode("append").parquet(store.log_dir)
+        append_log(store, [("k", 5, 2.0, 10**12), ("k", 9, 3.0, 10**12 + 1)])
 
     th = threading.Thread(target=later)
     th.start()
@@ -224,3 +234,54 @@ def test_partition_scoped_maintenance(spark, dirs):
     # and the touched side did advance
     latest = {r.key: (r.ts, r.value) for r in store.latest().collect()}
     assert latest["a"] == (200, 3.0) and latest["b"] == (day1 + 100, 2.0)
+
+
+def test_recompute_scan_is_partition_pruned(spark, dirs):
+    """The per-batch maintenance read (`_pruned`) must prune the log scan
+    at the file-source level (PartitionFilters on __day) — per-batch cost
+    independent of log length, the 100 TB requirement."""
+    from redistimeseries_spark.streaming.ingest import DAY_MS
+
+    store = StreamingStore(spark, os.path.join(dirs, "store"), "last", [])
+    write_input(spark, dirs, [("k", 100, 1.0)], "b1")
+    write_input(spark, dirs, [("k", 500 * DAY_MS + 100, 2.0)], "b2")
+    drain(spark, dirs, store)
+
+    assert store._log_days() == [0, 500]
+    df = store._pruned([500])
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in plan and "__day" in plan
+    assert [(r.ts, r.value) for r in df.collect()] == [(500 * DAY_MS + 100, 2.0)]
+
+
+def test_twa_sparse_gap_incremental_matches_batch(spark, dirs):
+    """A batch landing far from a key's older samples must still repair the
+    buckets whose boundary interpolation it changed: the bucket holding the
+    nearest stored sample on each side (found by the beyond-span day probe),
+    not just the arithmetic ±1 neighbors.  Mirrors the reference's
+    re-finalize-with-next-bucket-first-sample (src/tsdb.c:1276-1306)."""
+    from redistimeseries_spark.streaming.compaction import materialize_rule
+    from redistimeseries_spark.streaming.ingest import DAY_MS
+
+    rule = CompactionRule(None, "_twa_1s", "twa", 1000)
+    store = StreamingStore(spark, os.path.join(dirs, "store"), "last", [rule])
+    # day 0: two samples -> closed bucket 0 materialized with NO next sample
+    write_input(spark, dirs, [("k", 100, 1.0), ("k", 900, 3.0)], "b1")
+    # 400 days later: the new samples become bucket 0's next-boundary
+    # interpolation target -> bucket 0's twa changes and must be repaired
+    far = 400 * DAY_MS
+    write_input(spark, dirs, [("k", far + 100, 5.0), ("k", far + 600, 7.0)], "b2")
+    # and an out-of-order insert BETWEEN them, changing both sides' interp
+    write_input(spark, dirs, [("k", 200 * DAY_MS + 50, 4.0)], "b3")
+    drain(spark, dirs, store)
+
+    got = {
+        r.ts: r.value for r in store.rule_table(rule, include_open=True).collect()
+    }
+    exp = {
+        r.ts: r.value
+        for r in materialize_rule(store.samples(), rule, include_open=True).collect()
+    }
+    assert got.keys() == exp.keys()
+    for b in exp:
+        assert abs(got[b] - exp[b]) < 1e-9, (b, got[b], exp[b])
