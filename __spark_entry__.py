@@ -14,7 +14,7 @@ from __future__ import annotations
 
 from collections.abc import Callable
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from redistimeseries_spark.functions.aggs import agg_sql, sanitize
@@ -357,9 +357,14 @@ def q_stream_dedup(spark, sf_dir):
     )
     q.awaitTermination(300)
     late = docs.filter(F.col("doc_id") > median)
-    # planted cross-batch exact dups: copies of batch-1 docs
+    # planted cross-batch exact dups: copies of batch-1 docs, with ids
+    # derived from the data's max so they can never collide with genuine
+    # batch-2 docs at any scale factor
+    base = docs.agg(F.max("doc_id")).collect()[0][0] + 1
     copies = docs.filter(F.col("doc_id") <= median).orderBy("doc_id").limit(20).select(
-        (F.col("doc_id") + 1_000_000).alias("doc_id"), "text"
+        (F.lit(base) + F.row_number().over(
+            Window.orderBy("doc_id")
+        ).cast("long")).alias("doc_id"), "text"
     )
     late.unionByName(copies).write.mode("append").parquet(in_dir)
     ds, q = start_dedup_stream(

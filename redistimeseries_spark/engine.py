@@ -435,27 +435,61 @@ class TimeSeriesEngine:
         hit = sorted(matched & dests)
         if not hit:
             return out
-        # compaction destinations materialize from their rule (closed buckets;
-        # latest=True additionally finalizes the open bucket)
-        rows = [(k, *self.get(k, latest=latest)) for k in hit]
-        repl = self.spark.createDataFrame(rows, "key string, ts long, value double")
-        return out.filter(~F.col("key").isin(hit)).unionByName(repl)
+        # compaction destinations materialize from their rules in ONE pass
+        # (closed buckets; latest=True additionally finalizes the open
+        # bucket) — one Spark job regardless of how many dests matched, not
+        # a driver-side loop of .take(1) jobs per key
+        hit_rules = [r for r in self.rules if r.dest_key in set(hit)]
+        dest_latest = (
+            self._dest_samples(hit_rules, latest)
+            .groupBy("key")
+            .agg(F.max("ts").alias("ts"), F.max_by("value", "ts").alias("value"))
+        )
+        return out.filter(~F.col("key").isin(hit)).unionByName(
+            dest_latest.select("key", "ts", "value")
+        )
+
+    def _dest_samples(self, rules, latest: bool) -> DataFrame:
+        """Materialize compaction-destination series.  The plan grows with
+        the number of DISTINCT (agg, bucket, align) rule configs, not the
+        rule count: each config aggregates the union of its source series
+        once, then a broadcast src->dest rename join fans the result out to
+        the dest keys.  A fleet of 10k series sharing one COMPACTION_POLICY
+        config is one aggregation, not 10k union branches."""
+        from collections import defaultdict
+
+        groups = defaultdict(list)
+        for r in rules:
+            groups[(r.agg, r.bucket_ms, r.align_ts)].append(r)
+        out = None
+        for (agg, bucket_ms, align), rs in groups.items():
+            mapping = self.spark.createDataFrame(
+                [(r.src_key, r.dest_key) for r in rs], "key string, __dest string"
+            )
+            mat = materialize_rule(
+                self.samples.filter(F.col("key").isin([r.src_key for r in rs])),
+                CompactionRule(None, "", agg, bucket_ms, align),
+                include_open=latest,
+            )
+            mat = mat.join(F.broadcast(mapping), "key").select(
+                F.col("__dest").alias("key"), "ts", "value"
+            )
+            out = mat if out is None else out.unionByName(mat)
+        if out is None:
+            return self.spark.createDataFrame([], "key string, ts long, value double")
+        return out
 
     def _samples_with_dests(self, latest: bool) -> DataFrame:
         """samples + materialized compaction-destination series: the
         reference's multi-series pipeline iterates dest series like any
         other (src/module.c:624-688 plumbs `latest` via RangeArgs), and
         LATEST finalizes each dest's open bucket on the fly
-        (src/tsdb.c:1468-1501)."""
-        df = self.samples
-        for r in self.rules:
-            dest = materialize_rule(
-                self.samples.filter(F.col("key") == r.src_key),
-                CompactionRule(None, "", r.agg, r.bucket_ms, r.align_ts),
-                include_open=latest,
-            ).withColumn("key", F.lit(r.dest_key))
-            df = df.unionByName(dest)
-        return df
+        (src/tsdb.c:1468-1501).  One union branch per distinct rule config
+        (see `_dest_samples`), so the plan stays flat for policy-driven
+        fleets; pathological catalogs with hundreds of DISTINCT configs
+        would still widen the plan — a real deployment materializes dests
+        continuously (streaming/ingest.StreamingStore) instead."""
+        return self.samples.unionByName(self._dest_samples(self.rules, latest))
 
     def mrange(self, filters: list[str], from_ts="-", to_ts="+",
                latest: bool = False, **kw) -> DataFrame:

@@ -126,8 +126,13 @@ def stratified_sample(
     # 32-bit uniform from the hash prefix, same arithmetic as hash_split
     u32 = F.conv(F.substring("__h", 1, 8), 16, 10).cast("long")
     counts = d.groupBy("stratum").agg(F.count(F.lit(1)).alias("__cnt"))
+    # compare as doubles: `u32 * cnt <= safety*n*2^32` overflows 64-bit
+    # longs once a stratum exceeds ~2.1e9 rows (ANSI mode throws; legacy
+    # wraps and silently un-cuts half the stratum).  The double's 53-bit
+    # mantissa only blurs the threshold by a few ulps — harmless
+    # over-admission; the exact window below decides membership.
     cut = d.join(F.broadcast(counts), "stratum").filter(
-        u32 * F.col("__cnt") <= F.lit(safety * n) * F.lit(2**32)
+        u32.cast("double") <= F.lit(float(safety * n) * 2.0**32) / F.col("__cnt")
     )
     survivors = {
         r["stratum"]: r["ok"]

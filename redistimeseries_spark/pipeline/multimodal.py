@@ -8,21 +8,50 @@ decode is STUBBED behind `NotImplementedError` with a deterministic fake
 (byte-level features) — the Spark-side plumbing (schema, batching,
 partition shape) is real and tested.
 
-Scale notes: binary payloads dominate row size, so the operators
-repartition by payload size budget rather than row count before the UDF
-stage (each Arrow batch stays within executor memory), and metadata-only
-predicates are pushed down BEFORE the binary column is ever read — parquet
-column pruning means a `where media_type='image'` never fetches audio
-bytes.
+Scale notes: binary payloads dominate row size, so the UDF stages call
+`payload_budget_repartition` first — task parallelism is sized by TOTAL
+PAYLOAD BYTES (one partition per `budget_bytes`), not row count, so a
+10k-row slice of 100 MB videos fans out instead of landing on one task
+while a 10M-row slice of thumbnails doesn't over-split.  Arrow transfer
+inside a partition is streamed in `maxRecordsPerBatch`-row batches, so
+peak UDF memory tracks the partition's largest rows, not its total.
+Metadata-only predicates are pushed down BEFORE the binary column is ever
+read — parquet column pruning means a `where media_type='image'` never
+fetches audio bytes.
 """
 
 from __future__ import annotations
 
+import math
 from collections.abc import Iterator
 
 import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+
+DEFAULT_PAYLOAD_BUDGET = 64 << 20  # 64 MiB of payload per task
+
+
+def payload_budget_repartition(
+    media: DataFrame,
+    budget_bytes: int = DEFAULT_PAYLOAD_BUDGET,
+    payload_col: str = "payload",
+) -> DataFrame:
+    """Repartition so each task carries ~`budget_bytes` of payload: one
+    cheap aggregate for the total (reads only the payload length — parquet
+    serves it without materializing the bytes on this pass in practice,
+    and the bytes are about to be read by the UDF anyway), then a hash
+    repartition into ceil(total / budget) parts.  Hash placement balances
+    in expectation; a single payload larger than the budget necessarily
+    overflows its task — decode-side chunking, not placement, is the fix
+    for that (the frame sampler's per-offset rows are the pattern)."""
+    sz = F.length(F.col(payload_col)).cast("long")
+    total = media.agg(F.sum(sz).alias("t")).collect()[0].t
+    if not total:
+        return media
+    n = max(1, math.ceil(total / budget_bytes))
+    others = [c for c in media.columns if c != payload_col]
+    return media.repartition(n, F.xxhash64(*others))
 
 FEATURE_SCHEMA = (
     "doc_id long, media_type string, n_bytes long, first_byte long, last_byte long"
@@ -50,10 +79,18 @@ def _decode_real(payload: bytes, media_type: str):
     )
 
 
-def extract_features(media: DataFrame, use_real_decoder: bool = False) -> DataFrame:
+def extract_features(
+    media: DataFrame,
+    use_real_decoder: bool = False,
+    budget_bytes: int | None = DEFAULT_PAYLOAD_BUDGET,
+) -> DataFrame:
     """Feature extraction over binary payloads via mapInPandas (Arrow
-    batches).  The stub features are deterministic byte statistics so the
-    pipeline is oracle-checkable end-to-end."""
+    batches), parallelized by payload bytes (budget_bytes; None skips the
+    repartition when the caller already controls placement).  The stub
+    features are deterministic byte statistics so the pipeline is
+    oracle-checkable end-to-end."""
+    if budget_bytes is not None:
+        media = payload_budget_repartition(media, budget_bytes)
 
     def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -73,10 +110,16 @@ def extract_features(media: DataFrame, use_real_decoder: bool = False) -> DataFr
     return media.mapInPandas(fn, FEATURE_SCHEMA)
 
 
-def frame_sample(media: DataFrame, every_n_bytes: int = 64) -> DataFrame:
+def frame_sample(
+    media: DataFrame,
+    every_n_bytes: int = 64,
+    budget_bytes: int | None = DEFAULT_PAYLOAD_BUDGET,
+) -> DataFrame:
     """Frame-sampling plumbing: one output row per sampled offset (the video
     analogue samples every Nth frame).  Offsets + sampled byte are
     deterministic; the frame decode itself is the stubbed step."""
+    if budget_bytes is not None:
+        media = payload_budget_repartition(media, budget_bytes)
 
     def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:

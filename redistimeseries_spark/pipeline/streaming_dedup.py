@@ -41,6 +41,7 @@ FP_SCHEMA = "fp string, doc_id long"
 TEXT_SCHEMA = "doc_id long, text string"
 BAND_SCHEMA = "band int, band_key string, doc_id long"
 DECISION_SCHEMA = "doc_id long, status string, dup_of long"
+BATCH_SCHEMA = "batch_id long"
 
 
 class DedupStream:
@@ -99,6 +100,9 @@ class DedupStream:
     def text_store(self) -> DataFrame:
         return self._read("texts", TEXT_SCHEMA)
 
+    def completed_batches(self) -> DataFrame:
+        return self._read("batches", BATCH_SCHEMA)
+
     def _verify(self, batch: DataFrame, cands: DataFrame) -> DataFrame:
         """Exact n-gram Jaccard on candidate pairs only (array_intersect
         on one gram-set row per doc — the ngram_jaccard_verify shape)."""
@@ -118,18 +122,24 @@ class DedupStream:
             .groupBy("doc_id")
             .agg(F.collect_set("gram").alias("gs"))
         )
+        # LEFT join on the partner side: a candidate whose partner text was
+        # never retained (state built with verify_threshold=None, or a
+        # foreign store) must NOT silently pass verification — it falls
+        # back to the candidate-level verdict (shared band => near_dup),
+        # the conservative reading the pre-verify mode would give.
         return (
             cands.join(gs.select("doc_id", F.col("gs").alias("ga")), "doc_id")
             .join(
                 gs.select(F.col("doc_id").alias("cand"), F.col("gs").alias("gb")),
                 "cand",
+                "left",
             )
             .withColumn("inter", F.size(F.array_intersect("ga", "gb")))
             .withColumn(
                 "jac",
                 F.col("inter") / (F.size("ga") + F.size("gb") - F.col("inter")),
             )
-            .filter(F.col("jac") >= self.verify_threshold)
+            .filter(F.col("gb").isNull() | (F.col("jac") >= self.verify_threshold))
             .select("doc_id", "cand")
         )
 
@@ -156,11 +166,12 @@ class DedupStream:
 
     def process_batch(self, batch: DataFrame, batch_id: int) -> None:
         # foreachBatch is at-least-once: a completed batch_id replaying is
-        # a no-op (marker written LAST, after every append succeeded).
-        # Markers live on the driver's filesystem; an object-store
-        # deployment swaps them for a transactional batch-id table (Delta)
-        marker = os.path.join(self.state_dir, "batches", str(batch_id))
-        if os.path.exists(marker):
+        # a no-op.  The marker is a row in a parquet `batches` state table
+        # (appended LAST, after every other append succeeded) read through
+        # the same error-class `_read` as the rest of the state — so the
+        # guard survives remote state dirs (s3://, hdfs://) where
+        # driver-filesystem markers would lie.
+        if self.completed_batches().filter(F.col("batch_id") == batch_id).take(1):
             return
         batch_ids = batch.select("doc_id").localCheckpoint()
         # a crash mid-appends leaves this batch's OWN rows in the stores;
@@ -244,8 +255,9 @@ class DedupStream:
         if self.verify_threshold is not None:
             self._append(batch.select("doc_id", "text").join(kept, "doc_id"), "texts")
         self._append(decisions, "decisions")
-        os.makedirs(os.path.dirname(marker), exist_ok=True)
-        open(marker, "w").close()
+        self._append(
+            self.spark.createDataFrame([(batch_id,)], BATCH_SCHEMA), "batches"
+        )
 
 
 def start_dedup_stream(

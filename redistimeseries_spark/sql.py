@@ -74,6 +74,10 @@ _PIPELINE_FN_SQL = [
     # length-preserving case mappings — all of ASCII)
     """CREATE OR REPLACE TEMPORARY FUNCTION dl_shingles(t STRING, k INT)
        RETURNS ARRAY<STRING>
+       COMMENT 'distinct lowercased char k-shingles; equals the DataFrame
+         operator char_shingles for length-preserving case mappings (all
+         of ASCII) — pass pre-lowercased text for non-ASCII corpora where
+         lower() can change length (e.g. Turkish dotted I)'
        RETURN array_distinct(transform(
            sequence(1, greatest(length(t) - k + 1, 1)),
            i -> lower(substring(t, i, k))))""",

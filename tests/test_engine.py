@@ -358,3 +358,48 @@ def test_range_rollup_falls_back_when_dest_has_retention(spark):
     got = {r.ts: r.max for r in eng.range_rollup("src", "max", 1000).collect()}
     want = {r.ts: r.max for r in eng.range("src", aggregations=["max"], bucket_dur=1000).collect()}
     assert got == want and got[0] == 99.0  # raw semantics kept
+
+
+def test_mget_many_dests_single_pass(spark):
+    """MGET over N matched compaction destinations must run a Spark job
+    count INDEPENDENT of N (one dest-materialization pass), not one
+    .take(1) job per dest key (round-3 verdict: engine.py mget loop)."""
+
+    def run(n, group):
+        eng = TimeSeriesEngine(spark, duplicate_policy="last")
+        for i in range(n):
+            eng.create(f"src{i}", labels={"kind": "raw"})
+            eng.create(f"dst{i}", labels={"kind": "agg"})
+            eng.create_rule(f"src{i}", f"dst{i}", "avg", 1000)
+            eng.madd([(f"src{i}", 0, float(i)), (f"src{i}", 500, float(i) + 2.0),
+                      (f"src{i}", 1500, 10.0)])
+        eng.flush()
+        sc = eng.spark.sparkContext
+        sc.setJobGroup(group, "count jobs")
+        got = {r.key: (r.ts, r.value)
+               for r in eng.mget(["kind=agg"], latest=True).collect()}
+        jobs = sc.statusTracker().getJobIdsForGroup(group)
+        sc.setJobGroup(None, None)
+        assert len(got) == n
+        for i in range(n):
+            assert got[f"dst{i}"] == (1000, 10.0)
+        return len(jobs)
+
+    j_small, j_big = run(3, "mget_small"), run(12, "mget_big")
+    # with the old per-key loop this would grow by >= 9 extra jobs
+    assert j_big <= j_small + 2, (j_small, j_big)
+
+
+def test_dest_plan_flat_for_shared_rule_config(eng):
+    """50 rules sharing one (agg, bucket, align) config must materialize as
+    ONE aggregation + broadcast rename, not 50 union branches."""
+    for i in range(50):
+        eng.create(f"s{i}")
+        eng.create(f"d{i}")
+        eng.create_rule(f"s{i}", f"d{i}", "avg", 1000)
+    eng.madd([(f"s{i}", t, 1.0) for i in range(50) for t in (0, 1500)])
+    eng.flush()
+    plan = eng._samples_with_dests(False)._jdf.queryExecution().optimizedPlan().toString()
+    assert plan.count("Aggregate") <= 3, plan.count("Aggregate")
+    # and a spot dest still materializes the right closed bucket
+    assert [(r.ts, r.value) for r in eng.range("d7").collect()] == [(0, 1.0)]

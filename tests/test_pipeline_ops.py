@@ -528,3 +528,40 @@ def test_jaccard_verify_containment_flags_embedded_doc(spark):
     # default output shape unchanged (oracle compatibility)
     cols = ngram_jaccard_verify(docs, pairs, threshold=0.0).columns
     assert cols == ["doc_a", "doc_b", "jaccard"]
+
+
+def test_payload_budget_repartition_skewed(spark):
+    """Task parallelism must be sized by total payload BYTES: 200 small
+    docs plus a few giant ones under a small budget fan out to
+    ceil(total/budget) tasks, and the hash placement keeps each task's
+    byte load near the budget (features unchanged)."""
+    from pyspark.sql import functions as F
+
+    from redistimeseries_spark.pipeline.multimodal import (
+        attach_payload,
+        extract_features,
+        payload_budget_repartition,
+    )
+
+    rows = [(i, "x" * 200, "en", "s") for i in range(200)]  # 40 KB small
+    rows += [(1000 + i, "y" * 30_000, "en", "s") for i in range(4)]  # 120 KB big
+    d = spark.createDataFrame(rows, "doc_id long, text string, lang string, source string")
+    media = attach_payload(d)
+    budget = 20_000
+    total = 200 * 200 + 4 * 30_000
+    rep = payload_budget_repartition(media, budget)
+    n_parts = rep.rdd.getNumPartitions()
+    assert n_parts == -(-total // budget)  # ceil(total/budget)
+
+    loads = (
+        rep.select(F.spark_partition_id().alias("pid"), F.length("payload").alias("b"))
+        .groupBy("pid")
+        .agg(F.sum("b").alias("bytes"))
+        .collect()
+    )
+    # a 30 KB payload can't fit a 20 KB budget anywhere; everything else
+    # should land within ~2x of the budget under hash placement
+    assert max(r.bytes for r in loads) <= 2 * budget + 30_000
+
+    feats = {r.doc_id: r.n_bytes for r in extract_features(media, budget_bytes=budget).collect()}
+    assert feats[0] == 200 and feats[1000] == 30_000 and len(feats) == 204

@@ -257,18 +257,49 @@ def test_incremental_dedup_replay_is_idempotent(spark, tmp_path):
     )
     ds = DedupStream(spark, d)
     ds.process_batch(docs, 0)
-    ds.process_batch(docs, 0)  # clean replay: marker short-circuits
+    ds.process_batch(docs, 0)  # clean replay: marker row short-circuits
     assert ds.decisions().count() == 2
     assert {r.status for r in ds.decisions().collect()} == {"kept"}
 
-    # partial-state replay: stores hold batch 1's rows but no marker
+    # partial-state replay: stores hold batch 1's rows but its marker row
+    # never landed (crash between the last store append and the marker
+    # append) — markers are parquet rows in state storage, so simulate by
+    # dropping the files batch 1's marker append created
+    bdir = os.path.join(d, "batches")
+    before = set(os.listdir(bdir))
     docs2 = spark.createDataFrame(
         [(10, "fresh content for the second batch here")], "doc_id long, text string"
     )
     ds.process_batch(docs2, 1)
-    os.remove(os.path.join(d, "batches", "1"))
+    for f in set(os.listdir(bdir)) - before:
+        p = os.path.join(bdir, f)
+        if os.path.isfile(p):
+            os.remove(p)
+    assert ds.completed_batches().filter("batch_id = 1").count() == 0
     ds.process_batch(docs2, 1)  # re-run sees its own fps in the store
     dec = [r for r in ds.decisions().collect() if r.doc_id == 10]
     # duplicated decision rows are the replay artifact, but the STATUS must
     # still be kept (not exact_dup-of-itself)
     assert {(r.status, r.dup_of) for r in dec} == {("kept", None)}
+
+
+def test_incremental_dedup_missing_partner_text_is_conservative(spark, tmp_path):
+    """A candidate pair whose partner text was never retained (state built
+    with verify_threshold=None, verification enabled later) must fall back
+    to the candidate-level verdict (near_dup), not silently pass verify."""
+    from redistimeseries_spark.pipeline.streaming_dedup import DedupStream
+
+    d = str(tmp_path / "state")
+    t1 = "the quick brown fox jumps over the lazy dog again tonight"
+    t2 = "the quick brown fox jumps over the lazy dog again at night"
+    # batch 0 ingested WITHOUT verification -> no kept-text store
+    ds0 = DedupStream(spark, d, verify_threshold=None)
+    ds0.process_batch(spark.createDataFrame([(1, t1)], "doc_id long, text string"), 0)
+    assert ds0.text_store().count() == 0
+
+    # verification enabled later: doc 10 band-collides with doc 1, whose
+    # text is absent -> conservative near_dup, with dup_of pointing at 1
+    ds1 = DedupStream(spark, d, verify_threshold=0.5)
+    ds1.process_batch(spark.createDataFrame([(10, t2)], "doc_id long, text string"), 1)
+    got = {r.doc_id: (r.status, r.dup_of) for r in ds1.decisions().collect()}
+    assert got[10] == ("near_dup", 1)
