@@ -1102,21 +1102,34 @@ def _base_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # window; flag/aggregator variants whose family already has a checked
     # representative sit in the tail, where tests/run_gate.py still
     # verifies them locally.
+    # Round-4 rotation (verdict r3 ask #2): families proven driver-green in
+    # CORRECTNESS_r03 rotate a SECOND variant out of the prefix to make room
+    # for variants that have only ever had local-gate evidence —
+    # promoted: ts_agg_empty_nan, ts_agg_multi_align, ts_rollup_route,
+    #   ts_info_full, dl_quantize, dl_ann_batch, dl_stream_dedup,
+    #   dl_dedup_components_star;
+    # demoted (driver-green in r03, family keeps a prefix representative):
+    #   ts_agg_avg_1h (ts_agg_all14), ts_mrange_max_1h (ts_mrange_multiagg),
+    #   ts_range_filter_ts (ts_range_filter_value), ts_compaction_latest
+    #   (ts_mrange_latest + ts_compaction_avg_10m), dl_minhash_signatures
+    #   (dl_minhash_lsh_pairs), dl_dedup_components (star variant promoted),
+    #   dl_ann_ivf_topk (dl_ann_cosine_topk + dl_ann_batch), dl_lang_id
+    #   (dl_quality).
     return {
         # --- checked prefix: one representative per operator family -----
         "ts_range_raw": q_range_raw,
         "ts_revrange_count": q_revrange_count,
         "ts_range_filter_value": q_range_filter_value,
-        "ts_range_filter_ts": q_range_filter_ts,
-        "ts_agg_avg_1h": q_agg_avg_1h,
+        "ts_agg_empty_nan": q_agg_empty_nan,
         "ts_agg_all14": q_agg_all14,
         "ts_agg_twa": q_agg_twa,
         "ts_agg_empty": q_agg_empty,
+        "ts_agg_multi_align": q_agg_multi_align,
         "ts_get": q_get,
         "ts_mget_withlabels": q_mget_withlabels,
         "ts_queryindex": q_queryindex,
         "ts_querylabels_values": q_querylabels_values,
-        "ts_mrange_max_1h": q_mrange_max_1h,
+        "ts_rollup_route": q_rollup_route,
         "ts_mrange_multiagg": q_mrange_multiagg,
         "ts_mrange_latest": q_mrange_latest,
         "ts_mrange_groupby_avg": q_mrange_groupby_avg,
@@ -1125,23 +1138,23 @@ def _base_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ts_retention_clamp": q_retention_clamp,
         "ts_del_range": q_del_range,
         "ts_compaction_avg_10m": q_compaction_avg_10m,
-        "ts_compaction_latest": q_compaction_latest,
+        "ts_info_full": q_info_full,
         "ts_stream_rule_avg_1m": q_stream_rule_avg_1m,
         "ts_stream_incrby": q_stream_incrby,
         "ts_read_tail": q_read_tail,
         "ts_ignore_filter": q_ignore_filter,
         "ts_madd_status": q_madd_status,
         "dl_dedup_exact": q_dedup_exact,
-        "dl_minhash_signatures": q_minhash_signatures,
+        "dl_quantize": q_quantize,
         "dl_minhash_lsh_pairs": q_minhash_lsh_pairs,
         "dl_simhash_pairs": q_simhash_pairs,
         "dl_ngram_jaccard": q_ngram_jaccard,
-        "dl_dedup_components": q_dedup_components,
+        "dl_dedup_components_star": q_dedup_components_star,
         "dl_dedup_pipeline": q_dedup_pipeline,
         "dl_embed_neardup": q_embed_neardup,
         "dl_ann_cosine_topk": q_ann_cosine_topk,
-        "dl_ann_ivf_topk": q_ann_ivf_topk,
-        "dl_lang_id": q_lang_id,
+        "dl_ann_batch": q_ann_batch,
+        "dl_stream_dedup": q_stream_dedup,
         "dl_quality": q_quality,
         "dl_token_count": q_token_count,
         "dl_fingerprint": q_fingerprint,
@@ -1155,26 +1168,27 @@ def _base_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dl_mm_features": q_mm_features,
         "ts_asof_join": q_asof_join,
         # --- tail: family variants, locally gated -----------------------
+        "ts_agg_avg_1h": q_agg_avg_1h,
+        "ts_mrange_max_1h": q_mrange_max_1h,
+        "ts_range_filter_ts": q_range_filter_ts,
+        "ts_compaction_latest": q_compaction_latest,
+        "dl_minhash_signatures": q_minhash_signatures,
+        "dl_dedup_components": q_dedup_components,
+        "dl_ann_ivf_topk": q_ann_ivf_topk,
+        "dl_lang_id": q_lang_id,
         "ts_range_latest": q_range_latest,
         "ts_incrby": q_incrby,
-        "ts_rollup_route": q_rollup_route,
         "ts_session_stats": q_session_stats,
-        "ts_info_full": q_info_full,
-        "dl_quantize": q_quantize,
         "dl_quality_summary": q_quality_summary,
         "dl_simhash": q_simhash,
         "dl_ann_lsh_topk": q_ann_lsh_topk,
         "dl_rolling_fingerprint": q_rolling_fingerprint,
         "ts_count_post_agg": q_count_post_agg,
-        "ts_agg_multi_align": q_agg_multi_align,
         "ts_agg_twa_empty": q_agg_twa_empty,
         "ts_compaction_twa_1h": q_compaction_twa_1h,
         "dl_embed_neardup_lsh": q_embed_neardup_lsh,
-        "dl_ann_batch": q_ann_batch,
-        "dl_stream_dedup": q_stream_dedup,
         "dl_mm_frame_sample": q_mm_frame_sample,
         "ts_agg_empty_multi_twa": q_agg_empty_multi_twa,
-        "ts_agg_empty_nan": q_agg_empty_nan,
         "ts_agg_align_literal": q_agg_align_literal,
         "ts_align_end": q_align_end,
         "ts_filter_combo_agg": q_filter_combo_agg,
@@ -1196,7 +1210,6 @@ def _base_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ts_dup_min": q_dup_min,
         "ts_revrange_agg_count": q_revrange_agg_count,
         "ts_info_chunks": q_info_chunks,
-        "dl_dedup_components_star": q_dedup_components_star,
     }
 
 

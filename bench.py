@@ -29,7 +29,12 @@ from redistimeseries_spark.write.dup_policy import resolve_duplicates
 H = 3_600_000
 
 
-def benchmarks(st, raw, latest, bucketed):
+def benchmarks(st, raw, latest, bucketed, dup_docs):
+    from redistimeseries_spark.pipeline.dedup import dedup_pipeline
+
+    def _dedup_pipeline_bench():
+        return dedup_pipeline(dup_docs)
+
     return {
         # B1: TS.RANGE full-series scan (scaling-ts_range_90k_datapoints.yml)
         "b1_range_full_key": lambda: ts_range(st.samples, keys="click_3"),
@@ -66,6 +71,11 @@ def benchmarks(st, raw, latest, bucketed):
         "b9_twa_2h_bucketed": lambda: ts_range(
             bucketed, aggregations=["twa"], bucket_dur=2 * H
         ),
+        # B10: the composed dedup pipeline (MinHash-LSH propose -> exact
+        # n-gram Jaccard verify -> star connected components -> keep) over
+        # the sf documents corpus + planted near-identical copies — the
+        # LLM-pipeline headline (protocol addition, round 4; BASELINE.md)
+        "b10_dedup_pipeline": lambda: _dedup_pipeline_bench(),
     }
 
 
@@ -76,9 +86,11 @@ def main():
     spark.sparkContext.setLogLevel("ERROR")
     st = TSStore.from_events(spark, sf_dir)
 
-    from __spark_entry__ import _raw
+    from __spark_entry__ import _dup_corpus, _raw
 
     raw = _raw(spark, sf_dir)
+    dup_docs = _dup_corpus(spark, sf_dir)
+    dup_docs.cache().count()
 
     # cache the base tables once: the reference serves queries from an
     # in-memory store, so the query benchmark should not re-pay parquet scan
@@ -101,7 +113,7 @@ def main():
     st.write_bucketed_layout("bench_bucketed", bpath)
     bucketed = read_bucketed_layout(spark, "bench_bucketed", bpath)
 
-    bms = benchmarks(st, raw, latest, bucketed)
+    bms = benchmarks(st, raw, latest, bucketed, dup_docs)
 
     def force(df):
         df.write.mode("overwrite").format("noop").save()
