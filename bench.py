@@ -33,7 +33,11 @@ def benchmarks(st, raw, latest, bucketed, dup_docs):
     from redistimeseries_spark.pipeline.dedup import dedup_pipeline
 
     def _dedup_pipeline_bench():
-        return dedup_pipeline(dup_docs)
+        # production banding (16 hashes / 4 bands -> 4 rows per band): the
+        # sf corpus is boilerplate-heavy, and 2-row bands explode it to
+        # 1.87M candidate pairs (10k docs) where 4-row bands propose 291k
+        # with byte-identical final keep decisions (BASELINE.md round 4)
+        return dedup_pipeline(dup_docs, num_hashes=16, bands=4)
 
     return {
         # B1: TS.RANGE full-series scan (scaling-ts_range_90k_datapoints.yml)
@@ -89,7 +93,13 @@ def main():
     from __spark_entry__ import _dup_corpus, _raw
 
     raw = _raw(spark, sf_dir)
-    dup_docs = _dup_corpus(spark, sf_dir)
+    # the corpus arrives as ~2 parquet splits; spread the map-side
+    # shingle/minhash pass, but not to all 32 cores — the chain has ~40
+    # stages and at 10k docs per-task scheduling overhead beats extra
+    # parallelism past ~8 partitions (measured: 2p 10.5s / 8p 8.0s /
+    # 16p 8.5s / 32p 12.4s).  At real scale the scan has many splits and
+    # this knob disappears.
+    dup_docs = _dup_corpus(spark, sf_dir).repartition(8)
     dup_docs.cache().count()
 
     # cache the base tables once: the reference serves queries from an

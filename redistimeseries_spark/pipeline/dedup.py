@@ -418,6 +418,15 @@ def dedup_pipeline(
     Every stage is a keyed join or aggregation: nothing in the chain is
     all-pairs or driver-materialized, so the composition inherits each
     stage's scale envelope.
+
+    TUNING: rows-per-band (num_hashes / bands) is the scale lever.  The
+    LSH candidate probability at similarity s is 1-(1-s^r)^bands; with the
+    default r=2 a boilerplate-heavy corpus proposes candidates for
+    moderately-similar pairs too, and the verify stage pays O(candidates).
+    Measured on the 10k-doc bench corpus: r=2 -> 1.87M candidates,
+    r=4 (num_hashes=16) -> 291k, r=8 -> 6.7k, with byte-identical final
+    keep decisions at threshold 0.4 (BASELINE.md round 4).  At 100 TB run
+    r>=4 and let `max_bucket` star-expand the giant clusters.
     """
     cand = minhash_lsh_pairs(docs, num_hashes, bands, k, max_bucket)
     edges = ngram_jaccard_verify(docs, cand, n, threshold).select("doc_a", "doc_b")
