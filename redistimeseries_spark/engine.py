@@ -203,6 +203,49 @@ class TimeSeriesEngine:
             raise ValueError("no such rule")
         self.series[dest].src_key = None
 
+    def rename(self, old: str, new: str) -> None:
+        """Generic RENAME on a series key (the reference follows Redis
+        keyspace RENAME notifications to rekey the series and fix every
+        reference, tests/flow/test_rename.py): the catalog entry, the
+        label index (derived from the catalog, so TS.MGET/QUERYINDEX see
+        the new name), rules where the key is source or destination, and
+        stored samples all follow.  Renaming onto an existing series
+        overwrites it, as Redis RENAME does.
+
+        Scale note: in Redis this is an O(1) dict rekey; here the catalog
+        and rules are O(1) driver metadata and the sample rekey is a lazy
+        column rewrite over this facade's in-session store — a parquet
+        deployment keys data by an immutable series id and renames only in
+        the catalog (SURVEY §1.5)."""
+        cfg = self._cfg(old)
+        self.flush()
+        if new in self.series:
+            # Redis RENAME clobbers the destination key: its samples and
+            # any rules referencing it go with it
+            self.rules = [
+                r for r in self.rules if new not in (r.src_key, r.dest_key)
+            ]
+            for c in self.series.values():
+                if c.src_key == new:
+                    c.src_key = None
+            del self.series[new]
+            self._samples = self._samples.filter(F.col("key") != new)
+        del self.series[old]
+        cfg.key = new
+        self.series[new] = cfg
+        for r in self.rules:
+            if r.src_key == old:
+                r.src_key = new
+            if r.dest_key == old:
+                r.dest_key = new
+        for c in self.series.values():
+            if c.src_key == old:
+                c.src_key = new
+        self._samples = self._samples.withColumn(
+            "key",
+            F.when(F.col("key") == old, F.lit(new)).otherwise(F.col("key")),
+        )
+
     # ---- ingest ---------------------------------------------------------
     def add(self, key: str, ts, value: float, on_duplicate: str | None = None, **create_kwargs):
         ts_ms = parse_duration_ms(ts)

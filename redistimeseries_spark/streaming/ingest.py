@@ -546,9 +546,18 @@ def tail_read(
     # poll and the advancing cursor lets callers drain in pages
     cap = max(min_count, max_count or DEFAULT_READ_CAP)
     while True:
+        # cursor -> day bound: each poll prunes to the log partitions at or
+        # after the cursor's day (tail reads chase the head — without this
+        # every poll re-lists and re-folds the whole history)
+        sl = store._log().filter(
+            (F.col("__day") >= cursor // DAY_MS)
+            & (F.col("key") == key)
+            & (F.col("ts") >= cursor)
+        )
         rows = (
-            store.samples()
-            .filter((F.col("key") == key) & (F.col("ts") >= cursor))
+            resolve_duplicates(
+                sl.select("key", "ts", "value", "seq"), store.duplicate_policy
+            )
             .orderBy("ts")
             .take(cap)
         )

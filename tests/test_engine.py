@@ -403,3 +403,42 @@ def test_dest_plan_flat_for_shared_rule_config(eng):
     assert plan.count("Aggregate") <= 3, plan.count("Aggregate")
     # and a spot dest still materializes the right closed bucket
     assert [(r.ts, r.value) for r in eng.range("d7").collect()] == [(0, 1.0)]
+
+
+def test_rename_src_dst_and_index(eng):
+    """Generic RENAME semantics (tests/flow/test_rename.py): renaming a
+    rule SOURCE updates the dest's source_key; renaming a rule DEST updates
+    the source's rules list; the label index follows so MGET finds the new
+    key; samples follow; RENAME onto an existing series overwrites it."""
+    eng.create("a1", labels={"area": "32"})
+    eng.create("b")
+    eng.add("a1", 100, 200.0)
+    eng.rename("a1", "a2")
+    assert "a1" not in eng.series and eng.info("a2")["source_key"] is None
+
+    eng.create_rule("a2", "b", "avg", 5000)
+    assert eng.info("b")["source_key"] == "a2"
+
+    # rename the source again: dest's source_key follows
+    eng.rename("a2", "a3")
+    assert eng.info("b")["source_key"] == "a3"
+    assert [r.src_key for r in eng.rules] == ["a3"]
+
+    # rename the dest: the rule's dest reference follows
+    eng.rename("b", "b1")
+    assert [(r.src_key, r.dest_key) for r in eng.rules] == [("a3", "b1")]
+    assert eng.info("b1")["source_key"] == "a3"
+
+    # label index + samples followed through every rename
+    got = {r.key: (r.ts, r.value) for r in eng.mget(["area=32"]).collect()}
+    assert got == {"a3": (100, 200.0)}
+    assert eng.queryindex(["area=32"]) == ["a3"]
+
+    # RENAME onto an existing key overwrites it (Redis semantics)
+    eng.create("c", labels={"area": "64"})
+    eng.add("c", 5, 1.0)
+    eng.rename("a3", "c")
+    assert eng.queryindex(["area=32"]) == ["c"] and eng.queryindex(["area=64"]) == []
+    assert eng.get("c") == (100, 200.0)
+    # the clobbered dest's rule went with it
+    assert all("c" != r.dest_key or r.src_key != "a3" for r in eng.rules)

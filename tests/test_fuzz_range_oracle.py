@@ -33,7 +33,7 @@ import pandas as pd
 import pytest
 
 from redistimeseries_spark import MAX_TS, MIN_TS
-from redistimeseries_spark.functions.aggs import agg_sql, sanitize
+from redistimeseries_spark.functions.aggs import agg_sql, empty_value, sanitize
 from redistimeseries_spark.functions.buckets import (
     bucket_sql,
     report_ts_sql,
@@ -80,8 +80,12 @@ def _spec(rng: random.Random) -> dict:
             ["0", "start", "end", str(rng.randrange(0, spec["bucket_dur"]))]
         )
         spec["bucket_ts"] = rng.choice(["-", "~", "+"])
+        # EMPTY x FILTER_BY is the reference's dedicated stress surface
+        # (tests/flow/test_ts_range_empty_filter_stress.py) — the spine
+        # derives from the FILTERED samples
+        spec["empty"] = rng.random() < 0.3
     spec["rev"] = rng.random() < 0.3
-    if rng.random() < 0.3:
+    if rng.random() < 0.3 and not spec.get("empty"):
         spec["count"] = rng.randint(1, 25)
     return spec
 
@@ -116,6 +120,41 @@ def _oracle(spec: dict) -> str:
     b = bucket_sql("ts", dur, align)
     rep = report_ts_sql("b", dur, spec["bucket_ts"])
     raw_cols = ", ".join(f"{agg_sql(a)} AS {sanitize(a)}" for a in aggs)
+
+    if spec.get("empty"):
+        # EMPTY spine over the FILTERED samples' first..last bucket;
+        # finalizeEmpty per agg, real counts for count classes on only-NaN
+        # buckets, LOCF for last (operators/empty.py rules)
+        fills = []
+        for a in aggs:
+            name = sanitize(a)
+            if a == "last":
+                fills.append(
+                    f"round(coalesce(last_value(CASE WHEN nv > 0 THEN {name} END"
+                    f" IGNORE NULLS) OVER (PARTITION BY key ORDER BY b ROWS BETWEEN"
+                    f" UNBOUNDED PRECEDING AND CURRENT ROW), 'nan'::DOUBLE), 6) AS {name}"
+                )
+            elif a in COUNT_CLASSES:
+                fills.append(f"round(coalesce({name}, 0.0), 6) AS {name}")
+            else:
+                ev = "0.0" if empty_value(a) == 0.0 else "'nan'::DOUBLE"
+                fills.append(
+                    f"round(CASE WHEN coalesce(nv, 0) > 0 THEN {name} ELSE {ev} END, 6)"
+                    f" AS {name}"
+                )
+        return f"""WITH agg AS (
+  SELECT key, b, {raw_cols},
+         count(CASE WHEN NOT isnan(value) THEN 1 END) AS nv
+  FROM (SELECT key, ts, value, {b} AS b FROM t WHERE {pred})
+  GROUP BY key, b
+),
+bounds AS (SELECT key, min(b) AS lo, max(b) AS hi
+           FROM (SELECT key, {b} AS b FROM t WHERE {pred}) GROUP BY 1),
+spine AS (SELECT key, unnest(generate_series(lo, hi, {dur})) AS b FROM bounds),
+j AS (SELECT spine.key, spine.b,
+             {', '.join('agg.' + sanitize(a) for a in aggs)}, agg.nv
+      FROM spine LEFT JOIN agg ON spine.key = agg.key AND spine.b = agg.b)
+SELECT key, {rep} AS ts, {', '.join(fills)} FROM j"""
 
     # bucket emission = OR over requested aggregators' isValueValid
     emits = []
