@@ -196,12 +196,44 @@ class TimeSeriesEngine:
             Rule(src, dest, agg, parse_duration_ms(bucket), parse_duration_ms(align_ts))
         )
 
+    def _freeze_dests(self, rules) -> None:
+        """Materialize the given rules' destination series into the store
+        before their rules disappear: the reference's dest keeps every
+        bucket it physically wrote when its rule is deleted (the open
+        bucket's context is discarded) — this facade computes dests
+        lazily, so parity requires writing the closed buckets down."""
+        if not rules:
+            return
+        self.flush()
+        frozen = self._dest_samples(list(rules), latest=False)
+        self._samples = self._samples.unionByName(frozen).localCheckpoint()
+
     def delete_rule(self, src: str, dest: str):
-        n = len(self.rules)
-        self.rules = [r for r in self.rules if not (r.src_key == src and r.dest_key == dest)]
-        if len(self.rules) == n:
+        hit = [r for r in self.rules if r.src_key == src and r.dest_key == dest]
+        if not hit:
             raise ValueError("no such rule")
+        self._freeze_dests(hit)
+        self.rules = [r for r in self.rules if not (r.src_key == src and r.dest_key == dest)]
         self.series[dest].src_key = None
+
+    def drop(self, key: str) -> None:
+        """Generic DEL of a series key (tests/flow/test_lazy_del.py — the
+        reference resolves dangling rule references lazily; this facade
+        resolves them eagerly, same observable state): the samples and
+        catalog entry go; rules where the key is source or destination are
+        removed; a destination whose source was deleted loses its
+        source_key but KEEPS the buckets already compacted."""
+        self._cfg(key)
+        self._freeze_dests([r for r in self.rules if r.src_key == key])
+        for r in self.rules:
+            if r.src_key == key:
+                self.series[r.dest_key].src_key = None
+        self.rules = [r for r in self.rules if key not in (r.src_key, r.dest_key)]
+        for c in self.series.values():
+            if c.src_key == key:
+                c.src_key = None
+        del self.series[key]
+        self._samples = self._samples.filter(F.col("key") != key)
 
     def rename(self, old: str, new: str) -> None:
         """Generic RENAME on a series key (the reference follows Redis
@@ -220,16 +252,8 @@ class TimeSeriesEngine:
         cfg = self._cfg(old)
         self.flush()
         if new in self.series:
-            # Redis RENAME clobbers the destination key: its samples and
-            # any rules referencing it go with it
-            self.rules = [
-                r for r in self.rules if new not in (r.src_key, r.dest_key)
-            ]
-            for c in self.series.values():
-                if c.src_key == new:
-                    c.src_key = None
-            del self.series[new]
-            self._samples = self._samples.filter(F.col("key") != new)
+            # Redis RENAME clobbers the destination key — DEL semantics
+            self.drop(new)
         del self.series[old]
         cfg.key = new
         self.series[new] = cfg

@@ -442,3 +442,41 @@ def test_rename_src_dst_and_index(eng):
     assert eng.get("c") == (100, 200.0)
     # the clobbered dest's rule went with it
     assert all("c" != r.dest_key or r.src_key != "a3" for r in eng.rules)
+
+
+def test_del_key_lazy_rule_cleanup(eng):
+    """DEL of a series key (tests/flow/test_lazy_del.py): deleting the
+    SOURCE removes its rules and clears the dest's source_key while the
+    dest KEEPS already-compacted buckets; deleting the DEST removes the
+    source's rule."""
+    eng.create("src")
+    eng.create("dst")
+    eng.create_rule("src", "dst", "avg", 1000)
+    eng.madd([("src", 0, 1.0), ("src", 500, 3.0), ("src", 1500, 10.0)])
+    # bucket 0 is closed (sample at 1500 opened bucket 1000)
+    eng.drop("src")
+    assert "src" not in eng.series and not eng.rules
+    assert eng.info("dst")["source_key"] is None
+    # dest kept its compacted closed bucket
+    assert [(r.ts, r.value) for r in eng.range("dst").collect()] == [(0, 2.0)]
+
+    eng.create("s2")
+    eng.create("d2")
+    eng.create_rule("s2", "d2", "avg", 1000)
+    eng.drop("d2")
+    assert not eng.rules and eng.info("s2")["source_key"] is None
+
+
+def test_deleterule_keeps_compacted_dest(eng):
+    """TS.DELETERULE leaves the dest as a plain series holding the buckets
+    its rule had written (the open bucket's context is discarded)."""
+    eng.create("src")
+    eng.create("dst")
+    eng.create_rule("src", "dst", "sum", 1000)
+    eng.madd([("src", 0, 1.0), ("src", 500, 3.0), ("src", 1500, 10.0)])
+    eng.delete_rule("src", "dst")
+    assert not eng.rules
+    assert [(r.ts, r.value) for r in eng.range("dst").collect()] == [(0, 4.0)]
+    # and new src writes no longer flow into it
+    eng.madd([("src", 2500, 7.0)])
+    assert [(r.ts, r.value) for r in eng.range("dst").collect()] == [(0, 4.0)]
