@@ -565,3 +565,44 @@ def test_payload_budget_repartition_skewed(spark):
 
     feats = {r.doc_id: r.n_bytes for r in extract_features(media, budget_bytes=budget).collect()}
     assert feats[0] == 200 and feats[1000] == 30_000 and len(feats) == 204
+
+
+def test_lsh_banding_selectivity_monotone(spark):
+    """rows-per-band is the candidate-volume lever (dedup_pipeline TUNING
+    note): on a boilerplate-heavy corpus, stricter bands must propose
+    strictly fewer candidate pairs while the verified end-to-end keep
+    decisions stay identical — the basis for running r>=4 at scale."""
+    from redistimeseries_spark.pipeline.dedup import dedup_pipeline, minhash_lsh_pairs
+
+    import random as _random
+
+    boiler = "all rights reserved terms of service and privacy policy apply "
+
+    def _tail(i):
+        g = _random.Random(i)
+        return " ".join(
+            "".join(g.choices("abcdefghijklmnopqrstuvwxyz", k=8)) for _ in range(60)
+        )
+
+    rows = [(i, boiler + _tail(i)) for i in range(120)]
+    rows += [(1000 + i, rows[i][1]) for i in range(20)]  # exact dups
+    docs = spark.createDataFrame(rows, "doc_id long, text string").cache()
+    docs.count()
+
+    cands = {
+        r: minhash_lsh_pairs(docs, num_hashes=4 * r, bands=4, k=5).count()
+        for r in (1, 2, 4)
+    }
+    assert cands[1] > cands[2] > cands[4], cands
+    keeps = {
+        r: frozenset(
+            x.doc_id
+            for x in dedup_pipeline(docs, num_hashes=4 * r, bands=4, threshold=0.8)
+            .filter("keep")
+            .collect()
+        )
+        for r in (2, 4)
+    }
+    assert keeps[2] == keeps[4]
+    # every planted exact dup was dropped at both settings
+    assert all(1000 + i not in keeps[4] for i in range(20))
