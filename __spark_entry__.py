@@ -866,6 +866,17 @@ def q_dedup_pipeline(spark, sf_dir):
     return dedup_pipeline(_near_corpus(spark, sf_dir), threshold=0.4)
 
 
+def q_pack_sequences(spark, sf_dir):
+    """Sequence packing: every doc assigned to one (grp, bin) training row
+    under a 128-ws-token budget — deterministic next-fit per doc_id-hash
+    group, replayed exactly by a recursive-CTE oracle."""
+    from redistimeseries_spark.pipeline.packing import pack_sequences
+
+    return pack_sequences(
+        _docs(spark, sf_dir).select("doc_id", "text"), max_tokens=128, n_groups=8
+    )
+
+
 def q_hash_split(spark, sf_dir):
     """Deterministic md5-bucket train/val/test assignment — reproducible
     across engines/partitionings, unlike randomSplit."""
@@ -1115,10 +1126,14 @@ def _base_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     #   (dl_minhash_lsh_pairs), dl_dedup_components (star variant promoted),
     #   dl_ann_ivf_topk (dl_ann_cosine_topk + dl_ann_batch), dl_lang_id
     #   (dl_quality).
+    # Round-4 NEW family promotion: dl_pack_sequences (sequence packing)
+    # enters the prefix; ts_revrange_count (driver-green r01 AND r03; scan
+    # family keeps ts_range_raw, COUNT semantics keep ts_count_post_agg in
+    # the gated tail) rotates out.
     return {
         # --- checked prefix: one representative per operator family -----
         "ts_range_raw": q_range_raw,
-        "ts_revrange_count": q_revrange_count,
+        "dl_pack_sequences": q_pack_sequences,
         "ts_range_filter_value": q_range_filter_value,
         "ts_agg_empty_nan": q_agg_empty_nan,
         "ts_agg_all14": q_agg_all14,
@@ -1168,6 +1183,7 @@ def _base_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dl_mm_features": q_mm_features,
         "ts_asof_join": q_asof_join,
         # --- tail: family variants, locally gated -----------------------
+        "ts_revrange_count": q_revrange_count,
         "ts_agg_avg_1h": q_agg_avg_1h,
         "ts_mrange_max_1h": q_mrange_max_1h,
         "ts_range_filter_ts": q_range_filter_ts,
@@ -1712,6 +1728,38 @@ def _pipeline_oracles() -> dict[str, str]:
               len(list_filter(string_split_regex(text, '\\s+'), x -> x <> '')) AS ws_tokens,
               CAST(ceil(length(regexp_replace(text, '\\s', '', 'g')) / 4.0) AS BIGINT) AS bpe_tokens_est
             FROM documents""",
+        # sequence packing: deterministic next-fit per doc_id%8 group under
+        # a 128-token budget, replayed sequentially by a recursive CTE
+        # carrying (next shared bin, remaining budget) as running state
+        "dl_pack_sequences": """WITH RECURSIVE d AS (
+              SELECT doc_id, CAST(doc_id % 8 AS INT) AS grp,
+                     CAST(len(list_filter(string_split_regex(text, '\\s+'), x -> x <> '')) AS BIGINT) AS tokens,
+                     row_number() OVER (PARTITION BY doc_id % 8 ORDER BY doc_id) AS rn
+              FROM documents),
+            p AS (
+              SELECT doc_id, grp, tokens, rn,
+                     CAST(0 AS INT) AS bin,
+                     tokens > 128 AS overflow,
+                     CASE WHEN tokens > 128 THEN 1 ELSE 0 END AS nb,
+                     CASE WHEN tokens > 128 THEN 128 ELSE 128 - tokens END AS rem
+              FROM d WHERE rn = 1
+              UNION ALL
+              SELECT d.doc_id, d.grp, d.tokens, d.rn,
+                     CAST(CASE
+                       WHEN d.tokens > 128 THEN p.nb + (CASE WHEN p.rem < 128 THEN 1 ELSE 0 END)
+                       WHEN d.tokens > p.rem THEN p.nb + 1
+                       ELSE p.nb END AS INT) AS bin,
+                     d.tokens > 128 AS overflow,
+                     CASE
+                       WHEN d.tokens > 128 THEN p.nb + (CASE WHEN p.rem < 128 THEN 1 ELSE 0 END) + 1
+                       WHEN d.tokens > p.rem THEN p.nb + 1
+                       ELSE p.nb END AS nb,
+                     CASE
+                       WHEN d.tokens > 128 THEN 128
+                       WHEN d.tokens > p.rem THEN 128 - d.tokens
+                       ELSE p.rem - d.tokens END AS rem
+              FROM d JOIN p ON d.grp = p.grp AND d.rn = p.rn + 1)
+            SELECT doc_id, grp, bin, tokens, overflow FROM p""",
         "dl_fingerprint": """WITH n AS (
               SELECT doc_id, regexp_replace(lower(text), '\\s+', ' ', 'g') AS nt FROM documents)
             SELECT doc_id, md5(nt) AS exact_fp,

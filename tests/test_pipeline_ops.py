@@ -606,3 +606,45 @@ def test_lsh_banding_selectivity_monotone(spark):
     assert keeps[2] == keeps[4]
     # every planted exact dup was dropped at both settings
     assert all(1000 + i not in keeps[4] for i in range(20))
+
+
+def test_pack_sequences_invariants(spark):
+    """Sequence packing: every doc assigned exactly once; per-(grp,bin)
+    token sum <= budget except single-doc overflow bins; assignment is a
+    pure function of the data (partitioning-independent); doc order is
+    preserved inside a bin."""
+    import random as _random
+
+    from pyspark.sql import functions as F
+
+    from redistimeseries_spark.pipeline.packing import pack_sequences
+
+    g = _random.Random(7)
+    rows = [
+        (i, " ".join("tok" for _ in range(g.randint(1, 120))))
+        for i in range(300)
+    ]
+    rows.append((300, " ".join("tok" for _ in range(999))))  # oversize
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    out = pack_sequences(docs, max_tokens=128, n_groups=8).collect()
+
+    assert len(out) == 301 and len({r.doc_id for r in out}) == 301
+    by_bin = {}
+    for r in out:
+        by_bin.setdefault((r.grp, r.bin), []).append(r)
+    for (grp, b), members in by_bin.items():
+        if any(m.overflow for m in members):
+            assert len(members) == 1 and members[0].tokens > 128
+        else:
+            assert sum(m.tokens for m in members) <= 128
+    # doc order preserved inside a bin == doc_id-sorted next-fit: bins are
+    # monotone in doc_id within a group
+    for grp in range(8):
+        ms = sorted((r for r in out if r.grp == grp), key=lambda r: r.doc_id)
+        assert [r.bin for r in ms] == sorted(r.bin for r in ms)
+
+    # partitioning independence: same assignment from a different layout
+    out2 = pack_sequences(docs.repartition(13), max_tokens=128, n_groups=8).collect()
+    assert {(r.doc_id, r.grp, r.bin) for r in out} == {
+        (r.doc_id, r.grp, r.bin) for r in out2
+    }
