@@ -78,6 +78,10 @@ class StreamingStore:
     ignore_max_time_diff: int = 0
     ignore_max_val_diff: float = 0.0
     _batch_id: int = 0
+    # DataFrames persisted during the current micro-batch's maintenance;
+    # unpersisted at the end of process_batch (a long-running stream must
+    # not rely on driver GC to release executor storage)
+    _batch_cached: list = field(default_factory=list)
 
     @property
     def log_dir(self):
@@ -189,6 +193,7 @@ class StreamingStore:
                 agg = [F.min("ts").alias("ts"), F.min_by("value", "ts").alias("value")]
             hit = sl.groupBy("key").agg(*agg)
             hit.persist()  # consumed twice: anti-join bookkeeping + result
+            self._batch_cached.append(hit)
             parts.append(hit)
             remaining = remaining.join(hit.select("key"), "key", "left_anti")
             n = remaining.count()
@@ -258,6 +263,7 @@ class StreamingStore:
         lo, hi = int(b.lo), int(b.hi) + rule.bucket_ms  # span [lo, hi)
         core = slice_for(lo, hi)
         core.persist()
+        self._batch_cached.append(core)
 
         # in-span sample-adjacent neighbors of every touched bucket edge:
         # probe rows at each bucket's start/end, range-frame window to the
@@ -287,6 +293,7 @@ class StreamingStore:
         )
         touched = touched.unionByName(ext).distinct()
         touched.persist()
+        self._batch_cached.append(touched)
 
         eb = touched.agg(
             F.min("__bucket").alias("lo"), F.max("__bucket").alias("hi")
@@ -459,6 +466,9 @@ class StreamingStore:
                 .parquet(self.rule_dir(rule))
             )
         batch.unpersist()
+        for df in self._batch_cached:
+            df.unpersist()
+        self._batch_cached.clear()
         self._batch_id = batch_id
 
     @staticmethod
