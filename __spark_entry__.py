@@ -1741,23 +1741,25 @@ def _pipeline_oracles() -> dict[str, str]:
                      CAST(0 AS INT) AS bin,
                      tokens > 128 AS overflow,
                      CASE WHEN tokens > 128 THEN 1 ELSE 0 END AS nb,
-                     CASE WHEN tokens > 128 THEN 128 ELSE 128 - tokens END AS rem
+                     CASE WHEN tokens > 128 THEN 128 ELSE 128 - tokens END AS rem,
+                     tokens <= 128 AS used
               FROM d WHERE rn = 1
               UNION ALL
               SELECT d.doc_id, d.grp, d.tokens, d.rn,
                      CAST(CASE
-                       WHEN d.tokens > 128 THEN p.nb + (CASE WHEN p.rem < 128 THEN 1 ELSE 0 END)
+                       WHEN d.tokens > 128 THEN p.nb + (CASE WHEN p.used THEN 1 ELSE 0 END)
                        WHEN d.tokens > p.rem THEN p.nb + 1
                        ELSE p.nb END AS INT) AS bin,
                      d.tokens > 128 AS overflow,
                      CASE
-                       WHEN d.tokens > 128 THEN p.nb + (CASE WHEN p.rem < 128 THEN 1 ELSE 0 END) + 1
+                       WHEN d.tokens > 128 THEN p.nb + (CASE WHEN p.used THEN 1 ELSE 0 END) + 1
                        WHEN d.tokens > p.rem THEN p.nb + 1
                        ELSE p.nb END AS nb,
                      CASE
                        WHEN d.tokens > 128 THEN 128
                        WHEN d.tokens > p.rem THEN 128 - d.tokens
-                       ELSE p.rem - d.tokens END AS rem
+                       ELSE p.rem - d.tokens END AS rem,
+                     d.tokens <= 128 AS used
               FROM d JOIN p ON d.grp = p.grp AND d.rn = p.rn + 1)
             SELECT doc_id, grp, bin, tokens, overflow FROM p""",
         "dl_fingerprint": """WITH n AS (

@@ -135,6 +135,8 @@ class TimeSeriesEngine:
         self._samples = spark.createDataFrame([], "key string, ts long, value double")
         self._pending: list[tuple[str, int, float, str | None]] = []
         self._seq = 0
+        # dest keys holding frozen (rule-deleted) buckets in _samples
+        self._frozen_dests: set[str] = set()
 
     # ---- DDL ------------------------------------------------------------
     def create(
@@ -201,12 +203,17 @@ class TimeSeriesEngine:
         before their rules disappear: the reference's dest keeps every
         bucket it physically wrote when its rule is deleted (the open
         bucket's context is discarded) — this facade computes dests
-        lazily, so parity requires writing the closed buckets down."""
+        lazily, so parity requires writing the closed buckets down.
+        Frozen dest keys are remembered: if a NEW rule is later created on
+        one, the dest view merges stored rows with the rule's
+        materialization (rule buckets win at their ts — the reference's
+        DP_LAST upsert into a non-empty dest)."""
         if not rules:
             return
         self.flush()
         frozen = self._dest_samples(list(rules), latest=False)
         self._samples = self._samples.unionByName(frozen).localCheckpoint()
+        self._frozen_dests.update(r.dest_key for r in rules)
 
     def delete_rule(self, src: str, dest: str):
         hit = [r for r in self.rules if r.src_key == src and r.dest_key == dest]
@@ -224,6 +231,7 @@ class TimeSeriesEngine:
         removed; a destination whose source was deleted loses its
         source_key but KEEPS the buckets already compacted."""
         self._cfg(key)
+        self.flush()  # buffered writes for `key` must die with it
         self._freeze_dests([r for r in self.rules if r.src_key == key])
         for r in self.rules:
             if r.src_key == key:
@@ -233,6 +241,7 @@ class TimeSeriesEngine:
             if c.src_key == key:
                 c.src_key = None
         del self.series[key]
+        self._frozen_dests.discard(key)
         self._samples = self._samples.filter(F.col("key") != key)
 
     def rename(self, old: str, new: str) -> None:
@@ -250,6 +259,8 @@ class TimeSeriesEngine:
         deployment keys data by an immutable series id and renames only in
         the catalog (SURVEY §1.5)."""
         cfg = self._cfg(old)
+        if old == new:
+            return  # Redis RENAME k k on an existing key is a no-op success
         self.flush()
         if new in self.series:
             # Redis RENAME clobbers the destination key — DEL semantics
@@ -257,6 +268,9 @@ class TimeSeriesEngine:
         del self.series[old]
         cfg.key = new
         self.series[new] = cfg
+        if old in self._frozen_dests:
+            self._frozen_dests.discard(old)
+            self._frozen_dests.add(new)
         for r in self.rules:
             if r.src_key == old:
                 r.src_key = new
@@ -399,13 +413,10 @@ class TimeSeriesEngine:
         cfg = self._cfg(key)
         df = self.samples
         if cfg.src_key is not None:
-            # compaction destination: materialized from its rule
+            # compaction destination: materialized from its rule (plus any
+            # frozen buckets from a previous rule — _dest_samples merges)
             rule = next(r for r in self.rules if r.dest_key == key)
-            df = materialize_rule(
-                df.filter(F.col("key") == rule.src_key),
-                CompactionRule(None, "", rule.agg, rule.bucket_ms, rule.align_ts),
-                include_open=latest,
-            ).withColumn("key", F.lit(key))
+            df = self._dest_samples([rule], latest)
         else:
             df = df.filter(F.col("key") == key)
         if cfg.retention_ms > 0:
@@ -544,6 +555,15 @@ class TimeSeriesEngine:
             out = mat if out is None else out.unionByName(mat)
         if out is None:
             return self.spark.createDataFrame([], "key string, ts long, value double")
+        # a dest carrying frozen buckets from a PREVIOUS rule merges them
+        # under the new rule's materialization — rule buckets win at their
+        # ts, stored-only rows survive (the reference's DP_LAST upsert
+        # into a non-empty dest series)
+        dirty = [r.dest_key for r in rules if r.dest_key in self._frozen_dests]
+        if dirty:
+            stored = self.samples.filter(F.col("key").isin(dirty))
+            kept = stored.join(out.select("key", "ts"), ["key", "ts"], "left_anti")
+            out = out.unionByName(kept)
         return out
 
     def _samples_with_dests(self, latest: bool) -> DataFrame:
@@ -556,7 +576,12 @@ class TimeSeriesEngine:
         fleets; pathological catalogs with hundreds of DISTINCT configs
         would still widen the plan — a real deployment materializes dests
         continuously (streaming/ingest.StreamingStore) instead."""
-        return self.samples.unionByName(self._dest_samples(self.rules, latest))
+        base = self.samples
+        dirty = [r.dest_key for r in self.rules if r.dest_key in self._frozen_dests]
+        if dirty:
+            # stored rows of re-ruled dests ride in via _dest_samples' merge
+            base = base.filter(~F.col("key").isin(dirty))
+        return base.unionByName(self._dest_samples(self.rules, latest))
 
     def mrange(self, filters: list[str], from_ts="-", to_ts="+",
                latest: bool = False, **kw) -> DataFrame:

@@ -38,20 +38,24 @@ def payload_budget_repartition(
     payload_col: str = "payload",
 ) -> DataFrame:
     """Repartition so each task carries ~`budget_bytes` of payload: one
-    cheap aggregate for the total (reads only the payload length — parquet
-    serves it without materializing the bytes on this pass in practice,
-    and the bytes are about to be read by the UDF anyway), then a hash
-    repartition into ceil(total / budget) parts.  Hash placement balances
-    in expectation; a single payload larger than the budget necessarily
-    overflows its task — decode-side chunking, not placement, is the fix
-    for that (the frame sampler's per-offset rows are the pattern)."""
+    sizing aggregate over the payload lengths (an EAGER extra pass — the
+    price of byte-aware task sizing; skip it by passing budget_bytes=None
+    to the UDF stages when the caller already controls placement), then a
+    round-robin repartition into ceil(total / budget) parts.  Round-robin
+    balances row counts per task independent of any column's cardinality;
+    a single payload larger than the budget necessarily overflows its
+    task — decode-side chunking, not placement, is the fix for that (the
+    frame sampler's per-offset rows are the pattern).  Streaming frames
+    pass through untouched (no eager aggregate is possible there — size
+    with maxRecordsPerBatch/maxBytesPerTrigger instead)."""
+    if media.isStreaming:
+        return media
     sz = F.length(F.col(payload_col)).cast("long")
     total = media.agg(F.sum(sz).alias("t")).collect()[0].t
     if not total:
         return media
     n = max(1, math.ceil(total / budget_bytes))
-    others = [c for c in media.columns if c != payload_col]
-    return media.repartition(n, F.xxhash64(*others))
+    return media.repartition(n)
 
 FEATURE_SCHEMA = (
     "doc_id long, media_type string, n_bytes long, first_byte long, last_byte long"

@@ -67,21 +67,25 @@ def pack_sequences(
     def pack(pdf: pd.DataFrame) -> pd.DataFrame:
         pdf = pdf.sort_values("doc_id").reset_index(drop=True)
         bins, overflow = [], []
-        b, rem = 0, max_tokens
+        # `used` tracks bin OCCUPANCY, not remaining budget: a zero-token
+        # doc consumes no budget but still occupies the bin, and an
+        # oversize doc must never share with it
+        b, rem, used = 0, max_tokens, False
         for t in pdf["tokens"]:
             if t > max_tokens:
                 # oversize doc: a bin of its own (chunked downstream)
-                if rem < max_tokens:  # current shared bin had content
+                if used:
                     b += 1
                 bins.append(b)
                 overflow.append(True)
-                b, rem = b + 1, max_tokens
+                b, rem, used = b + 1, max_tokens, False
                 continue
             if t > rem:
-                b, rem = b + 1, max_tokens
+                b, rem, used = b + 1, max_tokens, False
             bins.append(b)
             overflow.append(False)
             rem -= t
+            used = True
         pdf["bin"] = pd.Series(bins, dtype="int64").astype("int32")
         pdf["overflow"] = overflow
         return pdf[["doc_id", "grp", "bin", "tokens", "overflow"]]

@@ -98,38 +98,60 @@ class StreamingStore:
     def rule_dir(self, rule: CompactionRule):
         return os.path.join(self.root, f"rule{rule.dest_suffix}")
 
+    def _empty_read(self, path, schema) -> DataFrame | None:
+        """Spark read of a maybe-absent state path: only "no state yet" is
+        recoverable (error-class matched, correct for remote URIs where
+        os.path checks lie — same pattern as pipeline/streaming_dedup);
+        returns None when the path doesn't exist."""
+        from pyspark.errors import AnalysisException
+
+        try:
+            df = self.spark.read.parquet(path)
+        except AnalysisException as exc:
+            if "PATH_NOT_FOUND" in str(exc) or "Path does not exist" in str(exc):
+                return None
+            raise
+        return df
+
     def _read(self, path, schema) -> DataFrame:
-        if not os.path.isdir(path):
+        df = self._empty_read(path, schema)
+        if df is None:
             return self.spark.createDataFrame([], schema)
-        return self.spark.read.schema(
-            self.spark.createDataFrame([], schema).schema
-        ).parquet(path)
+        return df.select(*self.spark.createDataFrame([], schema).columns)
 
     def _raw(self, path, partition_col: str) -> DataFrame:
         """Read a partitioned maintained table WITH its partition column
         (discovered from the directory layout), empty-safe."""
-        if not os.path.isdir(path):
+        df = self._empty_read(path, SAMPLES_SCHEMA)
+        if df is None:
             return self.spark.createDataFrame(
                 [], SAMPLES_SCHEMA + f", {partition_col} int"
             )
-        return self.spark.read.parquet(path)
+        return df
 
     # ---- the day-partitioned ingest log ----------------------------------
     def _log(self) -> DataFrame:
         """Raw log with its `__day` partition column (empty-safe)."""
-        if not os.path.isdir(self.log_dir):
-            return self.spark.createDataFrame([], SAMPLES_SCHEMA + ", seq long, __day int")
-        return self.spark.read.parquet(self.log_dir)
+        df = self._empty_read(self.log_dir, SAMPLES_SCHEMA)
+        if df is None:
+            return self.spark.createDataFrame(
+                [], SAMPLES_SCHEMA + ", seq long, __day int"
+            )
+        return df
 
     def _log_days(self) -> list[int]:
-        """Day partitions present on disk (a driver-side listing — one
-        directory read, the same metadata a catalog would serve)."""
-        if not os.path.isdir(self.log_dir):
-            return []
+        """Day partitions present in the log.  Local roots answer from one
+        directory listing; remote roots (s3://, hdfs://) fall back to a
+        partition-column distinct — served from the file index, no data
+        columns read."""
+        if os.path.isdir(self.log_dir):
+            return sorted(
+                int(n.split("=", 1)[1])
+                for n in os.listdir(self.log_dir)
+                if n.startswith("__day=")
+            )
         return sorted(
-            int(n.split("=", 1)[1])
-            for n in os.listdir(self.log_dir)
-            if n.startswith("__day=")
+            r["__day"] for r in self._log().select("__day").distinct().collect()
         )
 
     def _pruned(self, days: list[int]) -> DataFrame:
@@ -260,6 +282,11 @@ class StreamingStore:
         b = touched.agg(
             F.min("__bucket").alias("lo"), F.max("__bucket").alias("hi")
         ).collect()[0]
+        if b.lo is None:
+            # empty micro-batch (or fully rejected/deduped): nothing to repair
+            return touched, self.spark.createDataFrame(
+                [], SAMPLES_SCHEMA.replace("ts long", "__bucket long")
+            ).select("key", "__bucket", "value")
         lo, hi = int(b.lo), int(b.hi) + rule.bucket_ms  # span [lo, hi)
         core = slice_for(lo, hi)
         core.persist()
@@ -319,9 +346,17 @@ class StreamingStore:
     # ---- the foreachBatch body ------------------------------------------
     def process_batch(self, batch: DataFrame, batch_id: int):
         spark = self.spark
+        # Arrival order for duplicate resolution: the batch id must DOMINATE
+        # (first/last semantics are defined ACROSS batches; within one
+        # distributed batch there is no arrival order — dup_policy.py).
+        # monotonically_increasing_id would leak partition ids into the high
+        # bits and outrank later batches, so the low bits are a bounded
+        # content hash instead: cross-batch exact, within-batch an arbitrary
+        # but deterministic tiebreak.
         batch = batch.select("key", "ts", "value").withColumn(
             "seq",
-            F.lit(batch_id * 1_000_000_000) + F.monotonically_increasing_id(),
+            F.lit(batch_id * (1 << 20))
+            + F.pmod(F.xxhash64("key", "ts", "value"), F.lit(1 << 20)),
         )
         batch.persist()
         # 0. reject samples older than the retention horizon (the reference

@@ -480,3 +480,44 @@ def test_deleterule_keeps_compacted_dest(eng):
     # and new src writes no longer flow into it
     eng.madd([("src", 2500, 7.0)])
     assert [(r.ts, r.value) for r in eng.range("dst").collect()] == [(0, 4.0)]
+
+
+def test_drop_discards_buffered_writes(eng):
+    """DEL must also kill buffered (unflushed) samples for the key — a
+    recreated key must not resurrect them on the next flush."""
+    eng.create("x")
+    eng.add("x", 1, 1.0)  # buffered, not yet flushed
+    eng.drop("x")
+    eng.create("x")
+    eng.add("x", 2, 2.0)
+    assert [(r.ts, r.value) for r in eng.range("x").collect()] == [(2, 2.0)]
+
+
+def test_rename_to_self_is_noop(eng):
+    eng.create("a", labels={"t": "1"})
+    eng.add("a", 1, 1.0)
+    eng.rename("a", "a")
+    assert eng.get("a") == (1, 1.0) and eng.queryindex(["t=1"]) == ["a"]
+
+
+def test_recreate_rule_on_frozen_dest_merges(eng):
+    """Re-creating a rule on a dest that kept frozen buckets from a deleted
+    rule: the new rule's buckets upsert OVER the frozen ones at their ts
+    (reference DP_LAST upsert into a non-empty dest); stored-only buckets
+    survive; no duplicate (key, ts) rows anywhere."""
+    eng.create("src")
+    eng.create("dst")
+    eng.create_rule("src", "dst", "sum", 1000)
+    eng.madd([("src", 0, 1.0), ("src", 500, 3.0), ("src", 1500, 10.0)])
+    eng.delete_rule("src", "dst")  # freezes (dst, 0, 4.0)
+    eng.delete("src", 0, 999)      # rewrite history under the new rule
+    eng.create_rule("src", "dst", "avg", 1000)
+    eng.madd([("src", 2500, 7.0)])  # closes bucket 1000 under avg
+    got = sorted((r.ts, r.value) for r in eng.range("dst").collect())
+    # frozen bucket 0 (sum=4.0) survives; bucket 1000 comes from the NEW
+    # avg rule (10.0); open bucket 2000 excluded
+    assert got == [(0, 4.0), (1000, 10.0)]
+    rows = eng.mrange(["__nolabel__!="], from_ts="-", to_ts="+").collect()
+    # no duplicate (key, ts) anywhere in the multi-series view
+    seen = [(r.key, r.ts) for r in eng._samples_with_dests(False).collect()]
+    assert len(seen) == len(set(seen))

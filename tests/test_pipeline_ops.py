@@ -648,3 +648,22 @@ def test_pack_sequences_invariants(spark):
     assert {(r.doc_id, r.grp, r.bin) for r in out} == {
         (r.doc_id, r.grp, r.bin) for r in out2
     }
+
+
+def test_pack_sequences_zero_token_and_oversize(spark):
+    """A zero-token doc occupies its bin without consuming budget; an
+    oversize doc never shares a bin with it (occupancy, not remaining
+    budget, gates the own-bin rule)."""
+    from redistimeseries_spark.pipeline.packing import pack_sequences
+
+    rows = [
+        (0, "   "),                              # 0 tokens
+        (8, " ".join("t" for _ in range(999))),  # oversize, same grp as 0 (n_groups=8)
+        (16, "a b c"),                           # lands after, same grp
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r.doc_id: r for r in pack_sequences(docs, max_tokens=128, n_groups=8).collect()}
+    assert out[0].grp == out[8].grp == out[16].grp == 0
+    assert out[0].tokens == 0 and not out[0].overflow
+    assert out[8].overflow and out[8].bin != out[0].bin  # oversize alone
+    assert out[16].bin != out[8].bin and not out[16].overflow

@@ -285,3 +285,43 @@ def test_twa_sparse_gap_incremental_matches_batch(spark, dirs):
     assert got.keys() == exp.keys()
     for b in exp:
         assert abs(got[b] - exp[b]) < 1e-9, (b, got[b], exp[b])
+
+
+def test_fully_rejected_batch_with_twa_rule_is_noop(spark, dirs):
+    """A micro-batch whose samples are ALL rejected (beyond retention)
+    must not crash the twa repair (empty touched set) nor disturb the
+    dest."""
+    from redistimeseries_spark.streaming.compaction import materialize_rule
+
+    rule = CompactionRule(None, "_twa_1s", "twa", 1000)
+    store = StreamingStore(
+        spark, os.path.join(dirs, "store"), "last", [rule], retention_ms=1000
+    )
+    write_input(spark, dirs, [("k", 100_000, 1.0), ("k", 100_500, 3.0)], "b1")
+    write_input(spark, dirs, [("k", 10, 9.0)], "b2")  # far beyond retention
+    drain(spark, dirs, store)
+
+    got = sorted((r.ts, r.value) for r in store.samples().collect())
+    assert got == [(100_000, 1.0), (100_500, 3.0)]
+    exp = {r.ts: r.value
+           for r in materialize_rule(store.samples(), rule, include_open=True).collect()}
+    have = {r.ts: r.value
+            for r in store.rule_table(rule, include_open=True).collect()}
+    assert have.keys() == exp.keys()
+    for t in exp:
+        assert abs(have[t] - exp[t]) < 1e-9
+
+
+def test_last_policy_across_batches_partitioned_writer(spark, dirs):
+    """'last' duplicate resolution must follow BATCH order even when an
+    earlier batch ran with many partitions (the old seq formula let a
+    high-partition-id row from batch N outrank batch N+1)."""
+    store = StreamingStore(spark, os.path.join(dirs, "store"), "last", [])
+    # batch 1: many partitions so rows land in high spark partition ids
+    b1 = spark.createDataFrame(
+        [("k", 100, float(i)) for i in range(64)], SCHEMA
+    ).repartition(32)
+    store.process_batch(b1, 0)
+    b2 = spark.createDataFrame([("k", 100, -1.0)], SCHEMA).coalesce(1)
+    store.process_batch(b2, 1)
+    assert [(r.ts, r.value) for r in store.samples().collect()] == [(100, -1.0)]
