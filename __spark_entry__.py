@@ -339,9 +339,11 @@ def q_stream_dedup(spark, sf_dir):
     micro-batches (split at the median doc_id, plus planted exact copies
     in batch 2) through DedupStream — batch 2 dedups against batch 1 via
     the fingerprint/band state store, never by rescanning batch 1.
-    Rows-only gate: the near-dup kept-chain is sequential across the
-    band-sharing graph, so no closed-form SQL oracle exists; semantics
-    are pinned by tests/test_streaming_native.py."""
+    With no verify stage the two-batch decision logic is fully
+    set-expressible (exact-fp winner groups + band collisions against the
+    kept state), so the oracle replays it batch-by-batch in SQL — the
+    batch split (even doc_ids first) and planted-copy ids are derived from
+    the data so both engines construct identical batches."""
     import os
     import tempfile
 
@@ -349,22 +351,26 @@ def q_stream_dedup(spark, sf_dir):
 
     d = tempfile.mkdtemp(prefix="sparkts_sdedup_")
     docs = _docs(spark, sf_dir).select("doc_id", "text")
-    median = docs.approxQuantile("doc_id", [0.5], 0.0)[0]
     in_dir = os.path.join(d, "in")
-    docs.filter(F.col("doc_id") <= median).write.mode("append").parquet(in_dir)
+    docs.filter(F.col("doc_id") % 2 == 0).write.mode("append").parquet(in_dir)
     ds, q = start_dedup_stream(
         spark, in_dir, os.path.join(d, "state"), os.path.join(d, "ckpt")
     )
     q.awaitTermination(300)
-    late = docs.filter(F.col("doc_id") > median)
+    late = docs.filter(F.col("doc_id") % 2 == 1)
     # planted cross-batch exact dups: copies of batch-1 docs, with ids
     # derived from the data's max so they can never collide with genuine
     # batch-2 docs at any scale factor
     base = docs.agg(F.max("doc_id")).collect()[0][0] + 1
-    copies = docs.filter(F.col("doc_id") <= median).orderBy("doc_id").limit(20).select(
-        (F.lit(base) + F.row_number().over(
-            Window.orderBy("doc_id")
-        ).cast("long")).alias("doc_id"), "text"
+    copies = (
+        docs.filter(F.col("doc_id") % 2 == 0)
+        .orderBy("doc_id")
+        .limit(20)
+        .select(
+            (F.lit(base) + F.row_number().over(Window.orderBy("doc_id")).cast("long"))
+            .alias("doc_id"),
+            "text",
+        )
     )
     late.unionByName(copies).write.mode("append").parquet(in_dir)
     ds, q = start_dedup_stream(
@@ -1520,6 +1526,82 @@ def _pipeline_oracles() -> dict[str, str]:
             SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
             FROM band a JOIN band b
               ON a.band = b.band AND a.band_key = b.band_key AND a.doc_id < b.doc_id""",
+        # incremental streaming dedup replayed batch-by-batch in SQL:
+        # batch 1 = even doc_ids, batch 2 = odd + planted copies (ids from
+        # max+rn, mirroring q_stream_dedup); exact = fp winner groups vs
+        # the kept state, near = band collision vs kept state bands or an
+        # earlier in-batch exact-survivor (pipeline/streaming_dedup.py)
+        "dl_stream_dedup": f"""WITH
+            copies AS (
+              SELECT (SELECT max(doc_id) + 1 FROM documents)
+                       + row_number() OVER (ORDER BY doc_id) AS doc_id, text
+              FROM (SELECT doc_id, text FROM documents
+                    WHERE doc_id % 2 = 0 ORDER BY doc_id LIMIT 20)),
+            b1 AS (SELECT doc_id, text FROM documents WHERE doc_id % 2 = 0),
+            b2 AS (SELECT doc_id, text FROM documents WHERE doc_id % 2 = 1
+                   UNION ALL SELECT doc_id, text FROM copies),
+            corpus AS (SELECT * FROM b1 UNION ALL SELECT * FROM b2),
+            {shingle_cte}, {mh_cte},
+            band AS (SELECT doc_id, h // 2 AS band,
+                            array_to_string(list_sort(list(minhash)), '|') AS band_key
+                     FROM mh GROUP BY doc_id, h // 2),
+            f AS (SELECT doc_id,
+                         md5(regexp_replace(lower(text), '\\s+', ' ', 'g')) AS fp
+                  FROM corpus),
+            w1 AS (SELECT f.doc_id, f.fp,
+                          min(f.doc_id) OVER (PARTITION BY f.fp) AS winner
+                   FROM f JOIN b1 USING (doc_id)),
+            e1 AS (SELECT doc_id, fp,
+                          CASE WHEN doc_id <> winner THEN winner END AS dup_of
+                   FROM w1),
+            s1 AS (SELECT doc_id FROM e1 WHERE dup_of IS NULL),
+            n1 AS (SELECT a.doc_id, min(b.doc_id) AS near_of
+                   FROM band a JOIN s1 sa ON a.doc_id = sa.doc_id
+                   JOIN band b ON a.band = b.band AND a.band_key = b.band_key
+                             AND a.doc_id > b.doc_id
+                   JOIN s1 sb ON b.doc_id = sb.doc_id
+                   GROUP BY a.doc_id),
+            d1 AS (SELECT e1.doc_id,
+                          CASE WHEN e1.dup_of IS NOT NULL THEN 'exact_dup'
+                               WHEN n1.near_of IS NOT NULL THEN 'near_dup'
+                               ELSE 'kept' END AS status,
+                          coalesce(e1.dup_of, n1.near_of) AS dup_of
+                   FROM e1 LEFT JOIN n1 USING (doc_id)),
+            k1 AS (SELECT doc_id FROM d1 WHERE status = 'kept'),
+            w2 AS (SELECT f.doc_id, f.fp,
+                          min(f.doc_id) OVER (PARTITION BY f.fp) AS winner
+                   FROM f JOIN b2 USING (doc_id)),
+            st2 AS (SELECT w2.doc_id, min(fk.doc_id) AS stored_doc
+                    FROM w2 JOIN f fk ON fk.fp = w2.fp
+                    JOIN k1 ON fk.doc_id = k1.doc_id
+                    GROUP BY w2.doc_id),
+            e2 AS (SELECT w2.doc_id,
+                          CASE WHEN st2.stored_doc IS NOT NULL THEN st2.stored_doc
+                               WHEN w2.doc_id <> w2.winner THEN w2.winner
+                          END AS dup_of
+                   FROM w2 LEFT JOIN st2 USING (doc_id)),
+            s2 AS (SELECT doc_id FROM e2 WHERE dup_of IS NULL),
+            cands2 AS (
+              SELECT a.doc_id, b.doc_id AS cand
+              FROM band a JOIN s2 ON a.doc_id = s2.doc_id
+              JOIN band b ON a.band = b.band AND a.band_key = b.band_key
+              JOIN k1 ON b.doc_id = k1.doc_id
+              UNION ALL
+              SELECT a.doc_id, b.doc_id AS cand
+              FROM band a JOIN s2 sa ON a.doc_id = sa.doc_id
+              JOIN band b ON a.band = b.band AND a.band_key = b.band_key
+                        AND a.doc_id > b.doc_id
+              JOIN s2 sb ON b.doc_id = sb.doc_id),
+            n2 AS (SELECT doc_id, min(cand) AS near_of FROM cands2 GROUP BY doc_id),
+            d2 AS (SELECT e2.doc_id,
+                          CASE WHEN e2.dup_of IS NOT NULL THEN 'exact_dup'
+                               WHEN n2.near_of IS NOT NULL THEN 'near_dup'
+                               ELSE 'kept' END AS status,
+                          coalesce(e2.dup_of, n2.near_of) AS dup_of
+                   FROM e2 LEFT JOIN n2 USING (doc_id))
+            SELECT doc_id, status, dup_of FROM d1
+            UNION ALL
+            SELECT doc_id, status, dup_of FROM d2""",
         "dl_simhash": f"""WITH toks AS (
               SELECT doc_id, t.tok FROM documents, unnest({words}) AS t(tok))
             SELECT doc_id, CAST({simhash_expr_sql(64, 'tok')} AS BIGINT) AS simhash
