@@ -883,6 +883,43 @@ def q_pack_sequences(spark, sf_dir):
     )
 
 
+def q_mm_decode(spark, sf_dir):
+    """REAL multimodal decode round-trip: build an 8-bit PCM WAV from each
+    doc's ASCII bytes (Arrow map stage), then decode_features parses the
+    actual RIFF/fmt/data chunks back — the oracle recomputes
+    rate/frames/mean|amplitude| from the text directly."""
+    import pandas as pd
+
+    from redistimeseries_spark.pipeline.multimodal import decode_features
+
+    docs = _docs(spark, sf_dir).select(
+        "doc_id", F.regexp_replace("text", "[^ -~]", "").alias("t")
+    )
+
+    def mk(batches):
+        import struct
+
+        for pdf in batches:
+            payloads = []
+            for t in pdf["t"]:
+                data = t.encode("ascii")
+                payloads.append(
+                    b"RIFF" + struct.pack("<I", 36 + len(data)) + b"WAVE"
+                    + b"fmt " + struct.pack("<IHHIIHH", 16, 1, 1, 8000, 8000, 1, 8)
+                    + b"data" + struct.pack("<I", len(data)) + data
+                )
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "media_type": "audio/wav",
+                    "payload": payloads,
+                }
+            )
+
+    media = docs.mapInPandas(mk, "doc_id long, media_type string, payload binary")
+    return decode_features(media, budget_bytes=None)
+
+
 def q_hash_split(spark, sf_dir):
     """Deterministic md5-bucket train/val/test assignment — reproducible
     across engines/partitionings, unlike randomSplit."""
@@ -1186,9 +1223,10 @@ def _base_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dl_sample_stratified": q_sample_stratified,
         "dl_pii": q_pii,
         "dl_curation": q_curation,
-        "dl_mm_features": q_mm_features,
+        "dl_mm_decode": q_mm_decode,
         "ts_asof_join": q_asof_join,
         # --- tail: family variants, locally gated -----------------------
+        "dl_mm_features": q_mm_features,
         "ts_revrange_count": q_revrange_count,
         "ts_agg_avg_1h": q_agg_avg_1h,
         "ts_mrange_max_1h": q_mrange_max_1h,
@@ -1862,6 +1900,22 @@ def _pipeline_oracles() -> dict[str, str]:
               CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
               {first_b} AS first_byte, {last_b} AS last_byte
             FROM documents""",
+        # real WAV decode round-trip: the Spark side parses actual RIFF
+        # bytes; the oracle recomputes the stats from the ASCII source
+        # (8-bit PCM samples are the byte values; decoder centers at 128)
+        "dl_mm_decode": """WITH s AS (
+              SELECT doc_id, regexp_replace(text, '[^ -~]', '', 'g') AS t
+              FROM documents),
+            c AS (SELECT doc_id, ascii(substr(t, i, 1)) AS b
+                  FROM s, unnest(generate_series(1, length(t))) AS u(i)),
+            m AS (SELECT doc_id, count(*) AS n,
+                         avg(abs(b - 128)) AS stat
+                  FROM c GROUP BY 1)
+            SELECT s.doc_id, 'audio/wav' AS media_type,
+                   CAST(8000 AS BIGINT) AS dim1,
+                   CAST(coalesce(m.n, 0) AS BIGINT) AS dim2,
+                   coalesce(m.stat, 0.0) AS stat
+            FROM s LEFT JOIN m USING (doc_id)""",
         "dl_mm_frame_sample": f"""SELECT doc_id, o AS offset,
               16 * (instr('0123456789abcdef', substr(lower(hex(encode(text))), 2 * o + 1, 1)) - 1)
               + (instr('0123456789abcdef', substr(lower(hex(encode(text))), 2 * o + 2, 1)) - 1) AS byte_val

@@ -667,3 +667,69 @@ def test_pack_sequences_zero_token_and_oversize(spark):
     assert out[0].tokens == 0 and not out[0].overflow
     assert out[8].overflow and out[8].bin != out[0].bin  # oversize alone
     assert out[16].bin != out[8].bin and not out[16].overflow
+
+
+def _make_bmp(width, height, rgb_rows):
+    """Minimal uncompressed 24-bit BMP writer (bottom-up rows)."""
+    import struct
+
+    stride = (width * 3 + 3) & ~3
+    pixel_bytes = b""
+    for row in rgb_rows:  # bottom-up
+        line = b"".join(bytes([b, g, r]) for (r, g, b) in row)
+        pixel_bytes += line + b"\x00" * (stride - len(line))
+    off = 14 + 40
+    size = off + len(pixel_bytes)
+    hdr = b"BM" + struct.pack("<IHHI", size, 0, 0, off)
+    info = struct.pack("<IiiHHIIiiII", 40, width, height, 1, 24, 0,
+                       len(pixel_bytes), 2835, 2835, 0, 0)
+    return hdr + info + pixel_bytes
+
+
+def _make_wav(rate, samples16):
+    import io
+    import struct
+    import wave
+
+    buf = io.BytesIO()
+    w = wave.open(buf, "wb")
+    w.setnchannels(1)
+    w.setsampwidth(2)
+    w.setframerate(rate)
+    w.writeframes(struct.pack(f"<{len(samples16)}h", *samples16))
+    w.close()
+    return buf.getvalue()
+
+
+def test_multimodal_real_decode_bmp_wav(spark):
+    """REAL decode (no imaging/audio libs): BMP pixels and WAV PCM samples
+    parsed from the actual bytes through the Arrow mapInPandas stage."""
+    from redistimeseries_spark.pipeline.multimodal import decode_features
+
+    white = [(255, 255, 255)] * 3
+    black = [(0, 0, 0)] * 3
+    bmp = _make_bmp(3, 2, [white, black])  # one white row, one black row
+    wav = _make_wav(8000, [100, -100, 200, -200])
+    rows = [
+        (1, "image/bmp", bytearray(bmp), None),
+        (2, "audio/wav", bytearray(wav), None),
+    ]
+    media = spark.createDataFrame(
+        rows, "doc_id long, media_type string, payload binary, meta string"
+    )
+    got = {r.doc_id: r for r in decode_features(media, budget_bytes=None).collect()}
+    assert (got[1].dim1, got[1].dim2) == (3, 2)
+    # ITU-601 luminance: white=254 (integer div), black=0 -> mean 127.0
+    assert abs(got[1].stat - 127.0) < 1.0
+    assert (got[2].dim1, got[2].dim2) == (8000, 4)
+    assert abs(got[2].stat - 150.0) < 1e-6
+
+    # non-decodable media still routes to the honest hook
+    other = spark.createDataFrame(
+        [(3, "video/mp4", bytearray(b"xxxx"), None)],
+        "doc_id long, media_type string, payload binary, meta string",
+    )
+    import pytest as _pytest
+
+    with _pytest.raises(Exception):
+        decode_features(other, budget_bytes=None).collect()
