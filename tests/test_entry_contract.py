@@ -5,10 +5,10 @@ queries — guards against a new operator landing half-wired."""
 import __spark_entry__ as E
 
 
-# queries whose semantics are sequential/stateful with no closed-form SQL
-# oracle — the driver records the weaker rows-only check for these, and
-# their semantics are pinned by dedicated pytest coverage instead
-ROWS_ONLY = {"dl_stream_dedup"}
+# queries the driver checks rows-only (no SQL oracle).  Empty since round
+# 4: even the sequential/stateful operators (streaming dedup, sequence
+# packing) replay exactly through recursive-CTE / batch-staged oracles.
+ROWS_ONLY: set[str] = set()
 
 
 def test_every_query_has_oracle():
