@@ -427,10 +427,33 @@ def dedup_pipeline(
     r=4 (num_hashes=16) -> 291k, r=8 -> 6.7k, with byte-identical final
     keep decisions at threshold 0.4 (BASELINE.md round 4).  At 100 TB run
     r>=4 and let `max_bucket` star-expand the giant clusters.
+
+    EXACT duplicates collapse to one representative per md5 BEFORE the
+    near-dup stages — provably lossless (an exact copy's shingles, bands
+    and grams are identical to its representative's, so every candidate
+    pair it could form exists through the representative) and the
+    standard production ordering: on a heavily-duplicated crawl the
+    shingle/minhash/verify work shrinks by the duplication factor.  The
+    copies rejoin the cluster graph as (copy, representative) edges, so
+    `canonical` is still the min doc_id over the FULL cluster, exact
+    copies included.
     """
-    cand = minhash_lsh_pairs(docs, num_hashes, bands, k, max_bucket)
-    edges = ngram_jaccard_verify(docs, cand, n, threshold).select("doc_a", "doc_b")
-    comp = connected_components_star(edges)
+    fp = docs.select("doc_id", F.md5("text").alias("__fp"))
+    reps = fp.groupBy("__fp").agg(F.min("doc_id").alias("__rep"))
+    fp = fp.join(reps, "__fp").select("doc_id", "__rep")
+    rep_docs = docs.join(
+        fp.filter(F.col("doc_id") == F.col("__rep")).select("doc_id"),
+        "doc_id",
+        "left_semi",
+    )
+    cand = minhash_lsh_pairs(rep_docs, num_hashes, bands, k, max_bucket)
+    near = ngram_jaccard_verify(rep_docs, cand, n, threshold).select("doc_a", "doc_b")
+    # exact copies ride back in as star edges to their representative
+    # (rep < copy always: the rep is the group min)
+    exact = fp.filter(F.col("doc_id") != F.col("__rep")).select(
+        F.col("__rep").alias("doc_a"), F.col("doc_id").alias("doc_b")
+    )
+    comp = connected_components_star(near.unionByName(exact))
     return (
         docs.select("doc_id")
         .join(comp, "doc_id", "left")
