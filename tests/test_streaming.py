@@ -294,8 +294,10 @@ def test_fully_rejected_batch_with_twa_rule_is_noop(spark, dirs):
     from redistimeseries_spark.streaming.compaction import materialize_rule
 
     rule = CompactionRule(None, "_twa_1s", "twa", 1000)
+    avg_rule = CompactionRule(None, "_avg_1s", "avg", 1000)
     store = StreamingStore(
-        spark, os.path.join(dirs, "store"), "last", [rule], retention_ms=1000
+        spark, os.path.join(dirs, "store"), "last", [rule, avg_rule],
+        retention_ms=1000,
     )
     write_input(spark, dirs, [("k", 100_000, 1.0), ("k", 100_500, 3.0)], "b1")
     write_input(spark, dirs, [("k", 10, 9.0)], "b2")  # far beyond retention
