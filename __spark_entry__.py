@@ -883,6 +883,14 @@ def q_pack_sequences(spark, sf_dir):
     )
 
 
+def q_top_ngrams(spark, sf_dir):
+    """Vocabulary builder: top-200 word bigrams by corpus term frequency
+    (df >= 2), deterministic tf-then-gram ordering; bounded-heap top-k."""
+    from redistimeseries_spark.pipeline.text import top_ngrams
+
+    return top_ngrams(_docs(spark, sf_dir), n=2, k=200, min_df=2)
+
+
 def q_mm_decode(spark, sf_dir):
     """REAL multimodal decode round-trip: build an 8-bit PCM WAV from each
     doc's ASCII bytes (Arrow map stage), then decode_features parses the
@@ -1214,7 +1222,7 @@ def _base_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dl_ann_batch": q_ann_batch,
         "dl_stream_dedup": q_stream_dedup,
         "dl_quality": q_quality,
-        "dl_token_count": q_token_count,
+        "dl_top_ngrams": q_top_ngrams,
         "dl_fingerprint": q_fingerprint,
         "dl_hash_split": q_hash_split,
         "dl_decontaminate": q_decontaminate,
@@ -1226,6 +1234,7 @@ def _base_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dl_mm_decode": q_mm_decode,
         "ts_asof_join": q_asof_join,
         # --- tail: family variants, locally gated -----------------------
+        "dl_token_count": q_token_count,
         "dl_mm_features": q_mm_features,
         "ts_revrange_count": q_revrange_count,
         "ts_agg_avg_1h": q_agg_avg_1h,
@@ -1848,6 +1857,20 @@ def _pipeline_oracles() -> dict[str, str]:
               len(list_filter(string_split_regex(text, '\\s+'), x -> x <> '')) AS ws_tokens,
               CAST(ceil(length(regexp_replace(text, '\\s', '', 'g')) / 4.0) AS BIGINT) AS bpe_tokens_est
             FROM documents""",
+        # vocabulary builder: top-200 bigrams by corpus tf (df>=2),
+        # deterministic (tf DESC, gram) boundary
+        "dl_top_ngrams": """WITH w AS (
+              SELECT doc_id,
+                     list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
+                                 x -> x <> '') AS wa
+              FROM documents),
+            g AS (SELECT doc_id, array_to_string(wa[i:i+1], ' ') AS gram
+                  FROM w, unnest(generate_series(1, len(wa) - 1)) AS t(i)
+                  WHERE len(wa) >= 2),
+            a AS (SELECT gram, count(*) AS tf, count(DISTINCT doc_id) AS df
+                  FROM g GROUP BY 1)
+            SELECT gram, tf, df FROM a WHERE df >= 2
+            ORDER BY tf DESC, gram LIMIT 200""",
         # sequence packing: deterministic next-fit per doc_id%8 group under
         # a 128-token budget, replayed sequentially by a recursive CTE
         # carrying (next shared bin, remaining budget) as running state

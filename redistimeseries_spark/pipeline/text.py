@@ -355,3 +355,42 @@ def corpus_quality_summary(docs: DataFrame) -> DataFrame:
         F.round(F.expr("percentile(quality, 0.95)"), 6).alias("q95"),
         F.round(F.avg("n_words"), 6).alias("avg_words"),
     )
+
+
+def top_ngrams(
+    docs: DataFrame, n: int = 1, k: int = 1000, min_df: int = 1
+) -> DataFrame:
+    """(gram, tf, df) — the k most frequent word n-grams with their corpus
+    term frequency and document frequency: the vocabulary-builder pass a
+    tokenizer-training / stopword-mining step runs over the corpus.
+
+    Scale shape: ONE explode of per-doc gram lists (occurrences, not
+    distinct — tf needs multiplicity) into a single (gram) aggregation
+    with map-side partial combine; df rides the same aggregation as
+    count(distinct doc_id) per gram, so no second pass.  The top-k is
+    TakeOrderedAndProject (bounded heaps per partition + driver merge,
+    never a full sort); ties at the boundary break deterministically by
+    gram text.  min_df cuts hapax noise before the heap."""
+    grams = docs.select(
+        "doc_id",
+        F.expr(f"array_remove(split(lower(text), '{WORD_RE}'), '')").alias("wa"),
+    ).select(
+        "doc_id",
+        F.explode(
+            F.expr(
+                f"CASE WHEN size(wa) >= {n} THEN transform("
+                f"sequence(1, size(wa) - {n - 1}),"
+                f" i -> concat_ws(' ', slice(wa, i, {n}))) "
+                f"ELSE array() END"
+            )
+        ).alias("gram"),
+    )
+    agg = grams.groupBy("gram").agg(
+        F.count(F.lit(1)).alias("tf"),
+        F.count_distinct("doc_id").alias("df"),
+    )
+    return (
+        agg.filter(F.col("df") >= min_df)
+        .orderBy(F.desc("tf"), "gram")
+        .limit(k)
+    )

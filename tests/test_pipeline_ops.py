@@ -733,3 +733,29 @@ def test_multimodal_real_decode_bmp_wav(spark):
 
     with _pytest.raises(Exception):
         decode_features(other, budget_bytes=None).collect()
+
+
+def test_top_ngrams_vocab(spark):
+    """Vocabulary builder: tf counts occurrences (multiplicity), df counts
+    documents, min_df cuts hapax grams, top-k bounded and deterministic."""
+    from redistimeseries_spark.pipeline.text import top_ngrams
+
+    d = spark.createDataFrame(
+        [
+            (1, "the cat and the cat sat"),
+            (2, "the cat ran"),
+            (3, "solo hapax words only"),
+        ],
+        "doc_id long, text string",
+    )
+    uni = {r.gram: (r.tf, r.df) for r in top_ngrams(d, n=1, k=10, min_df=2).collect()}
+    assert uni["the"] == (3, 2) and uni["cat"] == (3, 2)
+    assert "solo" not in uni  # df=1 cut
+    bi = {r.gram: (r.tf, r.df) for r in top_ngrams(d, n=2, k=10, min_df=2).collect()}
+    assert bi["the cat"] == (3, 2)
+    # k bounds the heap; ordering deterministic (tf desc, gram asc)
+    top1 = top_ngrams(d, n=1, k=1, min_df=1).collect()
+    assert len(top1) == 1 and top1[0].gram == "cat"  # tf tie (3,3) -> gram order
+    # the plan must use a bounded top-k, not a global sort
+    plan = top_ngrams(d, n=1, k=5)._jdf.queryExecution().executedPlan().toString()
+    assert "TakeOrderedAndProject" in plan
