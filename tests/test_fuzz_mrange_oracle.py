@@ -96,6 +96,8 @@ def _spec(rng: random.Random) -> dict:
         if not spec.get("empty") and rng.random() < 0.3:
             spec["count"] = rng.randint(1, 15)
             spec["rev"] = rng.random() < 0.5
+        if rng.random() < 0.3:
+            spec["selected"] = rng.sample(["env", "team", "tier"], rng.randint(1, 2))
     return spec
 
 
@@ -204,11 +206,17 @@ GROUP BY 1, 2"""
             f" QUALIFY row_number() OVER (PARTITION BY key"
             f" ORDER BY ts {direction}) <= {spec['count']}"
         )
-    if spec.get("exclude_empty", True):
-        return body + "\n" + out
-    # EXCLUDEEMPTY off: matched series with no rows surface as one marker
-    return f"""{body}, res AS ({out})
-SELECT mk.key, res.ts, res.{vcol} FROM mk LEFT JOIN res USING (key)"""
+    if not spec.get("exclude_empty", True):
+        # EXCLUDEEMPTY off: matched series with no rows surface as a marker
+        out = f"""SELECT mk.key, res.ts, res.{vcol}
+FROM mk LEFT JOIN ({out}) res USING (key)"""
+    for lbl in spec.get("selected") or []:
+        # SELECTED_LABELS: one label-value column per selection, NULL when
+        # the series lacks the label (the reference replies nil)
+        out = f"""SELECT q.*, l_{lbl}.value AS {lbl}
+FROM ({out}) q LEFT JOIN (SELECT key, value FROM lab WHERE label = '{lbl}') l_{lbl}
+USING (key)"""
+    return body + "\n" + out
 
 
 def _run_spec(spec: dict, sdf, labels_df):
@@ -216,6 +224,7 @@ def _run_spec(spec: dict, sdf, labels_df):
         filters=spec["filters"], start=spec["start"], end=spec["end"],
         groupby=spec.get("groupby"), reduce=spec.get("reduce"),
         exclude_empty=spec.get("exclude_empty", True),
+        selected_labels=spec.get("selected"),
     )
     if spec.get("agg"):
         kwargs.update(
