@@ -1181,22 +1181,34 @@ def _base_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # enters the prefix; ts_revrange_count (driver-green r01 AND r03; scan
     # family keeps ts_range_raw, COUNT semantics keep ts_count_post_agg in
     # the gated tail) rotates out.
+    # Round-5 rotation: the 9 queries that have NEVER had a driver-green
+    # row (r1-r4 CORRECTNESS union) promote; demoted entries all have >=2
+    # green rounds and their family keeps a prefix representative —
+    # promoted: ts_session_stats, ts_count_post_agg, ts_mrange_twa,
+    #   dl_quality_summary, dl_simhash, dl_ann_lsh_topk,
+    #   dl_rolling_fingerprint, dl_embed_neardup_lsh, dl_mm_frame_sample;
+    # demoted: ts_range_filter_value, ts_agg_empty, ts_agg_multi_align,
+    #   ts_mrange_multiagg, ts_querylabels_values, dl_quality
+    #   (dl_quality_summary covers the quality family), dl_fingerprint
+    #   (dl_rolling_fingerprint covers fingerprints), dl_embed_neardup
+    #   (lsh variant covers embedding near-dup), dl_ann_cosine_topk
+    #   (dl_ann_batch + dl_ann_lsh_topk cover ANN).
     return {
         # --- checked prefix: one representative per operator family -----
         "ts_range_raw": q_range_raw,
         "dl_pack_sequences": q_pack_sequences,
-        "ts_range_filter_value": q_range_filter_value,
+        "ts_session_stats": q_session_stats,
         "ts_agg_empty_nan": q_agg_empty_nan,
         "ts_agg_all14": q_agg_all14,
         "ts_agg_twa": q_agg_twa,
-        "ts_agg_empty": q_agg_empty,
-        "ts_agg_multi_align": q_agg_multi_align,
+        "ts_count_post_agg": q_count_post_agg,
+        "ts_mrange_twa": q_mrange_twa,
         "ts_get": q_get,
         "ts_mget_withlabels": q_mget_withlabels,
         "ts_queryindex": q_queryindex,
-        "ts_querylabels_values": q_querylabels_values,
+        "dl_quality_summary": q_quality_summary,
         "ts_rollup_route": q_rollup_route,
-        "ts_mrange_multiagg": q_mrange_multiagg,
+        "dl_simhash": q_simhash,
         "ts_mrange_latest": q_mrange_latest,
         "ts_mrange_groupby_avg": q_mrange_groupby_avg,
         "ts_nrange_pivot": q_nrange_pivot,
@@ -1217,13 +1229,13 @@ def _base_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dl_ngram_jaccard": q_ngram_jaccard,
         "dl_dedup_components_star": q_dedup_components_star,
         "dl_dedup_pipeline": q_dedup_pipeline,
-        "dl_embed_neardup": q_embed_neardup,
-        "dl_ann_cosine_topk": q_ann_cosine_topk,
+        "dl_embed_neardup_lsh": q_embed_neardup_lsh,
+        "dl_ann_lsh_topk": q_ann_lsh_topk,
         "dl_ann_batch": q_ann_batch,
         "dl_stream_dedup": q_stream_dedup,
-        "dl_quality": q_quality,
+        "dl_mm_frame_sample": q_mm_frame_sample,
         "dl_top_ngrams": q_top_ngrams,
-        "dl_fingerprint": q_fingerprint,
+        "dl_rolling_fingerprint": q_rolling_fingerprint,
         "dl_hash_split": q_hash_split,
         "dl_decontaminate": q_decontaminate,
         "dl_repetition": q_repetition,
@@ -1234,6 +1246,15 @@ def _base_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dl_mm_decode": q_mm_decode,
         "ts_asof_join": q_asof_join,
         # --- tail: family variants, locally gated -----------------------
+        "ts_range_filter_value": q_range_filter_value,
+        "ts_agg_empty": q_agg_empty,
+        "ts_agg_multi_align": q_agg_multi_align,
+        "ts_mrange_multiagg": q_mrange_multiagg,
+        "ts_querylabels_values": q_querylabels_values,
+        "dl_quality": q_quality,
+        "dl_fingerprint": q_fingerprint,
+        "dl_embed_neardup": q_embed_neardup,
+        "dl_ann_cosine_topk": q_ann_cosine_topk,
         "dl_token_count": q_token_count,
         "dl_mm_features": q_mm_features,
         "ts_revrange_count": q_revrange_count,
@@ -1247,16 +1268,8 @@ def _base_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dl_lang_id": q_lang_id,
         "ts_range_latest": q_range_latest,
         "ts_incrby": q_incrby,
-        "ts_session_stats": q_session_stats,
-        "dl_quality_summary": q_quality_summary,
-        "dl_simhash": q_simhash,
-        "dl_ann_lsh_topk": q_ann_lsh_topk,
-        "dl_rolling_fingerprint": q_rolling_fingerprint,
-        "ts_count_post_agg": q_count_post_agg,
         "ts_agg_twa_empty": q_agg_twa_empty,
         "ts_compaction_twa_1h": q_compaction_twa_1h,
-        "dl_embed_neardup_lsh": q_embed_neardup_lsh,
-        "dl_mm_frame_sample": q_mm_frame_sample,
         "ts_agg_empty_multi_twa": q_agg_empty_multi_twa,
         "ts_agg_align_literal": q_agg_align_literal,
         "ts_align_end": q_align_end,
@@ -1265,7 +1278,6 @@ def _base_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ts_queryindex_neg": q_queryindex_neg,
         "ts_querylabels_names": q_querylabels_names,
         "ts_mrange_withlabels": q_mrange_withlabels,
-        "ts_mrange_twa": q_mrange_twa,
         "ts_mrange_noexclude": q_mrange_noexclude,
         "ts_mrange_groupby_sum": q_mrange_groupby_sum,
         "ts_mrange_groupby_count": q_mrange_groupby_count,

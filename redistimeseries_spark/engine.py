@@ -212,8 +212,19 @@ class TimeSeriesEngine:
             return
         self.flush()
         frozen = self._dest_samples(list(rules), latest=False)
-        self._samples = self._samples.unionByName(frozen).localCheckpoint()
-        self._frozen_dests.update(r.dest_key for r in rules)
+        # Re-freezing an already-frozen dest must not duplicate rows: the
+        # materialization above already merges previously-stored dest rows
+        # (the dirty path of _dest_samples), so drop the old stored copies
+        # before the union — otherwise DELETERULE→CREATERULE→DELETERULE
+        # leaves two rows per ts where the reference's DP_LAST upsert
+        # keeps one (src/tsdb.c:622-660 upserts into the same chunk).
+        dest_keys = [r.dest_key for r in rules]
+        self._samples = (
+            self._samples.filter(~F.col("key").isin(dest_keys))
+            .unionByName(frozen)
+            .localCheckpoint()
+        )
+        self._frozen_dests.update(dest_keys)
 
     def delete_rule(self, src: str, dest: str):
         hit = [r for r in self.rules if r.src_key == src and r.dest_key == dest]

@@ -106,6 +106,10 @@ def decode_bmp(payload: bytes) -> tuple[int, int, float]:
         raise ValueError(f"only uncompressed 24-bit BMP supported (bpp={bpp})")
     rows = abs(height)
     stride = (width * 3 + 3) & ~3  # rows pad to 4 bytes
+    if data_off + rows * stride > len(payload):
+        raise ValueError(
+            f"truncated BMP: need {data_off + rows * stride} bytes, have {len(payload)}"
+        )
     total = 0
     for r in range(rows):
         base = data_off + r * stride
@@ -129,10 +133,15 @@ def decode_wav(payload: bytes) -> tuple[int, int, float]:
 
     if payload[:4] != b"RIFF" or payload[8:12] != b"WAVE":
         raise ValueError("not a WAV payload")
-    pos, rate, bits, channels, frames = 12, None, None, None, None
-    mean_abs = 0.0
+    # walk all chunks first, decode after — RIFF permits data before fmt,
+    # and decoding inline would misread bits/channels in that ordering
+    pos, rate, bits, channels, data = 12, None, None, None, None
     while pos + 8 <= len(payload):
         cid, size = payload[pos : pos + 4], struct.unpack_from("<I", payload, pos + 4)[0]
+        if pos + 8 + size > len(payload):
+            raise ValueError(
+                f"truncated WAV: chunk {cid!r} claims {size} bytes past payload end"
+            )
         body = payload[pos + 8 : pos + 8 + size]
         if cid == b"fmt ":
             fmt, channels, rate = struct.unpack_from("<HHI", body, 0)
@@ -140,20 +149,19 @@ def decode_wav(payload: bytes) -> tuple[int, int, float]:
             if fmt != 1:
                 raise ValueError("only PCM WAV supported")
         elif cid == b"data":
-            if bits == 8:
-                samples = [b - 128 for b in body]
-            elif bits == 16:
-                samples = list(struct.unpack(f"<{len(body) // 2}h", body))
-            else:
-                raise ValueError(f"unsupported PCM width {bits}")
-            frames = len(samples) // max(channels, 1)
-            # raw quotient — see decode_bmp's rounding note
-            mean_abs = (
-                sum(abs(s) for s in samples) / len(samples) if samples else 0.0
-            )
+            data = body
         pos += 8 + size + (size & 1)  # RIFF chunks pad to even
-    if rate is None or frames is None:
+    if rate is None or data is None:
         raise ValueError("missing fmt/data chunk")
+    if bits == 8:
+        samples = [b - 128 for b in data]
+    elif bits == 16:
+        samples = list(struct.unpack(f"<{len(data) // 2}h", data))
+    else:
+        raise ValueError(f"unsupported PCM width {bits}")
+    frames = len(samples) // max(channels, 1)
+    # raw quotient — see decode_bmp's rounding note
+    mean_abs = sum(abs(s) for s in samples) / len(samples) if samples else 0.0
     return rate, frames, mean_abs
 
 

@@ -521,3 +521,35 @@ def test_recreate_rule_on_frozen_dest_merges(eng):
     # no duplicate (key, ts) anywhere in the multi-series view
     seen = [(r.key, r.ts) for r in eng._samples_with_dests(False).collect()]
     assert len(seen) == len(set(seen))
+
+
+def test_double_freeze_no_duplicate_rows(eng):
+    """Re-freezing an already-frozen dest (DELETERULE -> CREATERULE ->
+    DELETERULE) must upsert — not append — into the stored dest rows:
+    the second freeze's buckets REPLACE the first freeze's rows at the
+    same ts (reference DP_LAST upsert, src/tsdb.c:622-660), leaving one
+    row per (key, ts)."""
+    eng.create("src")
+    eng.create("dst")
+    eng.create_rule("src", "dst", "sum", 1000)
+    eng.madd([("src", 0, 1.0), ("src", 500, 3.0), ("src", 1500, 10.0)])
+    eng.delete_rule("src", "dst")  # freeze #1: (dst, 0, 4.0)
+    eng.create_rule("src", "dst", "avg", 1000)
+    eng.delete_rule("src", "dst")  # freeze #2: avg -> (dst, 0, 2.0); open bucket discarded
+    got = sorted((r.ts, r.value) for r in eng.range("dst").collect())
+    assert got == [(0, 2.0)]
+    seen = [(r.key, r.ts) for r in eng._samples.collect()]
+    assert len(seen) == len(set(seen))
+
+    # DEL of the src after a prior freeze is the same re-freeze path
+    eng.create("s2")
+    eng.create("d2")
+    eng.create_rule("s2", "d2", "sum", 1000)
+    eng.madd([("s2", 0, 1.0), ("s2", 1500, 2.0)])
+    eng.delete_rule("s2", "d2")
+    eng.create_rule("s2", "d2", "max", 1000)
+    eng.drop("s2")  # re-freezes d2 via the drop path
+    got = sorted((r.ts, r.value) for r in eng.range("d2").collect())
+    assert got == [(0, 1.0)]
+    seen = [(r.key, r.ts) for r in eng._samples.collect()]
+    assert len(seen) == len(set(seen))

@@ -190,7 +190,14 @@ def test_connected_components_star_matches_propagation(spark):
         pairs = [(a, b) for a, b in pairs if a != b] or [(1, 2)]
         df = spark.createDataFrame(pairs, "doc_a long, doc_b long")
         base = {r.doc_id: r.component for r in connected_components(df).collect()}
-        star = {r.doc_id: r.component for r in connected_components_star(df).collect()}
+        # adaptive driver union-find path (small graph, default threshold)
+        fast = {r.doc_id: r.component for r in connected_components_star(df).collect()}
+        # distributed star loop path (threshold disabled)
+        star = {
+            r.doc_id: r.component
+            for r in connected_components_star(df, driver_threshold=0).collect()
+        }
+        assert fast == base, (trial, sorted(pairs), fast, base)
         assert star == base, (trial, sorted(pairs), star, base)
 
 
@@ -202,8 +209,10 @@ def test_connected_components_star_long_chain_few_rounds(spark):
     pairs = spark.createDataFrame(
         [(i, i + 1) for i in range(1, 64)], "doc_a long, doc_b long"
     )
+    # driver_threshold=0 forces the distributed loop — the round budget is
+    # what this test pins down (the adaptive path would bypass it)
     got = {r.doc_id: r.component for r in
-           connected_components_star(pairs, max_iter=8).collect()}
+           connected_components_star(pairs, max_iter=8, driver_threshold=0).collect()}
     assert got == {i: 1 for i in range(1, 65)}
 
 
@@ -733,6 +742,70 @@ def test_multimodal_real_decode_bmp_wav(spark):
 
     with _pytest.raises(Exception):
         decode_features(other, budget_bytes=None).collect()
+
+
+def test_minhash_arrow_matches_expression_path(spark):
+    """The Arrow mapInPandas minhash kernel must be byte-identical to the
+    pure-expression plan — same md5 math, JVM-side lowering, null text
+    propagating to null signatures on both paths."""
+    from redistimeseries_spark.pipeline.dedup import minhash_signatures
+
+    docs = spark.createDataFrame(
+        [
+            (1, "The quick brown Fox jumps over the lazy dog"),
+            (2, "the quick brown fox JUMPS over the lazy dog"),
+            (3, "completely different text with unicode: café Über"),
+            (4, "ab"),  # shorter than the shingle width
+            (5, None),  # null text -> null signature
+        ],
+        "doc_id long, text string",
+    )
+    key = lambda df: sorted(
+        ((r.doc_id, r.h, r.minhash) for r in df.collect()),
+        key=lambda t: (t[0], t[1]),
+    )
+    got_arrow = key(minhash_signatures(docs, 8, 5, arrow=True))
+    got_expr = key(minhash_signatures(docs, 8, 5, arrow=False))
+    assert got_arrow == got_expr
+    # docs 1/2 differ only in case -> identical signatures (JVM lower)
+    sig = lambda rows, d: [m for (i, h, m) in rows if i == d]
+    assert sig(got_arrow, 1) == sig(got_arrow, 2)
+    assert all(m is None for m in sig(got_arrow, 5))
+
+
+def test_decoders_robust_to_ordering_and_truncation():
+    """Pure-Python decoder hardening: a RIFF file with the data chunk
+    BEFORE fmt still decodes correctly (chunk order is not fixed by the
+    spec); truncated payloads raise a clear error instead of silently
+    understating the statistic."""
+    import struct
+
+    import pytest as _pytest
+
+    from redistimeseries_spark.pipeline.multimodal import decode_bmp, decode_wav
+
+    # --- WAV with data chunk first, then fmt ---
+    samples = [100, -100, 200, -200]
+    data = struct.pack(f"<{len(samples)}h", *samples)
+    fmt = struct.pack("<HHIIHH", 1, 1, 8000, 16000, 2, 16)
+    chunks = (
+        b"data" + struct.pack("<I", len(data)) + data
+        + b"fmt " + struct.pack("<I", len(fmt)) + fmt
+    )
+    wav = b"RIFF" + struct.pack("<I", 4 + len(chunks)) + b"WAVE" + chunks
+    rate, frames, mean_abs = decode_wav(wav)
+    assert (rate, frames) == (8000, 4) and abs(mean_abs - 150.0) < 1e-9
+
+    # --- WAV whose data chunk claims more bytes than the payload holds ---
+    bad = wav[:-4]  # chop the tail: the last chunk size now overruns
+    with _pytest.raises(ValueError, match="truncated WAV"):
+        decode_wav(bad)
+
+    # --- truncated BMP: pixel data shorter than rows*stride ---
+    whole = _make_bmp(3, 2, [[(255, 255, 255)] * 3, [(0, 0, 0)] * 3])
+    assert decode_bmp(whole)[:2] == (3, 2)
+    with _pytest.raises(ValueError, match="truncated BMP"):
+        decode_bmp(whole[:-5])
 
 
 def test_top_ngrams_vocab(spark):
