@@ -891,6 +891,51 @@ def q_top_ngrams(spark, sf_dir):
     return top_ngrams(_docs(spark, sf_dir), n=2, k=200, min_df=2)
 
 
+def q_bm25_topk(spark, sf_dir):
+    """Lexical retrieval: BM25 top-20 for a multi-term query — tf from a
+    filter-before-explode pass, df/N/avgdl ride broadcast frames, top-k
+    runs as TakeOrderedAndProject (no global sort)."""
+    from redistimeseries_spark.pipeline.retrieval import bm25_topk
+
+    return bm25_topk(
+        _docs(spark, sf_dir).select("doc_id", "text"),
+        "fast table scan query",
+        k=20,
+    )
+
+
+def q_cross_contaminated(spark, sf_dir):
+    """Fuzzy train/eval contamination screen: every 50th doc is the eval
+    corpus; a training doc is flagged iff it shares a minhash-LSH band
+    with ANY eval doc (near-dup contamination that verbatim n-gram
+    screens miss).  Semi-join against the broadcast eval band set — one
+    row per training doc, giant buckets never multiply rows."""
+    from redistimeseries_spark.pipeline.dedup import cross_contaminated
+
+    docs = _docs(spark, sf_dir).select("doc_id", "text")
+    return cross_contaminated(
+        docs.filter(F.col("doc_id") % 50 != 0),
+        docs.filter(F.col("doc_id") % 50 == 0),
+        num_hashes=8,
+        bands=4,
+    )
+
+
+def q_cross_lsh_pairs(spark, sf_dir):
+    """Pair-level cross-corpus LSH: (train doc, eval doc) candidate
+    near-dup pairs via one (band, band_key) equi-join — never a cross
+    product."""
+    from redistimeseries_spark.pipeline.dedup import cross_minhash_lsh_pairs
+
+    docs = _docs(spark, sf_dir).select("doc_id", "text")
+    return cross_minhash_lsh_pairs(
+        docs.filter(F.col("doc_id") % 50 != 0),
+        docs.filter(F.col("doc_id") % 50 == 0),
+        num_hashes=8,
+        bands=4,
+    )
+
+
 def q_mm_decode(spark, sf_dir):
     """REAL multimodal decode round-trip: build an 8-bit PCM WAV from each
     doc's ASCII bytes (Arrow map stage), then decode_features parses the
@@ -1193,6 +1238,12 @@ def _base_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     #   (dl_rolling_fingerprint covers fingerprints), dl_embed_neardup
     #   (lsh variant covers embedding near-dup), dl_ann_cosine_topk
     #   (dl_ann_batch + dl_ann_lsh_topk cover ANN).
+    # Round-5 NEW family promotions: dl_bm25_topk (lexical retrieval) and
+    # dl_cross_contaminated (cross-corpus fuzzy decontamination) enter the
+    # prefix; ts_compaction_avg_10m (compaction family keeps
+    # ts_stream_rule_avg_1m + ts_rollup_route) and dl_dedup_exact
+    # (dl_dedup_pipeline runs the exact collapse inside it) rotate to the
+    # tail; dl_cross_lsh_pairs (pair-level variant) starts in the tail.
     return {
         # --- checked prefix: one representative per operator family -----
         "ts_range_raw": q_range_raw,
@@ -1215,14 +1266,14 @@ def _base_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ts_dup_last": q_dup_last,
         "ts_retention_clamp": q_retention_clamp,
         "ts_del_range": q_del_range,
-        "ts_compaction_avg_10m": q_compaction_avg_10m,
+        "dl_bm25_topk": q_bm25_topk,
         "ts_info_full": q_info_full,
         "ts_stream_rule_avg_1m": q_stream_rule_avg_1m,
         "ts_stream_incrby": q_stream_incrby,
         "ts_read_tail": q_read_tail,
         "ts_ignore_filter": q_ignore_filter,
         "ts_madd_status": q_madd_status,
-        "dl_dedup_exact": q_dedup_exact,
+        "dl_cross_contaminated": q_cross_contaminated,
         "dl_quantize": q_quantize,
         "dl_minhash_lsh_pairs": q_minhash_lsh_pairs,
         "dl_simhash_pairs": q_simhash_pairs,
@@ -1246,6 +1297,9 @@ def _base_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dl_mm_decode": q_mm_decode,
         "ts_asof_join": q_asof_join,
         # --- tail: family variants, locally gated -----------------------
+        "ts_compaction_avg_10m": q_compaction_avg_10m,
+        "dl_dedup_exact": q_dedup_exact,
+        "dl_cross_lsh_pairs": q_cross_lsh_pairs,
         "ts_range_filter_value": q_range_filter_value,
         "ts_agg_empty": q_agg_empty,
         "ts_agg_multi_align": q_agg_multi_align,
@@ -1585,6 +1639,46 @@ def _pipeline_oracles() -> dict[str, str]:
             SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
             FROM band a JOIN band b
               ON a.band = b.band AND a.band_key = b.band_key AND a.doc_id < b.doc_id""",
+        "dl_cross_contaminated": f"""WITH corpus AS (SELECT doc_id, text FROM documents),
+            {shingle_cte}, {mh_cte},
+            band AS (SELECT doc_id, h // 2 AS band,
+                            array_to_string(list_sort(list(minhash)), '|') AS band_key
+                     FROM mh GROUP BY doc_id, h // 2),
+            hit AS (SELECT DISTINCT a.doc_id
+                    FROM band a
+                    JOIN (SELECT DISTINCT band, band_key FROM band
+                          WHERE doc_id % 50 = 0) r USING (band, band_key)
+                    WHERE a.doc_id % 50 <> 0)
+            SELECT d.doc_id, (h.doc_id IS NOT NULL) AS contaminated
+            FROM (SELECT doc_id FROM documents WHERE doc_id % 50 <> 0) d
+            LEFT JOIN hit h USING (doc_id)""",
+        "dl_cross_lsh_pairs": f"""WITH corpus AS (SELECT doc_id, text FROM documents),
+            {shingle_cte}, {mh_cte},
+            band AS (SELECT doc_id, h // 2 AS band,
+                            array_to_string(list_sort(list(minhash)), '|') AS band_key
+                     FROM mh GROUP BY doc_id, h // 2)
+            SELECT DISTINCT a.doc_id AS left_id, b.doc_id AS right_id
+            FROM band a JOIN band b USING (band, band_key)
+            WHERE a.doc_id % 50 <> 0 AND b.doc_id % 50 = 0""",
+        "dl_bm25_topk": f"""WITH
+            w AS (SELECT doc_id, {words} AS wa FROM documents),
+            d AS (SELECT doc_id, len(wa) AS dl, wa FROM w),
+            stats AS (SELECT count(*) AS n_docs, avg(dl) AS avgdl FROM d),
+            m AS (SELECT doc_id, dl, t.term
+                  FROM d, unnest(wa) AS t(term)
+                  WHERE t.term IN ('fast', 'query', 'scan', 'table')),
+            tf AS (SELECT doc_id, term, count(*) AS tf, min(dl) AS dl
+                   FROM m GROUP BY 1, 2),
+            df AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
+            s AS (SELECT tf.doc_id,
+                         ln(1 + (n_docs - df + 0.5) / (df + 0.5))
+                           * (tf * (1.2 + 1))
+                           / (tf + 1.2 * (1 - 0.75 + 0.75 * dl / avgdl)) AS wgt
+                  FROM tf JOIN df USING (term), stats)
+            SELECT doc_id, round(sum(wgt), 6) AS score
+            FROM s GROUP BY doc_id
+            ORDER BY round(sum(wgt), 6) DESC, doc_id
+            LIMIT 20""",
         # incremental streaming dedup replayed batch-by-batch in SQL:
         # batch 1 = even doc_ids, batch 2 = odd + planted copies (ids from
         # max+rn, mirroring q_stream_dedup); exact = fp winner groups vs

@@ -203,6 +203,28 @@ def _minhash_wide(
     )
 
 
+def _lsh_bands(
+    docs: DataFrame, num_hashes: int, bands: int, k: int, arrow: bool = True
+) -> DataFrame:
+    """(doc_id, band, band_key) — LSH band keys, entirely map-side.
+    Band keys fold from the wide signature columns: the former
+    stack -> groupBy(doc_id, band) collect_list shape shuffled
+    |docs| x num_hashes rows just to regroup columns that were already
+    side by side in one row — this one never shuffles (sort_array keeps
+    the key order-insensitive, as collect_list's arrival order was)."""
+    rows = num_hashes // bands
+    wide = _minhash_wide(docs, num_hashes, k, arrow=arrow)
+    band_rows = ", ".join(
+        f"{b}, concat_ws('|', sort_array(array("
+        + ", ".join(f"mh{b * rows + r}" for r in range(rows))
+        + ")))"
+        for b in range(bands)
+    )
+    return wide.select(
+        "doc_id", F.expr(f"stack({bands}, {band_rows}) AS (band, band_key)")
+    )
+
+
 def minhash_lsh_pairs(
     docs: DataFrame,
     num_hashes: int = 8,
@@ -222,23 +244,7 @@ def minhash_lsh_pairs(
     is what the candidate pairs exist for."""
     from pyspark.sql import Window
 
-    rows = num_hashes // bands
-    # band keys fold map-side from the wide signature columns: the former
-    # stack -> groupBy(doc_id, band) collect_list shape shuffled
-    # |docs| x num_hashes rows just to regroup columns that were already
-    # side by side in one row — this one never shuffles before the bucket
-    # stage (sort_array keeps the key order-insensitive, as collect_list's
-    # arrival order was)
-    wide = _minhash_wide(docs, num_hashes, k, arrow=arrow)
-    band_rows = ", ".join(
-        f"{b}, concat_ws('|', sort_array(array("
-        + ", ".join(f"mh{b * rows + r}" for r in range(rows))
-        + ")))"
-        for b in range(bands)
-    )
-    band = wide.select(
-        "doc_id", F.expr(f"stack({bands}, {band_rows}) AS (band, band_key)")
-    )
+    band = _lsh_bands(docs, num_hashes, bands, k, arrow=arrow)
     w = Window.partitionBy("band", "band_key")
     band = band.withColumn("__bsz", F.count(F.lit(1)).over(w)).withColumn(
         "__rep", F.min("doc_id").over(w)
@@ -256,6 +262,79 @@ def minhash_lsh_pairs(
         (F.col("__bsz") > max_bucket) & (F.col("doc_id") != F.col("__rep"))
     ).select(F.col("__rep").alias("doc_a"), F.col("doc_id").alias("doc_b"))
     return all_pairs.union(star).distinct()
+
+
+def cross_minhash_lsh_pairs(
+    left: DataFrame,
+    right: DataFrame,
+    num_hashes: int = 8,
+    bands: int = 4,
+    k: int = 5,
+    arrow: bool = True,
+) -> DataFrame:
+    """(left_id, right_id) — candidate near-duplicate pairs BETWEEN two
+    corpora: the fuzzy analogue of exact decontamination (a train doc
+    near-duplicating an eval doc escapes both md5 dedup and verbatim
+    n-gram screens when a few words differ).  Each side computes its LSH
+    band keys map-side (`_lsh_bands`); one equi-join on (band, band_key)
+    proposes the pairs — never a cross product.  Feed the output to
+    `ngram_jaccard_verify` (rename columns to doc_a/doc_b) for exact
+    disposal, or use `cross_contaminated` when only the left-side
+    verdict matters.
+
+    Scale note: a band bucket with m left and n right members emits
+    m x n rows here.  For the flag-only decision that explosion is
+    avoidable — `cross_contaminated` semi-joins instead (linear).  For
+    pair-level output it is the honest answer set; cut pathological
+    buckets upstream (boilerplate/empty docs) with quality filters."""
+    lb = _lsh_bands(left, num_hashes, bands, k, arrow=arrow).select(
+        F.col("doc_id").alias("left_id"), "band", "band_key"
+    )
+    rb = _lsh_bands(right, num_hashes, bands, k, arrow=arrow).select(
+        F.col("doc_id").alias("right_id"), "band", "band_key"
+    )
+    return lb.join(rb, ["band", "band_key"]).select("left_id", "right_id").distinct()
+
+
+def cross_contaminated(
+    left: DataFrame,
+    right: DataFrame,
+    num_hashes: int = 8,
+    bands: int = 4,
+    k: int = 5,
+    arrow: bool = True,
+    broadcast_right: bool = True,
+) -> DataFrame:
+    """(doc_id, contaminated) — one row per LEFT doc: true iff it shares
+    at least one LSH band with ANY right-corpus doc (near-duplicate
+    contamination screen; Brown et al.'s fuzzy train/test overlap check,
+    done with minhash instead of verbatim 13-grams).
+
+    Scale shape: the right side collapses to its DISTINCT (band,
+    band_key) set — eval suites are tiny relative to a pre-training
+    corpus, so that set broadcasts (`broadcast_right=False` for a big
+    right corpus) — and the left bands probe it with a LEFT SEMI join:
+    output stays one row per left doc, giant shared buckets never
+    multiply rows."""
+    lb = _lsh_bands(left, num_hashes, bands, k, arrow=arrow)
+    rkeys = (
+        _lsh_bands(right, num_hashes, bands, k, arrow=arrow)
+        .select("band", "band_key")
+        .distinct()
+    )
+    if broadcast_right:
+        rkeys = F.broadcast(rkeys)
+    hit = (
+        lb.join(rkeys, ["band", "band_key"], "left_semi")
+        .select("doc_id")
+        .distinct()
+        .withColumn("__hit", F.lit(True))
+    )
+    return (
+        left.select("doc_id")
+        .join(hit, "doc_id", "left")
+        .select("doc_id", F.coalesce("__hit", F.lit(False)).alias("contaminated"))
+    )
 
 
 def _nibble(expr: str) -> str:

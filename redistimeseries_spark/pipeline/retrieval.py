@@ -1,0 +1,133 @@
+"""Lexical retrieval over the documents table: BM25 scoring and top-k.
+
+The missing sibling of the embedding ANN family (pipeline/similarity.py):
+a training-data pipeline uses lexical retrieval to pull topical subsets
+("find the docs about X"), to mine hard negatives for embedding training,
+and as the sparse half of hybrid search.  BM25 (Robertson & Spärck Jones'
+probabilistic ranking; the Okapi BM25 formulation with the k1/b saturation
+terms) is the standard scorer.
+
+Spark-first shape — everything is expression-level, no UDFs:
+
+* per-doc term frequencies for the QUERY TERMS ONLY: the tokenized text
+  filters against a literal term set before the explode, so the exploded
+  intermediate holds only matching occurrences (|matches| rows, not
+  |tokens| rows);
+* document frequencies come from the same filtered rows — one tiny
+  aggregate keyed by term (bounded by |query terms|);
+* N and avgdl ride in via a broadcast 1-row cross join, never a driver
+  collect, so the whole scorer stays one lazy plan;
+* top-k orders by (score desc, doc_id asc) under a LIMIT — Catalyst
+  runs it as TakeOrderedAndProject (per-partition bounded heaps + one
+  driver merge), never a global sort.
+
+Tokenization matches the dedup family's WORD_RE so gram/term vocabularies
+agree across the pipeline.
+"""
+
+from __future__ import annotations
+
+import re
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from redistimeseries_spark.pipeline.dedup import WORD_RE
+
+BM25_K1 = 1.2
+BM25_B = 0.75
+
+
+def query_terms(query: str) -> list[str]:
+    """Distinct lowercase word terms of a free-text query, tokenized with
+    the same WORD_RE convention the corpus side uses (sorted for
+    deterministic plans and oracles)."""
+    return sorted({t for t in re.split(WORD_RE, query.lower()) if t})
+
+
+def bm25_scores(
+    docs: DataFrame,
+    query: str,
+    k1: float = BM25_K1,
+    b: float = BM25_B,
+) -> DataFrame:
+    """(doc_id, score) for every doc matching >=1 query term.
+
+    score(d, q) = sum over matched terms t of
+        idf(t) * tf * (k1 + 1) / (tf + k1 * (1 - b + b * dl / avgdl))
+    with the BM25+ style non-negative idf
+        idf(t) = ln(1 + (N - df + 0.5) / (df + 0.5)),
+    dl = doc token count, avgdl = corpus mean token count, N = corpus
+    size.  df counts docs containing the term; docs matching no term are
+    absent (their score is 0 by definition)."""
+    terms = query_terms(query)
+    if not terms:
+        raise ValueError("query has no terms after tokenization")
+    toks = docs.select(
+        "doc_id",
+        F.expr(f"array_remove(split(lower(text), '{WORD_RE}'), '')").alias("wa"),
+    ).select("doc_id", "wa", F.size("wa").alias("dl"))
+    # corpus stats as a broadcast 1-row frame: keeps the plan lazy and the
+    # stats scan independent of the per-term branch below
+    stats = F.broadcast(
+        toks.agg(
+            F.count(F.lit(1)).alias("n_docs"), F.avg("dl").alias("avgdl")
+        )
+    )
+    term_arr = F.array(*[F.lit(t) for t in terms])
+    # keep only matching occurrences BEFORE exploding: |matches| rows,
+    # not |tokens| rows, reach the aggregation
+    matches = toks.select(
+        "doc_id",
+        "dl",
+        F.explode(
+            F.filter("wa", lambda w: F.array_contains(term_arr, w))
+        ).alias("term"),
+    )
+    tf = matches.groupBy("doc_id", "term").agg(
+        F.count(F.lit(1)).alias("tf"), F.first("dl").alias("dl")
+    )
+    df_ = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    scored = (
+        tf.join(F.broadcast(df_), "term")
+        .crossJoin(stats)
+        .withColumn(
+            "idf",
+            F.log(
+                F.lit(1.0)
+                + (F.col("n_docs") - F.col("df") + 0.5) / (F.col("df") + 0.5)
+            ),
+        )
+        .withColumn(
+            "w",
+            F.col("idf")
+            * (F.col("tf") * (k1 + 1))
+            / (
+                F.col("tf")
+                + k1 * (1 - b + b * F.col("dl") / F.col("avgdl"))
+            ),
+        )
+    )
+    return scored.groupBy("doc_id").agg(F.sum("w").alias("score"))
+
+
+def bm25_topk(
+    docs: DataFrame,
+    query: str,
+    k: int = 10,
+    k1: float = BM25_K1,
+    b: float = BM25_B,
+) -> DataFrame:
+    """Top-k docs for the query by BM25, deterministic under score ties
+    (doc_id ascending breaks them).  Scores round to 6 decimals BEFORE
+    the ordering: duplicate docs sum identical term weights in
+    engine-dependent order, and last-ULP drift would otherwise make the
+    doc_id tiebreak disagree across engines/partitionings.  The LIMIT
+    turns the global order into TakeOrderedAndProject — bounded
+    per-partition heaps, no full sort (plan-asserted in tests)."""
+    return (
+        bm25_scores(docs, query, k1, b)
+        .select("doc_id", F.round("score", 6).alias("score"))
+        .orderBy(F.col("score").desc(), F.col("doc_id"))
+        .limit(k)
+    )

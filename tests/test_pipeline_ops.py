@@ -744,6 +744,83 @@ def test_multimodal_real_decode_bmp_wav(spark):
         decode_features(other, budget_bytes=None).collect()
 
 
+def test_bm25_ranking_and_plan(spark):
+    """BM25: docs containing the query terms outrank those that don't;
+    rarer terms weigh more than common ones; hand-computed score for a
+    one-term corpus matches; the top-k runs as TakeOrderedAndProject."""
+    import math
+
+    from redistimeseries_spark.pipeline.retrieval import bm25_scores, bm25_topk
+
+    docs = spark.createDataFrame(
+        [
+            (1, "spark engine"),          # has rare term 'engine'
+            (2, "spark spark spark"),     # common term only, high tf
+            (3, "nothing relevant here"),
+            (4, "spark"),
+        ],
+        "doc_id long, text string",
+    )
+    got = {r.doc_id: r.score for r in bm25_topk(docs, "spark engine", k=10).collect()}
+    assert 3 not in got  # no matching term -> absent
+    # doc 1 matches BOTH terms incl. the rare one -> top rank
+    top = bm25_topk(docs, "spark engine", k=1).collect()[0]
+    assert top.doc_id == 1
+    # hand check: corpus of 4 docs, term 'engine' df=1, N=4, avgdl=9/4
+    # doc 1: dl=2, tf=1 -> idf*2.2/(1+1.2*(1-.75+.75*2/2.25))
+    idf_e = math.log(1 + (4 - 1 + 0.5) / 1.5)
+    idf_s = math.log(1 + (4 - 3 + 0.5) / 3.5)
+    w_e = idf_e * 2.2 / (1 + 1.2 * (1 - 0.75 + 0.75 * 2 / 2.25))
+    w_s = idf_s * 2.2 / (1 + 1.2 * (1 - 0.75 + 0.75 * 2 / 2.25))
+    assert abs(got[1] - round(w_e + w_s, 6)) < 1e-6
+    # bounded top-k, not a global sort
+    plan = (
+        bm25_topk(docs, "spark", k=2)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "TakeOrderedAndProject" in plan
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        bm25_scores(docs, "!!! ...")  # no terms after tokenization
+
+
+def test_cross_corpus_lsh_contamination(spark):
+    """cross_minhash_lsh_pairs / cross_contaminated: a train doc
+    near-duplicating an eval doc is proposed/flagged; unrelated docs are
+    not; the flag view agrees with the pair view's left projection."""
+    from redistimeseries_spark.pipeline.dedup import (
+        cross_contaminated, cross_minhash_lsh_pairs,
+    )
+
+    base = "the quick brown fox jumps over the lazy dog again and again"
+    train = spark.createDataFrame(
+        [
+            (1, base + " tail"),              # near-dup of eval doc 101
+            (2, "completely unrelated payload about spark shuffles"),
+            (3, base.replace("quick", "rapid") + " tail"),  # still close
+        ],
+        "doc_id long, text string",
+    )
+    ev = spark.createDataFrame(
+        [(101, base), (102, "other eval topic entirely different words")],
+        "doc_id long, text string",
+    )
+    pairs = cross_minhash_lsh_pairs(train, ev, num_hashes=8, bands=4)
+    got_pairs = {(r.left_id, r.right_id) for r in pairs.collect()}
+    assert (1, 101) in got_pairs
+    assert all(l != 2 for l, _ in got_pairs)
+    flags = {
+        r.doc_id: r.contaminated
+        for r in cross_contaminated(train, ev, num_hashes=8, bands=4).collect()
+    }
+    assert set(flags) == {1, 2, 3}  # one row per train doc, always
+    assert flags[1] and not flags[2]
+    # the flag is exactly "appears as a left_id in the pair view"
+    lefts = {l for l, _ in got_pairs}
+    assert {d for d, c in flags.items() if c} == lefts
+
+
 def test_minhash_arrow_matches_expression_path(spark):
     """The Arrow mapInPandas minhash kernel must be byte-identical to the
     pure-expression plan — same md5 math, JVM-side lowering, null text
