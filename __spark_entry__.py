@@ -891,6 +891,32 @@ def q_top_ngrams(spark, sf_dir):
     return top_ngrams(_docs(spark, sf_dir), n=2, k=200, min_df=2)
 
 
+def _bm25_sql(words: str, terms: tuple, limit: int) -> str:
+    """DuckDB BM25 (k1=1.2, b=0.75) over `documents`, mirroring
+    pipeline/retrieval.bm25_topk including the round-before-order
+    determinism rule."""
+    in_list = ", ".join(f"'{t}'" for t in terms)
+    return f"""WITH
+            w AS (SELECT doc_id, {words} AS wa FROM documents),
+            d AS (SELECT doc_id, len(wa) AS dl, wa FROM w),
+            stats AS (SELECT count(*) AS n_docs, avg(dl) AS avgdl FROM d),
+            m AS (SELECT doc_id, dl, t.term
+                  FROM d, unnest(wa) AS t(term)
+                  WHERE t.term IN ({in_list})),
+            tf AS (SELECT doc_id, term, count(*) AS tf, min(dl) AS dl
+                   FROM m GROUP BY 1, 2),
+            df AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
+            s AS (SELECT tf.doc_id,
+                         ln(1 + (n_docs - df + 0.5) / (df + 0.5))
+                           * (tf * (1.2 + 1))
+                           / (tf + 1.2 * (1 - 0.75 + 0.75 * dl / avgdl)) AS wgt
+                  FROM tf JOIN df USING (term), stats)
+            SELECT doc_id, round(sum(wgt), 6) AS score
+            FROM s GROUP BY doc_id
+            ORDER BY round(sum(wgt), 6) DESC, doc_id
+            LIMIT {limit}"""
+
+
 def q_bm25_topk(spark, sf_dir):
     """Lexical retrieval: BM25 top-20 for a multi-term query — tf from a
     filter-before-explode pass, df/N/avgdl ride broadcast frames, top-k
@@ -901,6 +927,23 @@ def q_bm25_topk(spark, sf_dir):
         _docs(spark, sf_dir).select("doc_id", "text"),
         "fast table scan query",
         k=20,
+    )
+
+
+def q_rrf_fuse(spark, sf_dir):
+    """Reciprocal rank fusion of two BM25 rankings (score-calibration-free
+    ensemble retrieval — the same operator fuses lexical with embedding
+    ANN): rrf = sum 1/(60 + rank), rounded, deterministic tiebreak."""
+    from redistimeseries_spark.pipeline.retrieval import bm25_topk, rrf_fuse
+
+    docs = _docs(spark, sf_dir).select("doc_id", "text")
+    return rrf_fuse(
+        [
+            bm25_topk(docs, "fast table scan query", k=20),
+            bm25_topk(docs, "join merge batch", k=20),
+        ],
+        k=60,
+        topk=15,
     )
 
 
@@ -1300,6 +1343,7 @@ def _base_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ts_compaction_avg_10m": q_compaction_avg_10m,
         "dl_dedup_exact": q_dedup_exact,
         "dl_cross_lsh_pairs": q_cross_lsh_pairs,
+        "dl_rrf_fuse": q_rrf_fuse,
         "ts_range_filter_value": q_range_filter_value,
         "ts_agg_empty": q_agg_empty,
         "ts_agg_multi_align": q_agg_multi_align,
@@ -1660,25 +1704,21 @@ def _pipeline_oracles() -> dict[str, str]:
             SELECT DISTINCT a.doc_id AS left_id, b.doc_id AS right_id
             FROM band a JOIN band b USING (band, band_key)
             WHERE a.doc_id % 50 <> 0 AND b.doc_id % 50 = 0""",
-        "dl_bm25_topk": f"""WITH
-            w AS (SELECT doc_id, {words} AS wa FROM documents),
-            d AS (SELECT doc_id, len(wa) AS dl, wa FROM w),
-            stats AS (SELECT count(*) AS n_docs, avg(dl) AS avgdl FROM d),
-            m AS (SELECT doc_id, dl, t.term
-                  FROM d, unnest(wa) AS t(term)
-                  WHERE t.term IN ('fast', 'query', 'scan', 'table')),
-            tf AS (SELECT doc_id, term, count(*) AS tf, min(dl) AS dl
-                   FROM m GROUP BY 1, 2),
-            df AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
-            s AS (SELECT tf.doc_id,
-                         ln(1 + (n_docs - df + 0.5) / (df + 0.5))
-                           * (tf * (1.2 + 1))
-                           / (tf + 1.2 * (1 - 0.75 + 0.75 * dl / avgdl)) AS wgt
-                  FROM tf JOIN df USING (term), stats)
-            SELECT doc_id, round(sum(wgt), 6) AS score
-            FROM s GROUP BY doc_id
-            ORDER BY round(sum(wgt), 6) DESC, doc_id
-            LIMIT 20""",
+        "dl_bm25_topk": _bm25_sql(words, ("fast", "query", "scan", "table"), 20),
+        "dl_rrf_fuse": f"""WITH
+            r1 AS (SELECT doc_id, score,
+                          row_number() OVER (ORDER BY score DESC, doc_id) AS rnk
+                   FROM ({_bm25_sql(words, ("fast", "query", "scan", "table"), 20)})),
+            r2 AS (SELECT doc_id, score,
+                          row_number() OVER (ORDER BY score DESC, doc_id) AS rnk
+                   FROM ({_bm25_sql(words, ("join", "merge", "batch"), 20)})),
+            u AS (SELECT doc_id, 1.0 / (60 + rnk) AS contrib FROM r1
+                  UNION ALL
+                  SELECT doc_id, 1.0 / (60 + rnk) AS contrib FROM r2)
+            SELECT doc_id, round(sum(contrib), 6) AS rrf
+            FROM u GROUP BY doc_id
+            ORDER BY round(sum(contrib), 6) DESC, doc_id
+            LIMIT 15""",
         # incremental streaming dedup replayed batch-by-batch in SQL:
         # batch 1 = even doc_ids, batch 2 = odd + planted copies (ids from
         # max+rn, mirroring q_stream_dedup); exact = fp winner groups vs

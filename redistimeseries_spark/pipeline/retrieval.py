@@ -111,6 +111,46 @@ def bm25_scores(
     return scored.groupBy("doc_id").agg(F.sum("w").alias("score"))
 
 
+def rrf_fuse(
+    rankings: list[DataFrame],
+    k: int = 60,
+    topk: int = 10,
+    id_col: str = "doc_id",
+    score_col: str = "score",
+) -> DataFrame:
+    """(doc_id, rrf) — reciprocal rank fusion over N rankings (Cormack,
+    Clarke & Büttcher's RRF; the standard way to combine BM25 with
+    embedding ANN, or several query variants, without score calibration):
+
+        rrf(d) = sum over rankings r containing d of 1 / (k + rank_r(d))
+
+    with rank 1-based by (score desc, id asc) — fully deterministic.
+    Inputs are expected to be BOUNDED top-N lists (the output of
+    `bm25_topk` / `similarity.cosine_topk`): each ranking is windowed to
+    assign ranks, which sorts per ranking — fine at top-N size, and at
+    that size the union/aggregate below is driver-trivial too.  Output
+    rounds to 6 decimals and orders by (rrf desc, id asc), LIMIT topk.
+    """
+    from pyspark.sql import Window
+
+    if not rankings:
+        raise ValueError("need at least one ranking")
+    w = Window.orderBy(F.col(score_col).desc(), F.col(id_col))
+    ranked = None
+    for r in rankings:
+        rr = r.select(
+            F.col(id_col).alias("doc_id"),
+            (1.0 / (F.lit(k) + F.row_number().over(w))).alias("contrib"),
+        )
+        ranked = rr if ranked is None else ranked.unionByName(rr)
+    return (
+        ranked.groupBy("doc_id")
+        .agg(F.round(F.sum("contrib"), 6).alias("rrf"))
+        .orderBy(F.col("rrf").desc(), F.col("doc_id"))
+        .limit(topk)
+    )
+
+
 def bm25_topk(
     docs: DataFrame,
     query: str,

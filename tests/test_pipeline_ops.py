@@ -785,6 +785,28 @@ def test_bm25_ranking_and_plan(spark):
         bm25_scores(docs, "!!! ...")  # no terms after tokenization
 
 
+def test_rrf_fusion_semantics(spark):
+    """RRF: a doc present in both rankings beats a doc that tops only
+    one; contributions are exactly 1/(k+rank); empty input rejected."""
+    from redistimeseries_spark.pipeline.retrieval import rrf_fuse
+
+    r1 = spark.createDataFrame(
+        [(10, 5.0), (20, 4.0), (30, 3.0)], "doc_id long, score double"
+    )
+    r2 = spark.createDataFrame(
+        [(20, 9.0), (40, 8.0)], "doc_id long, score double"
+    )
+    got = {r.doc_id: r.rrf for r in rrf_fuse([r1, r2], k=60, topk=10).collect()}
+    # doc 20: rank 2 in r1, rank 1 in r2
+    assert abs(got[20] - round(1 / 62 + 1 / 61, 6)) < 1e-9
+    assert abs(got[10] - round(1 / 61, 6)) < 1e-9
+    assert max(got, key=lambda d: got[d]) == 20
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        rrf_fuse([])
+
+
 def test_cross_corpus_lsh_contamination(spark):
     """cross_minhash_lsh_pairs / cross_contaminated: a train doc
     near-duplicating an eval doc is proposed/flagged; unrelated docs are
