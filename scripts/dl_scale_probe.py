@@ -34,6 +34,8 @@ from redistimeseries_spark.pipeline.dedup import (
     simhash_hamming_pairs,
 )
 from redistimeseries_spark.pipeline.curation import curation_filter, stratified_sample
+from redistimeseries_spark.pipeline.dedup import cross_contaminated
+from redistimeseries_spark.pipeline.retrieval import bm25_topk, rrf_fuse
 from redistimeseries_spark.pipeline.text import (
     char_ngram_lm_scores,
     lang_scores,
@@ -102,6 +104,24 @@ def main():
         "d14_pii": lambda: pii_signals(docs),
         # row-local signals in one projection + the repetition join
         "d15_curation_filter": lambda: curation_filter(docs),
+        # BM25: filter-before-explode tf + broadcast df/stats; bounded
+        # top-k heap, no global sort
+        "d16_bm25_topk": lambda: bm25_topk(docs, "fast table scan query", k=100),
+        # cross-corpus contamination flag vs a 1%-sample "eval" corpus:
+        # left bands semi-join the broadcast eval band set — one row per
+        # train doc regardless of bucket fan-out
+        "d17_cross_contaminated": lambda: cross_contaminated(
+            docs.filter(F.col("doc_id") % 100 != 0),
+            docs.filter(F.col("doc_id") % 100 == 0),
+        ),
+        # fusion over two bounded rankings (driver-trivial by design)
+        "d18_rrf_fuse": lambda: rrf_fuse(
+            [
+                bm25_topk(docs, "fast table scan query", k=100),
+                bm25_topk(docs, "join merge batch", k=100),
+            ],
+            topk=50,
+        ),
     }
 
     if len(sys.argv) > 2:
