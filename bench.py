@@ -94,12 +94,13 @@ def main():
 
     raw = _raw(spark, sf_dir)
     # the corpus arrives as ~2 parquet splits; spread the map-side
-    # shingle/minhash pass, but not to all 32 cores — the chain has ~40
-    # stages and at 10k docs per-task scheduling overhead beats extra
-    # parallelism past ~8 partitions (measured: 2p 10.5s / 8p 8.0s /
-    # 16p 8.5s / 32p 12.4s).  At real scale the scan has many splits and
-    # this knob disappears.
-    dup_docs = _dup_corpus(spark, sf_dir).repartition(8)
+    # minhash pass, but not to all 32 cores — the chain has ~40 stages
+    # and at 10k docs per-task scheduling overhead beats extra
+    # parallelism.  Re-tuned for the round-5 Arrow minhash kernel (bigger
+    # batches amortize the Arrow exchange + per-batch md5 memo better):
+    # 4p 4.0-4.5s / 8p 4.3-5.6s / 16p 4.7s / 32p 6.2s best-of-3.  At real
+    # scale the scan has many splits and this knob disappears.
+    dup_docs = _dup_corpus(spark, sf_dir).repartition(4)
     dup_docs.cache().count()
 
     # cache the base tables once: the reference serves queries from an
