@@ -45,11 +45,23 @@ def query_terms(query: str) -> list[str]:
     return sorted({t for t in re.split(WORD_RE, query.lower()) if t})
 
 
+def corpus_stats(docs: DataFrame) -> DataFrame:
+    """1-row (n_docs, avgdl) frame for `bm25_scores`.  A deployment
+    serving many queries computes this once per corpus snapshot and
+    passes it in — each query then costs exactly ONE corpus scan."""
+    return docs.select(
+        F.size(
+            F.expr(f"array_remove(split(lower(text), '{WORD_RE}'), '')")
+        ).alias("dl")
+    ).agg(F.count(F.lit(1)).alias("n_docs"), F.avg("dl").alias("avgdl"))
+
+
 def bm25_scores(
     docs: DataFrame,
     query: str,
     k1: float = BM25_K1,
     b: float = BM25_B,
+    stats: DataFrame | None = None,
 ) -> DataFrame:
     """(doc_id, score) for every doc matching >=1 query term.
 
@@ -59,7 +71,15 @@ def bm25_scores(
         idf(t) = ln(1 + (N - df + 0.5) / (df + 0.5)),
     dl = doc token count, avgdl = corpus mean token count, N = corpus
     size.  df counts docs containing the term; docs matching no term are
-    absent (their score is 0 by definition)."""
+    absent (their score is 0 by definition).
+
+    Scan discipline: the (doc, term) tf frame — tiny relative to the
+    corpus — materializes once (localCheckpoint) so the df aggregation
+    derives from it instead of re-running the corpus scan; corpus stats
+    cost the one remaining extra scan unless a precomputed `stats`
+    frame (see `corpus_stats`) is passed.  Naively the plan re-executed
+    the scan THREE times (tf, df, stats) — at 100 TB the scans are the
+    query."""
     terms = query_terms(query)
     if not terms:
         raise ValueError("query has no terms after tokenization")
@@ -67,10 +87,10 @@ def bm25_scores(
         "doc_id",
         F.expr(f"array_remove(split(lower(text), '{WORD_RE}'), '')").alias("wa"),
     ).select("doc_id", "wa", F.size("wa").alias("dl"))
-    # corpus stats as a broadcast 1-row frame: keeps the plan lazy and the
-    # stats scan independent of the per-term branch below
     stats = F.broadcast(
-        toks.agg(
+        stats
+        if stats is not None
+        else toks.agg(
             F.count(F.lit(1)).alias("n_docs"), F.avg("dl").alias("avgdl")
         )
     )
@@ -86,7 +106,7 @@ def bm25_scores(
     )
     tf = matches.groupBy("doc_id", "term").agg(
         F.count(F.lit(1)).alias("tf"), F.first("dl").alias("dl")
-    )
+    ).localCheckpoint()
     df_ = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
     scored = (
         tf.join(F.broadcast(df_), "term")
