@@ -1016,6 +1016,59 @@ def q_mm_decode(spark, sf_dir):
     return decode_features(media, budget_bytes=None)
 
 
+def q_mm_decode_png(spark, sf_dir):
+    """REAL compressed-image decode round-trip: each doc's ASCII bytes
+    become a 1-row greyscale PNG (zlib-deflated, Paeth-filtered — the
+    decoder must inflate and un-filter real scanlines); the oracle
+    recomputes (width, height, mean byte value) from the text directly."""
+    import pandas as pd
+
+    from redistimeseries_spark.pipeline.multimodal import decode_features
+
+    docs = _docs(spark, sf_dir).select(
+        "doc_id", F.regexp_replace("text", "[^ -~]", "").alias("t")
+    )
+
+    def mk(batches):
+        import struct
+        import zlib
+
+        def chunk(ctype, body):
+            return (
+                struct.pack(">I", len(body)) + ctype + body
+                + struct.pack(">I", zlib.crc32(ctype + body) & 0xFFFFFFFF)
+            )
+
+        for pdf in batches:
+            payloads = []
+            for t in pdf["t"]:
+                line = t.encode("ascii")
+                w = len(line)
+                # forward Paeth on a single row: prev row is zeros, so
+                # pred = left neighbor for i>0, 0 for i=0 (same as Sub)
+                enc = bytes(
+                    (line[i] - (line[i - 1] if i else 0)) & 0xFF
+                    for i in range(w)
+                )
+                ihdr = struct.pack(">IIBBBBB", w, 1, 8, 0, 0, 0, 0)
+                payloads.append(
+                    b"\x89PNG\r\n\x1a\n"
+                    + chunk(b"IHDR", ihdr)
+                    + chunk(b"IDAT", zlib.compress(b"\x04" + enc))
+                    + chunk(b"IEND", b"")
+                )
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "media_type": "image/png",
+                    "payload": payloads,
+                }
+            )
+
+    media = docs.mapInPandas(mk, "doc_id long, media_type string, payload binary")
+    return decode_features(media, budget_bytes=None)
+
+
 def q_hash_split(spark, sf_dir):
     """Deterministic md5-bucket train/val/test assignment — reproducible
     across engines/partitionings, unlike randomSplit."""
@@ -1344,6 +1397,7 @@ def _base_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dl_dedup_exact": q_dedup_exact,
         "dl_cross_lsh_pairs": q_cross_lsh_pairs,
         "dl_rrf_fuse": q_rrf_fuse,
+        "dl_mm_decode_png": q_mm_decode_png,
         "ts_range_filter_value": q_range_filter_value,
         "ts_agg_empty": q_agg_empty,
         "ts_agg_multi_align": q_agg_multi_align,
@@ -2083,6 +2137,17 @@ def _pipeline_oracles() -> dict[str, str]:
             SELECT s.doc_id, 'audio/wav' AS media_type,
                    CAST(8000 AS BIGINT) AS dim1,
                    CAST(coalesce(m.n, 0) AS BIGINT) AS dim2,
+                   coalesce(m.stat, 0.0) AS stat
+            FROM s LEFT JOIN m USING (doc_id)""",
+        "dl_mm_decode_png": """WITH s AS (
+              SELECT doc_id, regexp_replace(text, '[^ -~]', '', 'g') AS t
+              FROM documents),
+            c AS (SELECT doc_id, ascii(substr(t, i, 1)) AS b
+                  FROM s, unnest(generate_series(1, length(t))) AS u(i)),
+            m AS (SELECT doc_id, avg(b) AS stat FROM c GROUP BY 1)
+            SELECT s.doc_id, 'image/png' AS media_type,
+                   CAST(length(t) AS BIGINT) AS dim1,
+                   CAST(1 AS BIGINT) AS dim2,
                    coalesce(m.stat, 0.0) AS stat
             FROM s LEFT JOIN m USING (doc_id)""",
         "dl_mm_frame_sample": f"""SELECT doc_id, o AS offset,

@@ -84,7 +84,8 @@ def _decode_real(payload: bytes, media_type: str):
     raise NotImplementedError(
         "media decode requires imaging/audio libraries not present in this "
         "environment; extract_features uses the deterministic byte-level "
-        "stub, decode_features handles image/bmp and audio/wav natively"
+        "stub, decode_features handles image/bmp, image/png and audio/wav "
+        "natively"
     )
 
 
@@ -165,6 +166,84 @@ def decode_wav(payload: bytes) -> tuple[int, int, float]:
     return rate, frames, mean_abs
 
 
+def decode_png(payload: bytes) -> tuple[int, int, float]:
+    """Decode a PNG (8-bit greyscale or RGB, non-interlaced): (width,
+    height, mean luminance).  Pure stdlib — `zlib` inflates the IDAT
+    stream, the five scanline filters (None/Sub/Up/Average/Paeth, PNG
+    spec §9) un-apply row by row.  Compressed formats were the honest
+    gap in the decoder family; PNG closes it without imaging libraries.
+    """
+    import struct
+    import zlib
+
+    if payload[:8] != b"\x89PNG\r\n\x1a\n":
+        raise ValueError("not a PNG payload")
+    pos, width = 8, None
+    idat = b""
+    while pos + 8 <= len(payload):
+        size, ctype = struct.unpack_from(">I4s", payload, pos)
+        if pos + 12 + size > len(payload):
+            raise ValueError(f"truncated PNG: chunk {ctype!r} overruns payload")
+        body = payload[pos + 8 : pos + 8 + size]
+        if ctype == b"IHDR":
+            width, height, depth, color, _, _, interlace = struct.unpack(
+                ">IIBBBBB", body
+            )
+            if depth != 8 or color not in (0, 2) or interlace != 0:
+                raise ValueError(
+                    "only 8-bit grey/RGB non-interlaced PNG supported"
+                    f" (depth={depth}, color={color}, interlace={interlace})"
+                )
+            bpp = 3 if color == 2 else 1
+        elif ctype == b"IDAT":
+            idat += body
+        elif ctype == b"IEND":
+            break
+        pos += 12 + size  # len + type + body + crc
+    if width is None or not idat:
+        raise ValueError("missing IHDR/IDAT chunk")
+    raw = zlib.decompress(idat)
+    stride = width * bpp
+    if len(raw) != height * (stride + 1):
+        raise ValueError("PNG pixel data length mismatch")
+    prev = bytearray(stride)
+    total = 0
+    for r in range(height):
+        ftype = raw[r * (stride + 1)]
+        line = bytearray(raw[r * (stride + 1) + 1 : (r + 1) * (stride + 1)])
+        if ftype == 1:  # Sub
+            for i in range(bpp, stride):
+                line[i] = (line[i] + line[i - bpp]) & 0xFF
+        elif ftype == 2:  # Up
+            for i in range(stride):
+                line[i] = (line[i] + prev[i]) & 0xFF
+        elif ftype == 3:  # Average
+            for i in range(stride):
+                a = line[i - bpp] if i >= bpp else 0
+                line[i] = (line[i] + (a + prev[i]) // 2) & 0xFF
+        elif ftype == 4:  # Paeth
+            for i in range(stride):
+                a = line[i - bpp] if i >= bpp else 0
+                b = prev[i]
+                c = prev[i - bpp] if i >= bpp else 0
+                p = a + b - c
+                pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+                pred = a if pa <= pb and pa <= pc else (b if pb <= pc else c)
+                line[i] = (line[i] + pred) & 0xFF
+        elif ftype != 0:
+            raise ValueError(f"unknown PNG filter {ftype}")
+        if bpp == 3:
+            total += sum(
+                (299 * line[i] + 587 * line[i + 1] + 114 * line[i + 2]) // 1000
+                for i in range(0, stride, 3)
+            )
+        else:
+            total += sum(line)
+        prev = line
+    # raw quotient, no rounding — see decode_bmp's rounding note
+    return width, height, total / max(width * height, 1)
+
+
 DECODED_SCHEMA = (
     "doc_id long, media_type string, dim1 long, dim2 long, stat double"
 )
@@ -173,8 +252,9 @@ DECODED_SCHEMA = (
 def decode_features(
     media: DataFrame, budget_bytes: int | None = DEFAULT_PAYLOAD_BUDGET
 ) -> DataFrame:
-    """REAL decode over binary payloads via mapInPandas: BMP -> (width,
-    height, mean luminance), WAV -> (sample_rate, n_samples, mean
+    """REAL decode over binary payloads via mapInPandas: BMP/PNG ->
+    (width, height, mean luminance) — PNG includes zlib inflate + the
+    five scanline filters — WAV -> (sample_rate, n_samples, mean
     amplitude).  Other media types raise — plug PIL/librosa into
     `_decode_real` where available.  Same Arrow batching / byte-budget
     task sizing as the stub path."""
@@ -189,6 +269,8 @@ def decode_features(
             ):
                 if mt == "image/bmp":
                     w, h, stat = decode_bmp(payload)
+                elif mt == "image/png":
+                    w, h, stat = decode_png(payload)
                 elif mt == "audio/wav":
                     w, h, stat = decode_wav(payload)
                 else:

@@ -34,6 +34,21 @@ class CompactionRule:
     align_ts: int = 0
 
 
+def emission_filter(agg: str):
+    """Bucket-emission predicate over the (__n_valid, __n_nan) counts a
+    rule aggregation carries: each aggregator finalizes by its OWN
+    validity rule (src/compaction.c:944-978 isValueValid family) —
+    count_nan when it saw NaNs, count_all whenever the bucket holds
+    anything, everything else needs >=1 valid sample.  Shared by the
+    batch materialization and the incremental per-batch recompute so the
+    two can never diverge on all-NaN buckets (the compaction fuzzer
+    caught the batch path applying __n_valid > 0 unconditionally)."""
+    return {
+        "count_nan": F.col("__n_nan") > 0,
+        "count_all": F.lit(True),
+    }.get(agg, F.col("__n_valid") > 0)
+
+
 def closed_buckets(
     samples: DataFrame, bucket_ms: int, align_ts: int = 0
 ) -> DataFrame:
@@ -70,15 +85,11 @@ def materialize_rule(
             rule.bucket_ms, rule.align_ts, MIN_TS, MAX_TS,
         ).withColumnRenamed("twa", "value")
     else:
-        agg = (
-            df.withColumn("__bucket", b)
-            .groupBy("key", "__bucket")
-            .agg(
-                agg_expr(rule.agg, F.col("value"), F.col("ts"), alias="value"),
-                F.count(F.when(~F.isnan("value"), 1)).alias("__n_valid"),
-            )
-            .filter(F.col("__n_valid") > 0)
-        )
+        agg = df.withColumn("__bucket", b).groupBy("key", "__bucket").agg(
+            agg_expr(rule.agg, F.col("value"), F.col("ts"), alias="value"),
+            F.count(F.when(~F.isnan("value"), 1)).alias("__n_valid"),
+            F.count(F.when(F.isnan("value"), 1)).alias("__n_nan"),
+        ).filter(emission_filter(rule.agg))
     if not include_open:
         opens = closed_buckets(df, rule.bucket_ms, rule.align_ts)
         agg = agg.join(F.broadcast(opens), "key", "left").filter(

@@ -460,6 +460,10 @@ class StreamingStore:
                     .distinct()
                     .collect()
                 ]
+                from redistimeseries_spark.streaming.compaction import (
+                    emission_filter,
+                )
+
                 recomputed = (
                     self._pruned(src_days)
                     .withColumn(
@@ -467,7 +471,17 @@ class StreamingStore:
                     )
                     .join(F.broadcast(touched), ["key", "__bucket"], "left_semi")
                     .groupBy("key", "__bucket")
-                    .agg(agg_expr(rule.agg, F.col("value"), F.col("ts"), alias="value"))
+                    .agg(
+                        agg_expr(rule.agg, F.col("value"), F.col("ts"), alias="value"),
+                        F.count(F.when(~F.isnan("value"), 1)).alias("__n_valid"),
+                        F.count(F.when(F.isnan("value"), 1)).alias("__n_nan"),
+                    )
+                    # same per-agg emission rule as the batch path — an
+                    # all-NaN touched bucket must vanish from the dest
+                    # (the kept anti-join below deletes its old row), not
+                    # be written back as a NaN sample
+                    .filter(emission_filter(rule.agg))
+                    .select("key", "__bucket", "value")
                 )
             # PARTITION-SCOPED dest upsert: dests are day-partitioned by
             # bucket ts; a micro-batch's touched buckets cluster in recent

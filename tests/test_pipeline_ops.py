@@ -907,6 +907,113 @@ def test_decoders_robust_to_ordering_and_truncation():
         decode_bmp(whole[:-5])
 
 
+def _make_png(width, height, rows, color=2, filters=None):
+    """Minimal PNG encoder for tests: rows of RGB tuples (color=2) or
+    grey ints (color=0), one explicit filter type per row (the forward
+    filter is applied here so the decoder must invert it)."""
+    import struct
+    import zlib
+
+    bpp = 3 if color == 2 else 1
+    stride = width * bpp
+    filters = filters or [0] * height
+    raw = b""
+    prev = bytearray(stride)
+    for rpix, ftype in zip(rows, filters):
+        line = bytearray()
+        for p in rpix:
+            line.extend(p if color == 2 else (p,))
+        enc = bytearray(stride)
+        for i in range(stride):
+            a = line[i - bpp] if i >= bpp else 0
+            b = prev[i]
+            c = prev[i - bpp] if i >= bpp else 0
+            if ftype == 0:
+                pred = 0
+            elif ftype == 1:
+                pred = a
+            elif ftype == 2:
+                pred = b
+            elif ftype == 3:
+                pred = (a + b) // 2
+            else:
+                p_ = a + b - c
+                pa, pb, pc = abs(p_ - a), abs(p_ - b), abs(p_ - c)
+                pred = a if pa <= pb and pa <= pc else (b if pb <= pc else c)
+            enc[i] = (line[i] - pred) & 0xFF
+        raw += bytes([ftype]) + bytes(enc)
+        prev = line
+
+    def chunk(ctype, body):
+        return (
+            struct.pack(">I", len(body))
+            + ctype
+            + body
+            + struct.pack(">I", zlib.crc32(ctype + body) & 0xFFFFFFFF)
+        )
+
+    ihdr = struct.pack(">IIBBBBB", width, height, 8, color, 0, 0, 0)
+    return (
+        b"\x89PNG\r\n\x1a\n"
+        + chunk(b"IHDR", ihdr)
+        + chunk(b"IDAT", zlib.compress(raw))
+        + chunk(b"IEND", b"")
+    )
+
+
+def test_png_decode_all_filters():
+    """PNG decode: every scanline filter type round-trips; luminance
+    matches the direct computation; truncation and unsupported formats
+    raise clearly."""
+    import pytest as _pytest
+
+    from redistimeseries_spark.pipeline.multimodal import decode_png
+
+    rows = [
+        [(255, 0, 0), (0, 255, 0), (0, 0, 255), (10, 20, 30)],
+        [(5, 5, 5), (250, 249, 248), (1, 2, 3), (100, 110, 120)],
+        [(0, 0, 0), (255, 255, 255), (128, 128, 128), (64, 64, 64)],
+        [(7, 77, 177), (200, 100, 50), (33, 66, 99), (11, 22, 33)],
+        [(90, 90, 90), (91, 91, 91), (92, 92, 92), (93, 93, 93)],
+    ]
+    want = sum(
+        (299 * r + 587 * g + 114 * b) // 1000 for row in rows for (r, g, b) in row
+    ) / 20
+    for filters in ([0] * 5, [1] * 5, [2] * 5, [3] * 5, [4] * 5, [0, 1, 2, 3, 4]):
+        png = _make_png(4, 5, rows, filters=filters)
+        w, h, stat = decode_png(png)
+        assert (w, h) == (4, 5) and abs(stat - want) < 1e-9, filters
+
+    # greyscale path
+    grows = [[0, 64, 128], [255, 1, 2]]
+    png = _make_png(3, 2, grows, color=0, filters=[4, 2])
+    assert decode_png(png) == (3, 2, sum(sum(r) for r in grows) / 6)
+
+    whole = _make_png(4, 5, rows)
+    cut = whole.index(b"IDAT") + 8  # mid-IDAT: chunk size now overruns
+    with _pytest.raises(ValueError, match="truncated PNG"):
+        decode_png(whole[:cut])
+    with _pytest.raises(ValueError, match="not a PNG"):
+        decode_png(b"GIF89a....")
+
+
+def test_png_decode_through_spark(spark):
+    """image/png routes through decode_features' Arrow stage."""
+    from redistimeseries_spark.pipeline.multimodal import decode_features
+
+    rows = [[(10, 20, 30), (40, 50, 60)], [(70, 80, 90), (5, 15, 25)]]
+    png = _make_png(2, 2, rows, filters=[4, 3])
+    media = spark.createDataFrame(
+        [(1, "image/png", bytearray(png), None)],
+        "doc_id long, media_type string, payload binary, meta string",
+    )
+    got = decode_features(media, budget_bytes=None).collect()[0]
+    want = sum(
+        (299 * r + 587 * g + 114 * b) // 1000 for row in rows for (r, g, b) in row
+    ) / 4
+    assert (got.dim1, got.dim2) == (2, 2) and abs(got.stat - want) < 1e-9
+
+
 def test_top_ngrams_vocab(spark):
     """Vocabulary builder: tf counts occurrences (multiplicity), df counts
     documents, min_df cuts hapax grams, top-k bounded and deterministic."""

@@ -73,6 +73,48 @@ def test_ingest_batches_and_rules(spark, dirs):
     assert full[1000] == 6.0
 
 
+def test_all_nan_bucket_follows_agg_validity(spark, dirs):
+    """Incremental recompute applies the same per-agg emission rule as
+    the batch path: an avg rule's all-NaN bucket must NOT appear in the
+    dest (and a later NaN upsert into a previously-valid bucket deletes
+    its dest row); a count_nan rule keeps it with the real NaN count."""
+    import math
+
+    nan = float("nan")
+    rule_avg = CompactionRule(None, "_avg_1s", "avg", 1000)
+    rule_cn = CompactionRule(None, "_cn_1s", "count_nan", 1000)
+    store = StreamingStore(
+        spark, os.path.join(dirs, "store"), "last", [rule_avg, rule_cn]
+    )
+    # bucket 0: all NaN; bucket 1000: valid; bucket 2000: closes them
+    write_input(
+        spark, dirs,
+        [("k", 0, nan), ("k", 500, nan), ("k", 1200, 4.0), ("k", 2500, 1.0)],
+        "b1",
+    )
+    drain(spark, dirs, store)
+    avg_rows = {r.ts: r.value for r in store.rule_table(rule_avg).collect()}
+    assert avg_rows == {1200 - 200: 4.0}  # only the valid bucket
+    cn_rows = {r.ts: r.value for r in store.rule_table(rule_cn).collect()}
+    # count_nan emits only buckets that saw NaNs (nn > 0), same as the
+    # range path's per-agg validity: bucket 1000 (valid-only) is absent
+    assert cn_rows == {0: 2.0}
+    # a later batch delivers a fresh ALL-NaN bucket (3000) and closes it:
+    # the avg dest must not gain a NaN row; count_nan must gain the count.
+    # NaN upserts onto existing ts can't create this case — valid samples
+    # win over NaN under every dup policy — so a new bucket is the shape.
+    write_input(spark, dirs, [("k", 3100, nan), ("k", 4500, 2.0)], "b2")
+    drain(spark, dirs, store)
+    avg_rows = {r.ts: r.value for r in store.rule_table(rule_avg).collect()}
+    assert 3000 not in avg_rows and avg_rows[1000] == 4.0
+    cn_rows = {r.ts: r.value for r in store.rule_table(rule_cn).collect()}
+    assert cn_rows[3000] == 1.0
+    # the NaN sample itself IS stored — only dest emission filters it
+    assert math.isnan(
+        {r.ts: r.value for r in store.samples().collect()}[3100]
+    )
+
+
 def test_dup_policy_across_batches(spark, dirs):
     store = StreamingStore(spark, os.path.join(dirs, "store"), "sum", [])
     write_input(spark, dirs, [("k", 100, 1.0)], "b1")
