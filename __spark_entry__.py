@@ -1069,6 +1069,17 @@ def q_mm_decode_png(spark, sf_dir):
     return decode_features(media, budget_bytes=None)
 
 
+def q_chunk_docs(spark, sf_dir):
+    """Sliding-window chunking (30-token windows, stride 20): the
+    downstream splitter for pack_sequences' overflow rows — map-side
+    only (Generate + slice, no shuffle)."""
+    from redistimeseries_spark.pipeline.packing import chunk_documents
+
+    return chunk_documents(
+        _docs(spark, sf_dir).select("doc_id", "text"), max_tokens=30, stride=20
+    )
+
+
 def q_hash_split(spark, sf_dir):
     """Deterministic md5-bucket train/val/test assignment — reproducible
     across engines/partitionings, unlike randomSplit."""
@@ -1398,6 +1409,7 @@ def _base_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dl_cross_lsh_pairs": q_cross_lsh_pairs,
         "dl_rrf_fuse": q_rrf_fuse,
         "dl_mm_decode_png": q_mm_decode_png,
+        "dl_chunk_docs": q_chunk_docs,
         "ts_range_filter_value": q_range_filter_value,
         "ts_agg_empty": q_agg_empty,
         "ts_agg_multi_align": q_agg_multi_align,
@@ -2139,6 +2151,17 @@ def _pipeline_oracles() -> dict[str, str]:
                    CAST(coalesce(m.n, 0) AS BIGINT) AS dim2,
                    coalesce(m.stat, 0.0) AS stat
             FROM s LEFT JOIN m USING (doc_id)""",
+        "dl_chunk_docs": """WITH
+            w AS (SELECT doc_id,
+                         list_filter(string_split_regex(text, '\\s+'), x -> x <> '') AS wa
+                  FROM documents),
+            nz AS (SELECT doc_id, wa, len(wa) AS n FROM w WHERE len(wa) > 0),
+            st AS (SELECT doc_id, wa, t.s
+                   FROM nz, unnest(generate_series(0, n - 1, 20)) AS t(s))
+            SELECT doc_id, s // 20 AS chunk_id, s AS token_offset,
+                   len(wa[s + 1 : s + 30]) AS n_tokens,
+                   array_to_string(wa[s + 1 : s + 30], ' ') AS chunk_text
+            FROM st""",
         "dl_mm_decode_png": """WITH s AS (
               SELECT doc_id, regexp_replace(text, '[^ -~]', '', 'g') AS t
               FROM documents),

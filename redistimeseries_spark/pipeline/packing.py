@@ -91,3 +91,58 @@ def pack_sequences(
         return pdf[["doc_id", "grp", "bin", "tokens", "overflow"]]
 
     return with_tok.groupBy("grp").applyInPandas(pack, PACKED_SCHEMA)
+
+
+def chunk_documents(
+    docs: DataFrame,
+    max_tokens: int = 256,
+    stride: int | None = None,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """(doc_id, chunk_id, token_offset, n_tokens, chunk_text) — split each
+    document into fixed-token windows with overlap (stride < max_tokens
+    gives the standard sliding-window chunking a trainer applies to the
+    `overflow` rows pack_sequences flags; stride == max_tokens gives
+    disjoint chunks).  Whitespace tokens, same convention as
+    pack_sequences / token_counts.
+
+    Entirely map-side: token array projected once, chunk starts explode
+    from a sequence() (Generate — no shuffle anywhere), each chunk is a
+    slice + concat_ws.  Deterministic: chunk_id = start // stride, pure
+    function of the text.  Empty/whitespace-only docs produce no chunks
+    (a trainer drops them).
+    """
+    if max_tokens <= 0:
+        raise ValueError("max_tokens must be positive")
+    stride = max_tokens if stride is None else stride
+    if not 0 < stride <= max_tokens:
+        raise ValueError("stride must be in (0, max_tokens]")
+    toks = docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.array_remove(F.split(F.col(text_col), "\\s+"), "").alias("wa"),
+    ).filter(F.size("wa") > 0)
+    return (
+        toks.select(
+            "doc_id",
+            "wa",
+            F.explode(
+                F.sequence(
+                    F.lit(0), F.size("wa") - 1, F.lit(stride)
+                )
+            ).alias("start"),
+        )
+        .select(
+            "doc_id",
+            (F.col("start") / stride).cast("long").alias("chunk_id"),
+            F.col("start").cast("long").alias("token_offset"),
+            F.slice("wa", F.col("start") + 1, max_tokens).alias("__c"),
+        )
+        .select(
+            "doc_id",
+            "chunk_id",
+            "token_offset",
+            F.size("__c").cast("long").alias("n_tokens"),
+            F.concat_ws(" ", "__c").alias("chunk_text"),
+        )
+    )

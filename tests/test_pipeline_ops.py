@@ -744,6 +744,71 @@ def test_multimodal_real_decode_bmp_wav(spark):
         decode_features(other, budget_bytes=None).collect()
 
 
+def test_chunk_documents_invariants(spark):
+    """Sliding-window chunking: every token lands in >=1 chunk, stride
+    overlap is exact, disjoint mode reconstructs the doc, empty docs
+    vanish, and the plan has no shuffle (map-side Generate only)."""
+    import pytest as _pytest
+
+    from redistimeseries_spark.pipeline.packing import chunk_documents
+
+    words = [f"w{i}" for i in range(25)]
+    docs = spark.createDataFrame(
+        [(1, " ".join(words)), (2, "a b c"), (3, "   "), (4, "")],
+        "doc_id long, text string",
+    )
+    # overlap mode: 10-token windows, stride 6
+    got = sorted(
+        (r.doc_id, r.chunk_id, r.token_offset, r.n_tokens, r.chunk_text)
+        for r in chunk_documents(docs, max_tokens=10, stride=6).collect()
+    )
+    d1 = [g for g in got if g[0] == 1]
+    assert [g[2] for g in d1] == [0, 6, 12, 18, 24]
+    assert [g[3] for g in d1] == [10, 10, 10, 7, 1]
+    assert d1[1][4].split(" ") == words[6:16]  # exact overlap content
+    assert {g[0] for g in got} == {1, 2}  # empty/whitespace docs vanish
+    # disjoint mode reconstructs the doc exactly
+    dis = sorted(
+        (r.token_offset, r.chunk_text)
+        for r in chunk_documents(docs, max_tokens=10).collect()
+        if r.doc_id == 1
+    )
+    assert " ".join(t for _, t in dis) == " ".join(words)
+    # map-side only: no exchange in the plan
+    plan = (
+        chunk_documents(docs, max_tokens=10, stride=6)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "Exchange" not in plan
+    with _pytest.raises(ValueError):
+        chunk_documents(docs, max_tokens=10, stride=11)
+    with _pytest.raises(ValueError):
+        chunk_documents(docs, max_tokens=0)
+
+
+def test_chunk_documents_composes_with_packing(spark):
+    """The promised composition: pack_sequences flags oversize docs as
+    overflow; chunk_documents splits exactly those into budget-sized
+    chunks, every chunk fitting the budget."""
+    from redistimeseries_spark.pipeline.packing import (
+        chunk_documents, pack_sequences,
+    )
+
+    docs = spark.createDataFrame(
+        [(1, " ".join(f"t{i}" for i in range(50))), (2, "short doc here")],
+        "doc_id long, text string",
+    )
+    packed = pack_sequences(docs, max_tokens=16, n_groups=2)
+    overflow_ids = [r.doc_id for r in packed.filter("overflow").collect()]
+    assert overflow_ids == [1]
+    ov = docs.join(
+        packed.filter("overflow").select("doc_id"), "doc_id", "left_semi"
+    )
+    chunks = chunk_documents(ov, max_tokens=16).collect()
+    assert all(r.n_tokens <= 16 for r in chunks)
+    assert sum(r.n_tokens for r in chunks) == 50  # disjoint cover
+
+
 def test_bm25_ranking_and_plan(spark):
     """BM25: docs containing the query terms outrank those that don't;
     rarer terms weigh more than common ones; hand-computed score for a
