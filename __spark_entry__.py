@@ -111,6 +111,18 @@ def q_agg_multi_align(spark, sf_dir):
     )
 
 
+def q_bucket_percentiles(spark, sf_dir):
+    """Beyond-reference: p50/p95/p99 per (key, 6h bucket) — the
+    observability query the reference's aggregator set lacks; one hash
+    aggregation, all percentiles from one sorted buffer per group."""
+    from redistimeseries_spark.operators.percentiles import ts_bucket_percentiles
+
+    st = _store(spark, sf_dir)
+    return ts_bucket_percentiles(
+        st.samples, 6 * H, [0.5, 0.95, 0.99], start=D14, end=D21
+    )
+
+
 def q_agg_all14(spark, sf_dir):
     st = _store(spark, sf_dir)
     return ts_range(
@@ -1410,6 +1422,7 @@ def _base_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dl_rrf_fuse": q_rrf_fuse,
         "dl_mm_decode_png": q_mm_decode_png,
         "dl_chunk_docs": q_chunk_docs,
+        "ts_bucket_percentiles": q_bucket_percentiles,
         "ts_range_filter_value": q_range_filter_value,
         "ts_agg_empty": q_agg_empty,
         "ts_agg_multi_align": q_agg_multi_align,
@@ -2347,6 +2360,15 @@ def _base_oracles() -> dict[str, str]:
             SELECT key, ts, value FROM samples
             WHERE key = '{RANGE_KEY}' AND ts IN (
               SELECT ts FROM samples WHERE key = '{RANGE_KEY}' ORDER BY ts LIMIT 50)""",
+        "ts_bucket_percentiles": f"""{ORACLE_PREFIX}
+SELECT key, {bucket_sql('ts', 6 * H)} AS ts,
+       quantile_cont(CASE WHEN NOT isnan(value) THEN value END, 0.5) AS p50,
+       quantile_cont(CASE WHEN NOT isnan(value) THEN value END, 0.95) AS p95,
+       quantile_cont(CASE WHEN NOT isnan(value) THEN value END, 0.99) AS p99
+FROM samples
+WHERE ts BETWEEN {D14} AND {D21}
+GROUP BY key, 2
+HAVING count(CASE WHEN NOT isnan(value) THEN 1 END) > 0""",
         "ts_agg_avg_1h": _agg_oracle(["avg"], H, 0, 0, 1 << 62),
         "ts_agg_multi_align": _agg_oracle(
             ["min", "max", "avg", "count"], 2 * H, D14, D14, D21, bucket_ts="~"

@@ -1,0 +1,81 @@
+"""Bucketed percentiles per series — p50/p95/p99 over time buckets.
+
+Beyond-reference operator (RedisTimeSeries' aggregator set,
+src/compaction.c, has no percentile — TimescaleDB ships percentile_agg
+for exactly this): the canonical observability query "p99 latency per
+key per 5 minutes".
+
+Spark shape: one (key, bucket) hash aggregation computing every requested
+percentile in a single pass — `percentile(value, array(...))` returns all
+quantiles from one sorted buffer, so N percentiles cost one sort of the
+bucket's samples, not N.  NaN samples are excluded the way every other
+aggregator treats them (isValueValid).  Exact interpolation matches
+DuckDB's quantile_cont (the dl_quality_summary precedent), which is what
+makes the oracle gate possible.
+
+Scale note: exact percentiles buffer each group's values; bucketed series
+groups are naturally small (samples-per-key-per-bucket), so this scales
+with bucket width, not corpus size.  For pathological buckets switch
+`exact=False` — approx_percentile's t-digest bounds memory at the cost of
+oracle-exactness (its error is documented, its results engine-specific).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from redistimeseries_spark import MAX_TS, MIN_TS
+from redistimeseries_spark.functions.buckets import bucket_start, resolve_align
+
+
+def _pname(p: float) -> str:
+    s = f"{p * 100:g}".replace(".", "_")
+    return f"p{s}"
+
+
+def ts_bucket_percentiles(
+    samples: DataFrame,
+    bucket_dur: int,
+    ps: list[float] | None = None,
+    keys: list[str] | str | None = None,
+    start: int = MIN_TS,
+    end: int = MAX_TS,
+    align="0",
+    exact: bool = True,
+) -> DataFrame:
+    """(key, ts, p50, p95, ...) — one row per (key, bucket) holding every
+    requested percentile of the bucket's valid (non-NaN) samples; buckets
+    with no valid samples are not emitted (the nv > 0 rule every
+    aggregator follows).  ts is the bucket start."""
+    ps = ps or [0.5, 0.95, 0.99]
+    if not ps or any(not 0 <= p <= 1 for p in ps):
+        raise ValueError("percentiles must lie in [0, 1]")
+    df = samples
+    if keys is not None:
+        klist = [keys] if isinstance(keys, str) else list(keys)
+        df = df.filter(F.col("key").isin(klist))
+    if start > MIN_TS:
+        df = df.filter(F.col("ts") >= F.lit(start))
+    if end < MAX_TS:
+        df = df.filter(F.col("ts") <= F.lit(end))
+    align_ts = resolve_align(align, start, end)
+    valid = F.when(~F.isnan("value"), F.col("value"))
+    fn = "percentile" if exact else "approx_percentile"
+    parr = ", ".join(repr(p) for p in ps)
+    qs = F.expr(f"{fn}(__v, array({parr}))")
+    agg = (
+        df.select(
+            "key",
+            bucket_start(F.col("ts"), bucket_dur, align_ts).alias("__b"),
+            valid.alias("__v"),
+        )
+        .groupBy("key", "__b")
+        .agg(qs.alias("__q"), F.count("__v").alias("__nv"))
+        .filter(F.col("__nv") > 0)
+    )
+    return agg.select(
+        "key",
+        F.col("__b").alias("ts"),
+        *[F.col("__q").getItem(i).alias(_pname(p)) for i, p in enumerate(ps)],
+    ).orderBy("key", "ts")

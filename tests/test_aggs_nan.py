@@ -138,3 +138,45 @@ def test_empty_mode_count_all_reports_real_count(samples_df):
     assert out[10_000].count_all == 1.0  # only-NaN bucket: real count
     assert out[20_000].count_all == 0.0  # gap bucket: finalizeEmpty
     assert out[10_000].sum == 0.0 and out[20_000].sum == 0.0
+
+
+def test_bucket_percentiles(spark):
+    """Beyond-reference bucketed percentiles: exact interpolation
+    (quantile_cont convention), NaN exclusion, all-NaN buckets not
+    emitted, multi-percentile single pass, ordering."""
+    import math
+
+    from redistimeseries_spark.operators.percentiles import (
+        ts_bucket_percentiles,
+    )
+
+    nan = float("nan")
+    rows = [
+        # bucket 0: values 1..5 -> p50=3, p95=4.8, p0=1, p100=5
+        *[("k", t * 10, float(v)) for t, v in enumerate([1, 2, 3, 4, 5])],
+        ("k", 60, nan),            # NaN excluded from the same bucket
+        ("k", 1000, 7.0),          # bucket 1000: single value
+        ("k", 2000, nan),          # bucket 2000: all-NaN -> not emitted
+        ("j", 0, 10.0), ("j", 1, 20.0),  # second key, p50 interpolates
+    ]
+    sdf = spark.createDataFrame(rows, "key string, ts long, value double")
+    got = {
+        (r.key, r.ts): r
+        for r in ts_bucket_percentiles(
+            sdf, 1000, [0.0, 0.5, 0.95, 1.0]
+        ).collect()
+    }
+    assert set(got) == {("k", 0), ("k", 1000), ("j", 0)}
+    k0 = got[("k", 0)]
+    assert (k0.p0, k0.p50, k0.p100) == (1.0, 3.0, 5.0)
+    assert math.isclose(k0.p95, 4.8)          # (n-1)*p interpolation
+    assert got[("j", 0)].p50 == 15.0
+    assert got[("k", 1000)].p50 == 7.0 == got[("k", 1000)].p100
+    # approx path smoke: same schema, plausible values
+    ap = ts_bucket_percentiles(sdf, 1000, [0.5], exact=False).collect()
+    assert {(r.key, r.ts) for r in ap} == set(got)
+
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        ts_bucket_percentiles(sdf, 1000, [1.5])
