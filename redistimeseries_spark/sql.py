@@ -81,6 +81,24 @@ _PIPELINE_FN_SQL = [
        RETURN array_distinct(transform(
            sequence(1, greatest(length(t) - k + 1, 1)),
            i -> lower(substring(t, i, k))))""",
+    # distinct word n-grams as an array (pipeline/dedup.word_ngram_sets);
+    # the word array is bound once via a lambda parameter so split() is
+    # not re-evaluated per gram position
+    """CREATE OR REPLACE TEMPORARY FUNCTION dl_word_ngrams(t STRING, n INT)
+       RETURNS ARRAY<STRING>
+       RETURN reduce(
+           array(array_remove(split(lower(t), '[^a-z0-9]+'), '')),
+           CAST(array() AS ARRAY<STRING>),
+           (acc, wa) -> array_distinct(transform(
+               sequence(1, greatest(size(wa) - n + 1, 1)),
+               i -> concat_ws(' ', slice(wa, i, n)))))""",
+    # BM25 term weight (pipeline/retrieval.bm25_scores): idf * saturated tf
+    """CREATE OR REPLACE TEMPORARY FUNCTION dl_bm25_weight(
+           tf BIGINT, df BIGINT, n_docs BIGINT, dl BIGINT, avgdl DOUBLE,
+           k1 DOUBLE, b DOUBLE)
+       RETURNS DOUBLE
+       RETURN ln(1 + (n_docs - df + 0.5) / (df + 0.5))
+              * (tf * (k1 + 1)) / (tf + k1 * (1 - b + b * dl / avgdl))""",
 ]
 
 

@@ -95,3 +95,40 @@ def test_pipeline_sql_functions_stay_jvm_side(spark):
         .toString()
     )
     assert "PythonUDF" not in plan and "md5" in plan
+
+
+def test_round5_sql_functions(spark):
+    """dl_word_ngrams matches the DataFrame gram sets; dl_bm25_weight
+    matches the hand formula; both stay JVM-side."""
+    import math
+
+    from redistimeseries_spark.pipeline.dedup import word_ngram_sets
+    from redistimeseries_spark.sql import register_pipeline_sql
+
+    docs = spark.createDataFrame(
+        [(1, "The quick brown fox jumps"), (2, "a b")],
+        "doc_id long, text string",
+    )
+    register_pipeline_sql(spark, docs=docs)
+    got = {
+        r.doc_id: sorted(r.g)
+        for r in spark.sql(
+            "SELECT doc_id, dl_word_ngrams(text, 3) AS g FROM documents"
+        ).collect()
+    }
+    want = {
+        r.doc_id: sorted(r.gs) for r in word_ngram_sets(docs, 3).collect()
+    }
+    assert got == want
+    w = spark.sql(
+        "SELECT dl_bm25_weight(3, 2, 100, 50, 40.0, 1.2, 0.75) AS w"
+    ).collect()[0].w
+    hand = math.log(1 + (100 - 2 + 0.5) / 2.5) * (3 * 2.2) / (
+        3 + 1.2 * (1 - 0.75 + 0.75 * 50 / 40.0)
+    )
+    assert abs(w - hand) < 1e-12
+    plan = (
+        spark.sql("SELECT dl_word_ngrams(text, 2) FROM documents")
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "PythonUDF" not in plan
