@@ -111,6 +111,18 @@ def q_agg_multi_align(spark, sf_dir):
     )
 
 
+def q_agg_percentile(spark, sf_dir):
+    """Beyond-reference p-name aggregators inside the standard TS.RANGE
+    pipeline: percentiles mix with the reference aggregator set in one
+    bucketed pass (continuous p99 via compaction rules comes free from
+    the same agg_expr)."""
+    st = _store(spark, sf_dir)
+    return ts_range(
+        st.samples, D14, D21, aggregations=["p50", "p95", "avg"],
+        bucket_dur=6 * H,
+    )
+
+
 def q_bucket_percentiles(spark, sf_dir):
     """Beyond-reference: p50/p95/p99 per (key, 6h bucket) — the
     observability query the reference's aggregator set lacks; one hash
@@ -1423,6 +1435,7 @@ def _base_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dl_mm_decode_png": q_mm_decode_png,
         "dl_chunk_docs": q_chunk_docs,
         "ts_bucket_percentiles": q_bucket_percentiles,
+        "ts_agg_percentile": q_agg_percentile,
         "ts_range_filter_value": q_range_filter_value,
         "ts_agg_empty": q_agg_empty,
         "ts_agg_multi_align": q_agg_multi_align,
@@ -2369,6 +2382,7 @@ FROM samples
 WHERE ts BETWEEN {D14} AND {D21}
 GROUP BY key, 2
 HAVING count(CASE WHEN NOT isnan(value) THEN 1 END) > 0""",
+        "ts_agg_percentile": _agg_oracle(["p50", "p95", "avg"], 6 * H, D14, D14, D21),
         "ts_agg_avg_1h": _agg_oracle(["avg"], H, 0, 0, 1 << 62),
         "ts_agg_multi_align": _agg_oracle(
             ["min", "max", "avg", "count"], 2 * H, D14, D14, D21, bucket_ts="~"

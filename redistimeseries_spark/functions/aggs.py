@@ -74,7 +74,33 @@ def sanitize(agg: str) -> str:
     return agg.replace(".", "_")
 
 
+def percentile_frac(agg: str) -> float | None:
+    """`p<number>` aggregator names ('p50', 'p99', 'p99.9') -> fraction in
+    [0, 1], else None.  Beyond-reference extension: the reference's
+    aggregator set (src/compaction.c) has no percentile; accepting the
+    p-names everywhere aggregators are accepted gives range queries AND
+    compaction rules continuous p99 downsampling for free (exact
+    interpolation, quantile_cont parity — the oracle convention
+    ts_bucket_percentiles established)."""
+    import re
+
+    m = re.fullmatch(r"p(\d+(?:\.\d+)?)", agg)
+    if not m:
+        return None
+    pct = float(m.group(1))
+    if not 0 <= pct <= 100:
+        raise ValueError(f"percentile out of range: {agg}")
+    return pct / 100.0
+
+
+def is_valid_agg(agg: str) -> bool:
+    return agg in AGGREGATORS or percentile_frac(agg) is not None
+
+
 def agg_expr(agg: str, v: Column, t: Column, alias: str | None = None) -> Column:
+    frac = percentile_frac(agg) if agg not in AGGREGATORS else None
+    if frac is not None:
+        return F.percentile(_vv(v), F.lit(frac)).alias(alias or sanitize(agg))
     builder, _ = AGGREGATORS[agg]
     if builder is None:
         raise ValueError(f"{agg} is not expressible as a groupBy aggregate")
@@ -82,6 +108,8 @@ def agg_expr(agg: str, v: Column, t: Column, alias: str | None = None) -> Column
 
 
 def empty_value(agg: str) -> float:
+    if agg not in AGGREGATORS and percentile_frac(agg) is not None:
+        return float("nan")
     return AGGREGATORS[agg][1]
 
 
@@ -108,4 +136,9 @@ def agg_sql(agg: str, v: str = "value", t: str = "ts") -> str:
         "var.p": f"var_pop({vv})",
         "var.s": f"CASE WHEN count({vv}) >= 1 THEN coalesce(var_samp({vv}), 0.0) END",
     }
+    if agg not in table:
+        frac = percentile_frac(agg)
+        if frac is not None:
+            # Spark percentile == DuckDB quantile_cont (exact interpolation)
+            return f"quantile_cont({vv}, {frac!r})"
     return table[agg]

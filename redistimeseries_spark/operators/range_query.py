@@ -91,9 +91,12 @@ def ts_range(
 
     aggs = _as_list(aggregations)
     if aggs:
-        unknown = [a for a in aggs if a not in AGGREGATORS]
+        from redistimeseries_spark.functions.aggs import is_valid_agg
+
+        unknown = [a for a in aggs if not is_valid_agg(a)]
         if unknown:
-            # "TSDB: Unknown aggregation type" (src/query_language.c)
+            # "TSDB: Unknown aggregation type" (src/query_language.c);
+            # beyond-reference p-names (p50/p99/p99.9) are valid here too
             raise ValueError(f"unknown aggregation type(s): {unknown}")
         if bucket_dur is None or bucket_dur <= 0:
             raise ValueError("aggregation requires bucket_dur > 0")

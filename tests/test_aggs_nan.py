@@ -180,3 +180,41 @@ def test_bucket_percentiles(spark):
 
     with _pytest.raises(ValueError):
         ts_bucket_percentiles(sdf, 1000, [1.5])
+
+
+def test_percentile_agg_names(spark):
+    """p-name aggregators flow through the standard surfaces: ts_range
+    (mixed with reference aggs), compaction rules (continuous p95), and
+    unknown/invalid names still reject."""
+    import pytest as _pytest
+
+    from redistimeseries_spark.operators.range_query import ts_range
+    from redistimeseries_spark.streaming.compaction import (
+        CompactionRule, materialize_rule,
+    )
+
+    nan = float("nan")
+    rows = [
+        ("k", 0, 1.0), ("k", 10, 2.0), ("k", 20, 3.0), ("k", 30, nan),
+        ("k", 1000, 10.0), ("k", 2000, 99.0),  # 2000 = open bucket
+    ]
+    sdf = spark.createDataFrame(rows, "key string, ts long, value double")
+    got = {
+        r.ts: r
+        for r in ts_range(
+            sdf, aggregations=["p50", "p100", "count"], bucket_dur=1000
+        ).collect()
+    }
+    assert got[0].p50 == 2.0 and got[0].p100 == 3.0 and got[0]["count"] == 3.0
+    assert got[1000].p50 == 10.0
+    # fractional percentile name sanitizes to a legal column
+    cols = ts_range(sdf, aggregations=["p99.9"], bucket_dur=1000).columns
+    assert "p99_9" in cols
+    # compaction rule: closed buckets only, exact percentile
+    rule = CompactionRule(None, "_p50", "p50", 1000)
+    dest = {r.ts: r.value for r in materialize_rule(sdf, rule).collect()}
+    assert dest == {0: 2.0, 1000: 10.0}
+    with _pytest.raises(ValueError):
+        ts_range(sdf, aggregations=["p101"], bucket_dur=1000)
+    with _pytest.raises(ValueError):
+        ts_range(sdf, aggregations=["pxx"], bucket_dur=1000)
