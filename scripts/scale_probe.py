@@ -158,6 +158,12 @@ def main():
             samples.groupBy("key", "ts").agg(F.max("value").alias("value")),
             30 * 60_000,
         ),
+        # bucketed p50/p95/p99: one hash agg, one sorted buffer per
+        # (key, bucket) group — cost tracks samples-per-bucket
+        "b13_percentiles_2h": lambda: __import__(
+            "redistimeseries_spark.operators.percentiles",
+            fromlist=["ts_bucket_percentiles"],
+        ).ts_bucket_percentiles(samples, 2 * H),
     }
 
     # SPARK_GRAFT_BUCKETED=1: also build the key-bucketed layout and probe

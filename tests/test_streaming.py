@@ -73,6 +73,20 @@ def test_ingest_batches_and_rules(spark, dirs):
     assert full[1000] == 6.0
 
 
+def test_percentile_rule_incremental(spark, dirs):
+    """A p50 compaction rule flows through the streaming incremental
+    recompute (agg_expr is shared with the batch path), including
+    out-of-order repair of a closed bucket."""
+    rule = CompactionRule(None, "_p50_1s", "p50", 1000)
+    store = StreamingStore(spark, os.path.join(dirs, "store"), "last", [rule])
+    write_input(spark, dirs, [("k", 0, 1.0), ("k", 500, 9.0), ("k", 1200, 5.0)], "b1")
+    write_input(spark, dirs, [("k", 400, 5.0), ("k", 2500, 7.0)], "b2")  # ooo repair
+    drain(spark, dirs, store)
+    closed = {r.ts: r.value for r in store.rule_table(rule).collect()}
+    # bucket 0 after repair holds {1, 9, 5} -> p50 = 5; bucket 1000 -> 5
+    assert closed == {0: 5.0, 1000: 5.0}
+
+
 def test_all_nan_bucket_follows_agg_validity(spark, dirs):
     """Incremental recompute applies the same per-agg emission rule as
     the batch path: an avg rule's all-NaN bucket must NOT appear in the
