@@ -111,6 +111,16 @@ def q_agg_multi_align(spark, sf_dir):
     )
 
 
+def q_counter_increase(spark, sf_dir):
+    """Beyond-reference reset-aware counter increase per (key, 6h bucket)
+    (the deterministic core of PromQL increase()): one lag window + one
+    aggregation, pure JVM — TWA's plan shape."""
+    from redistimeseries_spark.operators.rate import ts_increase
+
+    st = _store(spark, sf_dir)
+    return ts_increase(st.samples, 6 * H, start=D14, end=D21)
+
+
 def q_agg_percentile(spark, sf_dir):
     """Beyond-reference p-name aggregators inside the standard TS.RANGE
     pipeline: percentiles mix with the reference aggregator set in one
@@ -1436,6 +1446,7 @@ def _base_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dl_chunk_docs": q_chunk_docs,
         "ts_bucket_percentiles": q_bucket_percentiles,
         "ts_agg_percentile": q_agg_percentile,
+        "ts_counter_increase": q_counter_increase,
         "ts_range_filter_value": q_range_filter_value,
         "ts_agg_empty": q_agg_empty,
         "ts_agg_multi_align": q_agg_multi_align,
@@ -2383,6 +2394,21 @@ WHERE ts BETWEEN {D14} AND {D21}
 GROUP BY key, 2
 HAVING count(CASE WHEN NOT isnan(value) THEN 1 END) > 0""",
         "ts_agg_percentile": _agg_oracle(["p50", "p95", "avg"], 6 * H, D14, D14, D21),
+        "ts_counter_increase": f"""{ORACLE_PREFIX},
+v AS (SELECT key, ts, value FROM samples WHERE NOT isnan(value)),
+d AS (SELECT key, ts, value,
+             lag(value) OVER (PARTITION BY key ORDER BY ts) AS prev
+      FROM v),
+s AS (SELECT key, ts,
+             CASE WHEN prev IS NULL THEN NULL
+                  WHEN value >= prev THEN value - prev
+                  ELSE value END AS step,
+             {bucket_sql('ts', 6 * H)} AS b
+      FROM d)
+SELECT key, b AS ts, sum(step) AS increase
+FROM s WHERE ts BETWEEN {D14} AND {D21}
+GROUP BY 1, 2
+HAVING count(step) > 0""",
         "ts_agg_avg_1h": _agg_oracle(["avg"], H, 0, 0, 1 << 62),
         "ts_agg_multi_align": _agg_oracle(
             ["min", "max", "avg", "count"], 2 * H, D14, D14, D21, bucket_ts="~"

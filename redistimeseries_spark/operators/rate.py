@@ -1,0 +1,112 @@
+"""Counter rate / increase per time bucket — PromQL-style semantics.
+
+Beyond-reference operator: the reference's aggregator set has nothing for
+MONOTONE COUNTERS (request totals, bytes sent), where the meaningful
+signal is the per-bucket increase with counter RESETS handled — a
+restarted process restarts its counter at ~0, and a naive max-min or
+last-first bucket aggregate reports a huge negative (or meaningless)
+value at every restart.  Prometheus' rate()/increase() made the
+reset-aware definition standard; this is the deterministic core of that
+definition (no edge extrapolation — Prometheus' boundary heuristics are
+estimation, not aggregation, and would break oracle exactness):
+
+    increase(bucket) = sum over samples s in the bucket of
+        s.value - prev.value   if s.value >= prev.value   (normal step)
+        s.value                otherwise                  (reset: counter
+                                                           restarted below
+                                                           the previous
+                                                           sample; the new
+                                                           value is the
+                                                           increase since)
+    where prev is the key's immediately preceding valid sample
+    (possibly in an earlier bucket); the key's first-ever sample has no
+    prev and contributes nothing.
+
+    rate(bucket) = increase(bucket) / (bucket_dur / 1000)   per second
+
+Spark shape: identical to TWA's hot path — ONE lag window over
+(key, ts) then ONE (key, bucket) aggregation; pure JVM expressions, no
+Python.  Over the key-bucketed layout (store.write_bucketed_layout) the
+window needs no exchange at all.  NaN samples are invalid everywhere
+(isValueValid) and are skipped entirely: the delta chain links the valid
+samples around them.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from redistimeseries_spark import MAX_TS, MIN_TS
+from redistimeseries_spark.functions.buckets import bucket_start, resolve_align
+
+
+def ts_increase(
+    samples: DataFrame,
+    bucket_dur: int,
+    keys: list[str] | str | None = None,
+    start: int = MIN_TS,
+    end: int = MAX_TS,
+    align="0",
+    per_second: bool = False,
+) -> DataFrame:
+    """(key, ts, increase | rate) — reset-aware counter increase per
+    (key, bucket); ts is the bucket start.  Buckets whose samples are all
+    first-in-series (no prev) or all-NaN are not emitted.
+
+    The lag runs over the FULL per-key history before the time-range cut,
+    so a bucket boundary never fabricates a reset: the first sample in
+    the range still sees its true predecessor."""
+    if bucket_dur <= 0:
+        raise ValueError("bucket_dur must be positive")
+    df = samples
+    if keys is not None:
+        klist = [keys] if isinstance(keys, str) else list(keys)
+        df = df.filter(F.col("key").isin(klist))
+    df = df.filter(~F.isnan("value"))
+    w = Window.partitionBy("key").orderBy("ts")
+    prev = F.lag("value").over(w)
+    step = F.when(prev.isNull(), F.lit(None)).otherwise(
+        F.when(F.col("value") >= prev, F.col("value") - prev).otherwise(
+            F.col("value")
+        )
+    )
+    align_ts = resolve_align(align, start, end)
+    d = df.select(
+        "key",
+        "ts",
+        step.alias("__step"),
+        bucket_start(F.col("ts"), bucket_dur, align_ts).alias("__b"),
+    )
+    if start > MIN_TS:
+        d = d.filter(F.col("ts") >= F.lit(start))
+    if end < MAX_TS:
+        d = d.filter(F.col("ts") <= F.lit(end))
+    out = (
+        d.groupBy("key", "__b")
+        .agg(
+            F.sum("__step").alias("__inc"),
+            F.count("__step").alias("__n"),
+        )
+        .filter(F.col("__n") > 0)
+    )
+    val = (
+        (F.col("__inc") / F.lit(bucket_dur / 1000.0)).alias("rate")
+        if per_second
+        else F.col("__inc").alias("increase")
+    )
+    return out.select("key", F.col("__b").alias("ts"), val).orderBy("key", "ts")
+
+
+def ts_rate(
+    samples: DataFrame,
+    bucket_dur: int,
+    keys: list[str] | str | None = None,
+    start: int = MIN_TS,
+    end: int = MAX_TS,
+    align="0",
+) -> DataFrame:
+    """(key, ts, rate) — per-second reset-aware counter rate per bucket."""
+    return ts_increase(
+        samples, bucket_dur, keys, start, end, align, per_second=True
+    )

@@ -218,3 +218,37 @@ def test_percentile_agg_names(spark):
         ts_range(sdf, aggregations=["p101"], bucket_dur=1000)
     with _pytest.raises(ValueError):
         ts_range(sdf, aggregations=["pxx"], bucket_dur=1000)
+
+
+def test_counter_increase_resets_and_boundaries(spark):
+    """Reset-aware counter increase: resets contribute the new value,
+    bucket boundaries see the true predecessor (no fabricated reset),
+    NaNs are skipped in the delta chain, first sample contributes
+    nothing, rate divides by bucket seconds."""
+    import math
+
+    from redistimeseries_spark.operators.rate import ts_increase, ts_rate
+
+    nan = float("nan")
+    rows = [
+        # k: 10 -> 25 (+15), NaN (skip), 30 (+5 vs 25), RESET to 4 (+4),
+        #    next bucket: 10 (+6 across the boundary)
+        ("k", 0, 10.0), ("k", 100, 25.0), ("k", 200, nan),
+        ("k", 300, 30.0), ("k", 400, 4.0), ("k", 1100, 10.0),
+        # solo: single sample -> no prev -> bucket not emitted
+        ("solo", 500, 99.0),
+    ]
+    sdf = spark.createDataFrame(rows, "key string, ts long, value double")
+    got = {
+        (r.key, r.ts): r.increase for r in ts_increase(sdf, 1000).collect()
+    }
+    assert got == {("k", 0): 15.0 + 5.0 + 4.0, ("k", 1000): 6.0}
+    # range cut AFTER the lag: the first in-range sample still sees its
+    # true predecessor instead of becoming a fake series start
+    cut = {
+        (r.key, r.ts): r.increase
+        for r in ts_increase(sdf, 1000, start=1000).collect()
+    }
+    assert cut == {("k", 1000): 6.0}
+    rate = {r.ts: r.rate for r in ts_rate(sdf, 1000, keys="k").collect()}
+    assert math.isclose(rate[0], 24.0 / 1.0) and math.isclose(rate[1000], 6.0)

@@ -38,7 +38,7 @@ NAN = float("nan")
 N_SPECS = 16
 AGGS = [
     "min", "max", "range", "sum", "avg", "count", "count_nan", "count_all",
-    "first", "last", "std.p", "std.s", "var.p",
+    "first", "last", "std.p", "std.s", "var.p", "p50", "p90",
 ]
 KEYS = ["k1", "k2", "k3", "k4"]
 

@@ -32,7 +32,7 @@ NAN = float("nan")
 N_SPECS = 14
 AGGS = [
     "min", "max", "range", "sum", "avg", "count", "count_nan", "count_all",
-    "first", "last", "std.p", "var.s",
+    "first", "last", "std.p", "var.s", "p50", "p95",
 ]
 KEYS = ["n1", "n2", "n3", "n4", "n5"]
 
