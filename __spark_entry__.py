@@ -121,6 +121,18 @@ def q_counter_increase(spark, sf_dir):
     return ts_increase(st.samples, 6 * H, start=D14, end=D21)
 
 
+def q_ewma(spark, sf_dir):
+    """Beyond-reference EWMA smoothing (alpha=0.3) per series — the
+    sequential recurrence runs as an Arrow applyInPandas kernel; the
+    oracle replays it with a recursive CTE."""
+    from redistimeseries_spark.operators.smooth import ts_ewma
+
+    st = _store(spark, sf_dir)
+    return ts_ewma(st.samples, 0.3, start=D14, end=D21).select(
+        "key", "ts", F.round("ewma", 6).alias("ewma")
+    )
+
+
 def q_agg_percentile(spark, sf_dir):
     """Beyond-reference p-name aggregators inside the standard TS.RANGE
     pipeline: percentiles mix with the reference aggregator set in one
@@ -1447,6 +1459,7 @@ def _base_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ts_bucket_percentiles": q_bucket_percentiles,
         "ts_agg_percentile": q_agg_percentile,
         "ts_counter_increase": q_counter_increase,
+        "ts_ewma": q_ewma,
         "ts_range_filter_value": q_range_filter_value,
         "ts_agg_empty": q_agg_empty,
         "ts_agg_multi_align": q_agg_multi_align,
@@ -2394,6 +2407,18 @@ WHERE ts BETWEEN {D14} AND {D21}
 GROUP BY key, 2
 HAVING count(CASE WHEN NOT isnan(value) THEN 1 END) > 0""",
         "ts_agg_percentile": _agg_oracle(["p50", "p95", "avg"], 6 * H, D14, D14, D21),
+        "ts_ewma": f"""WITH RECURSIVE {SAMPLES_SQL},
+v AS (SELECT key, ts, value,
+             row_number() OVER (PARTITION BY key ORDER BY ts) AS rn
+      FROM samples
+      WHERE NOT isnan(value) AND ts BETWEEN {D14} AND {D21}),
+r AS (
+  SELECT key, ts, rn, value AS ewma FROM v WHERE rn = 1
+  UNION ALL
+  SELECT v.key, v.ts, v.rn, 0.3 * v.value + 0.7 * r.ewma
+  FROM v JOIN r ON v.key = r.key AND v.rn = r.rn + 1
+)
+SELECT key, ts, round(ewma, 6) AS ewma FROM r""",
         "ts_counter_increase": f"""{ORACLE_PREFIX},
 v AS (SELECT key, ts, value FROM samples WHERE NOT isnan(value)),
 d AS (SELECT key, ts, value,

@@ -1,0 +1,70 @@
+"""Per-series smoothing — exponentially weighted moving average.
+
+Beyond-reference operator (the reference has no smoothing aggregator;
+EWMA is the standard dashboard/alerting smoother).  The recurrence
+
+    y_0 = x_0;   y_t = alpha * x_t + (1 - alpha) * y_{t-1}
+
+is inherently sequential per key — exactly the class of semantics this
+repo routes to a vectorized Arrow kernel (the IGNORE kept-chain / TWA
+EMPTY precedent): applyInPandas per key, pandas' C-implemented
+`ewm(alpha, adjust=False)` evaluating the same recurrence, no per-row
+Python.  NaN samples are invalid everywhere (isValueValid) and are
+dropped before smoothing — the chain links valid samples.
+
+Scale shape: one shuffle on key (none over the key-bucketed layout),
+each task smooths whole series sequentially — the reference's
+chunk-iterator access pattern.  Per-key state is O(1); only the Arrow
+batch bounds per-task memory.  The DuckDB oracle replays the recurrence
+with a recursive CTE, so the operator is hash-gated despite being
+non-relational.
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from redistimeseries_spark import MAX_TS, MIN_TS
+
+EWMA_SCHEMA = "key string, ts long, ewma double"
+
+
+def ts_ewma(
+    samples: DataFrame,
+    alpha: float,
+    keys: list[str] | str | None = None,
+    start: int = MIN_TS,
+    end: int = MAX_TS,
+) -> DataFrame:
+    """(key, ts, ewma) — one smoothed row per valid sample.  The time cut
+    applies BEFORE smoothing (the smoothed series restarts at the range
+    start — the window the caller asked to smooth), matching the oracle.
+    """
+    if not 0 < alpha <= 1:
+        raise ValueError("alpha must be in (0, 1]")
+    df = samples.filter(~F.isnan("value"))
+    if keys is not None:
+        klist = [keys] if isinstance(keys, str) else list(keys)
+        df = df.filter(F.col("key").isin(klist))
+    if start > MIN_TS:
+        df = df.filter(F.col("ts") >= F.lit(start))
+    if end < MAX_TS:
+        df = df.filter(F.col("ts") <= F.lit(end))
+
+    def smooth(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values("ts")
+        return pd.DataFrame(
+            {
+                "key": pdf["key"],
+                "ts": pdf["ts"],
+                "ewma": pdf["value"].ewm(alpha=alpha, adjust=False).mean(),
+            }
+        )
+
+    return (
+        df.select("key", "ts", "value")
+        .groupBy("key")
+        .applyInPandas(smooth, EWMA_SCHEMA)
+    )

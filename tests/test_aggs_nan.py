@@ -252,3 +252,32 @@ def test_counter_increase_resets_and_boundaries(spark):
     assert cut == {("k", 1000): 6.0}
     rate = {r.ts: r.rate for r in ts_rate(sdf, 1000, keys="k").collect()}
     assert math.isclose(rate[0], 24.0 / 1.0) and math.isclose(rate[1000], 6.0)
+
+
+def test_ewma_recurrence(spark):
+    """EWMA: exact recurrence vs a hand loop, NaN links skipped,
+    alpha=1 is identity, invalid alpha rejected."""
+    import math
+
+    import pytest as _pytest
+
+    from redistimeseries_spark.operators.smooth import ts_ewma
+
+    nan = float("nan")
+    rows = [("k", 0, 10.0), ("k", 1, 4.0), ("k", 2, nan), ("k", 3, 7.0),
+            ("j", 0, 5.0)]
+    sdf = spark.createDataFrame(rows, "key string, ts long, value double")
+    got = {(r.key, r.ts): r.ewma for r in ts_ewma(sdf, 0.5).collect()}
+    y = 10.0
+    want = {("k", 0): 10.0}
+    for t, x in ((1, 4.0), (3, 7.0)):  # NaN at ts=2 skipped from the chain
+        y = 0.5 * x + 0.5 * y
+        want[("k", t)] = y
+    want[("j", 0)] = 5.0
+    assert set(got) == set(want)
+    for kk in want:
+        assert math.isclose(got[kk], want[kk]), (kk, got[kk], want[kk])
+    ident = {r.ts: r.ewma for r in ts_ewma(sdf, 1.0, keys="k").collect()}
+    assert ident == {0: 10.0, 1: 4.0, 3: 7.0}
+    with _pytest.raises(ValueError):
+        ts_ewma(sdf, 0.0)
