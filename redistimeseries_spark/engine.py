@@ -447,6 +447,44 @@ class TimeSeriesEngine:
     def revrange(self, key: str, from_ts="-", to_ts="+", **kw) -> DataFrame:
         return self.range(key, from_ts, to_ts, rev=True, **kw)
 
+    def increase(self, key: str, bucket_dur, from_ts="-", to_ts="+", **kw) -> DataFrame:
+        """Reset-aware counter increase per bucket (beyond-reference;
+        operators/rate.ts_increase — p-name percentiles and these
+        counter/smoothing companions make the facade a drop-in for the
+        observability queries the reference can't answer)."""
+        from redistimeseries_spark.operators.rate import ts_increase
+
+        return ts_increase(
+            self._series_df(key, False),
+            parse_duration_ms(bucket_dur),
+            start=self._resolve_ts(from_ts, key),
+            end=self._resolve_ts(to_ts, key),
+            **kw,
+        ).drop("key")
+
+    def rate(self, key: str, bucket_dur, from_ts="-", to_ts="+", **kw) -> DataFrame:
+        """Per-second reset-aware counter rate per bucket."""
+        from redistimeseries_spark.operators.rate import ts_rate
+
+        return ts_rate(
+            self._series_df(key, False),
+            parse_duration_ms(bucket_dur),
+            start=self._resolve_ts(from_ts, key),
+            end=self._resolve_ts(to_ts, key),
+            **kw,
+        ).drop("key")
+
+    def ewma(self, key: str, alpha: float, from_ts="-", to_ts="+") -> DataFrame:
+        """EWMA-smoothed series (beyond-reference; operators/smooth)."""
+        from redistimeseries_spark.operators.smooth import ts_ewma
+
+        return ts_ewma(
+            self._series_df(key, False),
+            alpha,
+            start=self._resolve_ts(from_ts, key),
+            end=self._resolve_ts(to_ts, key),
+        ).drop("key")
+
     def range_rollup(
         self, key: str, agg: str, bucket_dur, from_ts="-", to_ts="+"
     ) -> DataFrame:

@@ -553,3 +553,18 @@ def test_double_freeze_no_duplicate_rows(eng):
     assert got == [(0, 1.0)]
     seen = [(r.key, r.ts) for r in eng._samples.collect()]
     assert len(seen) == len(set(seen))
+
+
+def test_engine_counter_and_smoothing_facade(eng):
+    """The beyond-reference companions ride the facade: increase/rate
+    follow the key's samples with resets handled; ewma smooths them."""
+    import math
+
+    eng.create("c")
+    eng.madd([("c", 0, 10.0), ("c", 500, 25.0), ("c", 700, 3.0), ("c", 1200, 9.0)])
+    inc = {r.ts: r.increase for r in eng.increase("c", 1000).collect()}
+    assert inc == {0: 15.0 + 3.0, 1000: 6.0}
+    rate = {r.ts: r.rate for r in eng.rate("c", 1000).collect()}
+    assert math.isclose(rate[0], 18.0)
+    sm = {r.ts: r.ewma for r in eng.ewma("c", 0.5).collect()}
+    assert sm[0] == 10.0 and math.isclose(sm[500], 17.5)
