@@ -29,6 +29,74 @@ from pyspark.sql import functions as F
 from redistimeseries_spark import MAX_TS, MIN_TS
 
 EWMA_SCHEMA = "key string, ts long, ewma double"
+LTTB_SCHEMA = "key string, ts long, value double"
+
+
+def ts_lttb(
+    samples: DataFrame,
+    threshold: int,
+    keys: list[str] | str | None = None,
+    start: int = MIN_TS,
+    end: int = MAX_TS,
+) -> DataFrame:
+    """(key, ts, value) — largest-triangle-three-buckets downsampling to
+    at most `threshold` points per series (Steinarsson's LTTB, the
+    standard visualization decimator: picks, per bucket, the point that
+    maximizes the triangle area with the previously kept point and the
+    next bucket's centroid; first/last points always kept).
+
+    Sequential per key (each pick depends on the previous) — the same
+    Arrow applyInPandas route as ts_ewma; the per-bucket area computation
+    is vectorized numpy, the Python loop is O(threshold) per series.  NaN
+    samples are dropped first (a NaN coordinate would poison every area).
+    No SQL oracle exists for this pick order — covered by a pure-Python
+    reference implementation in tests instead (the persisted-IVF
+    precedent for non-relational operators)."""
+    import numpy as np
+
+    if threshold < 3:
+        raise ValueError("threshold must be >= 3 (first + last + 1 bucket)")
+    df = samples.filter(~F.isnan("value"))
+    if keys is not None:
+        klist = [keys] if isinstance(keys, str) else list(keys)
+        df = df.filter(F.col("key").isin(klist))
+    if start > MIN_TS:
+        df = df.filter(F.col("ts") >= F.lit(start))
+    if end < MAX_TS:
+        df = df.filter(F.col("ts") <= F.lit(end))
+
+    def decimate(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values("ts").reset_index(drop=True)
+        n = len(pdf)
+        if n <= threshold:
+            return pdf[["key", "ts", "value"]]
+        t = pdf["ts"].to_numpy(dtype=np.float64)
+        v = pdf["value"].to_numpy(dtype=np.float64)
+        # bucket boundaries over the middle n-2 points
+        edges = np.linspace(1, n - 1, threshold - 1).astype(np.int64)
+        keep = [0]
+        a = 0  # index of the previously kept point
+        for i in range(threshold - 2):
+            lo, hi = edges[i], edges[i + 1]
+            nlo, nhi = (hi, edges[i + 2]) if i + 2 < len(edges) else (hi, n)
+            cx, cy = t[nlo:nhi].mean() if nhi > nlo else t[-1], (
+                v[nlo:nhi].mean() if nhi > nlo else v[-1]
+            )
+            # area of triangle (a, candidate, next-bucket centroid)
+            area = np.abs(
+                (t[a] - cx) * (v[lo:hi] - v[a]) - (t[a] - t[lo:hi]) * (cy - v[a])
+            )
+            a = lo + int(np.argmax(area))
+            keep.append(a)
+        keep.append(n - 1)
+        out = pdf.iloc[keep]
+        return out[["key", "ts", "value"]]
+
+    return (
+        df.select("key", "ts", "value")
+        .groupBy("key")
+        .applyInPandas(decimate, LTTB_SCHEMA)
+    )
 
 
 def ts_ewma(

@@ -281,3 +281,71 @@ def test_ewma_recurrence(spark):
     assert ident == {0: 10.0, 1: 4.0, 3: 7.0}
     with _pytest.raises(ValueError):
         ts_ewma(sdf, 0.0)
+
+
+def _lttb_reference(points, threshold):
+    """Straightforward sequential LTTB (Steinarsson's published pseudocode,
+    independent of the numpy kernel)."""
+    n = len(points)
+    if n <= threshold:
+        return list(points)
+    import math as _math
+
+    edges = []
+    # same integer boundary grid as the operator
+    for i in range(threshold - 1):
+        edges.append(int(1 + (n - 2) * i / (threshold - 2)))
+    out = [points[0]]
+    a = 0
+    for i in range(threshold - 2):
+        lo, hi = edges[i], edges[i + 1]
+        if i + 2 < len(edges):
+            nlo, nhi = hi, edges[i + 2]
+        else:
+            nlo, nhi = hi, n
+        if nhi > nlo:
+            cx = sum(p[0] for p in points[nlo:nhi]) / (nhi - nlo)
+            cy = sum(p[1] for p in points[nlo:nhi]) / (nhi - nlo)
+        else:
+            cx, cy = points[-1]
+        best, best_area = lo, -1.0
+        for j in range(lo, hi):
+            ax, ay = points[a]
+            jx, jy = points[j]
+            area = abs((ax - cx) * (jy - ay) - (ax - jx) * (cy - ay))
+            if area > best_area:
+                best, best_area = j, area
+        out.append(points[best])
+        a = best
+    out.append(points[-1])
+    return out
+
+
+def test_lttb_downsampling(spark):
+    """LTTB: endpoints kept, exact count, matches the independent
+    sequential reference on random series, small series pass through."""
+    import random as _random
+
+    import pytest as _pytest
+
+    from redistimeseries_spark.operators.smooth import ts_lttb
+
+    rng = _random.Random(42)
+    pts = sorted(
+        (t, rng.uniform(-100, 100))
+        for t in rng.sample(range(0, 100_000), 500)
+    )
+    rows = [("k", t, v) for t, v in pts] + [("tiny", 0, 1.0), ("tiny", 10, 2.0)]
+    sdf = spark.createDataFrame(rows, "key string, ts long, value double")
+    got = sorted(
+        (r.ts, r.value) for r in ts_lttb(sdf, 50, keys="k").collect()
+    )
+    assert len(got) == 50
+    assert got[0] == pts[0] and got[-1] == pts[-1]
+    want = sorted(_lttb_reference(pts, 50))
+    assert got == want
+    # series smaller than the threshold pass through untouched
+    tiny = sorted((r.ts, r.value) for r in ts_lttb(sdf, 50, keys="tiny").collect())
+    assert tiny == [(0, 1.0), (10, 2.0)]
+    with _pytest.raises(ValueError):
+        ts_lttb(sdf, 2)
