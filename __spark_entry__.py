@@ -1397,6 +1397,13 @@ def _base_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # ts_stream_rule_avg_1m + ts_rollup_route) and dl_dedup_exact
     # (dl_dedup_pipeline runs the exact collapse inside it) rotate to the
     # tail; dl_cross_lsh_pairs (pair-level variant) starts in the tail.
+    # Round-5 late promotions (more new families, all with full oracles):
+    # ts_bucket_percentiles, ts_counter_increase, ts_ewma, dl_rrf_fuse,
+    # dl_chunk_docs enter; demoted (all >=2 driver-green rounds, family
+    # keeps prefix representation or its fuzzy variant was just promoted):
+    # dl_sample_stratified, dl_decontaminate (dl_cross_contaminated is the
+    # near-dup screen), dl_ngram_jaccard (verified inside
+    # dl_dedup_pipeline), dl_simhash_pairs (dl_simhash stays), dl_ngram_lm.
     return {
         # --- checked prefix: one representative per operator family -----
         "ts_range_raw": q_range_raw,
@@ -1429,8 +1436,8 @@ def _base_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dl_cross_contaminated": q_cross_contaminated,
         "dl_quantize": q_quantize,
         "dl_minhash_lsh_pairs": q_minhash_lsh_pairs,
-        "dl_simhash_pairs": q_simhash_pairs,
-        "dl_ngram_jaccard": q_ngram_jaccard,
+        "dl_rrf_fuse": q_rrf_fuse,
+        "ts_ewma": q_ewma,
         "dl_dedup_components_star": q_dedup_components_star,
         "dl_dedup_pipeline": q_dedup_pipeline,
         "dl_embed_neardup_lsh": q_embed_neardup_lsh,
@@ -1441,25 +1448,25 @@ def _base_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dl_top_ngrams": q_top_ngrams,
         "dl_rolling_fingerprint": q_rolling_fingerprint,
         "dl_hash_split": q_hash_split,
-        "dl_decontaminate": q_decontaminate,
+        "ts_counter_increase": q_counter_increase,
         "dl_repetition": q_repetition,
-        "dl_ngram_lm": q_ngram_lm,
-        "dl_sample_stratified": q_sample_stratified,
+        "dl_chunk_docs": q_chunk_docs,
+        "ts_bucket_percentiles": q_bucket_percentiles,
         "dl_pii": q_pii,
         "dl_curation": q_curation,
         "dl_mm_decode": q_mm_decode,
         "ts_asof_join": q_asof_join,
         # --- tail: family variants, locally gated -----------------------
+        "dl_ngram_lm": q_ngram_lm,
+        "dl_simhash_pairs": q_simhash_pairs,
+        "dl_ngram_jaccard": q_ngram_jaccard,
+        "dl_decontaminate": q_decontaminate,
+        "dl_sample_stratified": q_sample_stratified,
         "ts_compaction_avg_10m": q_compaction_avg_10m,
         "dl_dedup_exact": q_dedup_exact,
         "dl_cross_lsh_pairs": q_cross_lsh_pairs,
-        "dl_rrf_fuse": q_rrf_fuse,
         "dl_mm_decode_png": q_mm_decode_png,
-        "dl_chunk_docs": q_chunk_docs,
-        "ts_bucket_percentiles": q_bucket_percentiles,
         "ts_agg_percentile": q_agg_percentile,
-        "ts_counter_increase": q_counter_increase,
-        "ts_ewma": q_ewma,
         "ts_range_filter_value": q_range_filter_value,
         "ts_agg_empty": q_agg_empty,
         "ts_agg_multi_align": q_agg_multi_align,
