@@ -164,6 +164,19 @@ def main():
             "redistimeseries_spark.operators.percentiles",
             fromlist=["ts_bucket_percentiles"],
         ).ts_bucket_percentiles(samples, 2 * H),
+        # reset-aware counter increase: one lag window + one agg (the
+        # twa plan shape)
+        "b14_increase_2h": lambda: __import__(
+            "redistimeseries_spark.operators.rate", fromlist=["ts_increase"]
+        ).ts_increase(samples, 2 * H),
+        # EWMA + LTTB: sequential per-key Arrow kernels (pandas C ewm /
+        # numpy bucket areas), one key shuffle each
+        "b15_ewma": lambda: __import__(
+            "redistimeseries_spark.operators.smooth", fromlist=["ts_ewma"]
+        ).ts_ewma(samples, 0.3),
+        "b16_lttb_1000": lambda: __import__(
+            "redistimeseries_spark.operators.smooth", fromlist=["ts_lttb"]
+        ).ts_lttb(samples, 1000),
     }
 
     # SPARK_GRAFT_BUCKETED=1: also build the key-bucketed layout and probe
