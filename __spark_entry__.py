@@ -133,6 +133,27 @@ def q_ewma(spark, sf_dir):
     )
 
 
+def q_anomalies(spark, sf_dir):
+    """Beyond-reference rolling z-score anomaly detection: each sample
+    vs the mean/std of its 20 preceding valid samples (self excluded) —
+    pure window expressions, one key-partitioned sort."""
+    from redistimeseries_spark.operators.smooth import ts_anomalies
+
+    st = _store(spark, sf_dir)
+    d = ts_anomalies(st.samples, window_n=20, z=2.5, start=D14, end=D21)
+    # engine-portable determinism: round the derived floats and decide the
+    # flag from the ROUNDED zscore so a last-ULP stddev difference can
+    # never flip the boundary between engines
+    rz = F.round("zscore", 6)
+    return d.select(
+        "key", "ts", "value",
+        F.round("mean", 6).alias("mean"),
+        F.round("std", 6).alias("std"),
+        rz.alias("zscore"),
+        F.coalesce(F.abs(rz) > 2.5, F.lit(False)).alias("anomaly"),
+    )
+
+
 def q_agg_percentile(spark, sf_dir):
     """Beyond-reference p-name aggregators inside the standard TS.RANGE
     pipeline: percentiles mix with the reference aggregator set in one
@@ -1438,6 +1459,7 @@ def _base_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dl_minhash_lsh_pairs": q_minhash_lsh_pairs,
         "dl_rrf_fuse": q_rrf_fuse,
         "ts_ewma": q_ewma,
+        "ts_anomalies": q_anomalies,
         "dl_dedup_components_star": q_dedup_components_star,
         "dl_dedup_pipeline": q_dedup_pipeline,
         "dl_embed_neardup_lsh": q_embed_neardup_lsh,
@@ -2414,6 +2436,25 @@ WHERE ts BETWEEN {D14} AND {D21}
 GROUP BY key, 2
 HAVING count(CASE WHEN NOT isnan(value) THEN 1 END) > 0""",
         "ts_agg_percentile": _agg_oracle(["p50", "p95", "avg"], 6 * H, D14, D14, D21),
+        "ts_anomalies": f"""{ORACLE_PREFIX},
+v AS (SELECT key, ts, value FROM samples
+      WHERE NOT isnan(value) AND ts BETWEEN {D14} AND {D21}),
+w AS (SELECT key, ts, value,
+             count(value) OVER win AS n_prev,
+             avg(value) OVER win AS mean,
+             stddev_samp(value) OVER win AS std
+      FROM v
+      WINDOW win AS (PARTITION BY key ORDER BY ts
+                     ROWS BETWEEN 20 PRECEDING AND 1 PRECEDING))
+SELECT key, ts, value,
+       round(CASE WHEN n_prev >= 20 THEN mean END, 6) AS mean,
+       round(CASE WHEN n_prev >= 20 THEN std END, 6) AS std,
+       round(CASE WHEN n_prev >= 20 AND std > 0
+                  THEN (value - mean) / std END, 6) AS zscore,
+       coalesce(abs(round(CASE WHEN n_prev >= 20 AND std > 0
+                               THEN (value - mean) / std END, 6)) > 2.5,
+                false) AS anomaly
+FROM w""",
         "ts_ewma": f"""WITH RECURSIVE {SAMPLES_SQL},
 v AS (SELECT key, ts, value,
              row_number() OVER (PARTITION BY key ORDER BY ts) AS rn

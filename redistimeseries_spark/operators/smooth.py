@@ -32,6 +32,66 @@ EWMA_SCHEMA = "key string, ts long, ewma double"
 LTTB_SCHEMA = "key string, ts long, value double"
 
 
+def ts_anomalies(
+    samples: DataFrame,
+    window_n: int = 20,
+    z: float = 3.0,
+    keys: list[str] | str | None = None,
+    start: int = MIN_TS,
+    end: int = MAX_TS,
+    flag_only: bool = False,
+) -> DataFrame:
+    """(key, ts, value, mean, std, zscore, anomaly) — rolling z-score
+    outlier detection per series: each sample is compared against the
+    mean/stddev of its `window_n` PRECEDING valid samples (the sample
+    itself excluded, so an outlier cannot vote itself normal).  The first
+    window_n samples of a series and samples whose window has zero
+    variance get zscore NULL / anomaly false — there is no baseline to
+    deviate from.
+
+    Pure window expressions (avg/stddev_samp over ROWS BETWEEN n
+    PRECEDING AND 1 PRECEDING): one key-partitioned sort, no Python —
+    over the key-bucketed layout the window needs no exchange.  NaN
+    samples are invalid everywhere and dropped first.  `flag_only=True`
+    keeps just the anomalous rows (the alerting consumer's shape)."""
+    if window_n < 2:
+        raise ValueError("window_n must be >= 2")
+    if z <= 0:
+        raise ValueError("z must be positive")
+    df = samples.filter(~F.isnan("value"))
+    if keys is not None:
+        klist = [keys] if isinstance(keys, str) else list(keys)
+        df = df.filter(F.col("key").isin(klist))
+    if start > MIN_TS:
+        df = df.filter(F.col("ts") >= F.lit(start))
+    if end < MAX_TS:
+        df = df.filter(F.col("ts") <= F.lit(end))
+    from pyspark.sql import Window
+
+    w = (
+        Window.partitionBy("key")
+        .orderBy("ts")
+        .rowsBetween(-window_n, -1)
+    )
+    n_prev = F.count("value").over(w)
+    mean = F.avg("value").over(w)
+    std = F.stddev_samp("value").over(w)
+    zscore = F.when(
+        (n_prev >= window_n) & (std > 0),
+        (F.col("value") - mean) / std,
+    )
+    out = df.select(
+        "key",
+        "ts",
+        "value",
+        F.when(n_prev >= window_n, mean).alias("mean"),
+        F.when(n_prev >= window_n, std).alias("std"),
+        zscore.alias("zscore"),
+        F.coalesce(F.abs(zscore) > z, F.lit(False)).alias("anomaly"),
+    )
+    return out.filter("anomaly") if flag_only else out
+
+
 def ts_lttb(
     samples: DataFrame,
     threshold: int,

@@ -349,3 +349,41 @@ def test_lttb_downsampling(spark):
     assert tiny == [(0, 1.0), (10, 2.0)]
     with _pytest.raises(ValueError):
         ts_lttb(sdf, 2)
+
+
+def test_rolling_zscore_anomalies(spark):
+    """Rolling z-score: a planted spike after a stable window flags; the
+    warm-up window and zero-variance windows never flag (NULL zscore);
+    the sample itself is excluded from its own baseline."""
+    import pytest as _pytest
+
+    from redistimeseries_spark.operators.smooth import ts_anomalies
+
+    rows = [("k", t * 10, 5.0 + (0.1 if t % 2 else -0.1)) for t in range(20)]
+    rows.append(("k", 200, 50.0))   # spike vs a tight baseline
+    rows.append(("k", 210, 5.0))    # normal again (spike inflates std but
+                                    # window still catches nothing here)
+    # a flat series: zero variance -> no flags ever
+    rows += [("flat", t * 10, 7.0) for t in range(25)]
+    sdf = spark.createDataFrame(rows, "key string, ts long, value double")
+    got = {
+        (r.key, r.ts): r
+        for r in ts_anomalies(sdf, window_n=20, z=3.0).collect()
+    }
+    spike = got[("k", 200)]
+    assert spike.anomaly and spike.zscore > 3.0
+    assert not got[("k", 210)].anomaly
+    # warm-up rows: no baseline
+    assert got[("k", 0)].zscore is None and not got[("k", 0)].anomaly
+    assert got[("k", 190)].zscore is None  # only 19 preceding
+    # zero-variance window: never flags, zscore NULL
+    assert all(
+        not v.anomaly and v.zscore is None
+        for (k, _), v in got.items()
+        if k == "flat"
+    )
+    # flag_only returns exactly the anomalous rows
+    flags = ts_anomalies(sdf, window_n=20, z=3.0, flag_only=True).collect()
+    assert [(r.key, r.ts) for r in flags] == [("k", 200)]
+    with _pytest.raises(ValueError):
+        ts_anomalies(sdf, window_n=1)
