@@ -1136,6 +1136,23 @@ def q_mm_decode_png(spark, sf_dir):
     return decode_features(media, budget_bytes=None)
 
 
+MIX_WEIGHTS = {"en": 0.5, "de": 0.2, "fr": 0.15, "es": 0.1, "zh": 0.05}
+
+
+def q_mixture_sample(spark, sf_dir):
+    """Data-mixing curation: sample to a target language mixture
+    (largest-remainder allocation of 200 slots, deterministic hash-order
+    draw, the stratified hash-cut scale shape)."""
+    from redistimeseries_spark.pipeline.curation import mixture_sample
+
+    return mixture_sample(
+        _docs(spark, sf_dir).select("doc_id", "lang"),
+        MIX_WEIGHTS,
+        200,
+        stratum_col="lang",
+    )
+
+
 def q_chunk_docs(spark, sf_dir):
     """Sliding-window chunking (30-token windows, stride 20): the
     downstream splitter for pack_sequences' overflow rows — map-side
@@ -1460,6 +1477,7 @@ def _base_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dl_rrf_fuse": q_rrf_fuse,
         "ts_ewma": q_ewma,
         "ts_anomalies": q_anomalies,
+        "dl_mixture_sample": q_mixture_sample,
         "dl_dedup_components_star": q_dedup_components_star,
         "dl_dedup_pipeline": q_dedup_pipeline,
         "dl_embed_neardup_lsh": q_embed_neardup_lsh,
@@ -2316,6 +2334,28 @@ def _pipeline_oracles() -> dict[str, str]:
                                         ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rn
               FROM documents)
             WHERE rn <= 25""",
+        # allocation inlined from the SAME mixture_targets call the
+        # operator makes — largest-remainder math can't drift
+        "dl_mixture_sample": """SELECT stratum, doc_id, rn FROM (
+              SELECT lang AS stratum, doc_id,
+                     row_number() OVER (PARTITION BY lang
+                                        ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rn
+              FROM documents WHERE lang IN ({langs}))
+            WHERE rn <= CASE stratum {cases} END""".format(
+            langs=", ".join(
+                f"'{s}'" for s in __import__(
+                    "redistimeseries_spark.pipeline.curation",
+                    fromlist=["mixture_targets"],
+                ).mixture_targets(MIX_WEIGHTS, 200)
+            ),
+            cases=" ".join(
+                f"WHEN '{s}' THEN {n}"
+                for s, n in __import__(
+                    "redistimeseries_spark.pipeline.curation",
+                    fromlist=["mixture_targets"],
+                ).mixture_targets(MIX_WEIGHTS, 200).items()
+            ),
+        ),
         "ts_rollup_route": _agg_oracle(["max"], H, 0, 0, 1 << 62),
         "ts_info_full": f"""{ORACLE_PREFIX}
             SELECT k.key, coalesce(total_samples, 0) AS total_samples,

@@ -150,6 +150,93 @@ def stratified_sample(
     )
 
 
+def mixture_targets(weights: dict[str, float], total_n: int) -> dict[str, int]:
+    """Deterministic largest-remainder allocation of `total_n` slots to
+    strata by weight (Hare quota / Hamilton's method): floor every quota,
+    then hand the leftover slots to the largest fractional remainders,
+    ties broken by stratum name.  Pure arithmetic — the oracle calls the
+    same function, so allocation can never drift between engines."""
+    if not weights:
+        raise ValueError("weights must be non-empty")
+    if any(w < 0 for w in weights.values()):
+        raise ValueError("weights must be non-negative")
+    tot = sum(weights.values())
+    if abs(tot - 1.0) > 1e-9:
+        raise ValueError("weights must sum to 1")
+    quota = {s: w * total_n for s, w in weights.items()}
+    alloc = {s: int(quota[s]) for s in weights}
+    leftover = total_n - sum(alloc.values())
+    by_rem = sorted(weights, key=lambda s: (-(quota[s] - alloc[s]), s))
+    for s in by_rem[:leftover]:
+        alloc[s] += 1
+    return alloc
+
+
+def mixture_sample(
+    docs: DataFrame,
+    weights: dict[str, float],
+    total_n: int,
+    stratum_col: str = "source",
+    id_col: str = "doc_id",
+    safety: int = 8,
+) -> DataFrame:
+    """(stratum, doc_id, rn) — sample to a TARGET MIXTURE: stratum s gets
+    exactly min(target_s, |s|) docs where target_s is the
+    largest-remainder allocation of total_n by `weights` (the data-mixing
+    pass that hits a recipe like 50% web / 30% code / 20% books).  Docs
+    whose stratum has no weight are excluded.  Same deterministic
+    hash-order draw and the same count -> hash-cut -> verified-window
+    scale shape as `stratified_sample` (one cut fraction per stratum,
+    safety * target_s / count), so no stratum ever sorts its full
+    population through one task."""
+    from pyspark.sql import Window
+
+    targets = mixture_targets(weights, total_n)
+    spark = docs.sparkSession
+    lim = F.broadcast(
+        spark.createDataFrame(
+            [(s, n) for s, n in targets.items()], "stratum string, __target long"
+        )
+    )
+    h = F.md5(F.col(id_col).cast("string"))
+    d = (
+        docs.select(
+            F.col(stratum_col).alias("stratum"), F.col(id_col).alias("doc_id")
+        )
+        .withColumn("__h", h)
+        .join(lim, "stratum")  # drops unweighted strata
+    )
+    u32 = F.conv(F.substring("__h", 1, 8), 16, 10).cast("long")
+    counts = d.groupBy("stratum").agg(F.count(F.lit(1)).alias("__cnt"))
+    # double-compare for the same 64-bit-overflow reason as
+    # stratified_sample; over-admission is harmless, the window decides
+    cut = d.join(F.broadcast(counts), "stratum").filter(
+        u32.cast("double")
+        <= F.lit(float(safety) * 2.0**32)
+        * F.col("__target").cast("double")
+        / F.col("__cnt")
+    )
+    survivors = {
+        r["stratum"]: r["ok"]
+        for r in cut.groupBy("stratum")
+        .agg(
+            (
+                F.count(F.lit(1))
+                >= F.least(F.min("__cnt"), F.min("__target"))
+            ).alias("ok")
+        )
+        .collect()
+    }
+    if not all(survivors.values()) or len(survivors) < counts.count():
+        cut = d  # exact fallback (never taken at uniform hash)
+    w = Window.partitionBy("stratum").orderBy("__h", "doc_id")
+    return (
+        cut.withColumn("rn", F.row_number().over(w).cast("long"))
+        .filter(F.col("rn") <= F.col("__target"))
+        .select("stratum", "doc_id", "rn")
+    )
+
+
 def curation_filter(
     docs: DataFrame,
     min_words: int = 5,

@@ -1103,3 +1103,45 @@ def test_top_ngrams_vocab(spark):
     # the plan must use a bounded top-k, not a global sort
     plan = top_ngrams(d, n=1, k=5)._jdf.queryExecution().executedPlan().toString()
     assert "TakeOrderedAndProject" in plan
+
+
+def test_mixture_sample_allocation_and_exactness(spark):
+    """mixture_sample: largest-remainder targets hit exactly (ties by
+    name), capped by stratum size, unweighted strata excluded, result
+    independent of partitioning, degenerate weights rejected."""
+    import pytest as _pytest
+
+    from redistimeseries_spark.pipeline.curation import (
+        mixture_sample, mixture_targets,
+    )
+
+    assert mixture_targets({"a": 0.5, "b": 0.3, "c": 0.2}, 10) == {
+        "a": 5, "b": 3, "c": 2,
+    }
+    # remainders .5/.5: the tie goes to the earlier name
+    assert mixture_targets({"a": 0.25, "b": 0.25, "c": 0.5}, 6) == {
+        "a": 2, "b": 1, "c": 3,
+    }
+    with _pytest.raises(ValueError):
+        mixture_targets({"a": 0.5}, 10)
+
+    rows = (
+        [(i, "web") for i in range(100)]
+        + [(i + 100, "code") for i in range(50)]
+        + [(i + 200, "books") for i in range(3)]     # smaller than target
+        + [(i + 300, "junk") for i in range(40)]     # unweighted
+    )
+    docs = spark.createDataFrame(rows, "doc_id long, source string")
+    w = {"web": 0.5, "code": 0.3, "books": 0.2}
+    got = mixture_sample(docs, w, 20).collect()
+    by = {}
+    for r in got:
+        by.setdefault(r.stratum, []).append(r.doc_id)
+    assert len(by["web"]) == 10 and len(by["code"]) == 6
+    assert sorted(by["books"]) == [200, 201, 202]  # capped at |stratum|
+    assert "junk" not in by
+    # deterministic under repartitioning
+    got2 = mixture_sample(docs.repartition(7), w, 20).collect()
+    assert sorted((r.stratum, r.doc_id) for r in got) == sorted(
+        (r.stratum, r.doc_id) for r in got2
+    )
