@@ -485,6 +485,17 @@ class TimeSeriesEngine:
             end=self._resolve_ts(to_ts, key),
         ).drop("key")
 
+    def anomalies(self, key: str, from_ts="-", to_ts="+", **kw) -> DataFrame:
+        """Rolling z-score outliers (beyond-reference; operators/smooth)."""
+        from redistimeseries_spark.operators.smooth import ts_anomalies
+
+        return ts_anomalies(
+            self._series_df(key, False),
+            start=self._resolve_ts(from_ts, key),
+            end=self._resolve_ts(to_ts, key),
+            **kw,
+        ).drop("key")
+
     def range_rollup(
         self, key: str, agg: str, bucket_dur, from_ts="-", to_ts="+"
     ) -> DataFrame:
