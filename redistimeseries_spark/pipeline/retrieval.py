@@ -131,6 +131,112 @@ def bm25_scores(
     return scored.groupBy("doc_id").agg(F.sum("w").alias("score"))
 
 
+TEXT_INDEX_BUCKETS = 64
+
+
+def _term_bucket_py(term: str, buckets: int) -> int:
+    """md5-prefix bucket, computable identically driver-side (Python) and
+    executor-side (the Spark expression in `_term_bucket_col`) — the same
+    arithmetic as curation.hash_split."""
+    import hashlib
+
+    return int(hashlib.md5(term.encode()).hexdigest()[:7], 16) % buckets
+
+
+def _term_bucket_col(term_col, buckets: int):
+    return (
+        F.conv(F.substring(F.md5(term_col), 1, 7), 16, 10).cast("long")
+        % buckets
+    )
+
+
+def build_text_index(
+    docs: DataFrame, path: str, buckets: int = TEXT_INDEX_BUCKETS
+) -> None:
+    """Materialize a BM25 index: term postings partitioned by a term-hash
+    bucket plus a 1-row stats table.  The IVF-index economics applied to
+    text (`similarity.build_ivf_index`): tokenization and tf aggregation
+    are the expensive corpus pass — build once, query many.
+
+    Layout: `<path>/postings/tb=<b>/…` rows (term, doc_id, tf, dl) — a
+    query reads ONLY its terms' bucket directories (partition pruning,
+    same mechanism as the time-series day layout) and pushes the term
+    equality into the parquet scan; `<path>/stats/` holds (n_docs,
+    avgdl).  Document frequencies are NOT precomputed: df is one tiny
+    aggregate over the already-pruned postings slice, which keeps the
+    index update-friendly (appending a partition of new docs never
+    invalidates a global df table)."""
+    toks = docs.select(
+        "doc_id",
+        F.expr(f"array_remove(split(lower(text), '{WORD_RE}'), '')").alias("wa"),
+    ).select("doc_id", "wa", F.size("wa").alias("dl"))
+    postings = (
+        toks.select("doc_id", "dl", F.explode("wa").alias("term"))
+        .groupBy("term", "doc_id")
+        .agg(F.count(F.lit(1)).alias("tf"), F.first("dl").alias("dl"))
+        .withColumn("tb", _term_bucket_col(F.col("term"), buckets))
+    )
+    postings.write.mode("overwrite").partitionBy("tb").parquet(
+        f"{path}/postings"
+    )
+    toks.agg(
+        F.count(F.lit(1)).alias("n_docs"), F.avg("dl").alias("avgdl")
+    ).write.mode("overwrite").parquet(f"{path}/stats")
+
+
+def bm25_topk_indexed(
+    spark,
+    path: str,
+    query: str,
+    k: int = 10,
+    k1: float = BM25_K1,
+    b: float = BM25_B,
+    buckets: int = TEXT_INDEX_BUCKETS,
+) -> DataFrame:
+    """Top-k against a `build_text_index` store: the query's term buckets
+    resolve DRIVER-side (pure md5 arithmetic, no Spark job), so the scan
+    opens at most |terms| of the `buckets` posting directories and pushes
+    the term filter into parquet — per-query cost tracks the matched
+    postings, not the corpus.  Same score math and determinism rules as
+    `bm25_topk` (asserted equal in tests)."""
+    terms = query_terms(query)
+    if not terms:
+        raise ValueError("query has no terms after tokenization")
+    tbs = sorted({_term_bucket_py(t, buckets) for t in terms})
+    post = (
+        spark.read.parquet(f"{path}/postings")
+        .filter(F.col("tb").isin(tbs))
+        .filter(F.col("term").isin(terms))
+        .select("term", "doc_id", "tf", "dl")
+    )
+    stats = F.broadcast(spark.read.parquet(f"{path}/stats"))
+    df_ = post.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    scored = (
+        post.join(F.broadcast(df_), "term")
+        .crossJoin(stats)
+        .withColumn(
+            "idf",
+            F.log(
+                F.lit(1.0)
+                + (F.col("n_docs") - F.col("df") + 0.5) / (F.col("df") + 0.5)
+            ),
+        )
+        .withColumn(
+            "w",
+            F.col("idf")
+            * (F.col("tf") * (k1 + 1))
+            / (F.col("tf") + k1 * (1 - b + b * F.col("dl") / F.col("avgdl"))),
+        )
+        .groupBy("doc_id")
+        .agg(F.sum("w").alias("score"))
+    )
+    return (
+        scored.select("doc_id", F.round("score", 6).alias("score"))
+        .orderBy(F.col("score").desc(), F.col("doc_id"))
+        .limit(k)
+    )
+
+
 def rrf_fuse(
     rankings: list[DataFrame],
     k: int = 60,

@@ -1145,3 +1145,42 @@ def test_mixture_sample_allocation_and_exactness(spark):
     assert sorted((r.stratum, r.doc_id) for r in got) == sorted(
         (r.stratum, r.doc_id) for r in got2
     )
+
+
+def test_bm25_indexed_matches_adhoc(spark, tmp_path):
+    """The persisted text index answers identically to the ad-hoc scorer,
+    its scan opens only the query terms' bucket partitions (driver-side
+    md5 bucket == executor-side expression), and the term filter reaches
+    the parquet scan."""
+    from redistimeseries_spark.pipeline.retrieval import (
+        _term_bucket_py, bm25_topk, bm25_topk_indexed, build_text_index,
+    )
+    from redistimeseries_spark.store import read_parquet
+
+    docs = read_parquet(spark, "/root/testdata/sf0.001/documents.parquet").select(
+        "doc_id", "text"
+    )
+    path = str(tmp_path / "tidx")
+    build_text_index(docs, path)
+    q = "fast table scan query"
+    adhoc = [(r.doc_id, r.score) for r in bm25_topk(docs, q, k=15).collect()]
+    idx = [(r.doc_id, r.score) for r in bm25_topk_indexed(spark, path, q, k=15).collect()]
+    assert idx == adhoc
+    # partition pruning: the plan's PartitionFilters carries tb
+    plan = (
+        bm25_topk_indexed(spark, path, q, k=15)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "tb" in plan and "PushedFilters" in plan
+    # driver-side bucket math equals the executor expression
+    from pyspark.sql import functions as F
+
+    spark_b = (
+        spark.range(1)
+        .select(
+            F.conv(F.substring(F.md5(F.lit("table")), 1, 7), 16, 10)
+            .cast("long") % 64
+        )
+        .collect()[0][0]
+    )
+    assert spark_b == _term_bucket_py("table", 64)
