@@ -179,8 +179,13 @@ def build_text_index(
     postings.write.mode("overwrite").partitionBy("tb").parquet(
         f"{path}/postings"
     )
+    # total_dl rides along so INCREMENTAL updates stay exact: avgdl is
+    # derived (total_dl / n_docs), and adding a batch is two additions —
+    # no corpus rescan (TextIndexStream)
     toks.agg(
-        F.count(F.lit(1)).alias("n_docs"), F.avg("dl").alias("avgdl")
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("dl").alias("total_dl"),
+        F.avg("dl").alias("avgdl"),
     ).write.mode("overwrite").parquet(f"{path}/stats")
 
 
@@ -297,3 +302,75 @@ def bm25_topk(
         .orderBy(F.col("score").desc(), F.col("doc_id"))
         .limit(k)
     )
+
+
+class TextIndexStream:
+    """foreachBatch target maintaining a `build_text_index` store
+    INCREMENTALLY: each micro-batch appends its postings to the term-hash
+    bucket partitions and folds (n_docs, total_dl) into the stats row —
+    never rescanning indexed text (the DedupStream economics applied to
+    the retrieval index).  df was deliberately left un-materialized in
+    the index layout, so appends cannot invalidate anything; queries via
+    `bm25_topk_indexed` see new docs as soon as their batch lands.
+
+    At-least-once safety: completed batch ids live in a parquet state
+    table (`batches/`), so a replayed micro-batch is a no-op — the same
+    marker discipline as DedupStream.  Docs are assumed new (append-only
+    corpus); dedup upstream is the pipeline's dedup stage's job.
+    """
+
+    def __init__(self, spark, path: str, buckets: int = TEXT_INDEX_BUCKETS):
+        import os
+
+        self.spark, self.path, self.buckets = spark, path, buckets
+        os.makedirs(path, exist_ok=True)
+
+    def _read(self, sub: str, schema: str) -> DataFrame:
+        from pyspark.errors import AnalysisException
+
+        try:
+            return self.spark.read.parquet(f"{self.path}/{sub}")
+        except AnalysisException as exc:
+            if "PATH_NOT_FOUND" in str(exc) or "Path does not exist" in str(exc):
+                return self.spark.createDataFrame([], schema)
+            raise
+
+    def process_batch(self, batch: DataFrame, batch_id: int) -> None:
+        done = self._read("batches", "batch_id long")
+        if done.filter(F.col("batch_id") == batch_id).take(1):
+            return
+        toks = batch.select(
+            "doc_id",
+            F.expr(
+                f"array_remove(split(lower(text), '{WORD_RE}'), '')"
+            ).alias("wa"),
+        ).select("doc_id", "wa", F.size("wa").alias("dl"))
+        toks = toks.localCheckpoint()  # consumed twice (postings + stats)
+        (
+            toks.select("doc_id", "dl", F.explode("wa").alias("term"))
+            .groupBy("term", "doc_id")
+            .agg(F.count(F.lit(1)).alias("tf"), F.first("dl").alias("dl"))
+            .withColumn("tb", _term_bucket_col(F.col("term"), self.buckets))
+            .write.mode("append")
+            .partitionBy("tb")
+            .parquet(f"{self.path}/postings")
+        )
+        inc = toks.agg(
+            F.count(F.lit(1)).alias("n_docs"), F.sum("dl").alias("total_dl")
+        ).collect()[0]
+        prev = self._read("stats", "n_docs long, total_dl long, avgdl double")
+        row = prev.take(1)
+        n = (row[0]["n_docs"] if row else 0) + inc["n_docs"]
+        t = (row[0]["total_dl"] if row else 0) + (inc["total_dl"] or 0)
+        self.spark.createDataFrame(
+            [(n, t, t / n if n else 0.0)],
+            "n_docs long, total_dl long, avgdl double",
+        ).write.mode("overwrite").parquet(f"{self.path}/stats.tmp")
+        # overwrite via a fresh read -> rewrite of the final location (the
+        # 1-row table is tiny; the tmp hop avoids read-overwrite races)
+        self.spark.read.parquet(f"{self.path}/stats.tmp").write.mode(
+            "overwrite"
+        ).parquet(f"{self.path}/stats")
+        self.spark.createDataFrame([(batch_id,)], "batch_id long").write.mode(
+            "append"
+        ).parquet(f"{self.path}/batches")

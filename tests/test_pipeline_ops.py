@@ -1184,3 +1184,34 @@ def test_bm25_indexed_matches_adhoc(spark, tmp_path):
         .collect()[0][0]
     )
     assert spark_b == _term_bucket_py("table", 64)
+
+
+def test_text_index_stream_incremental(spark, tmp_path):
+    """Incremental index maintenance: two appended micro-batches answer
+    queries identically to a full rebuild; a replayed batch_id is a
+    no-op (at-least-once markers); stats fold exactly."""
+    from redistimeseries_spark.pipeline.retrieval import (
+        TextIndexStream, bm25_topk_indexed, build_text_index,
+    )
+    from redistimeseries_spark.store import read_parquet
+
+    docs = read_parquet(spark, "/root/testdata/sf0.001/documents.parquet").select(
+        "doc_id", "text"
+    )
+    b1 = docs.filter("doc_id % 2 = 0")
+    b2 = docs.filter("doc_id % 2 = 1")
+    inc_path = str(tmp_path / "inc")
+    stream = TextIndexStream(spark, inc_path)
+    stream.process_batch(b1, 0)
+    stream.process_batch(b2, 1)
+    stream.process_batch(b2, 1)  # replay: must be a no-op
+    full_path = str(tmp_path / "full")
+    build_text_index(docs, full_path)
+    q = "fast table scan query"
+    got = [(r.doc_id, r.score) for r in bm25_topk_indexed(spark, inc_path, q, k=15).collect()]
+    want = [(r.doc_id, r.score) for r in bm25_topk_indexed(spark, full_path, q, k=15).collect()]
+    assert got == want
+    s_inc = spark.read.parquet(f"{inc_path}/stats").collect()[0]
+    s_full = spark.read.parquet(f"{full_path}/stats").collect()[0]
+    assert (s_inc.n_docs, s_inc.total_dl) == (s_full.n_docs, s_full.total_dl)
+    assert abs(s_inc.avgdl - s_full.avgdl) < 1e-12
