@@ -35,7 +35,29 @@ from redistimeseries_spark.pipeline.dedup import (
 )
 from redistimeseries_spark.pipeline.curation import curation_filter, stratified_sample
 from redistimeseries_spark.pipeline.dedup import cross_contaminated
-from redistimeseries_spark.pipeline.retrieval import bm25_topk, rrf_fuse
+from redistimeseries_spark.pipeline.retrieval import (
+    bm25_topk,
+    bm25_topk_indexed,
+    build_text_index,
+    rrf_fuse,
+)
+
+_TIDX: dict = {}
+
+
+def _text_index_path(spark, docs) -> str:
+    if "p" not in _TIDX:
+        import tempfile
+
+        p = os.path.join(tempfile.mkdtemp(prefix="sparkts_tidx_"), "idx")
+        t0 = time.time()
+        build_text_index(docs, p)
+        print(
+            json.dumps({"stage": "text_index_build", "sec": round(time.time() - t0, 2)}),
+            flush=True,
+        )
+        _TIDX["p"] = p
+    return _TIDX["p"]
 from redistimeseries_spark.pipeline.text import (
     char_ngram_lm_scores,
     lang_scores,
@@ -121,6 +143,12 @@ def main():
                 bm25_topk(docs, "join merge batch", k=100),
             ],
             topk=50,
+        ),
+        # persisted-index query: opens only the query terms' bucket dirs
+        # (compare d16 — the ad-hoc corpus scan); the index build is a
+        # separately-reported setup stage
+        "d19_bm25_indexed": lambda: bm25_topk_indexed(
+            spark, _text_index_path(spark, docs), "fast table scan query", k=100
         ),
     }
 
