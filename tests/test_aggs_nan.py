@@ -387,3 +387,53 @@ def test_rolling_zscore_anomalies(spark):
     assert [(r.key, r.ts) for r in flags] == [("k", 200)]
     with _pytest.raises(ValueError):
         ts_anomalies(sdf, window_n=1)
+
+
+def test_counter_increase_random_vs_sequential(spark):
+    """ts_increase vs a literal sequential simulation on random series
+    (NaNs, resets, range cuts) — 6 seeded trials."""
+    import math
+    import random as _random
+
+    from redistimeseries_spark.operators.rate import ts_increase
+
+    rng = _random.Random(0xC0FE)
+    for trial in range(6):
+        rows = []
+        series = {}
+        for k in ("a", "b", "c"):
+            pts = sorted(rng.sample(range(0, 50_000), rng.randint(5, 40)))
+            vals = []
+            cur = 0.0
+            for t in pts:
+                if rng.random() < 0.12:
+                    vals.append(float("nan"))
+                    continue
+                if rng.random() < 0.15:
+                    cur = rng.uniform(0, 5)  # reset
+                else:
+                    cur += rng.uniform(0, 10)
+                vals.append(cur)
+            series[k] = [(t, v) for t, v in zip(pts, vals)]
+            rows += [(k, t, v) for t, v in series[k]]
+        dur = rng.choice([700, 1000, 5000])
+        lo = rng.choice([0, rng.randrange(0, 30_000)])
+        sdf = spark.createDataFrame(rows, "key string, ts long, value double")
+        got = {
+            (r.key, r.ts): r.increase
+            for r in ts_increase(sdf, dur, start=lo).collect()
+        }
+        want = {}
+        for k, pts in series.items():
+            prev = None
+            for t, v in pts:
+                if math.isnan(v):
+                    continue
+                if prev is not None and t >= lo:
+                    step = v - prev if v >= prev else v
+                    b = t - t % dur
+                    want[(k, b)] = want.get((k, b), 0.0) + step
+                prev = v
+        assert set(got) == set(want), (trial, dur, lo)
+        for kk in got:
+            assert math.isclose(got[kk], want[kk], abs_tol=1e-9), (trial, kk)
