@@ -39,6 +39,11 @@ def benchmarks(st, raw, latest, bucketed, dup_docs):
         # with byte-identical final keep decisions (BASELINE.md round 4)
         return dedup_pipeline(dup_docs, num_hashes=16, bands=4)
 
+    def _bm25():
+        from redistimeseries_spark.pipeline.retrieval import bm25_topk
+
+        return bm25_topk(dup_docs, "fast table scan query", k=20)
+
     return {
         # B1: TS.RANGE full-series scan (scaling-ts_range_90k_datapoints.yml)
         "b1_range_full_key": lambda: ts_range(st.samples, keys="click_3"),
@@ -80,6 +85,10 @@ def benchmarks(st, raw, latest, bucketed, dup_docs):
         # the sf documents corpus + planted near-identical copies — the
         # LLM-pipeline headline (protocol addition, round 4; BASELINE.md)
         "b10_dedup_pipeline": lambda: _dedup_pipeline_bench(),
+        # B11: ad-hoc BM25 top-20 over the sf documents corpus — the
+        # retrieval-family headline (protocol addition, round 5;
+        # BASELINE.md; the indexed path is probed separately)
+        "b11_bm25_topk": lambda: _bm25(),
     }
 
 
