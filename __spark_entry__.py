@@ -133,6 +133,15 @@ def q_ewma(spark, sf_dir):
     )
 
 
+def q_gaps(spark, sf_dir):
+    """Beyond-reference sampling-gap report: consecutive-sample intervals
+    over 30 minutes per key — one lag window + a filter."""
+    from redistimeseries_spark.operators.rate import ts_gaps
+
+    st = _store(spark, sf_dir)
+    return ts_gaps(st.samples, 30 * 60_000, start=D14, end=D21)
+
+
 def q_anomalies(spark, sf_dir):
     """Beyond-reference rolling z-score anomaly detection: each sample
     vs the mean/std of its 20 preceding valid samples (self excluded) —
@@ -1481,6 +1490,7 @@ def _base_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ts_ewma": q_ewma,
         "ts_anomalies": q_anomalies,
         "dl_mixture_sample": q_mixture_sample,
+        "ts_gaps": q_gaps,
         "dl_dedup_components_star": q_dedup_components_star,
         "dl_dedup_pipeline": q_dedup_pipeline,
         "dl_embed_neardup_lsh": q_embed_neardup_lsh,
@@ -2479,6 +2489,13 @@ WHERE ts BETWEEN {D14} AND {D21}
 GROUP BY key, 2
 HAVING count(CASE WHEN NOT isnan(value) THEN 1 END) > 0""",
         "ts_agg_percentile": _agg_oracle(["p50", "p95", "avg"], 6 * H, D14, D14, D21),
+        "ts_gaps": f"""{ORACLE_PREFIX},
+g AS (SELECT key, lag(ts) OVER (PARTITION BY key ORDER BY ts) AS gap_start,
+             ts AS gap_end
+      FROM samples WHERE ts BETWEEN {D14} AND {D21})
+SELECT key, gap_start, gap_end, gap_end - gap_start AS gap_ms
+FROM g
+WHERE gap_start IS NOT NULL AND gap_end - gap_start > {30 * 60_000}""",
         "ts_anomalies": f"""{ORACLE_PREFIX},
 v AS (SELECT key, ts, value FROM samples
       WHERE NOT isnan(value) AND ts BETWEEN {D14} AND {D21}),

@@ -110,3 +110,49 @@ def ts_rate(
     return ts_increase(
         samples, bucket_dur, keys, start, end, align, per_second=True
     )
+
+
+def ts_gaps(
+    samples: DataFrame,
+    min_gap_ms: int,
+    keys: list[str] | str | None = None,
+    start: int = MIN_TS,
+    end: int = MAX_TS,
+) -> DataFrame:
+    """(key, gap_start, gap_end, gap_ms) — sampling gaps longer than
+    `min_gap_ms` per series: every consecutive-sample interval whose
+    span exceeds the threshold (gap_start/gap_end are the bracketing
+    sample timestamps).  The missing-data report an SLO/ops review runs;
+    the reference's INFO exposes only totalSamples, not where the holes
+    are.
+
+    One lag window over (key, ts) then a filter — pure JVM, the
+    counter-rate plan shape.  NaN samples still COUNT as samples here
+    (the device reported, the value was bad — that is not a collection
+    gap)."""
+    if min_gap_ms <= 0:
+        raise ValueError("min_gap_ms must be positive")
+    df = samples
+    if keys is not None:
+        klist = [keys] if isinstance(keys, str) else list(keys)
+        df = df.filter(F.col("key").isin(klist))
+    if start > MIN_TS:
+        df = df.filter(F.col("ts") >= F.lit(start))
+    if end < MAX_TS:
+        df = df.filter(F.col("ts") <= F.lit(end))
+    w = Window.partitionBy("key").orderBy("ts")
+    prev = F.lag("ts").over(w)
+    return (
+        df.select("key", prev.alias("gap_start"), F.col("ts").alias("gap_end"))
+        .filter(
+            F.col("gap_start").isNotNull()
+            & (F.col("gap_end") - F.col("gap_start") > min_gap_ms)
+        )
+        .select(
+            "key",
+            "gap_start",
+            "gap_end",
+            (F.col("gap_end") - F.col("gap_start")).alias("gap_ms"),
+        )
+        .orderBy("key", "gap_start")
+    )

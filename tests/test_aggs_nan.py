@@ -437,3 +437,24 @@ def test_counter_increase_random_vs_sequential(spark):
         assert set(got) == set(want), (trial, dur, lo)
         for kk in got:
             assert math.isclose(got[kk], want[kk], abs_tol=1e-9), (trial, kk)
+
+
+def test_gap_detection(spark):
+    """ts_gaps: only intervals above the threshold report, NaN samples
+    count as samples (bad value != collection gap), per-key isolation."""
+    import pytest as _pytest
+
+    from redistimeseries_spark.operators.rate import ts_gaps
+
+    nan = float("nan")
+    rows = [
+        ("k", 0, 1.0), ("k", 100, 2.0), ("k", 5000, 3.0),  # 4900ms gap
+        ("k", 5100, nan), ("k", 5200, 4.0),  # NaN bridges: no gap here
+        ("j", 0, 1.0), ("j", 10_000, 1.0),   # second key's own gap
+    ]
+    sdf = spark.createDataFrame(rows, "key string, ts long, value double")
+    got = [(r.key, r.gap_start, r.gap_end, r.gap_ms)
+           for r in ts_gaps(sdf, 1000).collect()]
+    assert got == [("j", 0, 10_000, 10_000), ("k", 100, 5000, 4900)]
+    with _pytest.raises(ValueError):
+        ts_gaps(sdf, 0)
