@@ -458,3 +458,31 @@ def test_gap_detection(spark):
     assert got == [("j", 0, 10_000, 10_000), ("k", 100, 5000, 4900)]
     with _pytest.raises(ValueError):
         ts_gaps(sdf, 0)
+
+
+def test_ewma_random_vs_sequential(spark):
+    """ts_ewma vs a literal Python recurrence on random series with NaNs
+    and random alphas — 5 seeded trials."""
+    import math
+    import random as _random
+
+    from redistimeseries_spark.operators.smooth import ts_ewma
+
+    rng = _random.Random(0xE3A)
+    for trial in range(5):
+        alpha = rng.choice([0.1, 0.3, 0.5, 0.9])
+        rows, want = [], {}
+        for k in ("a", "b"):
+            y = None
+            for t in sorted(rng.sample(range(0, 10_000), rng.randint(3, 30))):
+                v = float("nan") if rng.random() < 0.15 else rng.uniform(-10, 10)
+                rows.append((k, t, v))
+                if math.isnan(v):
+                    continue
+                y = v if y is None else alpha * v + (1 - alpha) * y
+                want[(k, t)] = y
+        sdf = spark.createDataFrame(rows, "key string, ts long, value double")
+        got = {(r.key, r.ts): r.ewma for r in ts_ewma(sdf, alpha).collect()}
+        assert set(got) == set(want), (trial, alpha)
+        for kk in got:
+            assert math.isclose(got[kk], want[kk], rel_tol=1e-12), (trial, kk)
