@@ -33,7 +33,12 @@ from redistimeseries_spark.pipeline.dedup import (
     simhash,
     simhash_hamming_pairs,
 )
-from redistimeseries_spark.pipeline.curation import curation_filter, stratified_sample
+from redistimeseries_spark.pipeline.curation import (
+    curation_filter,
+    mixture_sample,
+    stratified_sample,
+)
+from redistimeseries_spark.pipeline.packing import chunk_documents
 from redistimeseries_spark.pipeline.dedup import cross_contaminated
 from redistimeseries_spark.pipeline.retrieval import (
     bm25_topk,
@@ -149,6 +154,13 @@ def main():
         # separately-reported setup stage
         "d19_bm25_indexed": lambda: bm25_topk_indexed(
             spark, _text_index_path(spark, docs), "fast table scan query", k=100
+        ),
+        # map-side sliding-window chunking (Generate + slice, no shuffle)
+        "d20_chunk_docs": lambda: chunk_documents(docs, max_tokens=30, stride=20),
+        # target-mixture sampling (count -> hash-cut -> verified window)
+        "d21_mixture_sample": lambda: mixture_sample(
+            docs, {"en": 0.5, "de": 0.2, "fr": 0.15, "es": 0.1, "zh": 0.05},
+            10_000, stratum_col="lang",
         ),
     }
 
