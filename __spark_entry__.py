@@ -133,6 +133,18 @@ def q_ewma(spark, sf_dir):
     )
 
 
+def q_resample_linear(spark, sf_dir):
+    """Beyond-reference regular-grid resampling with linear interpolation
+    (the time_bucket_gapfill/interpolate feature class): one bounded
+    per-key grid + one window pass per direction, pure JVM."""
+    from redistimeseries_spark.operators.resample import ts_resample
+
+    st = _store(spark, sf_dir)
+    return ts_resample(st.samples, H, "linear", start=D14, end=D21).select(
+        "key", "ts", F.round("value", 6).alias("value")
+    )
+
+
 def q_gaps(spark, sf_dir):
     """Beyond-reference sampling-gap report: consecutive-sample intervals
     over 30 minutes per key — one lag window + a filter."""
@@ -1493,6 +1505,7 @@ def _base_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ts_anomalies": q_anomalies,
         "dl_mixture_sample": q_mixture_sample,
         "ts_gaps": q_gaps,
+        "ts_resample_linear": q_resample_linear,
         "dl_dedup_components_star": q_dedup_components_star,
         "dl_dedup_pipeline": q_dedup_pipeline,
         "dl_embed_neardup_lsh": q_embed_neardup_lsh,
@@ -2491,6 +2504,31 @@ WHERE ts BETWEEN {D14} AND {D21}
 GROUP BY key, 2
 HAVING count(CASE WHEN NOT isnan(value) THEN 1 END) > 0""",
         "ts_agg_percentile": _agg_oracle(["p50", "p95", "avg"], 6 * H, D14, D14, D21),
+        "ts_resample_linear": f"""{ORACLE_PREFIX},
+v AS (SELECT key, ts, value FROM samples
+      WHERE NOT isnan(value) AND ts BETWEEN {D14} AND {D21}),
+bnd AS (SELECT key, ((min(ts) + {H} - 1) // {H}) * {H} AS g0,
+               (max(ts) // {H}) * {H} AS g1
+        FROM v GROUP BY key),
+g AS (SELECT key, unnest(generate_series(g0, g1, {H})) AS ts
+      FROM bnd WHERE g0 <= g1),
+u AS (SELECT key, ts, value, 1 AS s FROM v
+      UNION ALL SELECT key, ts, NULL, 0 FROM g),
+e AS (SELECT key, ts, s,
+        last_value(value IGNORE NULLS) OVER wb AS pv,
+        last_value(CASE WHEN s = 1 THEN ts END IGNORE NULLS) OVER wb AS pt,
+        first_value(value IGNORE NULLS) OVER wf AS nv,
+        first_value(CASE WHEN s = 1 THEN ts END IGNORE NULLS) OVER wf AS nt
+      FROM u
+      WINDOW wb AS (PARTITION BY key ORDER BY ts, s DESC
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+             wf AS (PARTITION BY key ORDER BY ts, s DESC
+                    ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING))
+SELECT key, ts,
+       round(CASE WHEN pt = ts THEN pv
+                  WHEN nt IS NULL THEN pv
+                  ELSE pv + (nv - pv) * (ts - pt) / (nt - pt) END, 6) AS value
+FROM e WHERE s = 0""",
         "ts_gaps": f"""{ORACLE_PREFIX},
 g AS (SELECT key, lag(ts) OVER (PARTITION BY key ORDER BY ts) AS gap_start,
              ts AS gap_end

@@ -486,3 +486,35 @@ def test_ewma_random_vs_sequential(spark):
         assert set(got) == set(want), (trial, alpha)
         for kk in got:
             assert math.isclose(got[kk], want[kk], rel_tol=1e-12), (trial, kk)
+
+
+def test_resample_linear_and_locf(spark):
+    """ts_resample: hand-computed linear interpolation and LOCF on a
+    regular grid, coinciding samples returned exactly, NaN samples
+    skipped, short series between grid lines emit nothing."""
+    import math
+
+    import pytest as _pytest
+
+    from redistimeseries_spark.operators.resample import ts_resample
+
+    nan = float("nan")
+    rows = [
+        ("k", 50, 10.0), ("k", 150, nan), ("k", 250, 30.0), ("k", 300, 40.0),
+        ("short", 120, 5.0), ("short", 180, 6.0),  # no grid point inside
+    ]
+    sdf = spark.createDataFrame(rows, "key string, ts long, value double")
+    lin = {(r.key, r.ts): r.value for r in ts_resample(sdf, 100, "linear").collect()}
+    # grid for k: 100, 200, 300; NaN at 150 ignored ->
+    # t=100: between (50,10) and (250,30): 10 + 20*(50/200) = 15
+    # t=200: 10 + 20*(150/200) = 25;  t=300: coincides with sample -> 40
+    assert set(lin) == {("k", 100), ("k", 200), ("k", 300)}
+    assert math.isclose(lin[("k", 100)], 15.0)
+    assert math.isclose(lin[("k", 200)], 25.0)
+    assert lin[("k", 300)] == 40.0
+    locf = {(r.key, r.ts): r.value for r in ts_resample(sdf, 100, "locf").collect()}
+    assert locf == {("k", 100): 10.0, ("k", 200): 10.0, ("k", 300): 40.0}
+    with _pytest.raises(ValueError):
+        ts_resample(sdf, 0)
+    with _pytest.raises(ValueError):
+        ts_resample(sdf, 100, "cubic")
