@@ -1463,11 +1463,11 @@ def _base_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # dl_sample_stratified, dl_decontaminate (dl_cross_contaminated is the
     # near-dup screen), dl_ngram_jaccard (verified inside
     # dl_dedup_pipeline), dl_simhash_pairs (dl_simhash stays), dl_ngram_lm.
-    # Final round-5 additions ts_anomalies + dl_mixture_sample + ts_gaps
-    # also sit in the prefix; dl_mm_decode (green r4; dl_mm_frame_sample
-    # keeps the mm family's slot), ts_asof_join (green r3+r4) and
-    # dl_curation (green r3+r4; its four component signals each keep
-    # their own slots or tail-gate coverage) slide to the tail.
+    # Final round-5 additions ts_anomalies + dl_mixture_sample + ts_gaps +
+    # ts_resample_linear also sit in the prefix; dl_mm_decode (green r4;
+    # dl_mm_frame_sample keeps the mm family's slot), ts_asof_join
+    # (green r3+r4), dl_curation and dl_pii (both green r3+r4; component
+    # signals keep slots or tail-gate coverage) slide to the tail.
     return {
         # --- checked prefix: one representative per operator family -----
         "ts_range_raw": q_range_raw,
