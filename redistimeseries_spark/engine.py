@@ -496,6 +496,30 @@ class TimeSeriesEngine:
             **kw,
         ).drop("key")
 
+    def resample(self, key: str, step, method: str = "linear",
+                 from_ts="-", to_ts="+") -> DataFrame:
+        """Regular-grid resampling (beyond-reference; operators/resample)."""
+        from redistimeseries_spark.operators.resample import ts_resample
+
+        return ts_resample(
+            self._series_df(key, False),
+            parse_duration_ms(step),
+            method,
+            start=self._resolve_ts(from_ts, key),
+            end=self._resolve_ts(to_ts, key),
+        ).drop("key")
+
+    def gaps(self, key: str, min_gap, from_ts="-", to_ts="+") -> DataFrame:
+        """Sampling-gap report (beyond-reference; operators/rate.ts_gaps)."""
+        from redistimeseries_spark.operators.rate import ts_gaps
+
+        return ts_gaps(
+            self._series_df(key, False),
+            parse_duration_ms(min_gap),
+            start=self._resolve_ts(from_ts, key),
+            end=self._resolve_ts(to_ts, key),
+        ).drop("key")
+
     def range_rollup(
         self, key: str, agg: str, bucket_dur, from_ts="-", to_ts="+"
     ) -> DataFrame:

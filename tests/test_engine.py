@@ -568,3 +568,13 @@ def test_engine_counter_and_smoothing_facade(eng):
     assert math.isclose(rate[0], 18.0)
     sm = {r.ts: r.ewma for r in eng.ewma("c", 0.5).collect()}
     assert sm[0] == 10.0 and math.isclose(sm[500], 17.5)
+
+
+def test_engine_resample_and_gaps_facade(eng):
+    eng.create("g")
+    eng.madd([("g", 0, 0.0), ("g", 200, 20.0), ("g", 5200, 70.0)])
+    lin = {r.ts: r.value for r in eng.resample("g", 100, "linear").collect()}
+    assert lin[100] == 10.0 and lin[200] == 20.0 and lin[5200] == 70.0
+    assert abs(lin[2700] - (20.0 + 50.0 * 2500 / 5000)) < 1e-9
+    gaps = [(r.gap_start, r.gap_end) for r in eng.gaps("g", 1000).collect()]
+    assert gaps == [(200, 5200)]

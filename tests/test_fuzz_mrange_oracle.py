@@ -38,7 +38,7 @@ N_SPECS = 30
 COUNT_CLASSES = {"count_nan", "count_all"}
 AGGS = [
     "min", "max", "range", "sum", "avg", "count", "count_nan", "count_all",
-    "first", "last", "std.p", "var.s",
+    "first", "last", "std.p", "var.s", "p50", "p95",
 ]
 REDUCERS = ["sum", "min", "max", "avg", "count", "range"]
 

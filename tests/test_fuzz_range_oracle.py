@@ -45,7 +45,7 @@ NAN = float("nan")
 COUNT_CLASSES = {"count_nan", "count_all"}
 SQL_AGGS = [
     "min", "max", "range", "sum", "avg", "count", "count_nan", "count_all",
-    "first", "last", "std.p", "std.s", "var.p", "var.s",
+    "first", "last", "std.p", "std.s", "var.p", "var.s", "p50", "p90",
 ]
 N_SPECS = 24
 
