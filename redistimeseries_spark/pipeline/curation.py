@@ -193,9 +193,15 @@ def mixture_sample(
 
     targets = mixture_targets(weights, total_n)
     spark = docs.sparkSession
+    # target-0 strata are dropped up front: their rows are filtered by
+    # rn <= 0 anyway, but keeping them would give them cut threshold 0,
+    # zero survivors, and so a guaranteed miss in the survivors check —
+    # silently defeating the hash-cut and falling back to the exact
+    # (full-population window sort) path on every call
     lim = F.broadcast(
         spark.createDataFrame(
-            [(s, n) for s, n in targets.items()], "stratum string, __target long"
+            [(s, n) for s, n in targets.items() if n > 0],
+            "stratum string, __target long",
         )
     )
     h = F.md5(F.col(id_col).cast("string"))

@@ -212,6 +212,12 @@ def _lsh_bands(
     |docs| x num_hashes rows just to regroup columns that were already
     side by side in one row — this one never shuffles (sort_array keeps
     the key order-insensitive, as collect_list's arrival order was)."""
+    if num_hashes % bands != 0:
+        raise ValueError(
+            f"num_hashes ({num_hashes}) must be divisible by bands "
+            f"({bands}): trailing hashes would be silently dropped, "
+            "changing recall with no error"
+        )
     rows = num_hashes // bands
     wide = _minhash_wide(docs, num_hashes, k, arrow=arrow)
     band_rows = ", ".join(

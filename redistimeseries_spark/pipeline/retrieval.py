@@ -212,9 +212,22 @@ def bm25_topk_indexed(
         spark.read.parquet(f"{path}/postings")
         .filter(F.col("tb").isin(tbs))
         .filter(F.col("term").isin(terms))
-        .select("term", "doc_id", "tf", "dl")
     )
-    stats = F.broadcast(spark.read.parquet(f"{path}/stats"))
+    done = _read_optional(spark, f"{path}/batches", "batch_id long")
+    if "batch_id" in post.columns:
+        # streamed index (TextIndexStream): neutralize partially-applied
+        # batches — keep only rows whose batch committed (marker written),
+        # and distinct() away the duplicate copies a replayed-after-crash
+        # batch appended (rows are deterministic per batch_id).  Both run
+        # on the already-pruned bucket/term slice, so cost tracks matched
+        # postings, not the corpus.
+        post = (
+            post.select("term", "doc_id", "tf", "dl", "batch_id")
+            .join(F.broadcast(done), "batch_id", "left_semi")
+            .distinct()
+        )
+    post = post.select("term", "doc_id", "tf", "dl")
+    stats = F.broadcast(read_index_stats(spark, path))
     df_ = post.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
     scored = (
         post.join(F.broadcast(df_), "term")
@@ -304,19 +317,69 @@ def bm25_topk(
     )
 
 
+def _read_optional(spark, path: str, schema: str) -> DataFrame:
+    """Read a parquet state table, or an empty frame if it doesn't exist
+    yet (first micro-batch / batch-built index)."""
+    from pyspark.errors import AnalysisException
+
+    try:
+        return spark.read.parquet(path)
+    except AnalysisException as exc:
+        if "PATH_NOT_FOUND" in str(exc) or "Path does not exist" in str(exc):
+            return spark.createDataFrame([], schema)
+        raise
+
+
+def read_index_stats(spark, path: str) -> DataFrame:
+    """1-row (n_docs, total_dl, avgdl) for either index flavor.  A
+    batch-built index (`build_text_index`) stores it directly in
+    `stats/`; a streamed index (`TextIndexStream`) stores one immutable
+    row PER BATCH in `stats_batches/` and this derives the totals from
+    the committed batches only — a crashed half-applied batch (or a
+    replay's duplicate row, same batch_id) contributes nothing/once."""
+    done = _read_optional(spark, f"{path}/batches", "batch_id long")
+    per_batch = _read_optional(
+        spark, f"{path}/stats_batches", "batch_id long, n_docs long, total_dl long"
+    )
+    if per_batch.take(1):
+        agg = (
+            per_batch.join(F.broadcast(done), "batch_id", "left_semi")
+            .distinct()  # replay after crash appends an identical row
+            .agg(
+                F.coalesce(F.sum("n_docs"), F.lit(0)).alias("n_docs"),
+                F.coalesce(F.sum("total_dl"), F.lit(0)).alias("total_dl"),
+            )
+        )
+        return agg.select(
+            "n_docs",
+            "total_dl",
+            (F.col("total_dl") / F.nullif(F.col("n_docs"), F.lit(0))).alias(
+                "avgdl"
+            ),
+        )
+    return spark.read.parquet(f"{path}/stats")
+
+
 class TextIndexStream:
     """foreachBatch target maintaining a `build_text_index` store
     INCREMENTALLY: each micro-batch appends its postings to the term-hash
-    bucket partitions and folds (n_docs, total_dl) into the stats row —
-    never rescanning indexed text (the DedupStream economics applied to
-    the retrieval index).  df was deliberately left un-materialized in
-    the index layout, so appends cannot invalidate anything; queries via
-    `bm25_topk_indexed` see new docs as soon as their batch lands.
+    bucket partitions and one immutable (batch_id, n_docs, total_dl) row
+    to `stats_batches/` — never rescanning indexed text (the DedupStream
+    economics applied to the retrieval index).  df was deliberately left
+    un-materialized in the index layout, so appends cannot invalidate
+    anything; queries via `bm25_topk_indexed` see new docs as soon as
+    their batch commits.
 
-    At-least-once safety: completed batch ids live in a parquet state
-    table (`batches/`), so a replayed micro-batch is a no-op — the same
-    marker discipline as DedupStream.  Docs are assumed new (append-only
-    corpus); dedup upstream is the pipeline's dedup stage's job.
+    At-least-once safety: the completed-batch marker (`batches/`) is
+    written LAST, and every written row — postings and stats — carries
+    its batch_id.  Readers keep only rows whose batch committed and
+    distinct() duplicates, so the crash windows are closed by
+    construction: crash before the marker → the orphan rows are
+    invisible; replay after a partial write → the re-appended rows are
+    byte-identical (same batch_id, deterministic content) and collapse
+    under distinct().  Nothing is folded read-modify-write, so no replay
+    can double-count stats.  Docs are assumed new (append-only corpus);
+    dedup upstream is the pipeline's dedup stage's job.
     """
 
     def __init__(self, spark, path: str, buckets: int = TEXT_INDEX_BUCKETS):
@@ -325,52 +388,40 @@ class TextIndexStream:
         self.spark, self.path, self.buckets = spark, path, buckets
         os.makedirs(path, exist_ok=True)
 
-    def _read(self, sub: str, schema: str) -> DataFrame:
-        from pyspark.errors import AnalysisException
-
-        try:
-            return self.spark.read.parquet(f"{self.path}/{sub}")
-        except AnalysisException as exc:
-            if "PATH_NOT_FOUND" in str(exc) or "Path does not exist" in str(exc):
-                return self.spark.createDataFrame([], schema)
-            raise
-
-    def process_batch(self, batch: DataFrame, batch_id: int) -> None:
-        done = self._read("batches", "batch_id long")
-        if done.filter(F.col("batch_id") == batch_id).take(1):
-            return
-        toks = batch.select(
+    def _tokenize(self, batch: DataFrame) -> DataFrame:
+        return batch.select(
             "doc_id",
             F.expr(
                 f"array_remove(split(lower(text), '{WORD_RE}'), '')"
             ).alias("wa"),
         ).select("doc_id", "wa", F.size("wa").alias("dl"))
-        toks = toks.localCheckpoint()  # consumed twice (postings + stats)
+
+    def _write_postings(self, toks: DataFrame, batch_id: int) -> None:
         (
             toks.select("doc_id", "dl", F.explode("wa").alias("term"))
             .groupBy("term", "doc_id")
             .agg(F.count(F.lit(1)).alias("tf"), F.first("dl").alias("dl"))
             .withColumn("tb", _term_bucket_col(F.col("term"), self.buckets))
+            .withColumn("batch_id", F.lit(batch_id))
             .write.mode("append")
             .partitionBy("tb")
             .parquet(f"{self.path}/postings")
         )
+
+    def process_batch(self, batch: DataFrame, batch_id: int) -> None:
+        done = _read_optional(self.spark, f"{self.path}/batches", "batch_id long")
+        if done.filter(F.col("batch_id") == batch_id).take(1):
+            return
+        toks = self._tokenize(batch)
+        toks = toks.localCheckpoint()  # consumed twice (postings + stats)
+        self._write_postings(toks, batch_id)
         inc = toks.agg(
             F.count(F.lit(1)).alias("n_docs"), F.sum("dl").alias("total_dl")
         ).collect()[0]
-        prev = self._read("stats", "n_docs long, total_dl long, avgdl double")
-        row = prev.take(1)
-        n = (row[0]["n_docs"] if row else 0) + inc["n_docs"]
-        t = (row[0]["total_dl"] if row else 0) + (inc["total_dl"] or 0)
         self.spark.createDataFrame(
-            [(n, t, t / n if n else 0.0)],
-            "n_docs long, total_dl long, avgdl double",
-        ).write.mode("overwrite").parquet(f"{self.path}/stats.tmp")
-        # overwrite via a fresh read -> rewrite of the final location (the
-        # 1-row table is tiny; the tmp hop avoids read-overwrite races)
-        self.spark.read.parquet(f"{self.path}/stats.tmp").write.mode(
-            "overwrite"
-        ).parquet(f"{self.path}/stats")
+            [(batch_id, inc["n_docs"], inc["total_dl"] or 0)],
+            "batch_id long, n_docs long, total_dl long",
+        ).write.mode("append").parquet(f"{self.path}/stats_batches")
         self.spark.createDataFrame([(batch_id,)], "batch_id long").write.mode(
             "append"
         ).parquet(f"{self.path}/batches")

@@ -504,16 +504,40 @@ class StreamingStore:
                     "left_anti",
                 )
             )
-            new_part = kept.unionByName(
-                recomputed.select("key", F.col("__bucket").alias("ts"), "value")
+            new_part = (
+                kept.unionByName(
+                    recomputed.select("key", F.col("__bucket").alias("ts"), "value")
+                )
+                .withColumn("__day", F.expr(f"ts div {DAY_MS}"))
+                # materialized once: consumed by the write AND the
+                # vanished-day check below (touched-day slice, small)
+                .localCheckpoint()
             )
             (
-                new_part.withColumn("__day", F.expr(f"ts div {DAY_MS}"))
-                .write.mode("overwrite")
+                new_part.write.mode("overwrite")
                 .option("partitionOverwriteMode", "dynamic")
                 .partitionBy("__day")
                 .parquet(self.rule_dir(rule))
             )
+            # dynamic overwrite only rewrites partitions PRESENT in
+            # new_part — a touched day whose every row vanished (e.g. an
+            # all-NaN overwrite of the day's only bucket) is absent from
+            # new_part, so its stale partition would survive.  The
+            # overwrite set must come from `days` (the touched buckets),
+            # not the written rows: explicitly clear the difference.
+            # (Delta's replaceWhere expresses this natively; on parquet
+            # it's a partition-dir delete — same op an object-store
+            # deployment would issue.)
+            present = {
+                r["__day"]  # NOT r.__day — name-mangled inside a class
+                for r in new_part.select("__day").distinct().collect()
+            }
+            for d in set(days) - present:
+                gone = os.path.join(self.rule_dir(rule), f"__day={d}")
+                if os.path.isdir(gone):
+                    import shutil
+
+                    shutil.rmtree(gone)
         batch.unpersist()
         for df in self._batch_cached:
             df.unpersist()

@@ -74,11 +74,17 @@ def replicated_labels(spark, sf_dir: str, replicas: int):
 
 def main():
     replicas = int(sys.argv[1]) if len(sys.argv) > 1 else 100
-    path = (
-        sys.argv[2]
-        if len(sys.argv) > 2
-        else f"/tmp/sparkts_scale_{replicas}"
-    )
+    # argv[2]: absolute layout path, OR a comma-joined query-name filter
+    # (guard: a bare query list once became a parquet dir at the repo root)
+    path = f"/tmp/sparkts_scale_{replicas}"
+    only = None
+    if len(sys.argv) > 2:
+        if sys.argv[2].startswith("/"):
+            path = sys.argv[2]
+        else:
+            only = set(sys.argv[2].split(","))
+    if len(sys.argv) > 3:
+        only = set(sys.argv[3].split(","))
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     spark = get_spark("scale_probe")
     spark.sparkContext.setLogLevel("ERROR")
@@ -205,6 +211,8 @@ def main():
 
     times = {}
     for name, build in probes.items():
+        if only is not None and name not in only:
+            continue
         best = float("inf")
         for _ in range(2):
             t0 = time.time()

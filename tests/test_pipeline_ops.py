@@ -615,6 +615,11 @@ def test_lsh_banding_selectivity_monotone(spark):
     assert keeps[2] == keeps[4]
     # every planted exact dup was dropped at both settings
     assert all(1000 + i not in keeps[4] for i in range(20))
+    # non-divisible num_hashes/bands is rejected, not silently truncated
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="divisible"):
+        minhash_lsh_pairs(docs, num_hashes=10, bands=4).count()
 
 
 def test_pack_sequences_invariants(spark):
@@ -1145,6 +1150,14 @@ def test_mixture_sample_allocation_and_exactness(spark):
     assert sorted((r.stratum, r.doc_id) for r in got) == sorted(
         (r.stratum, r.doc_id) for r in got2
     )
+    # a largest-remainder target of 0 (tiny total_n) must neither appear
+    # in the output NOR defeat the hash-cut by triggering the exact
+    # fallback (it used to: zero survivors -> missing from the survivors
+    # map -> cut = d on every call)
+    w0 = {"web": 0.9, "books": 0.1}
+    assert mixture_targets(w0, 2) == {"web": 2, "books": 0}
+    got0 = mixture_sample(docs, w0, 2).collect()
+    assert {r.stratum for r in got0} == {"web"} and len(got0) == 2
 
 
 def test_bm25_indexed_matches_adhoc(spark, tmp_path):
@@ -1191,7 +1204,7 @@ def test_text_index_stream_incremental(spark, tmp_path):
     queries identically to a full rebuild; a replayed batch_id is a
     no-op (at-least-once markers); stats fold exactly."""
     from redistimeseries_spark.pipeline.retrieval import (
-        TextIndexStream, bm25_topk_indexed, build_text_index,
+        TextIndexStream, bm25_topk_indexed, build_text_index, read_index_stats,
     )
     from redistimeseries_spark.store import read_parquet
 
@@ -1211,7 +1224,50 @@ def test_text_index_stream_incremental(spark, tmp_path):
     got = [(r.doc_id, r.score) for r in bm25_topk_indexed(spark, inc_path, q, k=15).collect()]
     want = [(r.doc_id, r.score) for r in bm25_topk_indexed(spark, full_path, q, k=15).collect()]
     assert got == want
-    s_inc = spark.read.parquet(f"{inc_path}/stats").collect()[0]
-    s_full = spark.read.parquet(f"{full_path}/stats").collect()[0]
+    s_inc = read_index_stats(spark, inc_path).collect()[0]
+    s_full = read_index_stats(spark, full_path).collect()[0]
     assert (s_inc.n_docs, s_inc.total_dl) == (s_full.n_docs, s_full.total_dl)
     assert abs(s_inc.avgdl - s_full.avgdl) < 1e-12
+
+
+def test_text_index_stream_crash_replay(spark, tmp_path):
+    """The at-least-once crash windows: (a) a batch that crashed AFTER
+    its postings append but BEFORE its marker must be invisible to
+    queries and stats; (b) replaying that batch (which re-appends a
+    second copy of the postings and then commits) must yield exactly the
+    full-rebuild answer — no double-counted tf/df or stats."""
+    from redistimeseries_spark.pipeline.retrieval import (
+        TextIndexStream, bm25_topk_indexed, build_text_index, read_index_stats,
+    )
+    from redistimeseries_spark.store import read_parquet
+
+    docs = read_parquet(spark, "/root/testdata/sf0.001/documents.parquet").select(
+        "doc_id", "text"
+    )
+    b1 = docs.filter("doc_id % 2 = 0")
+    b2 = docs.filter("doc_id % 2 = 1")
+    inc_path = str(tmp_path / "inc")
+    stream = TextIndexStream(spark, inc_path)
+    stream.process_batch(b1, 0)
+    # simulate the crash window: postings land, marker + stats never do
+    stream._write_postings(stream._tokenize(b2).localCheckpoint(), 1)
+    q = "fast table scan query"
+    only_b1 = str(tmp_path / "only_b1")
+    build_text_index(b1, only_b1)
+    got = [(r.doc_id, r.score) for r in bm25_topk_indexed(spark, inc_path, q, k=15).collect()]
+    want = [(r.doc_id, r.score) for r in bm25_topk_indexed(spark, only_b1, q, k=15).collect()]
+    assert got == want  # orphan batch invisible
+    s = read_index_stats(spark, inc_path).collect()[0]
+    s1 = read_index_stats(spark, only_b1).collect()[0]
+    assert (s.n_docs, s.total_dl) == (s1.n_docs, s1.total_dl)
+    # replay: re-appends b2's postings (second copy) and commits
+    stream.process_batch(b2, 1)
+    full_path = str(tmp_path / "full")
+    build_text_index(docs, full_path)
+    got = [(r.doc_id, r.score) for r in bm25_topk_indexed(spark, inc_path, q, k=15).collect()]
+    want = [(r.doc_id, r.score) for r in bm25_topk_indexed(spark, full_path, q, k=15).collect()]
+    assert got == want  # duplicates collapsed, no double counting
+    s = read_index_stats(spark, inc_path).collect()[0]
+    sf = read_index_stats(spark, full_path).collect()[0]
+    assert (s.n_docs, s.total_dl) == (sf.n_docs, sf.total_dl)
+    assert abs(s.avgdl - sf.avgdl) < 1e-12

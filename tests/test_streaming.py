@@ -129,6 +129,48 @@ def test_all_nan_bucket_follows_agg_validity(spark, dirs):
     )
 
 
+def test_vanished_bucket_clears_sole_day_partition(spark, dirs):
+    """Dynamic partitionOverwriteMode only rewrites day partitions present
+    in the written frame — if a touched bucket's emission vanishes and it
+    was the ONLY dest row in its __day partition, the stale row must
+    still be deleted (the overwrite set derives from the touched days,
+    not the written rows).  Reached here by pre-seeding a dest row whose
+    bucket the log's samples no longer justify (an all-NaN bucket)."""
+    import math
+
+    from pyspark.sql import functions as F
+
+    from redistimeseries_spark.streaming.ingest import DAY_MS
+
+    nan = float("nan")
+    rule = CompactionRule(None, "_avg_1s", "avg", 1000)
+    store = StreamingStore(spark, os.path.join(dirs, "store"), "last", [rule])
+    # stale dest row: bucket 0 of day 0, the only row in that partition
+    (
+        spark.createDataFrame([("k", 0, 99.0)], SCHEMA)
+        .withColumn("__day", F.expr(f"ts div {DAY_MS}").cast("int"))
+        .write.mode("append")
+        .partitionBy("__day")
+        .parquet(store.rule_dir(rule))
+    )
+    # the batch touches bucket 0 with an all-NaN sample; a valid sample a
+    # day later keeps the stream non-trivial and closes the bucket
+    write_input(
+        spark, dirs, [("k", 100, nan), ("k", DAY_MS + 500, 2.0)], "b1"
+    )
+    drain(spark, dirs, store)
+    rows = {r.ts: r.value for r in store.rule_table(rule).collect()}
+    assert 0 not in rows, f"stale vanished-bucket row survived: {rows}"
+    # the day-1 valid bucket is intact
+    day1_bucket = (DAY_MS + 500) - ((DAY_MS + 500) % 1000)
+    open_rows = {
+        r.ts: r.value
+        for r in store.rule_table(rule, include_open=True).collect()
+    }
+    assert open_rows == {day1_bucket: 2.0}
+    assert math.isnan({r.ts: r.value for r in store.samples().collect()}[100])
+
+
 def test_dup_policy_across_batches(spark, dirs):
     store = StreamingStore(spark, os.path.join(dirs, "store"), "sum", [])
     write_input(spark, dirs, [("k", 100, 1.0)], "b1")
