@@ -292,6 +292,21 @@ def q_nrange_pivot(spark, sf_dir):
     )
 
 
+def q_nrange_latest(spark, sf_dir):
+    """TS.NRANGE ... LATEST over compaction destinations: each source key
+    carries an avg-10m rule; LATEST finalizes every dest's open (last)
+    bucket before the pivot (the reference parses LATEST for NRANGE via
+    parseRangeArguments — src/module.c:725, src/query_language.c:700 —
+    and finalizes per key, src/tsdb.c:1468-1501).  Without the flag the
+    final bucket would be missing from every pivot column."""
+    st = _store(spark, sf_dir)
+    rule = CompactionRule(None, "_avg_10m", "avg", 600_000)
+    dest = materialize_rule(
+        st.samples.filter(F.col("key").isin(NKEYS)), rule, include_open=True
+    )
+    return ts_nrange(dest, [k + "_avg_10m" for k in NKEYS], D21)
+
+
 def q_dup_last(spark, sf_dir):
     return resolve_duplicates(
         _raw(spark, sf_dir).withColumn("ts", F.expr("ts - ts % 60000")), "last"
@@ -1376,6 +1391,7 @@ ROUND_MAP: dict[str, list[str]] = {
     "ts_mrange_multiagg": ["avg"],
     "ts_mrange_groupby_sum": ["sum"],
     "ts_nrange_pivot": ["view_2_avg", "error_0_sum"],
+    "ts_nrange_latest": ["click_1_avg_10m", "view_2_avg_10m", "error_0_avg_10m"],
     "ts_dup_sum": ["value"],
     "ts_incrby": ["value"],
     "ts_compaction_avg_10m": ["value"],
@@ -1468,6 +1484,16 @@ def _base_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # dl_mm_frame_sample keeps the mm family's slot), ts_asof_join
     # (green r3+r4), dl_curation and dl_pii (both green r3+r4; component
     # signals keep slots or tail-gate coverage) slide to the tail.
+    # Round-6 rotation (verdict r5 asks #1-2): the 3 queries that have
+    # NEVER sat in a driver-checked window promote (dl_cross_lsh_pairs,
+    # dl_mm_decode_png, ts_agg_percentile), plus the NEW ts_nrange_latest
+    # (the LATEST flag on NRANGE — the round-5 verdict's one surface gap).
+    # Demoted, each driver-green in rounds 1+3+4+5 with the family keeping
+    # a prefix representative: ts_get (scan family: ts_range_raw,
+    # ts_read_tail), ts_queryindex (label family: ts_mget_withlabels),
+    # ts_del_range (mutate family: ts_retention_clamp, ts_madd_status,
+    # ts_ignore_filter), ts_stream_incrby (streaming family:
+    # ts_stream_rule_avg_1m, dl_stream_dedup, ts_read_tail).
     return {
         # --- checked prefix: one representative per operator family -----
         "ts_range_raw": q_range_raw,
@@ -1478,9 +1504,9 @@ def _base_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ts_agg_twa": q_agg_twa,
         "ts_count_post_agg": q_count_post_agg,
         "ts_mrange_twa": q_mrange_twa,
-        "ts_get": q_get,
+        "ts_nrange_latest": q_nrange_latest,
         "ts_mget_withlabels": q_mget_withlabels,
-        "ts_queryindex": q_queryindex,
+        "dl_cross_lsh_pairs": q_cross_lsh_pairs,
         "dl_quality_summary": q_quality_summary,
         "ts_rollup_route": q_rollup_route,
         "dl_simhash": q_simhash,
@@ -1489,11 +1515,11 @@ def _base_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ts_nrange_pivot": q_nrange_pivot,
         "ts_dup_last": q_dup_last,
         "ts_retention_clamp": q_retention_clamp,
-        "ts_del_range": q_del_range,
+        "dl_mm_decode_png": q_mm_decode_png,
         "dl_bm25_topk": q_bm25_topk,
         "ts_info_full": q_info_full,
         "ts_stream_rule_avg_1m": q_stream_rule_avg_1m,
-        "ts_stream_incrby": q_stream_incrby,
+        "ts_agg_percentile": q_agg_percentile,
         "ts_read_tail": q_read_tail,
         "ts_ignore_filter": q_ignore_filter,
         "ts_madd_status": q_madd_status,
@@ -1532,9 +1558,10 @@ def _base_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dl_sample_stratified": q_sample_stratified,
         "ts_compaction_avg_10m": q_compaction_avg_10m,
         "dl_dedup_exact": q_dedup_exact,
-        "dl_cross_lsh_pairs": q_cross_lsh_pairs,
-        "dl_mm_decode_png": q_mm_decode_png,
-        "ts_agg_percentile": q_agg_percentile,
+        "ts_get": q_get,
+        "ts_queryindex": q_queryindex,
+        "ts_del_range": q_del_range,
+        "ts_stream_incrby": q_stream_incrby,
         "ts_range_filter_value": q_range_filter_value,
         "ts_agg_empty": q_agg_empty,
         "ts_agg_multi_align": q_agg_multi_align,
@@ -2775,6 +2802,18 @@ HAVING count(step) > 0""",
               coalesce(max(CASE WHEN key='view_2' THEN m END), 'NaN'::DOUBLE) AS view_2_max,
               coalesce(max(CASE WHEN key='error_0' THEN m END), 'NaN'::DOUBLE) AS error_0_max
             FROM r GROUP BY ts""",
+        # LATEST: no closed-bucket cut — every 10m bucket of each dest,
+        # including the open (last) one, pivots into its key column
+        "ts_nrange_latest": f"""{ORACLE_PREFIX},
+            b AS (SELECT key, {bucket_sql('ts', 600_000, 0)} AS b, value FROM samples
+                  WHERE key IN ({','.join(repr(k) for k in NKEYS)})),
+            g AS (SELECT key || '_avg_10m' AS key, b AS ts, avg(value) AS value
+                  FROM b GROUP BY 1, 2)
+            SELECT ts,
+              coalesce(max(CASE WHEN key='click_1_avg_10m' THEN value END), 'NaN'::DOUBLE) AS click_1_avg_10m,
+              coalesce(max(CASE WHEN key='view_2_avg_10m' THEN value END), 'NaN'::DOUBLE) AS view_2_avg_10m,
+              coalesce(max(CASE WHEN key='error_0_avg_10m' THEN value END), 'NaN'::DOUBLE) AS error_0_avg_10m
+            FROM g WHERE ts >= {D21} GROUP BY ts""",
         "ts_dup_last": f"{ORACLE_PREFIX}, {RAW_SQL}, d AS ({dup60}) "
         "SELECT key, ts, max_by(value, seq) AS value FROM d GROUP BY key, ts",
         "ts_dup_first": f"{ORACLE_PREFIX}, {RAW_SQL}, d AS ({dup60}) "

@@ -137,6 +137,11 @@ class TimeSeriesEngine:
         self._seq = 0
         # dest keys holding frozen (rule-deleted) buckets in _samples
         self._frozen_dests: set[str] = set()
+        # per-key (last_ts, last_value) — the reference keeps lastSample on
+        # the series struct so TS.INCRBY/GET-$ are O(1) (src/tsdb.c); this
+        # cache gives the facade the same O(1): consulted by _last, kept
+        # fresh by incrby's own writes, invalidated by every other mutation
+        self._last_cache: dict[str, tuple[int, float]] = {}
 
     # ---- DDL ------------------------------------------------------------
     def create(
@@ -225,6 +230,8 @@ class TimeSeriesEngine:
             .localCheckpoint()
         )
         self._frozen_dests.update(dest_keys)
+        for k in dest_keys:
+            self._last_cache.pop(k, None)
 
     def delete_rule(self, src: str, dest: str):
         hit = [r for r in self.rules if r.src_key == src and r.dest_key == dest]
@@ -253,6 +260,7 @@ class TimeSeriesEngine:
                 c.src_key = None
         del self.series[key]
         self._frozen_dests.discard(key)
+        self._last_cache.pop(key, None)
         self._samples = self._samples.filter(F.col("key") != key)
 
     def rename(self, old: str, new: str) -> None:
@@ -277,6 +285,8 @@ class TimeSeriesEngine:
             # Redis RENAME clobbers the destination key — DEL semantics
             self.drop(new)
         del self.series[old]
+        self._last_cache.pop(old, None)
+        self._last_cache.pop(new, None)
         cfg.key = new
         self.series[new] = cfg
         if old in self._frozen_dests:
@@ -304,6 +314,7 @@ class TimeSeriesEngine:
         if key not in self.series:
             self.create(key, **create_kwargs)  # auto-create (src/module.c:1085)
         self._pending.append((key, ts_ms, float(value), on_duplicate))
+        self._last_cache.pop(key, None)  # dup-policy fold decides at flush
 
     def madd(self, triples):
         """Batched TS.ADD: per-triple result array — the resolved timestamp
@@ -326,7 +337,19 @@ class TimeSeriesEngine:
         ts = parse_duration_ms(ts) if ts is not None else last_ts + 1
         if ts < last_ts:
             raise ValueError("TS.INCRBY timestamp must be >= last (src/module.c:1469)")
-        self.add(key, ts, (last_val or 0.0) + delta, on_duplicate="last")
+        new_val = (last_val or 0.0) + delta
+        self.add(key, ts, new_val, on_duplicate="last")
+        # this write IS the new last sample (ts >= last, LAST dup policy),
+        # so the O(1) chain continues without a scan — EXCEPT when an
+        # IGNORE config may drop the write at flush, or the value is NaN
+        # (valid samples beat NaN under every dup policy): those rescan.
+        cfg = self.series[key]
+        if (
+            cfg.ignore_max_time_diff == 0
+            and cfg.ignore_max_val_diff == 0
+            and not math.isnan(new_val)
+        ):
+            self._last_cache[key] = (ts, new_val)
 
     def decrby(self, key: str, delta: float, ts=None):
         self.incrby(key, -delta, ts)
@@ -337,6 +360,7 @@ class TimeSeriesEngine:
         hit = (F.col("key") == key) & F.col("ts").between(lo, hi)
         n = self._samples.filter(hit).count()
         self._samples = self._samples.filter(~hit).localCheckpoint()
+        self._last_cache.pop(key, None)
         return n
 
     def flush(self):
@@ -412,12 +436,16 @@ class TimeSeriesEngine:
         return parse_duration_ms(v)
 
     def _last(self, key: str):
+        if key in self._last_cache:
+            return self._last_cache[key]
         r = (
             self.samples.filter(F.col("key") == key)
             .groupBy()
             .agg(F.max("ts").alias("t"), F.max_by("value", "ts").alias("v"))
             .collect()[0]
         )
+        if r.t is not None:
+            self._last_cache[key] = (r.t, r.v)
         return (r.t if r.t is not None else -1), r.v
 
     def _series_df(self, key: str, latest: bool) -> DataFrame:
@@ -592,9 +620,21 @@ class TimeSeriesEngine:
         """TS.MGET; latest=True finalizes the open bucket for matched series
         that are compaction destinations (src/tsdb.c:1468-1501)."""
         out = ts_mget(self.samples, self.labels_df, filters, **kw)
-        dests = {r.dest_key for r in self.rules}
-        matched = {r.key for r in matched_keys(self.labels_df, filters).collect()}
-        hit = sorted(matched & dests)
+        dests = sorted({r.dest_key for r in self.rules})
+        if not dests:
+            return out
+        # which dests matched the filter: a broadcast semi-join of the
+        # matched-key set against the (catalog-sized) dest list, so the
+        # collect is bounded by |rules| — never by |matched series| (at the
+        # reference's 1M-series benchmark scale, collecting every matched
+        # key in the MGET path would be a 1M-row driver materialization)
+        dest_df = self.spark.createDataFrame([(k,) for k in dests], "key string")
+        hit = sorted(
+            r.key
+            for r in matched_keys(self.labels_df, filters)
+            .join(F.broadcast(dest_df), "key", "left_semi")
+            .collect()
+        )
         if not hit:
             return out
         # compaction destinations materialize from their rules in ONE pass

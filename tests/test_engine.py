@@ -70,6 +70,50 @@ def test_incrby(eng):
         eng.incrby("c", 1.0, ts=5)
 
 
+def test_incrby_chain_is_o1(eng):
+    """After the first scan, a chain of TS.INCRBY calls must run entirely
+    on the driver-side lastSample cache — the reference's O(1) incrby,
+    not an O(history) scan per call.  Proven by breaking the storage
+    DataFrame mid-chain: if any incrby touched it, it would raise."""
+    eng.create("c")
+    eng.incrby("c", 5.0, ts=10)  # primes the cache (one scan)
+    saved = eng._samples
+    eng._samples = None  # any storage access now explodes
+    try:
+        eng.incrby("c", 2.0)
+        eng.incrby("c", 3.0)
+        eng.decrby("c", 1.0)
+    finally:
+        eng._samples = saved
+    assert eng.get("c") == (13, 9.0)
+    # a foreign add invalidates the cache (dup fold decides at flush)
+    eng.add("c", 14, 100.0)
+    eng.incrby("c", 1.0)
+    assert eng.get("c") == (15, 101.0)
+    # TS.DEL invalidates too: the cached last may be the deleted row
+    eng.delete("c", 15, 15)
+    eng.incrby("c", 1.0, ts=40)
+    assert eng.get("c") == (40, 101.0)
+    # IGNORE-configured series never trust the chain (flush may drop)
+    eng.create("ig", ignore_max_time_diff=1000, ignore_max_val_diff=100.0)
+    eng.incrby("ig", 5.0, ts=10)
+    eng.incrby("ig", 1.0, ts=20)  # ignored: dt<=1000 and dv<=100
+    assert eng.get("ig") == (10, 5.0)
+
+
+def test_mget_latest_collect_is_dest_bounded(eng):
+    """mget(latest)'s only driver materialization is the matched∩dests
+    set, computed via a broadcast semi-join against the (catalog-sized)
+    dest list — not a collect of every matched key."""
+    eng.create("src", labels={"t": "x"})
+    eng.create("dst", labels={"t": "x"})
+    eng.create_rule("src", "dst", "avg", 1000)
+    eng.madd([("src", 0, 1.0), ("src", 500, 3.0), ("src", 1500, 9.0)])
+    got = {r.key: (r.ts, r.value) for r in eng.mget(["t=x"], latest=True).collect()}
+    assert got["src"] == (1500, 9.0)
+    assert got["dst"] == (1000, 9.0)  # open bucket finalized
+
+
 def test_compaction_rule_and_latest(eng):
     eng.create("src")
     eng.create("dst")

@@ -117,6 +117,34 @@ def test_asof_join_plan_has_no_join(spark):
     assert plan.count("Exchange hashpartitioning") == 1
 
 
+def test_nrange_multiagg_single_scan(spark, tmp_path):
+    """TS.NRANGE with per-key multi-agg specs reads the fact table ONCE
+    regardless of key count: the former shape unioned one ts_range branch
+    per key (10 keys = 10 scan subtrees = 10 passes over 100 TB); the
+    single-pass plan has exactly one scan and one (key, bucket) hash
+    aggregation, plus the pivot's."""
+    from redistimeseries_spark.operators.nrange import ts_nrange
+
+    path = str(tmp_path / "facts")
+    keys = [f"k{i}" for i in range(10)]
+    spark.createDataFrame(
+        [(k, t * 100, float(i + t)) for i, k in enumerate(keys) for t in range(50)],
+        "key string, ts long, value double",
+    ).write.parquet(path)
+    facts = spark.read.parquet(path)
+    specs = {
+        k: [["min", "max"], ["avg"], ["sum", "count"], ["count_nan", "last"]][i % 4]
+        for i, k in enumerate(keys)
+    }
+    df = ts_nrange(facts, keys, agg_specs=specs, bucket_dur=1000)
+    plan = _plan(df)
+    assert plan.count("Scan parquet") == 1, plan
+    # and the result is still per-key correct on a spot value
+    row = {r.ts: r for r in df.collect()}[0]
+    assert row.k0_min == 0.0 and row.k0_max == 9.0  # k0: values t+0, t in 0..9
+    assert row.k1_avg == sum(1 + t for t in range(10)) / 10
+
+
 def test_session_stats_single_exchange(spark):
     """Window partitionBy(key) then groupBy(key, session_id): the key
     partitioning satisfies the grouping's clustered distribution, so the
