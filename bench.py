@@ -29,7 +29,7 @@ from redistimeseries_spark.write.dup_policy import resolve_duplicates
 H = 3_600_000
 
 
-def benchmarks(st, raw, latest, bucketed, dup_docs):
+def benchmarks(st, raw, latest, bucketed, dup_docs, text_index_path):
     from redistimeseries_spark.pipeline.dedup import dedup_pipeline
 
     def _dedup_pipeline_bench():
@@ -43,6 +43,17 @@ def benchmarks(st, raw, latest, bucketed, dup_docs):
         from redistimeseries_spark.pipeline.retrieval import bm25_topk
 
         return bm25_topk(dup_docs, "fast table scan query", k=20)
+
+    def _bm25_indexed():
+        from redistimeseries_spark.pipeline.retrieval import bm25_topk_indexed
+
+        # "dup" is the corpus's one selective term (~2.5% of docs — the
+        # planted near-duplicate marker); the selective shape is what the
+        # index exists for (BASELINE.md: matched-postings volume dominates
+        # stopword-dense queries on either path)
+        return bm25_topk_indexed(
+            dup_docs.sparkSession, text_index_path, "dup", k=20
+        )
 
     return {
         # B1: TS.RANGE full-series scan (scaling-ts_range_90k_datapoints.yml)
@@ -89,6 +100,10 @@ def benchmarks(st, raw, latest, bucketed, dup_docs):
         # retrieval-family headline (protocol addition, round 5;
         # BASELINE.md; the indexed path is probed separately)
         "b11_bm25_topk": lambda: _bm25(),
+        # B12: BM25 against the persisted term-bucketed index, selective
+        # term — build once in setup, query many; the scan opens only the
+        # query terms' bucket partitions (protocol addition, round 6)
+        "b12_bm25_indexed": lambda: _bm25_indexed(),
     }
 
 
@@ -133,7 +148,15 @@ def main():
     st.write_bucketed_layout("bench_bucketed", bpath)
     bucketed = read_bucketed_layout(spark, "bench_bucketed", bpath)
 
-    bms = benchmarks(st, raw, latest, bucketed, dup_docs)
+    # persisted BM25 text index for B12 (built once at setup, as an
+    # ingest-maintained index would be; build cost is not part of the
+    # per-query measurement, same treatment as the bucketed layout)
+    from redistimeseries_spark.pipeline.retrieval import build_text_index
+
+    tpath = os.path.join(tempfile.mkdtemp(prefix="sparkts_bench_"), "textidx")
+    build_text_index(dup_docs, tpath)
+
+    bms = benchmarks(st, raw, latest, bucketed, dup_docs, tpath)
 
     def force(df):
         df.write.mode("overwrite").format("noop").save()

@@ -213,8 +213,8 @@ def bm25_topk_indexed(
         .filter(F.col("tb").isin(tbs))
         .filter(F.col("term").isin(terms))
     )
-    done = _read_optional(spark, f"{path}/batches", "batch_id long")
     if "batch_id" in post.columns:
+        done = _read_optional(spark, f"{path}/batches", "batch_id long")
         # streamed index (TextIndexStream): neutralize partially-applied
         # batches — keep only rows whose batch committed (marker written),
         # and distinct() away the duplicate copies a replayed-after-crash
@@ -227,23 +227,29 @@ def bm25_topk_indexed(
             .distinct()
         )
     post = post.select("term", "doc_id", "tf", "dl")
-    stats = F.broadcast(read_index_stats(spark, path))
-    df_ = post.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    # the 1-row stats table inlines as literals (one tiny driver read)
+    # and per-term df comes from a window over the pruned slice — the
+    # former broadcast-join shape spent two extra broadcast-build jobs
+    # per query, a third of the small-query latency floor
+    srow = read_index_stats(spark, path).collect()[0]
+    n_docs, avgdl = srow["n_docs"], srow["avgdl"]
+    from pyspark.sql import Window
+
+    dfc = F.count(F.lit(1)).over(Window.partitionBy("term"))
     scored = (
-        post.join(F.broadcast(df_), "term")
-        .crossJoin(stats)
+        post.withColumn("df", dfc)
         .withColumn(
             "idf",
             F.log(
                 F.lit(1.0)
-                + (F.col("n_docs") - F.col("df") + 0.5) / (F.col("df") + 0.5)
+                + (F.lit(n_docs) - F.col("df") + 0.5) / (F.col("df") + 0.5)
             ),
         )
         .withColumn(
             "w",
             F.col("idf")
             * (F.col("tf") * (k1 + 1))
-            / (F.col("tf") + k1 * (1 - b + b * F.col("dl") / F.col("avgdl"))),
+            / (F.col("tf") + k1 * (1 - b + b * F.col("dl") / F.lit(avgdl))),
         )
         .groupBy("doc_id")
         .agg(F.sum("w").alias("score"))
@@ -336,28 +342,34 @@ def read_index_stats(spark, path: str) -> DataFrame:
     `stats/`; a streamed index (`TextIndexStream`) stores one immutable
     row PER BATCH in `stats_batches/` and this derives the totals from
     the committed batches only — a crashed half-applied batch (or a
-    replay's duplicate row, same batch_id) contributes nothing/once."""
+    replay's duplicate row, same batch_id) contributes nothing/once.
+    The direct `stats/` table is checked first so the common batch-built
+    path never probes the streaming state dirs (each miss costs a
+    read-attempt round trip — measured ~0.3 s each on the query path)."""
+    direct = _read_optional(
+        spark, f"{path}/stats", "n_docs long, total_dl long, avgdl double"
+    )
+    if direct.take(1):
+        return direct
     done = _read_optional(spark, f"{path}/batches", "batch_id long")
     per_batch = _read_optional(
         spark, f"{path}/stats_batches", "batch_id long, n_docs long, total_dl long"
     )
-    if per_batch.take(1):
-        agg = (
-            per_batch.join(F.broadcast(done), "batch_id", "left_semi")
-            .distinct()  # replay after crash appends an identical row
-            .agg(
-                F.coalesce(F.sum("n_docs"), F.lit(0)).alias("n_docs"),
-                F.coalesce(F.sum("total_dl"), F.lit(0)).alias("total_dl"),
-            )
+    agg = (
+        per_batch.join(F.broadcast(done), "batch_id", "left_semi")
+        .distinct()  # replay after crash appends an identical row
+        .agg(
+            F.coalesce(F.sum("n_docs"), F.lit(0)).alias("n_docs"),
+            F.coalesce(F.sum("total_dl"), F.lit(0)).alias("total_dl"),
         )
-        return agg.select(
-            "n_docs",
-            "total_dl",
-            (F.col("total_dl") / F.nullif(F.col("n_docs"), F.lit(0))).alias(
-                "avgdl"
-            ),
-        )
-    return spark.read.parquet(f"{path}/stats")
+    )
+    return agg.select(
+        "n_docs",
+        "total_dl",
+        (F.col("total_dl") / F.nullif(F.col("n_docs"), F.lit(0))).alias(
+            "avgdl"
+        ),
+    )
 
 
 class TextIndexStream:

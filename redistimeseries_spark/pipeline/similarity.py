@@ -332,6 +332,87 @@ def build_ivf_index(
     )
 
 
+class IVFIndexStream:
+    """foreachBatch target maintaining a `build_ivf_index` store
+    INCREMENTALLY: each micro-batch assigns its vectors against the
+    FROZEN coarse quantizer and appends them to their cell partitions —
+    the corpus is never rescanned as it streams in (the TextIndexStream
+    economics applied to the vector index; production IVF systems do
+    exactly this — centroids stay fixed between periodic retrains, which
+    are a rebuild).  Centroids bootstrap deterministically from the first
+    batch (embeddings of its `ncent` smallest vec_ids) when the store is
+    empty, so the stream stands alone or extends a batch-built index.
+
+    At-least-once safety mirrors TextIndexStream: every appended cell row
+    carries its batch_id, the completed-batch marker is written LAST, and
+    readers keep only committed rows and distinct() replay duplicates.
+    The centroid bootstrap is an idempotent overwrite (deterministic from
+    the same batch), so a replay can't fork the quantizer."""
+
+    def __init__(self, spark, path: str, ncent: int = 16):
+        import os
+
+        self.spark, self.path, self.ncent = spark, path, ncent
+        os.makedirs(path, exist_ok=True)
+
+    def _centroids(self, d: DataFrame) -> DataFrame:
+        from redistimeseries_spark.pipeline.retrieval import _read_optional
+
+        cents = _read_optional(
+            self.spark, f"{self.path}/centroids", "cid long, cv array<double>"
+        )
+        if not cents.take(1):
+            (
+                d.orderBy("vec_id")
+                .limit(self.ncent)
+                .select(
+                    F.col("vec_id").cast("long").alias("cid"),
+                    F.col("v").alias("cv"),
+                )
+                .write.mode("overwrite")
+                .parquet(f"{self.path}/centroids")
+            )
+            cents = self.spark.read.parquet(f"{self.path}/centroids")
+        return cents
+
+    def process_batch(self, batch: DataFrame, batch_id: int) -> None:
+        from redistimeseries_spark.pipeline.retrieval import _read_optional
+
+        done = _read_optional(self.spark, f"{self.path}/batches", "batch_id long")
+        if done.filter(F.col("batch_id") == batch_id).take(1):
+            return
+        d = batch.select(
+            "vec_id", F.col("embedding").cast("array<double>").alias("v")
+        )
+        cents = self._centroids(d)
+        (
+            _assign_cells(d, cents)
+            .withColumn("batch_id", F.lit(batch_id))
+            .write.mode("append")
+            .partitionBy("cid")
+            .parquet(f"{self.path}/cells")
+        )
+        self.spark.createDataFrame([(batch_id,)], "batch_id long").write.mode(
+            "append"
+        ).parquet(f"{self.path}/batches")
+
+
+def _committed_cells(spark, path: str, d: DataFrame) -> DataFrame:
+    """Neutralize uncommitted/replayed rows of a streamed index slice:
+    keep rows whose batch committed, collapse byte-identical replay
+    duplicates.  Batch-built indexes (no batch_id column) pass through."""
+    if "batch_id" not in d.columns:
+        return d
+    from redistimeseries_spark.pipeline.retrieval import _read_optional
+
+    done = _read_optional(spark, f"{path}/batches", "batch_id long")
+    return (
+        d.join(F.broadcast(done), "batch_id", "left_semi")
+        .dropDuplicates(["vec_id"])
+        .drop("batch_id")
+    )
+
+
 def ivf_topk_indexed(
     spark,
     path: str,
@@ -356,7 +437,9 @@ def ivf_topk_indexed(
         ((cos(query_vec, r.cv), -r.cid) for r in cents), reverse=True
     )[:nprobe]
     cids = [-n for _, n in probes]
-    d = spark.read.parquet(f"{path}/cells").filter(F.col("cid").isin(cids))
+    d = _committed_cells(
+        spark, path, spark.read.parquet(f"{path}/cells").filter(F.col("cid").isin(cids))
+    )
     qn = sum(x * x for x in query_vec) ** 0.5
     qcol = F.array(*[F.lit(float(x)) for x in query_vec])
     scored = d.select(

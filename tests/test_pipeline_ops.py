@@ -493,6 +493,73 @@ def test_ivf_index_build_query_matches_adhoc(spark, tmp_path):
     assert "PartitionFilters" in plan and "cid" in plan
 
 
+def test_ivf_index_stream_matches_full_rebuild(spark, tmp_path):
+    """Incremental IVF maintenance: micro-batches appended against the
+    frozen first-batch quantizer answer identically to a batch build with
+    the same centroids; a replayed batch is a no-op; the crash window
+    (cells appended, marker never written) leaves the orphan batch
+    invisible and its replay double-appends collapse; the probe scan
+    stays partition-pruned on cid."""
+    from redistimeseries_spark.pipeline.similarity import (
+        IVFIndexStream,
+        build_ivf_index,
+        ivf_topk_indexed,
+    )
+    from redistimeseries_spark.store import read_parquet
+
+    emb = read_parquet(spark, "/root/testdata/sf0.001/embeddings.parquet")
+    b1 = emb.filter("vec_id % 2 = 0")
+    b2 = emb.filter("vec_id % 2 = 1")
+    inc_path = str(tmp_path / "inc")
+    stream = IVFIndexStream(spark, inc_path, ncent=16)
+    stream.process_batch(b1, 0)
+    stream.process_batch(b2, 1)
+    stream.process_batch(b2, 1)  # replay: no-op
+
+    # batch reference with the SAME quantizer (first-batch bootstrap):
+    # centroids from b1's 16 smallest vec_ids = the even ids 0..30
+    full_path = str(tmp_path / "full")
+    build_ivf_index(emb.filter(F.col("vec_id").isin([2 * i for i in range(16)])), full_path, ncent=16)
+    # ...then re-assign the WHOLE corpus against those centroids
+    import shutil
+
+    shutil.rmtree(f"{full_path}/cells")
+    from redistimeseries_spark.pipeline.similarity import _assign_cells
+
+    d = emb.select("vec_id", F.col("embedding").cast("array<double>").alias("v"))
+    cents = spark.read.parquet(f"{full_path}/centroids")
+    _assign_cells(d, cents).write.partitionBy("cid").parquet(f"{full_path}/cells")
+
+    qv = [float(x) for x in emb.filter(F.col("vec_id") == 0).collect()[0].embedding]
+    got = ivf_topk_indexed(spark, inc_path, qv, k=20, nprobe=4)
+    want = [(r.vec_id, r.cos) for r in ivf_topk_indexed(spark, full_path, qv, k=20, nprobe=4).collect()]
+    assert [(r.vec_id, r.cos) for r in got.collect()] == want
+    plan = got._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in plan and "cid" in plan
+
+    # crash window: a third batch's cells land but its marker never does;
+    # the batch is the corpus head re-keyed beyond it, so a leak is visible
+    b3 = emb.filter("vec_id < 10").withColumn("vec_id", F.col("vec_id") + 100000)
+    d3 = b3.select("vec_id", F.col("embedding").cast("array<double>").alias("v"))
+    from redistimeseries_spark.pipeline.similarity import _assign_cells as _ac
+
+    (
+        _ac(d3, spark.read.parquet(f"{inc_path}/centroids"))
+        .withColumn("batch_id", F.lit(2))
+        .write.mode("append")
+        .partitionBy("cid")
+        .parquet(f"{inc_path}/cells")
+    )
+    leaked = [r.vec_id for r in ivf_topk_indexed(spark, inc_path, qv, k=50, nprobe=16).collect()]
+    assert all(v < 100000 for v in leaked)  # orphan batch invisible
+    # replay commits it; the double-appended rows collapse to one copy
+    stream.process_batch(b3, 2)
+    n_corpus = emb.count()
+    vis = ivf_topk_indexed(spark, inc_path, qv, k=n_corpus + 20, nprobe=16)
+    ids = [r.vec_id for r in vis.collect() if r.vec_id >= 100000]
+    assert sorted(ids) == [100000 + i for i in range(10)]  # exactly once each
+
+
 def test_stratified_sample_fallback_path_still_exact(spark):
     """safety=1 makes the hash cut undershoot with ~50% probability per
     stratum (deterministically, given fixed doc_ids) — whichever path
