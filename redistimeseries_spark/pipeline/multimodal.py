@@ -78,14 +78,43 @@ def attach_payload(docs: DataFrame, media_type: str = "image") -> DataFrame:
 
 
 def _decode_real(payload: bytes, media_type: str):
-    """The generic decoder hook — requires PIL/librosa/av, absent here.
-    BMP images and PCM WAV audio decode for real via the pure-stdlib
-    parsers below (`decode_features`)."""
+    """The generic decoder hook for COMPRESSED formats (JPEG/WebP/...,
+    MP3/OGG/...): gated behind optional imports — PIL for images,
+    soundfile for audio — so the same pipeline decodes them on a cluster
+    where the libraries are installed, and fails LOUDLY (never silently
+    stubs) where they are not.  BMP, PNG and PCM WAV always decode via
+    the pure-stdlib parsers below regardless (`decode_features`).
+    Returns the (dim1, dim2, stat) triple of DECODED_SCHEMA."""
+    import io
+
+    if media_type.startswith("image/"):
+        try:
+            from PIL import Image
+        except ImportError as exc:
+            raise NotImplementedError(
+                f"decoding {media_type} requires Pillow, which is not "
+                "installed; image/bmp and image/png decode natively"
+            ) from exc
+        with Image.open(io.BytesIO(payload)) as im:
+            g = im.convert("L")
+            w, h = g.size
+            data = list(g.getdata())
+            return w, h, sum(data) / max(len(data), 1)
+    if media_type.startswith("audio/"):
+        try:
+            import soundfile
+        except ImportError as exc:
+            raise NotImplementedError(
+                f"decoding {media_type} requires soundfile, which is not "
+                "installed; audio/wav (PCM) decodes natively"
+            ) from exc
+        data, rate = soundfile.read(io.BytesIO(payload))
+        flat = data.ravel()
+        stat = float(abs(flat).mean()) if flat.size else 0.0
+        return int(rate), int(flat.size), stat
     raise NotImplementedError(
-        "media decode requires imaging/audio libraries not present in this "
-        "environment; extract_features uses the deterministic byte-level "
-        "stub, decode_features handles image/bmp, image/png and audio/wav "
-        "natively"
+        f"no decoder for media type {media_type!r} (video frame decode "
+        "needs av/ffmpeg; the frame_sample plumbing is the supported path)"
     )
 
 
@@ -274,7 +303,7 @@ def decode_features(
                 elif mt == "audio/wav":
                     w, h, stat = decode_wav(payload)
                 else:
-                    _decode_real(payload, mt)
+                    w, h, stat = _decode_real(payload, mt)
                 rows.append((doc_id, mt, w, h, stat))
             yield pd.DataFrame(
                 rows, columns=["doc_id", "media_type", "dim1", "dim2", "stat"]

@@ -36,8 +36,12 @@ DAY = 86_400_000
 
 def build_layout(spark, sf_dir: str, replicas: int, path: str) -> None:
     st = TSStore.from_events(spark, sf_dir)
+    # spread the source BEFORE the replica explode: the sf parquet is 1-2
+    # splits, and at 10000 replicas (1B rows) a 2-task explode serializes
+    # the whole build through two cores
     rep = (
-        st.samples.withColumn(
+        st.samples.repartition(64)
+        .withColumn(
             "__r", F.explode(F.sequence(F.lit(0), F.lit(replicas - 1)))
         )
         .select(

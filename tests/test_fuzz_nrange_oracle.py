@@ -88,8 +88,13 @@ def _stage_sql(spec: dict, key: str, agg: str, col: str) -> str:
     b = bucket_sql("ts", dur, align)
     rep = report_ts_sql("b", dur, spec["bucket_ts"])
     emit_or = " OR ".join(f"({_emit(a)})" for a in spec["specs"][key])
-    if agg in ("count_nan", "count_all"):
-        v = "value"  # the count itself is the finalize value, 0 included
+    if agg in ("count_nan", "count_all", "sum", "count"):
+        # the aggregate itself is the finalize value, 0 included: sum and
+        # count carry finalize_empty_with_ZERO in the reference
+        # (src/compaction.c:854,873), and agg_sql already folds their
+        # empty-valid case to 0 — overriding with NaN here (as this oracle
+        # once did for sum/count) would contradict the reference
+        v = "value"
     elif agg == "last":
         # finalizeEmpty for `last` is LOCF — the previous bucket's last
         # valid value carries into an emitted bucket where `last` itself
@@ -156,8 +161,20 @@ def nrange_env(spark):
 def test_fuzz_nrange_vs_duckdb(nrange_env):
     rng, sdf, con = nrange_env
     failures = []
-    for i in range(N_SPECS):
-        spec = _spec(rng)
+    # pinned: sum/count alongside a count-class — an only-NaN bucket
+    # emits (count-class widening) and sum/count must finalize to 0, not
+    # NaN (finalize_empty_with_ZERO, src/compaction.c:854,873).  The
+    # random specs never drew this combination in 5 rounds; the oracle
+    # had it wrong and nothing noticed.
+    pinned = [
+        {
+            "keys": ["n1", "n2"], "start": MIN_TS, "end": MAX_TS,
+            "dur": 700, "align": "0", "bucket_ts": "-",
+            "specs": {"n1": ["sum", "count_nan"], "n2": ["count", "count_all"]},
+        }
+    ]
+    for i in range(N_SPECS + len(pinned)):
+        spec = pinned[i] if i < len(pinned) else _spec(rng)
         kwargs = dict(keys=spec["keys"], start=spec["start"], end=spec["end"])
         if "specs" in spec:
             kwargs.update(

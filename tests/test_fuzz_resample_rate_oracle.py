@@ -1,0 +1,252 @@
+"""Randomized differential fuzz for ts_resample and ts_increase vs
+independent DuckDB oracles (the round-5 seeded-spec treatment the
+percentile/range/mrange/nrange surfaces already get).
+
+ts_resample's oracle is deliberately a DIFFERENT shape than the
+implementation: DuckDB ASOF joins attach the bracketing samples to an
+explicitly generated grid (the operator uses a union + two window
+passes), so a bug in the window framing can't cancel out of both sides.
+ts_increase's oracle is the written definition: lag over the FULL
+per-key history, reset steps, range cut AFTER the lag, per-bucket sum
+emitted only when any step exists.
+
+Spec space: random key subsets x step/bucket durations that divide,
+exceed, and are coprime to the sample cadence x ALIGN x time ranges x
+method/per_second — plus pinned edge specs (sample exactly on a grid
+point; counter reset exactly at a bucket boundary).  ~10% NaN samples;
+seeded RNG.
+"""
+
+from __future__ import annotations
+
+import random
+
+import duckdb
+import pandas as pd
+import pytest
+
+from redistimeseries_spark import MAX_TS, MIN_TS
+from redistimeseries_spark.functions.buckets import bucket_sql, resolve_align
+from redistimeseries_spark.operators.rate import ts_increase
+from redistimeseries_spark.operators.resample import ts_resample
+
+NAN = float("nan")
+KEYS = ["r1", "r2", "r3", "r4"]
+N_SPECS = 12
+
+
+def _resample_dataset(rng: random.Random):
+    rows = []
+    for k in KEYS:
+        # distinct ts per key (duplicate samples are the dup-policy
+        # fold's job upstream of this operator)
+        for t in rng.sample(range(0, 60_000), rng.randint(15, 45)):
+            v = NAN if rng.random() < 0.1 else rng.uniform(-50.0, 50.0)
+            rows.append((k, t, v))
+    # pinned edge: a key whose samples sit EXACTLY on the 1000-grid
+    rows += [("rg", t * 1000, float(t)) for t in range(3, 9)]
+    return rows
+
+
+def _counter_dataset(rng: random.Random):
+    rows = []
+    for k in KEYS:
+        ts = sorted(rng.sample(range(0, 60_000), rng.randint(20, 50)))
+        v = 0.0
+        for t in ts:
+            if rng.random() < 0.08:
+                v = rng.uniform(0.0, 5.0)  # reset: restart near zero
+            else:
+                v += rng.uniform(0.0, 10.0)
+            rows.append((k, t, NAN if rng.random() < 0.1 else v))
+    # pinned edge: a reset exactly at a 1000-bucket boundary
+    rows += [
+        ("rb", 500, 10.0), ("rb", 999, 20.0), ("rb", 1000, 2.0),
+        ("rb", 1500, 8.0), ("rb", 2000, 9.0),
+    ]
+    return rows
+
+
+def _normalize(p: pd.DataFrame) -> pd.DataFrame:
+    cols = sorted(p.columns)
+    p = p[cols].copy()
+    for c in cols:
+        if p[c].dtype.kind == "f":
+            p[c] = p[c].round(6)
+    return p.sort_values(cols).reset_index(drop=True)
+
+
+def _range_sql(spec, extra=None):
+    where = list(extra or [])
+    if spec.get("keys"):
+        ks = ", ".join(repr(k) for k in spec["keys"])
+        where.append(f"key IN ({ks})")
+    if spec["start"] > MIN_TS:
+        where.append(f"ts >= {spec['start']}")
+    if spec["end"] < MAX_TS:
+        where.append(f"ts <= {spec['end']}")
+    return (" WHERE " + " AND ".join(where)) if where else ""
+
+
+def _resample_oracle(spec) -> str:
+    step = spec["step"]
+    pred = _range_sql(spec, ["NOT isnan(value)"])
+    if spec["method"] == "locf":
+        val = "p.value"
+    else:
+        val = (
+            "CASE WHEN p.ts = g.ts THEN p.value "
+            "WHEN n.ts IS NULL THEN p.value "
+            "ELSE p.value + (n.value - p.value) * (g.ts - p.ts)"
+            " / (n.ts - p.ts) END"
+        )
+    return f"""
+      WITH s AS (SELECT key, ts, value FROM t{pred}),
+      b AS (SELECT key, min(ts) AS lo, max(ts) AS hi FROM s GROUP BY key),
+      g AS (SELECT key, unnest(range(
+              (lo + {step} - 1) - (lo + {step} - 1) % {step},
+              hi - hi % {step} + 1, {step})) AS ts
+            FROM b
+            WHERE (lo + {step} - 1) - (lo + {step} - 1) % {step}
+                  <= hi - hi % {step}),
+      p AS (SELECT g.key, g.ts, s.value, s.ts AS sts
+            FROM g ASOF LEFT JOIN s ON g.key = s.key AND s.ts <= g.ts),
+      n AS (SELECT g.key, g.ts, s.value, s.ts AS sts
+            FROM g ASOF LEFT JOIN s ON g.key = s.key AND s.ts >= g.ts)
+      SELECT g.key, g.ts, {val.replace('p.ts', 'p.sts').replace('n.ts', 'n.sts')} AS value
+      FROM g
+      JOIN p ON g.key = p.key AND g.ts = p.ts
+      JOIN n ON g.key = n.key AND g.ts = n.ts
+    """
+
+
+def _increase_oracle(spec) -> str:
+    align_ts = resolve_align(spec["align"], spec["start"], spec["end"])
+    b = bucket_sql("ts", spec["dur"], align_ts)
+    kpred = ""
+    if spec.get("keys"):
+        ks = ", ".join(repr(k) for k in spec["keys"])
+        kpred = f" AND key IN ({ks})"
+    cut = []
+    if spec["start"] > MIN_TS:
+        cut.append(f"ts >= {spec['start']}")
+    if spec["end"] < MAX_TS:
+        cut.append(f"ts <= {spec['end']}")
+    cut_sql = (" WHERE " + " AND ".join(cut)) if cut else ""
+    val = "sum(step)"
+    col = "increase"
+    if spec["per_second"]:
+        val = f"sum(step) / {spec['dur'] / 1000.0!r}"
+        col = "rate"
+    return f"""
+      WITH v AS (SELECT key, ts, value FROM t
+                 WHERE NOT isnan(value){kpred}),
+      d AS (SELECT key, ts, value,
+                   lag(value) OVER (PARTITION BY key ORDER BY ts) AS prev
+            FROM v),
+      s AS (SELECT key, ts,
+                   CASE WHEN prev IS NULL THEN NULL
+                        WHEN value >= prev THEN value - prev
+                        ELSE value END AS step
+            FROM d),
+      r AS (SELECT key, ts, step FROM s{cut_sql})
+      SELECT key, {b} AS ts, {val} AS {col}
+      FROM r GROUP BY 1, 2 HAVING count(step) > 0
+    """
+
+
+@pytest.fixture(scope="module")
+def envs(spark):
+    rng = random.Random(0x5E5A)
+    res_rows = _resample_dataset(rng)
+    cnt_rows = _counter_dataset(rng)
+    res_sdf = spark.createDataFrame(
+        res_rows, "key string, ts long, value double"
+    ).cache()
+    cnt_sdf = spark.createDataFrame(
+        cnt_rows, "key string, ts long, value double"
+    ).cache()
+    res_sdf.count(), cnt_sdf.count()
+    rcon, ccon = duckdb.connect(), duckdb.connect()
+    for con, rows in ((rcon, res_rows), (ccon, cnt_rows)):
+        con.execute("CREATE TABLE t(key VARCHAR, ts BIGINT, value DOUBLE)")
+        con.executemany("INSERT INTO t VALUES (?, ?, ?)", rows)
+    yield rng, res_sdf, rcon, cnt_sdf, ccon
+    res_sdf.unpersist(), cnt_sdf.unpersist()
+
+
+def test_fuzz_resample_vs_duckdb(envs):
+    rng, sdf, con, _, _ = envs
+    all_keys = KEYS + ["rg"]
+    specs = [
+        # pinned: grid step == the on-grid key's cadence (sample-on-grid)
+        {"keys": ["rg"], "step": 1000, "method": "linear",
+         "start": MIN_TS, "end": MAX_TS},
+        {"keys": ["rg"], "step": 1000, "method": "locf",
+         "start": MIN_TS, "end": MAX_TS},
+    ]
+    while len(specs) < N_SPECS:
+        s = {
+            "keys": rng.sample(all_keys, rng.randint(1, 3)),
+            "step": rng.choice([500, 700, 1000, 2600, 9000]),
+            "method": rng.choice(["locf", "linear"]),
+            "start": MIN_TS,
+            "end": MAX_TS,
+        }
+        if rng.random() < 0.5:
+            lo = rng.randrange(0, 40_000)
+            s["start"], s["end"] = lo, lo + rng.randrange(5_000, 40_000)
+        specs.append(s)
+    failures = []
+    for i, s in enumerate(specs):
+        got = _normalize(
+            ts_resample(
+                sdf, s["step"], s["method"], keys=s["keys"],
+                start=s["start"], end=s["end"],
+            ).toPandas()
+        )
+        exp = _normalize(con.sql(_resample_oracle(s)).df())
+        if not got.equals(exp):
+            failures.append((i, s, got.shape, exp.shape))
+    assert not failures, failures[:2]
+
+
+def test_fuzz_increase_vs_duckdb(envs):
+    rng, _, _, sdf, con = envs
+    all_keys = KEYS + ["rb"]
+    specs = [
+        # pinned: reset exactly at a bucket boundary (rb @ ts=1000)
+        {"keys": ["rb"], "dur": 1000, "align": "0", "per_second": False,
+         "start": MIN_TS, "end": MAX_TS},
+        # pinned: range cut AFTER the first sample — the lag must still
+        # see the true predecessor, not fabricate a reset at the cut
+        {"keys": ["rb"], "dur": 1000, "align": "0", "per_second": False,
+         "start": 1200, "end": MAX_TS},
+    ]
+    while len(specs) < N_SPECS:
+        s = {
+            "keys": rng.sample(all_keys, rng.randint(1, 3)),
+            "dur": rng.choice([700, 1000, 3600, 7919]),
+            "align": rng.choice(["0", "start"]),
+            "per_second": rng.random() < 0.3,
+            "start": MIN_TS,
+            "end": MAX_TS,
+        }
+        if rng.random() < 0.6:
+            lo = rng.randrange(0, 40_000)
+            s["start"], s["end"] = lo, lo + rng.randrange(5_000, 40_000)
+        if s["align"] == "start" and s["start"] == MIN_TS:
+            s["align"] = "0"  # ALIGN start needs a concrete start
+        specs.append(s)
+    failures = []
+    for i, s in enumerate(specs):
+        got = _normalize(
+            ts_increase(
+                sdf, s["dur"], keys=s["keys"], start=s["start"],
+                end=s["end"], align=s["align"], per_second=s["per_second"],
+            ).toPandas()
+        )
+        exp = _normalize(con.sql(_increase_oracle(s)).df())
+        if not got.equals(exp):
+            failures.append((i, s, got.shape, exp.shape))
+    assert not failures, failures[:2]

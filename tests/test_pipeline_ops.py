@@ -138,6 +138,45 @@ def test_multimodal_stub_raises(spark):
     assert ok.n_bytes == 3 and ok.first_byte == 97 and ok.last_byte == 99
 
 
+def test_decode_real_optional_import_gate():
+    """Compressed-media decode is gated behind optional libraries: with
+    Pillow/soundfile installed it really decodes (dimension/stat triple);
+    without, it raises a LOUD NotImplementedError naming the missing
+    library — never a silent stub.  Each direction runs where its
+    precondition holds, so this test is meaningful in both environments."""
+    from redistimeseries_spark.pipeline.multimodal import _decode_real
+
+    try:
+        from PIL import Image
+
+        have_pil = True
+    except ImportError:
+        have_pil = False
+    if have_pil:
+        import io
+
+        buf = io.BytesIO()
+        Image.new("RGB", (4, 3), (255, 255, 255)).save(buf, format="JPEG")
+        w, h, stat = _decode_real(buf.getvalue(), "image/jpeg")
+        assert (w, h) == (4, 3) and stat > 200  # near-white luminance
+    else:
+        with pytest.raises(NotImplementedError, match="Pillow"):
+            _decode_real(b"\xff\xd8\xff\xe0", "image/jpeg")
+
+    try:
+        import soundfile  # noqa: F401
+
+        have_sf = True
+    except ImportError:
+        have_sf = False
+    if not have_sf:
+        with pytest.raises(NotImplementedError, match="soundfile"):
+            _decode_real(b"OggS", "audio/ogg")
+    # video has no optional path — frame_sample is the supported plumbing
+    with pytest.raises(NotImplementedError, match="frame"):
+        _decode_real(b"\x00", "video/mp4")
+
+
 def test_connected_components_transitive(spark):
     # chain 1-2-3 (no direct 1-3 pair), chain 10-11, singleton edge 20-21:
     # components collapse transitively to the min id
