@@ -145,6 +145,28 @@ def q_resample_linear(spark, sf_dir):
     )
 
 
+def q_resample_locf(spark, sf_dir):
+    """Resampling's LOCF variant (gate twin of ts_resample_linear): the
+    grid value is the latest valid sample at-or-before the grid point."""
+    from redistimeseries_spark.operators.resample import ts_resample
+
+    st = _store(spark, sf_dir)
+    return ts_resample(st.samples, H, "locf", start=D14, end=D21).select(
+        "key", "ts", F.round("value", 6).alias("value")
+    )
+
+
+def q_counter_rate(spark, sf_dir):
+    """Per-second reset-aware counter rate (gate twin of
+    ts_counter_increase): increase / bucket seconds."""
+    from redistimeseries_spark.operators.rate import ts_rate
+
+    st = _store(spark, sf_dir)
+    return ts_rate(st.samples, 6 * H, start=D14, end=D21).select(
+        "key", "ts", F.round("rate", 6).alias("rate")
+    )
+
+
 def q_gaps(spark, sf_dir):
     """Beyond-reference sampling-gap report: consecutive-sample intervals
     over 30 minutes per key — one lag window + a filter."""
@@ -1607,6 +1629,8 @@ def _base_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ts_dup_min": q_dup_min,
         "ts_revrange_agg_count": q_revrange_agg_count,
         "ts_info_chunks": q_info_chunks,
+        "ts_resample_locf": q_resample_locf,
+        "ts_counter_rate": q_counter_rate,
     }
 
 
@@ -2556,6 +2580,23 @@ SELECT key, ts,
                   WHEN nt IS NULL THEN pv
                   ELSE pv + (nv - pv) * (ts - pt) / (nt - pt) END, 6) AS value
 FROM e WHERE s = 0""",
+        "ts_resample_locf": f"""{ORACLE_PREFIX},
+v AS (SELECT key, ts, value FROM samples
+      WHERE NOT isnan(value) AND ts BETWEEN {D14} AND {D21}),
+bnd AS (SELECT key, ((min(ts) + {H} - 1) // {H}) * {H} AS g0,
+               (max(ts) // {H}) * {H} AS g1
+        FROM v GROUP BY key),
+g AS (SELECT key, unnest(generate_series(g0, g1, {H})) AS ts
+      FROM bnd WHERE g0 <= g1),
+u AS (SELECT key, ts, value, 1 AS s FROM v
+      UNION ALL SELECT key, ts, NULL, 0 FROM g),
+e AS (SELECT key, ts, s,
+        last_value(value IGNORE NULLS) OVER wb AS pv
+      FROM u
+      WINDOW wb AS (PARTITION BY key ORDER BY ts, s DESC
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))
+SELECT key, ts, round(pv, 6) AS value
+FROM e WHERE s = 0""",
         "ts_gaps": f"""{ORACLE_PREFIX},
 g AS (SELECT key, lag(ts) OVER (PARTITION BY key ORDER BY ts) AS gap_start,
              ts AS gap_end
@@ -2606,6 +2647,21 @@ s AS (SELECT key, ts,
              {bucket_sql('ts', 6 * H)} AS b
       FROM d)
 SELECT key, b AS ts, sum(step) AS increase
+FROM s WHERE ts BETWEEN {D14} AND {D21}
+GROUP BY 1, 2
+HAVING count(step) > 0""",
+        "ts_counter_rate": f"""{ORACLE_PREFIX},
+v AS (SELECT key, ts, value FROM samples WHERE NOT isnan(value)),
+d AS (SELECT key, ts, value,
+             lag(value) OVER (PARTITION BY key ORDER BY ts) AS prev
+      FROM v),
+s AS (SELECT key, ts,
+             CASE WHEN prev IS NULL THEN NULL
+                  WHEN value >= prev THEN value - prev
+                  ELSE value END AS step,
+             {bucket_sql('ts', 6 * H)} AS b
+      FROM d)
+SELECT key, b AS ts, round(sum(step) / {6 * H / 1000.0}, 6) AS rate
 FROM s WHERE ts BETWEEN {D14} AND {D21}
 GROUP BY 1, 2
 HAVING count(step) > 0""",
