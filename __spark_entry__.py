@@ -167,6 +167,28 @@ def q_counter_rate(spark, sf_dir):
     )
 
 
+def q_deriv(spark, sf_dir):
+    """Per-bucket least-squares slope (gauge trend, PromQL deriv):
+    value-units per second over 6h buckets."""
+    from redistimeseries_spark.operators.rate import ts_deriv
+
+    st = _store(spark, sf_dir)
+    return ts_deriv(st.samples, 6 * H, start=D14, end=D21).select(
+        "key", "ts", F.round("slope", 6).alias("slope")
+    )
+
+
+def q_value_hist(spark, sf_dir):
+    """Per-series fixed-width value histogram (bin 25.0 from 0.0):
+    the distribution companion to bucketed percentiles."""
+    from redistimeseries_spark.operators.percentiles import ts_value_histogram
+
+    st = _store(spark, sf_dir)
+    return ts_value_histogram(st.samples, 25.0, start=D14, end=D21).select(
+        "key", F.round("bin_lo", 6).alias("bin_lo"), "n"
+    )
+
+
 def q_gaps(spark, sf_dir):
     """Beyond-reference sampling-gap report: consecutive-sample intervals
     over 30 minutes per key — one lag window + a filter."""
@@ -1631,6 +1653,8 @@ def _base_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ts_info_chunks": q_info_chunks,
         "ts_resample_locf": q_resample_locf,
         "ts_counter_rate": q_counter_rate,
+        "ts_deriv": q_deriv,
+        "ts_value_hist": q_value_hist,
     }
 
 
@@ -2665,6 +2689,17 @@ SELECT key, b AS ts, round(sum(step) / {6 * H / 1000.0}, 6) AS rate
 FROM s WHERE ts BETWEEN {D14} AND {D21}
 GROUP BY 1, 2
 HAVING count(step) > 0""",
+        "ts_deriv": f"""{ORACLE_PREFIX},
+s AS (SELECT key, value, {bucket_sql('ts', 6 * H)} AS b, ts FROM samples
+      WHERE NOT isnan(value) AND ts BETWEEN {D14} AND {D21})
+SELECT key, b AS ts, round(regr_slope(value, (ts - b) / 1000.0), 6) AS slope
+FROM s GROUP BY key, b
+HAVING regr_slope(value, (ts - b) / 1000.0) IS NOT NULL""",
+        "ts_value_hist": f"""{ORACLE_PREFIX}
+SELECT key, round(floor(value / 25.0) * 25.0, 6) AS bin_lo, count(*) AS n
+FROM samples
+WHERE NOT isnan(value) AND ts BETWEEN {D14} AND {D21}
+GROUP BY key, 2""",
         "ts_agg_avg_1h": _agg_oracle(["avg"], H, 0, 0, 1 << 62),
         "ts_agg_multi_align": _agg_oracle(
             ["min", "max", "avg", "count"], 2 * H, D14, D14, D21, bucket_ts="~"

@@ -548,6 +548,35 @@ class TimeSeriesEngine:
             end=self._resolve_ts(to_ts, key),
         ).drop("key")
 
+    def deriv(self, key: str, bucket_dur, from_ts="-", to_ts="+", **kw) -> DataFrame:
+        """Per-bucket least-squares slope in value-units/second
+        (beyond-reference; operators/rate.ts_deriv)."""
+        from redistimeseries_spark.operators.rate import ts_deriv
+
+        return ts_deriv(
+            self._series_df(key, False),
+            parse_duration_ms(bucket_dur),
+            start=self._resolve_ts(from_ts, key),
+            end=self._resolve_ts(to_ts, key),
+            **kw,
+        ).drop("key")
+
+    def value_histogram(self, key: str, bin_width: float, lo: float = 0.0,
+                        from_ts="-", to_ts="+") -> DataFrame:
+        """Fixed-width value-distribution histogram (beyond-reference;
+        operators/percentiles.ts_value_histogram)."""
+        from redistimeseries_spark.operators.percentiles import (
+            ts_value_histogram,
+        )
+
+        return ts_value_histogram(
+            self._series_df(key, False),
+            bin_width,
+            lo,
+            start=self._resolve_ts(from_ts, key),
+            end=self._resolve_ts(to_ts, key),
+        ).drop("key")
+
     def range_rollup(
         self, key: str, agg: str, bucket_dur, from_ts="-", to_ts="+"
     ) -> DataFrame:

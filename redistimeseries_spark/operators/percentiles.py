@@ -79,3 +79,42 @@ def ts_bucket_percentiles(
         F.col("__b").alias("ts"),
         *[F.col("__q").getItem(i).alias(_pname(p)) for i, p in enumerate(ps)],
     ).orderBy("key", "ts")
+
+
+def ts_value_histogram(
+    samples: DataFrame,
+    bin_width: float,
+    lo: float = 0.0,
+    keys: list[str] | str | None = None,
+    start: int = MIN_TS,
+    end: int = MAX_TS,
+) -> DataFrame:
+    """(key, bin_lo, n) — fixed-width value-distribution histogram per
+    series: n valid samples with bin_lo <= value < bin_lo + bin_width,
+    empty bins not emitted.  The percentile family's other standard
+    consumer question ("what does this series' value distribution look
+    like"), and the batch analogue of a Prometheus histogram series.
+
+    Spark shape: one projection (floor((value - lo) / width), pure JVM
+    double arithmetic — identical in any engine, which is what makes the
+    oracle gate exact) + one (key, bin) hash aggregation with map-side
+    partial counts.  Output is bin-count-bounded per key, never
+    sample-bounded — safe to collect at any corpus scale.  NaN samples
+    are invalid everywhere (isValueValid) and are dropped first."""
+    if bin_width <= 0:
+        raise ValueError("bin_width must be positive")
+    df = samples.filter(~F.isnan("value"))
+    if keys is not None:
+        klist = [keys] if isinstance(keys, str) else list(keys)
+        df = df.filter(F.col("key").isin(klist))
+    if start > MIN_TS:
+        df = df.filter(F.col("ts") >= F.lit(start))
+    if end < MAX_TS:
+        df = df.filter(F.col("ts") <= F.lit(end))
+    bin_ix = F.floor((F.col("value") - F.lit(float(lo))) / F.lit(float(bin_width)))
+    return (
+        df.select("key", (F.lit(float(lo)) + bin_ix * F.lit(float(bin_width))).alias("bin_lo"))
+        .groupBy("key", "bin_lo")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy("key", "bin_lo")
+    )

@@ -112,6 +112,58 @@ def ts_rate(
     )
 
 
+def ts_deriv(
+    samples: DataFrame,
+    bucket_dur: int,
+    keys: list[str] | str | None = None,
+    start: int = MIN_TS,
+    end: int = MAX_TS,
+    align="0",
+) -> DataFrame:
+    """(key, ts, slope) — per-(key, bucket) least-squares slope of value
+    over time, in value-units per SECOND; ts is the bucket start.  The
+    gauge-trend companion to ts_increase (PromQL's deriv() made
+    per-window simple linear regression the standard trend signal; the
+    reference's aggregator set, src/compaction.c, has nothing for it).
+
+    Buckets that cannot define a slope — fewer than two valid samples,
+    or all samples at one timestamp — are not emitted (regr_slope is
+    NULL there; the nv-rule analogue).  NaN samples are invalid
+    everywhere (isValueValid) and are dropped first.
+
+    Spark shape: ONE projection + ONE (key, bucket) hash aggregation
+    (partial/final regr_slope), no window, no Python — cheaper than the
+    TWA plan.  The regression abscissa is centered per bucket
+    ((ts - bucket_start) / 1000) so the moment sums stay at
+    bucket-width magnitude instead of epoch-millisecond magnitude —
+    slope is shift-invariant, the floating-point moments are not."""
+    if bucket_dur <= 0:
+        raise ValueError("bucket_dur must be positive")
+    df = samples.filter(~F.isnan("value"))
+    if keys is not None:
+        klist = [keys] if isinstance(keys, str) else list(keys)
+        df = df.filter(F.col("key").isin(klist))
+    if start > MIN_TS:
+        df = df.filter(F.col("ts") >= F.lit(start))
+    if end < MAX_TS:
+        df = df.filter(F.col("ts") <= F.lit(end))
+    align_ts = resolve_align(align, start, end)
+    b = bucket_start(F.col("ts"), bucket_dur, align_ts)
+    d = df.select(
+        "key",
+        b.alias("__b"),
+        ((F.col("ts") - b) / F.lit(1000.0)).alias("__x"),
+        "value",
+    )
+    return (
+        d.groupBy("key", "__b")
+        .agg(F.regr_slope("value", "__x").alias("slope"))
+        .filter(F.col("slope").isNotNull())
+        .select("key", F.col("__b").alias("ts"), "slope")
+        .orderBy("key", "ts")
+    )
+
+
 def ts_gaps(
     samples: DataFrame,
     min_gap_ms: int,

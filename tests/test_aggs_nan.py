@@ -518,3 +518,66 @@ def test_resample_linear_and_locf(spark):
         ts_resample(sdf, 0)
     with _pytest.raises(ValueError):
         ts_resample(sdf, 100, "cubic")
+
+
+def test_deriv_slope(spark):
+    """ts_deriv: exact slope on a synthetic line, per-second units,
+    NaNs excluded, <2-valid-sample buckets not emitted, centered
+    abscissa at epoch-ms magnitudes stays exact."""
+    import math
+
+    import pytest as _pytest
+
+    from redistimeseries_spark.operators.rate import ts_deriv
+
+    nan = float("nan")
+    epoch = 1_705_000_000_000 - 1_705_000_000_000 % 1000
+    rows = [
+        # lin: value = 2.0 * seconds -> slope exactly 2.0/s, NaN ignored
+        ("lin", epoch + 0, 0.0), ("lin", epoch + 250, 0.5),
+        ("lin", epoch + 500, nan), ("lin", epoch + 750, 1.5),
+        # flat: slope exactly 0
+        ("flat", epoch + 0, 7.0), ("flat", epoch + 900, 7.0),
+        # solo / nans-only: no slope definable -> not emitted
+        ("solo", epoch + 100, 3.0),
+        ("nans", epoch + 100, nan), ("nans", epoch + 200, nan),
+    ]
+    sdf = spark.createDataFrame(rows, "key string, ts long, value double")
+    got = {(r.key, r.ts): r.slope for r in ts_deriv(sdf, 1000).collect()}
+    assert set(got) == {("lin", epoch), ("flat", epoch)}
+    assert math.isclose(got[("lin", epoch)], 2.0)
+    assert got[("flat", epoch)] == 0.0
+    # range cut drops the line's last point -> slope still 2.0 on the rest
+    cut = ts_deriv(sdf, 1000, keys="lin", end=epoch + 500).collect()
+    assert math.isclose(cut[0].slope, 2.0)
+    with _pytest.raises(ValueError):
+        ts_deriv(sdf, 0)
+
+
+def test_value_histogram(spark):
+    """ts_value_histogram: half-open bins [lo, lo+w), negative values,
+    exact-boundary values land in the upper bin, NaN excluded, empty
+    bins absent, lo offset applied."""
+    import pytest as _pytest
+
+    from redistimeseries_spark.operators.percentiles import ts_value_histogram
+
+    nan = float("nan")
+    rows = [
+        ("k", 0, 0.0), ("k", 1, 24.9), ("k", 2, 25.0),   # boundary -> bin 25
+        ("k", 3, -0.1), ("k", 4, -25.0),                 # both in bin -25
+        ("k", 5, nan),
+        ("j", 0, 100.0),
+    ]
+    sdf = spark.createDataFrame(rows, "key string, ts long, value double")
+    got = {(r.key, r.bin_lo): r.n
+           for r in ts_value_histogram(sdf, 25.0).collect()}
+    assert got == {("k", 0.0): 2, ("k", 25.0): 1, ("k", -25.0): 2,
+                   ("j", 100.0): 1}
+    # lo shifts the grid: bins start at -12.5
+    shifted = {r.bin_lo: r.n
+               for r in ts_value_histogram(sdf, 25.0, lo=-12.5,
+                                           keys="k").collect()}
+    assert shifted == {-12.5: 2, 12.5: 2, -37.5: 1}
+    with _pytest.raises(ValueError):
+        ts_value_histogram(sdf, 0.0)

@@ -622,3 +622,17 @@ def test_engine_resample_and_gaps_facade(eng):
     assert abs(lin[2700] - (20.0 + 50.0 * 2500 / 5000)) < 1e-9
     gaps = [(r.gap_start, r.gap_end) for r in eng.gaps("g", 1000).collect()]
     assert gaps == [(200, 5200)]
+
+
+def test_engine_deriv_and_histogram_facade(eng):
+    """deriv slopes the key's samples per bucket (value-units/second);
+    value_histogram bins them half-open from lo."""
+    import math
+
+    eng.create("t")
+    eng.madd([("t", 0, 0.0), ("t", 250, 0.5), ("t", 750, 1.5),
+              ("t", 1000, 30.0), ("t", 1500, 40.0)])
+    sl = {r.ts: r.slope for r in eng.deriv("t", 1000).collect()}
+    assert math.isclose(sl[0], 2.0) and math.isclose(sl[1000], 20.0)
+    h = {r.bin_lo: r.n for r in eng.value_histogram("t", 10.0).collect()}
+    assert h == {0.0: 3, 30.0: 1, 40.0: 1}
