@@ -250,3 +250,64 @@ def test_fuzz_increase_vs_duckdb(envs):
         if not got.equals(exp):
             failures.append((i, s, got.shape, exp.shape))
     assert not failures, failures[:2]
+
+
+def _deriv_oracle(spec) -> str:
+    align_ts = resolve_align(spec["align"], spec["start"], spec["end"])
+    b = bucket_sql("ts", spec["dur"], align_ts)
+    where = ["NOT isnan(value)"]
+    if spec.get("keys"):
+        ks = ", ".join(repr(k) for k in spec["keys"])
+        where.append(f"key IN ({ks})")
+    if spec["start"] > MIN_TS:
+        where.append(f"ts >= {spec['start']}")
+    if spec["end"] < MAX_TS:
+        where.append(f"ts <= {spec['end']}")
+    return f"""
+      WITH s AS (SELECT key, value, {b} AS b, ts FROM t
+                 WHERE {' AND '.join(where)})
+      SELECT key, b AS ts, regr_slope(value, (ts - b) / 1000.0) AS slope
+      FROM s GROUP BY key, b
+      HAVING regr_slope(value, (ts - b) / 1000.0) IS NOT NULL
+    """
+
+
+def test_fuzz_deriv_vs_duckdb(envs):
+    """ts_deriv vs DuckDB regr_slope on the gauge dataset — same spec
+    axes as the increase fuzzer (the range cut binds BEFORE the lag-free
+    grouping here, so no predecessor subtlety), plus a pinned spec whose
+    bucket is wider than the whole dataset (one global regression)."""
+    from redistimeseries_spark.operators.rate import ts_deriv
+
+    rng, sdf, con, _, _ = envs
+    all_keys = KEYS + ["rg"]
+    specs = [
+        {"keys": None, "dur": 1_000_000, "align": "0",
+         "start": MIN_TS, "end": MAX_TS},
+    ]
+    while len(specs) < N_SPECS:
+        s = {
+            "keys": rng.sample(all_keys, rng.randint(1, 3)),
+            "dur": rng.choice([700, 1000, 3600, 7919, 25_000]),
+            "align": rng.choice(["0", "start"]),
+            "start": MIN_TS,
+            "end": MAX_TS,
+        }
+        if rng.random() < 0.6:
+            lo = rng.randrange(0, 40_000)
+            s["start"], s["end"] = lo, lo + rng.randrange(5_000, 40_000)
+        if s["align"] == "start" and s["start"] == MIN_TS:
+            s["align"] = "0"
+        specs.append(s)
+    failures = []
+    for i, s in enumerate(specs):
+        got = _normalize(
+            ts_deriv(
+                sdf, s["dur"], keys=s["keys"], start=s["start"],
+                end=s["end"], align=s["align"],
+            ).toPandas()
+        )
+        exp = _normalize(con.sql(_deriv_oracle(s)).df())
+        if not got.equals(exp):
+            failures.append((i, s, got.shape, exp.shape))
+    assert not failures, failures[:2]
