@@ -1538,6 +1538,14 @@ def _base_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # ts_del_range (mutate family: ts_retention_clamp, ts_madd_status,
     # ts_ignore_filter), ts_stream_incrby (streaming family:
     # ts_stream_rule_avg_1m, dl_stream_dedup, ts_read_tail).
+    # Round-6 NEW-operator promotions (never driver-checked): ts_deriv +
+    # ts_value_hist (the round's new operators), ts_counter_rate +
+    # ts_resample_locf (gate twins of driver-green siblings).  Demoted,
+    # each >=2 driver-green rounds with the family keeping a prefix
+    # representative: dl_top_ngrams + dl_hash_split (text/curation:
+    # dl_repetition, dl_quality_summary, dl_mixture_sample stay),
+    # ts_madd_status (mutate: ts_retention_clamp, ts_ignore_filter stay),
+    # ts_read_tail (scan: ts_range_raw stays).
     return {
         # --- checked prefix: one representative per operator family -----
         "ts_range_raw": q_range_raw,
@@ -1564,9 +1572,11 @@ def _base_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ts_info_full": q_info_full,
         "ts_stream_rule_avg_1m": q_stream_rule_avg_1m,
         "ts_agg_percentile": q_agg_percentile,
-        "ts_read_tail": q_read_tail,
         "ts_ignore_filter": q_ignore_filter,
-        "ts_madd_status": q_madd_status,
+        "ts_deriv": q_deriv,
+        "ts_value_hist": q_value_hist,
+        "ts_counter_rate": q_counter_rate,
+        "ts_resample_locf": q_resample_locf,
         "dl_cross_contaminated": q_cross_contaminated,
         "dl_quantize": q_quantize,
         "dl_minhash_lsh_pairs": q_minhash_lsh_pairs,
@@ -1583,9 +1593,7 @@ def _base_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dl_ann_batch": q_ann_batch,
         "dl_stream_dedup": q_stream_dedup,
         "dl_mm_frame_sample": q_mm_frame_sample,
-        "dl_top_ngrams": q_top_ngrams,
         "dl_rolling_fingerprint": q_rolling_fingerprint,
-        "dl_hash_split": q_hash_split,
         "ts_counter_increase": q_counter_increase,
         "dl_repetition": q_repetition,
         "dl_chunk_docs": q_chunk_docs,
@@ -1651,10 +1659,10 @@ def _base_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ts_dup_min": q_dup_min,
         "ts_revrange_agg_count": q_revrange_agg_count,
         "ts_info_chunks": q_info_chunks,
-        "ts_resample_locf": q_resample_locf,
-        "ts_counter_rate": q_counter_rate,
-        "ts_deriv": q_deriv,
-        "ts_value_hist": q_value_hist,
+        "ts_read_tail": q_read_tail,
+        "ts_madd_status": q_madd_status,
+        "dl_top_ngrams": q_top_ngrams,
+        "dl_hash_split": q_hash_split,
     }
 
 
