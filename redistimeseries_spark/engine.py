@@ -35,7 +35,7 @@ from redistimeseries_spark.operators.multi import ts_mget, ts_mrange
 from redistimeseries_spark.operators.nrange import ts_nrange
 from redistimeseries_spark.operators.range_query import ts_range
 from redistimeseries_spark.streaming.compaction import CompactionRule, materialize_rule
-from redistimeseries_spark.write.dup_policy import resolve_duplicates
+from redistimeseries_spark.write.dup_policy import merge_sample, resolve_duplicates
 from redistimeseries_spark.write.mutate import ignore_filter
 from redistimeseries_spark.write.retention import retention_clamp
 
@@ -382,6 +382,39 @@ class TimeSeriesEngine:
             F.lit(None).cast("string").alias("on_dup"),
         )
         merged = existing.unionByName(batch)
+        # (key, ts) groups holding a per-write ON_DUPLICATE override that
+        # differs from the series policy fold SEQUENTIALLY (the reference
+        # applies the MERGING write's policy, src/module.c ON_DUPLICATE ->
+        # handleDuplicateSample — a mixed-policy group is arrival-ordered,
+        # not a single aggregate); this is also what makes INCRBY's
+        # ts == last upsert land under any series policy.  The group set
+        # is bounded by the batch's override writes — driver-API scale.
+        pol = {
+            k: (c.duplicate_policy or self.default_dup_policy)
+            for k, c in self.series.items()
+        }
+        ov_pairs = {(r[0], r[1]) for r in rows if r[4] and r[4] != pol[r[0]]}
+        ov_out = []
+        if ov_pairs:
+            pairs_df = self.spark.createDataFrame(
+                sorted(ov_pairs), "key string, ts long"
+            )
+            groups: dict[tuple, list] = {}
+            for r in merged.join(
+                F.broadcast(pairs_df), ["key", "ts"], "left_semi"
+            ).collect():
+                groups.setdefault((r.key, r.ts), []).append(
+                    (r.seq, r.value, r.on_dup)
+                )
+            for (k, t), g in groups.items():
+                g.sort()
+                stored = g[0][1]
+                for _, v, od in g[1:]:
+                    stored = merge_sample(stored, v, od or pol[k])
+                ov_out.append((k, t, stored))
+            merged = merged.join(
+                F.broadcast(pairs_df), ["key", "ts"], "left_anti"
+            )
         parts = []
         for policy, keys in self._keys_by_policy():
             sub = merged.filter(F.col("key").isin(keys))
@@ -389,6 +422,12 @@ class TimeSeriesEngine:
         out = parts[0]
         for p in parts[1:]:
             out = out.unionByName(p)
+        if ov_out:
+            out = out.unionByName(
+                self.spark.createDataFrame(
+                    ov_out, "key string, ts long, value double"
+                )
+            )
         for cfg in self.series.values():
             if cfg.ignore_max_time_diff > 0 or cfg.ignore_max_val_diff > 0:
                 keep = out.filter(F.col("key") != cfg.key)

@@ -66,6 +66,37 @@ def resolve_duplicates(
     return out.select("key", "ts", "value")
 
 
+def merge_sample(old: float, new: float, policy: str) -> float:
+    """ONE pairwise merge of a colliding write into the stored value —
+    handleDuplicateSample (src/generic_chunk.c:62-93) verbatim, for the
+    sequential fold of collision groups whose writes carry per-write
+    ON_DUPLICATE overrides (src/module.c parses ON_DUPLICATE per TS.ADD;
+    the override binds to the MERGING write, so a mixed-policy group is
+    inherently arrival-ordered and cannot be a single aggregate).
+
+    Folding a uniform-policy group with this function is equivalent to
+    resolve_duplicates' aggregates (the docstring derivation above)."""
+    import math
+
+    policy = policy.lower()
+    if policy not in POLICIES:
+        raise ValueError(f"bad duplicate policy {policy!r}")
+    onan, nnan = math.isnan(old), math.isnan(new)
+    if policy == "block":
+        return old  # rejected; caller routes the write to the error sink
+    if policy == "first":
+        return new if (onan and not nnan) else old
+    if policy == "last":
+        return old if (nnan and not onan) else new
+    if onan or nnan:
+        return old  # one-NaN merge rejected; both-NaN keeps NaN
+    if policy == "min":
+        return min(old, new)
+    if policy == "max":
+        return max(old, new)
+    return old + new
+
+
 def blocked_rows(raw: DataFrame, seq_col: str = "seq") -> DataFrame:
     """Rows a BLOCK policy would reject: every row of a colliding (key, ts)
     group except the first arrival (src/module.c rejects the later write)."""

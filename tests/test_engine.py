@@ -636,3 +636,33 @@ def test_engine_deriv_and_histogram_facade(eng):
     assert math.isclose(sl[0], 2.0) and math.isclose(sl[1000], 20.0)
     h = {r.bin_lo: r.n for r in eng.value_histogram("t", 10.0).collect()}
     assert h == {0.0: 3, 30.0: 1, 40.0: 1}
+
+
+def test_on_duplicate_override_beats_series_policy(spark):
+    """TS.ADD ... ON_DUPLICATE overrides the series policy for THAT write
+    (src/module.c ON_DUPLICATE -> handleDuplicateSample), including the
+    INCRBY ts==last upsert, which is a LAST-policy write under any series
+    policy — and a same-batch chain of overridden writes folds
+    sequentially in arrival order."""
+    eng = TimeSeriesEngine(spark)
+    eng.create("m", duplicate_policy="min")
+    eng.add("m", 5, 10.0)
+    eng.flush()
+    eng.incrby("m", 5.0, ts=5)  # would be rejected by MIN; LAST override lands
+    assert [(r.ts, r.value) for r in eng.range("m").collect()] == [(5, 15.0)]
+    assert eng.get("m") == (5, 15.0)  # _last_cache agrees with the store
+    eng.incrby("m", 1.0, ts=5)  # chained through the (now-correct) cache
+    assert eng.get("m") == (5, 16.0)
+
+    eng.create("f", duplicate_policy="first")
+    eng.add("f", 1, 1.0)
+    eng.flush()
+    eng.add("f", 1, 99.0, on_duplicate="last")
+    assert [(r.ts, r.value) for r in eng.range("f").collect()] == [(1, 99.0)]
+
+    eng.create("b")  # default block: collisions rejected...
+    eng.add("b", 2, 1.0)
+    eng.add("b", 2, 5.0, on_duplicate="sum")  # ...but each override merges
+    eng.add("b", 2, 2.0, on_duplicate="sum")
+    eng.add("b", 2, 50.0)  # no override -> series BLOCK rejects it
+    assert [(r.ts, r.value) for r in eng.range("b").collect()] == [(2, 8.0)]
