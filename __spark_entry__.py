@@ -950,6 +950,14 @@ EMB_CORPUS_SQL = (
 )
 
 
+def q_semdedup(spark, sf_dir):
+    """SemDeDup (arXiv:2303.09540): deterministic-cell clustering +
+    within-cell cosine pruning, keep-smallest-id; dup_of NULL = keeper."""
+    from redistimeseries_spark.pipeline.similarity import semdedup
+
+    return semdedup(_emb_corpus(spark, sf_dir), threshold=0.99)
+
+
 def q_dedup_exact(spark, sf_dir):
     from redistimeseries_spark.pipeline.dedup import exact_dedup
 
@@ -1545,7 +1553,10 @@ def _base_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # representative: dl_top_ngrams + dl_hash_split (text/curation:
     # dl_repetition, dl_quality_summary, dl_mixture_sample stay),
     # ts_madd_status (mutate: ts_retention_clamp, ts_ignore_filter stay),
-    # ts_read_tail (scan: ts_range_raw stays).
+    # ts_read_tail (scan: ts_range_raw stays).  Late round-6: NEW
+    # dl_semdedup (embedding-cluster dedup, arXiv:2303.09540) promotes;
+    # dl_repetition (green r4+r5; text family keeps dl_quality_summary)
+    # rotates to the tail.
     return {
         # --- checked prefix: one representative per operator family -----
         "ts_range_raw": q_range_raw,
@@ -1595,7 +1606,7 @@ def _base_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dl_mm_frame_sample": q_mm_frame_sample,
         "dl_rolling_fingerprint": q_rolling_fingerprint,
         "ts_counter_increase": q_counter_increase,
-        "dl_repetition": q_repetition,
+        "dl_semdedup": q_semdedup,
         "dl_chunk_docs": q_chunk_docs,
         "ts_bucket_percentiles": q_bucket_percentiles,
         "dl_pii": q_pii,
@@ -1663,6 +1674,7 @@ def _base_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ts_madd_status": q_madd_status,
         "dl_top_ngrams": q_top_ngrams,
         "dl_hash_split": q_hash_split,
+        "dl_repetition": q_repetition,
     }
 
 
@@ -2169,6 +2181,26 @@ def _pipeline_oracles() -> dict[str, str]:
               SELECT e.s, reach.r FROM edges e JOIN reach ON e.d = reach.node
             )
             SELECT node AS doc_id, min(r) AS component FROM reach GROUP BY node""",
+        "dl_semdedup": f"""WITH {EMB_CORPUS_SQL},
+d AS (SELECT vec_id, embedding AS v FROM corpus),
+c AS (SELECT vec_id AS cid, v AS cv FROM d ORDER BY vec_id LIMIT 16),
+sim AS (SELECT d.vec_id, d.v, c.cid,
+               list_dot_product(d.v, c.cv)
+                 / (sqrt(list_dot_product(d.v, d.v))
+                    * sqrt(list_dot_product(c.cv, c.cv))) AS csim
+        FROM d, c),
+r AS (SELECT *, row_number() OVER (PARTITION BY vec_id
+                                   ORDER BY csim DESC, cid) AS rn FROM sim),
+assigned AS (SELECT vec_id, v, cid FROM r WHERE rn = 1),
+p AS (SELECT a.vec_id AS i, b.vec_id AS j
+      FROM assigned a JOIN assigned b
+        ON a.cid = b.cid AND b.vec_id < a.vec_id
+      WHERE list_dot_product(a.v, b.v)
+              / (sqrt(list_dot_product(a.v, a.v))
+                 * sqrt(list_dot_product(b.v, b.v))) >= 0.99),
+dups AS (SELECT i, min(j) AS dup_of FROM p GROUP BY i)
+SELECT a.vec_id, a.cid, dups.dup_of
+FROM assigned a LEFT JOIN dups ON a.vec_id = dups.i""",
         "dl_embed_neardup": f"""WITH {EMB_CORPUS_SQL},
             d AS (SELECT vec_id, label, embedding AS v,
                          sqrt(list_dot_product(embedding, embedding)) AS nrm

@@ -451,3 +451,55 @@ def ivf_topk_indexed(
         .limit(k)
         .select("vec_id", F.round("cos", 6).alias("cos"))
     )
+
+
+def semdedup(
+    emb: DataFrame,
+    threshold: float = 0.95,
+    ncent: int = 16,
+    centroids: DataFrame | None = None,
+) -> DataFrame:
+    """(vec_id, cid, dup_of) — semantic dedup over an embedding column
+    (SemDeDup, Abbas et al. 2023, arXiv:2303.09540): partition the
+    embedding space with the coarse quantizer, compute pairwise cosines
+    WITHIN each cell only, and mark a vector a duplicate when an earlier
+    cell-mate sits at-or-above the threshold.  `dup_of` is the smallest
+    such mate's vec_id (NULL for keepers) — filter `dup_of IS NULL` for
+    the pruned corpus.  Keep-smallest-id is the deterministic stand-in
+    for the paper's keep-one-per-epsilon-cluster rule, which is what
+    makes the SQL oracle gate possible.
+
+    Scale shape — the whole point of SemDeDup's design: the quadratic
+    pairwise pass is bounded PER CELL (sum of cell_size^2, never
+    corpus^2), and `ncent` is the production lever that keeps cells
+    shuffle-partition-sized at 100 TB.  One broadcast assign (scan +
+    map-side argmax agg, no window), one cid-keyed self-join, one
+    (vec_id) min-aggregate.  Default centroids are the embeddings of the
+    `ncent` smallest vec_ids (deterministic, oracle-replicable — the
+    ivf_topk convention); pass `centroids=train_centroids(...)` for
+    Lloyd-trained cells (better balance, same plan)."""
+    if not 0.0 <= threshold <= 1.0:
+        raise ValueError("threshold must lie in [0, 1]")
+    d = emb.select("vec_id", F.col("embedding").cast("array<double>").alias("v"))
+    cents = centroids if centroids is not None else d.orderBy("vec_id").limit(
+        ncent
+    ).select(F.col("vec_id").cast("long").alias("cid"), F.col("v").alias("cv"))
+    assigned = _assign_cells(d, cents)
+    a = assigned.select("cid", F.col("vec_id").alias("i"), F.col("v").alias("vi"))
+    b = assigned.select("cid", F.col("vec_id").alias("j"), F.col("v").alias("vj"))
+    dups = (
+        a.join(b, "cid")
+        .filter(F.col("j") < F.col("i"))
+        .filter(
+            _dot(F.col("vi"), F.col("vj"))
+            / (_norm(F.col("vi")) * _norm(F.col("vj")))
+            >= threshold
+        )
+        .groupBy("i")
+        .agg(F.min("j").alias("dup_of"))
+    )
+    return (
+        assigned.join(dups, assigned.vec_id == dups.i, "left")
+        .select("vec_id", "cid", "dup_of")
+        .orderBy("vec_id")
+    )

@@ -1377,3 +1377,32 @@ def test_text_index_stream_crash_replay(spark, tmp_path):
     sf = read_index_stats(spark, full_path).collect()[0]
     assert (s.n_docs, s.total_dl) == (sf.n_docs, sf.total_dl)
     assert abs(s.avgdl - sf.avgdl) < 1e-12
+
+
+def test_semdedup_cell_pruning(spark):
+    """semdedup: in-cell near-dups collapse to the smallest id, sub-threshold
+    cell-mates survive, and a near-identical pair SPLIT across cells is
+    (by design) not flagged — the paper's cell-boundary recall loss."""
+    import pytest as _pytest
+
+    from redistimeseries_spark.pipeline.similarity import semdedup
+
+    rows = [
+        (0, [1.0, 0.0]),       # centroid A
+        (1, [0.0, 1.0]),       # centroid B
+        (2, [1.0, 0.001]),     # cell A, ~identical to 0 -> dup_of 0
+        (3, [1.0, 0.002]),     # cell A, dup of both 0 and 2 -> smallest (0)
+        (4, [0.5, 0.866]),     # cell B, cos vs everything < thr -> keeper
+        (5, [0.71, 0.704]),    # cell A side of the diagonal...
+        (6, [0.704, 0.71]),    # ...cell B side: cos(5,6) > thr, different cells
+    ]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    got = {r.vec_id: (r.cid, r.dup_of)
+           for r in semdedup(emb, threshold=0.99, ncent=2).collect()}
+    assert got[2] == (0, 0) and got[3] == (0, 0)
+    assert got[0] == (0, None) and got[1] == (1, None)
+    assert got[4] == (1, None)
+    assert got[5][0] != got[6][0]          # the pair really is split
+    assert got[5][1] is None and got[6][1] is None  # and so not flagged
+    with _pytest.raises(ValueError):
+        semdedup(emb, threshold=1.5)
