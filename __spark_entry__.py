@@ -189,6 +189,17 @@ def q_value_hist(spark, sf_dir):
     )
 
 
+def q_irate(spark, sf_dir):
+    """Instantaneous per-second rate from each key's last two in-range
+    samples (PromQL irate; reset-aware like ts_counter_increase)."""
+    from redistimeseries_spark.operators.rate import ts_irate
+
+    st = _store(spark, sf_dir)
+    return ts_irate(st.samples, start=D14, end=D21).select(
+        "key", "ts", F.round("irate", 6).alias("irate")
+    )
+
+
 def q_gaps(spark, sf_dir):
     """Beyond-reference sampling-gap report: consecutive-sample intervals
     over 30 minutes per key — one lag window + a filter."""
@@ -1674,6 +1685,7 @@ def _base_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ts_madd_status": q_madd_status,
         "dl_top_ngrams": q_top_ngrams,
         "dl_hash_split": q_hash_split,
+        "ts_irate": q_irate,
         "dl_repetition": q_repetition,
     }
 
@@ -2729,6 +2741,17 @@ SELECT key, b AS ts, round(sum(step) / {6 * H / 1000.0}, 6) AS rate
 FROM s WHERE ts BETWEEN {D14} AND {D21}
 GROUP BY 1, 2
 HAVING count(step) > 0""",
+        "ts_irate": f"""{ORACLE_PREFIX},
+v AS (SELECT key, ts, value FROM samples
+      WHERE NOT isnan(value) AND ts BETWEEN {D14} AND {D21}),
+d AS (SELECT key, ts, value,
+             lag(value) OVER w AS pv, lag(ts) OVER w AS pt,
+             row_number() OVER (PARTITION BY key ORDER BY ts DESC) AS rn
+      FROM v WINDOW w AS (PARTITION BY key ORDER BY ts))
+SELECT key, ts,
+       round((CASE WHEN value >= pv THEN value - pv ELSE value END)
+             / ((ts - pt) / 1000.0), 6) AS irate
+FROM d WHERE rn = 1 AND pt IS NOT NULL""",
         "ts_deriv": f"""{ORACLE_PREFIX},
 s AS (SELECT key, value, {bucket_sql('ts', 6 * H)} AS b, ts FROM samples
       WHERE NOT isnan(value) AND ts BETWEEN {D14} AND {D21})

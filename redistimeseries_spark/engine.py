@@ -587,6 +587,17 @@ class TimeSeriesEngine:
             end=self._resolve_ts(to_ts, key),
         ).drop("key")
 
+    def irate(self, key: str, from_ts="-", to_ts="+") -> DataFrame:
+        """Instantaneous per-second rate from the key's last two in-range
+        samples (beyond-reference; operators/rate.ts_irate)."""
+        from redistimeseries_spark.operators.rate import ts_irate
+
+        return ts_irate(
+            self._series_df(key, False),
+            start=self._resolve_ts(from_ts, key),
+            end=self._resolve_ts(to_ts, key),
+        ).drop("key")
+
     def deriv(self, key: str, bucket_dur, from_ts="-", to_ts="+", **kw) -> DataFrame:
         """Per-bucket least-squares slope in value-units/second
         (beyond-reference; operators/rate.ts_deriv)."""

@@ -208,3 +208,45 @@ def ts_gaps(
         )
         .orderBy("key", "gap_start")
     )
+
+
+def ts_irate(
+    samples: DataFrame,
+    keys: list[str] | str | None = None,
+    start: int = MIN_TS,
+    end: int = MAX_TS,
+) -> DataFrame:
+    """(key, ts, irate) — instantaneous per-second rate from the LAST TWO
+    valid samples of the range per key (PromQL irate: the spot rate a
+    dashboard's "current QPS" tile wants, where ts_rate would average the
+    whole bucket).  Reset-aware like ts_increase: a drop means the
+    counter restarted and the new value IS the increase.  Keys with
+    fewer than two valid samples in range emit nothing.
+
+    One lag window + one per-key keep-last filter (max ts), pure JVM —
+    and over the bucketed layout the window needs no exchange, like
+    every operator in this family."""
+    df = samples.filter(~F.isnan("value"))
+    if keys is not None:
+        klist = [keys] if isinstance(keys, str) else list(keys)
+        df = df.filter(F.col("key").isin(klist))
+    if start > MIN_TS:
+        df = df.filter(F.col("ts") >= F.lit(start))
+    if end < MAX_TS:
+        df = df.filter(F.col("ts") <= F.lit(end))
+    w = Window.partitionBy("key").orderBy("ts")
+    prev_v, prev_t = F.lag("value").over(w), F.lag("ts").over(w)
+    step = F.when(F.col("value") >= prev_v, F.col("value") - prev_v).otherwise(
+        F.col("value")
+    )
+    d = df.select(
+        "key",
+        "ts",
+        (step / ((F.col("ts") - prev_t) / F.lit(1000.0))).alias("irate"),
+        F.max("ts").over(Window.partitionBy("key")).alias("__mx"),
+    )
+    return (
+        d.filter((F.col("ts") == F.col("__mx")) & F.col("irate").isNotNull())
+        .select("key", "ts", "irate")
+        .orderBy("key")
+    )

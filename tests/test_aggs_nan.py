@@ -581,3 +581,27 @@ def test_value_histogram(spark):
     assert shifted == {-12.5: 2, 12.5: 2, -37.5: 1}
     with _pytest.raises(ValueError):
         ts_value_histogram(sdf, 0.0)
+
+
+def test_irate_last_two_samples(spark):
+    """ts_irate: spot rate from the last two valid in-range samples,
+    reset-aware, NaN tail skipped, <2-sample keys not emitted, range cut
+    changes which pair is 'last'."""
+    import math
+
+    from redistimeseries_spark.operators.rate import ts_irate
+
+    nan = float("nan")
+    rows = [
+        ("k", 0, 10.0), ("k", 1000, 20.0), ("k", 3000, 26.0),
+        ("k", 3500, nan),                      # NaN tail: pair is (1000, 3000)
+        ("r", 0, 100.0), ("r", 2000, 4.0),     # reset: irate = 4 / 2s
+        ("solo", 500, 7.0),
+    ]
+    sdf = spark.createDataFrame(rows, "key string, ts long, value double")
+    got = {r.key: (r.ts, r.irate) for r in ts_irate(sdf).collect()}
+    assert set(got) == {"k", "r"}
+    assert got["k"][0] == 3000 and math.isclose(got["k"][1], 6.0 / 2.0)
+    assert got["r"] == (2000, 2.0)
+    cut = {r.key: (r.ts, r.irate) for r in ts_irate(sdf, end=1500).collect()}
+    assert cut["k"][0] == 1000 and math.isclose(cut["k"][1], 10.0 / 1.0)
