@@ -2195,7 +2195,8 @@ def _pipeline_oracles() -> dict[str, str]:
             SELECT node AS doc_id, min(r) AS component FROM reach GROUP BY node""",
         "dl_semdedup": f"""WITH {EMB_CORPUS_SQL},
 d AS (SELECT vec_id, embedding AS v FROM corpus),
-c AS (SELECT vec_id AS cid, v AS cv FROM d ORDER BY vec_id LIMIT 16),
+c AS (SELECT vec_id AS cid, v AS cv FROM d
+      ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id LIMIT 16),
 sim AS (SELECT d.vec_id, d.v, c.cid,
                list_dot_product(d.v, c.cv)
                  / (sqrt(list_dot_product(d.v, d.v))

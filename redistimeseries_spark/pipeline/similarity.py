@@ -60,12 +60,20 @@ def sign_bucket(v: Column, bits: int = 8) -> Column:
 
 def _assign_cells(d: DataFrame, cents: DataFrame) -> DataFrame:
     """(vec_id, v, cid): nearest-centroid cell per vector — broadcast
-    cross-join + partial-aggregatable max(struct) argmax, no window sort."""
-    sim = d.crossJoin(F.broadcast(cents)).select(
+    cross-join + partial-aggregatable max(struct) argmax, no window sort.
+    Norms are PROJECTED once per vector and once per centroid before the
+    cross-join: inlining _norm in the csim expression re-evaluates an
+    O(dim) aggregate ncent times per vector (the [[spark-lambda-inlining
+    -pitfall]] — measured 2x on the 100k-vector semdedup probe)."""
+    nd = d.select("vec_id", "v", _norm(F.col("v")).alias("__vn"))
+    nc = F.broadcast(
+        cents.select("cid", "cv", _norm(F.col("cv")).alias("__cn"))
+    )
+    sim = nd.crossJoin(nc).select(
         "vec_id",
         "v",
         "cid",
-        (_dot(F.col("v"), F.col("cv")) / (_norm(F.col("v")) * _norm(F.col("cv")))).alias(
+        (_dot(F.col("v"), F.col("cv")) / (F.col("__vn") * F.col("__cn"))).alias(
             "csim"
         ),
     )
@@ -474,27 +482,46 @@ def semdedup(
     corpus^2), and `ncent` is the production lever that keeps cells
     shuffle-partition-sized at 100 TB.  One broadcast assign (scan +
     map-side argmax agg, no window), one cid-keyed self-join, one
-    (vec_id) min-aggregate.  Default centroids are the embeddings of the
-    `ncent` smallest vec_ids (deterministic, oracle-replicable — the
-    ivf_topk convention); pass `centroids=train_centroids(...)` for
-    Lloyd-trained cells (better balance, same plan)."""
+    (vec_id) min-aggregate.
+
+    Default centroids are the `ncent` embeddings FIRST IN md5(vec_id)
+    ORDER — deterministic and oracle-replicable like ivf_topk's
+    smallest-id convention, but hash-spread across the corpus: id-ordered
+    seeds degenerate catastrophically when consecutive ids are
+    near-duplicates (exactly the corpus a dedup runs on — 256 seeds
+    collapsing to ~6 directions turns cells, and the quadratic
+    within-cell pass, corpus-sized).  Pass
+    `centroids=train_centroids(...)` for Lloyd-trained cells (better
+    balance still, same plan)."""
     if not 0.0 <= threshold <= 1.0:
         raise ValueError("threshold must lie in [0, 1]")
     d = emb.select("vec_id", F.col("embedding").cast("array<double>").alias("v"))
-    cents = centroids if centroids is not None else d.orderBy("vec_id").limit(
-        ncent
-    ).select(F.col("vec_id").cast("long").alias("cid"), F.col("v").alias("cv"))
+    cents = centroids if centroids is not None else d.orderBy(
+        F.md5(F.col("vec_id").cast("string")), F.col("vec_id")
+    ).limit(ncent).select(
+        F.col("vec_id").cast("long").alias("cid"), F.col("v").alias("cv")
+    )
     assigned = _assign_cells(d, cents)
-    a = assigned.select("cid", F.col("vec_id").alias("i"), F.col("v").alias("vi"))
-    b = assigned.select("cid", F.col("vec_id").alias("j"), F.col("v").alias("vj"))
+    # normalize ONCE per row so the pairwise filter is a bare dot product
+    # (an inlined norm would re-run an O(dim) aggregate per candidate pair)
+    unit = (
+        assigned.select(
+            "cid", "vec_id", "v", _norm(F.col("v")).alias("__n")
+        )  # hoisted: _norm inside the transform lambda would re-run the
+        # O(dim) aggregate per ELEMENT (spark-lambda-inlining pitfall)
+        .select(
+            "cid",
+            "vec_id",
+            F.transform("v", lambda x: x / F.col("__n")).alias("u"),
+        )
+        .localCheckpoint()
+    )
+    a = unit.select("cid", F.col("vec_id").alias("i"), F.col("u").alias("ui"))
+    b = unit.select("cid", F.col("vec_id").alias("j"), F.col("u").alias("uj"))
     dups = (
         a.join(b, "cid")
         .filter(F.col("j") < F.col("i"))
-        .filter(
-            _dot(F.col("vi"), F.col("vj"))
-            / (_norm(F.col("vi")) * _norm(F.col("vj")))
-            >= threshold
-        )
+        .filter(_dot(F.col("ui"), F.col("uj")) >= threshold)
         .groupBy("i")
         .agg(F.min("j").alias("dup_of"))
     )

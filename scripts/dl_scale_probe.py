@@ -72,6 +72,25 @@ from redistimeseries_spark.pipeline.text import (
 )
 
 
+def _emb_corpus(spark, sf_dir: str, replicas: int):
+    base = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    return (
+        base.withColumn(
+            "__r", F.explode(F.sequence(F.lit(0), F.lit(replicas - 1)))
+        )
+        .select(
+            (F.col("vec_id") * replicas + F.col("__r")).alias("vec_id"),
+            F.expr(
+                "concat(array(CAST(element_at(embedding, 1) AS DOUBLE)"
+                " + __r * 0.0001),"
+                " CAST(slice(embedding, 2, size(embedding) - 1)"
+                " AS ARRAY<DOUBLE>))"
+            ).alias("embedding"),
+        )
+        .repartition(spark.sparkContext.defaultParallelism)
+    )
+
+
 def main():
     replicas = int(sys.argv[1]) if len(sys.argv) > 1 else 20
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -162,6 +181,14 @@ def main():
             docs, {"en": 0.5, "de": 0.2, "fr": 0.15, "es": 0.1, "zh": 0.05},
             10_000, stratum_col="lang",
         ),
+        # SemDeDup: every base vector becomes a cluster of `replicas`
+        # near-identical embeddings (first coordinate nudged 1e-4 per
+        # replica) — the within-cell pairwise pass must absorb
+        # |cluster|^2 without the corpus^2 blowup.  ncent=256 keeps
+        # cells ~corpus/256; raise it with corpus size (the TUNING lever)
+        "d22_semdedup": lambda: __import__(
+            "redistimeseries_spark.pipeline.similarity", fromlist=["semdedup"]
+        ).semdedup(_emb_corpus(spark, sf_dir, replicas), 0.999, ncent=256),
     }
 
     if len(sys.argv) > 2:

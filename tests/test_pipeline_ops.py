@@ -1397,8 +1397,11 @@ def test_semdedup_cell_pruning(spark):
         (6, [0.704, 0.71]),    # ...cell B side: cos(5,6) > thr, different cells
     ]
     emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    cents = spark.createDataFrame(
+        [(0, [1.0, 0.0]), (1, [0.0, 1.0])], "cid long, cv array<double>"
+    )
     got = {r.vec_id: (r.cid, r.dup_of)
-           for r in semdedup(emb, threshold=0.99, ncent=2).collect()}
+           for r in semdedup(emb, threshold=0.99, centroids=cents).collect()}
     assert got[2] == (0, 0) and got[3] == (0, 0)
     assert got[0] == (0, None) and got[1] == (1, None)
     assert got[4] == (1, None)
