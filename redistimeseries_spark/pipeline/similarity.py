@@ -59,12 +59,14 @@ def sign_bucket(v: Column, bits: int = 8) -> Column:
 
 
 def _assign_cells(d: DataFrame, cents: DataFrame) -> DataFrame:
-    """(vec_id, v, cid): nearest-centroid cell per vector — broadcast
+    """(vec_id, v, vn, cid): nearest-centroid cell per vector — broadcast
     cross-join + partial-aggregatable max(struct) argmax, no window sort.
     Norms are PROJECTED once per vector and once per centroid before the
     cross-join: inlining _norm in the csim expression re-evaluates an
     O(dim) aggregate ncent times per vector (the [[spark-lambda-inlining
-    -pitfall]] — measured 2x on the 100k-vector semdedup probe)."""
+    -pitfall]] — measured 2x on the 100k-vector semdedup probe).  The
+    vector norm rides along as `vn` so downstream scoring joins reuse it
+    instead of re-aggregating per candidate pair."""
     nd = d.select("vec_id", "v", _norm(F.col("v")).alias("__vn"))
     nc = F.broadcast(
         cents.select("cid", "cv", _norm(F.col("cv")).alias("__cn"))
@@ -72,6 +74,7 @@ def _assign_cells(d: DataFrame, cents: DataFrame) -> DataFrame:
     sim = nd.crossJoin(nc).select(
         "vec_id",
         "v",
+        F.col("__vn"),
         "cid",
         (_dot(F.col("v"), F.col("cv")) / (F.col("__vn") * F.col("__cn"))).alias(
             "csim"
@@ -81,9 +84,10 @@ def _assign_cells(d: DataFrame, cents: DataFrame) -> DataFrame:
         sim.groupBy("vec_id")
         .agg(
             F.any_value("v").alias("v"),
+            F.any_value("__vn").alias("vn"),
             F.max(F.struct(F.col("csim"), (-F.col("cid")).alias("ncid"))).alias("m"),
         )
-        .select("vec_id", "v", (-F.col("m.ncid")).alias("cid"))
+        .select("vec_id", "v", "vn", (-F.col("m.ncid")).alias("cid"))
     )
 
 
@@ -164,7 +168,7 @@ def ivf_topk(
         .crossJoin(F.broadcast(q))
         .select(
             "vec_id",
-            (_dot(F.col("v"), F.col("q")) / (_norm(F.col("v")) * F.col("qn"))).alias("cos"),
+            (_dot(F.col("v"), F.col("q")) / (F.col("vn") * F.col("qn"))).alias("cos"),
         )
     )
     return (
@@ -265,7 +269,7 @@ def ivf_topk_batch(
         .select(
             "qid",
             "vec_id",
-            (_dot(F.col("v"), F.col("qv")) / (_norm(F.col("v")) * F.col("qn"))).alias(
+            (_dot(F.col("v"), F.col("qv")) / (F.col("vn") * F.col("qn"))).alias(
                 "cos"
             ),
         )
@@ -334,6 +338,7 @@ def build_ivf_index(
     cents = emb.sparkSession.read.parquet(f"{path}/centroids")
     (
         _assign_cells(d, cents)
+        .drop("vn")  # derivable; keep the stored cell schema minimal
         .write.mode("overwrite")
         .partitionBy("cid")
         .parquet(f"{path}/cells")
@@ -395,6 +400,7 @@ class IVFIndexStream:
         cents = self._centroids(d)
         (
             _assign_cells(d, cents)
+            .drop("vn")
             .withColumn("batch_id", F.lit(batch_id))
             .write.mode("append")
             .partitionBy("cid")
@@ -504,18 +510,13 @@ def semdedup(
     assigned = _assign_cells(d, cents)
     # normalize ONCE per row so the pairwise filter is a bare dot product
     # (an inlined norm would re-run an O(dim) aggregate per candidate pair)
-    unit = (
-        assigned.select(
-            "cid", "vec_id", "v", _norm(F.col("v")).alias("__n")
-        )  # hoisted: _norm inside the transform lambda would re-run the
-        # O(dim) aggregate per ELEMENT (spark-lambda-inlining pitfall)
-        .select(
-            "cid",
-            "vec_id",
-            F.transform("v", lambda x: x / F.col("__n")).alias("u"),
-        )
-        .localCheckpoint()
-    )
+    # normalize with the assignment's own vn; the division stays outside
+    # the lambda's per-element scope only via the projected column
+    unit = assigned.select(
+        "cid",
+        "vec_id",
+        F.transform("v", lambda x: x / F.col("vn")).alias("u"),
+    ).localCheckpoint()
     a = unit.select("cid", F.col("vec_id").alias("i"), F.col("u").alias("ui"))
     b = unit.select("cid", F.col("vec_id").alias("j"), F.col("u").alias("uj"))
     dups = (
