@@ -189,6 +189,12 @@ def main():
         "d22_semdedup": lambda: __import__(
             "redistimeseries_spark.pipeline.similarity", fromlist=["semdedup"]
         ).semdedup(_emb_corpus(spark, sf_dir, replicas), 0.999, ncent=256),
+        # the BLAS-kernel twin (assignment matmul + per-cell pair matmul)
+        "d23_semdedup_arrow": lambda: __import__(
+            "redistimeseries_spark.pipeline.similarity", fromlist=["semdedup"]
+        ).semdedup(
+            _emb_corpus(spark, sf_dir, replicas), 0.999, ncent=256, arrow=True
+        ),
     }
 
     if len(sys.argv) > 2:

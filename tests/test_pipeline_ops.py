@@ -1409,3 +1409,28 @@ def test_semdedup_cell_pruning(spark):
     assert got[5][1] is None and got[6][1] is None  # and so not flagged
     with _pytest.raises(ValueError):
         semdedup(emb, threshold=1.5)
+
+
+def test_semdedup_arrow_matches_expression(spark):
+    """semdedup arrow=True (BLAS matmul kernels) == the expression path on
+    random corpora with planted near-dup clusters — the minhash A/B
+    precedent (BLAS-ordered sums vs fold-ordered sums agree at the
+    operator's own output precision)."""
+    import random
+
+    from redistimeseries_spark.pipeline.similarity import semdedup
+
+    rng = random.Random(0xA11B)
+    rows = []
+    vid = 0
+    for base in range(40):
+        v = [rng.uniform(-1, 1) for _ in range(16)]
+        for rep in range(rng.randint(1, 4)):
+            rows.append((vid, [x + rep * 1e-5 for x in v]))
+            vid += 1
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    expr = {(r.vec_id, r.cid, r.dup_of)
+            for r in semdedup(emb, 0.999, ncent=8).collect()}
+    arr = {(r.vec_id, r.cid, r.dup_of)
+           for r in semdedup(emb, 0.999, ncent=8, arrow=True).collect()}
+    assert expr == arr and any(d is not None for _, _, d in expr)
