@@ -168,3 +168,27 @@ def test_stratified_sample_no_full_window_over_corpus(spark):
     )
     plan = _plan(stratified_sample(docs, "lang", 5))
     assert "conv(substring" in plan and "row_number" in plan
+
+
+def test_rate_family_bucketed_plans(spark, stores):
+    """The counter/trend family over the key-bucketed layout: ts_deriv's
+    (key, bucket) aggregation and ts_increase/ts_irate's key-ordered lag
+    window are both satisfied by the bucketed clustering — no hash
+    exchange anywhere in either plan; the histogram's (key, bin) agg
+    likewise."""
+    from redistimeseries_spark.operators.percentiles import ts_value_histogram
+    from redistimeseries_spark.operators.rate import (
+        ts_deriv,
+        ts_increase,
+        ts_irate,
+    )
+
+    _, bk_path = stores
+    bt = read_bucketed_layout(spark, "t_bucketed", bk_path, n_buckets=4)
+    for df in (
+        ts_deriv(bt, 60_000),
+        ts_increase(bt, 60_000),
+        ts_irate(bt),
+        ts_value_histogram(bt, 10.0),
+    ):
+        assert "Exchange hashpartitioning" not in _plan(df)
