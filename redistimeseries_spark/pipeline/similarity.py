@@ -223,6 +223,7 @@ def ivf_topk_batch(
     ncent: int = 16,
     nprobe: int = 4,
     centroids: DataFrame | None = None,
+    arrow: bool = False,
 ) -> DataFrame:
     """(qid, vec_id, cos) — IVF ANN for a query SET: top-k per query.
 
@@ -242,7 +243,9 @@ def ivf_topk_batch(
     cents = centroids if centroids is not None else d.orderBy("vec_id").limit(
         ncent
     ).select(F.col("vec_id").cast("long").alias("cid"), F.col("v").alias("cv"))
-    assigned = _assign_cells(d, cents)
+    # arrow: the corpus-side assignment (the one pass that touches every
+    # vector) runs the BLAS kernel; probe/top-k stay expression-side
+    assigned = (_assign_cells_arrow if arrow else _assign_cells)(d, cents)
     qs = d.filter(F.col("vec_id").isin(query_vec_ids)).select(
         F.col("vec_id").alias("qid"),
         F.col("v").alias("qv"),

@@ -1434,3 +1434,21 @@ def test_semdedup_arrow_matches_expression(spark):
     arr = {(r.vec_id, r.cid, r.dup_of)
            for r in semdedup(emb, 0.999, ncent=8, arrow=True).collect()}
     assert expr == arr and any(d is not None for _, _, d in expr)
+
+
+def test_ivf_batch_arrow_matches_expression(spark):
+    """ivf_topk_batch arrow=True (BLAS cell assignment) == expression
+    path on random corpora — same A/B discipline as semdedup."""
+    import random
+
+    from redistimeseries_spark.pipeline.similarity import ivf_topk_batch
+
+    rng = random.Random(0xB10C)
+    rows = [(i, [rng.uniform(-1, 1) for _ in range(12)]) for i in range(250)]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    qids = [3, 57, 120]
+    expr = {(r.qid, r.vec_id, r.cos)
+            for r in ivf_topk_batch(emb, qids, k=5, ncent=8).collect()}
+    arr = {(r.qid, r.vec_id, r.cos)
+           for r in ivf_topk_batch(emb, qids, k=5, ncent=8, arrow=True).collect()}
+    assert expr == arr and len(expr) == 15
