@@ -969,6 +969,27 @@ def q_semdedup(spark, sf_dir):
     return semdedup(_emb_corpus(spark, sf_dir), threshold=0.99)
 
 
+def q_stream_semdedup(spark, sf_dir):
+    """Incremental SemDeDup: originals stream as batch 1, their perturbed
+    near-copies as batch 2 — batch 2 dedups against batch 1's ACCEPTED
+    vectors via the cell store, never by rescanning batch 1.  The
+    two-batch decision logic is set-expressible (in-batch candidates are
+    candidate-level; only the cross-batch store is keeper-filtered), so
+    the oracle replays it batch-by-batch in SQL."""
+    import tempfile
+
+    from redistimeseries_spark.pipeline.similarity import SemDedupStream
+
+    corpus = _emb_corpus(spark, sf_dir)
+    st = SemDedupStream(
+        spark, tempfile.mkdtemp(prefix="sparkts_semdd_"), threshold=0.99,
+        ncent=16,
+    )
+    st.process_batch(corpus.filter(F.col("vec_id") < 100000), 0)
+    st.process_batch(corpus.filter(F.col("vec_id") >= 100000), 1)
+    return st.decisions().orderBy("vec_id")
+
+
 def q_dedup_exact(spark, sf_dir):
     from redistimeseries_spark.pipeline.dedup import exact_dedup
 
@@ -1686,6 +1707,7 @@ def _base_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dl_top_ngrams": q_top_ngrams,
         "dl_hash_split": q_hash_split,
         "ts_irate": q_irate,
+        "dl_stream_semdedup": q_stream_semdedup,
         "dl_repetition": q_repetition,
     }
 
@@ -2214,6 +2236,37 @@ p AS (SELECT a.vec_id AS i, b.vec_id AS j
 dups AS (SELECT i, min(j) AS dup_of FROM p GROUP BY i)
 SELECT a.vec_id, a.cid, dups.dup_of
 FROM assigned a LEFT JOIN dups ON a.vec_id = dups.i""",
+        "dl_stream_semdedup": f"""WITH {EMB_CORPUS_SQL},
+d AS (SELECT vec_id, embedding AS v FROM corpus),
+c AS (SELECT vec_id AS cid, v AS cv FROM d WHERE vec_id < 100000
+      ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id LIMIT 16),
+sim AS (SELECT d.vec_id, d.v, c.cid,
+               list_dot_product(d.v, c.cv)
+                 / (sqrt(list_dot_product(d.v, d.v))
+                    * sqrt(list_dot_product(c.cv, c.cv))) AS csim
+        FROM d, c),
+r AS (SELECT *, row_number() OVER (PARTITION BY vec_id
+                                   ORDER BY csim DESC, cid) AS rn FROM sim),
+asg AS (SELECT vec_id, v, cid FROM r WHERE rn = 1),
+p AS (SELECT a.vec_id AS i, b.vec_id AS j
+      FROM asg a JOIN asg b ON a.cid = b.cid AND b.vec_id < a.vec_id
+      WHERE list_dot_product(a.v, b.v)
+              / (sqrt(list_dot_product(a.v, a.v))
+                 * sqrt(list_dot_product(b.v, b.v))) >= 0.99),
+d1 AS (SELECT a.vec_id, min(p.j) AS dup_of
+       FROM asg a LEFT JOIN p ON p.i = a.vec_id AND p.j < 100000
+       WHERE a.vec_id < 100000 GROUP BY a.vec_id),
+k1 AS (SELECT vec_id FROM d1 WHERE dup_of IS NULL),
+d2 AS (SELECT a.vec_id,
+              min(CASE WHEN p.j >= 100000
+                         OR p.j IN (SELECT vec_id FROM k1)
+                       THEN p.j END) AS dup_of
+       FROM asg a LEFT JOIN p ON p.i = a.vec_id
+       WHERE a.vec_id >= 100000 GROUP BY a.vec_id)
+SELECT vec_id,
+       CASE WHEN dup_of IS NULL THEN 'kept' ELSE 'near_dup' END AS status,
+       dup_of
+FROM (SELECT * FROM d1 UNION ALL SELECT * FROM d2)""",
         "dl_embed_neardup": f"""WITH {EMB_CORPUS_SQL},
             d AS (SELECT vec_id, label, embedding AS v,
                          sqrt(list_dot_product(embedding, embedding)) AS nrm

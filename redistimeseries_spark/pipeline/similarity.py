@@ -605,3 +605,142 @@ def _semdedup_pairs_arrow(unit: DataFrame, threshold: float) -> DataFrame:
         )
 
     return unit.groupBy("cid").applyInPandas(fn, "i long, dup_of long")
+
+
+class SemDedupStream:
+    """foreachBatch target running SemDeDup INCREMENTALLY: each
+    micro-batch dedups against everything already ACCEPTED without
+    rescanning it (the DedupStream economics applied to embeddings —
+    state is one unit vector per accepted embedding, cell-partitioned,
+    never the corpus).  The coarse quantizer freezes at first-batch
+    bootstrap (md5-order seeds, the semdedup convention), so cell ids are
+    stable for the life of the store; periodic retrains are a rebuild,
+    exactly like IVFIndexStream.
+
+    Per batch: assign to cells -> candidate pairs = (batch x accepted
+    store) + (batch x earlier-in-batch), both cid-keyed joins on unit
+    vectors (bare dot >= threshold) -> dup_of = smallest candidate ->
+    KEEPERS append to the cell store; every vector's verdict appends to
+    a decisions log.  Keeps-first-ARRIVED: a later batch's smaller
+    vec_id defers to an already-accepted larger one (the order-dependence
+    every streaming dedup has; batch semdedup on the union keeps the
+    smallest id instead).
+
+    At-least-once safety is the TextIndexStream/IVFIndexStream
+    discipline verbatim: cell rows carry batch_id, the marker is written
+    LAST, readers semi-join the committed-batch set and
+    dropDuplicates(vec_id) — crash-orphaned rows invisible, replay
+    duplicates collapse, decisions deduplicate on read because verdicts
+    are deterministic."""
+
+    CELL_SCHEMA = "cid long, vec_id long, u array<double>, batch_id long"
+    DECISION_SCHEMA = "vec_id long, status string, dup_of long"
+
+    def __init__(self, spark, path: str, threshold: float = 0.95,
+                 ncent: int = 16):
+        import os
+
+        if not 0.0 <= threshold <= 1.0:
+            raise ValueError("threshold must lie in [0, 1]")
+        self.spark, self.path = spark, path
+        self.threshold, self.ncent = threshold, ncent
+        os.makedirs(path, exist_ok=True)
+
+    def _read(self, sub: str, schema: str) -> DataFrame:
+        from redistimeseries_spark.pipeline.retrieval import _read_optional
+
+        return _read_optional(self.spark, f"{self.path}/{sub}", schema)
+
+    def _centroids(self, d: DataFrame) -> DataFrame:
+        cents = self._read("centroids", "cid long, cv array<double>")
+        if not cents.take(1):
+            (
+                d.orderBy(F.md5(F.col("vec_id").cast("string")), F.col("vec_id"))
+                .limit(self.ncent)
+                .select(
+                    F.col("vec_id").cast("long").alias("cid"),
+                    F.col("v").alias("cv"),
+                )
+                .write.mode("overwrite")
+                .parquet(f"{self.path}/centroids")
+            )
+            cents = self.spark.read.parquet(f"{self.path}/centroids")
+        return cents
+
+    def accepted(self) -> DataFrame:
+        """Committed, replay-collapsed accepted vectors (cid, vec_id, u)."""
+        done = self._read("batches", "batch_id long")
+        return (
+            self._read("cells", self.CELL_SCHEMA)
+            .join(F.broadcast(done), "batch_id", "left_semi")
+            .dropDuplicates(["vec_id"])
+            .drop("batch_id")
+        )
+
+    def decisions(self) -> DataFrame:
+        return self._read("decisions", self.DECISION_SCHEMA).distinct()
+
+    def process_batch(self, batch: DataFrame, batch_id: int) -> None:
+        done = self._read("batches", "batch_id long")
+        if done.filter(F.col("batch_id") == batch_id).take(1):
+            return
+        d = batch.select(
+            "vec_id", F.col("embedding").cast("array<double>").alias("v")
+        )
+        cents = self._centroids(d)
+        assigned = _assign_cells(d, cents)
+        unit = assigned.select(
+            "cid",
+            "vec_id",
+            F.transform("v", lambda x: x / F.col("vn")).alias("u"),
+        ).localCheckpoint()
+        # committed-only store: own crash-orphaned rows from a previous
+        # attempt at THIS batch are uncommitted too, so the semi-join
+        # alone restores replay determinism
+        stored = self.accepted().select(
+            "cid", F.col("vec_id").alias("cand"), F.col("u").alias("uc")
+        )
+        cand_store = (
+            unit.join(stored, "cid")
+            .filter(_dot(F.col("u"), F.col("uc")) >= self.threshold)
+            .select("vec_id", "cand")
+        )
+        a = unit.select("cid", "vec_id", "u")
+        b = unit.select(
+            "cid", F.col("vec_id").alias("cand"), F.col("u").alias("uc")
+        )
+        cand_batch = (
+            a.join(b, "cid")
+            .filter(F.col("cand") < F.col("vec_id"))
+            .filter(_dot(F.col("u"), F.col("uc")) >= self.threshold)
+            .select("vec_id", "cand")
+        )
+        dups = (
+            cand_store.unionByName(cand_batch)
+            .groupBy("vec_id")
+            .agg(F.min("cand").alias("dup_of"))
+        )
+        decisions = (
+            unit.join(dups, "vec_id", "left")
+            .select(
+                "vec_id",
+                F.when(F.col("dup_of").isNotNull(), F.lit("near_dup"))
+                .otherwise(F.lit("kept"))
+                .alias("status"),
+                "dup_of",
+            )
+            .localCheckpoint()
+        )
+        kept = decisions.filter(F.col("status") == "kept").select("vec_id")
+        (
+            unit.join(kept, "vec_id")
+            .select("cid", "vec_id", "u")
+            .withColumn("batch_id", F.lit(batch_id))
+            .write.mode("append")
+            .partitionBy("cid")
+            .parquet(f"{self.path}/cells")
+        )
+        decisions.write.mode("append").parquet(f"{self.path}/decisions")
+        self.spark.createDataFrame([(batch_id,)], "batch_id long").write.mode(
+            "append"
+        ).parquet(f"{self.path}/batches")

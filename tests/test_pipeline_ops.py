@@ -1452,3 +1452,81 @@ def test_ivf_batch_arrow_matches_expression(spark):
     arr = {(r.qid, r.vec_id, r.cos)
            for r in ivf_topk_batch(emb, qids, k=5, ncent=8, arrow=True).collect()}
     assert expr == arr and len(expr) == 15
+
+
+def test_semdedup_stream_incremental(spark, tmp_path):
+    """SemDedupStream: two micro-batches whose cluster heads arrive first
+    reproduce the batch semdedup verdicts on the union; a replayed batch
+    is a no-op; crash-orphaned cell rows are invisible to the next batch
+    and collapse on replay commit."""
+    import random
+
+    from redistimeseries_spark.pipeline.similarity import (
+        SemDedupStream,
+        semdedup,
+    )
+
+    rng = random.Random(0x5EED)
+    rows = []
+    vid = 0
+    for _ in range(30):
+        v = [rng.uniform(-1, 1) for _ in range(8)]
+        for rep in range(3):  # complete clusters: all pairs >= threshold
+            rows.append((vid, [x + rep * 1e-5 for x in v]))
+            vid += 1
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    # heads (vec_id % 3 == 0) in batch 1 -> keep-first-arrived ==
+    # keep-smallest-id, so the batch operator is an exact oracle here
+    b1 = emb.filter("vec_id % 3 = 0")
+    b2 = emb.filter("vec_id % 3 != 0")
+
+    st = SemDedupStream(spark, str(tmp_path / "sd"), threshold=0.999, ncent=8)
+    st.process_batch(b1, 0)
+    st.process_batch(b2, 1)
+    st.process_batch(b2, 1)  # replay: no-op
+    got = {(r.vec_id, r.status, r.dup_of) for r in st.decisions().collect()}
+    assert len(got) == 90
+
+    ref = semdedup(emb, threshold=0.999, ncent=8,
+                   centroids=spark.read.parquet(str(tmp_path / "sd/centroids")))
+    want = {
+        (r.vec_id, "kept" if r.dup_of is None else "near_dup", r.dup_of)
+        for r in ref.collect()
+    }
+    assert got == want
+    assert st.accepted().count() == 30  # one keeper per cluster
+
+    # crash window: a previous attempt at batch 2 appended its KEEPER
+    # cell row (all a real partial run writes) but never its marker
+    import random as _random
+
+    rng2 = _random.Random(0xFEED)
+    fresh = [rng2.uniform(-1, 1) for _ in range(8)]
+    orphan = spark.createDataFrame(
+        [(100000 + i, [x + i * 1e-5 for x in fresh]) for i in range(3)],
+        "vec_id long, embedding array<double>",
+    )
+    d3 = orphan.selectExpr("vec_id", "CAST(embedding AS ARRAY<DOUBLE>) AS v")
+    from pyspark.sql import functions as FF
+
+    from redistimeseries_spark.pipeline.similarity import _assign_cells
+
+    cents = spark.read.parquet(str(tmp_path / "sd/centroids"))
+    (
+        _assign_cells(d3.filter("vec_id = 100000"), cents)
+        .select(
+            "cid", "vec_id",
+            FF.transform("v", lambda x: x / FF.col("vn")).alias("u"),
+        )
+        .withColumn("batch_id", FF.lit(2))
+        .write.mode("append")
+        .partitionBy("cid")
+        .parquet(str(tmp_path / "sd/cells"))
+    )
+    assert st.accepted().filter("vec_id >= 100000").count() == 0  # invisible
+    st.process_batch(orphan, 2)  # replay commits; duplicates collapse
+    got3 = {(r.vec_id, r.dup_of)
+            for r in st.decisions().filter("vec_id >= 100000").collect()}
+    assert got3 == {(100000, None), (100001, 100000), (100002, 100000)}
+    # exactly one keeper row despite the double append
+    assert st.accepted().filter("vec_id >= 100000").count() == 1
