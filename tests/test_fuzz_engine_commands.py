@@ -129,6 +129,14 @@ def _compare(eng, sim, keys):
         assert got.keys() == exp.keys(), (k, sorted(got), sorted(exp))
         bad = {t for t in exp if not _eq(got[t], exp[t])}
         assert not bad, (k, {t: (got[t], exp[t]) for t in bad})
+        # TS.GET: the last-sample fast path (and the _last_cache behind
+        # incrby) must agree with the folded store
+        lt, lv = sim.last(k)
+        g = eng.get(k)
+        if lv is None:
+            assert g is None, (k, g)
+        else:
+            assert g is not None and g[0] == lt and _eq(g[1], lv), (k, g, lt, lv)
 
 
 @pytest.mark.parametrize("seed", range(N_SEEDS))
