@@ -187,6 +187,21 @@ def main():
         "b16_lttb_1000": lambda: __import__(
             "redistimeseries_spark.operators.smooth", fromlist=["ts_lttb"]
         ).ts_lttb(samples, 1000),
+        # per-bucket regression slope: one projection + one regr_slope
+        # hash agg — the cheapest plan in the family (no window)
+        "b17_deriv_2h": lambda: __import__(
+            "redistimeseries_spark.operators.rate", fromlist=["ts_deriv"]
+        ).ts_deriv(samples, 2 * H),
+        # value histogram: floor-bin projection + (key, bin) count agg;
+        # output bin-bounded, never sample-bounded
+        "b18_value_hist": lambda: __import__(
+            "redistimeseries_spark.operators.percentiles",
+            fromlist=["ts_value_histogram"],
+        ).ts_value_histogram(samples, 25.0),
+        # spot rate: lag window + per-key keep-last filter
+        "b19_irate": lambda: __import__(
+            "redistimeseries_spark.operators.rate", fromlist=["ts_irate"]
+        ).ts_irate(samples),
     }
 
     # SPARK_GRAFT_BUCKETED=1: also build the key-bucketed layout and probe
