@@ -1588,7 +1588,11 @@ def _base_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # ts_read_tail (scan: ts_range_raw stays).  Late round-6: NEW
     # dl_semdedup (embedding-cluster dedup, arXiv:2303.09540) promotes;
     # dl_repetition (green r4+r5; text family keeps dl_quality_summary)
-    # rotates to the tail.
+    # rotates to the tail.  Final round-6: NEW dl_stream_semdedup
+    # (incremental SemDeDup) + ts_irate promote for first driver checks;
+    # ts_mrange_latest (LATEST family keeps ts_nrange_latest) and
+    # dl_dedup_components_star (dedup family keeps dl_dedup_pipeline +
+    # dl_minhash_lsh_pairs), both >=2 driver-green rounds, rotate out.
     return {
         # --- checked prefix: one representative per operator family -----
         "ts_range_raw": q_range_raw,
@@ -1605,7 +1609,6 @@ def _base_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dl_quality_summary": q_quality_summary,
         "ts_rollup_route": q_rollup_route,
         "dl_simhash": q_simhash,
-        "ts_mrange_latest": q_mrange_latest,
         "ts_mrange_groupby_avg": q_mrange_groupby_avg,
         "ts_nrange_pivot": q_nrange_pivot,
         "ts_dup_last": q_dup_last,
@@ -1629,7 +1632,6 @@ def _base_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dl_mixture_sample": q_mixture_sample,
         "ts_gaps": q_gaps,
         "ts_resample_linear": q_resample_linear,
-        "dl_dedup_components_star": q_dedup_components_star,
         "dl_dedup_pipeline": q_dedup_pipeline,
         "dl_embed_neardup_lsh": q_embed_neardup_lsh,
         "dl_ann_lsh_topk": q_ann_lsh_topk,
@@ -1639,6 +1641,8 @@ def _base_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dl_rolling_fingerprint": q_rolling_fingerprint,
         "ts_counter_increase": q_counter_increase,
         "dl_semdedup": q_semdedup,
+        "dl_stream_semdedup": q_stream_semdedup,
+        "ts_irate": q_irate,
         "dl_chunk_docs": q_chunk_docs,
         "ts_bucket_percentiles": q_bucket_percentiles,
         "dl_pii": q_pii,
@@ -1706,8 +1710,8 @@ def _base_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ts_madd_status": q_madd_status,
         "dl_top_ngrams": q_top_ngrams,
         "dl_hash_split": q_hash_split,
-        "ts_irate": q_irate,
-        "dl_stream_semdedup": q_stream_semdedup,
+        "ts_mrange_latest": q_mrange_latest,
+        "dl_dedup_components_star": q_dedup_components_star,
         "dl_repetition": q_repetition,
     }
 
