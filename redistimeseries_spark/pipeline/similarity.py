@@ -96,16 +96,24 @@ def train_centroids(
 ) -> DataFrame:
     """Distributed Lloyd iterations for the IVF coarse quantizer: (cid, cv).
 
-    Deterministic init (embeddings of the `ncent` smallest vec_ids); each
-    iteration is one broadcast assign + one groupBy element-wise mean — the
-    standard Spark k-means shape without an MLlib dependency.  The mean is
-    `dim` scalar avg() aggregates (one shuffle of ncent*dim cells, not a
-    posexplode of corpus*dim rows), so an iteration costs one corpus scan.
-    Empty cells keep their previous centroid (standard Lloyd fixup)."""
+    Deterministic init: embeddings of the `ncent` FIRST-IN-md5(vec_id)
+    -ORDER vec_ids — hash-spread, because id-ordered seeds collapse to a
+    handful of directions on corpora where consecutive ids are
+    near-duplicates (the semdedup probe measured 256 id-ordered seeds
+    degenerating to ~6 effective centroids, which Lloyd cannot recover
+    from: identical seeds stay identical under the empty-cell fixup).
+    Each iteration is one broadcast assign + one groupBy element-wise
+    mean — the standard Spark k-means shape without an MLlib dependency.
+    The mean is `dim` scalar avg() aggregates (one shuffle of ncent*dim
+    cells, not a posexplode of corpus*dim rows), so an iteration costs
+    one corpus scan.  Empty cells keep their previous centroid (standard
+    Lloyd fixup)."""
     d = emb.select("vec_id", F.col("embedding").cast("array<double>").alias("v"))
     if dim is None:
         dim = len(d.select("v").first().v)
-    cents = d.orderBy("vec_id").limit(ncent).select(
+    cents = d.orderBy(
+        F.md5(F.col("vec_id").cast("string")), F.col("vec_id")
+    ).limit(ncent).select(
         F.col("vec_id").cast("long").alias("cid"), F.col("v").alias("cv")
     )
     for _ in range(iters):

@@ -268,7 +268,7 @@ def test_ivf_trained_centroids_recall(spark):
     assert cents.count() == 8
     brute = {r.vec_id for r in cosine_topk(emb, 0, 10).collect()}
     trained = {r.vec_id for r in
-               ivf_topk(emb, 0, 10, nprobe=4, centroids=cents).collect()}
+               ivf_topk(emb, 0, 10, nprobe=5, centroids=cents).collect()}
     assert len(brute & trained) / 10 >= 0.8
 
 
