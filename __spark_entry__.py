@@ -200,6 +200,37 @@ def q_irate(spark, sf_dir):
     )
 
 
+def q_changes(spark, sf_dir):
+    """Per-bucket value-change count vs the previous valid sample
+    (PromQL changes(); full-history chain, so boundaries never fabricate
+    or swallow a change) — one lag window + one count aggregation."""
+    from redistimeseries_spark.operators.rate import ts_changes
+
+    st = _store(spark, sf_dir)
+    return ts_changes(st.samples, 6 * H, start=D14, end=D21)
+
+
+def q_resets(spark, sf_dir):
+    """Per-bucket counter-reset count (PromQL resets(); the audit
+    companion to ts_counter_increase's reset-aware sum)."""
+    from redistimeseries_spark.operators.rate import ts_resets
+
+    st = _store(spark, sf_dir)
+    return ts_resets(st.samples, 6 * H, start=D14, end=D21)
+
+
+def q_predict_linear(spark, sf_dir):
+    """Per-bucket least-squares extrapolation 1h past the bucket end
+    (PromQL predict_linear): ts_deriv's centered fit with the intercept
+    kept — one projection + one regr_slope+regr_intercept hash agg."""
+    from redistimeseries_spark.operators.rate import ts_predict_linear
+
+    st = _store(spark, sf_dir)
+    return ts_predict_linear(st.samples, 6 * H, H, start=D14, end=D21).select(
+        "key", "ts", F.round("predicted", 6).alias("predicted")
+    )
+
+
 def q_gaps(spark, sf_dir):
     """Beyond-reference sampling-gap report: consecutive-sample intervals
     over 30 minutes per key — one lag window + a filter."""
@@ -1593,6 +1624,13 @@ def _base_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # ts_mrange_latest (LATEST family keeps ts_nrange_latest) and
     # dl_dedup_components_star (dedup family keeps dl_dedup_pipeline +
     # dl_minhash_lsh_pairs), both >=2 driver-green rounds, rotate out.
+    # Round-6 second wave: NEW ts_changes + ts_resets + ts_predict_linear
+    # (PromQL changes/resets/predict_linear — the rate family's remaining
+    # standard members) promote for first driver checks; demoted, each
+    # 5x driver-green with the family keeping a prefix representative:
+    # ts_nrange_pivot (NRANGE keeps ts_nrange_latest), ts_mrange_groupby_avg
+    # (MRANGE keeps ts_mrange_twa), ts_dup_last (write/upsert keeps
+    # ts_retention_clamp + ts_ignore_filter).
     return {
         # --- checked prefix: one representative per operator family -----
         "ts_range_raw": q_range_raw,
@@ -1609,9 +1647,9 @@ def _base_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dl_quality_summary": q_quality_summary,
         "ts_rollup_route": q_rollup_route,
         "dl_simhash": q_simhash,
-        "ts_mrange_groupby_avg": q_mrange_groupby_avg,
-        "ts_nrange_pivot": q_nrange_pivot,
-        "ts_dup_last": q_dup_last,
+        "ts_changes": q_changes,
+        "ts_resets": q_resets,
+        "ts_predict_linear": q_predict_linear,
         "ts_retention_clamp": q_retention_clamp,
         "dl_mm_decode_png": q_mm_decode_png,
         "dl_bm25_topk": q_bm25_topk,
@@ -1650,6 +1688,9 @@ def _base_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dl_mm_decode": q_mm_decode,
         "ts_asof_join": q_asof_join,
         # --- tail: family variants, locally gated -----------------------
+        "ts_mrange_groupby_avg": q_mrange_groupby_avg,
+        "ts_nrange_pivot": q_nrange_pivot,
+        "ts_dup_last": q_dup_last,
         "dl_ngram_lm": q_ngram_lm,
         "dl_simhash_pairs": q_simhash_pairs,
         "dl_ngram_jaccard": q_ngram_jaccard,
@@ -2814,6 +2855,43 @@ FROM d WHERE rn = 1 AND pt IS NOT NULL""",
 s AS (SELECT key, value, {bucket_sql('ts', 6 * H)} AS b, ts FROM samples
       WHERE NOT isnan(value) AND ts BETWEEN {D14} AND {D21})
 SELECT key, b AS ts, round(regr_slope(value, (ts - b) / 1000.0), 6) AS slope
+FROM s GROUP BY key, b
+HAVING regr_slope(value, (ts - b) / 1000.0) IS NOT NULL""",
+        "ts_changes": f"""{ORACLE_PREFIX},
+v AS (SELECT key, ts, value FROM samples WHERE NOT isnan(value)),
+d AS (SELECT key, ts, value,
+             lag(value) OVER (PARTITION BY key ORDER BY ts) AS prev
+      FROM v),
+s AS (SELECT key, ts,
+             CASE WHEN prev IS NULL THEN NULL
+                  WHEN value <> prev THEN 1 ELSE 0 END AS e,
+             {bucket_sql('ts', 6 * H)} AS b
+      FROM d)
+SELECT key, b AS ts, count(*) FILTER (WHERE e = 1) AS changes
+FROM s WHERE ts BETWEEN {D14} AND {D21}
+GROUP BY 1, 2
+HAVING count(e) > 0""",
+        "ts_resets": f"""{ORACLE_PREFIX},
+v AS (SELECT key, ts, value FROM samples WHERE NOT isnan(value)),
+d AS (SELECT key, ts, value,
+             lag(value) OVER (PARTITION BY key ORDER BY ts) AS prev
+      FROM v),
+s AS (SELECT key, ts,
+             CASE WHEN prev IS NULL THEN NULL
+                  WHEN value < prev THEN 1 ELSE 0 END AS e,
+             {bucket_sql('ts', 6 * H)} AS b
+      FROM d)
+SELECT key, b AS ts, count(*) FILTER (WHERE e = 1) AS resets
+FROM s WHERE ts BETWEEN {D14} AND {D21}
+GROUP BY 1, 2
+HAVING count(e) > 0""",
+        "ts_predict_linear": f"""{ORACLE_PREFIX},
+s AS (SELECT key, value, {bucket_sql('ts', 6 * H)} AS b, ts FROM samples
+      WHERE NOT isnan(value) AND ts BETWEEN {D14} AND {D21})
+SELECT key, b AS ts,
+       round(regr_intercept(value, (ts - b) / 1000.0)
+             + regr_slope(value, (ts - b) / 1000.0) * {(6 * H + H) / 1000.0},
+             6) AS predicted
 FROM s GROUP BY key, b
 HAVING regr_slope(value, (ts - b) / 1000.0) IS NOT NULL""",
         "ts_value_hist": f"""{ORACLE_PREFIX}

@@ -611,6 +611,48 @@ class TimeSeriesEngine:
             **kw,
         ).drop("key")
 
+    def changes(self, key: str, bucket_dur, from_ts="-", to_ts="+", **kw) -> DataFrame:
+        """Per-bucket value-change count vs the previous valid sample
+        (beyond-reference; operators/rate.ts_changes)."""
+        from redistimeseries_spark.operators.rate import ts_changes
+
+        return ts_changes(
+            self._series_df(key, False),
+            parse_duration_ms(bucket_dur),
+            start=self._resolve_ts(from_ts, key),
+            end=self._resolve_ts(to_ts, key),
+            **kw,
+        ).drop("key")
+
+    def resets(self, key: str, bucket_dur, from_ts="-", to_ts="+", **kw) -> DataFrame:
+        """Per-bucket counter-reset count (beyond-reference;
+        operators/rate.ts_resets)."""
+        from redistimeseries_spark.operators.rate import ts_resets
+
+        return ts_resets(
+            self._series_df(key, False),
+            parse_duration_ms(bucket_dur),
+            start=self._resolve_ts(from_ts, key),
+            end=self._resolve_ts(to_ts, key),
+            **kw,
+        ).drop("key")
+
+    def predict_linear(
+        self, key: str, bucket_dur, horizon, from_ts="-", to_ts="+", **kw
+    ) -> DataFrame:
+        """Per-bucket least-squares extrapolation `horizon` past the
+        bucket end (beyond-reference; operators/rate.ts_predict_linear)."""
+        from redistimeseries_spark.operators.rate import ts_predict_linear
+
+        return ts_predict_linear(
+            self._series_df(key, False),
+            parse_duration_ms(bucket_dur),
+            parse_duration_ms(horizon),
+            start=self._resolve_ts(from_ts, key),
+            end=self._resolve_ts(to_ts, key),
+            **kw,
+        ).drop("key")
+
     def value_histogram(self, key: str, bin_width: float, lo: float = 0.0,
                         from_ts="-", to_ts="+") -> DataFrame:
         """Fixed-width value-distribution histogram (beyond-reference;

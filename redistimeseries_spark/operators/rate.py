@@ -164,6 +164,176 @@ def ts_deriv(
     )
 
 
+def _event_counts(
+    samples: DataFrame,
+    bucket_dur: int,
+    event,
+    keys: list[str] | str | None,
+    start: int,
+    end: int,
+    align,
+    out_col: str,
+) -> DataFrame:
+    """Shared core for ts_changes / ts_resets: one full-history lag
+    window over (key, ts), an event indicator against the previous valid
+    sample, then ONE (key, bucket) count aggregation — the ts_increase
+    plan exactly (exchange-free over the bucketed layout).  `event` maps
+    (value, prev) -> boolean Column.  Buckets emit when at least one
+    sample there HAS a predecessor (the event count may then be 0);
+    first-ever samples contribute nothing, mirroring ts_increase."""
+    if bucket_dur <= 0:
+        raise ValueError("bucket_dur must be positive")
+    df = samples
+    if keys is not None:
+        klist = [keys] if isinstance(keys, str) else list(keys)
+        df = df.filter(F.col("key").isin(klist))
+    df = df.filter(~F.isnan("value"))
+    w = Window.partitionBy("key").orderBy("ts")
+    prev = F.lag("value").over(w)
+    ind = F.when(prev.isNull(), F.lit(None).cast("int")).otherwise(
+        event(F.col("value"), prev).cast("int")
+    )
+    align_ts = resolve_align(align, start, end)
+    d = df.select(
+        "key",
+        "ts",
+        ind.alias("__e"),
+        bucket_start(F.col("ts"), bucket_dur, align_ts).alias("__b"),
+    )
+    if start > MIN_TS:
+        d = d.filter(F.col("ts") >= F.lit(start))
+    if end < MAX_TS:
+        d = d.filter(F.col("ts") <= F.lit(end))
+    return (
+        d.groupBy("key", "__b")
+        .agg(F.sum("__e").alias("__s"), F.count("__e").alias("__n"))
+        .filter(F.col("__n") > 0)
+        .select("key", F.col("__b").alias("ts"), F.col("__s").alias(out_col))
+        .orderBy("key", "ts")
+    )
+
+
+def ts_changes(
+    samples: DataFrame,
+    bucket_dur: int,
+    keys: list[str] | str | None = None,
+    start: int = MIN_TS,
+    end: int = MAX_TS,
+    align="0",
+) -> DataFrame:
+    """(key, ts, changes) — how many times the value CHANGED between
+    consecutive valid samples, per (key, bucket); ts is the bucket start
+    (the deterministic per-bucket form of PromQL changes(), the
+    liveness/flappiness signal for gauges that encode state).  A sample
+    counts as a change when its value differs from the key's immediately
+    preceding valid sample (possibly in an earlier bucket — the chain is
+    full-history, so bucket boundaries never fabricate or swallow a
+    change).  NaN samples are invalid everywhere (isValueValid,
+    src/tsdb.c) and are skipped; first-ever samples have no predecessor
+    and contribute nothing.  Buckets where no sample has a predecessor
+    are not emitted; buckets whose samples all repeat the previous value
+    emit changes = 0."""
+    return _event_counts(
+        samples,
+        bucket_dur,
+        lambda v, p: v != p,
+        keys,
+        start,
+        end,
+        align,
+        "changes",
+    )
+
+
+def ts_resets(
+    samples: DataFrame,
+    bucket_dur: int,
+    keys: list[str] | str | None = None,
+    start: int = MIN_TS,
+    end: int = MAX_TS,
+    align="0",
+) -> DataFrame:
+    """(key, ts, resets) — counter-reset count per (key, bucket): samples
+    whose value DROPPED below the key's previous valid sample (PromQL
+    resets(); the restart/crash counter for monotone counters, and the
+    audit companion to ts_increase's reset-aware sum).  Chain, NaN, and
+    emission semantics are exactly ts_changes' (full-history lag; emit
+    when any sample has a predecessor, count may be 0)."""
+    return _event_counts(
+        samples,
+        bucket_dur,
+        lambda v, p: v < p,
+        keys,
+        start,
+        end,
+        align,
+        "resets",
+    )
+
+
+def ts_predict_linear(
+    samples: DataFrame,
+    bucket_dur: int,
+    horizon_ms: int,
+    keys: list[str] | str | None = None,
+    start: int = MIN_TS,
+    end: int = MAX_TS,
+    align="0",
+) -> DataFrame:
+    """(key, ts, predicted) — least-squares extrapolation per
+    (key, bucket): the fitted line's value `horizon_ms` AFTER THE BUCKET
+    END (PromQL predict_linear(), the disk-full/quota-breach
+    forecasting primitive; ts is the bucket start).  Exactly ts_deriv's
+    fit — same centered abscissa ((ts - bucket_start)/1000 seconds, so
+    the float moment sums stay at bucket-width magnitude) with the
+    intercept kept:
+
+        predicted = intercept + slope * (bucket_dur + horizon_ms)/1000
+
+    Buckets that cannot define a line (fewer than two valid samples, or
+    all samples at one timestamp) are not emitted, the ts_deriv rule.
+    NaN samples are invalid everywhere and are dropped first.
+
+    Spark shape: ONE projection + ONE (key, bucket) hash aggregation
+    (partial/final regr_slope + regr_intercept) — no window, no Python,
+    no second pass for the intercept."""
+    if bucket_dur <= 0:
+        raise ValueError("bucket_dur must be positive")
+    if horizon_ms < 0:
+        raise ValueError("horizon_ms must be non-negative")
+    df = samples.filter(~F.isnan("value"))
+    if keys is not None:
+        klist = [keys] if isinstance(keys, str) else list(keys)
+        df = df.filter(F.col("key").isin(klist))
+    if start > MIN_TS:
+        df = df.filter(F.col("ts") >= F.lit(start))
+    if end < MAX_TS:
+        df = df.filter(F.col("ts") <= F.lit(end))
+    align_ts = resolve_align(align, start, end)
+    b = bucket_start(F.col("ts"), bucket_dur, align_ts)
+    d = df.select(
+        "key",
+        b.alias("__b"),
+        ((F.col("ts") - b) / F.lit(1000.0)).alias("__x"),
+        "value",
+    )
+    xp = F.lit((bucket_dur + horizon_ms) / 1000.0)
+    return (
+        d.groupBy("key", "__b")
+        .agg(
+            F.regr_slope("value", "__x").alias("__m"),
+            F.regr_intercept("value", "__x").alias("__c"),
+        )
+        .filter(F.col("__m").isNotNull())
+        .select(
+            "key",
+            F.col("__b").alias("ts"),
+            (F.col("__c") + F.col("__m") * xp).alias("predicted"),
+        )
+        .orderBy("key", "ts")
+    )
+
+
 def ts_gaps(
     samples: DataFrame,
     min_gap_ms: int,

@@ -254,6 +254,84 @@ def test_counter_increase_resets_and_boundaries(spark):
     assert math.isclose(rate[0], 24.0 / 1.0) and math.isclose(rate[1000], 6.0)
 
 
+def test_changes_and_resets_counts(spark):
+    """ts_changes / ts_resets: event counts against the previous VALID
+    sample over the full-history chain — NaNs skipped, first sample
+    contributes nothing, boundary samples see their true predecessor,
+    all-repeat buckets emit 0, no-predecessor buckets not emitted."""
+    import pytest as _pytest
+
+    from redistimeseries_spark.operators.rate import ts_changes, ts_resets
+
+    nan = float("nan")
+    rows = [
+        # k bucket 0: 10 (first, no prev), 10 (no change), NaN (skip),
+        #             12 (change), 4 (change + reset)
+        ("k", 0, 10.0), ("k", 100, 10.0), ("k", 200, nan),
+        ("k", 300, 12.0), ("k", 400, 4.0),
+        # k bucket 1000: 4 repeats across the boundary (prev is 4 at 400)
+        ("k", 1100, 4.0), ("k", 1200, 9.0),
+        # solo: single sample -> no prev -> nothing emitted
+        ("solo", 500, 1.0),
+        # flat: two equal samples -> emitted with 0 changes / 0 resets
+        ("flat", 0, 7.0), ("flat", 100, 7.0),
+    ]
+    sdf = spark.createDataFrame(rows, "key string, ts long, value double")
+    ch = {(r.key, r.ts): r.changes for r in ts_changes(sdf, 1000).collect()}
+    assert ch == {("k", 0): 2, ("k", 1000): 1, ("flat", 0): 0}
+    rs = {(r.key, r.ts): r.resets for r in ts_resets(sdf, 1000).collect()}
+    assert rs == {("k", 0): 1, ("k", 1000): 0, ("flat", 0): 0}
+    # range cut AFTER the lag: first in-range sample keeps its true prev
+    cut = {
+        (r.key, r.ts): r.changes
+        for r in ts_changes(sdf, 1000, start=1000).collect()
+    }
+    assert cut == {("k", 1000): 1}
+    with _pytest.raises(ValueError):
+        ts_changes(sdf, 0)
+
+
+def test_predict_linear_extrapolation(spark):
+    """ts_predict_linear: exact extrapolation on a synthetic line
+    (slope in value/second, predicted at bucket end + horizon), NaNs
+    dropped, <2-sample and single-timestamp buckets not emitted."""
+    import math
+
+    import pytest as _pytest
+
+    from redistimeseries_spark.operators.rate import ts_predict_linear
+
+    nan = float("nan")
+    epoch = 1_700_000_000_000
+    # value = 2.0 per second starting at 100 -> at bucket-relative x
+    # seconds, value = 100 + 2x; bucket [epoch, epoch+1000)
+    rows = [
+        ("lin", epoch + 0, 100.0),
+        ("lin", epoch + 250, 100.5),
+        ("lin", epoch + 500, 101.0),
+        ("lin", epoch + 750, nan),      # dropped
+        # deg: both samples at one ts -> zero x-variance -> not emitted
+        ("deg", epoch + 100, 5.0), ("deg", epoch + 100, 9.0),
+        # one: single sample -> not emitted
+        ("one", epoch + 10, 3.0),
+    ]
+    sdf = spark.createDataFrame(rows, "key string, ts long, value double")
+    out = {
+        (r.key, r.ts): r.predicted
+        for r in ts_predict_linear(sdf, 1000, 2000).collect()
+    }
+    # slope 2.0/s, intercept 100 at bucket start; predict at (1000+2000)ms
+    assert set(out) == {("lin", epoch)}
+    assert math.isclose(out[("lin", epoch)], 100.0 + 2.0 * 3.0)
+    # horizon 0 predicts at the bucket end itself
+    at_end = ts_predict_linear(sdf, 1000, 0, keys="lin").collect()[0]
+    assert math.isclose(at_end.predicted, 100.0 + 2.0 * 1.0)
+    with _pytest.raises(ValueError):
+        ts_predict_linear(sdf, 0, 100)
+    with _pytest.raises(ValueError):
+        ts_predict_linear(sdf, 1000, -1)
+
+
 def test_ewma_recurrence(spark):
     """EWMA: exact recurrence vs a hand loop, NaN links skipped,
     alpha=1 is identity, invalid alpha rejected."""

@@ -638,6 +638,30 @@ def test_engine_deriv_and_histogram_facade(eng):
     assert h == {0.0: 3, 30.0: 1, 40.0: 1}
 
 
+def test_engine_changes_resets_predict_facade(eng):
+    """changes/resets count events against each sample's previous valid
+    value; predict_linear extrapolates the bucket fit past its end."""
+    import math
+
+    eng.create("p")
+    eng.madd([("p", 0, 0.0), ("p", 250, 0.5), ("p", 500, 0.5),
+              ("p", 750, 0.2), ("p", 1000, 2.0)])
+    ch = {r.ts: r.changes for r in eng.changes("p", 1000).collect()}
+    assert ch == {0: 2, 1000: 1}  # 0->0.5, 0.5->0.2; 0.2->2.0
+    rs = {r.ts: r.resets for r in eng.resets("p", 1000).collect()}
+    assert rs == {0: 1, 1000: 0}
+    # bucket 0 fit over (0s,0), (0.25s,0.5), (0.5s,0.5), (0.75s,0.2):
+    # predicted at bucket end + 1s = intercept + slope * 2.0
+    pr = {r.ts: r.predicted for r in eng.predict_linear("p", 1000, 1000).collect()}
+    xs, ys = [0.0, 0.25, 0.5, 0.75], [0.0, 0.5, 0.5, 0.2]
+    mx, my = sum(xs) / 4, sum(ys) / 4
+    m = sum((x - mx) * (y - my) for x, y in zip(xs, ys)) / sum(
+        (x - mx) ** 2 for x in xs
+    )
+    assert math.isclose(pr[0], (my - m * mx) + m * 2.0, rel_tol=1e-9)
+    assert 1000 not in pr  # single-sample bucket defines no line
+
+
 def test_on_duplicate_override_beats_series_policy(spark):
     """TS.ADD ... ON_DUPLICATE overrides the series policy for THAT write
     (src/module.c ON_DUPLICATE -> handleDuplicateSample), including the

@@ -178,9 +178,12 @@ def test_rate_family_bucketed_plans(spark, stores):
     likewise."""
     from redistimeseries_spark.operators.percentiles import ts_value_histogram
     from redistimeseries_spark.operators.rate import (
+        ts_changes,
         ts_deriv,
         ts_increase,
         ts_irate,
+        ts_predict_linear,
+        ts_resets,
     )
 
     _, bk_path = stores
@@ -190,5 +193,8 @@ def test_rate_family_bucketed_plans(spark, stores):
         ts_increase(bt, 60_000),
         ts_irate(bt),
         ts_value_histogram(bt, 10.0),
+        ts_changes(bt, 60_000),
+        ts_resets(bt, 60_000),
+        ts_predict_linear(bt, 60_000, 60_000),
     ):
         assert "Exchange hashpartitioning" not in _plan(df)
