@@ -1399,6 +1399,43 @@ def q_quality(spark, sf_dir):
     return quality_scores(_docs(spark, sf_dir))
 
 
+# hashed-classifier gate model: a fixed tiny vocabulary standing in for an
+# offline-trained quality model (the operator only ever sees slot weights)
+CLF_WORDS = {
+    "the": 0.6, "and": 0.4, "science": 1.5, "data": 1.2, "research": 1.0,
+    "free": -1.5, "click": -2.0, "buy": -1.6, "winner": -1.2, "offer": -0.8,
+}
+CLF_BIAS = -0.2
+CLF_BUCKETS = 1 << 18
+
+
+def _clf_slots() -> dict[int, float]:
+    """Slot -> weight for the gate model, summing on collision so the
+    Spark operator and the inlined oracle VALUES see identical tables."""
+    import hashlib
+
+    w: dict[int, float] = {}
+    for t, wt in CLF_WORDS.items():
+        s = int(hashlib.md5(t.encode()).hexdigest()[:7], 16) % CLF_BUCKETS
+        w[s] = w.get(s, 0.0) + wt
+    return w
+
+
+def q_classifier_score(spark, sf_dir):
+    """fastText-shaped model-based quality filter: hashing-trick linear
+    inference (broadcast slot weights, mean-of-features + sigmoid) over
+    the documents table."""
+    from redistimeseries_spark.pipeline.text import hashed_classifier_scores
+
+    return hashed_classifier_scores(
+        _docs(spark, sf_dir), _clf_slots(), bias=CLF_BIAS, num_buckets=CLF_BUCKETS
+    ).select(
+        "doc_id",
+        F.round("score", 6).alias("score"),
+        F.round("prob", 6).alias("prob"),
+    )
+
+
 def q_token_count(spark, sf_dir):
     from redistimeseries_spark.pipeline.text import token_counts
 
@@ -1630,7 +1667,9 @@ def _base_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # 5x driver-green with the family keeping a prefix representative:
     # ts_nrange_pivot (NRANGE keeps ts_nrange_latest), ts_mrange_groupby_avg
     # (MRANGE keeps ts_mrange_twa), ts_dup_last (write/upsert keeps
-    # ts_retention_clamp + ts_ignore_filter).
+    # ts_retention_clamp + ts_ignore_filter).  NEW dl_classifier_score
+    # (hashing-trick model-based quality filter) promotes; ts_agg_twa
+    # (5x driver-green; TWA family keeps ts_mrange_twa) rotates out.
     return {
         # --- checked prefix: one representative per operator family -----
         "ts_range_raw": q_range_raw,
@@ -1638,7 +1677,7 @@ def _base_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ts_session_stats": q_session_stats,
         "ts_agg_empty_nan": q_agg_empty_nan,
         "ts_agg_all14": q_agg_all14,
-        "ts_agg_twa": q_agg_twa,
+        "dl_classifier_score": q_classifier_score,
         "ts_count_post_agg": q_count_post_agg,
         "ts_mrange_twa": q_mrange_twa,
         "ts_nrange_latest": q_nrange_latest,
@@ -1691,6 +1730,7 @@ def _base_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ts_mrange_groupby_avg": q_mrange_groupby_avg,
         "ts_nrange_pivot": q_nrange_pivot,
         "ts_dup_last": q_dup_last,
+        "ts_agg_twa": q_agg_twa,
         "dl_ngram_lm": q_ngram_lm,
         "dl_simhash_pairs": q_simhash_pairs,
         "dl_ngram_jaccard": q_ngram_jaccard,
@@ -2416,6 +2456,23 @@ FROM (SELECT * FROM d1 UNION ALL SELECT * FROM d2)""",
                     + (length(regexp_replace(lower(text), '[^a-z]', '', 'g'))
                        / greatest(length(text), 1)) * 0.2, 6) AS quality
             FROM documents""",
+        "dl_classifier_score": f"""WITH
+ws AS (SELECT * FROM (VALUES {", ".join(f"({s}, {w})" for s, w in sorted(_clf_slots().items()))}) AS t(slot, weight)),
+wa AS (SELECT doc_id,
+              list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
+                          x -> x <> '') AS wa
+       FROM documents),
+tk AS (SELECT doc_id, len(wa) AS n, unnest(wa) AS tok FROM wa),
+sl AS (SELECT doc_id, n,
+              ('0x' || substr(md5(tok), 1, 7))::BIGINT % {CLF_BUCKETS} AS slot
+       FROM tk),
+sc AS (SELECT doc_id,
+              {CLF_BIAS} + sum(coalesce(weight, 0.0)) / any_value(n) AS score
+       FROM sl LEFT JOIN ws USING (slot) GROUP BY doc_id)
+SELECT d.doc_id,
+       round(coalesce(sc.score, {CLF_BIAS}), 6) AS score,
+       round(1.0 / (1.0 + exp(-coalesce(sc.score, {CLF_BIAS}))), 6) AS prob
+FROM documents d LEFT JOIN sc ON d.doc_id = sc.doc_id""",
         "dl_token_count": """SELECT doc_id,
               len(list_filter(string_split_regex(text, '\\s+'), x -> x <> '')) AS ws_tokens,
               CAST(ceil(length(regexp_replace(text, '\\s', '', 'g')) / 4.0) AS BIGINT) AS bpe_tokens_est

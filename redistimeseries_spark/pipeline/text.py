@@ -165,6 +165,94 @@ def rolling_fingerprints(docs: DataFrame, w: int = ROLL_W) -> DataFrame:
     )
 
 
+def hashed_classifier_scores(
+    docs: DataFrame,
+    weights,
+    bias: float = 0.0,
+    num_buckets: int = 1 << 18,
+    bigrams: bool = False,
+) -> DataFrame:
+    """(doc_id, score, prob) — linear text-classifier INFERENCE with the
+    hashing trick: the fastText-shaped model-based quality filter every
+    production pretraining pipeline runs (CCNet/LLaMA-style "does this
+    look like reference text" scoring), with the model trained offline
+    and only the forward pass on the cluster.
+
+    Features are lowercased [a-z0-9]+ word unigrams (plus word bigrams
+    when `bigrams=True`, fastText's default recipe) hashed into
+    `num_buckets` slots with the engine-portable md5 slot hash
+    (conv(substring(md5(tok),1,7)) % num_buckets — the same arithmetic
+    the DuckDB oracle runs).  The score is fastText's mean-of-features
+    linear form, and prob its sigmoid:
+
+        score(doc) = bias + (1 / n_feats) * sum over features f of w[slot(f)]
+        prob(doc)  = 1 / (1 + exp(-score))
+
+    Tokens whose slot has no weight contribute 0; docs with no features
+    score exactly `bias`.
+
+    `weights` is a (slot long, weight double) DataFrame or a small
+    {slot: weight} dict.  Scale shape: the model is KB–MB while the
+    corpus is the 100-TB side, so the weight table is BROADCAST into the
+    token probe (map-side lookup, no shuffle of the corpus by slot); the
+    only shuffle is the per-doc partial/final sum — the bm25_scores tf
+    shape.  No Python runs anywhere."""
+    if num_buckets <= 0:
+        raise ValueError("num_buckets must be positive")
+    spark = docs.sparkSession
+    if isinstance(weights, dict):
+        weights = spark.createDataFrame(
+            [(int(s), float(w)) for s, w in weights.items()],
+            "slot long, weight double",
+        )
+    wa = docs.select(
+        "doc_id",
+        F.expr(f"array_remove(split(lower(text), '{WORD_RE}'), '')").alias(
+            "wa"
+        ),
+    )
+    feats = F.col("wa")
+    if bigrams:
+        # explicit empty when size < 2: sequence(1, 0) would run BACKWARD
+        # in Spark (negative default step), not empty like generate_series
+        bi = F.when(
+            F.size("wa") >= 2,
+            F.expr(
+                "transform(sequence(1, size(wa) - 1),"
+                " i -> concat_ws(' ', slice(wa, i, 2)))"
+            ),
+        ).otherwise(F.expr("array()"))
+        feats = F.concat(F.col("wa"), bi)
+    d = wa.select(
+        "doc_id", feats.alias("__f"), F.size(feats).alias("__n")
+    ).select("doc_id", "__n", F.explode("__f").alias("tok"))
+    slot = (
+        F.conv(F.substring(F.md5(F.col("tok")), 1, 7), 16, 10).cast("long")
+        % num_buckets
+    )
+    hits = (
+        d.withColumn("slot", slot)
+        .join(F.broadcast(weights), "slot", "left")
+        .groupBy("doc_id")
+        .agg(
+            (
+                F.lit(bias)
+                + F.sum(F.coalesce("weight", F.lit(0.0))) / F.first("__n")
+            ).alias("score")
+        )
+    )
+    score = F.coalesce("score", F.lit(float(bias)))
+    return (
+        docs.select("doc_id")
+        .join(hits, "doc_id", "left")
+        .select(
+            "doc_id",
+            score.alias("score"),
+            (F.lit(1.0) / (F.lit(1.0) + F.exp(-score))).alias("prob"),
+        )
+    )
+
+
 def repetition_signals(docs: DataFrame) -> DataFrame:
     """Gopher-style repetition / boilerplate signals per document
     (Rae et al. 2021 §A1.1 quality filters, public spec):

@@ -460,6 +460,52 @@ def test_pii_signals_planted(spark):
     assert got[2].has_pii is False and got[2].n_emails == 0
 
 
+def test_hashed_classifier_scores(spark):
+    """Hashing-trick linear inference: hand-computed mean-of-features
+    score, missing-slot tokens contribute 0, empty docs score bias,
+    collisions honored, bigram features counted, broadcast in the plan."""
+    import hashlib
+    import math
+
+    from redistimeseries_spark.pipeline.text import hashed_classifier_scores
+
+    def slot(tok, nb=1 << 18):
+        return int(hashlib.md5(tok.encode()).hexdigest()[:7], 16) % nb
+
+    w = {slot("good"): 2.0, slot("spam"): -3.0}
+    docs = spark.createDataFrame(
+        [
+            (1, "good good spam other"),   # (2*2 - 3 + 0) / 4
+            (2, "other words only here"),  # all unweighted -> bias
+            (3, "!!!"),                    # no tokens at all -> bias
+        ],
+        "doc_id long, text string",
+    )
+    got = {
+        r.doc_id: r
+        for r in hashed_classifier_scores(docs, w, bias=0.5).collect()
+    }
+    assert math.isclose(got[1].score, 0.5 + (2.0 + 2.0 - 3.0) / 4)
+    assert math.isclose(got[2].score, 0.5) and math.isclose(got[3].score, 0.5)
+    for r in got.values():
+        assert math.isclose(r.prob, 1.0 / (1.0 + math.exp(-r.score)))
+    # bigrams join the feature pool and the denominator
+    bi = {
+        r.doc_id: r.score
+        for r in hashed_classifier_scores(
+            docs, {slot("good spam"): 4.0}, bigrams=True
+        ).collect()
+    }
+    # doc 1: feats = 4 unigrams + 3 bigrams; one bigram hits
+    assert math.isclose(bi[1], 4.0 / 7)
+    assert math.isclose(bi[3], 0.0)  # short doc: no backward sequence()
+    # model probe is broadcast, corpus side never shuffles by slot
+    plan = hashed_classifier_scores(docs, w)._jdf.queryExecution().toString()
+    assert "BroadcastHashJoin" in plan or "BroadcastNestedLoop" in plan
+    with __import__("pytest").raises(ValueError):
+        hashed_classifier_scores(docs, w, num_buckets=0)
+
+
 def test_quantized_cosine_tracks_exact(spark):
     from redistimeseries_spark.pipeline.similarity import (
         cosine_topk,
