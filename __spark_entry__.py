@@ -133,6 +133,22 @@ def q_ewma(spark, sf_dir):
     )
 
 
+def q_holt(spark, sf_dir):
+    """Holt double-exponential smoothing (alpha=0.4, beta=0.2) per
+    series — the coupled (level, trend) recurrence runs as an Arrow
+    applyInPandas kernel; the oracle replays BOTH states with a
+    recursive CTE (the ts_ewma precedent, two-state form)."""
+    from redistimeseries_spark.operators.smooth import ts_holt
+
+    st = _store(spark, sf_dir)
+    return ts_holt(st.samples, 0.4, 0.2, start=D14, end=D21).select(
+        "key",
+        "ts",
+        F.round("level", 6).alias("level"),
+        F.round("trend", 6).alias("trend"),
+    )
+
+
 def q_resample_linear(spark, sf_dir):
     """Beyond-reference regular-grid resampling with linear interpolation
     (the time_bucket_gapfill/interpolate feature class): one bounded
@@ -1670,6 +1686,9 @@ def _base_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # ts_retention_clamp + ts_ignore_filter).  NEW dl_classifier_score
     # (hashing-trick model-based quality filter) promotes; ts_agg_twa
     # (5x driver-green; TWA family keeps ts_mrange_twa) rotates out.
+    # NEW ts_holt (double-exponential smoothing, two-state recursive-CTE
+    # oracle) promotes; ts_retention_clamp (5x driver-green; write-path
+    # family keeps ts_ignore_filter) rotates out.
     return {
         # --- checked prefix: one representative per operator family -----
         "ts_range_raw": q_range_raw,
@@ -1689,7 +1708,7 @@ def _base_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ts_changes": q_changes,
         "ts_resets": q_resets,
         "ts_predict_linear": q_predict_linear,
-        "ts_retention_clamp": q_retention_clamp,
+        "ts_holt": q_holt,
         "dl_mm_decode_png": q_mm_decode_png,
         "dl_bm25_topk": q_bm25_topk,
         "ts_info_full": q_info_full,
@@ -1731,6 +1750,7 @@ def _base_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ts_nrange_pivot": q_nrange_pivot,
         "ts_dup_last": q_dup_last,
         "ts_agg_twa": q_agg_twa,
+        "ts_retention_clamp": q_retention_clamp,
         "dl_ngram_lm": q_ngram_lm,
         "dl_simhash_pairs": q_simhash_pairs,
         "dl_ngram_jaccard": q_ngram_jaccard,
@@ -2867,6 +2887,23 @@ r AS (
   FROM v JOIN r ON v.key = r.key AND v.rn = r.rn + 1
 )
 SELECT key, ts, round(ewma, 6) AS ewma FROM r""",
+        "ts_holt": f"""WITH RECURSIVE {SAMPLES_SQL},
+v AS (SELECT key, ts, value,
+             lead(value) OVER (PARTITION BY key ORDER BY ts) AS nxt,
+             row_number() OVER (PARTITION BY key ORDER BY ts) AS rn
+      FROM samples
+      WHERE NOT isnan(value) AND ts BETWEEN {D14} AND {D21}),
+r AS (
+  SELECT key, ts, rn, value AS level, nxt - value AS trend
+  FROM v WHERE rn = 1 AND nxt IS NOT NULL
+  UNION ALL
+  SELECT v.key, v.ts, v.rn,
+         0.4 * v.value + 0.6 * (r.level + r.trend) AS level,
+         0.2 * ((0.4 * v.value + 0.6 * (r.level + r.trend)) - r.level)
+           + 0.8 * r.trend AS trend
+  FROM v JOIN r ON v.key = r.key AND v.rn = r.rn + 1
+)
+SELECT key, ts, round(level, 6) AS level, round(trend, 6) AS trend FROM r""",
         "ts_counter_increase": f"""{ORACLE_PREFIX},
 v AS (SELECT key, ts, value FROM samples WHERE NOT isnan(value)),
 d AS (SELECT key, ts, value,

@@ -552,6 +552,21 @@ class TimeSeriesEngine:
             end=self._resolve_ts(to_ts, key),
         ).drop("key")
 
+    def holt(
+        self, key: str, alpha: float, beta: float, from_ts="-", to_ts="+"
+    ) -> DataFrame:
+        """Holt double-exponential (level, trend) smoothing
+        (beyond-reference; operators/smooth.ts_holt)."""
+        from redistimeseries_spark.operators.smooth import ts_holt
+
+        return ts_holt(
+            self._series_df(key, False),
+            alpha,
+            beta,
+            start=self._resolve_ts(from_ts, key),
+            end=self._resolve_ts(to_ts, key),
+        ).drop("key")
+
     def anomalies(self, key: str, from_ts="-", to_ts="+", **kw) -> DataFrame:
         """Rolling z-score outliers (beyond-reference; operators/smooth)."""
         from redistimeseries_spark.operators.smooth import ts_anomalies

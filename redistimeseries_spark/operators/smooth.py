@@ -1,4 +1,4 @@
-"""Per-series smoothing — exponentially weighted moving average.
+"""Per-series smoothing — EWMA, Holt double-exponential, LTTB, anomalies.
 
 Beyond-reference operator (the reference has no smoothing aggregator;
 EWMA is the standard dashboard/alerting smoother).  The recurrence
@@ -30,6 +30,7 @@ from redistimeseries_spark import MAX_TS, MIN_TS
 
 EWMA_SCHEMA = "key string, ts long, ewma double"
 LTTB_SCHEMA = "key string, ts long, value double"
+HOLT_SCHEMA = "key string, ts long, level double, trend double"
 
 
 def ts_anomalies(
@@ -156,6 +157,78 @@ def ts_lttb(
         df.select("key", "ts", "value")
         .groupBy("key")
         .applyInPandas(decimate, LTTB_SCHEMA)
+    )
+
+
+def ts_holt(
+    samples: DataFrame,
+    alpha: float,
+    beta: float,
+    keys: list[str] | str | None = None,
+    start: int = MIN_TS,
+    end: int = MAX_TS,
+) -> DataFrame:
+    """(key, ts, level, trend) — Holt double-exponential smoothing per
+    series: EWMA that tracks a TREND, so ramping series are smoothed
+    without the systematic lag single EWMA has (the form PromQL
+    standardized as holt_winters / double_exponential_smoothing):
+
+        level_0 = x_0            trend_0 = x_1 - x_0
+        level_t = alpha * x_t + (1 - alpha) * (level_{t-1} + trend_{t-1})
+        trend_t = beta * (level_t - level_{t-1}) + (1 - beta) * trend_{t-1}
+
+    One row per valid sample; `level + trend` is the one-step forecast.
+    The trend seed needs two points, so series with fewer than two valid
+    samples in range emit nothing (PromQL's two-point minimum).  NaN
+    samples are invalid everywhere and are dropped first; the time cut
+    applies BEFORE smoothing (the caller's window restarts the fit),
+    both matching ts_ewma and the oracle.
+
+    Sequential per key like ts_ewma, via the same Arrow applyInPandas
+    route; the coupled two-state recurrence has no pandas C kernel, so
+    the kernel is a tight O(1)-per-row numpy scalar loop (the next-fit
+    packing precedent).  The DuckDB oracle replays (level, trend) with a
+    recursive CTE, so the operator is hash-gated despite being
+    non-relational."""
+    import numpy as np
+
+    if not 0 < alpha <= 1:
+        raise ValueError("alpha must be in (0, 1]")
+    if not 0 < beta <= 1:
+        raise ValueError("beta must be in (0, 1]")
+    df = samples.filter(~F.isnan("value"))
+    if keys is not None:
+        klist = [keys] if isinstance(keys, str) else list(keys)
+        df = df.filter(F.col("key").isin(klist))
+    if start > MIN_TS:
+        df = df.filter(F.col("ts") >= F.lit(start))
+    if end < MAX_TS:
+        df = df.filter(F.col("ts") <= F.lit(end))
+
+    def smooth(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values("ts").reset_index(drop=True)
+        n = len(pdf)
+        if n < 2:
+            return pd.DataFrame(
+                {"key": [], "ts": [], "level": [], "trend": []}
+            ).astype({"key": str, "ts": "int64", "level": float, "trend": float})
+        x = pdf["value"].to_numpy(dtype=np.float64)
+        level = np.empty(n)
+        trend = np.empty(n)
+        level[0], trend[0] = x[0], x[1] - x[0]
+        for i in range(1, n):
+            level[i] = alpha * x[i] + (1 - alpha) * (level[i - 1] + trend[i - 1])
+            trend[i] = (
+                beta * (level[i] - level[i - 1]) + (1 - beta) * trend[i - 1]
+            )
+        return pd.DataFrame(
+            {"key": pdf["key"], "ts": pdf["ts"], "level": level, "trend": trend}
+        )
+
+    return (
+        df.select("key", "ts", "value")
+        .groupBy("key")
+        .applyInPandas(smooth, HOLT_SCHEMA)
     )
 
 

@@ -361,6 +361,44 @@ def test_ewma_recurrence(spark):
         ts_ewma(sdf, 0.0)
 
 
+def test_holt_recurrence(spark):
+    """ts_holt: exact coupled (level, trend) recurrence vs a hand loop,
+    trend seeded from the first two valid samples, NaN links skipped,
+    <2-sample series emit nothing, invalid factors rejected."""
+    import math
+
+    import pytest as _pytest
+
+    from redistimeseries_spark.operators.smooth import ts_holt
+
+    nan = float("nan")
+    rows = [("k", 0, 10.0), ("k", 1, 4.0), ("k", 2, nan), ("k", 3, 7.0),
+            ("k", 4, 11.0), ("solo", 0, 5.0)]
+    sdf = spark.createDataFrame(rows, "key string, ts long, value double")
+    a, b = 0.5, 0.3
+    got = {
+        (r.key, r.ts): (r.level, r.trend)
+        for r in ts_holt(sdf, a, b).collect()
+    }
+    xs = [(0, 10.0), (1, 4.0), (3, 7.0), (4, 11.0)]  # NaN at ts=2 skipped
+    lv, tr = xs[0][1], xs[1][1] - xs[0][1]
+    want = {("k", 0): (lv, tr)}
+    for t, x in xs[1:]:
+        nl = a * x + (1 - a) * (lv + tr)
+        tr = b * (nl - lv) + (1 - b) * tr
+        lv = nl
+        want[("k", t)] = (lv, tr)
+    assert set(got) == set(want)  # solo emits nothing
+    for kk in want:
+        assert math.isclose(got[kk][0], want[kk][0]) and math.isclose(
+            got[kk][1], want[kk][1]
+        ), (kk, got[kk], want[kk])
+    with _pytest.raises(ValueError):
+        ts_holt(sdf, 0.0, 0.5)
+    with _pytest.raises(ValueError):
+        ts_holt(sdf, 0.5, 1.5)
+
+
 def _lttb_reference(points, threshold):
     """Straightforward sequential LTTB (Steinarsson's published pseudocode,
     independent of the numpy kernel)."""

@@ -612,6 +612,12 @@ def test_engine_counter_and_smoothing_facade(eng):
     assert math.isclose(rate[0], 18.0)
     sm = {r.ts: r.ewma for r in eng.ewma("c", 0.5).collect()}
     assert sm[0] == 10.0 and math.isclose(sm[500], 17.5)
+    # holt: level_0 = 10, trend_0 = 25 - 10 = 15
+    hl = {r.ts: (r.level, r.trend) for r in eng.holt("c", 0.5, 0.5).collect()}
+    assert hl[0] == (10.0, 15.0)
+    lv = 0.5 * 25.0 + 0.5 * (10.0 + 15.0)
+    tr = 0.5 * (lv - 10.0) + 0.5 * 15.0
+    assert math.isclose(hl[500][0], lv) and math.isclose(hl[500][1], tr)
 
 
 def test_engine_resample_and_gaps_facade(eng):
