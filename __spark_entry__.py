@@ -1372,6 +1372,22 @@ def q_ann_cosine_topk(spark, sf_dir):
     return cosine_topk(read_parquet(spark, f"{sf_dir}/embeddings.parquet"), 0, 20)
 
 
+def q_pq_adc(spark, sf_dir):
+    """Product-quantization ADC top-k (Jégou et al. 2011): deterministic
+    seed codebook (ksub smallest vec_ids' subvectors), zero-shuffle
+    literal-argmin encode, LUT-scored cosine over codes only."""
+    from redistimeseries_spark.pipeline.similarity import (
+        pq_encode,
+        pq_topk_adc,
+        pq_train,
+    )
+    from redistimeseries_spark.store import read_parquet
+
+    emb = read_parquet(spark, f"{sf_dir}/embeddings.parquet")
+    cb = pq_train(emb, m=8, ksub=16)
+    return pq_topk_adc(pq_encode(emb, cb), cb, emb, 0, k=20)
+
+
 def q_ann_lsh_topk(spark, sf_dir):
     from redistimeseries_spark.pipeline.similarity import lsh_topk
     from redistimeseries_spark.store import read_parquet
@@ -1688,7 +1704,10 @@ def _base_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # (5x driver-green; TWA family keeps ts_mrange_twa) rotates out.
     # NEW ts_holt (double-exponential smoothing, two-state recursive-CTE
     # oracle) promotes; ts_retention_clamp (5x driver-green; write-path
-    # family keeps ts_ignore_filter) rotates out.
+    # family keeps ts_ignore_filter) rotates out.  NEW dl_pq_adc (product
+    # quantization: seed codebook + literal-argmin encode + LUT-scored ADC
+    # top-k) promotes; ts_mget_withlabels (5x driver-green; label/MGET
+    # family keeps ts_info_full) rotates out.
     return {
         # --- checked prefix: one representative per operator family -----
         "ts_range_raw": q_range_raw,
@@ -1700,7 +1719,7 @@ def _base_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ts_count_post_agg": q_count_post_agg,
         "ts_mrange_twa": q_mrange_twa,
         "ts_nrange_latest": q_nrange_latest,
-        "ts_mget_withlabels": q_mget_withlabels,
+        "dl_pq_adc": q_pq_adc,
         "dl_cross_lsh_pairs": q_cross_lsh_pairs,
         "dl_quality_summary": q_quality_summary,
         "ts_rollup_route": q_rollup_route,
@@ -1751,6 +1770,7 @@ def _base_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ts_dup_last": q_dup_last,
         "ts_agg_twa": q_agg_twa,
         "ts_retention_clamp": q_retention_clamp,
+        "ts_mget_withlabels": q_mget_withlabels,
         "dl_ngram_lm": q_ngram_lm,
         "dl_simhash_pairs": q_simhash_pairs,
         "dl_ngram_jaccard": q_ngram_jaccard,
@@ -2403,6 +2423,35 @@ FROM (SELECT * FROM d1 UNION ALL SELECT * FROM d2)""",
                   FROM d, q WHERE vec_id <> 0)
             SELECT vec_id, round(c, 6) AS cos
             FROM (SELECT * FROM s ORDER BY c DESC, vec_id LIMIT 20)""",
+        "dl_pq_adc": """WITH d AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+subs AS (SELECT unnest(generate_series(0, 7)) AS sub),
+seeds AS (SELECT row_number() OVER (ORDER BY vec_id) - 1 AS code, v
+          FROM d ORDER BY vec_id LIMIT 16),
+cb AS (SELECT subs.sub, seeds.code, seeds.v[subs.sub*8+1 : subs.sub*8+8] AS sv
+       FROM seeds, subs),
+sx AS (SELECT d.vec_id, subs.sub, d.v[subs.sub*8+1 : subs.sub*8+8] AS x
+       FROM d, subs),
+dist AS (SELECT sx.vec_id, sx.sub, cb.code,
+                list_sum(list_transform(list_zip(sx.x, cb.sv),
+                         t -> (t[1] - t[2]) * (t[1] - t[2]))) AS dd
+         FROM sx JOIN cb USING (sub)),
+enc AS (SELECT vec_id, sub, code FROM (
+          SELECT *, row_number() OVER (PARTITION BY vec_id, sub
+                                       ORDER BY dd, code) AS rn FROM dist)
+        WHERE rn = 1),
+q AS (SELECT v AS qv, sqrt(list_dot_product(v, v)) AS qn FROM d WHERE vec_id = 0),
+lut AS (SELECT cb.sub, cb.code,
+               list_dot_product(q.qv[cb.sub*8+1 : cb.sub*8+8], cb.sv) AS dot,
+               list_dot_product(cb.sv, cb.sv) AS n2
+        FROM cb, q),
+sc AS (SELECT e.vec_id, sum(l.dot) AS dot, sum(l.n2) AS n2
+       FROM enc e JOIN lut l ON e.sub = l.sub AND e.code = l.code
+       WHERE e.vec_id <> 0 GROUP BY e.vec_id),
+fin AS (SELECT vec_id, dot / (nullif(sqrt(n2), 0) * (SELECT qn FROM q)) AS cos
+        FROM sc)
+SELECT vec_id, round(cos, 6) AS cos FROM fin
+WHERE cos IS NOT NULL AND NOT isnan(cos)
+ORDER BY cos DESC, vec_id LIMIT 20""",
         "dl_ann_lsh_topk": """WITH d AS (
               SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
             bk AS (SELECT vec_id, v,

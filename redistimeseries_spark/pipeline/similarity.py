@@ -323,6 +323,205 @@ def cosine_topk_quantized(emb: DataFrame, query_vec_id: int, k: int = 20) -> Dat
     return cosine_topk(q, query_vec_id, k)
 
 
+def pq_train(
+    emb: DataFrame, m: int = 8, ksub: int = 16, iters: int = 0
+) -> DataFrame:
+    """(sub, code, sv) — PRODUCT-QUANTIZATION codebook (Jégou et al.,
+    "Product Quantization for Nearest Neighbor Search", TPAMI 2011): the
+    vector splits into `m` contiguous subspaces, each with its own
+    `ksub`-entry codebook, so a vector stores as m small codes (m bytes
+    at ksub<=256) instead of dim floats — the 16-32x memory tier under
+    IVF that makes billion-vector ANN fit a cluster's RAM.
+
+    Deterministic seeds: the subvectors of the `ksub` SMALLEST vec_ids
+    (code = id rank), the ivf_topk convention, so the DuckDB oracle can
+    replicate the codebook exactly.  `iters>0` runs per-subspace
+    distributed Lloyd on top (one scan per iteration: broadcast
+    assign-argmin + (sub, code) element-wise mean; empty codes keep
+    their previous centroid) — better codebooks, same plan shapes."""
+    if m <= 0 or ksub <= 0:
+        raise ValueError("m and ksub must be positive")
+    d = emb.select("vec_id", F.col("embedding").cast("array<double>").alias("v"))
+    dim = len(d.select("v").first().v)
+    if dim % m != 0:
+        raise ValueError(f"dim {dim} not divisible by m {m}")
+    dsub = dim // m
+    from pyspark.sql import Window
+
+    seeds = (
+        d.orderBy("vec_id")
+        .limit(ksub)
+        .select(
+            (
+                F.row_number().over(Window.orderBy("vec_id")) - 1
+            ).alias("code"),
+            "v",
+        )
+    )
+    cb = seeds.select(
+        F.posexplode(
+            F.array(
+                *[F.slice("v", s * dsub + 1, dsub) for s in range(m)]
+            )
+        ).alias("sub", "sv"),
+        "code",
+    ).select("sub", "code", "sv")
+    if iters == 0:
+        return cb
+    # per-subspace Lloyd over the exploded (vec_id, sub, x) corpus
+    sx = d.select(
+        "vec_id",
+        F.posexplode(
+            F.array(*[F.slice("v", s * dsub + 1, dsub) for s in range(m)])
+        ).alias("sub", "x"),
+    )
+    for _ in range(iters):
+        dist = F.aggregate(
+            F.zip_with("x", "sv", lambda a, b: (a - b) * (a - b)),
+            F.lit(0.0),
+            lambda acc, t: acc + t,
+        )
+        assigned = (
+            sx.join(F.broadcast(cb), "sub")
+            .select("vec_id", "sub", "x", "code", dist.alias("__d"))
+            .groupBy("vec_id", "sub")
+            .agg(
+                F.any_value("x").alias("x"),
+                F.min(F.struct(F.col("__d"), F.col("code"))).alias("mm"),
+            )
+            .select("sub", F.col("mm.code").alias("code"), "x")
+        )
+        means = assigned.groupBy("sub", "code").agg(
+            F.array(
+                *[F.avg(F.element_at(F.col("x"), i + 1)) for i in range(dsub)]
+            ).alias("mv")
+        )
+        cb = (
+            cb.join(means, ["sub", "code"], "left")
+            .select(
+                "sub", "code", F.coalesce(F.col("mv"), F.col("sv")).alias("sv")
+            )
+            .localCheckpoint()
+        )
+    return cb
+
+
+def _pq_codebook_rows(codebook: DataFrame):
+    """Collect the codebook driver-side — m*ksub rows of dsub doubles
+    (KBs; the ivf_topk_indexed driver-side-coarse-search precedent) —
+    as {sub: [sv_by_code]} with dense code ranges validated."""
+    rows = codebook.select("sub", "code", "sv").collect()
+    by_sub: dict[int, dict[int, list[float]]] = {}
+    for r in rows:
+        by_sub.setdefault(r.sub, {})[r.code] = list(r.sv)
+    out = {}
+    for s, codes in by_sub.items():
+        if set(codes) != set(range(len(codes))):
+            raise ValueError(f"subspace {s} codebook has gaps")
+        out[s] = [codes[c] for c in range(len(codes))]
+    return out
+
+
+def pq_encode(emb: DataFrame, codebook: DataFrame) -> DataFrame:
+    """(vec_id, codes) — encode every vector as its per-subspace nearest
+    codebook entry (squared-L2 argmin, ties to the smaller code).
+
+    The codebook is collected driver-side and inlined as LITERALS, so
+    encoding is ONE zero-shuffle projection over the corpus — array_min
+    over a (dist, code) struct array per subspace, pure JVM codegen, the
+    quantize_embeddings plan shape.  At 100 TB this is the one
+    full-corpus pass; everything after scans m-byte codes."""
+    cb = _pq_codebook_rows(codebook)
+    m = len(cb)
+    dsub = len(cb[0][0])
+    d = emb.select("vec_id", F.col("embedding").cast("array<double>").alias("v"))
+    code_cols = []
+    for s in range(m):
+        sub_v = F.slice("v", s * dsub + 1, dsub)
+        cands = []
+        for c, sv in enumerate(cb[s]):
+            lit_sv = F.array(*[F.lit(float(x)) for x in sv])
+            dist = F.aggregate(
+                F.zip_with(sub_v, lit_sv, lambda a, b: (a - b) * (a - b)),
+                F.lit(0.0),
+                lambda acc, t: acc + t,
+            )
+            cands.append(F.struct(dist.alias("d"), F.lit(c).alias("c")))
+        code_cols.append(F.array_min(F.array(*cands)).getField("c"))
+    return d.select("vec_id", F.array(*code_cols).alias("codes"))
+
+
+def pq_topk_adc(
+    codes_df: DataFrame,
+    codebook: DataFrame,
+    emb: DataFrame,
+    query_vec_id: int,
+    k: int = 20,
+) -> DataFrame:
+    """(vec_id, cos) — asymmetric-distance top-k over PQ codes: the
+    query stays EXACT while corpus vectors are reconstructed from their
+    codes, scored via a per-query lookup table
+
+        LUT[s][c]  = <q_s, codebook[s][c]>      (dot contribution)
+        NRM[s][c]  = |codebook[s][c]|^2         (norm contribution)
+        cos(v) ~= sum_s LUT[s][codes_v[s]]
+                  / (sqrt(sum_s NRM[s][codes_v[s]]) * |q|)
+
+    — PQ's ADC form adapted to cosine.  The LUT is m*ksub doubles built
+    driver-side from the collected codebook + query and inlined as
+    literals, so the scan reads ONLY (vec_id, codes) — never the float
+    vectors — and does m array lookups per row; the top-k is
+    TakeOrderedAndProject.  Ties break by vec_id; the query itself is
+    excluded; zero-norm codes score NULL and are filtered."""
+    import math
+
+    cb = _pq_codebook_rows(codebook)
+    m = len(cb)
+    q = (
+        emb.filter(F.col("vec_id") == query_vec_id)
+        .select(F.col("embedding").cast("array<double>").alias("v"))
+        .collect()
+    )
+    if not q:
+        raise ValueError(f"query_vec_id {query_vec_id} not found")
+    qv = list(q[0].v)
+    dsub = len(cb[0][0])
+    if len(qv) != m * dsub:
+        raise ValueError("query dim does not match codebook")
+    qn = math.sqrt(sum(x * x for x in qv))
+    lut = [
+        [
+            sum(qv[s * dsub + i] * sv[i] for i in range(dsub))
+            for sv in cb[s]
+        ]
+        for s in range(m)
+    ]
+    nrm = [[sum(x * x for x in sv) for sv in cb[s]] for s in range(m)]
+
+    def _lookup(table):
+        terms = [
+            F.element_at(
+                F.array(*[F.lit(float(x)) for x in table[s]]),
+                F.element_at("codes", s + 1) + 1,
+            )
+            for s in range(m)
+        ]
+        out = terms[0]
+        for t in terms[1:]:
+            out = out + t
+        return out
+
+    cos = _lookup(lut) / (F.sqrt(_lookup(nrm)) * F.lit(qn))
+    return (
+        codes_df.filter(F.col("vec_id") != query_vec_id)
+        .select("vec_id", cos.alias("cos"))
+        .filter(F.col("cos").isNotNull() & ~F.isnan("cos"))
+        .orderBy(F.col("cos").desc(), F.col("vec_id").asc())
+        .limit(k)
+        .select("vec_id", F.round("cos", 6).alias("cos"))
+    )
+
+
 def build_ivf_index(
     emb: DataFrame,
     path: str,

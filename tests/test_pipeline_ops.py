@@ -460,6 +460,84 @@ def test_pii_signals_planted(spark):
     assert got[2].has_pii is False and got[2].n_emails == 0
 
 
+def test_pq_encode_and_adc(spark):
+    """Product quantization: hand-checked argmin codes (ties to the
+    smaller code), ADC == exact cosine when vectors reconstruct exactly,
+    zero-shuffle encode plan, dim validation."""
+    import math
+
+    import pytest as _pytest
+
+    from redistimeseries_spark.pipeline.similarity import (
+        pq_encode,
+        pq_topk_adc,
+        pq_train,
+    )
+
+    emb = spark.createDataFrame(
+        [
+            (0, [1.0, 2.0]),
+            (1, [3.0, 1.0]),
+            (2, [2.9, 1.9]),
+            (3, [2.0, 1.4]),  # sub0 equidistant from 1.0/3.0 -> code 0
+        ],
+        "vec_id long, embedding array<float>",
+    )
+    cb = pq_train(emb, m=2, ksub=2)  # seeds: ids 0, 1
+    rows = {(r.sub, r.code): list(r.sv) for r in cb.collect()}
+    assert rows == {
+        (0, 0): [1.0], (0, 1): [3.0], (1, 0): [2.0], (1, 1): [1.0],
+    }
+    codes = {r.vec_id: list(r.codes) for r in pq_encode(emb, cb).collect()}
+    assert codes[2] == [1, 0]  # 2.9->3.0, 1.9->2.0
+    assert codes[3] == [0, 1]  # tie at 2.0 -> smaller code; 1.4->1.0
+    assert codes[0] == [0, 0] and codes[1] == [1, 1]  # seeds self-code
+    # seeds reconstruct exactly -> ADC cosine == true cosine for them
+    got = {
+        r.vec_id: r.cos
+        for r in pq_topk_adc(pq_encode(emb, cb), cb, emb, 0, k=4).collect()
+    }
+    exact1 = (1 * 3 + 2 * 1) / (math.sqrt(5) * math.sqrt(10))
+    assert math.isclose(got[1], round(exact1, 6), abs_tol=1e-6)
+    # vec 2 scores as its reconstruction (3.0, 2.0)
+    exact2 = (1 * 3 + 2 * 2) / (math.sqrt(5) * math.sqrt(13))
+    assert math.isclose(got[2], round(exact2, 6), abs_tol=1e-6)
+    assert 0 not in got  # query excluded
+    # the encode pass is one projection: no exchange anywhere
+    plan = pq_encode(emb, cb)._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan
+    with _pytest.raises(ValueError):
+        pq_train(emb, m=3)
+    with _pytest.raises(ValueError):
+        pq_topk_adc(pq_encode(emb, cb), cb, emb, 99)
+
+
+def test_pq_train_lloyd_moves_to_cluster_means(spark):
+    """One Lloyd iteration relocates each subspace code to the mean of
+    its assigned subvectors (empty codes keep their seed)."""
+    import math
+
+    from redistimeseries_spark.pipeline.similarity import pq_train
+
+    # sub0: cluster A around 0 (ids 0,2,3), cluster B around 10 (1,4,5)
+    emb = spark.createDataFrame(
+        [
+            (0, [0.0, 5.0]), (1, [10.0, 5.2]), (2, [0.2, 4.8]),
+            (3, [0.4, 5.4]), (4, [10.2, 4.6]), (5, [9.8, 5.0]),
+        ],
+        "vec_id long, embedding array<float>",
+    )
+    cb = {
+        (r.sub, r.code): list(r.sv)
+        for r in pq_train(emb, m=2, ksub=2, iters=1).collect()
+    }
+    assert math.isclose(cb[(0, 0)][0], (0.0 + 0.2 + 0.4) / 3, abs_tol=1e-6)
+    assert math.isclose(cb[(0, 1)][0], (10.0 + 10.2 + 9.8) / 3, abs_tol=1e-6)
+    # sub1 seeds are 5.0 / 5.2; every mean lands near 5 but assignment
+    # stays deterministic: just check both codes still exist with dsub=1
+    assert (1, 0) in cb and (1, 1) in cb
+
+
 def test_hashed_classifier_scores(spark):
     """Hashing-trick linear inference: hand-computed mean-of-features
     score, missing-slot tokens contribute 0, empty docs score bias,
