@@ -604,6 +604,48 @@ def test_ewma_random_vs_sequential(spark):
             assert math.isclose(got[kk], want[kk], rel_tol=1e-12), (trial, kk)
 
 
+def test_holt_random_vs_sequential(spark):
+    """ts_holt vs a literal Python two-state recurrence on random series
+    with NaNs and random smoothing factors — 5 seeded trials."""
+    import math
+    import random as _random
+
+    from redistimeseries_spark.operators.smooth import ts_holt
+
+    rng = _random.Random(0x407C)
+    for trial in range(5):
+        a = rng.choice([0.2, 0.4, 0.7, 1.0])
+        b = rng.choice([0.1, 0.3, 0.8])
+        rows, want = [], {}
+        for k in ("a", "b"):
+            xs = []
+            for t in sorted(rng.sample(range(0, 10_000), rng.randint(2, 30))):
+                v = float("nan") if rng.random() < 0.15 else rng.uniform(-10, 10)
+                rows.append((k, t, v))
+                if not math.isnan(v):
+                    xs.append((t, v))
+            if len(xs) < 2:
+                continue
+            lv, tr = xs[0][1], xs[1][1] - xs[0][1]
+            want[(k, xs[0][0])] = (lv, tr)
+            for t, x in xs[1:]:
+                nl = a * x + (1 - a) * (lv + tr)
+                tr = b * (nl - lv) + (1 - b) * tr
+                lv = nl
+                want[(k, t)] = (lv, tr)
+        sdf = spark.createDataFrame(rows, "key string, ts long, value double")
+        got = {
+            (r.key, r.ts): (r.level, r.trend)
+            for r in ts_holt(sdf, a, b).collect()
+        }
+        assert set(got) == set(want), (trial, a, b)
+        for kk in got:
+            assert math.isclose(got[kk][0], want[kk][0], rel_tol=1e-12) and (
+                math.isclose(got[kk][1], want[kk][1], rel_tol=1e-12)
+                or abs(got[kk][1] - want[kk][1]) < 1e-12
+            ), (trial, kk)
+
+
 def test_resample_linear_and_locf(spark):
     """ts_resample: hand-computed linear interpolation and LOCF on a
     regular grid, coinciding samples returned exactly, NaN samples

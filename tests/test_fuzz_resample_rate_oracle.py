@@ -311,3 +311,141 @@ def test_fuzz_deriv_vs_duckdb(envs):
         if not got.equals(exp):
             failures.append((i, s, got.shape, exp.shape))
     assert not failures, failures[:2]
+
+
+def _event_oracle(spec, cond: str, col: str) -> str:
+    """changes/resets oracle: the written definition — full-history lag,
+    event indicator vs the previous valid sample, cut AFTER the lag,
+    emit buckets where any sample has a predecessor."""
+    align_ts = resolve_align(spec["align"], spec["start"], spec["end"])
+    b = bucket_sql("ts", spec["dur"], align_ts)
+    kpred = ""
+    if spec.get("keys"):
+        ks = ", ".join(repr(k) for k in spec["keys"])
+        kpred = f" AND key IN ({ks})"
+    cut = []
+    if spec["start"] > MIN_TS:
+        cut.append(f"ts >= {spec['start']}")
+    if spec["end"] < MAX_TS:
+        cut.append(f"ts <= {spec['end']}")
+    cut_sql = (" WHERE " + " AND ".join(cut)) if cut else ""
+    return f"""
+      WITH v AS (SELECT key, ts, value FROM t
+                 WHERE NOT isnan(value){kpred}),
+      d AS (SELECT key, ts, value,
+                   lag(value) OVER (PARTITION BY key ORDER BY ts) AS prev
+            FROM v),
+      s AS (SELECT key, ts,
+                   CASE WHEN prev IS NULL THEN NULL
+                        WHEN {cond} THEN 1 ELSE 0 END AS e
+            FROM d),
+      r AS (SELECT key, ts, e FROM s{cut_sql})
+      SELECT key, {b} AS ts, count(*) FILTER (WHERE e = 1) AS {col}
+      FROM r GROUP BY 1, 2 HAVING count(e) > 0
+    """
+
+
+def test_fuzz_changes_resets_vs_duckdb(envs):
+    """ts_changes/ts_resets vs the written-definition oracle on the
+    counter dataset (which plants resets, NaN links, and a boundary
+    reset) — the increase fuzzer's spec axes, both event kinds."""
+    from redistimeseries_spark.operators.rate import ts_changes, ts_resets
+
+    rng, _, _, sdf, con = envs
+    all_keys = KEYS + ["rb"]
+    specs = [
+        {"keys": ["rb"], "dur": 1000, "align": "0", "kind": "resets",
+         "start": MIN_TS, "end": MAX_TS},
+        {"keys": ["rb"], "dur": 1000, "align": "0", "kind": "changes",
+         "start": 1200, "end": MAX_TS},
+    ]
+    while len(specs) < N_SPECS:
+        s = {
+            "keys": rng.sample(all_keys, rng.randint(1, 3)),
+            "dur": rng.choice([700, 1000, 3600, 7919]),
+            "align": rng.choice(["0", "start"]),
+            "kind": rng.choice(["changes", "resets"]),
+            "start": MIN_TS,
+            "end": MAX_TS,
+        }
+        if rng.random() < 0.6:
+            lo = rng.randrange(0, 40_000)
+            s["start"], s["end"] = lo, lo + rng.randrange(5_000, 40_000)
+        if s["align"] == "start" and s["start"] == MIN_TS:
+            s["align"] = "0"
+        specs.append(s)
+    failures = []
+    for i, s in enumerate(specs):
+        fn = ts_changes if s["kind"] == "changes" else ts_resets
+        cond = "value <> prev" if s["kind"] == "changes" else "value < prev"
+        got = _normalize(
+            fn(
+                sdf, s["dur"], keys=s["keys"], start=s["start"],
+                end=s["end"], align=s["align"],
+            ).toPandas()
+        )
+        exp = _normalize(con.sql(_event_oracle(s, cond, s["kind"])).df())
+        if not got.equals(exp):
+            failures.append((i, s, got.shape, exp.shape))
+    assert not failures, failures[:2]
+
+
+def test_fuzz_predict_linear_vs_duckdb(envs):
+    """ts_predict_linear vs regr_slope+regr_intercept extrapolation on
+    the gauge dataset — the deriv fuzzer's axes plus random horizons
+    (including 0 = the bucket end itself)."""
+    from redistimeseries_spark.operators.rate import ts_predict_linear
+
+    rng, sdf, con, _, _ = envs
+    all_keys = KEYS + ["rg"]
+    specs = [
+        {"keys": None, "dur": 1_000_000, "horizon": 0, "align": "0",
+         "start": MIN_TS, "end": MAX_TS},
+    ]
+    while len(specs) < N_SPECS:
+        s = {
+            "keys": rng.sample(all_keys, rng.randint(1, 3)),
+            "dur": rng.choice([700, 1000, 3600, 7919, 25_000]),
+            "horizon": rng.choice([0, 500, 1000, 60_000]),
+            "align": rng.choice(["0", "start"]),
+            "start": MIN_TS,
+            "end": MAX_TS,
+        }
+        if rng.random() < 0.6:
+            lo = rng.randrange(0, 40_000)
+            s["start"], s["end"] = lo, lo + rng.randrange(5_000, 40_000)
+        if s["align"] == "start" and s["start"] == MIN_TS:
+            s["align"] = "0"
+        specs.append(s)
+    failures = []
+    for i, s in enumerate(specs):
+        align_ts = resolve_align(s["align"], s["start"], s["end"])
+        b = bucket_sql("ts", s["dur"], align_ts)
+        where = ["NOT isnan(value)"]
+        if s.get("keys"):
+            ks = ", ".join(repr(k) for k in s["keys"])
+            where.append(f"key IN ({ks})")
+        if s["start"] > MIN_TS:
+            where.append(f"ts >= {s['start']}")
+        if s["end"] < MAX_TS:
+            where.append(f"ts <= {s['end']}")
+        xp = (s["dur"] + s["horizon"]) / 1000.0
+        sql = f"""
+          WITH s AS (SELECT key, value, {b} AS b, ts FROM t
+                     WHERE {' AND '.join(where)})
+          SELECT key, b AS ts,
+                 regr_intercept(value, (ts - b) / 1000.0)
+                   + regr_slope(value, (ts - b) / 1000.0) * {xp!r} AS predicted
+          FROM s GROUP BY key, b
+          HAVING regr_slope(value, (ts - b) / 1000.0) IS NOT NULL
+        """
+        got = _normalize(
+            ts_predict_linear(
+                sdf, s["dur"], s["horizon"], keys=s["keys"],
+                start=s["start"], end=s["end"], align=s["align"],
+            ).toPandas()
+        )
+        exp = _normalize(con.sql(sql).df())
+        if not got.equals(exp):
+            failures.append((i, s, got.shape, exp.shape))
+    assert not failures, failures[:2]
