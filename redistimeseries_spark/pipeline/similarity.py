@@ -473,6 +473,21 @@ def pq_topk_adc(
     vectors — and does m array lookups per row; the top-k is
     TakeOrderedAndProject.  Ties break by vec_id; the query itself is
     excluded; zero-norm codes score NULL and are filtered."""
+    cos = _adc_cos_expr(codebook, emb, query_vec_id)
+    return (
+        codes_df.filter(F.col("vec_id") != query_vec_id)
+        .select("vec_id", cos.alias("cos"))
+        .filter(F.col("cos").isNotNull() & ~F.isnan("cos"))
+        .orderBy(F.col("cos").desc(), F.col("vec_id").asc())
+        .limit(k)
+        .select("vec_id", F.round("cos", 6).alias("cos"))
+    )
+
+
+def _adc_cos_expr(codebook: DataFrame, emb: DataFrame, query_vec_id: int) -> Column:
+    """The ADC cosine expression over a `codes` column: LUT + norm table
+    built driver-side from the collected codebook and query, inlined as
+    literals (m array lookups per row, no join, no float vectors)."""
     import math
 
     cb = _pq_codebook_rows(codebook)
@@ -511,9 +526,60 @@ def pq_topk_adc(
             out = out + t
         return out
 
-    cos = _lookup(lut) / (F.sqrt(_lookup(nrm)) * F.lit(qn))
+    return _lookup(lut) / (F.sqrt(_lookup(nrm)) * F.lit(qn))
+
+
+def ivf_pq_topk(
+    emb: DataFrame,
+    query_vec_id: int,
+    k: int = 20,
+    ncent: int = 16,
+    nprobe: int = 4,
+    m: int = 8,
+    ksub: int = 16,
+    centroids: DataFrame | None = None,
+    codebook: DataFrame | None = None,
+) -> DataFrame:
+    """(vec_id, cos) — IVF-PQ, the composition that runs billion-vector
+    ANN in practice (FAISS's IndexIVFPQ shape): the coarse quantizer
+    prunes the scan to `nprobe` cells, and the survivors are scored from
+    their PQ codes via the ADC lookup table — so the query-time scan
+    touches only (vec_id, cid, codes) rows, never a float vector; floats
+    exist only in the broadcast/driver-side centroid + codebook tables
+    and the query itself.
+
+    Defaults build both quantizers deterministically (ivf_topk's
+    smallest-vec_id centroids, pq_train's seed codebook); pass trained
+    tables for recall.  Plan shape: one cell-assign + encode projection
+    per corpus row (map-side against broadcast/literal tables), a
+    broadcast probe semi-join, m literal-array lookups per candidate,
+    TakeOrderedAndProject top-k."""
+    d = emb.select("vec_id", F.col("embedding").cast("array<double>").alias("v"))
+    cents = centroids if centroids is not None else d.orderBy("vec_id").limit(
+        ncent
+    ).select(F.col("vec_id").cast("long").alias("cid"), F.col("v").alias("cv"))
+    cb = codebook if codebook is not None else pq_train(emb, m, ksub)
+    cells = _assign_cells(d, cents).select("vec_id", "cid")
+    codes = pq_encode(emb, cb)
+    probes = (
+        d.filter(F.col("vec_id") == query_vec_id)
+        .crossJoin(F.broadcast(cents))
+        .select(
+            "cid",
+            (
+                _dot(F.col("v"), F.col("cv"))
+                / (_norm(F.col("v")) * _norm(F.col("cv")))
+            ).alias("csim"),
+        )
+        .orderBy(F.col("csim").desc(), F.col("cid").asc())
+        .limit(nprobe)
+        .select(F.col("cid").alias("pcid"))
+    )
+    cos = _adc_cos_expr(cb, emb, query_vec_id)
     return (
-        codes_df.filter(F.col("vec_id") != query_vec_id)
+        codes.join(cells, "vec_id")
+        .join(F.broadcast(probes), F.col("cid") == F.col("pcid"))
+        .filter(F.col("vec_id") != query_vec_id)
         .select("vec_id", cos.alias("cos"))
         .filter(F.col("cos").isNotNull() & ~F.isnan("cos"))
         .orderBy(F.col("cos").desc(), F.col("vec_id").asc())

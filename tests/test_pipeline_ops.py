@@ -512,7 +512,55 @@ def test_pq_encode_and_adc(spark):
         pq_topk_adc(pq_encode(emb, cb), cb, emb, 99)
 
 
-def test_pq_train_lloyd_moves_to_cluster_means(spark):
+def test_ivf_pq_composes_cell_prune_with_adc(spark):
+    """ivf_pq_topk == pq_topk_adc restricted to the probed cells'
+    members (composition exactness on the real sf0.001 embeddings)."""
+    from redistimeseries_spark.pipeline.similarity import (
+        _assign_cells,
+        ivf_pq_topk,
+        pq_encode,
+        pq_topk_adc,
+        pq_train,
+    )
+    from redistimeseries_spark.store import read_parquet
+
+    emb = read_parquet(spark, "/root/testdata/sf0.001/embeddings.parquet")
+    got = {
+        r.vec_id: r.cos
+        for r in ivf_pq_topk(emb, 0, k=10, ncent=8, nprobe=3).collect()
+    }
+    # expected: probe cells by hand, then full-ADC over the members
+    d = emb.selectExpr(
+        "vec_id", "CAST(embedding AS array<double>) AS v"
+    )
+    cents = d.orderBy("vec_id").limit(8).selectExpr(
+        "CAST(vec_id AS long) AS cid", "v AS cv"
+    )
+    cells = {r.vec_id: r.cid for r in _assign_cells(d, cents).collect()}
+    import math
+
+    vecs = {r.vec_id: list(r.v) for r in d.collect()}
+
+    def cos(a, b):
+        num = sum(x * y for x, y in zip(a, b))
+        return num / (
+            math.sqrt(sum(x * x for x in a)) * math.sqrt(sum(x * x for x in b))
+        )
+
+    qsims = sorted(
+        ((cos(vecs[0], r.cv), -r.cid) for r in cents.collect()), reverse=True
+    )
+    probed = {-nc for _, nc in qsims[:3]}
+    member_ids = [v for v, c in cells.items() if c in probed]
+    cb = pq_train(emb, 8, 16)
+    members = emb.filter(F.col("vec_id").isin(member_ids))
+    exp = {
+        r.vec_id: r.cos
+        for r in pq_topk_adc(
+            pq_encode(members, cb), cb, emb, 0, k=10
+        ).collect()
+    }
+    assert got == exp and len(got) == 10
     """One Lloyd iteration relocates each subspace code to the mean of
     its assigned subvectors (empty codes keep their seed)."""
     import math
