@@ -422,7 +422,9 @@ def _pq_codebook_rows(codebook: DataFrame):
     return out
 
 
-def pq_encode(emb: DataFrame, codebook: DataFrame) -> DataFrame:
+def pq_encode(
+    emb: DataFrame, codebook: DataFrame, arrow: bool = False
+) -> DataFrame:
     """(vec_id, codes) — encode every vector as its per-subspace nearest
     codebook entry (squared-L2 argmin, ties to the smaller code).
 
@@ -430,11 +432,18 @@ def pq_encode(emb: DataFrame, codebook: DataFrame) -> DataFrame:
     encoding is ONE zero-shuffle projection over the corpus — array_min
     over a (dist, code) struct array per subspace, pure JVM codegen, the
     quantize_embeddings plan shape.  At 100 TB this is the one
-    full-corpus pass; everything after scans m-byte codes."""
+    full-corpus pass; everything after scans m-byte codes.
+
+    `arrow=True` swaps the m*ksub interpreted aggregate() folds per
+    vector for one BLAS matmul per (batch, subspace) — the semdedup
+    kernel treatment; zero shuffle either way, and the A/B pytest pins
+    code-for-code equality on real embeddings."""
     cb = _pq_codebook_rows(codebook)
     m = len(cb)
     dsub = len(cb[0][0])
     d = emb.select("vec_id", F.col("embedding").cast("array<double>").alias("v"))
+    if arrow:
+        return _pq_encode_arrow(d, cb)
     code_cols = []
     for s in range(m):
         sub_v = F.slice("v", s * dsub + 1, dsub)
@@ -449,6 +458,39 @@ def pq_encode(emb: DataFrame, codebook: DataFrame) -> DataFrame:
             cands.append(F.struct(dist.alias("d"), F.lit(c).alias("c")))
         code_cols.append(F.array_min(F.array(*cands)).getField("c"))
     return d.select("vec_id", F.array(*code_cols).alias("codes"))
+
+
+def _pq_encode_arrow(d: DataFrame, cb) -> DataFrame:
+    """Arrow twin of the literal-argmin encode: per (batch, subspace),
+    dists = |x|^2 - 2 X @ C.T + |c|^2 in one BLAS matmul; np.argmin
+    takes the first minimum (smallest code), matching the struct
+    array_min tie-break.  The expanded-formula float sums differ from
+    the fold in the last ulp — the A/B pytest pins code equality."""
+    import numpy as np
+    import pandas as pd
+
+    m = len(cb)
+    dsub = len(cb[0][0])
+    Cs = [np.array(cb[s], dtype=np.float64) for s in range(m)]
+    Cn = [(C * C).sum(axis=1) for C in Cs]
+
+    def fn(batches):
+        for pdf in batches:
+            V = np.array(pdf["v"].tolist(), dtype=np.float64)
+            codes = np.empty((len(pdf), m), dtype=np.int32)
+            for s in range(m):
+                X = V[:, s * dsub : (s + 1) * dsub]
+                dists = (
+                    (X * X).sum(axis=1)[:, None]
+                    - 2.0 * (X @ Cs[s].T)
+                    + Cn[s][None, :]
+                )
+                codes[:, s] = np.argmin(dists, axis=1)
+            yield pd.DataFrame(
+                {"vec_id": pdf["vec_id"], "codes": list(codes)}
+            )
+
+    return d.mapInPandas(fn, "vec_id long, codes array<int>")
 
 
 def pq_topk_adc(
@@ -539,6 +581,7 @@ def ivf_pq_topk(
     ksub: int = 16,
     centroids: DataFrame | None = None,
     codebook: DataFrame | None = None,
+    arrow: bool = False,
 ) -> DataFrame:
     """(vec_id, cos) — IVF-PQ, the composition that runs billion-vector
     ANN in practice (FAISS's IndexIVFPQ shape): the coarse quantizer
@@ -553,14 +596,18 @@ def ivf_pq_topk(
     tables for recall.  Plan shape: one cell-assign + encode projection
     per corpus row (map-side against broadcast/literal tables), a
     broadcast probe semi-join, m literal-array lookups per candidate,
-    TakeOrderedAndProject top-k."""
+    TakeOrderedAndProject top-k.  `arrow=True` runs assignment and
+    encoding as BLAS kernels (the semdedup gears; same results,
+    A/B-pinned)."""
     d = emb.select("vec_id", F.col("embedding").cast("array<double>").alias("v"))
     cents = centroids if centroids is not None else d.orderBy("vec_id").limit(
         ncent
     ).select(F.col("vec_id").cast("long").alias("cid"), F.col("v").alias("cv"))
     cb = codebook if codebook is not None else pq_train(emb, m, ksub)
-    cells = _assign_cells(d, cents).select("vec_id", "cid")
-    codes = pq_encode(emb, cb)
+    cells = (_assign_cells_arrow if arrow else _assign_cells)(d, cents).select(
+        "vec_id", "cid"
+    )
+    codes = pq_encode(emb, cb, arrow=arrow)
     probes = (
         d.filter(F.col("vec_id") == query_vec_id)
         .crossJoin(F.broadcast(cents))

@@ -195,7 +195,65 @@ def main():
         ).semdedup(
             _emb_corpus(spark, sf_dir, replicas), 0.999, ncent=256, arrow=True
         ),
+        # hashing-trick classifier inference: 5000-slot deterministic
+        # weight table broadcast into the token probe; bigrams on (the
+        # fastText default recipe) — one explode + one per-doc sum
+        "d24_classifier": lambda: __import__(
+            "redistimeseries_spark.pipeline.text",
+            fromlist=["hashed_classifier_scores"],
+        ).hashed_classifier_scores(
+            docs,
+            {
+                (i * 2654435761) % (1 << 18): ((i % 13) - 6) / 3.0
+                for i in range(5000)
+            },
+            bias=-0.1,
+            bigrams=True,
+        ),
+        # PQ encode: the one full-corpus pass of the memory tier — a
+        # zero-shuffle literal-argmin projection (m=8, ksub=16)
+        "d25_pq_encode": lambda: __import__(
+            "redistimeseries_spark.pipeline.similarity", fromlist=["pq_encode"]
+        ).pq_encode(_emb_corpus(spark, sf_dir, replicas), _pq_cb(spark)),
+        # IVF-PQ query: cell-pruned ADC over codes (ncent=64, nprobe=8)
+        "d26_ivf_pq_topk": lambda: __import__(
+            "redistimeseries_spark.pipeline.similarity", fromlist=["ivf_pq_topk"]
+        ).ivf_pq_topk(
+            _emb_corpus(spark, sf_dir, replicas), 0, k=100, ncent=64, nprobe=8,
+            codebook=_pq_cb(spark),
+        ),
+        # BLAS-gear twins (the semdedup d22/d23 pattern): same results,
+        # A/B-pinned; the scale path once interpreted HOFs dominate
+        "d25b_pq_encode_arrow": lambda: __import__(
+            "redistimeseries_spark.pipeline.similarity", fromlist=["pq_encode"]
+        ).pq_encode(
+            _emb_corpus(spark, sf_dir, replicas), _pq_cb(spark), arrow=True
+        ),
+        "d26b_ivf_pq_topk_arrow": lambda: __import__(
+            "redistimeseries_spark.pipeline.similarity", fromlist=["ivf_pq_topk"]
+        ).ivf_pq_topk(
+            _emb_corpus(spark, sf_dir, replicas), 0, k=100, ncent=64, nprobe=8,
+            codebook=_pq_cb(spark), arrow=True,
+        ),
     }
+
+    def _pq_cb(spark):
+        # codebook trained once on the replicated corpus, memoized like
+        # the text index (query probes should not re-pay training)
+        if "cb" not in _TIDX:
+            from redistimeseries_spark.pipeline.similarity import pq_train
+
+            t0 = time.time()
+            _TIDX["cb"] = pq_train(
+                _emb_corpus(spark, sf_dir, replicas), 8, 16
+            ).localCheckpoint()
+            print(
+                json.dumps(
+                    {"stage": "pq_train", "sec": round(time.time() - t0, 2)}
+                ),
+                flush=True,
+            )
+        return _TIDX["cb"]
 
     if len(sys.argv) > 2:
         only = set(sys.argv[2].split(","))

@@ -561,6 +561,38 @@ def test_ivf_pq_composes_cell_prune_with_adc(spark):
         ).collect()
     }
     assert got == exp and len(got) == 10
+
+
+def test_pq_arrow_kernels_match_expression_path(spark):
+    """BLAS gears: pq_encode(arrow=True) is code-for-code identical to
+    the literal-argmin plan on the real embeddings, and ivf_pq_topk's
+    arrow path returns the identical top-k."""
+    from redistimeseries_spark.pipeline.similarity import (
+        ivf_pq_topk,
+        pq_encode,
+        pq_train,
+    )
+    from redistimeseries_spark.store import read_parquet
+
+    emb = read_parquet(spark, "/root/testdata/sf0.001/embeddings.parquet")
+    cb = pq_train(emb, 8, 16)
+    a = {r.vec_id: list(r.codes) for r in pq_encode(emb, cb).collect()}
+    b = {
+        r.vec_id: list(r.codes)
+        for r in pq_encode(emb, cb, arrow=True).collect()
+    }
+    assert a == b
+    ta = [tuple(r) for r in ivf_pq_topk(emb, 0, k=10, ncent=8, nprobe=3).collect()]
+    tb = [
+        tuple(r)
+        for r in ivf_pq_topk(
+            emb, 0, k=10, ncent=8, nprobe=3, arrow=True
+        ).collect()
+    ]
+    assert ta == tb
+
+
+def test_pq_train_lloyd_moves_to_cluster_means(spark):
     """One Lloyd iteration relocates each subspace code to the mean of
     its assigned subvectors (empty codes keep their seed)."""
     import math
