@@ -1468,6 +1468,51 @@ def q_classifier_score(spark, sf_dir):
     )
 
 
+def q_clean_lines(spark, sf_dir):
+    """C4 line-level cleaning over a deterministically line-broken copy
+    of the corpus (the synthetic docs carry no newlines, so the wrapper
+    splits on two marker words and adds terminal punctuation — the same
+    expression the oracle applies)."""
+    from redistimeseries_spark.pipeline.text import clean_lines
+
+    d = _docs(spark, sf_dir).select(
+        "doc_id",
+        F.replace(
+            F.replace(F.col("text"), F.lit(" table"), F.lit(".\nTable")),
+            F.lit(" batch"),
+            F.lit("!\nbatch"),
+        ).alias("text"),
+    )
+    return clean_lines(d)
+
+
+def q_url_dedup(spark, sf_dir):
+    """Canonical-URL dedup over synthesized crawl variants (mixed-case
+    authority, default port, utm params, trailing slash, fragment); the
+    oracle computes the canonical form ANALYTICALLY from the
+    construction, independent of the regex pipeline."""
+    from redistimeseries_spark.pipeline.curation import url_dedup
+
+    d = _docs(spark, sf_dir).select(
+        "doc_id",
+        F.concat(
+            F.lit("HTTP://Example.COM:80/p/"),
+            (F.col("doc_id") % 7).cast("string"),
+            F.when(
+                F.col("doc_id") % 3 == 0,
+                F.concat(
+                    F.lit("/?utm_source=x&id="),
+                    (F.col("doc_id") % 5).cast("string"),
+                ),
+            ).otherwise(
+                F.concat(F.lit("?id="), (F.col("doc_id") % 5).cast("string"))
+            ),
+            F.when(F.col("doc_id") % 2 == 0, F.lit("#sec")).otherwise(F.lit("")),
+        ).alias("url"),
+    )
+    return url_dedup(d)
+
+
 def q_token_count(spark, sf_dir):
     from redistimeseries_spark.pipeline.text import token_counts
 
@@ -1707,13 +1752,19 @@ def _base_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # family keeps ts_ignore_filter) rotates out.  NEW dl_pq_adc (product
     # quantization: seed codebook + literal-argmin encode + LUT-scored ADC
     # top-k) promotes; ts_mget_withlabels (5x driver-green; label/MGET
-    # family keeps ts_info_full) rotates out.
+    # family keeps ts_info_full) rotates out.  NEW dl_clean_lines (C4
+    # line-level cleaning) + dl_url_dedup (canonical-URL crawl dedup,
+    # analytically-independent oracle) promote; ts_stream_rule_avg_1m
+    # (5x driver-green; compaction/stream family keeps ts_rollup_route +
+    # dl_stream_dedup + dl_stream_semdedup) and ts_agg_empty_nan (4x
+    # driver-green; agg family keeps ts_agg_all14 + ts_agg_percentile)
+    # rotate out.
     return {
         # --- checked prefix: one representative per operator family -----
         "ts_range_raw": q_range_raw,
         "dl_pack_sequences": q_pack_sequences,
         "ts_session_stats": q_session_stats,
-        "ts_agg_empty_nan": q_agg_empty_nan,
+        "dl_clean_lines": q_clean_lines,
         "ts_agg_all14": q_agg_all14,
         "dl_classifier_score": q_classifier_score,
         "ts_count_post_agg": q_count_post_agg,
@@ -1731,7 +1782,7 @@ def _base_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dl_mm_decode_png": q_mm_decode_png,
         "dl_bm25_topk": q_bm25_topk,
         "ts_info_full": q_info_full,
-        "ts_stream_rule_avg_1m": q_stream_rule_avg_1m,
+        "dl_url_dedup": q_url_dedup,
         "ts_agg_percentile": q_agg_percentile,
         "ts_ignore_filter": q_ignore_filter,
         "ts_deriv": q_deriv,
@@ -1771,6 +1822,8 @@ def _base_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ts_agg_twa": q_agg_twa,
         "ts_retention_clamp": q_retention_clamp,
         "ts_mget_withlabels": q_mget_withlabels,
+        "ts_stream_rule_avg_1m": q_stream_rule_avg_1m,
+        "ts_agg_empty_nan": q_agg_empty_nan,
         "dl_ngram_lm": q_ngram_lm,
         "dl_simhash_pairs": q_simhash_pairs,
         "dl_ngram_jaccard": q_ngram_jaccard,
@@ -2525,6 +2578,34 @@ ORDER BY cos DESC, vec_id LIMIT 20""",
                     + (length(regexp_replace(lower(text), '[^a-z]', '', 'g'))
                        / greatest(length(text), 1)) * 0.2, 6) AS quality
             FROM documents""",
+        "dl_clean_lines": """WITH
+d AS (SELECT doc_id,
+             replace(replace(text, ' table', '.' || chr(10) || 'Table'),
+                     ' batch', '!' || chr(10) || 'batch') AS text
+      FROM documents),
+l AS (SELECT doc_id, text, string_split(text, chr(10)) AS ls FROM d),
+k AS (SELECT doc_id, text, len(ls) AS n_lines,
+             list_filter(ls, x ->
+               right(rtrim(x), 1) IN ('.', '!', '?', '"', '”')
+               AND len(list_filter(string_split_regex(x, '\\s+'),
+                                   w -> w <> '')) >= 3
+               AND NOT contains(lower(x), 'javascript')
+               AND NOT contains(lower(x), 'lorem ipsum')
+               AND NOT contains(lower(x), 'cookie')) AS kept
+      FROM l)
+SELECT doc_id,
+       coalesce(array_to_string(kept, chr(10)), '') AS text,
+       len(kept) AS n_kept,
+       n_lines - len(kept) AS n_dropped,
+       contains(text, '{') AS has_brace
+FROM k""",
+        "dl_url_dedup": """WITH g AS (
+  SELECT doc_id, doc_id % 7 AS g7, doc_id % 5 AS g5 FROM documents)
+SELECT min(doc_id) AS doc_id,
+       'http://example.com/p/' || CAST(g7 AS VARCHAR)
+         || '?id=' || CAST(g5 AS VARCHAR) AS curl,
+       count(*) AS n_dupes
+FROM g GROUP BY g7, g5""",
         "dl_classifier_score": f"""WITH
 ws AS (SELECT * FROM (VALUES {", ".join(f"({s}, {w})" for s, w in sorted(_clf_slots().items()))}) AS t(slot, weight)),
 wa AS (SELECT doc_id,

@@ -61,6 +61,51 @@ def hash_split(
     return out.withColumn("split", expr)
 
 
+def canonical_url(col) -> "F.Column":
+    """Canonical form of a URL column — the normalization that makes
+    crawl dedup-by-URL work (the same page arrives as HTTP://Host/a/,
+    http://host:80/a?utm_source=x#top, ...):
+
+      1. fragment stripped
+      2. tracking params removed (utm_*, fbclid, gclid), separators fixed
+      3. scheme + authority lowercased (path/query case is significant)
+      4. default ports :80 (http) / :443 (https) dropped
+      5. trailing path slashes stripped (at the end and before the query)
+
+    Pure regexp/string expression work (anchors, classes, alternation —
+    the subset Java regex and RE2 agree on), so the DuckDB oracle
+    computes the identical canonical string."""
+    u = F.regexp_replace(col, "#.*$", "")
+    u = F.regexp_replace(u, "(utm_[a-z_]+|fbclid|gclid)=[^&]*&", "")
+    u = F.regexp_replace(u, "[?&](utm_[a-z_]+|fbclid|gclid)=[^&]*$", "")
+    u = F.regexp_replace(u, "[?&]$", "")
+    auth = F.regexp_extract(u, "^([^:/?#]+://[^/?#]*)", 1)
+    # lowercase ONLY scheme://authority; keep path+query byte-exact
+    rest = F.substring(u, F.length(auth) + 1, F.lit(1 << 30))
+    u = F.concat(F.lower(auth), rest)
+    u = F.regexp_replace(u, "^(http://[^:/?#]+):80(/|$)", "$1$2")
+    u = F.regexp_replace(u, "^(https://[^:/?#]+):443(/|$)", "$1$2")
+    u = F.regexp_replace(u, "/+[?]", "?")
+    return F.regexp_replace(u, "/+$", "")
+
+
+def url_dedup(docs: DataFrame, url_col: str = "url") -> DataFrame:
+    """(doc_id, curl, n_dupes) — one row per CANONICAL url, keeping the
+    smallest doc_id (crawl-side exact dedup, the cheapest and
+    highest-yield dedup pass a web corpus gets).  One projection + one
+    (curl) hash aggregate with map-side partials — the exact_dedup
+    shape."""
+    return (
+        docs.select("doc_id", canonical_url(F.col(url_col)).alias("curl"))
+        .groupBy("curl")
+        .agg(
+            F.min("doc_id").alias("doc_id"),
+            F.count(F.lit(1)).alias("n_dupes"),
+        )
+        .select("doc_id", "curl", "n_dupes")
+    )
+
+
 def decontaminate(
     docs: DataFrame, eval_docs: DataFrame, n: int = 5
 ) -> DataFrame:

@@ -165,6 +165,48 @@ def rolling_fingerprints(docs: DataFrame, w: int = ROLL_W) -> DataFrame:
     )
 
 
+def clean_lines(
+    docs: DataFrame,
+    min_words: int = 3,
+    markers: tuple[str, ...] = ("javascript", "lorem ipsum", "cookie"),
+) -> DataFrame:
+    """(doc_id, text, n_kept, n_dropped, has_brace) — C4's line-level
+    cleaning (Raffel et al. 2020 §2.2, the most-copied web-text recipe):
+    keep only lines that END IN TERMINAL PUNCTUATION (. ! ? or a closing
+    quote) and have at least `min_words` words; drop lines containing a
+    boilerplate marker.  `has_brace` surfaces C4's page-level "contains
+    '{'" discard signal (code masquerading as prose) for the caller's
+    doc filter — the line filter itself never looks at braces.
+
+    Entirely map-side array-HOF expression work: split on newline ->
+    F.filter with row-local predicates -> concat_ws.  No shuffle, no
+    Python — the scan-speed projection class; the DuckDB oracle replays
+    the identical predicates over list_filter."""
+    if min_words < 1:
+        raise ValueError("min_words must be >= 1")
+    lines = F.split(F.col("text"), "\n")
+
+    def keep(l):
+        rt = F.rtrim(l)
+        punct = F.right(rt, F.lit(1)).isin(".", "!", "?", '"', "”")
+        words = (
+            F.size(F.filter(F.split(l, "\\s+"), lambda w: w != "")) >= min_words
+        )
+        boiler = F.lit(False)
+        for mk in markers:
+            boiler = boiler | (F.instr(F.lower(l), mk) > 0)
+        return punct & words & ~boiler
+
+    kept = F.filter(lines, keep)
+    return docs.select(
+        "doc_id",
+        F.concat_ws("\n", kept).alias("text"),
+        F.size(kept).cast("long").alias("n_kept"),
+        (F.size(lines) - F.size(kept)).cast("long").alias("n_dropped"),
+        (F.instr("text", "{") > 0).alias("has_brace"),
+    )
+
+
 def hashed_classifier_scores(
     docs: DataFrame,
     weights,

@@ -460,6 +460,63 @@ def test_pii_signals_planted(spark):
     assert got[2].has_pii is False and got[2].n_emails == 0
 
 
+def test_clean_lines_c4_rules(spark):
+    """C4 line filter: terminal punctuation required, min-word floor,
+    boilerplate markers dropped, brace flag is doc-level, kept text
+    joins in order."""
+    from redistimeseries_spark.pipeline.text import clean_lines
+
+    docs = spark.createDataFrame(
+        [
+            (1, 'Good long sentence here.\nshort.\nNo punct at all\n'
+                'This mentions JavaScript everywhere.\nAnother fine line!'),
+            (2, "code { return 1; }\nReal prose sentence stays intact."),
+            (3, "no newline no punct"),
+        ],
+        "doc_id long, text string",
+    )
+    got = {r.doc_id: r for r in clean_lines(docs).collect()}
+    assert got[1].text == "Good long sentence here.\nAnother fine line!"
+    assert got[1].n_kept == 2 and got[1].n_dropped == 3
+    assert got[1].has_brace is False
+    assert got[2].text == "Real prose sentence stays intact."
+    assert got[2].has_brace is True
+    assert got[3].text == "" and got[3].n_kept == 0
+    with pytest.raises(ValueError):
+        clean_lines(docs, min_words=0)
+
+
+def test_canonical_url_and_dedup(spark):
+    """URL canonicalization collapses the standard crawl variants; the
+    dedup keeps the smallest doc_id per canonical form."""
+    from redistimeseries_spark.pipeline.curation import (
+        canonical_url,
+        url_dedup,
+    )
+
+    rows = [
+        (1, "HTTP://Example.COM:80/Path/?utm_source=x&id=3#frag"),
+        (2, "http://example.com/Path?id=3"),
+        (3, "https://Example.com:443/"),
+        (4, "https://example.com"),
+        (5, "http://example.com/Path?id=3&utm_campaign=z"),
+        (6, "http://example.com:8080/a/"),  # NON-default port survives
+        (7, "http://example.com/CaseSensitivePath."),
+    ]
+    d = spark.createDataFrame(rows, "doc_id long, url string")
+    cu = {r.doc_id: r.curl for r in d.select("doc_id", canonical_url(F.col("url")).alias("curl")).collect()}
+    assert cu[1] == "http://example.com/Path?id=3"
+    assert cu[2] == "http://example.com/Path?id=3"
+    assert cu[5] == "http://example.com/Path?id=3"
+    assert cu[3] == "https://example.com" and cu[4] == "https://example.com"
+    assert cu[6] == "http://example.com:8080/a"
+    assert cu[7] == "http://example.com/CaseSensitivePath."
+    out = {r.curl: (r.doc_id, r.n_dupes) for r in url_dedup(d).collect()}
+    assert out["http://example.com/Path?id=3"] == (1, 3)
+    assert out["https://example.com"] == (3, 2)
+    assert out["http://example.com:8080/a"] == (6, 1)
+
+
 def test_pq_encode_and_adc(spark):
     """Product quantization: hand-checked argmin codes (ties to the
     smaller code), ADC == exact cosine when vectors reconstruct exactly,
