@@ -92,6 +92,29 @@ _PIPELINE_FN_SQL = [
            (acc, wa) -> array_distinct(transform(
                sequence(1, greatest(size(wa) - n + 1, 1)),
                i -> concat_ws(' ', slice(wa, i, n)))))""",
+    # canonical URL (pipeline/curation.canonical_url); the scrubbed
+    # string is bound once via the reduce-lambda trick (dl_word_ngrams)
+    # so the fragment/param strip is not re-evaluated per reference
+    """CREATE OR REPLACE TEMPORARY FUNCTION dl_canonical_url(u STRING)
+       RETURNS STRING
+       RETURN reduce(
+           array(regexp_replace(regexp_replace(regexp_replace(
+               regexp_replace(u, '#.*$', ''),
+               '(utm_[a-z_]+|fbclid|gclid)=[^&]*&', ''),
+               '[?&](utm_[a-z_]+|fbclid|gclid)=[^&]*$', ''),
+               '[?&]$', '')),
+           CAST('' AS STRING),
+           (acc, s) -> regexp_replace(regexp_replace(regexp_replace(
+               regexp_replace(
+                   concat(
+                       lower(regexp_extract(s, '^([^:/?#]+://[^/?#]*)', 1)),
+                       substring(s,
+                           length(regexp_extract(s, '^([^:/?#]+://[^/?#]*)', 1)) + 1,
+                           1073741824)),
+                   '^(http://[^:/?#]+):80(/|$)', '$1$2'),
+               '^(https://[^:/?#]+):443(/|$)', '$1$2'),
+               '/+[?]', '?'),
+               '/+$', ''))""",
     # BM25 term weight (pipeline/retrieval.bm25_scores): idf * saturated tf
     """CREATE OR REPLACE TEMPORARY FUNCTION dl_bm25_weight(
            tf BIGINT, df BIGINT, n_docs BIGINT, dl BIGINT, avgdl DOUBLE,

@@ -132,3 +132,47 @@ def test_round5_sql_functions(spark):
         ._jdf.queryExecution().executedPlan().toString()
     )
     assert "PythonUDF" not in plan
+
+
+def test_canonical_url_sql_matches_dataframe_op(spark):
+    """dl_canonical_url (the reduce-bound SQL UDF) equals
+    curation.canonical_url on the crawl-variant zoo, and inlines
+    (no Python in the plan)."""
+    from pyspark.sql import functions as F
+
+    from redistimeseries_spark.pipeline.curation import canonical_url
+    from redistimeseries_spark.sql import register_pipeline_sql
+
+    urls = spark.createDataFrame(
+        [
+            (1, "HTTP://Example.COM:80/Path/?utm_source=x&id=3#frag"),
+            (2, "http://example.com/Path?id=3"),
+            (3, "https://Example.com:443/"),
+            (4, "http://example.com:8080/a/"),
+            (5, "ftp://Mixed.Case/keep"),
+            (6, "http://h/p?utm_a=1&utm_b=2&q=z"),
+        ],
+        "doc_id long, url string",
+    )
+    register_pipeline_sql(spark)
+    urls.createOrReplaceTempView("urls")
+    got = {
+        r.doc_id: r.c
+        for r in spark.sql(
+            "SELECT doc_id, dl_canonical_url(url) AS c FROM urls"
+        ).collect()
+    }
+    want = {
+        r.doc_id: r.c
+        for r in urls.select(
+            "doc_id", canonical_url(F.col("url")).alias("c")
+        ).collect()
+    }
+    assert got == want
+    plan = (
+        spark.sql("SELECT dl_canonical_url(url) AS c FROM urls")
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
