@@ -265,27 +265,30 @@ def hashed_classifier_scores(
             ),
         ).otherwise(F.expr("array()"))
         feats = F.concat(F.col("wa"), bi)
-    d = wa.select(
+    spine = wa.select(
         "doc_id", feats.alias("__f"), F.size(feats).alias("__n")
-    ).select("doc_id", "__n", F.explode("__f").alias("tok"))
+    )
+    d = spine.select("doc_id", F.explode("__f").alias("tok"))
     slot = (
         F.conv(F.substring(F.md5(F.col("tok")), 1, 7), 16, 10).cast("long")
         % num_buckets
     )
+    # INNER join: tokens missing from the model contribute 0, so only
+    # HIT rows (the model-vocabulary fraction of the token stream) reach
+    # the per-doc aggregation — at 10M docs this keeps the partial-agg
+    # hash maps fed by ~1% of the 4B exploded feature rows; the
+    # no-feature / no-hit docs come back through the spine left join
     hits = (
         d.withColumn("slot", slot)
-        .join(F.broadcast(weights), "slot", "left")
+        .join(F.broadcast(weights), "slot")
         .groupBy("doc_id")
-        .agg(
-            (
-                F.lit(bias)
-                + F.sum(F.coalesce("weight", F.lit(0.0))) / F.first("__n")
-            ).alias("score")
-        )
+        .agg(F.sum("weight").alias("__w"))
     )
-    score = F.coalesce("score", F.lit(float(bias)))
+    score = F.lit(float(bias)) + F.coalesce("__w", F.lit(0.0)) / F.greatest(
+        "__n", F.lit(1)
+    )
     return (
-        docs.select("doc_id")
+        spine.select("doc_id", "__n")
         .join(hits, "doc_id", "left")
         .select(
             "doc_id",
