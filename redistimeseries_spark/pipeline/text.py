@@ -265,30 +265,32 @@ def hashed_classifier_scores(
             ),
         ).otherwise(F.expr("array()"))
         feats = F.concat(F.col("wa"), bi)
-    spine = wa.select(
+    d = wa.select(
         "doc_id", feats.alias("__f"), F.size(feats).alias("__n")
-    )
-    d = spine.select("doc_id", F.explode("__f").alias("tok"))
+    ).select("doc_id", "__n", F.explode("__f").alias("tok"))
     slot = (
         F.conv(F.substring(F.md5(F.col("tok")), 1, 7), 16, 10).cast("long")
         % num_buckets
     )
     # INNER join: tokens missing from the model contribute 0, so only
     # HIT rows (the model-vocabulary fraction of the token stream) reach
-    # the per-doc aggregation — at 10M docs this keeps the partial-agg
-    # hash maps fed by ~1% of the 4B exploded feature rows; the
-    # no-feature / no-hit docs come back through the spine left join
+    # the per-doc aggregation; __n rides the exploded rows so the corpus
+    # is tokenized exactly ONCE (a __n side-branch would re-split every
+    # doc — measured slower than the hit savings at 10M docs).  No-hit
+    # and no-feature docs come back through the cheap doc_id spine.
     hits = (
         d.withColumn("slot", slot)
         .join(F.broadcast(weights), "slot")
         .groupBy("doc_id")
-        .agg(F.sum("weight").alias("__w"))
+        .agg(
+            (F.lit(float(bias)) + F.sum("weight") / F.first("__n")).alias(
+                "score"
+            )
+        )
     )
-    score = F.lit(float(bias)) + F.coalesce("__w", F.lit(0.0)) / F.greatest(
-        "__n", F.lit(1)
-    )
+    score = F.coalesce("score", F.lit(float(bias)))
     return (
-        spine.select("doc_id", "__n")
+        docs.select("doc_id")
         .join(hits, "doc_id", "left")
         .select(
             "doc_id",
