@@ -235,6 +235,33 @@ def main():
             _emb_corpus(spark, sf_dir, replicas), 0, k=100, ncent=64, nprobe=8,
             codebook=_pq_cb(spark), arrow=True,
         ),
+        # C4 line cleaning over a line-broken copy (one array-HOF
+        # projection; the replace() fabricates newlines like the gate)
+        "d27_clean_lines": lambda: __import__(
+            "redistimeseries_spark.pipeline.text", fromlist=["clean_lines"]
+        ).clean_lines(
+            docs.select(
+                "doc_id",
+                F.replace(
+                    F.col("text"), F.lit(" table"), F.lit(".\nTable")
+                ).alias("text"),
+            )
+        ),
+        # canonical-URL dedup over synthesized crawl variants (projection
+        # + one hash agg)
+        "d28_url_dedup": lambda: __import__(
+            "redistimeseries_spark.pipeline.curation", fromlist=["url_dedup"]
+        ).url_dedup(
+            docs.select(
+                "doc_id",
+                F.concat(
+                    F.lit("HTTP://Example.COM:80/p/"),
+                    (F.col("doc_id") % 1000).cast("string"),
+                    F.lit("/?utm_source=x&id="),
+                    (F.col("doc_id") % 97).cast("string"),
+                ).alias("url"),
+            )
+        ),
     }
 
     def _pq_cb(spark):
