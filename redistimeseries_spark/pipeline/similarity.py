@@ -530,10 +530,6 @@ def _adc_cos_expr(codebook: DataFrame, emb: DataFrame, query_vec_id: int) -> Col
     """The ADC cosine expression over a `codes` column: LUT + norm table
     built driver-side from the collected codebook and query, inlined as
     literals (m array lookups per row, no join, no float vectors)."""
-    import math
-
-    cb = _pq_codebook_rows(codebook)
-    m = len(cb)
     q = (
         emb.filter(F.col("vec_id") == query_vec_id)
         .select(F.col("embedding").cast("array<double>").alias("v"))
@@ -541,7 +537,15 @@ def _adc_cos_expr(codebook: DataFrame, emb: DataFrame, query_vec_id: int) -> Col
     )
     if not q:
         raise ValueError(f"query_vec_id {query_vec_id} not found")
-    qv = list(q[0].v)
+    return _adc_cos_from_qv(_pq_codebook_rows(codebook), list(q[0].v))
+
+
+def _adc_cos_from_qv(cb, qv: list[float]) -> Column:
+    """ADC cosine from collected codebook rows + a driver-side query
+    vector (the piece ivf_pq_topk_indexed reuses without an emb table)."""
+    import math
+
+    m = len(cb)
     dsub = len(cb[0][0])
     if len(qv) != m * dsub:
         raise ValueError("query dim does not match codebook")
@@ -640,6 +644,8 @@ def build_ivf_index(
     path: str,
     ncent: int = 16,
     train_iters: int = 0,
+    pq_m: int | None = None,
+    pq_ksub: int = 16,
 ) -> None:
     """Materialize the IVF index: centroids (tiny) + the corpus
     partitioned BY CELL on disk.  At 100 TB the cell assignment is the
@@ -649,7 +655,14 @@ def build_ivf_index(
 
     Layout: `<path>/cells/cid=<k>/...` — a probe reads ONLY its nprobe
     cell directories (partition pruning, the same mechanism as the
-    time-series day layout); `<path>/centroids/` holds the quantizer."""
+    time-series day layout); `<path>/centroids/` holds the quantizer.
+
+    `pq_m` additionally trains a product-quantization codebook
+    (`<path>/codebook`) and stores each vector's PQ `codes` in its cell
+    row — `ivf_pq_topk_indexed` then answers queries from the pruned
+    cell dirs reading ONLY (vec_id, codes): the persisted form of the
+    full IVF-PQ economics (float vectors written once at build, never
+    read again by queries)."""
     d = emb.select("vec_id", F.col("embedding").cast("array<double>").alias("v"))
     if train_iters > 0:
         cents = train_centroids(emb, ncent, train_iters)
@@ -659,12 +672,53 @@ def build_ivf_index(
         )
     cents.write.mode("overwrite").parquet(f"{path}/centroids")
     cents = emb.sparkSession.read.parquet(f"{path}/centroids")
-    (
-        _assign_cells(d, cents)
-        .drop("vn")  # derivable; keep the stored cell schema minimal
-        .write.mode("overwrite")
-        .partitionBy("cid")
-        .parquet(f"{path}/cells")
+    rows = _assign_cells(d, cents).drop("vn")  # vn derivable; keep minimal
+    if pq_m is not None:
+        cb = pq_train(emb, pq_m, pq_ksub, iters=train_iters)
+        cb.write.mode("overwrite").parquet(f"{path}/codebook")
+        cb = emb.sparkSession.read.parquet(f"{path}/codebook")
+        rows = rows.join(pq_encode(emb, cb), "vec_id")
+    rows.write.mode("overwrite").partitionBy("cid").parquet(f"{path}/cells")
+
+
+def ivf_pq_topk_indexed(
+    spark,
+    path: str,
+    query_vec: list[float],
+    k: int = 20,
+    nprobe: int = 4,
+) -> DataFrame:
+    """(vec_id, cos) — ADC top-k against a `build_ivf_index(pq_m=...)`
+    store.  The coarse search resolves driver-side against the tiny
+    centroid table (O(ncent), like ivf_topk_indexed), the scan carries a
+    `cid IN (...)` partition filter, and scoring is the literal-LUT ADC
+    expression — the query reads only (vec_id, codes) from nprobe/ncent
+    of the index directories and touches no float vector at all."""
+    cents = spark.read.parquet(f"{path}/centroids").collect()
+    qn = sum(x * x for x in query_vec) ** 0.5
+
+    def cos(cv):
+        num = sum(x * y for x, y in zip(query_vec, cv))
+        nc = sum(x * x for x in cv) ** 0.5
+        return num / (qn * nc) if qn and nc else float("-inf")
+
+    probed = [
+        cid
+        for _, cid in sorted(
+            ((cos(r.cv), r.cid) for r in cents),
+            key=lambda t: (-t[0], t[1]),
+        )[:nprobe]
+    ]
+    cb = _pq_codebook_rows(spark.read.parquet(f"{path}/codebook"))
+    d = spark.read.parquet(f"{path}/cells").filter(F.col("cid").isin(probed))
+    d = _committed_cells(spark, path, d)
+    score = _adc_cos_from_qv(cb, [float(x) for x in query_vec])
+    return (
+        d.select("vec_id", score.alias("cos"))
+        .filter(F.col("cos").isNotNull() & ~F.isnan("cos"))
+        .orderBy(F.col("cos").desc(), F.col("vec_id").asc())
+        .limit(k)
+        .select("vec_id", F.round("cos", 6).alias("cos"))
     )
 
 

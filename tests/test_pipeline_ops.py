@@ -793,6 +793,33 @@ def test_ivf_index_build_query_matches_adhoc(spark, tmp_path):
     assert "PartitionFilters" in plan and "cid" in plan
 
 
+def test_ivf_pq_index_matches_adhoc(spark, tmp_path):
+    """Persisted IVF-PQ == ad-hoc ivf_pq_topk (same deterministic
+    quantizers); the probe scan is partition-pruned on cid and reads no
+    embedding column."""
+    from redistimeseries_spark.pipeline.similarity import (
+        build_ivf_index,
+        ivf_pq_topk,
+        ivf_pq_topk_indexed,
+    )
+    from redistimeseries_spark.store import read_parquet
+
+    emb = read_parquet(spark, "/root/testdata/sf0.001/embeddings.parquet")
+    path = str(tmp_path / "ivfpq")
+    build_ivf_index(emb, path, ncent=16, pq_m=8, pq_ksub=16)
+    qv = [float(x) for x in emb.filter(F.col("vec_id") == 0).collect()[0].embedding]
+    got = ivf_pq_topk_indexed(spark, path, qv, k=21, nprobe=4)
+    want = [
+        (r.vec_id, r.cos)
+        for r in ivf_pq_topk(emb, 0, 20, ncent=16, nprobe=4).collect()
+    ]
+    got_rows = [(r.vec_id, r.cos) for r in got.collect() if r.vec_id != 0][:20]
+    assert got_rows == want
+    plan = got._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in plan and "cid" in plan
+    assert "embedding" not in plan.split("ReadSchema")[-1][:200]
+
+
 def test_ivf_index_stream_matches_full_rebuild(spark, tmp_path):
     """Incremental IVF maintenance: micro-batches appended against the
     frozen first-batch quantizer answer identically to a batch build with
