@@ -202,6 +202,19 @@ def main():
         "b19_irate": lambda: __import__(
             "redistimeseries_spark.operators.rate", fromlist=["ts_irate"]
         ).ts_irate(samples),
+        # event counts: the increase plan with a count instead of a sum
+        "b20_changes_2h": lambda: __import__(
+            "redistimeseries_spark.operators.rate", fromlist=["ts_changes"]
+        ).ts_changes(samples, 2 * H),
+        # extrapolation: deriv's hash agg with the intercept kept
+        "b21_predict_linear_2h": lambda: __import__(
+            "redistimeseries_spark.operators.rate",
+            fromlist=["ts_predict_linear"],
+        ).ts_predict_linear(samples, 2 * H, H),
+        # Holt: the two-state sequential Arrow kernel (the ewma route)
+        "b22_holt": lambda: __import__(
+            "redistimeseries_spark.operators.smooth", fromlist=["ts_holt"]
+        ).ts_holt(samples, 0.4, 0.2),
     }
 
     # SPARK_GRAFT_BUCKETED=1: also build the key-bucketed layout and probe
