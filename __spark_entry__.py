@@ -247,6 +247,16 @@ def q_predict_linear(spark, sf_dir):
     )
 
 
+def q_topk(spark, sf_dir):
+    """Per-bucket top-5 series by 6h average (PromQL topk): one hash agg
+    + a WindowGroupLimit-rewritten rank; rounded-value ranking with key
+    tiebreak (the bm25_topk determinism convention)."""
+    from redistimeseries_spark.operators.multi import ts_topk
+
+    st = _store(spark, sf_dir)
+    return ts_topk(st.samples, 6 * H, 5, agg="avg", start=D14, end=D21)
+
+
 def q_gaps(spark, sf_dir):
     """Beyond-reference sampling-gap report: consecutive-sample intervals
     over 30 minutes per key — one lag window + a filter."""
@@ -1758,7 +1768,9 @@ def _base_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # (5x driver-green; compaction/stream family keeps ts_rollup_route +
     # dl_stream_dedup + dl_stream_semdedup) and ts_agg_empty_nan (4x
     # driver-green; agg family keeps ts_agg_all14 + ts_agg_percentile)
-    # rotate out.
+    # rotate out.  NEW ts_topk (PromQL topk per bucket) promotes;
+    # dl_quantize (2x driver-green; the quantization/similarity family
+    # keeps dl_pq_adc + dl_ann_lsh_topk + dl_ann_batch) rotates out.
     return {
         # --- checked prefix: one representative per operator family -----
         "ts_range_raw": q_range_raw,
@@ -1790,7 +1802,7 @@ def _base_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ts_counter_rate": q_counter_rate,
         "ts_resample_locf": q_resample_locf,
         "dl_cross_contaminated": q_cross_contaminated,
-        "dl_quantize": q_quantize,
+        "ts_topk": q_topk,
         "dl_minhash_lsh_pairs": q_minhash_lsh_pairs,
         "dl_rrf_fuse": q_rrf_fuse,
         "ts_ewma": q_ewma,
@@ -1824,6 +1836,7 @@ def _base_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ts_mget_withlabels": q_mget_withlabels,
         "ts_stream_rule_avg_1m": q_stream_rule_avg_1m,
         "ts_agg_empty_nan": q_agg_empty_nan,
+        "dl_quantize": q_quantize,
         "dl_ngram_lm": q_ngram_lm,
         "dl_simhash_pairs": q_simhash_pairs,
         "dl_ngram_jaccard": q_ngram_jaccard,
@@ -3081,6 +3094,15 @@ s AS (SELECT key, value, {bucket_sql('ts', 6 * H)} AS b, ts FROM samples
 SELECT key, b AS ts, round(regr_slope(value, (ts - b) / 1000.0), 6) AS slope
 FROM s GROUP BY key, b
 HAVING regr_slope(value, (ts - b) / 1000.0) IS NOT NULL""",
+        "ts_topk": f"""{ORACLE_PREFIX},
+a AS (SELECT key, {bucket_sql('ts', 6 * H)} AS b,
+             round(avg(CASE WHEN NOT isnan(value) THEN value END), 6) AS v
+      FROM samples WHERE ts BETWEEN {D14} AND {D21}
+      GROUP BY 1, 2),
+r AS (SELECT *, CAST(row_number() OVER (
+          PARTITION BY b ORDER BY v DESC, key) AS INTEGER) AS rnk
+      FROM a WHERE v IS NOT NULL AND NOT isnan(v))
+SELECT b AS ts, key, v AS value, rnk FROM r WHERE rnk <= 5""",
         "ts_changes": f"""{ORACLE_PREFIX},
 v AS (SELECT key, ts, value FROM samples WHERE NOT isnan(value)),
 d AS (SELECT key, ts, value,

@@ -882,6 +882,37 @@ class TimeSeriesEngine:
             samples, keys, self._resolve_ts(from_ts), self._resolve_ts(to_ts), **kw
         )
 
+    def topk(
+        self,
+        bucket_dur,
+        n: int,
+        agg: str = "avg",
+        filters: list[str] | None = None,
+        from_ts="-",
+        to_ts="+",
+        **kw,
+    ) -> DataFrame:
+        """Per-bucket top-n series by aggregate (beyond-reference;
+        operators/multi.ts_topk — PromQL topk/bottomk).  `filters`
+        narrows the ranked population with the usual label predicates."""
+        from redistimeseries_spark.operators.multi import ts_topk
+
+        samples = self.samples
+        if filters:
+            ks = matched_keys(self.labels_df, filters)
+            samples = samples.join(
+                F.broadcast(ks), "key", "left_semi"
+            )
+        return ts_topk(
+            samples,
+            parse_duration_ms(bucket_dur),
+            n,
+            agg,
+            start=self._resolve_ts(from_ts),
+            end=self._resolve_ts(to_ts),
+            **kw,
+        )
+
     def queryindex(self, filters: list[str]) -> list[str]:
         return sorted(r.key for r in matched_keys(self.labels_df, filters).collect())
 

@@ -205,3 +205,74 @@ def series_stats(samples: DataFrame, labels: DataFrame) -> DataFrame:
         "last_timestamp",
         F.coalesce("n_labels", F.lit(0)).alias("n_labels"),
     )
+
+
+def ts_topk(
+    samples: DataFrame,
+    bucket_dur: int,
+    n: int,
+    agg: str = "avg",
+    keys: list[str] | str | None = None,
+    start: int = MIN_TS,
+    end: int = MAX_TS,
+    align="0",
+    bottom: bool = False,
+) -> DataFrame:
+    """(ts, key, value, rnk) — the `n` series with the LARGEST (or, with
+    `bottom=True`, smallest) per-bucket aggregate, per bucket (PromQL's
+    topk()/bottomk(), the "which hosts are hottest right now" dashboard
+    primitive; ts is the bucket start).  `agg` is any groupBy-expressible
+    aggregator from the reference set (functions/aggs.py), p-names
+    included.  Series whose bucket aggregate is NULL (no valid samples)
+    or NaN are absent from that bucket's ranking.
+
+    Selection ranks the aggregate ROUNDED TO 6 DECIMALS with the key as
+    the tiebreak — the bm25_topk convention, which makes the picked set
+    independent of distributed float-summation order (and of the oracle
+    engine's).  `value` is reported at the same rounding.
+
+    Spark shape: ONE (key, bucket) partial/final hash aggregate, then a
+    bucket-partitioned row_number that InferWindowGroupLimit rewrites
+    into per-partition top-n heaps before the shuffle — no bucket's full
+    series list is ever sorted in one task."""
+    from pyspark.sql import Window
+
+    from redistimeseries_spark.functions.aggs import agg_expr
+    from redistimeseries_spark.functions.buckets import (
+        bucket_start,
+        resolve_align,
+    )
+
+    if bucket_dur <= 0:
+        raise ValueError("bucket_dur must be positive")
+    if n <= 0:
+        raise ValueError("n must be positive")
+    df = samples
+    if keys is not None:
+        klist = [keys] if isinstance(keys, str) else list(keys)
+        df = df.filter(F.col("key").isin(klist))
+    if start > MIN_TS:
+        df = df.filter(F.col("ts") >= F.lit(start))
+    if end < MAX_TS:
+        df = df.filter(F.col("ts") <= F.lit(end))
+    align_ts = resolve_align(align, start, end)
+    b = bucket_start(F.col("ts"), bucket_dur, align_ts)
+    agged = (
+        df.select("key", b.alias("__b"), "ts", "value")
+        .groupBy("key", "__b")
+        .agg(F.round(agg_expr(agg, F.col("value"), F.col("ts")), 6).alias("__v"))
+        .filter(F.col("__v").isNotNull() & ~F.isnan("__v"))
+    )
+    order = [
+        F.col("__v").asc() if bottom else F.col("__v").desc(),
+        F.col("key").asc(),
+    ]
+    w = Window.partitionBy("__b").orderBy(*order)
+    return (
+        agged.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= n)
+        .select(
+            F.col("__b").alias("ts"), "key", F.col("__v").alias("value"), "rnk"
+        )
+        .orderBy("ts", "rnk")
+    )

@@ -696,3 +696,17 @@ def test_on_duplicate_override_beats_series_policy(spark):
     eng.add("b", 2, 2.0, on_duplicate="sum")
     eng.add("b", 2, 50.0)  # no override -> series BLOCK rejects it
     assert [(r.ts, r.value) for r in eng.range("b").collect()] == [(2, 8.0)]
+
+
+def test_engine_topk_facade(eng):
+    """topk ranks the label-filtered population per bucket."""
+    eng.create("h1", labels={"role": "web"})
+    eng.create("h2", labels={"role": "web"})
+    eng.create("h3", labels={"role": "db"})
+    eng.madd([("h1", 0, 10.0), ("h2", 100, 30.0), ("h3", 200, 99.0),
+              ("h1", 1100, 7.0), ("h2", 1200, 3.0)])
+    top = [(r.ts, r.key, r.rnk)
+           for r in eng.topk(1000, 1, filters=["role=web"]).collect()]
+    assert top == [(0, "h2", 1), (1000, "h1", 1)]  # h3 filtered out
+    allk = [(r.ts, r.key) for r in eng.topk(1000, 1).collect()]
+    assert allk == [(0, "h3"), (1000, "h1")]

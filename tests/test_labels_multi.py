@@ -232,3 +232,40 @@ def test_sessionize_gap_is_strict(spark, samples_df):
     s = samples_df([("k", 0, 1.0), ("k", 1000, 1.0), ("k", 2001, 1.0)])
     sess = [r.session_id for r in sessionize(s, 1000).orderBy("ts").collect()]
     assert sess == [1, 1, 2]  # gap == 1000 stays, 1001 splits
+
+
+def test_topk_per_bucket(spark, samples_df):
+    """ts_topk: hand-ranked per-bucket winners, rounded-value ranking
+    with key tiebreak, bottomk ordering, all-NaN series absent, n/dur
+    validation."""
+    import pytest as _pytest
+
+    from redistimeseries_spark.operators.multi import ts_topk
+
+    nan = float("nan")
+    sdf = samples_df(
+        [
+            # bucket 0 avgs: a=10, b=20, c=20 (tie -> key asc), d=NaN-only
+            ("a", 100, 10.0), ("b", 200, 20.0),
+            ("c", 300, 15.0), ("c", 400, 25.0),
+            ("d", 500, nan),
+            # bucket 1000 avgs: a=5, b=1
+            ("a", 1100, 5.0), ("b", 1200, 1.0),
+        ]
+    )
+    top = [
+        (r.ts, r.key, r.value, r.rnk)
+        for r in ts_topk(sdf, 1000, 2).collect()
+    ]
+    assert top == [
+        (0, "b", 20.0, 1), (0, "c", 20.0, 2),
+        (1000, "a", 5.0, 1), (1000, "b", 1.0, 2),
+    ]
+    bot = [(r.ts, r.key) for r in ts_topk(sdf, 1000, 1, bottom=True).collect()]
+    assert bot == [(0, "a"), (1000, "b")]
+    mx = [(r.ts, r.key, r.value) for r in ts_topk(sdf, 1000, 1, agg="max").collect()]
+    assert mx == [(0, "c", 25.0), (1000, "a", 5.0)]
+    with _pytest.raises(ValueError):
+        ts_topk(sdf, 0, 1)
+    with _pytest.raises(ValueError):
+        ts_topk(sdf, 1000, 0)
