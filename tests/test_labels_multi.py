@@ -269,3 +269,8 @@ def test_topk_per_bucket(spark, samples_df):
         ts_topk(sdf, 0, 1)
     with _pytest.raises(ValueError):
         ts_topk(sdf, 1000, 0)
+    # the rank is a partial per-partition heap, not a full bucket sort
+    plan = (
+        ts_topk(sdf, 1000, 2)._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "WindowGroupLimit" in plan
