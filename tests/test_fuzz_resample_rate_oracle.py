@@ -449,3 +449,67 @@ def test_fuzz_predict_linear_vs_duckdb(envs):
         if not got.equals(exp):
             failures.append((i, s, got.shape, exp.shape))
     assert not failures, failures[:2]
+
+
+def test_fuzz_topk_vs_duckdb(envs):
+    """ts_topk vs a written-definition SQL window oracle on the gauge
+    dataset — agg x n x bottom x ALIGN x range; rounded-value ranking
+    with key tiebreak on both sides."""
+    from redistimeseries_spark.functions.aggs import agg_sql
+    from redistimeseries_spark.operators.multi import ts_topk
+
+    rng, sdf, con, _, _ = envs
+    all_keys = KEYS + ["rg"]
+    specs = []
+    while len(specs) < N_SPECS:
+        s = {
+            "keys": rng.sample(all_keys, rng.randint(2, 5)),
+            "dur": rng.choice([700, 1000, 3600, 7919, 25_000]),
+            "n": rng.randint(1, 4),
+            "agg": rng.choice(["avg", "max", "sum", "count", "last", "p50"]),
+            "bottom": rng.random() < 0.4,
+            "align": rng.choice(["0", "start"]),
+            "start": MIN_TS,
+            "end": MAX_TS,
+        }
+        if rng.random() < 0.5:
+            lo = rng.randrange(0, 40_000)
+            s["start"], s["end"] = lo, lo + rng.randrange(5_000, 40_000)
+        if s["align"] == "start" and s["start"] == MIN_TS:
+            s["align"] = "0"
+        specs.append(s)
+    failures = []
+    for i, s in enumerate(specs):
+        align_ts = resolve_align(s["align"], s["start"], s["end"])
+        b = bucket_sql("ts", s["dur"], align_ts)
+        where = []
+        ks = ", ".join(repr(k) for k in s["keys"])
+        where.append(f"key IN ({ks})")
+        if s["start"] > MIN_TS:
+            where.append(f"ts >= {s['start']}")
+        if s["end"] < MAX_TS:
+            where.append(f"ts <= {s['end']}")
+        if s["agg"] == "p50":
+            vexpr = "quantile_cont(CASE WHEN NOT isnan(value) THEN value END, 0.5)"
+        else:
+            vexpr = agg_sql(s["agg"])
+        direction = "ASC" if s["bottom"] else "DESC"
+        sql = f"""
+          WITH a AS (SELECT key, {b} AS bk, round({vexpr}, 6) AS v
+                     FROM t WHERE {' AND '.join(where)} GROUP BY 1, 2),
+          r AS (SELECT *, CAST(row_number() OVER (
+                    PARTITION BY bk ORDER BY v {direction}, key) AS INTEGER) AS rnk
+                FROM a WHERE v IS NOT NULL AND NOT isnan(v))
+          SELECT bk AS ts, key, v AS value, rnk FROM r WHERE rnk <= {s['n']}
+        """
+        got = _normalize(
+            ts_topk(
+                sdf, s["dur"], s["n"], agg=s["agg"], keys=s["keys"],
+                start=s["start"], end=s["end"], align=s["align"],
+                bottom=s["bottom"],
+            ).toPandas()
+        )
+        exp = _normalize(con.sql(sql).df())
+        if not got.equals(exp):
+            failures.append((i, s, got.shape, exp.shape))
+    assert not failures, failures[:2]
