@@ -215,6 +215,11 @@ def main():
         "b22_holt": lambda: __import__(
             "redistimeseries_spark.operators.smooth", fromlist=["ts_holt"]
         ).ts_holt(samples, 0.4, 0.2),
+        # per-bucket top-10 series by 2h average: one hash agg + a
+        # WindowGroupLimit partial-heap rank
+        "b23_topk10_2h": lambda: __import__(
+            "redistimeseries_spark.operators.multi", fromlist=["ts_topk"]
+        ).ts_topk(samples, 2 * H, 10),
     }
 
     # SPARK_GRAFT_BUCKETED=1: also build the key-bucketed layout and probe
