@@ -1496,6 +1496,25 @@ def q_clean_lines(spark, sf_dir):
     return clean_lines(d)
 
 
+def q_dedup_lines(spark, sf_dir):
+    """Corpus-level line dedup over the same deterministically
+    line-broken corpus as dl_clean_lines — the synthetic word soup
+    repeats lines heavily across docs, stressing the keeper rule; the
+    oracle picks keepers by raw line text (vs the operator's md5 keys),
+    an independent shape."""
+    from redistimeseries_spark.pipeline.text import dedup_lines
+
+    d = _docs(spark, sf_dir).select(
+        "doc_id",
+        F.replace(
+            F.replace(F.col("text"), F.lit(" table"), F.lit(".\nTable")),
+            F.lit(" batch"),
+            F.lit("!\nbatch"),
+        ).alias("text"),
+    )
+    return dedup_lines(d)
+
+
 def q_url_dedup(spark, sf_dir):
     """Canonical-URL dedup over synthesized crawl variants (mixed-case
     authority, default port, utm params, trailing slash, fragment); the
@@ -1771,6 +1790,9 @@ def _base_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # rotate out.  NEW ts_topk (PromQL topk per bucket) promotes;
     # dl_quantize (2x driver-green; the quantization/similarity family
     # keeps dl_pq_adc + dl_ann_lsh_topk + dl_ann_batch) rotates out.
+    # NEW dl_dedup_lines (C4 corpus-level line dedup, independent-shape
+    # oracle) promotes; dl_minhash_lsh_pairs (3x driver-green; dedup
+    # family keeps dl_dedup_pipeline + dl_cross_lsh_pairs) rotates out.
     return {
         # --- checked prefix: one representative per operator family -----
         "ts_range_raw": q_range_raw,
@@ -1803,7 +1825,7 @@ def _base_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ts_resample_locf": q_resample_locf,
         "dl_cross_contaminated": q_cross_contaminated,
         "ts_topk": q_topk,
-        "dl_minhash_lsh_pairs": q_minhash_lsh_pairs,
+        "dl_dedup_lines": q_dedup_lines,
         "dl_rrf_fuse": q_rrf_fuse,
         "ts_ewma": q_ewma,
         "ts_anomalies": q_anomalies,
@@ -1837,6 +1859,7 @@ def _base_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ts_stream_rule_avg_1m": q_stream_rule_avg_1m,
         "ts_agg_empty_nan": q_agg_empty_nan,
         "dl_quantize": q_quantize,
+        "dl_minhash_lsh_pairs": q_minhash_lsh_pairs,
         "dl_ngram_lm": q_ngram_lm,
         "dl_simhash_pairs": q_simhash_pairs,
         "dl_ngram_jaccard": q_ngram_jaccard,
@@ -2612,6 +2635,32 @@ SELECT doc_id,
        n_lines - len(kept) AS n_dropped,
        contains(text, '{') AS has_brace
 FROM k""",
+        "dl_dedup_lines": """WITH
+d AS (SELECT doc_id,
+             replace(replace(text, ' table', '.' || chr(10) || 'Table'),
+                     ' batch', '!' || chr(10) || 'batch') AS text
+      FROM documents),
+ls AS (SELECT doc_id, string_split(text, chr(10)) AS ls FROM d),
+l AS (SELECT doc_id, i AS pos, ls[i] AS line
+      FROM ls, unnest(generate_series(1, len(ls))) AS t(i)),
+big AS (SELECT * FROM l WHERE length(line) >= 30),
+k AS (SELECT line, count(*) AS occ, min(doc_id) AS kd FROM big GROUP BY line),
+k2 AS (SELECT b.line, any_value(k.occ) AS occ, any_value(k.kd) AS kd,
+              min(b.pos) AS kp
+       FROM big b JOIN k ON b.line = k.line AND b.doc_id = k.kd
+       GROUP BY b.line),
+kept AS (SELECT b.doc_id, b.pos, b.line
+         FROM big b JOIN k2 ON b.line = k2.line
+         WHERE k2.occ = 1 OR (b.doc_id = k2.kd AND b.pos = k2.kp)
+         UNION ALL
+         SELECT doc_id, pos, line FROM l WHERE length(line) < 30),
+o AS (SELECT doc_id, string_agg(line, chr(10) ORDER BY pos) AS text,
+             count(*) AS nk
+      FROM kept GROUP BY doc_id),
+n AS (SELECT doc_id, len(string_split(text, chr(10))) AS nl FROM d)
+SELECT n.doc_id, coalesce(o.text, '') AS text,
+       nl - coalesce(o.nk, 0) AS n_removed
+FROM n LEFT JOIN o ON n.doc_id = o.doc_id""",
         "dl_url_dedup": """WITH g AS (
   SELECT doc_id, doc_id % 7 AS g7, doc_id % 5 AS g5 FROM documents)
 SELECT min(doc_id) AS doc_id,

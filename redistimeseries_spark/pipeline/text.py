@@ -207,6 +207,76 @@ def clean_lines(
     )
 
 
+def dedup_lines(
+    docs: DataFrame, min_chars: int = 30
+) -> DataFrame:
+    """(doc_id, text, n_removed) — CROSS-CORPUS line dedup: a line that
+    occurs in more than one place keeps only its FIRST occurrence
+    (smallest (doc_id, position)) and is removed everywhere else — C4's
+    corpus-level duplicate-span removal at line granularity, the pass
+    that strips repeated boilerplate headers/footers a per-document
+    filter cannot see.  Lines shorter than `min_chars` are exempt
+    (navigation crumbs and list bullets repeat legitimately; C4 guards
+    the same way by deduping only three-sentence spans).
+
+    Scale shape — deliberately NO window over the line key: the keeper
+    per line is `min(struct(doc_id, pos))`, a partial-aggregatable hash
+    aggregate, so a boilerplate line shared by millions of documents
+    costs one combiner cell instead of one skewed sort partition.  The
+    plan is explode -> (line-hash) agg -> join back -> per-doc
+    reassembly (sort_array over collected (pos, line) structs).  Line
+    identity is the md5 of the line (the exact_dedup convention)."""
+    if min_chars < 0:
+        raise ValueError("min_chars must be >= 0")
+    lines = docs.select(
+        "doc_id", F.posexplode(F.split("text", "\n")).alias("pos", "line")
+    )
+    big = lines.filter(F.length("line") >= min_chars).withColumn(
+        "__h", F.md5("line")
+    )
+    keeper = big.groupBy("__h").agg(
+        F.min(F.struct("doc_id", "pos")).alias("k"),
+        F.count(F.lit(1)).alias("__occ"),
+    )
+    kept_big = (
+        big.join(keeper, "__h")
+        .filter(
+            (F.col("__occ") == 1)
+            | (
+                (F.col("doc_id") == F.col("k.doc_id"))
+                & (F.col("pos") == F.col("k.pos"))
+            )
+        )
+        .select("doc_id", "pos", "line")
+    )
+    kept = kept_big.unionByName(
+        lines.filter(F.length("line") < min_chars).select(
+            "doc_id", "pos", "line"
+        )
+    )
+    out = kept.groupBy("doc_id").agg(
+        F.array_sort(F.collect_list(F.struct("pos", "line"))).alias("__ls")
+    )
+    n_lines = docs.select(
+        "doc_id", F.size(F.split("text", "\n")).cast("long").alias("__n")
+    )
+    return (
+        n_lines.join(out, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce(
+                F.concat_ws(
+                    "\n", F.transform("__ls", lambda s: s.getField("line"))
+                ),
+                F.lit(""),
+            ).alias("text"),
+            (
+                F.col("__n") - F.coalesce(F.size("__ls"), F.lit(0)).cast("long")
+            ).alias("n_removed"),
+        )
+    )
+
+
 def hashed_classifier_scores(
     docs: DataFrame,
     weights,

@@ -486,6 +486,44 @@ def test_clean_lines_c4_rules(spark):
         clean_lines(docs, min_words=0)
 
 
+def test_dedup_lines_cross_corpus(spark):
+    """Corpus-level line dedup: first occurrence (smallest doc_id, pos)
+    survives, later copies removed, short lines exempt, doc order
+    preserved, fully-deduped docs come back empty."""
+    from redistimeseries_spark.pipeline.text import dedup_lines
+
+    boiler = "subscribe to our newsletter for updates!"
+    docs = spark.createDataFrame(
+        [
+            (1, f"Unique opening line for document one.\n{boiler}\nshort"),
+            (2, f"{boiler}\nAnother distinct line in document two."),
+            (3, boiler),
+            # duplicate WITHIN one doc: second copy removed too
+            (4, "Repeated inside this very same document okay.\n"
+                "Repeated inside this very same document okay."),
+        ],
+        "doc_id long, text string",
+    )
+    got = {r.doc_id: r for r in dedup_lines(docs).collect()}
+    assert got[1].text == (
+        f"Unique opening line for document one.\n{boiler}\nshort"
+    )
+    assert got[1].n_removed == 0
+    assert got[2].text == "Another distinct line in document two."
+    assert got[2].n_removed == 1
+    assert got[3].text == "" and got[3].n_removed == 1
+    assert got[4].text == "Repeated inside this very same document okay."
+    assert got[4].n_removed == 1
+    # 'short' (< min_chars) repeats freely
+    short = spark.createDataFrame(
+        [(1, "short"), (2, "short")], "doc_id long, text string"
+    )
+    s = {r.doc_id: r.n_removed for r in dedup_lines(short).collect()}
+    assert s == {1: 0, 2: 0}
+    with pytest.raises(ValueError):
+        dedup_lines(docs, min_chars=-1)
+
+
 def test_canonical_url_and_dedup(spark):
     """URL canonicalization collapses the standard crawl variants; the
     dedup keeps the smallest doc_id per canonical form."""
