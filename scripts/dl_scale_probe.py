@@ -247,6 +247,19 @@ def main():
                 ).alias("text"),
             )
         ),
+        # corpus-level line dedup: the replicated corpus repeats every
+        # long line REPLICAS x (plus cross-doc repeats in the base) —
+        # the exact hot-line shape the min(struct) keeper agg exists for
+        "d29_dedup_lines": lambda: __import__(
+            "redistimeseries_spark.pipeline.text", fromlist=["dedup_lines"]
+        ).dedup_lines(
+            docs.select(
+                "doc_id",
+                F.replace(
+                    F.col("text"), F.lit(" table"), F.lit(".\nTable")
+                ).alias("text"),
+            )
+        ),
         # canonical-URL dedup over synthesized crawl variants (projection
         # + one hash agg)
         "d28_url_dedup": lambda: __import__(
