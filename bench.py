@@ -104,6 +104,12 @@ def benchmarks(st, raw, latest, bucketed, dup_docs, text_index_path):
         # term — build once in setup, query many; the scan opens only the
         # query terms' bucket partitions (protocol addition, round 6)
         "b12_bm25_indexed": lambda: _bm25_indexed(),
+        # B13: per-bucket top-5 series by 6h average (PromQL topk) — one
+        # (key, bucket) hash agg + a WindowGroupLimit partial-heap rank
+        # (protocol addition, round 6 second wave)
+        "b13_topk5_6h": lambda: __import__(
+            "redistimeseries_spark.operators.multi", fromlist=["ts_topk"]
+        ).ts_topk(st.samples, 6 * H, 5),
     }
 
 
