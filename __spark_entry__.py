@@ -1496,6 +1496,15 @@ def q_clean_lines(spark, sf_dir):
     return clean_lines(d)
 
 
+def q_dup_spans(spark, sf_dir):
+    """Exact-substring duplication signal (Lee et al. 2021) over the raw
+    corpus: strided 64-char window fingerprints, corpus-wide occurrence
+    counts, per-doc duplicated fraction."""
+    from redistimeseries_spark.pipeline.dedup import duplicate_span_stats
+
+    return duplicate_span_stats(_docs(spark, sf_dir))
+
+
 def q_dedup_lines(spark, sf_dir):
     """Corpus-level line dedup over the same deterministically
     line-broken corpus as dl_clean_lines — the synthetic word soup
@@ -1793,6 +1802,9 @@ def _base_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # NEW dl_dedup_lines (C4 corpus-level line dedup, independent-shape
     # oracle) promotes; dl_minhash_lsh_pairs (3x driver-green; dedup
     # family keeps dl_dedup_pipeline + dl_cross_lsh_pairs) rotates out.
+    # NEW dl_dup_spans (Lee-et-al exact-substring duplication signal)
+    # promotes; dl_ann_batch (2x driver-green; ANN family keeps
+    # dl_ann_lsh_topk + dl_pq_adc) rotates out.
     return {
         # --- checked prefix: one representative per operator family -----
         "ts_range_raw": q_range_raw,
@@ -1835,7 +1847,7 @@ def _base_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dl_dedup_pipeline": q_dedup_pipeline,
         "dl_embed_neardup_lsh": q_embed_neardup_lsh,
         "dl_ann_lsh_topk": q_ann_lsh_topk,
-        "dl_ann_batch": q_ann_batch,
+        "dl_dup_spans": q_dup_spans,
         "dl_stream_dedup": q_stream_dedup,
         "dl_mm_frame_sample": q_mm_frame_sample,
         "dl_rolling_fingerprint": q_rolling_fingerprint,
@@ -1860,6 +1872,7 @@ def _base_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ts_agg_empty_nan": q_agg_empty_nan,
         "dl_quantize": q_quantize,
         "dl_minhash_lsh_pairs": q_minhash_lsh_pairs,
+        "dl_ann_batch": q_ann_batch,
         "dl_ngram_lm": q_ngram_lm,
         "dl_simhash_pairs": q_simhash_pairs,
         "dl_ngram_jaccard": q_ngram_jaccard,
@@ -2635,6 +2648,23 @@ SELECT doc_id,
        n_lines - len(kept) AS n_dropped,
        contains(text, '{') AS has_brace
 FROM k""",
+        "dl_dup_spans": """WITH
+n AS (SELECT doc_id, regexp_replace(lower(text), '\\s+', ' ', 'g') AS nt
+      FROM documents),
+s AS (SELECT doc_id,
+             list_transform(generate_series(1, greatest(length(nt) - 63, 1), 16),
+                            i -> md5(substr(nt, i, 64))) AS ws
+      FROM n),
+sp AS (SELECT doc_id, len(ws) AS n_windows, ws FROM s),
+e AS (SELECT doc_id, unnest(ws) AS fp FROM sp),
+c AS (SELECT fp, count(*) AS cc FROM e GROUP BY fp),
+d AS (SELECT e.doc_id, count(*) AS dup_windows
+      FROM e JOIN c USING (fp) WHERE cc >= 2 GROUP BY e.doc_id)
+SELECT sp.doc_id, sp.n_windows,
+       coalesce(d.dup_windows, 0) AS dup_windows,
+       round(coalesce(d.dup_windows, 0) / greatest(sp.n_windows, 1), 6)
+         AS dup_frac
+FROM sp LEFT JOIN d ON sp.doc_id = d.doc_id""",
         "dl_dedup_lines": """WITH
 d AS (SELECT doc_id,
              replace(replace(text, ' table', '.' || chr(10) || 'Table'),

@@ -53,6 +53,68 @@ def exact_dedup(docs: DataFrame) -> DataFrame:
     )
 
 
+def duplicate_span_stats(
+    docs: DataFrame, w: int = 64, stride: int = 16, min_df: int = 2
+) -> DataFrame:
+    """(doc_id, n_windows, dup_windows, dup_frac) — the EXACT-SUBSTRING
+    duplication signal of Lee et al. 2021 ("Deduplicating Training Data
+    Makes Language Models Better"): strided `w`-char windows of the
+    normalized text (lowercased, whitespace-collapsed — the fingerprints
+    convention) are fingerprinted, and a window whose fingerprint occurs
+    at least `min_df` times ANYWHERE in the corpus (other docs or a
+    repeat inside the same doc) marks a duplicated span.  `dup_frac` is
+    the fraction of a doc's windows that are duplicated — the drop /
+    trim decision threshold; docs shorter than `w` contribute their
+    whole text as one window, so verbatim short copies still register.
+
+    Suffix arrays don't distribute; strided fingerprint windows are the
+    standard scalable approximation (miss bound: a duplicated run
+    shorter than w + stride - 1 chars can fall between windows).
+
+    Scale shape: one map-side projection builds each doc's window
+    array (md5 of w chars per window, stride bounds the volume at
+    ~len/stride rows), then ONE (fingerprint) count aggregate and ONE
+    (doc_id) rollup — all partial-aggregatable keyed work, no windows,
+    no self-join, nothing driver-side."""
+    if w <= 0 or stride <= 0:
+        raise ValueError("w and stride must be positive")
+    if min_df < 2:
+        raise ValueError("min_df must be >= 2")
+    nt = docs.select(
+        "doc_id",
+        F.regexp_replace(F.lower(F.col("text")), "\\s+", " ").alias("nt"),
+    )
+    wins = F.expr(
+        f"transform(sequence(1, greatest(length(nt) - {w} + 1, 1), {stride}),"
+        f" i -> md5(substring(nt, i, {w})))"
+    )
+    spine = nt.select("doc_id", wins.alias("__w")).select(
+        "doc_id", "__w", F.size("__w").cast("long").alias("n_windows")
+    )
+    ex = spine.select("doc_id", F.explode("__w").alias("fp"))
+    cnt = ex.groupBy("fp").agg(F.count(F.lit(1)).alias("__c"))
+    dup = (
+        ex.join(cnt, "fp")
+        .filter(F.col("__c") >= min_df)
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("dup_windows"))
+    )
+    return (
+        spine.select("doc_id", "n_windows")
+        .join(dup, "doc_id", "left")
+        .select(
+            "doc_id",
+            "n_windows",
+            F.coalesce("dup_windows", F.lit(0)).alias("dup_windows"),
+            F.round(
+                F.coalesce("dup_windows", F.lit(0))
+                / F.greatest("n_windows", F.lit(1)),
+                6,
+            ).alias("dup_frac"),
+        )
+    )
+
+
 def char_shingles(docs: DataFrame, k: int = 5) -> DataFrame:
     """(doc_id, shingle) — distinct lowercased char k-grams."""
     # lowered text projected before the lambda: an inlined lower(text)

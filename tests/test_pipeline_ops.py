@@ -486,6 +486,41 @@ def test_clean_lines_c4_rules(spark):
         clean_lines(docs, min_words=0)
 
 
+def test_duplicate_span_stats(spark):
+    """Exact-substring duplication signal: planted shared paragraph
+    flags both carriers, within-doc repeats count, unique text scores 0,
+    short verbatim copies register, normalization collapses whitespace."""
+    from redistimeseries_spark.pipeline.dedup import duplicate_span_stats
+
+    shared = (
+        "this exact paragraph of text is copied verbatim between the two "
+        "documents and is much longer than one window width"
+    )
+    uniq = ("an entirely different passage with no repeated content "
+            "anywhere in this corpus at all, each word placed once")
+    docs = spark.createDataFrame(
+        [
+            (1, f"{shared} tail one"),
+            (2, f"{shared.upper()}   tail two"),  # normalization collapses
+            (3, uniq),
+            (4, "tiny"), (5, "tiny"),  # short verbatim copies: 1 window
+            (6, "dup dup dup dup " * 20),  # repeats WITHIN one doc
+        ],
+        "doc_id long, text string",
+    )
+    got = {r.doc_id: r for r in duplicate_span_stats(docs, w=32, stride=8).collect()}
+    assert got[1].dup_windows > 0 and got[2].dup_windows > 0
+    assert got[1].dup_frac > 0.5  # most of doc 1 IS the shared paragraph
+    assert got[3].dup_windows == 0 and got[3].dup_frac == 0.0
+    assert got[4].n_windows == 1 and got[4].dup_frac == 1.0
+    assert got[5].dup_frac == 1.0
+    assert got[6].dup_frac == 1.0  # self-repeating content
+    with pytest.raises(ValueError):
+        duplicate_span_stats(docs, w=0)
+    with pytest.raises(ValueError):
+        duplicate_span_stats(docs, min_df=1)
+
+
 def test_dedup_lines_cross_corpus(spark):
     """Corpus-level line dedup: first occurrence (smallest doc_id, pos)
     survives, later copies removed, short lines exempt, doc order
