@@ -247,6 +247,13 @@ def main():
                 ).alias("text"),
             )
         ),
+        # exact-substring duplication signal: every replica shares its
+        # base doc's windows, so dup_frac ~1 corpus-wide — the worst case
+        # for the fingerprint count table
+        "d30_dup_spans": lambda: __import__(
+            "redistimeseries_spark.pipeline.dedup",
+            fromlist=["duplicate_span_stats"],
+        ).duplicate_span_stats(docs),
         # corpus-level line dedup: the replicated corpus repeats every
         # long line REPLICAS x (plus cross-doc repeats in the base) —
         # the exact hot-line shape the min(struct) keeper agg exists for
