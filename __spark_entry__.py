@@ -1496,6 +1496,19 @@ def q_clean_lines(spark, sf_dir):
     return clean_lines(d)
 
 
+def q_substring_contaminated(spark, sf_dir):
+    """Exact-substring decontamination (the GPT-style 50-char rule):
+    every 50th doc is the eval corpus; stride-1 eval window index
+    broadcast, strided train windows probe it map-side."""
+    from redistimeseries_spark.pipeline.dedup import substring_contaminated
+
+    docs = _docs(spark, sf_dir).select("doc_id", "text")
+    return substring_contaminated(
+        docs.filter(F.col("doc_id") % 50 != 0),
+        docs.filter(F.col("doc_id") % 50 == 0),
+    )
+
+
 def q_dup_spans(spark, sf_dir):
     """Exact-substring duplication signal (Lee et al. 2021) over the raw
     corpus: strided 64-char window fingerprints, corpus-wide occurrence
@@ -1804,7 +1817,11 @@ def _base_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # family keeps dl_dedup_pipeline + dl_cross_lsh_pairs) rotates out.
     # NEW dl_dup_spans (Lee-et-al exact-substring duplication signal)
     # promotes; dl_ann_batch (2x driver-green; ANN family keeps
-    # dl_ann_lsh_topk + dl_pq_adc) rotates out.
+    # dl_ann_lsh_topk + dl_pq_adc) rotates out.  NEW
+    # dl_substring_contaminated (GPT-style exact-substring
+    # decontamination — completes the decontamination trio) promotes;
+    # dl_stream_dedup (2x driver-green; streaming-dedup family keeps
+    # dl_stream_semdedup) rotates out.
     return {
         # --- checked prefix: one representative per operator family -----
         "ts_range_raw": q_range_raw,
@@ -1848,7 +1865,7 @@ def _base_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dl_embed_neardup_lsh": q_embed_neardup_lsh,
         "dl_ann_lsh_topk": q_ann_lsh_topk,
         "dl_dup_spans": q_dup_spans,
-        "dl_stream_dedup": q_stream_dedup,
+        "dl_substring_contaminated": q_substring_contaminated,
         "dl_mm_frame_sample": q_mm_frame_sample,
         "dl_rolling_fingerprint": q_rolling_fingerprint,
         "ts_counter_increase": q_counter_increase,
@@ -1873,6 +1890,7 @@ def _base_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dl_quantize": q_quantize,
         "dl_minhash_lsh_pairs": q_minhash_lsh_pairs,
         "dl_ann_batch": q_ann_batch,
+        "dl_stream_dedup": q_stream_dedup,
         "dl_ngram_lm": q_ngram_lm,
         "dl_simhash_pairs": q_simhash_pairs,
         "dl_ngram_jaccard": q_ngram_jaccard,
@@ -2648,6 +2666,24 @@ SELECT doc_id,
        n_lines - len(kept) AS n_dropped,
        contains(text, '{') AS has_brace
 FROM k""",
+        "dl_substring_contaminated": """WITH
+n AS (SELECT doc_id, regexp_replace(lower(text), '\\s+', ' ', 'g') AS nt
+      FROM documents),
+ev AS (SELECT DISTINCT unnest(list_transform(
+             generate_series(1, greatest(length(nt) - 49, 1)),
+             i -> md5(substr(nt, i, 50)))) AS fp
+       FROM n WHERE doc_id % 50 = 0),
+tr AS (SELECT doc_id, unnest(list_transform(
+             generate_series(1, greatest(length(nt) - 49, 1), 16),
+             i -> md5(substr(nt, i, 50)))) AS fp
+       FROM n WHERE doc_id % 50 <> 0),
+h AS (SELECT tr.doc_id, count(*) AS contaminated_windows
+      FROM tr JOIN ev USING (fp) GROUP BY tr.doc_id)
+SELECT d.doc_id,
+       coalesce(h.contaminated_windows, 0) AS contaminated_windows,
+       coalesce(h.contaminated_windows, 0) >= 1 AS contaminated
+FROM (SELECT doc_id FROM documents WHERE doc_id % 50 <> 0) d
+LEFT JOIN h ON d.doc_id = h.doc_id""",
         "dl_dup_spans": """WITH
 n AS (SELECT doc_id, regexp_replace(lower(text), '\\s+', ' ', 'g') AS nt
       FROM documents),

@@ -115,6 +115,84 @@ def duplicate_span_stats(
     )
 
 
+def substring_contaminated(
+    train: DataFrame,
+    eval_docs: DataFrame,
+    w: int = 50,
+    stride: int = 16,
+    min_hits: int = 1,
+) -> DataFrame:
+    """(doc_id, contaminated_windows, contaminated) — GPT-style
+    EXACT-SUBSTRING decontamination (the "50-character overlap" rule):
+    a training doc is contaminated when at least `min_hits` of its
+    strided `w`-char windows occur VERBATIM anywhere in the evaluation
+    corpus.  The eval side is indexed at STRIDE 1 — every w-substring of
+    every eval doc — so a train window matches iff its exact content
+    appears in eval (no alignment miss on the eval side; the train
+    stride only bounds detection to shared spans of at least
+    w + stride - 1 chars, the duplicate_span_stats bound).  Both sides
+    share the fingerprints normalization (lowercase, whitespace
+    collapsed).  The trio: decontaminate (word n-gram), cross_contaminated
+    (fuzzy MinHash), this (exact substring — robust to tokenization).
+
+    Scale shape: eval sets are KBs-to-MBs against a 100 TB corpus, so
+    the stride-1 eval fingerprint set (|eval chars| rows) distincts
+    small and BROADCASTS; the train side is one strided map-side window
+    projection probing it — no corpus shuffle beyond the per-doc count
+    (partial-agg first), the decontaminate economics at substring
+    granularity."""
+    if w <= 0 or stride <= 0:
+        raise ValueError("w and stride must be positive")
+    if min_hits < 1:
+        raise ValueError("min_hits must be >= 1")
+
+    def _nt(df):
+        return df.select(
+            "doc_id",
+            F.regexp_replace(F.lower(F.col("text")), "\\s+", " ").alias("nt"),
+        )
+
+    ev = (
+        _nt(eval_docs)
+        .select(
+            F.explode(
+                F.expr(
+                    f"transform(sequence(1, greatest(length(nt) - {w} + 1, 1)),"
+                    f" i -> md5(substring(nt, i, {w})))"
+                )
+            ).alias("fp")
+        )
+        .distinct()
+    )
+    tr = _nt(train).select(
+        "doc_id",
+        F.explode(
+            F.expr(
+                f"transform(sequence(1, greatest(length(nt) - {w} + 1, 1), {stride}),"
+                f" i -> md5(substring(nt, i, {w})))"
+            )
+        ).alias("fp"),
+    )
+    hits = (
+        tr.join(F.broadcast(ev), "fp")
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("contaminated_windows"))
+    )
+    return (
+        train.select("doc_id")
+        .join(hits, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce("contaminated_windows", F.lit(0)).alias(
+                "contaminated_windows"
+            ),
+            (F.coalesce("contaminated_windows", F.lit(0)) >= min_hits).alias(
+                "contaminated"
+            ),
+        )
+    )
+
+
 def char_shingles(docs: DataFrame, k: int = 5) -> DataFrame:
     """(doc_id, shingle) — distinct lowercased char k-grams."""
     # lowered text projected before the lambda: an inlined lower(text)

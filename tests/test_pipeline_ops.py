@@ -486,6 +486,50 @@ def test_clean_lines_c4_rules(spark):
         clean_lines(docs, min_words=0)
 
 
+def test_substring_contaminated(spark):
+    """Exact-substring decontamination: verbatim eval spans flag train
+    docs regardless of tokenization/case/whitespace; clean docs pass;
+    min_hits raises the bar; eval-side stride-1 index catches arbitrary
+    alignment."""
+    from redistimeseries_spark.pipeline.dedup import substring_contaminated
+
+    secret = (
+        "the quick brown benchmark answer string that must never leak "
+        "into any training document whatsoever"
+    )
+    train = spark.createDataFrame(
+        [
+            (1, f"prefix words then {secret.upper()} and a suffix"),
+            (2, "completely unrelated training text with its own words "
+                "that share nothing with the held out evaluation data"),
+            (3, f"offset padding of unusual length xyzzy {secret} tail"),
+        ],
+        "doc_id long, text string",
+    )
+    ev = spark.createDataFrame(
+        [(100, f"question: {secret}   answer: 42")],
+        "doc_id long, text string",
+    )
+    got = {
+        r.doc_id: r
+        for r in substring_contaminated(train, ev, w=50, stride=8).collect()
+    }
+    assert got[1].contaminated and got[3].contaminated
+    assert not got[2].contaminated and got[2].contaminated_windows == 0
+    # min_hits above the achievable window count clears the flag
+    strict = {
+        r.doc_id: r.contaminated
+        for r in substring_contaminated(
+            train, ev, w=50, stride=8, min_hits=50
+        ).collect()
+    }
+    assert strict == {1: False, 2: False, 3: False}
+    with pytest.raises(ValueError):
+        substring_contaminated(train, ev, w=0)
+    with pytest.raises(ValueError):
+        substring_contaminated(train, ev, min_hits=0)
+
+
 def test_duplicate_span_stats(spark):
     """Exact-substring duplication signal: planted shared paragraph
     flags both carriers, within-doc repeats count, unique text scores 0,
