@@ -247,6 +247,15 @@ def main():
                 ).alias("text"),
             )
         ),
+        # GPT-style substring decontamination vs a 1%-sample eval corpus
+        # (stride-1 eval window index broadcast; train probes map-side)
+        "d31_substring_contaminated": lambda: __import__(
+            "redistimeseries_spark.pipeline.dedup",
+            fromlist=["substring_contaminated"],
+        ).substring_contaminated(
+            docs.filter(F.col("doc_id") % 100 != 0),
+            docs.filter(F.col("doc_id") % 100 == 0),
+        ),
         # exact-substring duplication signal: every replica shares its
         # base doc's windows, so dup_frac ~1 corpus-wide — the worst case
         # for the fingerprint count table
