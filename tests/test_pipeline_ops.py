@@ -486,6 +486,37 @@ def test_clean_lines_c4_rules(spark):
         clean_lines(docs, min_words=0)
 
 
+def test_canonical_url_idempotent_on_random_urls(spark):
+    """canonical_url is a CANONICALIZATION: applying it twice equals
+    applying it once, over a seeded zoo of random crawl-variant URLs."""
+    import random as _random
+
+    from redistimeseries_spark.pipeline.curation import canonical_url
+
+    rng = _random.Random(0x0C41)
+    urls = []
+    for i in range(200):
+        scheme = rng.choice(["http", "HTTP", "https", "HtTpS", "ftp"])
+        host = rng.choice(
+            ["Example.COM", "sub.Host.org", "x.io", "A-B.net"]
+        )
+        port = rng.choice(["", ":80", ":443", ":8080"])
+        path = "/".join(
+            rng.choice(["Alpha", "beta", "G7", ""]) for _ in range(rng.randint(0, 3))
+        )
+        q = rng.choice(
+            ["", "?id=3", "?utm_source=x", "?utm_a=1&id=2", "?id=2&utm_b=1&gclid=z"]
+        )
+        frag = rng.choice(["", "#top", "#a/b?c"])
+        urls.append((i, f"{scheme}://{host}{port}/{path}{q}{frag}"))
+    d = spark.createDataFrame(urls, "doc_id long, url string")
+    once = d.select("doc_id", canonical_url(F.col("url")).alias("c"))
+    twice = once.select("doc_id", canonical_url(F.col("c")).alias("c2"))
+    rows = {r.doc_id: r.c2 for r in twice.collect()}
+    base = {r.doc_id: r.c for r in once.collect()}
+    assert rows == base
+
+
 def test_substring_contaminated(spark):
     """Exact-substring decontamination: verbatim eval spans flag train
     docs regardless of tokenization/case/whitespace; clean docs pass;
