@@ -72,9 +72,12 @@ from redistimeseries_spark.pipeline.text import (
 )
 
 
+_EMB: dict = {}
+
+
 def _emb_corpus(spark, sf_dir: str, replicas: int):
     base = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
-    return (
+    out = (
         base.withColumn(
             "__r", F.explode(F.sequence(F.lit(0), F.lit(replicas - 1)))
         )
@@ -89,6 +92,16 @@ def _emb_corpus(spark, sf_dir: str, replicas: int):
         )
         .repartition(spark.sparkContext.defaultParallelism)
     )
+    # SPARK_GRAFT_PROBE_CACHE=1: materialize the synthetic corpus ONCE so
+    # the probes time the OPERATOR instead of re-exploding the corpus per
+    # action (at 10M vectors the explode dominates everything).  Default
+    # off to keep comparability with earlier BASELINE entries, which
+    # include the rebuild.
+    if os.environ.get("SPARK_GRAFT_PROBE_CACHE") == "1":
+        if replicas not in _EMB:
+            _EMB[replicas] = out.localCheckpoint()
+        return _EMB[replicas]
+    return out
 
 
 def main():
