@@ -76,8 +76,14 @@ def canonical_url(col) -> "F.Column":
     the subset Java regex and RE2 agree on), so the DuckDB oracle
     computes the identical canonical string."""
     u = F.regexp_replace(col, "#.*$", "")
-    u = F.regexp_replace(u, "(utm_[a-z_]+|fbclid|gclid)=[^&]*&", "")
-    u = F.regexp_replace(u, "[?&](utm_[a-z_]+|fbclid|gclid)=[^&]*$", "")
+    # Each tracking param must be ANCHORED to a preceding ?/& (else a
+    # param merely ENDING in a tracking name, e.g. xfbclid, is excised
+    # mid-token).  Lookbehind is outside the Java/RE2-shared subset, so
+    # the separator is kept via $1 and separator runs collapsed after —
+    # replace-all consumes each param's own leading ?/&, so consecutive
+    # tracking params all match in one pass.
+    u = F.regexp_replace(u, "([?&])(utm_[a-z_]+|fbclid|gclid)=[^&]*", "$1")
+    u = F.regexp_replace(u, "([?&])&+", "$1")
     u = F.regexp_replace(u, "[?&]$", "")
     auth = F.regexp_extract(u, "^([^:/?#]+://[^/?#]*)", 1)
     # lowercase ONLY scheme://authority; keep path+query byte-exact

@@ -47,21 +47,31 @@ def pack_sequences(
     n_groups: int = 64,
     id_col: str = "doc_id",
     text_col: str = "text",
+    tokens_col: str | None = None,
 ) -> DataFrame:
     """(doc_id, grp, bin, tokens, overflow) — every doc assigned to exactly
     one (grp, bin) training row; per-bin token sum <= max_tokens except
     single-doc overflow bins.  `grp * 2^32 + bin` is a globally unique
-    sequence id."""
+    sequence id.
+
+    `tokens_col` packs under a PRECOMPUTED per-doc token count instead of
+    the default whitespace count — the intended composition with the real
+    tokenizer: `pack_sequences(docs.join(bpe.bpe_token_counts(docs, m),
+    "doc_id"), tokens_col="bpe_tokens")` budgets bins in the units the
+    trainer will actually see."""
     if max_tokens <= 0:
         raise ValueError("max_tokens must be positive")
-    # ws-token count, same expression pair as pipeline/text.token_counts
+    # default: ws-token count, same expression pair as text.token_counts
     # (engine-portable: DuckDB's list_filter/string_split_regex mirror it)
+    tok_expr = (
+        F.col(tokens_col)
+        if tokens_col is not None
+        else F.size(F.array_remove(F.split(F.col(text_col), "\\s+"), ""))
+    )
     with_tok = docs.select(
         F.col(id_col).alias("doc_id"),
         F.pmod(F.col(id_col), F.lit(n_groups)).cast("int").alias("grp"),
-        F.size(F.array_remove(F.split(F.col(text_col), "\\s+"), ""))
-        .cast("long")
-        .alias("tokens"),
+        tok_expr.cast("long").alias("tokens"),
     )
 
     def pack(pdf: pd.DataFrame) -> pd.DataFrame:

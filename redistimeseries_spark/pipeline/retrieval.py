@@ -133,6 +133,11 @@ def bm25_scores(
 
 TEXT_INDEX_BUCKETS = 64
 
+# sentinel batch_id stamped on batch-built index rows (build_text_index /
+# similarity.build_ivf_index) and recorded as committed in `batches/`;
+# Structured Streaming micro-batch ids start at 0, so -1 never collides
+BATCH_BUILT_ID = -1
+
 
 def _term_bucket_py(term: str, buckets: int) -> int:
     """md5-prefix bucket, computable identically driver-side (Python) and
@@ -170,11 +175,18 @@ def build_text_index(
         "doc_id",
         F.expr(f"array_remove(split(lower(text), '{WORD_RE}'), '')").alias("wa"),
     ).select("doc_id", "wa", F.size("wa").alias("dl"))
+    # batch-built rows carry the SENTINEL batch_id -1, committed by the
+    # marker written below: a store later extended by TextIndexStream
+    # then has ONE uniform postings schema, so parquet schema inference
+    # can never read the batch rows with a null batch_id (which the
+    # committed-batch semi-join would silently drop) or miss the column
+    # entirely (which would skip commit filtering for streamed rows)
     postings = (
         toks.select("doc_id", "dl", F.explode("wa").alias("term"))
         .groupBy("term", "doc_id")
         .agg(F.count(F.lit(1)).alias("tf"), F.first("dl").alias("dl"))
         .withColumn("tb", _term_bucket_col(F.col("term"), buckets))
+        .withColumn("batch_id", F.lit(BATCH_BUILT_ID))
     )
     postings.write.mode("overwrite").partitionBy("tb").parquet(
         f"{path}/postings"
@@ -187,6 +199,10 @@ def build_text_index(
         F.sum("dl").alias("total_dl"),
         F.avg("dl").alias("avgdl"),
     ).write.mode("overwrite").parquet(f"{path}/stats")
+    docs.sparkSession.createDataFrame(
+        [(BATCH_BUILT_ID,)], "batch_id long"
+    ).write.mode("overwrite").parquet(f"{path}/batches")
+    _touch(docs.sparkSession, f"{path}/_batch_built")
 
 
 def bm25_topk_indexed(
@@ -208,11 +224,23 @@ def bm25_topk_indexed(
     if not terms:
         raise ValueError("query has no terms after tokenization")
     tbs = sorted({_term_bucket_py(t, buckets) for t in terms})
-    post = (
-        spark.read.parquet(f"{path}/postings")
-        .filter(F.col("tb").isin(tbs))
-        .filter(F.col("term").isin(terms))
-    )
+    post = spark.read.parquet(f"{path}/postings")
+    if "batch_id" not in post.columns and _path_exists(spark, f"{path}/batches"):
+        # legacy MIXED store (pre-sentinel batch build later extended by
+        # TextIndexStream): schema inference happened to pick a
+        # batch-built footer and dropped batch_id — re-read with
+        # mergeSchema so commit filtering isn't silently skipped (the
+        # footer-merge cost is confined to this legacy shape; current
+        # builds stamp BATCH_BUILT_ID and stay uniform)
+        post = spark.read.option("mergeSchema", "true").parquet(
+            f"{path}/postings"
+        )
+    post = post.filter(F.col("tb").isin(tbs)).filter(F.col("term").isin(terms))
+    if "batch_id" in post.columns and not _needs_commit_filtering(spark, path):
+        # batch-only store (sentinel rows, atomic overwrite): every row
+        # is committed by construction — skip the semi-join + distinct,
+        # which would otherwise dominate the small-query latency floor
+        post = post.drop("batch_id")
     if "batch_id" in post.columns:
         done = _read_optional(spark, f"{path}/batches", "batch_id long")
         # streamed index (TextIndexStream): neutralize partially-applied
@@ -220,10 +248,14 @@ def bm25_topk_indexed(
         # and distinct() away the duplicate copies a replayed-after-crash
         # batch appended (rows are deterministic per batch_id).  Both run
         # on the already-pruned bucket/term slice, so cost tracks matched
-        # postings, not the corpus.
+        # postings, not the corpus.  Rows with a NULL batch_id are legacy
+        # batch-built rows surfacing through a merged schema — committed
+        # by construction (a batch build is atomic overwrite).
+        post = post.select("term", "doc_id", "tf", "dl", "batch_id")
         post = (
-            post.select("term", "doc_id", "tf", "dl", "batch_id")
+            post.filter(F.col("batch_id").isNotNull())
             .join(F.broadcast(done), "batch_id", "left_semi")
+            .unionByName(post.filter(F.col("batch_id").isNull()))
             .distinct()
         )
     post = post.select("term", "doc_id", "tf", "dl")
@@ -323,6 +355,37 @@ def bm25_topk(
     )
 
 
+def _path_exists(spark, path: str) -> bool:
+    """Driver-side Hadoop-FS existence probe — no Spark job, no failed
+    read-attempt round trip (~0.3 s each on the query path)."""
+    jvm = spark._jvm
+    hpath = jvm.org.apache.hadoop.fs.Path(path)
+    fs = hpath.getFileSystem(spark._jsc.hadoopConfiguration())
+    return bool(fs.exists(hpath))
+
+
+def _touch(spark, path: str) -> None:
+    """Create an empty marker file (idempotent, driver-side Hadoop FS)."""
+    jvm = spark._jvm
+    hpath = jvm.org.apache.hadoop.fs.Path(path)
+    fs = hpath.getFileSystem(spark._jsc.hadoopConfiguration())
+    if not fs.exists(hpath):
+        fs.create(hpath, True).close()
+
+
+def _needs_commit_filtering(spark, path: str) -> bool:
+    """Whether an index store's rows need the committed-batch filtering
+    (semi-join + replay dedupe).  A store a stream has EVER touched does
+    (`_streamed` marker, written before any append, monotone); a store
+    only the batch builder wrote does not — its overwrite is atomic, so
+    every row is committed and queries skip the extra joins (the indexed
+    query path's latency floor is broadcast-build-bound).  A store with
+    NEITHER marker is a legacy stream store — filtered, the safe side."""
+    if _path_exists(spark, f"{path}/_streamed"):
+        return True
+    return not _path_exists(spark, f"{path}/_batch_built")
+
+
 def _read_optional(spark, path: str, schema: str) -> DataFrame:
     """Read a parquet state table, or an empty frame if it doesn't exist
     yet (first micro-batch / batch-built index)."""
@@ -337,31 +400,38 @@ def _read_optional(spark, path: str, schema: str) -> DataFrame:
 
 
 def read_index_stats(spark, path: str) -> DataFrame:
-    """1-row (n_docs, total_dl, avgdl) for either index flavor.  A
-    batch-built index (`build_text_index`) stores it directly in
+    """1-row (n_docs, total_dl, avgdl) for ANY index flavor.  A
+    batch-built index (`build_text_index`) stores totals directly in
     `stats/`; a streamed index (`TextIndexStream`) stores one immutable
-    row PER BATCH in `stats_batches/` and this derives the totals from
-    the committed batches only — a crashed half-applied batch (or a
-    replay's duplicate row, same batch_id) contributes nothing/once.
-    The direct `stats/` table is checked first so the common batch-built
-    path never probes the streaming state dirs (each miss costs a
-    read-attempt round trip — measured ~0.3 s each on the query path)."""
-    direct = _read_optional(
-        spark, f"{path}/stats", "n_docs long, total_dl long, avgdl double"
-    )
-    if direct.take(1):
-        return direct
-    done = _read_optional(spark, f"{path}/batches", "batch_id long")
-    per_batch = _read_optional(
-        spark, f"{path}/stats_batches", "batch_id long, n_docs long, total_dl long"
-    )
-    agg = (
-        per_batch.join(F.broadcast(done), "batch_id", "left_semi")
-        .distinct()  # replay after crash appends an identical row
-        .agg(
-            F.coalesce(F.sum("n_docs"), F.lit(0)).alias("n_docs"),
-            F.coalesce(F.sum("total_dl"), F.lit(0)).alias("total_dl"),
+    row PER BATCH in `stats_batches/`; a HYBRID store (batch-built then
+    stream-extended) has both, and the totals are their SUM — returning
+    the direct table alone would freeze n_docs/avgdl at build time and
+    silently skew BM25 idf/length normalization as docs stream in.
+    Committed batches only: a crashed half-applied batch (or a replay's
+    duplicate row, same batch_id) contributes nothing/once.  Existence
+    is probed driver-side (`_path_exists`) so the common single-flavor
+    path costs no failed read-attempt round trips."""
+    parts = []
+    if _path_exists(spark, f"{path}/stats"):
+        parts.append(
+            spark.read.parquet(f"{path}/stats").select("n_docs", "total_dl")
         )
+    if _path_exists(spark, f"{path}/stats_batches"):
+        done = _read_optional(spark, f"{path}/batches", "batch_id long")
+        per_batch = spark.read.parquet(f"{path}/stats_batches")
+        parts.append(
+            per_batch.join(F.broadcast(done), "batch_id", "left_semi")
+            .distinct()  # replay after crash appends an identical row
+            .select("n_docs", "total_dl")
+        )
+    if not parts:
+        parts = [spark.createDataFrame([], "n_docs long, total_dl long")]
+    u = parts[0]
+    for p in parts[1:]:
+        u = u.unionByName(p)
+    agg = u.agg(
+        F.coalesce(F.sum("n_docs"), F.lit(0)).alias("n_docs"),
+        F.coalesce(F.sum("total_dl"), F.lit(0)).alias("total_dl"),
     )
     return agg.select(
         "n_docs",
@@ -398,7 +468,28 @@ class TextIndexStream:
         import os
 
         self.spark, self.path, self.buckets = spark, path, buckets
+        self._store_checked = False
         os.makedirs(path, exist_ok=True)
+
+    def _check_store(self) -> None:
+        """Refuse to extend a PRE-SENTINEL batch-built store: its postings
+        lack the batch_id column, so appending stream rows would leave a
+        mixed parquet schema whose inference either drops every
+        batch-built doc from queries (null batch_id fails the committed
+        semi-join) or skips commit filtering entirely — both silent.
+        Rebuilding with the current `build_text_index` stamps the
+        sentinel and makes the store stream-extensible."""
+        if self._store_checked:
+            return
+        if _path_exists(self.spark, f"{self.path}/postings"):
+            cols = self.spark.read.parquet(f"{self.path}/postings").columns
+            if "batch_id" not in cols:
+                raise ValueError(
+                    f"existing postings at {self.path} have no batch_id "
+                    "column (pre-sentinel batch build); rebuild the index "
+                    "with build_text_index before streaming into it"
+                )
+        self._store_checked = True
 
     def _tokenize(self, batch: DataFrame) -> DataFrame:
         return batch.select(
@@ -421,6 +512,11 @@ class TextIndexStream:
         )
 
     def process_batch(self, batch: DataFrame, batch_id: int) -> None:
+        self._check_store()
+        # monotone stream marker, BEFORE any append: once a stream has
+        # touched the store, readers always commit-filter (a crash right
+        # after an append can never leave invisible filtering off)
+        _touch(self.spark, f"{self.path}/_streamed")
         done = _read_optional(self.spark, f"{self.path}/batches", "batch_id long")
         if done.filter(F.col("batch_id") == batch_id).take(1):
             return

@@ -231,7 +231,7 @@ def ivf_topk_batch(
     ncent: int = 16,
     nprobe: int = 4,
     centroids: DataFrame | None = None,
-    arrow: bool = False,
+    arrow: bool | str = "auto",
 ) -> DataFrame:
     """(qid, vec_id, cos) — IVF ANN for a query SET: top-k per query.
 
@@ -253,6 +253,7 @@ def ivf_topk_batch(
     ).select(F.col("vec_id").cast("long").alias("cid"), F.col("v").alias("cv"))
     # arrow: the corpus-side assignment (the one pass that touches every
     # vector) runs the BLAS kernel; probe/top-k stay expression-side
+    arrow = _resolve_arrow(arrow, d)
     assigned = (_assign_cells_arrow if arrow else _assign_cells)(d, cents)
     qs = d.filter(F.col("vec_id").isin(query_vec_ids)).select(
         F.col("vec_id").alias("qid"),
@@ -321,6 +322,25 @@ def cosine_topk_quantized(emb: DataFrame, query_vec_id: int, k: int = 20) -> Dat
         "vec_id", F.col("qv").cast("array<float>").alias("embedding")
     )
     return cosine_topk(q, query_vec_id, k)
+
+
+# `arrow="auto"` picks the BLAS/Arrow kernel at-or-above this input size:
+# the interpreted expression paths are the oracle-gated reference and win
+# below it (no Arrow serialization, stays in one codegen stage), but the
+# probes put them at 5-14x the BLAS kernels from ~100k vectors up — a
+# user who never discovers arrow=True must not run the slow plan at
+# exactly the scale where it hurts.
+ARROW_AUTO_THRESHOLD = 50_000
+
+
+def _resolve_arrow(arrow, d: DataFrame) -> bool:
+    """Resolve an `arrow` kernel flag: True/False are explicit; "auto"
+    counts AT MOST ARROW_AUTO_THRESHOLD rows (bounded limit().count(),
+    never a full scan) and picks the BLAS kernel when the input reaches
+    the threshold.  Both kernels are A/B-pinned equal in tests."""
+    if arrow == "auto":
+        return d.limit(ARROW_AUTO_THRESHOLD).count() >= ARROW_AUTO_THRESHOLD
+    return bool(arrow)
 
 
 def pq_train(
@@ -423,7 +443,7 @@ def _pq_codebook_rows(codebook: DataFrame):
 
 
 def pq_encode(
-    emb: DataFrame, codebook: DataFrame, arrow: bool = False
+    emb: DataFrame, codebook: DataFrame, arrow: bool | str = "auto"
 ) -> DataFrame:
     """(vec_id, codes) — encode every vector as its per-subspace nearest
     codebook entry (squared-L2 argmin, ties to the smaller code).
@@ -437,12 +457,13 @@ def pq_encode(
     `arrow=True` swaps the m*ksub interpreted aggregate() folds per
     vector for one BLAS matmul per (batch, subspace) — the semdedup
     kernel treatment; zero shuffle either way, and the A/B pytest pins
-    code-for-code equality on real embeddings."""
+    code-for-code equality on real embeddings.  The default "auto"
+    selects by input size (ARROW_AUTO_THRESHOLD)."""
     cb = _pq_codebook_rows(codebook)
     m = len(cb)
     dsub = len(cb[0][0])
     d = emb.select("vec_id", F.col("embedding").cast("array<double>").alias("v"))
-    if arrow:
+    if _resolve_arrow(arrow, d):
         return _pq_encode_arrow(d, cb)
     code_cols = []
     for s in range(m):
@@ -585,7 +606,7 @@ def ivf_pq_topk(
     ksub: int = 16,
     centroids: DataFrame | None = None,
     codebook: DataFrame | None = None,
-    arrow: bool = False,
+    arrow: bool | str = "auto",
 ) -> DataFrame:
     """(vec_id, cos) — IVF-PQ, the composition that runs billion-vector
     ANN in practice (FAISS's IndexIVFPQ shape): the coarse quantizer
@@ -608,6 +629,7 @@ def ivf_pq_topk(
         ncent
     ).select(F.col("vec_id").cast("long").alias("cid"), F.col("v").alias("cv"))
     cb = codebook if codebook is not None else pq_train(emb, m, ksub)
+    arrow = _resolve_arrow(arrow, d)
     cells = (_assign_cells_arrow if arrow else _assign_cells)(d, cents).select(
         "vec_id", "cid"
     )
@@ -646,6 +668,7 @@ def build_ivf_index(
     train_iters: int = 0,
     pq_m: int | None = None,
     pq_ksub: int = 16,
+    arrow: bool | str = "auto",
 ) -> None:
     """Materialize the IVF index: centroids (tiny) + the corpus
     partitioned BY CELL on disk.  At 100 TB the cell assignment is the
@@ -663,6 +686,8 @@ def build_ivf_index(
     cell dirs reading ONLY (vec_id, codes): the persisted form of the
     full IVF-PQ economics (float vectors written once at build, never
     read again by queries)."""
+    from redistimeseries_spark.pipeline.retrieval import BATCH_BUILT_ID, _touch
+
     d = emb.select("vec_id", F.col("embedding").cast("array<double>").alias("v"))
     if train_iters > 0:
         cents = train_centroids(emb, ncent, train_iters)
@@ -672,13 +697,23 @@ def build_ivf_index(
         )
     cents.write.mode("overwrite").parquet(f"{path}/centroids")
     cents = emb.sparkSession.read.parquet(f"{path}/centroids")
-    rows = _assign_cells(d, cents).drop("vn")  # vn derivable; keep minimal
+    arrow = _resolve_arrow(arrow, d)
+    rows = (_assign_cells_arrow if arrow else _assign_cells)(d, cents).drop("vn")
     if pq_m is not None:
         cb = pq_train(emb, pq_m, pq_ksub, iters=train_iters)
         cb.write.mode("overwrite").parquet(f"{path}/codebook")
         cb = emb.sparkSession.read.parquet(f"{path}/codebook")
-        rows = rows.join(pq_encode(emb, cb), "vec_id")
+        rows = rows.join(pq_encode(emb, cb, arrow=arrow), "vec_id")
+    # sentinel batch_id keeps the cells schema UNIFORM when the store is
+    # later extended by IVFIndexStream (same hazard + fix as
+    # retrieval.build_text_index: mixed-schema inference either dropped
+    # every batch-built vector from queries or skipped commit filtering)
+    rows = rows.withColumn("batch_id", F.lit(BATCH_BUILT_ID))
     rows.write.mode("overwrite").partitionBy("cid").parquet(f"{path}/cells")
+    emb.sparkSession.createDataFrame(
+        [(BATCH_BUILT_ID,)], "batch_id long"
+    ).write.mode("overwrite").parquet(f"{path}/batches")
+    _touch(emb.sparkSession, f"{path}/_batch_built")
 
 
 def ivf_pq_topk_indexed(
@@ -710,7 +745,7 @@ def ivf_pq_topk_indexed(
         )[:nprobe]
     ]
     cb = _pq_codebook_rows(spark.read.parquet(f"{path}/codebook"))
-    d = spark.read.parquet(f"{path}/cells").filter(F.col("cid").isin(probed))
+    d = _read_cells(spark, path).filter(F.col("cid").isin(probed))
     d = _committed_cells(spark, path, d)
     score = _adc_cos_from_qv(cb, [float(x) for x in query_vec])
     return (
@@ -737,13 +772,41 @@ class IVFIndexStream:
     carries its batch_id, the completed-batch marker is written LAST, and
     readers keep only committed rows and distinct() replay duplicates.
     The centroid bootstrap is an idempotent overwrite (deterministic from
-    the same batch), so a replay can't fork the quantizer."""
+    the same batch), so a replay can't fork the quantizer.
+
+    PQ maintenance: when the store has a codebook (built by
+    `build_ivf_index(pq_m=...)`), each batch's vectors are PQ-encoded
+    against that FROZEN codebook and the codes ride in the appended cell
+    rows — `ivf_pq_topk_indexed` keeps its codes-only scan over the
+    whole hybrid store.  Frozen-codebook encode is the same production
+    convention as the frozen coarse quantizer: retrains are a rebuild."""
 
     def __init__(self, spark, path: str, ncent: int = 16):
         import os
 
         self.spark, self.path, self.ncent = spark, path, ncent
+        self._store_checked = False
         os.makedirs(path, exist_ok=True)
+
+    def _check_store(self) -> None:
+        """Refuse to extend a PRE-SENTINEL batch-built store (cells
+        without batch_id): appending would leave a mixed parquet schema
+        whose inference either drops every batch-built vector from
+        queries or skips commit filtering — both silent.  Rebuild with
+        the current build_ivf_index first (stamps BATCH_BUILT_ID)."""
+        from redistimeseries_spark.pipeline.retrieval import _path_exists
+
+        if self._store_checked:
+            return
+        if _path_exists(self.spark, f"{self.path}/cells"):
+            cols = self.spark.read.parquet(f"{self.path}/cells").columns
+            if "batch_id" not in cols:
+                raise ValueError(
+                    f"existing cells at {self.path} have no batch_id "
+                    "column (pre-sentinel batch build); rebuild the index "
+                    "with build_ivf_index before streaming into it"
+                )
+        self._store_checked = True
 
     def _centroids(self, d: DataFrame) -> DataFrame:
         from redistimeseries_spark.pipeline.retrieval import _read_optional
@@ -766,8 +829,15 @@ class IVFIndexStream:
         return cents
 
     def process_batch(self, batch: DataFrame, batch_id: int) -> None:
-        from redistimeseries_spark.pipeline.retrieval import _read_optional
+        from redistimeseries_spark.pipeline.retrieval import (
+            _path_exists,
+            _read_optional,
+            _touch,
+        )
 
+        self._check_store()
+        # monotone stream marker BEFORE any append (see TextIndexStream)
+        _touch(self.spark, f"{self.path}/_streamed")
         done = _read_optional(self.spark, f"{self.path}/batches", "batch_id long")
         if done.filter(F.col("batch_id") == batch_id).take(1):
             return
@@ -775,10 +845,18 @@ class IVFIndexStream:
             "vec_id", F.col("embedding").cast("array<double>").alias("v")
         )
         cents = self._centroids(d)
+        rows = _assign_cells(d, cents).drop("vn")
+        if _path_exists(self.spark, f"{self.path}/codebook"):
+            # PQ store: encode against the frozen codebook so the hybrid
+            # store's codes column stays total (deterministic, so a
+            # replay re-encodes identically and collapses on read)
+            cb = self.spark.read.parquet(f"{self.path}/codebook")
+            codes = pq_encode(
+                d.select("vec_id", F.col("v").alias("embedding")), cb
+            )
+            rows = rows.join(codes, "vec_id")
         (
-            _assign_cells(d, cents)
-            .drop("vn")
-            .withColumn("batch_id", F.lit(batch_id))
+            rows.withColumn("batch_id", F.lit(batch_id))
             .write.mode("append")
             .partitionBy("cid")
             .parquet(f"{self.path}/cells")
@@ -788,17 +866,45 @@ class IVFIndexStream:
         ).parquet(f"{self.path}/batches")
 
 
+def _read_cells(spark, path: str) -> DataFrame:
+    """Read `<path>/cells` with the legacy-mixed-schema rescue: if a
+    pre-sentinel batch build was extended by IVFIndexStream and schema
+    inference picked a batch-built footer (dropping batch_id), re-read
+    with mergeSchema so commit filtering isn't silently skipped.
+    Current builds stamp BATCH_BUILT_ID, so the merge cost is confined
+    to the legacy shape."""
+    from redistimeseries_spark.pipeline.retrieval import _path_exists
+
+    d = spark.read.parquet(f"{path}/cells")
+    if "batch_id" not in d.columns and _path_exists(spark, f"{path}/batches"):
+        d = spark.read.option("mergeSchema", "true").parquet(f"{path}/cells")
+    return d
+
+
 def _committed_cells(spark, path: str, d: DataFrame) -> DataFrame:
     """Neutralize uncommitted/replayed rows of a streamed index slice:
     keep rows whose batch committed, collapse byte-identical replay
-    duplicates.  Batch-built indexes (no batch_id column) pass through."""
+    duplicates.  Pure batch-built indexes (no batch_id column anywhere)
+    pass through; NULL batch_id rows are legacy batch-built rows
+    surfacing through a merged schema — committed by construction (a
+    batch build is an atomic overwrite).  Batch-only stores (sentinel
+    rows, `_batch_built` marker, never stream-touched) skip the joins
+    entirely — every row is committed by construction, and the probe
+    path's latency floor is broadcast-build-bound."""
     if "batch_id" not in d.columns:
         return d
-    from redistimeseries_spark.pipeline.retrieval import _read_optional
+    from redistimeseries_spark.pipeline.retrieval import (
+        _needs_commit_filtering,
+        _read_optional,
+    )
 
+    if not _needs_commit_filtering(spark, path):
+        return d.drop("batch_id")
     done = _read_optional(spark, f"{path}/batches", "batch_id long")
     return (
-        d.join(F.broadcast(done), "batch_id", "left_semi")
+        d.filter(F.col("batch_id").isNotNull())
+        .join(F.broadcast(done), "batch_id", "left_semi")
+        .unionByName(d.filter(F.col("batch_id").isNull()))
         .dropDuplicates(["vec_id"])
         .drop("batch_id")
     )
@@ -829,7 +935,7 @@ def ivf_topk_indexed(
     )[:nprobe]
     cids = [-n for _, n in probes]
     d = _committed_cells(
-        spark, path, spark.read.parquet(f"{path}/cells").filter(F.col("cid").isin(cids))
+        spark, path, _read_cells(spark, path).filter(F.col("cid").isin(cids))
     )
     qn = sum(x * x for x in query_vec) ** 0.5
     qcol = F.array(*[F.lit(float(x)) for x in query_vec])
@@ -849,7 +955,7 @@ def semdedup(
     threshold: float = 0.95,
     ncent: int = 16,
     centroids: DataFrame | None = None,
-    arrow: bool = False,
+    arrow: bool | str = "auto",
 ) -> DataFrame:
     """(vec_id, cid, dup_of) — semantic dedup over an embedding column
     (SemDeDup, Abbas et al. 2023, arXiv:2303.09540): partition the
@@ -882,10 +988,13 @@ def semdedup(
     matmul per Arrow batch for assignment, one |cell|^2 matmul per cell
     for the pairwise pass (applyInPandas) — ~5x at probe scale with
     BLAS-ordered (vs fold-ordered) float sums; the expression path stays
-    the oracle-gated default and the A/B pytest pins 6dp equality."""
+    the oracle-gated small-input path and the A/B pytest pins 6dp
+    equality.  The default "auto" selects the kernel by input size
+    (ARROW_AUTO_THRESHOLD)."""
     if not 0.0 <= threshold <= 1.0:
         raise ValueError("threshold must lie in [0, 1]")
     d = emb.select("vec_id", F.col("embedding").cast("array<double>").alias("v"))
+    arrow = _resolve_arrow(arrow, d)
     cents = centroids if centroids is not None else d.orderBy(
         F.md5(F.col("vec_id").cast("string")), F.col("vec_id")
     ).limit(ncent).select(

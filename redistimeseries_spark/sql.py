@@ -100,8 +100,8 @@ _PIPELINE_FN_SQL = [
        RETURN reduce(
            array(regexp_replace(regexp_replace(regexp_replace(
                regexp_replace(u, '#.*$', ''),
-               '(utm_[a-z_]+|fbclid|gclid)=[^&]*&', ''),
-               '[?&](utm_[a-z_]+|fbclid|gclid)=[^&]*$', ''),
+               '([?&])(utm_[a-z_]+|fbclid|gclid)=[^&]*', '$1'),
+               '([?&])&+', '$1'),
                '[?&]$', '')),
            CAST('' AS STRING),
            (acc, s) -> regexp_replace(regexp_replace(regexp_replace(

@@ -505,7 +505,8 @@ def test_canonical_url_idempotent_on_random_urls(spark):
             rng.choice(["Alpha", "beta", "G7", ""]) for _ in range(rng.randint(0, 3))
         )
         q = rng.choice(
-            ["", "?id=3", "?utm_source=x", "?utm_a=1&id=2", "?id=2&utm_b=1&gclid=z"]
+            ["", "?id=3", "?utm_source=x", "?utm_a=1&id=2", "?id=2&utm_b=1&gclid=z",
+             "?xfbclid=1&a=2", "?utm_a=1&utm_b=2&fbclid=3&a=4"]
         )
         frag = rng.choice(["", "#top", "#a/b?c"])
         urls.append((i, f"{scheme}://{host}{port}/{path}{q}{frag}"))
@@ -650,6 +651,13 @@ def test_canonical_url_and_dedup(spark):
         (5, "http://example.com/Path?id=3&utm_campaign=z"),
         (6, "http://example.com:8080/a/"),  # NON-default port survives
         (7, "http://example.com/CaseSensitivePath."),
+        # a param NAME merely ending in a tracking name must survive
+        # intact (the unanchored regex excised 'fbclid=1&' mid-token,
+        # corrupting xfbclid into xa=2)
+        (8, "http://h/p?xfbclid=1&a=2"),
+        # consecutive tracking params all stripped in one pass
+        (9, "http://h/p?utm_a=1&utm_b=2&gclid=x&a=2"),
+        (10, "http://h/p?utm_a=1&fbclid=2"),  # tracking-only query
     ]
     d = spark.createDataFrame(rows, "doc_id long, url string")
     cu = {r.doc_id: r.curl for r in d.select("doc_id", canonical_url(F.col("url")).alias("curl")).collect()}
@@ -659,6 +667,9 @@ def test_canonical_url_and_dedup(spark):
     assert cu[3] == "https://example.com" and cu[4] == "https://example.com"
     assert cu[6] == "http://example.com:8080/a"
     assert cu[7] == "http://example.com/CaseSensitivePath."
+    assert cu[8] == "http://h/p?xfbclid=1&a=2"
+    assert cu[9] == "http://h/p?a=2"
+    assert cu[10] == "http://h/p"
     out = {r.curl: (r.doc_id, r.n_dupes) for r in url_dedup(d).collect()}
     assert out["http://example.com/Path?id=3"] == (1, 3)
     assert out["https://example.com"] == (3, 2)
@@ -795,6 +806,156 @@ def test_pq_arrow_kernels_match_expression_path(spark):
         ).collect()
     ]
     assert ta == tb
+
+
+def test_bpe_train_merge_learning():
+    """Hand-derived merge sequence on a tiny vocabulary: frequencies
+    {'abab': 2, 'abc': 1} give pair counts (a,b)=5, (b,a)=2, (b,c)=1 ->
+    merges (a,b), then (ab,ab)=2 over (ab,c)=1, then (ab,c)."""
+    from redistimeseries_spark.pipeline.bpe import _train_merges, segment_word
+
+    merges = _train_merges({"abab": 2, "abc": 1}, 10)
+    assert merges == [("a", "b"), ("ab", "ab"), ("ab", "c")]
+    ranks = {p: i for i, p in enumerate(merges)}
+    # lowest-rank-first application, batch-merge left-to-right
+    assert segment_word("ababab", ranks) == ["abab", "ab"]
+    assert segment_word("abcab", ranks) == ["abc", "ab"]
+    assert segment_word("xyz", ranks) == ["x", "y", "z"]
+    assert segment_word("a", ranks) == ["a"]
+
+
+def test_bpe_train_spark_matches_reference(spark):
+    """bpe_train (Spark word-freq agg + driver merge loop) equals
+    _train_merges over independently counted frequencies, on real docs."""
+    import re as _re
+    from collections import Counter
+
+    from redistimeseries_spark.pipeline.bpe import _train_merges, bpe_train
+    from redistimeseries_spark.store import read_parquet
+
+    docs = read_parquet(spark, "/root/testdata/sf0.001/documents.parquet")
+    got = bpe_train(docs, num_merges=40)
+    freqs = Counter()
+    for r in docs.select("text").collect():
+        freqs.update(w for w in _re.split("[^a-z0-9]+", r.text.lower()) if w)
+    assert got == _train_merges(dict(freqs), 40)
+
+
+def test_bpe_counts_match_sequential_oracle(spark):
+    """Distributed bpe_token_counts / bpe_tokenize == a sequential pure-
+    Python replay over the collected corpus (independent of the Arrow
+    kernel and its memo)."""
+    import re as _re
+
+    from redistimeseries_spark.pipeline.bpe import (
+        bpe_token_counts,
+        bpe_tokenize,
+        bpe_train,
+        segment_word,
+    )
+    from redistimeseries_spark.store import read_parquet
+
+    docs = read_parquet(spark, "/root/testdata/sf0.001/documents.parquet")
+    merges = bpe_train(docs, num_merges=30)
+    ranks = {p: i for i, p in enumerate(merges)}
+    want_counts, want_toks = {}, {}
+    for r in docs.select("doc_id", "text").collect():
+        segs = [
+            t
+            for w in _re.split("[^a-z0-9]+", r.text.lower())
+            if w
+            for t in segment_word(w, ranks)
+        ]
+        want_counts[r.doc_id] = len(segs)
+        want_toks[r.doc_id] = segs
+    got = {r.doc_id: r.bpe_tokens for r in bpe_token_counts(docs, merges).collect()}
+    assert got == want_counts
+    gott = {r.doc_id: list(r.tokens) for r in bpe_tokenize(docs, merges).collect()}
+    assert gott == want_toks
+    # real merges fire: counts sit strictly between chars and 1 per word
+    total_words = sum(len(v) for v in want_toks.values())
+    assert 0 < sum(want_counts.values()) < sum(
+        len("".join(t)) for t in want_toks.values()
+    )
+    assert total_words == sum(want_counts.values())
+
+
+def test_pack_sequences_with_bpe_budget(spark):
+    """Composition: pack_sequences(tokens_col=...) budgets bins in REAL
+    BPE tokens — per-bin sums respect max_tokens, every doc assigned
+    once, overflow flagged, and the packed `tokens` column equals the
+    BPE counts (not the whitespace counts)."""
+    from redistimeseries_spark.pipeline.bpe import bpe_token_counts, bpe_train
+    from redistimeseries_spark.pipeline.packing import pack_sequences
+    from redistimeseries_spark.store import read_parquet
+
+    docs = read_parquet(spark, "/root/testdata/sf0.001/documents.parquet")
+    merges = bpe_train(docs, num_merges=30)
+    counts = bpe_token_counts(docs, merges)
+    packed = pack_sequences(
+        docs.join(counts, "doc_id"), max_tokens=64, tokens_col="bpe_tokens"
+    ).collect()
+    want = {r.doc_id: r.bpe_tokens for r in counts.collect()}
+    assert {r.doc_id: r.tokens for r in packed} == want
+    from collections import defaultdict
+
+    by_bin = defaultdict(list)
+    for r in packed:
+        by_bin[(r.grp, r.bin)].append(r)
+    for rows in by_bin.values():
+        if any(r.overflow for r in rows):
+            assert len(rows) == 1 and rows[0].tokens > 64
+        else:
+            assert sum(r.tokens for r in rows) <= 64
+    assert len(packed) == docs.count()
+
+
+def test_arrow_auto_resolution(spark):
+    """arrow="auto" (the default everywhere) resolves to the expression
+    path below ARROW_AUTO_THRESHOLD rows and to the BLAS kernel at it;
+    explicit True/False pass through.  The row probe is a bounded
+    limit().count(), never a full scan."""
+    from redistimeseries_spark.pipeline.similarity import (
+        ARROW_AUTO_THRESHOLD,
+        _resolve_arrow,
+    )
+
+    small = spark.range(10)
+    assert _resolve_arrow("auto", small) is False
+    assert _resolve_arrow(True, small) is True
+    assert _resolve_arrow(False, small) is False
+    big = spark.range(ARROW_AUTO_THRESHOLD + 5)
+    assert _resolve_arrow("auto", big) is True
+    assert _resolve_arrow("auto", big.limit(ARROW_AUTO_THRESHOLD - 1)) is False
+
+
+def test_pq_encode_auto_matches_expression_at_threshold(spark):
+    """A/B pin AT the auto threshold: a 50k-vector synthetic corpus
+    (deterministic expressions, dim 8) encodes to identical codes via
+    the auto-selected BLAS kernel and the explicit expression path —
+    the default-kernel switch can never change results."""
+    from redistimeseries_spark.pipeline.similarity import (
+        ARROW_AUTO_THRESHOLD,
+        _resolve_arrow,
+        pq_encode,
+        pq_train,
+    )
+
+    n = ARROW_AUTO_THRESHOLD
+    emb = spark.range(n).select(
+        F.col("id").alias("vec_id"),
+        F.array(
+            *[F.sin(F.col("id") * (i + 1.0)) for i in range(8)]
+        ).alias("embedding"),
+    )
+    assert _resolve_arrow("auto", emb) is True
+    cb = pq_train(emb, 2, 4)
+    auto = {r.vec_id: list(r.codes) for r in pq_encode(emb, cb).collect()}
+    expr = {
+        r.vec_id: list(r.codes)
+        for r in pq_encode(emb, cb, arrow=False).collect()
+    }
+    assert auto == expr
 
 
 def test_pq_train_lloyd_moves_to_cluster_means(spark):
@@ -1813,6 +1974,131 @@ def test_text_index_stream_crash_replay(spark, tmp_path):
     sf = read_index_stats(spark, full_path).collect()[0]
     assert (s.n_docs, s.total_dl) == (sf.n_docs, sf.total_dl)
     assert abs(s.avgdl - sf.avgdl) < 1e-12
+
+
+def test_text_index_hybrid_batch_then_stream(spark, tmp_path):
+    """A batch-built index EXTENDED by TextIndexStream answers queries
+    and stats identically to a full rebuild: batch-built rows carry the
+    committed sentinel batch_id (so commit filtering keeps them — the
+    mixed-schema hazard that silently dropped every pre-existing doc),
+    and read_index_stats SUMS the direct stats row with the committed
+    per-batch increments (the short-circuit froze n_docs/avgdl at build
+    time, skewing idf/length normalization for streamed docs)."""
+    from redistimeseries_spark.pipeline.retrieval import (
+        TextIndexStream, bm25_topk_indexed, build_text_index, read_index_stats,
+    )
+    from redistimeseries_spark.store import read_parquet
+
+    docs = read_parquet(spark, "/root/testdata/sf0.001/documents.parquet").select(
+        "doc_id", "text"
+    )
+    b1 = docs.filter("doc_id % 2 = 0")
+    b2 = docs.filter("doc_id % 2 = 1")
+    hyb = str(tmp_path / "hyb")
+    build_text_index(b1, hyb)
+    TextIndexStream(spark, hyb).process_batch(b2, 0)
+    full_path = str(tmp_path / "full")
+    build_text_index(docs, full_path)
+    q = "fast table scan query"
+    got = [(r.doc_id, r.score) for r in bm25_topk_indexed(spark, hyb, q, k=15).collect()]
+    want = [(r.doc_id, r.score) for r in bm25_topk_indexed(spark, full_path, q, k=15).collect()]
+    assert got == want
+    assert {d % 2 for d, _ in got} == {0, 1}  # both flavors visible
+    s = read_index_stats(spark, hyb).collect()[0]
+    sf = read_index_stats(spark, full_path).collect()[0]
+    assert (s.n_docs, s.total_dl) == (sf.n_docs, sf.total_dl)
+    assert abs(s.avgdl - sf.avgdl) < 1e-12
+
+
+def test_text_index_stream_refuses_pre_sentinel_store(spark, tmp_path):
+    """Extending a store whose postings lack batch_id (pre-sentinel batch
+    build) must fail loudly — appending would leave a mixed parquet
+    schema with silent query corruption either way inference lands."""
+    import pytest as _pytest
+
+    from redistimeseries_spark.pipeline.retrieval import TextIndexStream
+
+    old = str(tmp_path / "old")
+    spark.createDataFrame(
+        [("scan", 1, 2, 9, 3)],
+        "term string, doc_id long, tf long, dl long, tb long",
+    ).write.partitionBy("tb").parquet(f"{old}/postings")
+    stream = TextIndexStream(spark, old)
+    with _pytest.raises(ValueError, match="batch_id"):
+        stream.process_batch(
+            spark.createDataFrame([(7, "new doc text")], "doc_id long, text string"),
+            0,
+        )
+
+
+def test_ivf_pq_index_hybrid_batch_then_stream(spark, tmp_path):
+    """A build_ivf_index(pq_m=...) store extended by IVFIndexStream:
+    streamed vectors are PQ-encoded against the FROZEN codebook, the
+    hybrid store answers ADC queries identically to a full re-encode
+    against the same quantizers, batch-built vectors stay visible
+    (sentinel batch_id), and the query scan still reads codes only."""
+    import shutil
+
+    from redistimeseries_spark.pipeline.similarity import (
+        IVFIndexStream,
+        _assign_cells,
+        build_ivf_index,
+        ivf_pq_topk_indexed,
+        ivf_topk_indexed,
+        pq_encode,
+    )
+    from redistimeseries_spark.store import read_parquet
+
+    emb = read_parquet(spark, "/root/testdata/sf0.001/embeddings.parquet")
+    b1 = emb.filter("vec_id % 2 = 0")
+    b2 = emb.filter("vec_id % 2 = 1")
+    hyb = str(tmp_path / "hyb")
+    build_ivf_index(b1, hyb, ncent=16, pq_m=8, pq_ksub=16)
+    IVFIndexStream(spark, hyb, ncent=16).process_batch(b2, 0)
+
+    # reference: the SAME frozen quantizers (from b1), whole corpus
+    # assigned + encoded in one batch pass
+    ref = str(tmp_path / "ref")
+    build_ivf_index(b1, ref, ncent=16, pq_m=8, pq_ksub=16)
+    shutil.rmtree(f"{ref}/cells")
+    d = emb.select("vec_id", F.col("embedding").cast("array<double>").alias("v"))
+    cents = spark.read.parquet(f"{ref}/centroids")
+    cb = spark.read.parquet(f"{ref}/codebook")
+    (
+        _assign_cells(d, cents).drop("vn")
+        .join(pq_encode(emb, cb), "vec_id")
+        .write.partitionBy("cid")
+        .parquet(f"{ref}/cells")
+    )
+
+    qv = [float(x) for x in emb.filter(F.col("vec_id") == 0).collect()[0].embedding]
+    got = ivf_pq_topk_indexed(spark, hyb, qv, k=40, nprobe=16)
+    want = [(r.vec_id, r.cos) for r in ivf_pq_topk_indexed(spark, ref, qv, k=40, nprobe=16).collect()]
+    got_rows = [(r.vec_id, r.cos) for r in got.collect()]
+    assert got_rows == want
+    assert {v % 2 for v, _ in got_rows} == {0, 1}  # both flavors visible
+    sch = got._jdf.queryExecution().executedPlan().toString().split("ReadSchema")[-1][:220]
+    assert "codes" in sch and "v:array" not in sch  # codes-only scan
+    # the float-vector path agrees too (streamed rows carry v as well)
+    got_v = [(r.vec_id, r.cos) for r in ivf_topk_indexed(spark, hyb, qv, k=40, nprobe=16).collect()]
+    want_v = [(r.vec_id, r.cos) for r in ivf_topk_indexed(spark, ref, qv, k=40, nprobe=16).collect()]
+    assert got_v == want_v
+
+
+def test_ivf_index_stream_refuses_pre_sentinel_store(spark, tmp_path):
+    import pytest as _pytest
+
+    from redistimeseries_spark.pipeline.similarity import IVFIndexStream
+    from redistimeseries_spark.store import read_parquet
+
+    old = str(tmp_path / "old")
+    spark.createDataFrame(
+        [(1, [0.1, 0.2], 3)], "vec_id long, v array<double>, cid long"
+    ).write.partitionBy("cid").parquet(f"{old}/cells")
+    emb = read_parquet(spark, "/root/testdata/sf0.001/embeddings.parquet")
+    stream = IVFIndexStream(spark, old, ncent=4)
+    with _pytest.raises(ValueError, match="batch_id"):
+        stream.process_batch(emb.limit(8), 0)
 
 
 def test_semdedup_cell_pruning(spark):
