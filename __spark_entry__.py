@@ -478,6 +478,17 @@ def q_compaction_twa_1h(spark, sf_dir):
     return materialize_rule(st.samples, rule)
 
 
+def q_compaction_increase_1h(spark, sf_dir):
+    """Counter-family compaction rule (round 7): continuous reset-aware
+    per-bucket increase rollup — the Prometheus recording-rule shape on
+    the reference's closed-bucket rule machinery.  Closed buckets only;
+    the incremental streaming twin is pytest-pinned ≡ this batch
+    materialization (test_streaming.test_increase_rule_incremental...)."""
+    st = _store(spark, sf_dir)
+    rule = CompactionRule(None, "_inc_1h", "increase", H)
+    return materialize_rule(st.samples, rule)
+
+
 def q_compaction_latest(spark, sf_dir):
     st = _store(spark, sf_dir)
     rule = CompactionRule(None, "_avg_10m", "avg", 600_000)
@@ -1570,6 +1581,92 @@ def q_token_count(spark, sf_dir):
     return token_counts(_docs(spark, sf_dir))
 
 
+# --- real BPE tokenization gate (pipeline/bpe.py) ---------------------
+# Fixed training table: the synthetic documents vocabulary with fixed
+# descending frequencies.  The merge ranks are a deterministic function
+# of this LITERAL (not of any sf's data), so the oracle inlines the
+# identical ranks; bpe_train itself (Spark word-freq agg + the same
+# driver merge loop) is pinned equal to a hand-counted reference in
+# tests/test_pipeline_ops.py.
+_BPE_GATE_WORDS = [
+    "join", "hash", "row", "batch", "scan", "column", "customer",
+    "filter", "small", "merge", "slow", "order", "vector", "line",
+    "data", "table", "agg", "value", "key", "stream", "window", "a",
+    "spark", "group", "part", "big", "sort", "query", "fast", "the",
+    "dup",
+]
+_BPE_GATE_N_MERGES = 24
+
+
+def _bpe_gate_merges() -> list[tuple[str, str]]:
+    from redistimeseries_spark.pipeline.bpe import _train_merges
+
+    return _train_merges(
+        {w: 100 - i for i, w in enumerate(_BPE_GATE_WORDS)},
+        _BPE_GATE_N_MERGES,
+    )
+
+
+def q_bpe_tokens(spark, sf_dir):
+    """REAL trained-BPE token counts per doc (merge ranks learned from
+    the fixed gate table, applied by the distributed Arrow kernel).  The
+    oracle replays the same ranks in a recursive CTE that merges ONE
+    leftmost lowest-rank pair occurrence per step — equivalent to the
+    kernel's batch merge because a merge only creates pairs of strictly
+    higher rank (pipeline/bpe.py's determinism note)."""
+    from redistimeseries_spark.pipeline.bpe import bpe_token_counts
+
+    return bpe_token_counts(_docs(spark, sf_dir), _bpe_gate_merges())
+
+
+def _bpe_oracle_sql() -> str:
+    merges = _bpe_gate_merges()
+    case = (
+        "CASE p "
+        + " ".join(
+            f"WHEN '{a} {b}' THEN {i}" for i, (a, b) in enumerate(merges)
+        )
+        + " ELSE NULL END"
+    )
+    return f"""WITH RECURSIVE
+w AS (SELECT doc_id,
+             unnest(list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
+                                x -> x <> '')) AS word
+      FROM documents),
+wo AS (SELECT doc_id, word, count(*) AS n FROM w GROUP BY 1, 2),
+seg(word, toks, step) AS (
+  SELECT word, list_transform(range(1, length(word) + 1), i -> word[i]), 0
+  FROM (SELECT DISTINCT word FROM wo)
+  UNION ALL
+  SELECT word,
+         list_concat(list_concat(toks[1:bp-1], [replace(ps[bp], ' ', '')]),
+                     toks[bp+2:len(toks)]),
+         step + 1
+  FROM (
+    SELECT word, toks, step, ps,
+           list_position(rs, list_aggregate(list_filter(rs, x -> x IS NOT NULL),
+                                            'min')) AS bp
+    FROM (
+      SELECT word, toks, step, ps, list_transform(ps, p -> {case}) AS rs
+      FROM (
+        SELECT word, toks, step,
+               list_transform(range(1, len(toks)),
+                              i -> toks[i] || ' ' || toks[i+1]) AS ps
+        FROM seg)))
+  WHERE bp IS NOT NULL
+),
+fin AS (
+  SELECT word, toks FROM (
+    SELECT word, toks,
+           row_number() OVER (PARTITION BY word ORDER BY step DESC) AS rn
+    FROM seg)
+  WHERE rn = 1),
+agg AS (SELECT wo.doc_id, CAST(sum(len(f.toks) * wo.n) AS BIGINT) AS bpe_tokens
+        FROM wo JOIN fin f USING (word) GROUP BY 1)
+SELECT d.doc_id, coalesce(a.bpe_tokens, 0) AS bpe_tokens
+FROM documents d LEFT JOIN agg a USING (doc_id)"""
+
+
 def q_fingerprint(spark, sf_dir):
     from redistimeseries_spark.pipeline.text import fingerprints
 
@@ -1675,6 +1772,7 @@ ROUND_MAP: dict[str, list[str]] = {
     "ts_dup_sum": ["value"],
     "ts_incrby": ["value"],
     "ts_compaction_avg_10m": ["value"],
+    "ts_compaction_increase_1h": ["value"],
     "ts_compaction_twa_1h": ["value"],
     "ts_compaction_latest": ["value"],
     "ts_mrange_latest": ["value"],
@@ -1822,10 +1920,18 @@ def _base_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # decontamination — completes the decontamination trio) promotes;
     # dl_stream_dedup (2x driver-green; streaming-dedup family keeps
     # dl_stream_semdedup) rotates out.
+    # Round-7: NEW dl_bpe_tokens (REAL trained-BPE token counts — the
+    # round's headline operator, recursive-CTE oracle) promotes;
+    # dl_chunk_docs (2x driver-green r5+r6; the packing/chunking family
+    # keeps dl_pack_sequences) rotates to the tail.  NEW
+    # ts_compaction_increase_1h (counter-family compaction rule) promotes;
+    # ts_ewma (2x driver-green r5+r6; the smoothing family keeps ts_holt
+    # + ts_anomalies) rotates to the tail.
     return {
         # --- checked prefix: one representative per operator family -----
         "ts_range_raw": q_range_raw,
         "dl_pack_sequences": q_pack_sequences,
+        "dl_bpe_tokens": q_bpe_tokens,
         "ts_session_stats": q_session_stats,
         "dl_clean_lines": q_clean_lines,
         "ts_agg_all14": q_agg_all14,
@@ -1856,7 +1962,7 @@ def _base_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ts_topk": q_topk,
         "dl_dedup_lines": q_dedup_lines,
         "dl_rrf_fuse": q_rrf_fuse,
-        "ts_ewma": q_ewma,
+        "ts_compaction_increase_1h": q_compaction_increase_1h,
         "ts_anomalies": q_anomalies,
         "dl_mixture_sample": q_mixture_sample,
         "ts_gaps": q_gaps,
@@ -1872,13 +1978,14 @@ def _base_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dl_semdedup": q_semdedup,
         "dl_stream_semdedup": q_stream_semdedup,
         "ts_irate": q_irate,
-        "dl_chunk_docs": q_chunk_docs,
         "ts_bucket_percentiles": q_bucket_percentiles,
         "dl_pii": q_pii,
         "dl_curation": q_curation,
         "dl_mm_decode": q_mm_decode,
         "ts_asof_join": q_asof_join,
         # --- tail: family variants, locally gated -----------------------
+        "dl_chunk_docs": q_chunk_docs,
+        "ts_ewma": q_ewma,
         "ts_mrange_groupby_avg": q_mrange_groupby_avg,
         "ts_nrange_pivot": q_nrange_pivot,
         "ts_dup_last": q_dup_last,
@@ -2755,6 +2862,7 @@ FROM documents d LEFT JOIN sc ON d.doc_id = sc.doc_id""",
               len(list_filter(string_split_regex(text, '\\s+'), x -> x <> '')) AS ws_tokens,
               CAST(ceil(length(regexp_replace(text, '\\s', '', 'g')) / 4.0) AS BIGINT) AS bpe_tokens_est
             FROM documents""",
+        "dl_bpe_tokens": _bpe_oracle_sql(),
         # vocabulary builder: top-200 bigrams by corpus tf (df>=2),
         # deterministic (tf DESC, gram) boundary
         "dl_top_ngrams": """WITH w AS (
@@ -3496,6 +3604,24 @@ GROUP BY key, 2""",
             SELECT b.key || '_avg_10m' AS key, b.b AS ts, avg(b.value) AS value
             FROM b JOIN o ON b.key = o.key
             WHERE b.b < o.open GROUP BY b.key, b.b""",
+        "ts_compaction_increase_1h": f"""{ORACLE_PREFIX},
+v AS (SELECT key, ts, value FROM samples WHERE NOT isnan(value)),
+d AS (SELECT key, ts, value,
+             lag(value) OVER (PARTITION BY key ORDER BY ts) AS prev
+      FROM v),
+s AS (SELECT key, ts,
+             CASE WHEN prev IS NULL THEN NULL
+                  WHEN value >= prev THEN value - prev
+                  ELSE value END AS step,
+             {bucket_sql('ts', H)} AS b
+      FROM d),
+o AS (SELECT key, {bucket_sql('max(ts)', H, 0)} AS open
+      FROM samples GROUP BY key)
+SELECT s.key || '_inc_1h' AS key, s.b AS ts, sum(s.step) AS value
+FROM s JOIN o ON s.key = o.key
+WHERE s.b < o.open
+GROUP BY 1, 2
+HAVING count(s.step) > 0""",
         "ts_compaction_twa_1h": f"""WITH {SAMPLES_SQL},
             o AS (SELECT key, {bucket_sql('max(ts)', H, 0)} AS open
                   FROM samples GROUP BY key)

@@ -31,13 +31,195 @@ RETURN CASE mode WHEN '~' THEN b + dur DIV 2 WHEN '+' THEN b + dur ELSE b END
 """
 
 
+def _ts_tvf_sql(p: str) -> list[str]:
+    """SQL TABLE functions (Spark 4 `CREATE FUNCTION ... RETURNS TABLE`)
+    over the `<p>samples` view, one per beyond-reference TS companion, so
+    the `spark.sql` surface matches the Python facade (engine.topk /
+    deriv / changes / resets / predict_linear / value_histogram /
+    resample / holt).  Bodies are the operators' exact plans re-expressed
+    declaratively — Catalyst inlines them at the call site, so `SELECT *
+    FROM ts_deriv(3600000)` compiles to the same aggregation the
+    DataFrame operator builds (pinned equal in test_sql_surface).  Bucket
+    math is align-0 (`greatest(ts - pmod(ts, dur), 0)`); filter by key or
+    time range in the surrounding WHERE clause instead of via args.
+
+    `ts_holt` is the one sequential-recurrence member: its body folds
+    each series' sorted sample array with `aggregate()` (O(n^2) array
+    growth per key) — a correct SQL twin for interactive use; the Arrow
+    applyInPandas facade (operators/smooth.ts_holt) is the scale path."""
+    nn = "NOT isnan(value)"
+    b = "greatest(ts - pmod(ts, dur), 0)"
+    return [
+        # PromQL topk/bottomk per bucket (operators/multi.ts_topk); agg
+        # dispatch covers the groupBy-native core five — the Python
+        # facade's full aggregator set (p-names, twa) stays facade-only
+        f"""CREATE OR REPLACE TEMPORARY FUNCTION ts_topk(
+                dur BIGINT, n INT, agg STRING, bottom BOOLEAN)
+            RETURNS TABLE (ts BIGINT, key STRING, value DOUBLE, rnk INT)
+            RETURN SELECT ts, key, value, rnk FROM (
+              SELECT __b AS ts, key, __v AS value,
+                     row_number() OVER (PARTITION BY __b ORDER BY
+                       CASE WHEN bottom THEN __v ELSE -__v END ASC,
+                       key ASC) AS rnk
+              FROM (
+                SELECT key, __b,
+                       round(CASE agg WHEN 'avg' THEN avg(value)
+                                      WHEN 'sum' THEN sum(value)
+                                      WHEN 'min' THEN min(value)
+                                      WHEN 'max' THEN max(value)
+                                      WHEN 'count' THEN CAST(count(value) AS DOUBLE)
+                             END, 6) AS __v
+                FROM (SELECT key, {b} AS __b, value
+                      FROM {p}samples WHERE {nn})
+                GROUP BY key, __b)
+              WHERE __v IS NOT NULL AND NOT isnan(__v))
+            WHERE rnk <= n""",
+        # per-bucket least-squares slope, value-units/second (ts_deriv)
+        f"""CREATE OR REPLACE TEMPORARY FUNCTION ts_deriv(dur BIGINT)
+            RETURNS TABLE (key STRING, ts BIGINT, slope DOUBLE)
+            RETURN SELECT key, __b AS ts, slope FROM (
+              SELECT key, __b, regr_slope(value, __x) AS slope
+              FROM (SELECT key, {b} AS __b,
+                           (ts - {b}) / 1000.0 AS __x, value
+                    FROM {p}samples WHERE {nn})
+              GROUP BY key, __b)
+            WHERE slope IS NOT NULL""",
+        # per-bucket change count vs previous valid sample (ts_changes)
+        f"""CREATE OR REPLACE TEMPORARY FUNCTION ts_changes(dur BIGINT)
+            RETURNS TABLE (key STRING, ts BIGINT, changes BIGINT)
+            RETURN SELECT key, __b AS ts, __s AS changes FROM (
+              SELECT key, __b, sum(__e) AS __s, count(__e) AS __n
+              FROM (
+                SELECT key, {b} AS __b,
+                       CASE WHEN __p IS NULL THEN NULL
+                            ELSE CAST(value <> __p AS INT) END AS __e
+                FROM (SELECT key, ts, value,
+                             lag(value) OVER (PARTITION BY key ORDER BY ts) AS __p
+                      FROM {p}samples WHERE {nn}))
+              GROUP BY key, __b)
+            WHERE __n > 0""",
+        # per-bucket counter-reset count (ts_resets)
+        f"""CREATE OR REPLACE TEMPORARY FUNCTION ts_resets(dur BIGINT)
+            RETURNS TABLE (key STRING, ts BIGINT, resets BIGINT)
+            RETURN SELECT key, __b AS ts, __s AS resets FROM (
+              SELECT key, __b, sum(__e) AS __s, count(__e) AS __n
+              FROM (
+                SELECT key, {b} AS __b,
+                       CASE WHEN __p IS NULL THEN NULL
+                            ELSE CAST(value < __p AS INT) END AS __e
+                FROM (SELECT key, ts, value,
+                             lag(value) OVER (PARTITION BY key ORDER BY ts) AS __p
+                      FROM {p}samples WHERE {nn}))
+              GROUP BY key, __b)
+            WHERE __n > 0""",
+        # per-bucket linear extrapolation `horizon` past bucket end
+        f"""CREATE OR REPLACE TEMPORARY FUNCTION ts_predict_linear(
+                dur BIGINT, horizon BIGINT)
+            RETURNS TABLE (key STRING, ts BIGINT, predicted DOUBLE)
+            RETURN SELECT key, __b AS ts,
+                          __c + __m * (dur + horizon) / 1000.0 AS predicted
+            FROM (
+              SELECT key, __b, regr_slope(value, __x) AS __m,
+                     regr_intercept(value, __x) AS __c
+              FROM (SELECT key, {b} AS __b,
+                           (ts - {b}) / 1000.0 AS __x, value
+                    FROM {p}samples WHERE {nn})
+              GROUP BY key, __b)
+            WHERE __m IS NOT NULL""",
+        # fixed-width value histogram (percentiles.ts_value_histogram)
+        f"""CREATE OR REPLACE TEMPORARY FUNCTION ts_value_hist(
+                bin_width DOUBLE, lo DOUBLE)
+            RETURNS TABLE (key STRING, bin_lo DOUBLE, n BIGINT)
+            RETURN SELECT key,
+                          lo + floor((value - lo) / bin_width) * bin_width AS bin_lo,
+                          count(1) AS n
+            FROM {p}samples WHERE {nn}
+            GROUP BY 1, 2""",
+        # regular-grid resampling, locf or linear (resample.ts_resample)
+        f"""CREATE OR REPLACE TEMPORARY FUNCTION ts_resample(
+                step BIGINT, method STRING)
+            RETURNS TABLE (key STRING, ts BIGINT, value DOUBLE)
+            RETURN WITH df AS (
+              SELECT key, ts, value FROM {p}samples WHERE {nn}),
+            bounds AS (SELECT key, min(ts) AS __lo, max(ts) AS __hi
+                       FROM df GROUP BY key),
+            grid AS (
+              SELECT key, explode(CASE
+                WHEN (__lo + step - 1) - pmod(__lo + step - 1, step)
+                     <= __hi - pmod(__hi, step)
+                THEN sequence((__lo + step - 1) - pmod(__lo + step - 1, step),
+                              __hi - pmod(__hi, step), step)
+                ELSE CAST(array() AS ARRAY<BIGINT>) END) AS ts
+              FROM bounds),
+            u AS (
+              SELECT key, ts, value, 1 AS __s FROM df
+              UNION ALL
+              SELECT key, ts, CAST(NULL AS DOUBLE), 0 FROM grid),
+            e AS (
+              SELECT key, ts, __s,
+                last(value, true) OVER
+                  (PARTITION BY key ORDER BY ts, __s DESC
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS __pv,
+                last(CASE WHEN __s = 1 THEN ts END, true) OVER
+                  (PARTITION BY key ORDER BY ts, __s DESC
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS __pt,
+                first(value, true) OVER
+                  (PARTITION BY key ORDER BY ts, __s DESC
+                   ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS __nv,
+                first(CASE WHEN __s = 1 THEN ts END, true) OVER
+                  (PARTITION BY key ORDER BY ts, __s DESC
+                   ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS __nt
+              FROM u)
+            SELECT key, ts,
+              CASE WHEN method = 'locf' THEN __pv
+                   WHEN __pt = ts THEN __pv
+                   WHEN __nt IS NULL THEN __pv
+                   ELSE __pv + (__nv - __pv) * (ts - __pt) / (__nt - __pt)
+              END AS value
+            FROM e WHERE __s = 0""",
+        # Holt double-exponential smoothing (smooth.ts_holt); aggregate()
+        # fold over each series' sorted sample array — SQL twin only, the
+        # Arrow facade is the scale path
+        f"""CREATE OR REPLACE TEMPORARY FUNCTION ts_holt(
+                alpha DOUBLE, beta DOUBLE)
+            RETURNS TABLE (key STRING, ts BIGINT, level DOUBLE, trend DOUBLE)
+            RETURN WITH arr AS (
+              SELECT key, array_sort(collect_list(struct(ts, value))) AS a
+              FROM {p}samples WHERE {nn}
+              GROUP BY key HAVING count(1) >= 2),
+            sm AS (
+              SELECT key, a, aggregate(
+                slice(a, 2, size(a) - 1),
+                named_struct(
+                  'ls', array(element_at(a, 1).value),
+                  'bs', array(element_at(a, 2).value - element_at(a, 1).value)),
+                (acc, x) -> named_struct(
+                  'ls', concat(acc.ls, array(
+                    alpha * x.value + (1 - alpha)
+                    * (element_at(acc.ls, -1) + element_at(acc.bs, -1)))),
+                  'bs', concat(acc.bs, array(
+                    beta * ((alpha * x.value + (1 - alpha)
+                             * (element_at(acc.ls, -1) + element_at(acc.bs, -1)))
+                            - element_at(acc.ls, -1))
+                    + (1 - beta) * element_at(acc.bs, -1))))) AS st
+              FROM arr)
+            SELECT key, p.ts AS ts,
+                   element_at(st.ls, pos + 1) AS level,
+                   element_at(st.bs, pos + 1) AS trend
+            FROM sm LATERAL VIEW posexplode(a) t AS pos, p""",
+    ]
+
+
 def register_sql(spark: SparkSession, store: TSStore, prefix: str = "ts_") -> None:
-    """Create temp views `<prefix>samples` / `<prefix>labels` and the
-    ts_bucket / ts_bucket_report SQL functions in the session catalog."""
+    """Create temp views `<prefix>samples` / `<prefix>labels`, the
+    ts_bucket / ts_bucket_report scalar SQL functions, and the TS
+    companion TABLE functions (`_ts_tvf_sql`) in the session catalog."""
     store.samples.createOrReplaceTempView(f"{prefix}samples")
     store.labels.createOrReplaceTempView(f"{prefix}labels")
     spark.sql(_TS_BUCKET_SQL)
     spark.sql(_TS_REPORT_SQL)
+    for stmt in _ts_tvf_sql(prefix):
+        spark.sql(stmt)
 
 
 # ---- training-data pipeline vocabulary ------------------------------------

@@ -84,6 +84,27 @@ def materialize_rule(
             df.withColumn("__bucket", b),
             rule.bucket_ms, rule.align_ts, MIN_TS, MAX_TS,
         ).withColumnRenamed("twa", "value")
+    elif rule.agg in ("increase", "rate"):
+        # counter rules (beyond-reference; the Prometheus recording-rule
+        # shape): continuous reset-aware per-bucket counter rollup.  Like
+        # twa, the aggregator is cross-bucket (each sample's step links to
+        # the key's previous valid sample, wherever it lives), so it
+        # routes to the operator (operators/rate.ts_increase) instead of
+        # a per-bucket agg_expr; emission = >=1 sample with a predecessor
+        # (the operator's own rule).
+        from redistimeseries_spark.operators.rate import ts_increase
+
+        agg = (
+            ts_increase(
+                df,
+                rule.bucket_ms,
+                align=rule.align_ts,
+                per_second=rule.agg == "rate",
+            )
+            .withColumnRenamed("rate" if rule.agg == "rate" else "increase",
+                               "value")
+            .withColumnRenamed("ts", "__bucket")
+        )
     else:
         agg = df.withColumn("__bucket", b).groupBy("key", "__bucket").agg(
             agg_expr(rule.agg, F.col("value"), F.col("ts"), alias="value"),

@@ -183,6 +183,7 @@ class StreamingStore:
         bound_ts: int,
         before: bool,
         already_have: DataFrame,
+        valid_only: bool = False,
     ) -> DataFrame:
         """One adjacent sample per key outside the recompute span: the
         newest with ts < bound_ts (before=True) or the oldest with
@@ -207,6 +208,11 @@ class StreamingStore:
         while n > 0 and i < len(probe_days):
             win, i, step = probe_days[i : i + step], i + step, step * 2
             sl = self._pruned(win).join(F.broadcast(remaining), "key", "left_semi")
+            if valid_only:
+                # counter-rule chains link VALID samples only: a NaN
+                # boundary row would stop the probe without supplying the
+                # lag seed the kernel actually needs
+                sl = sl.filter(~F.isnan("value"))
             if before:
                 sl = sl.filter(F.col("ts") < bound_ts)
                 agg = [F.max("ts").alias("ts"), F.max_by("value", "ts").alias("value")]
@@ -225,16 +231,70 @@ class StreamingStore:
         return out
 
     def _twa_recompute(self, rule: CompactionRule, touched: DataFrame):
-        """Pruned, exact twa repair for the (key, bucket) pairs in
-        `touched` (already arithmetic-widened ±1 bucket).  Returns the
-        EXTENDED touched set and the recomputed rows.
+        """Pruned, exact twa repair (see `_window_recompute`): the kernel
+        is the full twa with unclamped neighbor interpolation."""
+        from redistimeseries_spark import MAX_TS, MIN_TS
+        from redistimeseries_spark.operators.twa import twa_buckets
 
-        Exactness requires recomputing every bucket whose boundary
-        interpolation the batch's samples changed — the bucket holding the
-        nearest stored sample on each side of every touched bucket (the
-        reference re-finalizes the closed bucket with the next bucket's
-        first sample, src/tsdb.c:1276-1306); ±1-bucket arithmetic alone
-        misses neighbors across sparse gaps.  Three pruned reads:
+        def kernel(per_key: DataFrame) -> DataFrame:
+            return twa_buckets(
+                per_key, rule.bucket_ms, rule.align_ts, MIN_TS, MAX_TS
+            ).withColumnRenamed("twa", "value")
+
+        return self._window_recompute(rule, touched, kernel, valid_only=False)
+
+    def _increase_recompute(self, rule: CompactionRule, touched: DataFrame):
+        """Pruned, exact increase/rate repair (see `_window_recompute`):
+        the kernel is the reset-aware step sum over the VALID-sample lag
+        chain (operators/rate.ts_increase semantics) — cross-bucket like
+        twa, because each sample's step links to the key's previous valid
+        sample wherever it lives, and an inserted sample changes the NEXT
+        valid sample's step (the neighbor-bucket extension repairs it)."""
+
+        def kernel(per_key: DataFrame) -> DataFrame:
+            w = Window.partitionBy("key").orderBy("ts")
+            prev = F.lag("value").over(w)
+            step = F.when(prev.isNull(), F.lit(None)).otherwise(
+                F.when(F.col("value") >= prev, F.col("value") - prev)
+                .otherwise(F.col("value"))
+            )
+            out = (
+                per_key.select("key", "__bucket", step.alias("__step"))
+                .groupBy("key", "__bucket")
+                .agg(
+                    F.sum("__step").alias("__inc"),
+                    F.count("__step").alias("__n"),
+                )
+                .filter(F.col("__n") > 0)
+            )
+            val = (
+                F.col("__inc") / F.lit(rule.bucket_ms / 1000.0)
+                if rule.agg == "rate"
+                else F.col("__inc")
+            )
+            return out.select("key", "__bucket", val.alias("value"))
+
+        return self._window_recompute(rule, touched, kernel, valid_only=True)
+
+    def _window_recompute(
+        self,
+        rule: CompactionRule,
+        touched: DataFrame,
+        kernel,
+        valid_only: bool,
+    ):
+        """Pruned, exact repair for CROSS-BUCKET rule aggregators (twa,
+        increase/rate) over the (key, bucket) pairs in `touched` (already
+        arithmetic-widened ±1 bucket).  Returns the EXTENDED touched set
+        and the recomputed rows; `kernel` maps the assembled per-key slice
+        (key, ts, value, __bucket) to (key, __bucket, value).
+
+        Exactness requires recomputing every bucket whose cross-bucket
+        term the batch's samples changed — the bucket holding the nearest
+        stored sample on each side of every touched bucket (for twa the
+        boundary interpolation, src/tsdb.c:1276-1306; for increase the
+        next valid sample's step); ±1-bucket arithmetic alone misses
+        neighbors across sparse gaps.  Three pruned reads:
 
           1. core slice — the day partitions covering the touched span,
              semi-joined to touched keys; an in-span window finds each
@@ -243,15 +303,14 @@ class StreamingStore:
              probes (typically zero scans: micro-batches cluster in recent
              days);
           3. after extending `touched` with the neighbor buckets, one more
-             slice + probe pass supplies the interpolation samples the twa
+             slice + probe pass supplies the cross-bucket samples the
              kernel needs at the extended span's edges.
 
+        `valid_only` restricts every read to non-NaN samples (the counter
+        chain links valid samples only; twa's kernel handles NaN itself).
         Per-batch cost tracks the batch's time locality (touched days +
         probe windows), never total log length.
         """
-        from redistimeseries_spark import MAX_TS, MIN_TS
-        from redistimeseries_spark.operators.twa import twa_buckets
-
         tkeys = touched.select("key").distinct()
         all_days = self._log_days()
 
@@ -260,6 +319,8 @@ class StreamingStore:
 
         def slice_for(lo, hi):
             sl = self._pruned(span_days(lo // DAY_MS, (hi - 1) // DAY_MS))
+            if valid_only:
+                sl = sl.filter(~F.isnan("value"))
             return sl.join(F.broadcast(tkeys), "key", "left_semi")
 
         def edge_probes(core, lo, hi):
@@ -269,6 +330,7 @@ class StreamingStore:
                 lo,
                 before=True,
                 already_have=core.filter(F.col("ts") < lo).select("key").distinct(),
+                valid_only=valid_only,
             )
             after = self._boundary_samples(
                 tkeys,
@@ -276,6 +338,7 @@ class StreamingStore:
                 hi,
                 before=False,
                 already_have=core.filter(F.col("ts") >= hi).select("key").distinct(),
+                valid_only=valid_only,
             )
             return before, after
 
@@ -327,19 +390,18 @@ class StreamingStore:
         ).collect()[0]
         lo2, hi2 = int(eb.lo), int(eb.hi) + rule.bucket_ms
         core2 = core if (lo2, hi2) == (lo, hi) else slice_for(lo2, hi2)
-        # the extended edges still interpolate against one sample beyond
-        # the span (twaAddBucketParams neighbors, src/module.c:943-958) —
-        # these feed the kernel but are NOT recomputed themselves
+        # the extended edges still need one sample beyond the span (twa:
+        # interpolation neighbors, twaAddBucketParams src/module.c:943-958;
+        # increase: the lag seed / next-step sample) — these feed the
+        # kernel but are NOT recomputed themselves
         before2, after2 = edge_probes(core2, lo2, hi2)
         per_key = (
             core2.unionByName(before2)
             .unionByName(after2)
             .withColumn("__bucket", bucket_start(F.col("ts"), rule.bucket_ms, rule.align_ts))
         )
-        recomputed = (
-            twa_buckets(per_key, rule.bucket_ms, rule.align_ts, MIN_TS, MAX_TS)
-            .withColumnRenamed("twa", "value")
-            .join(F.broadcast(touched), ["key", "__bucket"], "left_semi")
+        recomputed = kernel(per_key).join(
+            F.broadcast(touched), ["key", "__bucket"], "left_semi"
         )
         return touched, recomputed
 
@@ -417,12 +479,14 @@ class StreamingStore:
                 )
                 .distinct()
             )
-            if rule.agg == "twa":
-                # a sample in bucket B also changes the boundary
-                # interpolation of B-1 and B+1 (twaAddBucketParams,
-                # src/module.c:943-958) — widen the repair set one bucket
-                # each way, then recompute from the full per-key series so
-                # the kernel sees its neighbor samples.
+            cross_bucket = rule.agg in ("twa", "increase", "rate")
+            if cross_bucket:
+                # a sample in bucket B also changes cross-bucket terms in
+                # B-1 and B+1 (twa: boundary interpolation,
+                # twaAddBucketParams src/module.c:943-958; increase/rate:
+                # the next valid sample's step) — widen the repair set one
+                # bucket each way, then recompute from the full per-key
+                # series so the kernel sees its neighbor samples.
                 touched = (
                     touched.select(
                         "key",
@@ -444,6 +508,8 @@ class StreamingStore:
             # src/tsdb.c:622-660 — it never re-reads the series' history).
             if rule.agg == "twa":
                 touched, recomputed = self._twa_recompute(rule, touched)
+            elif rule.agg in ("increase", "rate"):
+                touched, recomputed = self._increase_recompute(rule, touched)
             else:
                 # non-twa aggs need exactly the samples inside each touched
                 # bucket: per-bucket day coverage, exact for sparse sets

@@ -97,6 +97,78 @@ def test_pipeline_sql_functions_stay_jvm_side(spark):
     assert "PythonUDF" not in plan and "md5" in plan
 
 
+def test_sql_table_functions_match_operators(spark, samples_df):
+    """The TS-companion TABLE functions (round-7 `_ts_tvf_sql`) answer
+    identically to the Python operators they twin, over series with
+    NaN samples, value repeats, and counter resets — the SQL surface is
+    a complete alternate front-end for the facade family."""
+    from redistimeseries_spark.operators.multi import ts_topk
+    from redistimeseries_spark.operators.percentiles import (
+        ts_value_histogram,
+    )
+    from redistimeseries_spark.operators.rate import (
+        ts_changes,
+        ts_deriv,
+        ts_predict_linear,
+        ts_resets,
+    )
+    from redistimeseries_spark.operators.resample import ts_resample
+    from redistimeseries_spark.operators.smooth import ts_holt
+
+    rows = []
+    vals_a = [1.0, 1.0, 2.0, float("nan"), 2.0, 5.0, 3.0, 3.0]
+    for i, v in enumerate(vals_a):
+        rows.append(("a", 10_000 * i + 500, v))
+    vals_b = [0.0, 10.0, 3.0, 8.0, 1.0, 2.0]  # counter with resets
+    for i, v in enumerate(vals_b):
+        rows.append(("b", 15_000 * i + 100, v))
+    st = TSStore.from_dataframes(samples_df(rows))
+    register_sql(spark, st)
+    dur = 30_000
+
+    def key_rows(df):
+        return sorted(
+            tuple(
+                round(x, 9) if isinstance(x, float) else x for x in r
+            )
+            for r in df.collect()
+        )
+
+    cases = [
+        (f"SELECT * FROM ts_topk({dur}, 1, 'avg', false)",
+         ts_topk(st.samples, dur, 1, "avg")),
+        (f"SELECT * FROM ts_topk({dur}, 2, 'max', true)",
+         ts_topk(st.samples, dur, 2, "max", bottom=True)),
+        (f"SELECT * FROM ts_deriv({dur})", ts_deriv(st.samples, dur)),
+        (f"SELECT * FROM ts_changes({dur})", ts_changes(st.samples, dur)),
+        (f"SELECT * FROM ts_resets({dur})", ts_resets(st.samples, dur)),
+        (f"SELECT * FROM ts_predict_linear({dur}, 60000)",
+         ts_predict_linear(st.samples, dur, 60_000)),
+        ("SELECT * FROM ts_value_hist(2.0, 0.0)",
+         ts_value_histogram(st.samples, 2.0, 0.0)),
+        ("SELECT * FROM ts_resample(20000, 'locf')",
+         ts_resample(st.samples, 20_000, "locf")),
+        ("SELECT * FROM ts_resample(20000, 'linear')",
+         ts_resample(st.samples, 20_000, "linear")),
+        ("SELECT * FROM ts_holt(0.5, 0.3)",
+         ts_holt(st.samples, 0.5, 0.3)),
+    ]
+    for sql_q, op_df in cases:
+        assert key_rows(spark.sql(sql_q)) == key_rows(op_df), sql_q
+    # key/time filtering composes in the surrounding query
+    got = spark.sql(
+        f"SELECT * FROM ts_changes({dur}) WHERE key = 'b'"
+    ).collect()
+    want = ts_changes(st.samples, dur, keys="b").collect()
+    assert sorted(map(tuple, got)) == sorted(map(tuple, want))
+    # declarative: the TVF body inlines — no PythonUDF node anywhere
+    plan = (
+        spark.sql(f"SELECT * FROM ts_deriv({dur})")
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "PythonUDF" not in plan
+
+
 def test_round5_sql_functions(spark):
     """dl_word_ngrams matches the DataFrame gram sets; dl_bm25_weight
     matches the hand formula; both stay JVM-side."""

@@ -294,6 +294,61 @@ def test_twa_rule_incremental_matches_batch(spark, dirs):
         assert abs(got[b] - exp[b]) < 1e-9, (b, got[b], exp[b])
 
 
+def test_increase_rule_incremental_matches_batch(spark, dirs):
+    """increase rules (round-7 counter rollup): after multi-batch +
+    out-of-order ingest with a counter reset and a NaN sample, the
+    incrementally maintained dest equals a from-scratch batch
+    materialization over the final samples, and both equal the
+    hand-computed reset-aware sums."""
+    from redistimeseries_spark.streaming.compaction import materialize_rule
+
+    rule = CompactionRule(None, "_inc_1s", "increase", 1000)
+    store = StreamingStore(spark, os.path.join(dirs, "store"), "last", [rule])
+    write_input(spark, dirs, [("k", 100, 1.0), ("k", 900, 3.0), ("k", 1400, 5.0)], "b1")
+    # b2: a RESET in bucket 2 (5.0 -> 2.0), an ooo insert into bucket 0
+    # (which changes the step at ts=900 too), and a NaN the valid chain
+    # must skip
+    write_input(
+        spark, dirs,
+        [("k", 2100, 2.0), ("k", 600, 9.0), ("k", 1700, float("nan"))],
+        "b2",
+    )
+    drain(spark, dirs, store)
+    got = {
+        r.ts: r.value
+        for r in store.rule_table(rule, include_open=True).collect()
+    }
+    exp = {
+        r.ts: r.value
+        for r in materialize_rule(store.samples(), rule, include_open=True).collect()
+    }
+    assert got.keys() == exp.keys()
+    for b in exp:
+        assert abs(got[b] - exp[b]) < 1e-9, (b, got[b], exp[b])
+    # hand check: valid chain 1,9,3,5,2 -> steps 8(@600), reset 3(@900),
+    # 2(@1400), reset 2(@2100); ts=100 has no predecessor
+    assert got == {0: 11.0, 1000: 2.0, 2000: 2.0}
+
+
+def test_rate_rule_matches_increase_per_second(spark, dirs):
+    """A rate rule is the increase rule divided by the bucket span in
+    seconds (batch materialization check on a 2s bucket)."""
+    from redistimeseries_spark.streaming.compaction import materialize_rule
+
+    inc = CompactionRule(None, "_i", "increase", 2000)
+    rate = CompactionRule(None, "_r", "rate", 2000)
+    store = StreamingStore(spark, os.path.join(dirs, "store"), "last", [])
+    write_input(
+        spark, dirs,
+        [("k", 100, 1.0), ("k", 900, 3.0), ("k", 2400, 9.0), ("k", 4100, 4.0)],
+        "b1",
+    )
+    drain(spark, dirs, store)
+    i = {r.ts: r.value for r in materialize_rule(store.samples(), inc, include_open=True).collect()}
+    r_ = {r.ts: r.value for r in materialize_rule(store.samples(), rate, include_open=True).collect()}
+    assert set(i) == set(r_) and all(abs(r_[b] - i[b] / 2.0) < 1e-12 for b in i)
+
+
 def test_partition_scoped_maintenance(spark, dirs):
     """A micro-batch must rewrite ONLY the latest-table hash buckets and
     dest day-partitions it touches — untouched partition files stay
