@@ -142,6 +142,12 @@ def main():
         "d4_simhash64": lambda: simhash(docs),
         "d5_lang_id": lambda: lang_scores(docs),
         "d6_token_counts": lambda: token_counts(docs),
+        # REAL BPE apply (merge ranks trained once on the corpus,
+        # driver-side; the probe times the distributed Arrow kernel with
+        # its per-batch word memo — miss rate is the distinct-word rate)
+        "d32_bpe_tokens": lambda: __import__(
+            "redistimeseries_spark.pipeline.bpe", fromlist=["bpe_token_counts"]
+        ).bpe_token_counts(docs, _bpe_merges()),
         "d7_ngram_jaccard_t08": lambda: ngram_jaccard_pairs(docs, threshold=0.8),
         "d8_components_star": lambda: connected_components_star(
             minhash_lsh_pairs(docs, max_bucket=256).localCheckpoint()
@@ -305,6 +311,22 @@ def main():
             )
         ),
     }
+
+    def _bpe_merges():
+        # merge ranks trained once (Spark word-freq agg + driver loop),
+        # memoized like the text index / PQ codebook
+        if "bpe" not in _TIDX:
+            from redistimeseries_spark.pipeline.bpe import bpe_train
+
+            t0 = time.time()
+            _TIDX["bpe"] = bpe_train(docs, num_merges=100)
+            print(
+                json.dumps(
+                    {"stage": "bpe_train", "sec": round(time.time() - t0, 2)}
+                ),
+                flush=True,
+            )
+        return _TIDX["bpe"]
 
     def _pq_cb(spark):
         # codebook trained once on the replicated corpus, memoized like
