@@ -29,7 +29,7 @@ from redistimeseries_spark.write.dup_policy import resolve_duplicates
 H = 3_600_000
 
 
-def benchmarks(st, raw, latest, bucketed, dup_docs, text_index_path):
+def benchmarks(st, raw, latest, bucketed, dup_docs, text_index_path, bpe_merges):
     from redistimeseries_spark.pipeline.dedup import dedup_pipeline
 
     def _dedup_pipeline_bench():
@@ -110,6 +110,12 @@ def benchmarks(st, raw, latest, bucketed, dup_docs, text_index_path):
         "b13_topk5_6h": lambda: __import__(
             "redistimeseries_spark.operators.multi", fromlist=["ts_topk"]
         ).ts_topk(st.samples, 6 * H, 5),
+        # B14: REAL BPE token counts over the dup corpus (merge ranks
+        # trained once in setup, as a deployment would; the measurement
+        # is the distributed Arrow apply — protocol addition, round 7)
+        "b14_bpe_tokens": lambda: __import__(
+            "redistimeseries_spark.pipeline.bpe", fromlist=["bpe_token_counts"]
+        ).bpe_token_counts(dup_docs, bpe_merges),
     }
 
 
@@ -162,7 +168,13 @@ def main():
     tpath = os.path.join(tempfile.mkdtemp(prefix="sparkts_bench_"), "textidx")
     build_text_index(dup_docs, tpath)
 
-    bms = benchmarks(st, raw, latest, bucketed, dup_docs, tpath)
+    # BPE merge ranks for B14, trained once at setup (a deployment trains
+    # per corpus snapshot; the per-query cost is the distributed apply)
+    from redistimeseries_spark.pipeline.bpe import bpe_train
+
+    bpe_merges = bpe_train(dup_docs, num_merges=100)
+
+    bms = benchmarks(st, raw, latest, bucketed, dup_docs, tpath, bpe_merges)
 
     def force(df):
         df.write.mode("overwrite").format("noop").save()

@@ -148,6 +148,33 @@ def main():
         "d32_bpe_tokens": lambda: __import__(
             "redistimeseries_spark.pipeline.bpe", fromlist=["bpe_token_counts"]
         ).bpe_token_counts(docs, _bpe_merges()),
+        # memo-HOSTILE twin: 30 per-doc-unique hex words per doc, so the
+        # word memo always misses — measures the raw per-word segmentation
+        # loop instead of the Zipf-amortized path d32 measures
+        "d33_bpe_tokens_diverse": lambda: __import__(
+            "redistimeseries_spark.pipeline.bpe", fromlist=["bpe_token_counts"]
+        ).bpe_token_counts(
+            docs.select(
+                "doc_id",
+                F.concat_ws(
+                    " ",
+                    *[
+                        F.substring(
+                            F.md5(
+                                F.concat(
+                                    F.col("doc_id").cast("string"),
+                                    F.lit(f"_{i}"),
+                                )
+                            ),
+                            1,
+                            8,
+                        )
+                        for i in range(30)
+                    ],
+                ).alias("text"),
+            ),
+            _bpe_merges(),
+        ),
         "d7_ngram_jaccard_t08": lambda: ngram_jaccard_pairs(docs, threshold=0.8),
         "d8_components_star": lambda: connected_components_star(
             minhash_lsh_pairs(docs, max_bucket=256).localCheckpoint()

@@ -330,6 +330,59 @@ def test_increase_rule_incremental_matches_batch(spark, dirs):
     assert got == {0: 11.0, 1000: 2.0, 2000: 2.0}
 
 
+def test_increase_rule_fuzz_incremental_vs_batch(spark, dirs):
+    """Seeded fuzzer for the counter-rule incremental repair: random
+    multi-batch ingest (out-of-order across DAYS, sparse gaps, NaNs,
+    duplicate timestamps folded by dup policy, resets) must leave the
+    incrementally maintained dest identical to a from-scratch batch
+    materialization — the sample-adjacent neighbor extension across
+    sparse gaps is the code path arithmetic ±1 widening misses."""
+    import random as _random
+
+    from redistimeseries_spark.streaming.compaction import materialize_rule
+    from redistimeseries_spark.streaming.ingest import DAY_MS
+
+    rng = _random.Random(0x1C7)
+    for trial in range(3):
+        rule = CompactionRule(
+            None, "_inc", "increase" if trial % 2 == 0 else "rate",
+            rng.choice([1000, 2500])
+        )
+        d = os.path.join(dirs, f"f{trial}")
+        os.makedirs(os.path.join(d, "in"), exist_ok=True)
+        store = StreamingStore(spark, os.path.join(d, "store"), "last", [rule])
+        keys = ["a", "b"]
+        for b in range(3):
+            rows = []
+            for _ in range(rng.randint(3, 10)):
+                k = rng.choice(keys)
+                # cluster most samples near day 0-1, some far out (sparse
+                # gap across day partitions)
+                ts = rng.choice(
+                    [rng.randint(0, 5000),
+                     rng.randint(0, 5000),
+                     2 * DAY_MS + rng.randint(0, 3000)]
+                )
+                v = rng.choice(
+                    [float(rng.randint(0, 20)), float("nan")]
+                )
+                rows.append((k, ts, v))
+            write_input(spark, d, rows, f"b{b}")
+        drain(spark, d, store)
+        # rule_table keeps source keys; materialize_rule appends the suffix
+        got = sorted(
+            (r.key + rule.dest_suffix, r.ts, round(r.value, 9))
+            for r in store.rule_table(rule, include_open=True).collect()
+        )
+        exp = sorted(
+            (r.key, r.ts, round(r.value, 9))
+            for r in materialize_rule(
+                store.samples(), rule, include_open=True
+            ).collect()
+        )
+        assert got == exp, (trial, rule.agg, rule.bucket_ms)
+
+
 def test_rate_rule_matches_increase_per_second(spark, dirs):
     """A rate rule is the increase rule divided by the bucket span in
     seconds (batch materialization check on a 2s bucket)."""
