@@ -216,6 +216,29 @@ def q_irate(spark, sf_dir):
     )
 
 
+def q_delta(spark, sf_dir):
+    """Per-bucket last-minus-first gauge difference (PromQL delta's
+    deterministic core; NOT reset-aware — gauges go down legitimately;
+    round 7 completes the PromQL rate/gauge family)."""
+    from redistimeseries_spark.operators.rate import ts_delta
+
+    st = _store(spark, sf_dir)
+    return ts_delta(st.samples, 6 * H, start=D14, end=D21).select(
+        "key", "ts", F.round("delta", 6).alias("delta")
+    )
+
+
+def q_idelta(spark, sf_dir):
+    """Spot gauge movement from each key's last two in-range samples
+    (PromQL idelta; ts_irate's non-reset-aware sibling)."""
+    from redistimeseries_spark.operators.rate import ts_idelta
+
+    st = _store(spark, sf_dir)
+    return ts_idelta(st.samples, start=D14, end=D21).select(
+        "key", "ts", F.round("idelta", 6).alias("idelta")
+    )
+
+
 def q_changes(spark, sf_dir):
     """Per-bucket value-change count vs the previous valid sample
     (PromQL changes(); full-history chain, so boundaries never fabricate
@@ -1926,7 +1949,11 @@ def _base_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # keeps dl_pack_sequences) rotates to the tail.  NEW
     # ts_compaction_increase_1h (counter-family compaction rule) promotes;
     # ts_ewma (2x driver-green r5+r6; the smoothing family keeps ts_holt
-    # + ts_anomalies) rotates to the tail.
+    # + ts_anomalies) rotates to the tail.  NEW ts_delta + ts_idelta
+    # (PromQL delta/idelta — the family's last standard members) promote;
+    # ts_resample_linear (2x green; resample family keeps
+    # ts_resample_locf) and ts_gaps (2x green; the lag-window family
+    # keeps ts_irate/ts_changes/ts_resets) rotate to the tail.
     return {
         # --- checked prefix: one representative per operator family -----
         "ts_range_raw": q_range_raw,
@@ -1965,8 +1992,8 @@ def _base_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ts_compaction_increase_1h": q_compaction_increase_1h,
         "ts_anomalies": q_anomalies,
         "dl_mixture_sample": q_mixture_sample,
-        "ts_gaps": q_gaps,
-        "ts_resample_linear": q_resample_linear,
+        "ts_delta": q_delta,
+        "ts_idelta": q_idelta,
         "dl_dedup_pipeline": q_dedup_pipeline,
         "dl_embed_neardup_lsh": q_embed_neardup_lsh,
         "dl_ann_lsh_topk": q_ann_lsh_topk,
@@ -1986,6 +2013,8 @@ def _base_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # --- tail: family variants, locally gated -----------------------
         "dl_chunk_docs": q_chunk_docs,
         "ts_ewma": q_ewma,
+        "ts_gaps": q_gaps,
+        "ts_resample_linear": q_resample_linear,
         "ts_mrange_groupby_avg": q_mrange_groupby_avg,
         "ts_nrange_pivot": q_nrange_pivot,
         "ts_dup_last": q_dup_last,
@@ -3317,6 +3346,22 @@ s AS (SELECT key, value, {bucket_sql('ts', 6 * H)} AS b, ts FROM samples
 SELECT key, b AS ts, round(regr_slope(value, (ts - b) / 1000.0), 6) AS slope
 FROM s GROUP BY key, b
 HAVING regr_slope(value, (ts - b) / 1000.0) IS NOT NULL""",
+        "ts_delta": f"""{ORACLE_PREFIX},
+s AS (SELECT key, value, {bucket_sql('ts', 6 * H)} AS b, ts FROM samples
+      WHERE NOT isnan(value) AND ts BETWEEN {D14} AND {D21})
+SELECT key, b AS ts,
+       round(arg_max(value, ts) - arg_min(value, ts), 6) AS delta
+FROM s GROUP BY key, b
+HAVING count(*) >= 2""",
+        "ts_idelta": f"""{ORACLE_PREFIX},
+v AS (SELECT key, ts, value FROM samples
+      WHERE NOT isnan(value) AND ts BETWEEN {D14} AND {D21}),
+d AS (SELECT key, ts, value,
+             lag(value) OVER w AS pv,
+             row_number() OVER (PARTITION BY key ORDER BY ts DESC) AS rn
+      FROM v WINDOW w AS (PARTITION BY key ORDER BY ts))
+SELECT key, ts, round(value - pv, 6) AS idelta
+FROM d WHERE rn = 1 AND pv IS NOT NULL""",
         "ts_topk": f"""{ORACLE_PREFIX},
 a AS (SELECT key, {bucket_sql('ts', 6 * H)} AS b,
              round(avg(CASE WHEN NOT isnan(value) THEN value END), 6) AS v

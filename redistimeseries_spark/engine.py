@@ -613,6 +613,30 @@ class TimeSeriesEngine:
             end=self._resolve_ts(to_ts, key),
         ).drop("key")
 
+    def delta(self, key: str, bucket_dur, from_ts="-", to_ts="+", **kw) -> DataFrame:
+        """Per-bucket last-minus-first gauge difference (beyond-reference;
+        operators/rate.ts_delta)."""
+        from redistimeseries_spark.operators.rate import ts_delta
+
+        return ts_delta(
+            self._series_df(key, False),
+            parse_duration_ms(bucket_dur),
+            start=self._resolve_ts(from_ts, key),
+            end=self._resolve_ts(to_ts, key),
+            **kw,
+        ).drop("key")
+
+    def idelta(self, key: str, from_ts="-", to_ts="+") -> DataFrame:
+        """Spot gauge movement from the key's last two in-range samples
+        (beyond-reference; operators/rate.ts_idelta)."""
+        from redistimeseries_spark.operators.rate import ts_idelta
+
+        return ts_idelta(
+            self._series_df(key, False),
+            start=self._resolve_ts(from_ts, key),
+            end=self._resolve_ts(to_ts, key),
+        ).drop("key")
+
     def deriv(self, key: str, bucket_dur, from_ts="-", to_ts="+", **kw) -> DataFrame:
         """Per-bucket least-squares slope in value-units/second
         (beyond-reference; operators/rate.ts_deriv)."""

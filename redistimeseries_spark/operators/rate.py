@@ -380,6 +380,87 @@ def ts_gaps(
     )
 
 
+def ts_delta(
+    samples: DataFrame,
+    bucket_dur: int,
+    keys: list[str] | str | None = None,
+    start: int = MIN_TS,
+    end: int = MAX_TS,
+    align="0",
+) -> DataFrame:
+    """(key, ts, delta) — last valid value minus first valid value per
+    (key, bucket); ts is the bucket start (the deterministic per-bucket
+    core of PromQL delta(), the gauge-difference companion to
+    ts_increase — NOT reset-aware: gauges go down legitimately.  PromQL's
+    boundary extrapolation is estimation and would break oracle
+    exactness, the ts_increase precedent).  Buckets with fewer than two
+    valid samples are not emitted (no difference is defined — PromQL's
+    two-point minimum); NaN samples are invalid everywhere and are
+    dropped first.
+
+    Spark shape: ONE projection + ONE (key, bucket) hash aggregation
+    (max_by/min_by partial/final) — no window at all, the cheapest plan
+    class in the family (value_hist's)."""
+    if bucket_dur <= 0:
+        raise ValueError("bucket_dur must be positive")
+    df = samples.filter(~F.isnan("value"))
+    if keys is not None:
+        klist = [keys] if isinstance(keys, str) else list(keys)
+        df = df.filter(F.col("key").isin(klist))
+    if start > MIN_TS:
+        df = df.filter(F.col("ts") >= F.lit(start))
+    if end < MAX_TS:
+        df = df.filter(F.col("ts") <= F.lit(end))
+    align_ts = resolve_align(align, start, end)
+    b = bucket_start(F.col("ts"), bucket_dur, align_ts)
+    return (
+        df.select("key", b.alias("__b"), "ts", "value")
+        .groupBy("key", "__b")
+        .agg(
+            (F.max_by("value", "ts") - F.min_by("value", "ts")).alias("delta"),
+            F.count(F.lit(1)).alias("__n"),
+        )
+        .filter(F.col("__n") >= 2)
+        .select("key", F.col("__b").alias("ts"), "delta")
+        .orderBy("key", "ts")
+    )
+
+
+def ts_idelta(
+    samples: DataFrame,
+    keys: list[str] | str | None = None,
+    start: int = MIN_TS,
+    end: int = MAX_TS,
+) -> DataFrame:
+    """(key, ts, idelta) — difference between the LAST TWO valid samples
+    of the range per key, reported at the last sample's ts (PromQL
+    idelta: the spot gauge movement; ts_irate's non-reset-aware gauge
+    sibling).  Keys with fewer than two valid samples emit nothing.
+    Same plan as ts_irate: one lag window + one per-key keep-last
+    filter, exchange-free over the bucketed layout."""
+    df = samples.filter(~F.isnan("value"))
+    if keys is not None:
+        klist = [keys] if isinstance(keys, str) else list(keys)
+        df = df.filter(F.col("key").isin(klist))
+    if start > MIN_TS:
+        df = df.filter(F.col("ts") >= F.lit(start))
+    if end < MAX_TS:
+        df = df.filter(F.col("ts") <= F.lit(end))
+    w = Window.partitionBy("key").orderBy("ts")
+    prev_v = F.lag("value").over(w)
+    d = df.select(
+        "key",
+        "ts",
+        (F.col("value") - prev_v).alias("idelta"),
+        F.max("ts").over(Window.partitionBy("key")).alias("__mx"),
+    )
+    return (
+        d.filter((F.col("ts") == F.col("__mx")) & F.col("idelta").isNotNull())
+        .select("key", "ts", "idelta")
+        .orderBy("key")
+    )
+
+
 def ts_irate(
     samples: DataFrame,
     keys: list[str] | str | None = None,

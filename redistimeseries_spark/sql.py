@@ -126,6 +126,27 @@ def _ts_tvf_sql(p: str) -> list[str]:
                     FROM {p}samples WHERE {nn})
               GROUP BY key, __b)
             WHERE __m IS NOT NULL""",
+        # per-bucket last-minus-first gauge difference (rate.ts_delta)
+        f"""CREATE OR REPLACE TEMPORARY FUNCTION ts_delta(dur BIGINT)
+            RETURNS TABLE (key STRING, ts BIGINT, delta DOUBLE)
+            RETURN SELECT key, __b AS ts, delta FROM (
+              SELECT key, __b,
+                     max_by(value, ts) - min_by(value, ts) AS delta,
+                     count(1) AS __n
+              FROM (SELECT key, ts, {b} AS __b, value
+                    FROM {p}samples WHERE {nn})
+              GROUP BY key, __b)
+            WHERE __n >= 2""",
+        # spot gauge movement, last two samples (rate.ts_idelta)
+        f"""CREATE OR REPLACE TEMPORARY FUNCTION ts_idelta()
+            RETURNS TABLE (key STRING, ts BIGINT, idelta DOUBLE)
+            RETURN SELECT key, ts, idelta FROM (
+              SELECT key, ts,
+                     value - lag(value) OVER
+                       (PARTITION BY key ORDER BY ts) AS idelta,
+                     max(ts) OVER (PARTITION BY key) AS __mx
+              FROM {p}samples WHERE {nn})
+            WHERE ts = __mx AND idelta IS NOT NULL""",
         # fixed-width value histogram (percentiles.ts_value_histogram)
         f"""CREATE OR REPLACE TEMPORARY FUNCTION ts_value_hist(
                 bin_width DOUBLE, lo DOUBLE)

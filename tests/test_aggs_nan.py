@@ -741,6 +741,54 @@ def test_value_histogram(spark):
         ts_value_histogram(sdf, 0.0)
 
 
+def test_delta_last_minus_first_per_bucket(spark):
+    """ts_delta: last valid minus first valid value per bucket, NOT
+    reset-aware (a drop is a negative delta), NaN dropped, <2-valid
+    buckets not emitted, alignment shifts the lattice."""
+    import math
+
+    from redistimeseries_spark.operators.rate import ts_delta
+
+    nan = float("nan")
+    rows = [
+        ("k", 100, 10.0), ("k", 500, nan), ("k", 900, 4.0),   # b0: 4-10
+        ("k", 1200, 7.0),                                     # b1: 1 valid
+        ("k", 2100, 5.0), ("k", 2900, 9.0),                   # b2: 9-5
+        ("n", 300, nan), ("n", 700, nan),                     # all-NaN
+    ]
+    sdf = spark.createDataFrame(rows, "key string, ts long, value double")
+    got = {(r.key, r.ts): r.delta for r in ts_delta(sdf, 1000).collect()}
+    assert got == {("k", 0): -6.0, ("k", 2000): 4.0}
+    # alignment 500: k's bucket [500,1500) holds 900(4.0)+1200(7.0) -> 3.0
+    al = {(r.key, r.ts): r.delta for r in ts_delta(sdf, 1000, align=500).collect()}
+    assert al[("k", 500)] == 3.0
+    # same-ts first/last are by ts, so a single-valid bucket never emits
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        ts_delta(sdf, 0)
+
+
+def test_idelta_last_two_samples(spark):
+    """ts_idelta: last-two-sample difference (signed — no reset
+    handling), NaN tail skipped, <2-sample keys not emitted, range cut
+    changes which pair is 'last'."""
+    from redistimeseries_spark.operators.rate import ts_idelta
+
+    nan = float("nan")
+    rows = [
+        ("k", 0, 10.0), ("k", 1000, 20.0), ("k", 3000, 26.0),
+        ("k", 3500, nan),                      # NaN tail: pair is (1000, 3000)
+        ("r", 0, 100.0), ("r", 2000, 4.0),     # drop: idelta = -96 (signed)
+        ("solo", 500, 7.0),
+    ]
+    sdf = spark.createDataFrame(rows, "key string, ts long, value double")
+    got = {r.key: (r.ts, r.idelta) for r in ts_idelta(sdf).collect()}
+    assert got == {"k": (3000, 6.0), "r": (2000, -96.0)}
+    cut = {r.key: (r.ts, r.idelta) for r in ts_idelta(sdf, end=1500).collect()}
+    assert cut["k"] == (1000, 10.0)
+
+
 def test_irate_last_two_samples(spark):
     """ts_irate: spot rate from the last two valid in-range samples,
     reset-aware, NaN tail skipped, <2-sample keys not emitted, range cut

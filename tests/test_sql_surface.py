@@ -108,7 +108,9 @@ def test_sql_table_functions_match_operators(spark, samples_df):
     )
     from redistimeseries_spark.operators.rate import (
         ts_changes,
+        ts_delta,
         ts_deriv,
+        ts_idelta,
         ts_predict_linear,
         ts_resets,
     )
@@ -140,6 +142,8 @@ def test_sql_table_functions_match_operators(spark, samples_df):
         (f"SELECT * FROM ts_topk({dur}, 2, 'max', true)",
          ts_topk(st.samples, dur, 2, "max", bottom=True)),
         (f"SELECT * FROM ts_deriv({dur})", ts_deriv(st.samples, dur)),
+        (f"SELECT * FROM ts_delta({dur})", ts_delta(st.samples, dur)),
+        ("SELECT * FROM ts_idelta()", ts_idelta(st.samples)),
         (f"SELECT * FROM ts_changes({dur})", ts_changes(st.samples, dur)),
         (f"SELECT * FROM ts_resets({dur})", ts_resets(st.samples, dur)),
         (f"SELECT * FROM ts_predict_linear({dur}, 60000)",
