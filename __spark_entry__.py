@@ -1225,6 +1225,30 @@ def q_rrf_fuse(spark, sf_dir):
     )
 
 
+def q_hybrid_search(spark, sf_dir):
+    """HYBRID retrieval (round 7): BM25 lexical top-20 fused with
+    embedding-cosine top-20 (query = vec 0's embedding; vec_id space ==
+    doc_id space in the testdata) via reciprocal rank fusion — the
+    calibration-free lexical+semantic composition the retrieval family
+    exists for (the standard RAG/hard-negative-mining first stage)."""
+    from redistimeseries_spark.pipeline.retrieval import bm25_topk, rrf_fuse
+    from redistimeseries_spark.pipeline.similarity import cosine_topk
+    from redistimeseries_spark.store import read_parquet
+
+    docs = _docs(spark, sf_dir).select("doc_id", "text")
+    emb = read_parquet(spark, f"{sf_dir}/embeddings.parquet")
+    return rrf_fuse(
+        [
+            bm25_topk(docs, "fast table scan query", k=20),
+            cosine_topk(emb, 0, 20).select(
+                F.col("vec_id").alias("doc_id"), F.col("cos").alias("score")
+            ),
+        ],
+        k=60,
+        topk=15,
+    )
+
+
 def q_cross_contaminated(spark, sf_dir):
     """Fuzzy train/eval contamination screen: every 50th doc is the eval
     corpus; a training doc is flagged iff it shares a minhash-LSH band
@@ -1953,7 +1977,11 @@ def _base_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # (PromQL delta/idelta — the family's last standard members) promote;
     # ts_resample_linear (2x green; resample family keeps
     # ts_resample_locf) and ts_gaps (2x green; the lag-window family
-    # keeps ts_irate/ts_changes/ts_resets) rotate to the tail.
+    # keeps ts_irate/ts_changes/ts_resets) rotate to the tail.  NEW
+    # dl_hybrid_search (BM25 + embedding-ANN fused via RRF — the hybrid
+    # retrieval composition) promotes; dl_rolling_fingerprint (2x green
+    # r5+r6; fingerprints keep dl_fingerprint in the gated tail) rotates
+    # out.
     return {
         # --- checked prefix: one representative per operator family -----
         "ts_range_raw": q_range_raw,
@@ -2000,7 +2028,7 @@ def _base_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dl_dup_spans": q_dup_spans,
         "dl_substring_contaminated": q_substring_contaminated,
         "dl_mm_frame_sample": q_mm_frame_sample,
-        "dl_rolling_fingerprint": q_rolling_fingerprint,
+        "dl_hybrid_search": q_hybrid_search,
         "ts_counter_increase": q_counter_increase,
         "dl_semdedup": q_semdedup,
         "dl_stream_semdedup": q_stream_semdedup,
@@ -2012,6 +2040,7 @@ def _base_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ts_asof_join": q_asof_join,
         # --- tail: family variants, locally gated -----------------------
         "dl_chunk_docs": q_chunk_docs,
+        "dl_rolling_fingerprint": q_rolling_fingerprint,
         "ts_ewma": q_ewma,
         "ts_gaps": q_gaps,
         "ts_resample_linear": q_resample_linear,
@@ -2413,6 +2442,31 @@ def _pipeline_oracles() -> dict[str, str]:
             r2 AS (SELECT doc_id, score,
                           row_number() OVER (ORDER BY score DESC, doc_id) AS rnk
                    FROM ({_bm25_sql(words, ("join", "merge", "batch"), 20)})),
+            u AS (SELECT doc_id, 1.0 / (60 + rnk) AS contrib FROM r1
+                  UNION ALL
+                  SELECT doc_id, 1.0 / (60 + rnk) AS contrib FROM r2)
+            SELECT doc_id, round(sum(contrib), 6) AS rrf
+            FROM u GROUP BY doc_id
+            ORDER BY round(sum(contrib), 6) DESC, doc_id
+            LIMIT 15""",
+        "dl_hybrid_search": f"""WITH
+            r1 AS (SELECT doc_id, score,
+                          row_number() OVER (ORDER BY score DESC, doc_id) AS rnk
+                   FROM ({_bm25_sql(words, ("fast", "query", "scan", "table"), 20)})),
+            d AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+            q AS (SELECT v AS qv, sqrt(list_dot_product(v, v)) AS qn
+                  FROM d WHERE vec_id = 0),
+            s AS (SELECT vec_id,
+                         list_dot_product(v, qv)
+                         / (sqrt(list_dot_product(v, v)) * qn) AS c
+                  FROM d, q WHERE vec_id <> 0),
+            -- top-20 selected on RAW cosine (cosine_topk's order), then
+            -- ranked on the ROUNDED value (what rrf_fuse receives)
+            top AS (SELECT vec_id, round(c, 6) AS c
+                    FROM (SELECT * FROM s ORDER BY c DESC, vec_id LIMIT 20)),
+            r2 AS (SELECT vec_id AS doc_id, c,
+                          row_number() OVER (ORDER BY c DESC, vec_id) AS rnk
+                   FROM top),
             u AS (SELECT doc_id, 1.0 / (60 + rnk) AS contrib FROM r1
                   UNION ALL
                   SELECT doc_id, 1.0 / (60 + rnk) AS contrib FROM r2)

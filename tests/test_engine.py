@@ -127,6 +127,29 @@ def test_compaction_rule_and_latest(eng):
     assert not eng.rules
 
 
+def test_increase_rule_through_engine_facade(eng):
+    """TS.CREATERULE with the round-7 `increase` aggregator: the engine's
+    dest materialization, LATEST open-bucket finalize, and GET all route
+    the counter rollup like any reference aggregator.  Chain: 1, 5, 2
+    (reset -> step 2), 9 (step 7), 4 (reset -> step 4)."""
+    eng.create("c")
+    eng.create("c_inc")
+    eng.create_rule("c", "c_inc", "increase", 1000)
+    eng.madd([
+        ("c", 0, 1.0), ("c", 400, 5.0), ("c", 800, 2.0),
+        ("c", 1200, 9.0), ("c", 2100, 4.0),
+    ])
+    closed = eng.range("c_inc").collect()
+    # b0: steps 4 (1->5) + 2 (reset) = 6; b1: 7; open bucket (2000) cut
+    assert [(r.ts, r.value) for r in closed] == [(0, 6.0), (1000, 7.0)]
+    assert eng.get("c_inc", latest=True) == (2000, 4.0)  # reset: new value
+    # rate rule = increase / bucket-seconds, same machinery
+    eng.create("c_r")
+    eng.create_rule("c", "c_r", "rate", 2000)
+    got = {r.ts: r.value for r in eng.range("c_r", latest=True).collect()}
+    assert got == {0: (6.0 + 7.0) / 2.0, 2000: 4.0 / 2.0}
+
+
 def test_retention_clamps_range(eng):
     eng.create("r", retention=5000)
     eng.madd([("r", 0, 1.0), ("r", 4000, 2.0), ("r", 10_000, 3.0)])
