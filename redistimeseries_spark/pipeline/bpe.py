@@ -150,6 +150,13 @@ def _words_projection(docs: DataFrame, id_col: str, text_col: str) -> DataFrame:
     )
 
 
+# the word memo carries across Arrow batches within a partition for the
+# Zipf hit rate, but is BOUNDED: past this many distinct words it resets
+# (CPU stays amortized on the head vocabulary either way; an unbounded
+# dict over a high-cardinality partition would grow with row count)
+_MEMO_CAP = 1 << 18
+
+
 def bpe_token_counts(
     docs: DataFrame,
     merges: list[tuple[str, str]],
@@ -157,8 +164,9 @@ def bpe_token_counts(
     text_col: str = "text",
 ) -> DataFrame:
     """(doc_id, bpe_tokens) — real BPE token count per document under the
-    trained merges.  Arrow kernel with a per-batch word memo (Zipf-bounded
-    miss rate); zero shuffle — one projection + one mapInPandas."""
+    trained merges.  Arrow kernel with a bounded cross-batch word memo
+    (Zipf-bounded miss rate, _MEMO_CAP-bounded memory); zero shuffle —
+    one projection + one mapInPandas."""
     ranks = _ranks(merges)
 
     def fn(batches):
@@ -170,6 +178,8 @@ def bpe_token_counts(
                 for w in wa:
                     c = memo.get(w)
                     if c is None:
+                        if len(memo) >= _MEMO_CAP:
+                            memo.clear()
                         c = len(segment_word(w, ranks))
                         memo[w] = c
                     total += c
@@ -191,7 +201,8 @@ def bpe_tokenize(
 ) -> DataFrame:
     """(doc_id, tokens) — the full subword token array per document (word
     segmentations concatenated in document order).  Same kernel shape as
-    `bpe_token_counts` with the segmentations memoized whole."""
+    `bpe_token_counts` with the segmentations memoized whole (and the
+    same _MEMO_CAP bound — segmentation lists are heavier than counts)."""
     ranks = _ranks(merges)
 
     def fn(batches):
@@ -203,6 +214,8 @@ def bpe_tokenize(
                 for w in wa:
                     s = memo.get(w)
                     if s is None:
+                        if len(memo) >= _MEMO_CAP:
+                            memo.clear()
                         s = segment_word(w, ranks)
                         memo[w] = s
                     row.extend(s)

@@ -202,6 +202,7 @@ def build_text_index(
     docs.sparkSession.createDataFrame(
         [(BATCH_BUILT_ID,)], "batch_id long"
     ).write.mode("overwrite").parquet(f"{path}/batches")
+    _clear_stream_state(docs.sparkSession, path, extra=("stats_batches",))
     _touch(docs.sparkSession, f"{path}/_batch_built")
 
 
@@ -224,18 +225,11 @@ def bm25_topk_indexed(
     if not terms:
         raise ValueError("query has no terms after tokenization")
     tbs = sorted({_term_bucket_py(t, buckets) for t in terms})
-    post = spark.read.parquet(f"{path}/postings")
-    if "batch_id" not in post.columns and _path_exists(spark, f"{path}/batches"):
-        # legacy MIXED store (pre-sentinel batch build later extended by
-        # TextIndexStream): schema inference happened to pick a
-        # batch-built footer and dropped batch_id — re-read with
-        # mergeSchema so commit filtering isn't silently skipped (the
-        # footer-merge cost is confined to this legacy shape; current
-        # builds stamp BATCH_BUILT_ID and stay uniform)
-        post = spark.read.option("mergeSchema", "true").parquet(
-            f"{path}/postings"
-        )
-    post = post.filter(F.col("tb").isin(tbs)).filter(F.col("term").isin(terms))
+    post = (
+        _read_index_rows(spark, path, "postings")
+        .filter(F.col("tb").isin(tbs))
+        .filter(F.col("term").isin(terms))
+    )
     if "batch_id" in post.columns and not _needs_commit_filtering(spark, path):
         # batch-only store (sentinel rows, atomic overwrite): every row
         # is committed by construction — skip the semi-join + distinct,
@@ -250,12 +244,19 @@ def bm25_topk_indexed(
         # on the already-pruned bucket/term slice, so cost tracks matched
         # postings, not the corpus.  Rows with a NULL batch_id are legacy
         # batch-built rows surfacing through a merged schema — committed
-        # by construction (a batch build is atomic overwrite).
-        post = post.select("term", "doc_id", "tf", "dl", "batch_id")
+        # by construction (a batch build is atomic overwrite).  ONE scan:
+        # a broadcast LEFT join against the committed set instead of a
+        # semi-join + null-branch self-union (which planned the pruned
+        # slice twice).
         post = (
-            post.filter(F.col("batch_id").isNotNull())
-            .join(F.broadcast(done), "batch_id", "left_semi")
-            .unionByName(post.filter(F.col("batch_id").isNull()))
+            post.select("term", "doc_id", "tf", "dl", "batch_id")
+            .join(
+                F.broadcast(done.withColumn("__c", F.lit(1))),
+                "batch_id",
+                "left",
+            )
+            .filter(F.col("batch_id").isNull() | F.col("__c").isNotNull())
+            .drop("__c")
             .distinct()
         )
     post = post.select("term", "doc_id", "tf", "dl")
@@ -373,6 +374,56 @@ def _touch(spark, path: str) -> None:
         fs.create(hpath, True).close()
 
 
+def _rm(spark, path: str) -> None:
+    """Delete a file/dir if present (driver-side Hadoop FS, recursive)."""
+    jvm = spark._jvm
+    hpath = jvm.org.apache.hadoop.fs.Path(path)
+    fs = hpath.getFileSystem(spark._jsc.hadoopConfiguration())
+    if fs.exists(hpath):
+        fs.delete(hpath, True)
+
+
+def _clear_stream_state(spark, path: str, extra: tuple[str, ...] = ()) -> None:
+    """A batch REBUILD is a new store epoch: drop the previous stream's
+    state (committed-batch rows survive nowhere else, so leaving e.g.
+    stats_batches/ behind would double-count once a NEW stream — whose
+    checkpoint restarts batch ids at 0 — commits epoch-0 again)."""
+    for sub in ("_streamed",) + extra:
+        _rm(spark, f"{path}/{sub}")
+
+
+def _read_index_rows(spark, path: str, sub: str) -> DataFrame:
+    """Read an index row table (`postings`/`cells`) with the
+    legacy-mixed-schema rescue: if a pre-sentinel batch build was
+    extended by a stream and schema inference picked a batch-built
+    footer (dropping batch_id), re-read with mergeSchema so commit
+    filtering isn't silently skipped.  Current builds stamp
+    BATCH_BUILT_ID, so the footer-merge cost is confined to the legacy
+    shape."""
+    d = spark.read.parquet(f"{path}/{sub}")
+    if "batch_id" not in d.columns and _path_exists(spark, f"{path}/batches"):
+        d = spark.read.option("mergeSchema", "true").parquet(f"{path}/{sub}")
+    return d
+
+
+def _require_sentinel_store(spark, path: str, sub: str, rebuild_with: str) -> None:
+    """Refuse to stream-extend a PRE-SENTINEL batch-built store: its row
+    table lacks the batch_id column, so appending stream rows would
+    leave a mixed parquet schema whose inference either drops every
+    batch-built row from queries (null batch_id fails the committed
+    semi-join) or skips commit filtering entirely — both silent.
+    Rebuilding with the current builder stamps the sentinel and makes
+    the store stream-extensible."""
+    if _path_exists(spark, f"{path}/{sub}"):
+        cols = spark.read.parquet(f"{path}/{sub}").columns
+        if "batch_id" not in cols:
+            raise ValueError(
+                f"existing {sub} at {path} have no batch_id column "
+                f"(pre-sentinel batch build); rebuild the index with "
+                f"{rebuild_with} before streaming into it"
+            )
+
+
 def _needs_commit_filtering(spark, path: str) -> bool:
     """Whether an index store's rows need the committed-batch filtering
     (semi-join + replay dedupe).  A store a stream has EVER touched does
@@ -472,23 +523,12 @@ class TextIndexStream:
         os.makedirs(path, exist_ok=True)
 
     def _check_store(self) -> None:
-        """Refuse to extend a PRE-SENTINEL batch-built store: its postings
-        lack the batch_id column, so appending stream rows would leave a
-        mixed parquet schema whose inference either drops every
-        batch-built doc from queries (null batch_id fails the committed
-        semi-join) or skips commit filtering entirely — both silent.
-        Rebuilding with the current `build_text_index` stamps the
-        sentinel and makes the store stream-extensible."""
+        """Sentinel-schema guard (see `_require_sentinel_store`)."""
         if self._store_checked:
             return
-        if _path_exists(self.spark, f"{self.path}/postings"):
-            cols = self.spark.read.parquet(f"{self.path}/postings").columns
-            if "batch_id" not in cols:
-                raise ValueError(
-                    f"existing postings at {self.path} have no batch_id "
-                    "column (pre-sentinel batch build); rebuild the index "
-                    "with build_text_index before streaming into it"
-                )
+        _require_sentinel_store(
+            self.spark, self.path, "postings", "build_text_index"
+        )
         self._store_checked = True
 
     def _tokenize(self, batch: DataFrame) -> DataFrame:

@@ -713,6 +713,9 @@ def build_ivf_index(
     emb.sparkSession.createDataFrame(
         [(BATCH_BUILT_ID,)], "batch_id long"
     ).write.mode("overwrite").parquet(f"{path}/batches")
+    from redistimeseries_spark.pipeline.retrieval import _clear_stream_state
+
+    _clear_stream_state(emb.sparkSession, path)
     _touch(emb.sparkSession, f"{path}/_batch_built")
 
 
@@ -789,23 +792,16 @@ class IVFIndexStream:
         os.makedirs(path, exist_ok=True)
 
     def _check_store(self) -> None:
-        """Refuse to extend a PRE-SENTINEL batch-built store (cells
-        without batch_id): appending would leave a mixed parquet schema
-        whose inference either drops every batch-built vector from
-        queries or skips commit filtering — both silent.  Rebuild with
-        the current build_ivf_index first (stamps BATCH_BUILT_ID)."""
-        from redistimeseries_spark.pipeline.retrieval import _path_exists
+        """Sentinel-schema guard (retrieval._require_sentinel_store)."""
+        from redistimeseries_spark.pipeline.retrieval import (
+            _require_sentinel_store,
+        )
 
         if self._store_checked:
             return
-        if _path_exists(self.spark, f"{self.path}/cells"):
-            cols = self.spark.read.parquet(f"{self.path}/cells").columns
-            if "batch_id" not in cols:
-                raise ValueError(
-                    f"existing cells at {self.path} have no batch_id "
-                    "column (pre-sentinel batch build); rebuild the index "
-                    "with build_ivf_index before streaming into it"
-                )
+        _require_sentinel_store(
+            self.spark, self.path, "cells", "build_ivf_index"
+        )
         self._store_checked = True
 
     def _centroids(self, d: DataFrame) -> DataFrame:
@@ -849,7 +845,11 @@ class IVFIndexStream:
         if _path_exists(self.spark, f"{self.path}/codebook"):
             # PQ store: encode against the frozen codebook so the hybrid
             # store's codes column stays total (deterministic, so a
-            # replay re-encodes identically and collapses on read)
+            # replay re-encodes identically and collapses on read).
+            # pq_encode's arrow="auto" adds one bounded count job per
+            # batch to pick the kernel — negligible next to the batch's
+            # write jobs, and a kernel flip across batches is harmless
+            # (codes are A/B-pinned equal)
             cb = self.spark.read.parquet(f"{self.path}/codebook")
             codes = pq_encode(
                 d.select("vec_id", F.col("v").alias("embedding")), cb
@@ -867,18 +867,11 @@ class IVFIndexStream:
 
 
 def _read_cells(spark, path: str) -> DataFrame:
-    """Read `<path>/cells` with the legacy-mixed-schema rescue: if a
-    pre-sentinel batch build was extended by IVFIndexStream and schema
-    inference picked a batch-built footer (dropping batch_id), re-read
-    with mergeSchema so commit filtering isn't silently skipped.
-    Current builds stamp BATCH_BUILT_ID, so the merge cost is confined
-    to the legacy shape."""
-    from redistimeseries_spark.pipeline.retrieval import _path_exists
+    """Read `<path>/cells` with the legacy-mixed-schema rescue
+    (retrieval._read_index_rows — the shared sentinel-store machinery)."""
+    from redistimeseries_spark.pipeline.retrieval import _read_index_rows
 
-    d = spark.read.parquet(f"{path}/cells")
-    if "batch_id" not in d.columns and _path_exists(spark, f"{path}/batches"):
-        d = spark.read.option("mergeSchema", "true").parquet(f"{path}/cells")
-    return d
+    return _read_index_rows(spark, path, "cells")
 
 
 def _committed_cells(spark, path: str, d: DataFrame) -> DataFrame:
@@ -901,10 +894,14 @@ def _committed_cells(spark, path: str, d: DataFrame) -> DataFrame:
     if not _needs_commit_filtering(spark, path):
         return d.drop("batch_id")
     done = _read_optional(spark, f"{path}/batches", "batch_id long")
+    # ONE scan: broadcast LEFT join against the committed set (a
+    # semi-join + null-branch self-union would plan the slice twice)
     return (
-        d.filter(F.col("batch_id").isNotNull())
-        .join(F.broadcast(done), "batch_id", "left_semi")
-        .unionByName(d.filter(F.col("batch_id").isNull()))
+        d.join(
+            F.broadcast(done.withColumn("__c", F.lit(1))), "batch_id", "left"
+        )
+        .filter(F.col("batch_id").isNull() | F.col("__c").isNotNull())
+        .drop("__c")
         .dropDuplicates(["vec_id"])
         .drop("batch_id")
     )

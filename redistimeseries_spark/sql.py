@@ -36,7 +36,9 @@ def _ts_tvf_sql(p: str) -> list[str]:
     over the `<p>samples` view, one per beyond-reference TS companion, so
     the `spark.sql` surface matches the Python facade (engine.topk /
     deriv / changes / resets / predict_linear / value_histogram /
-    resample / holt).  Bodies are the operators' exact plans re-expressed
+    resample / holt — named `<p><op>`, so two stores registered under
+    different prefixes keep independent function sets).  Bodies are the
+    operators' exact plans re-expressed
     declaratively — Catalyst inlines them at the call site, so `SELECT *
     FROM ts_deriv(3600000)` compiles to the same aggregation the
     DataFrame operator builds (pinned equal in test_sql_surface).  Bucket
@@ -53,7 +55,7 @@ def _ts_tvf_sql(p: str) -> list[str]:
         # PromQL topk/bottomk per bucket (operators/multi.ts_topk); agg
         # dispatch covers the groupBy-native core five — the Python
         # facade's full aggregator set (p-names, twa) stays facade-only
-        f"""CREATE OR REPLACE TEMPORARY FUNCTION ts_topk(
+        f"""CREATE OR REPLACE TEMPORARY FUNCTION {p}topk(
                 dur BIGINT, n INT, agg STRING, bottom BOOLEAN)
             RETURNS TABLE (ts BIGINT, key STRING, value DOUBLE, rnk INT)
             RETURN SELECT ts, key, value, rnk FROM (
@@ -68,6 +70,12 @@ def _ts_tvf_sql(p: str) -> list[str]:
                                       WHEN 'min' THEN min(value)
                                       WHEN 'max' THEN max(value)
                                       WHEN 'count' THEN CAST(count(value) AS DOUBLE)
+                                      ELSE CAST(raise_error(concat(
+                                        '{p}topk: unsupported agg ', agg,
+                                        ' (SQL surface dispatches avg/sum/',
+                                        'min/max/count; the Python facade',
+                                        ' takes the full aggregator set)'))
+                                        AS DOUBLE)
                              END, 6) AS __v
                 FROM (SELECT key, {b} AS __b, value
                       FROM {p}samples WHERE {nn})
@@ -75,7 +83,7 @@ def _ts_tvf_sql(p: str) -> list[str]:
               WHERE __v IS NOT NULL AND NOT isnan(__v))
             WHERE rnk <= n""",
         # per-bucket least-squares slope, value-units/second (ts_deriv)
-        f"""CREATE OR REPLACE TEMPORARY FUNCTION ts_deriv(dur BIGINT)
+        f"""CREATE OR REPLACE TEMPORARY FUNCTION {p}deriv(dur BIGINT)
             RETURNS TABLE (key STRING, ts BIGINT, slope DOUBLE)
             RETURN SELECT key, __b AS ts, slope FROM (
               SELECT key, __b, regr_slope(value, __x) AS slope
@@ -85,7 +93,7 @@ def _ts_tvf_sql(p: str) -> list[str]:
               GROUP BY key, __b)
             WHERE slope IS NOT NULL""",
         # per-bucket change count vs previous valid sample (ts_changes)
-        f"""CREATE OR REPLACE TEMPORARY FUNCTION ts_changes(dur BIGINT)
+        f"""CREATE OR REPLACE TEMPORARY FUNCTION {p}changes(dur BIGINT)
             RETURNS TABLE (key STRING, ts BIGINT, changes BIGINT)
             RETURN SELECT key, __b AS ts, __s AS changes FROM (
               SELECT key, __b, sum(__e) AS __s, count(__e) AS __n
@@ -99,7 +107,7 @@ def _ts_tvf_sql(p: str) -> list[str]:
               GROUP BY key, __b)
             WHERE __n > 0""",
         # per-bucket counter-reset count (ts_resets)
-        f"""CREATE OR REPLACE TEMPORARY FUNCTION ts_resets(dur BIGINT)
+        f"""CREATE OR REPLACE TEMPORARY FUNCTION {p}resets(dur BIGINT)
             RETURNS TABLE (key STRING, ts BIGINT, resets BIGINT)
             RETURN SELECT key, __b AS ts, __s AS resets FROM (
               SELECT key, __b, sum(__e) AS __s, count(__e) AS __n
@@ -113,7 +121,7 @@ def _ts_tvf_sql(p: str) -> list[str]:
               GROUP BY key, __b)
             WHERE __n > 0""",
         # per-bucket linear extrapolation `horizon` past bucket end
-        f"""CREATE OR REPLACE TEMPORARY FUNCTION ts_predict_linear(
+        f"""CREATE OR REPLACE TEMPORARY FUNCTION {p}predict_linear(
                 dur BIGINT, horizon BIGINT)
             RETURNS TABLE (key STRING, ts BIGINT, predicted DOUBLE)
             RETURN SELECT key, __b AS ts,
@@ -127,7 +135,7 @@ def _ts_tvf_sql(p: str) -> list[str]:
               GROUP BY key, __b)
             WHERE __m IS NOT NULL""",
         # per-bucket last-minus-first gauge difference (rate.ts_delta)
-        f"""CREATE OR REPLACE TEMPORARY FUNCTION ts_delta(dur BIGINT)
+        f"""CREATE OR REPLACE TEMPORARY FUNCTION {p}delta(dur BIGINT)
             RETURNS TABLE (key STRING, ts BIGINT, delta DOUBLE)
             RETURN SELECT key, __b AS ts, delta FROM (
               SELECT key, __b,
@@ -138,7 +146,7 @@ def _ts_tvf_sql(p: str) -> list[str]:
               GROUP BY key, __b)
             WHERE __n >= 2""",
         # spot gauge movement, last two samples (rate.ts_idelta)
-        f"""CREATE OR REPLACE TEMPORARY FUNCTION ts_idelta()
+        f"""CREATE OR REPLACE TEMPORARY FUNCTION {p}idelta()
             RETURNS TABLE (key STRING, ts BIGINT, idelta DOUBLE)
             RETURN SELECT key, ts, idelta FROM (
               SELECT key, ts,
@@ -148,7 +156,7 @@ def _ts_tvf_sql(p: str) -> list[str]:
               FROM {p}samples WHERE {nn})
             WHERE ts = __mx AND idelta IS NOT NULL""",
         # fixed-width value histogram (percentiles.ts_value_histogram)
-        f"""CREATE OR REPLACE TEMPORARY FUNCTION ts_value_hist(
+        f"""CREATE OR REPLACE TEMPORARY FUNCTION {p}value_hist(
                 bin_width DOUBLE, lo DOUBLE)
             RETURNS TABLE (key STRING, bin_lo DOUBLE, n BIGINT)
             RETURN SELECT key,
@@ -157,7 +165,7 @@ def _ts_tvf_sql(p: str) -> list[str]:
             FROM {p}samples WHERE {nn}
             GROUP BY 1, 2""",
         # regular-grid resampling, locf or linear (resample.ts_resample)
-        f"""CREATE OR REPLACE TEMPORARY FUNCTION ts_resample(
+        f"""CREATE OR REPLACE TEMPORARY FUNCTION {p}resample(
                 step BIGINT, method STRING)
             RETURNS TABLE (key STRING, ts BIGINT, value DOUBLE)
             RETURN WITH df AS (
@@ -192,7 +200,11 @@ def _ts_tvf_sql(p: str) -> list[str]:
                    ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS __nt
               FROM u)
             SELECT key, ts,
-              CASE WHEN method = 'locf' THEN __pv
+              CASE WHEN method NOT IN ('locf', 'linear')
+                     THEN CAST(raise_error(concat(
+                       '{p}resample: method must be locf or linear, got ',
+                       method)) AS DOUBLE)
+                   WHEN method = 'locf' THEN __pv
                    WHEN __pt = ts THEN __pv
                    WHEN __nt IS NULL THEN __pv
                    ELSE __pv + (__nv - __pv) * (ts - __pt) / (__nt - __pt)
@@ -201,7 +213,7 @@ def _ts_tvf_sql(p: str) -> list[str]:
         # Holt double-exponential smoothing (smooth.ts_holt); aggregate()
         # fold over each series' sorted sample array — SQL twin only, the
         # Arrow facade is the scale path
-        f"""CREATE OR REPLACE TEMPORARY FUNCTION ts_holt(
+        f"""CREATE OR REPLACE TEMPORARY FUNCTION {p}holt(
                 alpha DOUBLE, beta DOUBLE)
             RETURNS TABLE (key STRING, ts BIGINT, level DOUBLE, trend DOUBLE)
             RETURN WITH arr AS (

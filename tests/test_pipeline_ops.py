@@ -2010,6 +2010,40 @@ def test_text_index_hybrid_batch_then_stream(spark, tmp_path):
     assert abs(s.avgdl - sf.avgdl) < 1e-12
 
 
+def test_text_index_rebuild_resets_stream_epoch(spark, tmp_path):
+    """REBUILDING a previously stream-extended store starts a new epoch:
+    the old stream's stats_batches/_streamed state is cleared, so a NEW
+    stream (fresh checkpoint, batch ids restarting at 0) neither
+    double-counts stats nor collides with dead epoch-0 rows — the exact
+    remediation path _check_store's error message prescribes."""
+    from redistimeseries_spark.pipeline.retrieval import (
+        TextIndexStream, bm25_topk_indexed, build_text_index, read_index_stats,
+    )
+    from redistimeseries_spark.store import read_parquet
+
+    docs = read_parquet(spark, "/root/testdata/sf0.001/documents.parquet").select(
+        "doc_id", "text"
+    )
+    b1 = docs.filter("doc_id % 2 = 0")
+    b2 = docs.filter("doc_id % 2 = 1")
+    path = str(tmp_path / "idx")
+    # epoch 1: build + stream
+    build_text_index(b1, path)
+    TextIndexStream(spark, path).process_batch(b2, 0)
+    # epoch 2: rebuild over b1 only, then a NEW stream re-commits batch 0
+    build_text_index(b1, path)
+    TextIndexStream(spark, path).process_batch(b2, 0)
+    full_path = str(tmp_path / "full")
+    build_text_index(docs, full_path)
+    s = read_index_stats(spark, path).collect()[0]
+    sf = read_index_stats(spark, full_path).collect()[0]
+    assert (s.n_docs, s.total_dl) == (sf.n_docs, sf.total_dl)  # no double count
+    q = "fast table scan query"
+    got = [(r.doc_id, r.score) for r in bm25_topk_indexed(spark, path, q, k=15).collect()]
+    want = [(r.doc_id, r.score) for r in bm25_topk_indexed(spark, full_path, q, k=15).collect()]
+    assert got == want
+
+
 def test_text_index_stream_refuses_pre_sentinel_store(spark, tmp_path):
     """Extending a store whose postings lack batch_id (pre-sentinel batch
     build) must fail loudly — appending would leave a mixed parquet
@@ -2077,8 +2111,12 @@ def test_ivf_pq_index_hybrid_batch_then_stream(spark, tmp_path):
     got_rows = [(r.vec_id, r.cos) for r in got.collect()]
     assert got_rows == want
     assert {v % 2 for v, _ in got_rows} == {0, 1}  # both flavors visible
-    sch = got._jdf.queryExecution().executedPlan().toString().split("ReadSchema")[-1][:220]
-    assert "codes" in sch and "v:array" not in sch  # codes-only scan
+    # codes-only scan: no cells scan reads the float vector column (the
+    # tiny committed-batch table contributes its own ReadSchema section)
+    plan = got._jdf.queryExecution().executedPlan().toString()
+    schemas = [seg[:220] for seg in plan.split("ReadSchema")[1:]]
+    assert any("codes" in s for s in schemas)
+    assert all("v:array" not in s for s in schemas)
     # the float-vector path agrees too (streamed rows carry v as well)
     got_v = [(r.vec_id, r.cos) for r in ivf_topk_indexed(spark, hyb, qv, k=40, nprobe=16).collect()]
     want_v = [(r.vec_id, r.cos) for r in ivf_topk_indexed(spark, ref, qv, k=40, nprobe=16).collect()]

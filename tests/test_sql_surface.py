@@ -171,6 +171,35 @@ def test_sql_table_functions_match_operators(spark, samples_df):
         ._jdf.queryExecution().executedPlan().toString()
     )
     assert "PythonUDF" not in plan
+    # unsupported dispatch strings ERROR (matching the Python facade's
+    # ValueError) instead of silently returning zero rows
+    import pytest as _pytest
+
+    with _pytest.raises(Exception, match="unsupported agg"):
+        spark.sql(f"SELECT * FROM ts_topk({dur}, 1, 'p50', false)").collect()
+    with _pytest.raises(Exception, match="locf or linear"):
+        spark.sql("SELECT * FROM ts_resample(20000, 'cubic')").collect()
+
+
+def test_sql_table_functions_respect_prefix(spark, samples_df):
+    """Two stores registered under different prefixes keep INDEPENDENT
+    function sets: <p><op> reads <p>samples (previously the last
+    register_sql silently rebound every TVF to its store)."""
+    from redistimeseries_spark.operators.rate import ts_delta
+
+    sa = TSStore.from_dataframes(
+        samples_df([("x", 100, 1.0), ("x", 900, 5.0)])
+    )
+    sb = TSStore.from_dataframes(
+        samples_df([("y", 100, 10.0), ("y", 900, 2.0)])
+    )
+    register_sql(spark, sa, prefix="a_")
+    register_sql(spark, sb, prefix="b_")
+    ga = [(r.key, r.ts, r.delta) for r in spark.sql("SELECT * FROM a_delta(1000)").collect()]
+    gb = [(r.key, r.ts, r.delta) for r in spark.sql("SELECT * FROM b_delta(1000)").collect()]
+    assert ga == [(r.key, r.ts, r.delta) for r in ts_delta(sa.samples, 1000).collect()]
+    assert gb == [(r.key, r.ts, r.delta) for r in ts_delta(sb.samples, 1000).collect()]
+    assert ga == [("x", 0, 4.0)] and gb == [("y", 0, -8.0)]
 
 
 def test_round5_sql_functions(spark):
