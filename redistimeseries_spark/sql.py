@@ -106,6 +106,27 @@ def _ts_tvf_sql(p: str) -> list[str]:
                       FROM {p}samples WHERE {nn}))
               GROUP BY key, __b)
             WHERE __n > 0""",
+        # reset-aware counter increase / per-second rate per bucket
+        # (rate.ts_increase / ts_rate — the step sum over the full-history
+        # valid-sample lag chain; emit when any sample has a predecessor)
+        f"""CREATE OR REPLACE TEMPORARY FUNCTION {p}increase(dur BIGINT)
+            RETURNS TABLE (key STRING, ts BIGINT, increase DOUBLE)
+            RETURN SELECT key, __b AS ts, __s AS increase FROM (
+              SELECT key, __b, sum(__e) AS __s, count(__e) AS __n
+              FROM (
+                SELECT key, {b} AS __b,
+                       CASE WHEN __p IS NULL THEN NULL
+                            WHEN value >= __p THEN value - __p
+                            ELSE value END AS __e
+                FROM (SELECT key, ts, value,
+                             lag(value) OVER (PARTITION BY key ORDER BY ts) AS __p
+                      FROM {p}samples WHERE {nn}))
+              GROUP BY key, __b)
+            WHERE __n > 0""",
+        f"""CREATE OR REPLACE TEMPORARY FUNCTION {p}rate(dur BIGINT)
+            RETURNS TABLE (key STRING, ts BIGINT, rate DOUBLE)
+            RETURN SELECT key, ts, increase / (dur / 1000.0) AS rate
+            FROM {p}increase(dur)""",
         # per-bucket counter-reset count (ts_resets)
         f"""CREATE OR REPLACE TEMPORARY FUNCTION {p}resets(dur BIGINT)
             RETURNS TABLE (key STRING, ts BIGINT, resets BIGINT)

@@ -111,7 +111,9 @@ def test_sql_table_functions_match_operators(spark, samples_df):
         ts_delta,
         ts_deriv,
         ts_idelta,
+        ts_increase,
         ts_predict_linear,
+        ts_rate,
         ts_resets,
     )
     from redistimeseries_spark.operators.resample import ts_resample
@@ -145,6 +147,9 @@ def test_sql_table_functions_match_operators(spark, samples_df):
         (f"SELECT * FROM ts_delta({dur})", ts_delta(st.samples, dur)),
         ("SELECT * FROM ts_idelta()", ts_idelta(st.samples)),
         (f"SELECT * FROM ts_changes({dur})", ts_changes(st.samples, dur)),
+        (f"SELECT * FROM ts_increase({dur})", ts_increase(st.samples, dur)),
+        (f"SELECT * FROM ts_rate({dur})",
+         ts_rate(st.samples, dur)),
         (f"SELECT * FROM ts_resets({dur})", ts_resets(st.samples, dur)),
         (f"SELECT * FROM ts_predict_linear({dur}, 60000)",
          ts_predict_linear(st.samples, dur, 60_000)),
