@@ -721,6 +721,20 @@ def test_on_duplicate_override_beats_series_policy(spark):
     assert [(r.ts, r.value) for r in eng.range("b").collect()] == [(2, 8.0)]
 
 
+def test_engine_delta_idelta_facade(eng):
+    """delta/idelta facade: per-bucket gauge difference (signed) and
+    spot last-two movement, both over the engine's time-sentinel API."""
+    eng.create("g")
+    eng.madd([("g", 100, 10.0), ("g", 900, 4.0), ("g", 1200, 7.0),
+              ("g", 2100, 5.0), ("g", 2900, 9.0)])
+    d = {r.ts: r.delta for r in eng.delta("g", 1000).collect()}
+    assert d == {0: -6.0, 2000: 4.0}  # single-valid bucket 1000 absent
+    ts, v = eng.idelta("g").collect()[0][0:2]
+    assert (ts, v) == (2900, 4.0)
+    cut = eng.idelta("g", to_ts=1500).collect()[0]
+    assert (cut.ts, cut.idelta) == (1200, 3.0)
+
+
 def test_engine_topk_facade(eng):
     """topk ranks the label-filtered population per bucket."""
     eng.create("h1", labels={"role": "web"})

@@ -313,6 +313,67 @@ def test_fuzz_deriv_vs_duckdb(envs):
     assert not failures, failures[:2]
 
 
+def _delta_oracle(spec) -> str:
+    align_ts = resolve_align(spec["align"], spec["start"], spec["end"])
+    b = bucket_sql("ts", spec["dur"], align_ts)
+    where = ["NOT isnan(value)"]
+    if spec.get("keys"):
+        ks = ", ".join(repr(k) for k in spec["keys"])
+        where.append(f"key IN ({ks})")
+    if spec["start"] > MIN_TS:
+        where.append(f"ts >= {spec['start']}")
+    if spec["end"] < MAX_TS:
+        where.append(f"ts <= {spec['end']}")
+    return f"""
+      WITH s AS (SELECT key, value, {b} AS b, ts FROM t
+                 WHERE {' AND '.join(where)})
+      SELECT key, b AS ts, arg_max(value, ts) - arg_min(value, ts) AS delta
+      FROM s GROUP BY key, b
+      HAVING count(*) >= 2
+    """
+
+
+def test_fuzz_delta_vs_duckdb(envs):
+    """ts_delta (round 7, PromQL delta's bucket-local core) vs a DuckDB
+    arg_max/arg_min oracle — deriv's spec axes (bucket-local, cut before
+    grouping, no predecessor subtlety), gauge dataset so deltas go
+    NEGATIVE legitimately."""
+    from redistimeseries_spark.operators.rate import ts_delta
+
+    rng, sdf, con, _, _ = envs
+    all_keys = KEYS + ["rg"]
+    specs = [
+        {"keys": None, "dur": 1_000_000, "align": "0",
+         "start": MIN_TS, "end": MAX_TS},
+    ]
+    while len(specs) < N_SPECS:
+        s = {
+            "keys": rng.sample(all_keys, rng.randint(1, 3)),
+            "dur": rng.choice([700, 1000, 3600, 7919, 25_000]),
+            "align": rng.choice(["0", "start"]),
+            "start": MIN_TS,
+            "end": MAX_TS,
+        }
+        if rng.random() < 0.6:
+            lo = rng.randrange(0, 40_000)
+            s["start"], s["end"] = lo, lo + rng.randrange(5_000, 40_000)
+        if s["align"] == "start" and s["start"] == MIN_TS:
+            s["align"] = "0"
+        specs.append(s)
+    failures = []
+    for i, s in enumerate(specs):
+        got = _normalize(
+            ts_delta(
+                sdf, s["dur"], keys=s["keys"], start=s["start"],
+                end=s["end"], align=s["align"],
+            ).toPandas()
+        )
+        exp = _normalize(con.sql(_delta_oracle(s)).df())
+        if not got.equals(exp):
+            failures.append((i, s, got.shape, exp.shape))
+    assert not failures, failures[:2]
+
+
 def _event_oracle(spec, cond: str, col: str) -> str:
     """changes/resets oracle: the written definition — full-history lag,
     event indicator vs the previous valid sample, cut AFTER the lag,
