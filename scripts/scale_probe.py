@@ -220,6 +220,15 @@ def main():
         "b23_topk10_2h": lambda: __import__(
             "redistimeseries_spark.operators.multi", fromlist=["ts_topk"]
         ).ts_topk(samples, 2 * H, 10),
+        # gauge difference: max_by/min_by hash agg, the value_hist plan
+        # class (no window at all)
+        "b24_delta_2h": lambda: __import__(
+            "redistimeseries_spark.operators.rate", fromlist=["ts_delta"]
+        ).ts_delta(samples, 2 * H),
+        # spot movement: the irate plan with a bare difference
+        "b25_idelta": lambda: __import__(
+            "redistimeseries_spark.operators.rate", fromlist=["ts_idelta"]
+        ).ts_idelta(samples),
     }
 
     # SPARK_GRAFT_BUCKETED=1: also build the key-bucketed layout and probe
