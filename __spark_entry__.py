@@ -1417,6 +1417,22 @@ def q_decontaminate(spark, sf_dir):
     return decontaminate(docs, ev, n=5)
 
 
+def q_eval_contamination(spark, sf_dir):
+    """Eval-side contamination report (round 7, the flip of
+    decontaminate): per EVAL doc (every 50th), how many of its distinct
+    5-grams appear in the REST of the corpus (eval docs excluded from
+    the train side — they would trivially self-match) and the fraction
+    — the benchmark-integrity audit run before trusting a score."""
+    from redistimeseries_spark.pipeline.curation import (
+        eval_contamination_report,
+    )
+
+    docs = _docs(spark, sf_dir).select("doc_id", "text")
+    ev = docs.filter(F.col("doc_id") % 50 == 0)
+    tr = docs.filter(F.col("doc_id") % 50 != 0)
+    return eval_contamination_report(tr, ev, n=5)
+
+
 def q_embed_neardup(spark, sf_dir):
     from redistimeseries_spark.pipeline.dedup import embedding_neardup_pairs
 
@@ -1981,7 +1997,10 @@ def _base_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # dl_hybrid_search (BM25 + embedding-ANN fused via RRF — the hybrid
     # retrieval composition) promotes; dl_rolling_fingerprint (2x green
     # r5+r6; fingerprints keep dl_fingerprint in the gated tail) rotates
-    # out.
+    # out.  NEW dl_eval_contamination (the eval-side benchmark-integrity
+    # report, completing the decontamination family's two directions)
+    # promotes; dl_embed_neardup_lsh (2x green r5+r6; embedding near-dup
+    # keeps dl_semdedup + dl_stream_semdedup) rotates out.
     return {
         # --- checked prefix: one representative per operator family -----
         "ts_range_raw": q_range_raw,
@@ -2023,7 +2042,7 @@ def _base_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ts_delta": q_delta,
         "ts_idelta": q_idelta,
         "dl_dedup_pipeline": q_dedup_pipeline,
-        "dl_embed_neardup_lsh": q_embed_neardup_lsh,
+        "dl_eval_contamination": q_eval_contamination,
         "dl_ann_lsh_topk": q_ann_lsh_topk,
         "dl_dup_spans": q_dup_spans,
         "dl_substring_contaminated": q_substring_contaminated,
@@ -2041,6 +2060,7 @@ def _base_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # --- tail: family variants, locally gated -----------------------
         "dl_chunk_docs": q_chunk_docs,
         "dl_rolling_fingerprint": q_rolling_fingerprint,
+        "dl_embed_neardup_lsh": q_embed_neardup_lsh,
         "ts_ewma": q_ewma,
         "ts_gaps": q_gaps,
         "ts_resample_linear": q_resample_linear,
@@ -2575,6 +2595,24 @@ def _pipeline_oracles() -> dict[str, str]:
                    coalesce(h.contaminated_grams, 0) AS contaminated_grams,
                    coalesce(h.contaminated_grams, 0) > 0 AS contaminated
             FROM documents d LEFT JOIN hits h ON d.doc_id = h.doc_id""",
+        "dl_eval_contamination": f"""WITH
+            w AS (SELECT doc_id, {words} AS ws FROM documents),
+            g AS (SELECT DISTINCT doc_id, array_to_string(ws[i:i+4], ' ') AS gram
+                  FROM w, unnest(generate_series(1, greatest(len(ws) - 4, 1))) AS t(i)),
+            ge AS (SELECT doc_id, gram FROM g WHERE doc_id % 50 = 0),
+            gt AS (SELECT DISTINCT gram FROM g WHERE doc_id % 50 <> 0),
+            sizes AS (SELECT doc_id, count(*) AS n_grams FROM ge GROUP BY 1),
+            hits AS (SELECT ge.doc_id, count(*) AS contaminated_grams
+                     FROM ge JOIN gt USING (gram) GROUP BY 1)
+            SELECT d.doc_id,
+                   coalesce(s.n_grams, 0) AS n_grams,
+                   coalesce(h.contaminated_grams, 0) AS contaminated_grams,
+                   round(coalesce(h.contaminated_grams, 0) * 1.0
+                         / nullif(coalesce(s.n_grams, 0), 0), 6)
+                     AS contamination_frac
+            FROM (SELECT doc_id FROM documents WHERE doc_id % 50 = 0) d
+            LEFT JOIN sizes s USING (doc_id)
+            LEFT JOIN hits h USING (doc_id)""",
         "dl_simhash_pairs": f"""WITH {NEAR_CORPUS_SQL},
             toks AS (SELECT doc_id, t.tok FROM corpus, unnest({words}) AS t(tok)),
             sh AS (SELECT doc_id, CAST({simhash_expr_sql(64, 'tok')} AS BIGINT) AS simhash

@@ -117,6 +117,23 @@ def bpe_train(
     return _train_merges({r.w: r.n for r in rows}, num_merges)
 
 
+def bpe_save(spark, merges: list[tuple[str, str]], path: str) -> None:
+    """Persist trained merge ranks as a tiny parquet table (rank, left,
+    right) — the tokenizer artifact a pipeline trains once per corpus
+    snapshot and every downstream job loads (the build_text_index
+    economics applied to the vocabulary)."""
+    spark.createDataFrame(
+        [(i, a, b) for i, (a, b) in enumerate(merges)],
+        "rank long, left string, right string",
+    ).write.mode("overwrite").parquet(path)
+
+
+def bpe_load(spark, path: str) -> list[tuple[str, str]]:
+    """Load merge ranks saved by `bpe_save`, in rank order."""
+    rows = spark.read.parquet(path).orderBy("rank").collect()
+    return [(r.left, r.right) for r in rows]
+
+
 def segment_word(word: str, ranks: dict[tuple[str, str], int]) -> list[str]:
     """Apply trained merges to one word: repeatedly merge the lowest-rank
     pair present (all occurrences, left-to-right).  The pure-Python

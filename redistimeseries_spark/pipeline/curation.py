@@ -143,6 +143,53 @@ def decontaminate(
     )
 
 
+def eval_contamination_report(
+    docs: DataFrame, eval_docs: DataFrame, n: int = 5
+) -> DataFrame:
+    """(doc_id, n_grams, contaminated_grams, contamination_frac) — one
+    row per EVAL doc: how many of its distinct word n-grams appear
+    anywhere in the TRAINING corpus, and the fraction.  The flip side of
+    `decontaminate`: that one tells you which training docs to drop;
+    this one tells you which BENCHMARK items are already compromised
+    (the number an eval-integrity audit reports before trusting a
+    score).
+
+    Scale shape: the eval gram table is the small side (broadcast into
+    the corpus gram stream — one map-side join over the corpus, the
+    decontaminate scan); hot grams (boilerplate shared by millions of
+    training docs) collapse in the map-side PARTIAL of the
+    (eval doc, gram) distinct before any shuffle, so the aggregation
+    never sees the corpus-side multiplicity.
+    """
+    ge = word_ngrams(eval_docs, n)  # (eval doc_id, gram), per-doc distinct
+    sizes = ge.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_grams"))
+    gt = word_ngrams(docs, n).select("gram")
+    hits = (
+        gt.join(F.broadcast(ge), "gram")
+        .select("doc_id", "gram")
+        .dropDuplicates(["doc_id", "gram"])  # partial-agg collapses hot grams
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("contaminated_grams"))
+    )
+    return (
+        eval_docs.select("doc_id")
+        .join(sizes, "doc_id", "left")
+        .join(hits, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce("n_grams", F.lit(0)).alias("n_grams"),
+            F.coalesce("contaminated_grams", F.lit(0)).alias(
+                "contaminated_grams"
+            ),
+            F.round(
+                F.coalesce("contaminated_grams", F.lit(0))
+                / F.nullif(F.coalesce("n_grams", F.lit(0)), F.lit(0)),
+                6,
+            ).alias("contamination_frac"),
+        )
+    )
+
+
 def stratified_sample(
     docs: DataFrame,
     stratum_col: str = "lang",

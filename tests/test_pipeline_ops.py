@@ -486,6 +486,57 @@ def test_clean_lines_c4_rules(spark):
         clean_lines(docs, min_words=0)
 
 
+def test_eval_contamination_report(spark):
+    """Planted overlap: an eval doc sharing a 5-gram span with training
+    text reports the hit count and fraction; a clean eval doc reports 0;
+    within-eval overlap does NOT count (train side only)."""
+    from redistimeseries_spark.pipeline.curation import (
+        eval_contamination_report,
+    )
+
+    leak = "alpha beta gamma delta epsilon zeta"  # two 5-grams
+    train = spark.createDataFrame(
+        [(1, f"some intro then {leak} and a tail"),
+         (2, "completely unrelated training words here okay")],
+        "doc_id long, text string",
+    )
+    evald = spark.createDataFrame(
+        [(100, leak),                                  # fully leaked
+         (101, "pristine benchmark question nothing shared"),
+         (102, "pristine benchmark question nothing shared")],  # eval-dup
+        "doc_id long, text string",
+    )
+    out = {r.doc_id: r for r in eval_contamination_report(train, evald, 5).collect()}
+    # "alpha...zeta" = 6 words -> 2 distinct 5-grams, both in train doc 1
+    assert (out[100].n_grams, out[100].contaminated_grams) == (2, 2)
+    assert out[100].contamination_frac == 1.0
+    assert out[101].contaminated_grams == 0 and out[101].contamination_frac == 0.0
+    # identical eval docs don't contaminate each other (train side only)
+    assert out[102].contaminated_grams == 0
+
+
+def test_bpe_save_load_roundtrip(spark, tmp_path):
+    """bpe_save/bpe_load: the persisted merge table reloads in rank
+    order and reproduces identical token counts."""
+    from redistimeseries_spark.pipeline.bpe import (
+        bpe_load,
+        bpe_save,
+        bpe_token_counts,
+        bpe_train,
+    )
+    from redistimeseries_spark.store import read_parquet
+
+    docs = read_parquet(spark, "/root/testdata/sf0.001/documents.parquet")
+    merges = bpe_train(docs, num_merges=30)
+    path = str(tmp_path / "bpe")
+    bpe_save(spark, merges, path)
+    loaded = bpe_load(spark, path)
+    assert loaded == merges
+    a = {r.doc_id: r.bpe_tokens for r in bpe_token_counts(docs, merges).collect()}
+    b = {r.doc_id: r.bpe_tokens for r in bpe_token_counts(docs, loaded).collect()}
+    assert a == b
+
+
 def test_canonical_url_idempotent_on_random_urls(spark):
     """canonical_url is a CANONICALIZATION: applying it twice equals
     applying it once, over a seeded zoo of random crawl-variant URLs."""
