@@ -118,7 +118,9 @@ def q_counter_increase(spark, sf_dir):
     from redistimeseries_spark.operators.rate import ts_increase
 
     st = _store(spark, sf_dir)
-    return ts_increase(st.samples, 6 * H, start=D14, end=D21)
+    return ts_increase(st.samples, 6 * H, start=D14, end=D21).select(
+        "key", "ts", F.round("increase", 6).alias("increase")
+    )
 
 
 def q_ewma(spark, sf_dir):
@@ -1682,6 +1684,97 @@ def q_bpe_tokens(spark, sf_dir):
     return bpe_token_counts(_docs(spark, sf_dir), _bpe_gate_merges())
 
 
+# --- byte-level BPE gate (pipeline/bpe.py mode="bytes") ---------------
+# Same fixed-literal-training-table pattern as dl_bpe_tokens, over the
+# byte alphabet: pretokens are PRETOKEN_RE runs (case preserved,
+# whitespace/punctuation counted), base symbols are lowercase hex pairs
+# of the UTF-8 bytes — so the oracle can replay the ranks over
+# substring(lower(hex(word))) pairs with no BLOB arithmetic.
+_BPE_BYTES_GATE_WORDS = [
+    "the", "The", "data", " ", "scan", "join", ",", "hash", "query",
+    "spark", ".", "table", "row", "  ", "batch", "filter", "42", "--",
+    "customer", "order", "'", "value", "stream", "!", "2024", "window",
+    "é", "merge", "\n", "sort", "fast",
+]
+_BPE_BYTES_GATE_N_MERGES = 24
+
+
+def _bpe_bytes_gate_merges() -> list[tuple[str, str]]:
+    from redistimeseries_spark.pipeline.bpe import _train_merges
+
+    return _train_merges(
+        {w: 100 - i for i, w in enumerate(_BPE_BYTES_GATE_WORDS)},
+        _BPE_BYTES_GATE_N_MERGES,
+        mode="bytes",
+    )
+
+
+def q_bpe_bytes(spark, sf_dir):
+    """Byte-level trained-BPE token counts per doc (GPT-2-style: every
+    byte counted, case preserved; merge ranks learned from the fixed
+    gate table).  The oracle replays the same ranks over hex-pair byte
+    symbols in the dl_bpe_tokens recursive CTE — the one-leftmost-merge
+    ≡ batch-merge equivalence is representation-independent (a merge
+    only creates pairs of strictly higher rank)."""
+    from redistimeseries_spark.pipeline.bpe import bpe_token_counts
+
+    return bpe_token_counts(
+        _docs(spark, sf_dir), _bpe_bytes_gate_merges(), mode="bytes"
+    )
+
+
+def _bpe_bytes_oracle_sql() -> str:
+    from redistimeseries_spark.pipeline.bpe import PRETOKEN_RE
+
+    merges = _bpe_bytes_gate_merges()
+    case = (
+        "CASE p "
+        + " ".join(
+            f"WHEN '{a} {b}' THEN {i}" for i, (a, b) in enumerate(merges)
+        )
+        + " ELSE NULL END"
+    )
+    return f"""WITH RECURSIVE
+w AS (SELECT doc_id,
+             unnest(regexp_extract_all(text, '{PRETOKEN_RE}')) AS word
+      FROM documents),
+wo AS (SELECT doc_id, word, count(*) AS n FROM w GROUP BY 1, 2),
+seg(word, toks, step) AS (
+  SELECT word,
+         list_transform(range(1, length(hex(word)) // 2 + 1),
+                        i -> substring(lower(hex(word)), 2 * i - 1, 2)),
+         0
+  FROM (SELECT DISTINCT word FROM wo)
+  UNION ALL
+  SELECT word,
+         list_concat(list_concat(toks[1:bp-1], [replace(ps[bp], ' ', '')]),
+                     toks[bp+2:len(toks)]),
+         step + 1
+  FROM (
+    SELECT word, toks, step, ps,
+           list_position(rs, list_aggregate(list_filter(rs, x -> x IS NOT NULL),
+                                            'min')) AS bp
+    FROM (
+      SELECT word, toks, step, ps, list_transform(ps, p -> {case}) AS rs
+      FROM (
+        SELECT word, toks, step,
+               list_transform(range(1, len(toks)),
+                              i -> toks[i] || ' ' || toks[i+1]) AS ps
+        FROM seg)))
+  WHERE bp IS NOT NULL
+),
+fin AS (
+  SELECT word, toks FROM (
+    SELECT word, toks,
+           row_number() OVER (PARTITION BY word ORDER BY step DESC) AS rn
+    FROM seg)
+  WHERE rn = 1),
+agg AS (SELECT wo.doc_id, CAST(sum(len(f.toks) * wo.n) AS BIGINT) AS bpe_tokens
+        FROM wo JOIN fin f USING (word) GROUP BY 1)
+SELECT d.doc_id, coalesce(a.bpe_tokens, 0) AS bpe_tokens
+FROM documents d LEFT JOIN agg a USING (doc_id)"""
+
+
 def _bpe_oracle_sql() -> str:
     merges = _bpe_gate_merges()
     case = (
@@ -2001,11 +2094,17 @@ def _base_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # report, completing the decontamination family's two directions)
     # promotes; dl_embed_neardup_lsh (2x green r5+r6; embedding near-dup
     # keeps dl_semdedup + dl_stream_semdedup) rotates out.
+    # Round-8: NEW dl_bpe_bytes (GPT-2-style BYTE-LEVEL BPE — punctuation/
+    # whitespace/case counted; the packing-budget fidelity fix, verdict r7
+    # missing #1) promotes next to its words-mode sibling; dl_mm_decode
+    # (driver-green r3+r4+r7; the multimodal family keeps dl_mm_decode_png
+    # + dl_mm_frame_sample in the prefix) rotates to the tail.
     return {
         # --- checked prefix: one representative per operator family -----
         "ts_range_raw": q_range_raw,
         "dl_pack_sequences": q_pack_sequences,
         "dl_bpe_tokens": q_bpe_tokens,
+        "dl_bpe_bytes": q_bpe_bytes,
         "ts_session_stats": q_session_stats,
         "dl_clean_lines": q_clean_lines,
         "ts_agg_all14": q_agg_all14,
@@ -2055,9 +2154,9 @@ def _base_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ts_bucket_percentiles": q_bucket_percentiles,
         "dl_pii": q_pii,
         "dl_curation": q_curation,
-        "dl_mm_decode": q_mm_decode,
         "ts_asof_join": q_asof_join,
         # --- tail: family variants, locally gated -----------------------
+        "dl_mm_decode": q_mm_decode,
         "dl_chunk_docs": q_chunk_docs,
         "dl_rolling_fingerprint": q_rolling_fingerprint,
         "dl_embed_neardup_lsh": q_embed_neardup_lsh,
@@ -2984,6 +3083,7 @@ FROM documents d LEFT JOIN sc ON d.doc_id = sc.doc_id""",
               CAST(ceil(length(regexp_replace(text, '\\s', '', 'g')) / 4.0) AS BIGINT) AS bpe_tokens_est
             FROM documents""",
         "dl_bpe_tokens": _bpe_oracle_sql(),
+        "dl_bpe_bytes": _bpe_bytes_oracle_sql(),
         # vocabulary builder: top-200 bigrams by corpus tf (df>=2),
         # deterministic (tf DESC, gram) boundary
         "dl_top_ngrams": """WITH w AS (
@@ -3402,7 +3502,7 @@ s AS (SELECT key, ts,
                   ELSE value END AS step,
              {bucket_sql('ts', 6 * H)} AS b
       FROM d)
-SELECT key, b AS ts, sum(step) AS increase
+SELECT key, b AS ts, round(sum(step), 6) AS increase
 FROM s WHERE ts BETWEEN {D14} AND {D21}
 GROUP BY 1, 2
 HAVING count(step) > 0""",
@@ -3426,12 +3526,13 @@ v AS (SELECT key, ts, value FROM samples
       WHERE NOT isnan(value) AND ts BETWEEN {D14} AND {D21}),
 d AS (SELECT key, ts, value,
              lag(value) OVER w AS pv, lag(ts) OVER w AS pt,
-             row_number() OVER (PARTITION BY key ORDER BY ts DESC) AS rn
-      FROM v WINDOW w AS (PARTITION BY key ORDER BY ts))
+             row_number() OVER
+               (PARTITION BY key ORDER BY ts DESC, value DESC) AS rn
+      FROM v WINDOW w AS (PARTITION BY key ORDER BY ts, value))
 SELECT key, ts,
        round((CASE WHEN value >= pv THEN value - pv ELSE value END)
              / ((ts - pt) / 1000.0), 6) AS irate
-FROM d WHERE rn = 1 AND pt IS NOT NULL""",
+FROM d WHERE rn = 1 AND pt IS NOT NULL AND ts > pt""",
         "ts_deriv": f"""{ORACLE_PREFIX},
 s AS (SELECT key, value, {bucket_sql('ts', 6 * H)} AS b, ts FROM samples
       WHERE NOT isnan(value) AND ts BETWEEN {D14} AND {D21})
@@ -3450,8 +3551,9 @@ v AS (SELECT key, ts, value FROM samples
       WHERE NOT isnan(value) AND ts BETWEEN {D14} AND {D21}),
 d AS (SELECT key, ts, value,
              lag(value) OVER w AS pv,
-             row_number() OVER (PARTITION BY key ORDER BY ts DESC) AS rn
-      FROM v WINDOW w AS (PARTITION BY key ORDER BY ts))
+             row_number() OVER
+               (PARTITION BY key ORDER BY ts DESC, value DESC) AS rn
+      FROM v WINDOW w AS (PARTITION BY key ORDER BY ts, value))
 SELECT key, ts, round(value - pv, 6) AS idelta
 FROM d WHERE rn = 1 AND pv IS NOT NULL""",
         "ts_topk": f"""{ORACLE_PREFIX},

@@ -24,12 +24,25 @@ estimation, not aggregation, and would break oracle exactness):
 
     rate(bucket) = increase(bucket) / (bucket_dur / 1000)   per second
 
-Spark shape: identical to TWA's hot path — ONE lag window over
-(key, ts) then ONE (key, bucket) aggregation; pure JVM expressions, no
-Python.  Over the key-bucketed layout (store.write_bucketed_layout) the
-window needs no exchange at all.  NaN samples are invalid everywhere
-(isValueValid) and are skipped entirely: the delta chain links the valid
-samples around them.
+Spark shape (skew-hardened, round 8): the bucketed members
+(increase/rate/changes/resets) run their lag window BUCKET-LOCALLY —
+partitioned by (key, bucket) instead of bare key — so ONE pathologically
+hot series (billions of samples) parallelizes across its buckets instead
+of serializing its entire history into a single task.  The cross-bucket
+chain is restored WITHOUT a stitch join: the same (key, bucket) hash
+aggregation that folds the local steps also keeps each bucket's LAST
+valid value, and a second lag window over that aggregated frame — one
+row per (key, bucket), orders of magnitude smaller than the samples —
+hands every bucket its predecessor bucket's last value, which is exactly
+the true previous sample of the bucket's first sample.  Semantics are
+unchanged because only the one sample crossing each bucket edge matters
+to the chain (the reference's per-bucket state machine,
+src/filter_iterator.c:1489+, is inherently bucket-local for the same
+reason).  Pure JVM expressions, no Python, and over the key-bucketed
+layout (store.write_bucketed_layout) NEITHER window needs an exchange
+(hash clustering on key satisfies both partition specs).  NaN samples
+are invalid everywhere (isValueValid) and are skipped entirely: the
+delta chain links the valid samples around them.
 """
 
 from __future__ import annotations
@@ -39,6 +52,105 @@ from pyspark.sql import functions as F
 
 from redistimeseries_spark import MAX_TS, MIN_TS
 from redistimeseries_spark.functions.buckets import bucket_start, resolve_align
+
+
+def _bucket_chain(
+    samples: DataFrame,
+    bucket_dur: int,
+    step_fn,
+    keys: list[str] | str | None,
+    start: int,
+    end: int,
+    align,
+    sum_type: str,
+) -> DataFrame:
+    """Shared skew-safe core of the full-history chain family
+    (increase/rate/changes/resets): `step_fn(value, prev) -> Column` maps
+    a valid sample and its previous valid sample to the per-step
+    contribution (a double step for increase, a 0/1 event indicator for
+    changes/resets).  Returns (key, ts=bucket_start, __v) where __v sums
+    the in-range steps whose predecessor exists, cast to `sum_type`;
+    buckets with no in-range sample, or where no in-range sample has a
+    predecessor, are not emitted — exactly the key-window twin's rule
+    (`_key_window_chain`, the differential reference these plans are
+    fuzz-pinned against).
+
+    The time-range cut happens INSIDE the aggregation (conditional
+    aggregates over the unfiltered bucket rows), never before the local
+    lag, so a range boundary mid-bucket still hands the first in-range
+    sample its true same-bucket predecessor, and out-of-range buckets
+    still carry their last value into the cross-bucket chain — the
+    "lag runs over the FULL per-key history" contract."""
+    if bucket_dur <= 0:
+        raise ValueError("bucket_dur must be positive")
+    df = samples
+    if keys is not None:
+        klist = [keys] if isinstance(keys, str) else list(keys)
+        df = df.filter(F.col("key").isin(klist))
+    df = df.filter(~F.isnan("value"))
+    align_ts = resolve_align(align, start, end)
+    b = bucket_start(F.col("ts"), bucket_dur, align_ts)
+    wloc = Window.partitionBy("key", "__b").orderBy("ts")
+    in_rng = F.lit(True)
+    if start > MIN_TS:
+        in_rng = in_rng & (F.col("ts") >= F.lit(start))
+    if end < MAX_TS:
+        in_rng = in_rng & (F.col("ts") <= F.lit(end))
+    d = (
+        df.select("key", "ts", "value", b.alias("__b"))
+        .select(
+            "key",
+            "__b",
+            "ts",
+            "value",
+            F.lag("value").over(wloc).alias("__pl"),
+            in_rng.alias("__in"),
+        )
+    )
+    has_local = F.col("__in") & F.col("__pl").isNotNull()
+    is_first = F.col("__in") & F.col("__pl").isNull()
+    agg = d.groupBy("key", "__b").agg(
+        # in-range samples with a same-bucket predecessor: fold locally
+        F.sum(F.when(has_local, step_fn(F.col("value"), F.col("__pl")))).alias(
+            "__s"
+        ),
+        F.count(F.when(has_local, F.lit(1))).alias("__nl"),
+        # the bucket's (unique) first sample, if it is in range — its
+        # predecessor lives in an earlier bucket and is patched below
+        F.max(F.when(is_first, F.col("value"))).alias("__fv"),
+        F.max(is_first.cast("int")).alias("__hf"),
+        # the bucket's last valid value: what the NEXT bucket chains to
+        F.max_by("value", "ts").alias("__lv"),
+        F.sum(F.col("__in").cast("int")).alias("__nin"),
+    )
+    # tiny frame: one row per (key, bucket).  lag hands each bucket the
+    # previous NON-EMPTY bucket's last value = the true predecessor of
+    # this bucket's first sample.
+    wk = Window.partitionBy("key").orderBy("__b")
+    stitched = agg.select(
+        "key", "__b", "__s", "__nl", "__fv", "__hf", "__nin",
+        F.lag("__lv").over(wk).alias("__pv"),
+    )
+    edge = (F.col("__hf") == 1) & F.col("__pv").isNotNull()
+    zero = F.lit(0).cast(sum_type)
+    total = (
+        F.coalesce(F.col("__s").cast(sum_type), zero)
+        + F.coalesce(
+            F.when(edge, step_fn(F.col("__fv"), F.col("__pv"))).cast(sum_type),
+            zero,
+        )
+    )
+    n_steps = F.col("__nl") + F.when(edge, F.lit(1)).otherwise(F.lit(0))
+    return (
+        stitched.filter((F.col("__nin") > 0) & (n_steps > 0))
+        .select("key", F.col("__b").alias("ts"), total.alias("__v"))
+    )
+
+
+def _increase_step(v, p):
+    """Reset-aware counter step: normal delta, or the new value itself
+    after a reset (counter restarted below the previous sample)."""
+    return F.when(v >= p, v - p).otherwise(v)
 
 
 def ts_increase(
@@ -54,9 +166,38 @@ def ts_increase(
     (key, bucket); ts is the bucket start.  Buckets whose samples are all
     first-in-series (no prev) or all-NaN are not emitted.
 
-    The lag runs over the FULL per-key history before the time-range cut,
-    so a bucket boundary never fabricates a reset: the first sample in
-    the range still sees its true predecessor."""
+    The chain runs over the FULL per-key history before the time-range
+    cut, so a bucket boundary never fabricates a reset: the first sample
+    in the range still sees its true predecessor.  Skew-safe plan: see
+    `_bucket_chain` (bucket-local lag + aggregated-frame stitch; no task
+    ever holds more than one bucket of one series)."""
+    out = _bucket_chain(
+        samples, bucket_dur, _increase_step, keys, start, end, align, "double"
+    )
+    val = (
+        (F.col("__v") / F.lit(bucket_dur / 1000.0)).alias("rate")
+        if per_second
+        else F.col("__v").alias("increase")
+    )
+    return out.select("key", "ts", val).orderBy("key", "ts")
+
+
+def _key_window_chain(
+    samples: DataFrame,
+    bucket_dur: int,
+    step_fn,
+    keys: list[str] | str | None,
+    start: int,
+    end: int,
+    align,
+) -> DataFrame:
+    """The pre-round-8 plan — ONE lag window over bare (key, ts) then one
+    (key, bucket) aggregation.  Kept as the DIFFERENTIAL REFERENCE for
+    the skew-safe `_bucket_chain` (fuzz-pinned equal in
+    tests/test_aggs_nan.py) and as the comparison arm of the hot-series
+    probe (scripts/probe_hot_series.py; BASELINE.md): semantically
+    identical, but a single hot series serializes its full history into
+    one task here."""
     if bucket_dur <= 0:
         raise ValueError("bucket_dur must be positive")
     df = samples
@@ -67,9 +208,7 @@ def ts_increase(
     w = Window.partitionBy("key").orderBy("ts")
     prev = F.lag("value").over(w)
     step = F.when(prev.isNull(), F.lit(None)).otherwise(
-        F.when(F.col("value") >= prev, F.col("value") - prev).otherwise(
-            F.col("value")
-        )
+        step_fn(F.col("value"), prev)
     )
     align_ts = resolve_align(align, start, end)
     d = df.select(
@@ -82,20 +221,12 @@ def ts_increase(
         d = d.filter(F.col("ts") >= F.lit(start))
     if end < MAX_TS:
         d = d.filter(F.col("ts") <= F.lit(end))
-    out = (
+    return (
         d.groupBy("key", "__b")
-        .agg(
-            F.sum("__step").alias("__inc"),
-            F.count("__step").alias("__n"),
-        )
+        .agg(F.sum("__step").alias("__v"), F.count("__step").alias("__n"))
         .filter(F.col("__n") > 0)
+        .select("key", F.col("__b").alias("ts"), "__v")
     )
-    val = (
-        (F.col("__inc") / F.lit(bucket_dur / 1000.0)).alias("rate")
-        if per_second
-        else F.col("__inc").alias("increase")
-    )
-    return out.select("key", F.col("__b").alias("ts"), val).orderBy("key", "ts")
 
 
 def ts_rate(
@@ -174,42 +305,25 @@ def _event_counts(
     align,
     out_col: str,
 ) -> DataFrame:
-    """Shared core for ts_changes / ts_resets: one full-history lag
-    window over (key, ts), an event indicator against the previous valid
-    sample, then ONE (key, bucket) count aggregation — the ts_increase
-    plan exactly (exchange-free over the bucketed layout).  `event` maps
-    (value, prev) -> boolean Column.  Buckets emit when at least one
-    sample there HAS a predecessor (the event count may then be 0);
-    first-ever samples contribute nothing, mirroring ts_increase."""
-    if bucket_dur <= 0:
-        raise ValueError("bucket_dur must be positive")
-    df = samples
-    if keys is not None:
-        klist = [keys] if isinstance(keys, str) else list(keys)
-        df = df.filter(F.col("key").isin(klist))
-    df = df.filter(~F.isnan("value"))
-    w = Window.partitionBy("key").orderBy("ts")
-    prev = F.lag("value").over(w)
-    ind = F.when(prev.isNull(), F.lit(None).cast("int")).otherwise(
-        event(F.col("value"), prev).cast("int")
+    """Shared core for ts_changes / ts_resets: an event indicator against
+    the previous valid sample, folded per (key, bucket) — the ts_increase
+    chain exactly, on the same skew-safe bucket-local plan
+    (`_bucket_chain`).  `event` maps (value, prev) -> boolean Column.
+    Buckets emit when at least one in-range sample HAS a predecessor (the
+    event count may then be 0); first-ever samples contribute nothing,
+    mirroring ts_increase."""
+    out = _bucket_chain(
+        samples,
+        bucket_dur,
+        lambda v, p: event(v, p).cast("int"),
+        keys,
+        start,
+        end,
+        align,
+        "bigint",
     )
-    align_ts = resolve_align(align, start, end)
-    d = df.select(
-        "key",
-        "ts",
-        ind.alias("__e"),
-        bucket_start(F.col("ts"), bucket_dur, align_ts).alias("__b"),
-    )
-    if start > MIN_TS:
-        d = d.filter(F.col("ts") >= F.lit(start))
-    if end < MAX_TS:
-        d = d.filter(F.col("ts") <= F.lit(end))
-    return (
-        d.groupBy("key", "__b")
-        .agg(F.sum("__e").alias("__s"), F.count("__e").alias("__n"))
-        .filter(F.col("__n") > 0)
-        .select("key", F.col("__b").alias("ts"), F.col("__s").alias(out_col))
-        .orderBy("key", "ts")
+    return out.select("key", "ts", F.col("__v").alias(out_col)).orderBy(
+        "key", "ts"
     )
 
 
@@ -437,7 +551,34 @@ def ts_idelta(
     idelta: the spot gauge movement; ts_irate's non-reset-aware gauge
     sibling).  Keys with fewer than two valid samples emit nothing.
     Same plan as ts_irate: one lag window + one per-key keep-last
-    filter, exchange-free over the bucketed layout."""
+    filter, exchange-free over the bucketed layout.
+
+    Duplicate (key, ts) rows — legal in the RAW sample table; the
+    dup-policy operators exist to resolve them before analysis — are
+    ordered deterministically by (ts, value), and exactly ONE row per
+    key is emitted (the largest value at the max ts; its predecessor is
+    the prior row in the same order).  Unique-(key, ts) inputs (the
+    engine store's invariant) are unaffected."""
+    return _last_pair(samples, keys, start, end).select(
+        "key",
+        "ts",
+        (F.col("value") - F.col("__pv")).alias("idelta"),
+    ).orderBy("key")
+
+
+def _last_pair(
+    samples: DataFrame,
+    keys: list[str] | str | None,
+    start: int,
+    end: int,
+) -> DataFrame:
+    """Shared ts_idelta / ts_irate core: per key, the single
+    deterministic LAST valid in-range sample and its predecessor —
+    (key, ts, value, __pv, __pt).  One lag window ordered by
+    (ts, value) with a same-order full-frame count, so the keep-last
+    row_number filter reuses the lag's sort (one exchange, one sort;
+    exchange-free over the bucketed layout).  Keys with <2 valid
+    samples drop out via the __pv null filter."""
     df = samples.filter(~F.isnan("value"))
     if keys is not None:
         klist = [keys] if isinstance(keys, str) else list(keys)
@@ -446,18 +587,19 @@ def ts_idelta(
         df = df.filter(F.col("ts") >= F.lit(start))
     if end < MAX_TS:
         df = df.filter(F.col("ts") <= F.lit(end))
-    w = Window.partitionBy("key").orderBy("ts")
-    prev_v = F.lag("value").over(w)
+    w = Window.partitionBy("key").orderBy("ts", "value")
+    wn = w.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
     d = df.select(
         "key",
         "ts",
-        (F.col("value") - prev_v).alias("idelta"),
-        F.max("ts").over(Window.partitionBy("key")).alias("__mx"),
+        "value",
+        F.lag("value").over(w).alias("__pv"),
+        F.lag("ts").over(w).alias("__pt"),
+        F.row_number().over(w).alias("__rn"),
+        F.count(F.lit(1)).over(wn).alias("__n"),
     )
-    return (
-        d.filter((F.col("ts") == F.col("__mx")) & F.col("idelta").isNotNull())
-        .select("key", "ts", "idelta")
-        .orderBy("key")
+    return d.filter(
+        (F.col("__rn") == F.col("__n")) & F.col("__pv").isNotNull()
     )
 
 
@@ -474,30 +616,24 @@ def ts_irate(
     counter restarted and the new value IS the increase.  Keys with
     fewer than two valid samples in range emit nothing.
 
-    One lag window + one per-key keep-last filter (max ts), pure JVM —
-    and over the bucketed layout the window needs no exchange, like
-    every operator in this family."""
-    df = samples.filter(~F.isnan("value"))
-    if keys is not None:
-        klist = [keys] if isinstance(keys, str) else list(keys)
-        df = df.filter(F.col("key").isin(klist))
-    if start > MIN_TS:
-        df = df.filter(F.col("ts") >= F.lit(start))
-    if end < MAX_TS:
-        df = df.filter(F.col("ts") <= F.lit(end))
-    w = Window.partitionBy("key").orderBy("ts")
-    prev_v, prev_t = F.lag("value").over(w), F.lag("ts").over(w)
-    step = F.when(F.col("value") >= prev_v, F.col("value") - prev_v).otherwise(
-        F.col("value")
-    )
-    d = df.select(
-        "key",
-        "ts",
-        (step / ((F.col("ts") - prev_t) / F.lit(1000.0))).alias("irate"),
-        F.max("ts").over(Window.partitionBy("key")).alias("__mx"),
-    )
+    One lag window + one per-key keep-last filter, pure JVM — and over
+    the bucketed layout the window needs no exchange, like every
+    operator in this family.  Duplicate (key, ts) rows order
+    deterministically by (ts, value) — ts_idelta's rule — and a
+    last-pair with ZERO time span (both samples at the max ts) defines
+    no rate and is not emitted."""
+    step = F.when(
+        F.col("value") >= F.col("__pv"), F.col("value") - F.col("__pv")
+    ).otherwise(F.col("value"))
     return (
-        d.filter((F.col("ts") == F.col("__mx")) & F.col("irate").isNotNull())
-        .select("key", "ts", "irate")
+        _last_pair(samples, keys, start, end)
+        .filter(F.col("ts") > F.col("__pt"))
+        .select(
+            "key",
+            "ts",
+            (step / ((F.col("ts") - F.col("__pt")) / F.lit(1000.0))).alias(
+                "irate"
+            ),
+        )
         .orderBy("key")
     )

@@ -166,16 +166,19 @@ def _ts_tvf_sql(p: str) -> list[str]:
                     FROM {p}samples WHERE {nn})
               GROUP BY key, __b)
             WHERE __n >= 2""",
-        # spot gauge movement, last two samples (rate.ts_idelta)
+        # spot gauge movement, last two samples (rate.ts_idelta);
+        # duplicate (key, ts) rows order deterministically by (ts, value)
+        # and exactly one row per key emits — the facade's rule
         f"""CREATE OR REPLACE TEMPORARY FUNCTION {p}idelta()
             RETURNS TABLE (key STRING, ts BIGINT, idelta DOUBLE)
             RETURN SELECT key, ts, idelta FROM (
               SELECT key, ts,
                      value - lag(value) OVER
-                       (PARTITION BY key ORDER BY ts) AS idelta,
-                     max(ts) OVER (PARTITION BY key) AS __mx
+                       (PARTITION BY key ORDER BY ts, value) AS idelta,
+                     row_number() OVER
+                       (PARTITION BY key ORDER BY ts DESC, value DESC) AS __rn
               FROM {p}samples WHERE {nn})
-            WHERE ts = __mx AND idelta IS NOT NULL""",
+            WHERE __rn = 1 AND idelta IS NOT NULL""",
         # fixed-width value histogram (percentiles.ts_value_histogram)
         f"""CREATE OR REPLACE TEMPORARY FUNCTION {p}value_hist(
                 bin_width DOUBLE, lo DOUBLE)

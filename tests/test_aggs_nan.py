@@ -811,3 +811,120 @@ def test_irate_last_two_samples(spark):
     assert got["r"] == (2000, 2.0)
     cut = {r.key: (r.ts, r.irate) for r in ts_irate(sdf, end=1500).collect()}
     assert cut["k"][0] == 1000 and math.isclose(cut["k"][1], 10.0 / 1.0)
+
+
+def test_bucket_chain_vs_key_window_differential(spark):
+    """The skew-safe bucket-local chain (`_bucket_chain`) is pinned equal
+    to its pre-round-8 key-window twin (`_key_window_chain`) across the
+    whole family (increase / changes / resets indicators), random NaNs,
+    resets, duplicate-bucket boundaries, and BOTH range cuts + align —
+    the rewrite's semantics contract."""
+    import math
+    import random as _random
+
+    from pyspark.sql import functions as F
+
+    from redistimeseries_spark.operators.rate import (
+        _bucket_chain,
+        _increase_step,
+        _key_window_chain,
+    )
+
+    steps = {
+        "increase": (_increase_step, "double"),
+        "changes": (lambda v, p: (v != p).cast("int"), "bigint"),
+        "resets": (lambda v, p: (v < p).cast("int"), "bigint"),
+    }
+    rng = _random.Random(0xB00C)
+    for trial in range(8):
+        rows = []
+        for k in ("a", "b", "c", "d"):
+            pts = sorted(rng.sample(range(0, 40_000), rng.randint(3, 50)))
+            cur = 0.0
+            for t in pts:
+                if rng.random() < 0.1:
+                    rows.append((k, t, float("nan")))
+                    continue
+                cur = (
+                    rng.uniform(0, 4)
+                    if rng.random() < 0.2
+                    else cur + rng.choice([0.0, rng.uniform(0, 8)])
+                )
+                rows.append((k, t, cur))
+        sdf = spark.createDataFrame(rows, "key string, ts long, value double")
+        dur = rng.choice([900, 1000, 7000])
+        lo = rng.choice([0, rng.randrange(0, 25_000)])
+        hi = rng.choice([2**63 - 1, rng.randrange(lo + 1, 60_000)])
+        align = rng.choice(["0", "137"])
+        name, (fn, st) = rng.choice(sorted(steps.items()))
+        got = {
+            (r["key"], r["ts"]): r["__v"]
+            for r in _bucket_chain(
+                sdf, dur, fn, None, lo, hi, align, st
+            ).collect()
+        }
+        want = {
+            (r["key"], r["ts"]): r["__v"]
+            for r in _key_window_chain(
+                sdf, dur, fn, None, lo, hi, align
+            ).collect()
+        }
+        assert set(got) == set(want), (trial, name, dur, lo, hi, align)
+        for kk in got:
+            assert math.isclose(
+                float(got[kk]), float(want[kk]), abs_tol=1e-9
+            ), (trial, name, kk)
+
+
+def test_bucket_chain_plan_is_bucket_local(spark):
+    """The full-data lag window partitions by (key, bucket) — never bare
+    key — so one hot series can't serialize its history into one task;
+    the only bare-key window in the plan is over the per-bucket
+    aggregated frame."""
+    from redistimeseries_spark.operators.rate import ts_increase
+
+    sdf = spark.createDataFrame(
+        [("k", t, float(t)) for t in range(50)],
+        "key string, ts long, value double",
+    )
+    plan = ts_increase(sdf, 1000)._jdf.queryExecution().executedPlan().toString()
+    # the sample-level window (lag(value)) carries both partition keys
+    import re
+
+    lag_windows = [
+        ln for ln in plan.splitlines() if "lag(value" in ln and "Window" in ln
+    ]
+    assert lag_windows, plan
+    assert all("__b" in ln for ln in lag_windows), plan
+
+
+def test_idelta_irate_duplicate_ts_deterministic(spark):
+    """Duplicate (key, ts) rows at the range boundary: exactly ONE row
+    per key, deterministically the largest value at the max ts (ADVICE
+    r7) — and a zero-span last pair defines no rate for ts_irate."""
+    import math
+
+    from redistimeseries_spark.operators.rate import ts_idelta, ts_irate
+
+    rows = [
+        ("k", 0, 1.0), ("k", 1000, 5.0),
+        ("k", 2000, 9.0), ("k", 2000, 3.0),   # dup at max ts
+        ("z", 500, 2.0), ("z", 500, 8.0),     # ONLY dup rows: zero span
+    ]
+    sdf = spark.createDataFrame(rows, "key string, ts long, value double")
+    for _ in range(3):  # stable across shuffles/retries
+        got = {r.key: (r.ts, r.idelta) for r in ts_idelta(sdf).collect()}
+        # k: last = (2000, 9.0), prev in (ts, value) order = (2000, 3.0)
+        assert got["k"] == (2000, 6.0)
+        # z: pair exists (8.0 - 2.0) — idelta is time-free, so it emits
+        assert got["z"] == (500, 6.0)
+        ir = {r.key: (r.ts, r.irate) for r in ts_irate(sdf).collect()}
+        # k's last pair spans 0 ms -> no rate; z likewise
+        assert "k" not in ir and "z" not in ir
+
+    rows2 = [("k", 0, 10.0), ("k", 2000, 4.0), ("k", 2000, 6.0)]
+    sdf2 = spark.createDataFrame(rows2, "key string, ts long, value double")
+    ir2 = {r.key: (r.ts, r.irate) for r in ts_irate(sdf2).collect()}
+    assert "k" not in ir2  # last pair is the two ts=2000 rows: zero span
+    id2 = {r.key: (r.ts, r.idelta) for r in ts_idelta(sdf2).collect()}
+    assert id2["k"] == (2000, 2.0)
