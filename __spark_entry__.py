@@ -2096,9 +2096,12 @@ def _base_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # keeps dl_semdedup + dl_stream_semdedup) rotates out.
     # Round-8: NEW dl_bpe_bytes (GPT-2-style BYTE-LEVEL BPE — punctuation/
     # whitespace/case counted; the packing-budget fidelity fix, verdict r7
-    # missing #1) promotes next to its words-mode sibling; dl_mm_decode
-    # (driver-green r3+r4+r7; the multimodal family keeps dl_mm_decode_png
-    # + dl_mm_frame_sample in the prefix) rotates to the tail.
+    # missing #1) promotes next to its words-mode sibling; the 50-entry
+    # checked window therefore now ends at ts_irate, and
+    # ts_bucket_percentiles (driver-green r7; the percentile family keeps
+    # ts_agg_percentile inside the window) slides out.  dl_mm_decode
+    # (already below the 50-entry window in r7) moves below the tail
+    # marker to keep the comment honest.
     return {
         # --- checked prefix: one representative per operator family -----
         "ts_range_raw": q_range_raw,

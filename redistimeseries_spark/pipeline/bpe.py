@@ -181,6 +181,7 @@ def segment_word(
     pair present (all occurrences, left-to-right).  The pure-Python
     reference the distributed kernel, the tests, and the SQL oracle all
     agree on."""
+    _check_mode(mode)
     syms = _base_syms(word, mode)
     while len(syms) > 1:
         best: tuple[str, str] | None = None
