@@ -181,6 +181,25 @@ def main():
 
     force(bms["b1_range_full_key"]())  # warm-up
 
+    # fixed no-op floor (protocol round 8): a constant-work query whose
+    # time depends ONLY on scheduler/JVM conditions, never on this repo's
+    # code — so a driver-run inflation (BASELINE.md documents a ~30%
+    # uniform bump while any other Spark session runs) is attributable
+    # from the JSON alone: floor at ~baseline => real regression; floor
+    # inflated by the same factor => environment.  Interpretation rule in
+    # BASELINE.md "reading BENCH_r{N}".
+    def _floor():
+        best = float("inf")
+        for _ in range(3):
+            t0 = time.time()
+            spark.range(100_000_000).selectExpr("sum(id)").write.mode(
+                "overwrite"
+            ).format("noop").save()
+            best = min(best, time.time() - t0)
+        return round(best, 3)
+
+    floor = _floor()
+
     times = {}
     for name, build in bms.items():
         best = float("inf")
@@ -197,6 +216,7 @@ def main():
                 "value": round(sum(times.values()), 3),
                 "unit": "sec",
                 "queries": times,
+                "floor_noop_sec": floor,
                 "sf": sf,
             }
         )

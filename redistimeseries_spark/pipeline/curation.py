@@ -143,8 +143,17 @@ def decontaminate(
     )
 
 
+# benchmark suites are small by construction; past this many eval docs
+# the gram table stops being an obviously-safe broadcast and the join
+# strategy is left to AQE (ADVICE r7)
+EVAL_BROADCAST_MAX_DOCS = 100_000
+
+
 def eval_contamination_report(
-    docs: DataFrame, eval_docs: DataFrame, n: int = 5
+    docs: DataFrame,
+    eval_docs: DataFrame,
+    n: int = 5,
+    broadcast_eval: bool | None = None,
 ) -> DataFrame:
     """(doc_id, n_grams, contaminated_grams, contamination_frac) — one
     row per EVAL doc: how many of its distinct word n-grams appear
@@ -154,18 +163,29 @@ def eval_contamination_report(
     (the number an eval-integrity audit reports before trusting a
     score).
 
-    Scale shape: the eval gram table is the small side (broadcast into
-    the corpus gram stream — one map-side join over the corpus, the
-    decontaminate scan); hot grams (boilerplate shared by millions of
-    training docs) collapse in the map-side PARTIAL of the
-    (eval doc, gram) distinct before any shuffle, so the aggregation
-    never sees the corpus-side multiplicity.
-    """
+    Scale shape: the eval gram table is the small side — broadcast into
+    the corpus gram stream (one map-side join over the corpus, the
+    decontaminate scan) while the eval side is benchmark-sized; hot
+    grams (boilerplate shared by millions of training docs) collapse in
+    the map-side PARTIAL of the (eval doc, gram) distinct before any
+    shuffle, so the aggregation never sees the corpus-side multiplicity.
+
+    `broadcast_eval` guards the broadcast (ADVICE r7: an unexpectedly
+    large eval corpus would blow the driver/broadcast limit): None
+    (default) probes the eval side with a BOUNDED limit-count — the eval
+    table only, never the corpus — and falls back to a plain join (AQE
+    picks the strategy) past EVAL_BROADCAST_MAX_DOCS; True/False force
+    the choice when the caller already knows the size."""
     ge = word_ngrams(eval_docs, n)  # (eval doc_id, gram), per-doc distinct
+    if broadcast_eval is None:
+        cap = EVAL_BROADCAST_MAX_DOCS
+        broadcast_eval = (
+            eval_docs.limit(cap + 1).count() <= cap
+        )
     sizes = ge.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_grams"))
     gt = word_ngrams(docs, n).select("gram")
     hits = (
-        gt.join(F.broadcast(ge), "gram")
+        gt.join(F.broadcast(ge) if broadcast_eval else ge, "gram")
         .select("doc_id", "gram")
         .dropDuplicates(["doc_id", "gram"])  # partial-agg collapses hot grams
         .groupBy("doc_id")

@@ -232,8 +232,11 @@ def ivf_topk_batch(
     nprobe: int = 4,
     centroids: DataFrame | None = None,
     arrow: bool | str = "auto",
+    n_rows: int | None = None,
 ) -> DataFrame:
     """(qid, vec_id, cos) — IVF ANN for a query SET: top-k per query.
+    `n_rows` (corpus cardinality, if known) skips arrow="auto"'s bounded
+    count probe — see _resolve_arrow's shuffled-lineage caveat.
 
     The realistic retrieval shape (embedding-dedup probes, RAG batch
     lookups): the corpus is cell-assigned ONCE, each query probes its
@@ -253,7 +256,7 @@ def ivf_topk_batch(
     ).select(F.col("vec_id").cast("long").alias("cid"), F.col("v").alias("cv"))
     # arrow: the corpus-side assignment (the one pass that touches every
     # vector) runs the BLAS kernel; probe/top-k stay expression-side
-    arrow = _resolve_arrow(arrow, d)
+    arrow = _resolve_arrow(arrow, d, n_rows)
     assigned = (_assign_cells_arrow if arrow else _assign_cells)(d, cents)
     qs = d.filter(F.col("vec_id").isin(query_vec_ids)).select(
         F.col("vec_id").alias("qid"),
@@ -333,12 +336,25 @@ def cosine_topk_quantized(emb: DataFrame, query_vec_id: int, k: int = 20) -> Dat
 ARROW_AUTO_THRESHOLD = 50_000
 
 
-def _resolve_arrow(arrow, d: DataFrame) -> bool:
+def _resolve_arrow(arrow, d: DataFrame, n_rows: int | None = None) -> bool:
     """Resolve an `arrow` kernel flag: True/False are explicit; "auto"
-    counts AT MOST ARROW_AUTO_THRESHOLD rows (bounded limit().count(),
-    never a full scan) and picks the BLAS kernel when the input reaches
-    the threshold.  Both kernels are A/B-pinned equal in tests."""
-    if arrow == "auto":
+    picks the BLAS kernel when the input reaches ARROW_AUTO_THRESHOLD
+    rows.  Any other string raises — bool('false') is True, so a typo'd
+    flag would silently select a kernel (ADVICE r7).
+
+    The "auto" probe is a bounded limit().count() — never a full scan —
+    but it still EXECUTES the input's lineage once: cheap on a
+    file-backed frame, yet a shuffled/synthetic upstream replays in full
+    (a 400k-vector exploded corpus paid 25 s for the probe alone,
+    BASELINE.md d26).  Callers that already know the cardinality pass
+    `n_rows` and the probe is skipped entirely."""
+    if isinstance(arrow, str):
+        if arrow != "auto":
+            raise ValueError(
+                f"arrow must be True, False or 'auto', got {arrow!r}"
+            )
+        if n_rows is not None:
+            return n_rows >= ARROW_AUTO_THRESHOLD
         return d.limit(ARROW_AUTO_THRESHOLD).count() >= ARROW_AUTO_THRESHOLD
     return bool(arrow)
 
@@ -443,7 +459,10 @@ def _pq_codebook_rows(codebook: DataFrame):
 
 
 def pq_encode(
-    emb: DataFrame, codebook: DataFrame, arrow: bool | str = "auto"
+    emb: DataFrame,
+    codebook: DataFrame,
+    arrow: bool | str = "auto",
+    n_rows: int | None = None,
 ) -> DataFrame:
     """(vec_id, codes) — encode every vector as its per-subspace nearest
     codebook entry (squared-L2 argmin, ties to the smaller code).
@@ -458,12 +477,14 @@ def pq_encode(
     vector for one BLAS matmul per (batch, subspace) — the semdedup
     kernel treatment; zero shuffle either way, and the A/B pytest pins
     code-for-code equality on real embeddings.  The default "auto"
-    selects by input size (ARROW_AUTO_THRESHOLD)."""
+    selects by input size (ARROW_AUTO_THRESHOLD); `n_rows` (corpus
+    cardinality, if known) skips the probe — see _resolve_arrow's
+    shuffled-lineage caveat."""
     cb = _pq_codebook_rows(codebook)
     m = len(cb)
     dsub = len(cb[0][0])
     d = emb.select("vec_id", F.col("embedding").cast("array<double>").alias("v"))
-    if _resolve_arrow(arrow, d):
+    if _resolve_arrow(arrow, d, n_rows):
         return _pq_encode_arrow(d, cb)
     code_cols = []
     for s in range(m):
@@ -607,6 +628,7 @@ def ivf_pq_topk(
     centroids: DataFrame | None = None,
     codebook: DataFrame | None = None,
     arrow: bool | str = "auto",
+    n_rows: int | None = None,
 ) -> DataFrame:
     """(vec_id, cos) — IVF-PQ, the composition that runs billion-vector
     ANN in practice (FAISS's IndexIVFPQ shape): the coarse quantizer
@@ -629,7 +651,7 @@ def ivf_pq_topk(
         ncent
     ).select(F.col("vec_id").cast("long").alias("cid"), F.col("v").alias("cv"))
     cb = codebook if codebook is not None else pq_train(emb, m, ksub)
-    arrow = _resolve_arrow(arrow, d)
+    arrow = _resolve_arrow(arrow, d, n_rows)
     cells = (_assign_cells_arrow if arrow else _assign_cells)(d, cents).select(
         "vec_id", "cid"
     )
@@ -669,6 +691,7 @@ def build_ivf_index(
     pq_m: int | None = None,
     pq_ksub: int = 16,
     arrow: bool | str = "auto",
+    n_rows: int | None = None,
 ) -> None:
     """Materialize the IVF index: centroids (tiny) + the corpus
     partitioned BY CELL on disk.  At 100 TB the cell assignment is the
@@ -697,7 +720,7 @@ def build_ivf_index(
         )
     cents.write.mode("overwrite").parquet(f"{path}/centroids")
     cents = emb.sparkSession.read.parquet(f"{path}/centroids")
-    arrow = _resolve_arrow(arrow, d)
+    arrow = _resolve_arrow(arrow, d, n_rows)
     rows = (_assign_cells_arrow if arrow else _assign_cells)(d, cents).drop("vn")
     if pq_m is not None:
         cb = pq_train(emb, pq_m, pq_ksub, iters=train_iters)
@@ -953,6 +976,7 @@ def semdedup(
     ncent: int = 16,
     centroids: DataFrame | None = None,
     arrow: bool | str = "auto",
+    n_rows: int | None = None,
 ) -> DataFrame:
     """(vec_id, cid, dup_of) — semantic dedup over an embedding column
     (SemDeDup, Abbas et al. 2023, arXiv:2303.09540): partition the
@@ -991,7 +1015,7 @@ def semdedup(
     if not 0.0 <= threshold <= 1.0:
         raise ValueError("threshold must lie in [0, 1]")
     d = emb.select("vec_id", F.col("embedding").cast("array<double>").alias("v"))
-    arrow = _resolve_arrow(arrow, d)
+    arrow = _resolve_arrow(arrow, d, n_rows)
     cents = centroids if centroids is not None else d.orderBy(
         F.md5(F.col("vec_id").cast("string")), F.col("vec_id")
     ).limit(ncent).select(

@@ -2449,3 +2449,59 @@ def test_bpe_mode_validation(spark):
     ):
         with _pytest.raises(ValueError, match="mode"):
             fn()
+
+
+def test_resolve_arrow_validation_and_hint(spark):
+    """ADVICE r7: strings other than 'auto' raise (bool('false') is
+    True); the n_rows hint decides without executing the input's
+    lineage (verdict r7 #5)."""
+    import pytest as _pytest
+
+    from redistimeseries_spark.pipeline.similarity import (
+        ARROW_AUTO_THRESHOLD,
+        _resolve_arrow,
+    )
+
+    d = spark.createDataFrame([(1, [0.1])], "vec_id long, v array<double>")
+    assert _resolve_arrow(True, d) is True
+    assert _resolve_arrow(False, d) is False
+    assert _resolve_arrow("auto", d) is False  # 1 row < threshold
+    for bad in ("Auto", "false", "true", ""):
+        with _pytest.raises(ValueError, match="arrow"):
+            _resolve_arrow(bad, d)
+    # the hint overrides the probe entirely — even on a frame whose
+    # lineage would THROW if executed
+    def boom(it):
+        raise RuntimeError("probe executed the lineage")
+        yield
+
+    poisoned = d.mapInPandas(boom, "vec_id long, v array<double>")
+    assert _resolve_arrow("auto", poisoned, n_rows=ARROW_AUTO_THRESHOLD) is True
+    assert _resolve_arrow("auto", poisoned, n_rows=3) is False
+
+
+def test_eval_contamination_broadcast_guard(spark):
+    """ADVICE r7: the eval-side broadcast is guarded — forcing the
+    non-broadcast path yields identical results (AQE-planned join), and
+    the default probes only the eval table."""
+    texts = [
+        (0, "alpha beta gamma delta epsilon zeta"),
+        (1, "one two three four five six seven"),
+    ]
+    evals = [(100, "alpha beta gamma delta epsilon zeta unique tail here")]
+    docs = spark.createDataFrame(texts, "doc_id long, text string")
+    ev = spark.createDataFrame(evals, "doc_id long, text string")
+    from redistimeseries_spark.pipeline.curation import (
+        eval_contamination_report,
+    )
+
+    a = sorted(
+        eval_contamination_report(docs, ev, n=5).collect(),
+        key=lambda r: r.doc_id,
+    )
+    b = sorted(
+        eval_contamination_report(docs, ev, n=5, broadcast_eval=False).collect(),
+        key=lambda r: r.doc_id,
+    )
+    assert [tuple(r) for r in a] == [tuple(r) for r in b]
+    assert a[0].contaminated_grams == 2  # the two grams inside the overlap
