@@ -53,8 +53,16 @@ def _ts_tvf_sql(p: str) -> list[str]:
     b = "greatest(ts - pmod(ts, dur), 0)"
     return [
         # PromQL topk/bottomk per bucket (operators/multi.ts_topk); agg
-        # dispatch covers the groupBy-native core five — the Python
-        # facade's full aggregator set (p-names, twa) stays facade-only
+        # dispatch covers the groupBy-native core five PLUS the p-name
+        # exact percentiles ('p50', 'p99.9' — round-8 parity with the
+        # facade's percentile_frac).  percentile()'s percentage argument
+        # must be foldable AT CREATE-FUNCTION ANALYSIS, where `agg` is
+        # still a parameter — so the branch computes the identical
+        # quantile_cont interpolation itself over sort_array(
+        # collect_list(...)), binding the sorted array and the rank
+        # position via the reduce-lambda trick (dl_word_ngrams); same
+        # per-group buffering as percentile(), bucket-bounded.  twa
+        # stays facade-only (documented in README).
         f"""CREATE OR REPLACE TEMPORARY FUNCTION {p}topk(
                 dur BIGINT, n INT, agg STRING, bottom BOOLEAN)
             RETURNS TABLE (ts BIGINT, key STRING, value DOUBLE, rnk INT)
@@ -65,17 +73,31 @@ def _ts_tvf_sql(p: str) -> list[str]:
                        key ASC) AS rnk
               FROM (
                 SELECT key, __b,
-                       round(CASE agg WHEN 'avg' THEN avg(value)
-                                      WHEN 'sum' THEN sum(value)
-                                      WHEN 'min' THEN min(value)
-                                      WHEN 'max' THEN max(value)
-                                      WHEN 'count' THEN CAST(count(value) AS DOUBLE)
-                                      ELSE CAST(raise_error(concat(
-                                        '{p}topk: unsupported agg ', agg,
-                                        ' (SQL surface dispatches avg/sum/',
-                                        'min/max/count; the Python facade',
-                                        ' takes the full aggregator set)'))
-                                        AS DOUBLE)
+                       round(CASE WHEN agg = 'avg' THEN avg(value)
+                                  WHEN agg = 'sum' THEN sum(value)
+                                  WHEN agg = 'min' THEN min(value)
+                                  WHEN agg = 'max' THEN max(value)
+                                  WHEN agg = 'count' THEN CAST(count(value) AS DOUBLE)
+                                  WHEN agg RLIKE '^p[0-9]+([.][0-9]+)?$'
+                                    THEN reduce(
+                                      array(sort_array(collect_list(value))),
+                                      CAST(NULL AS DOUBLE),
+                                      (z, a) -> reduce(
+                                        array((size(a) - 1)
+                                          * CAST(substring(agg, 2) AS DOUBLE)
+                                          / 100),
+                                        CAST(NULL AS DOUBLE),
+                                        (z2, q) ->
+                                          element_at(a, CAST(floor(q) AS INT) + 1)
+                                          + (q - floor(q))
+                                          * (element_at(a, CAST(ceil(q) AS INT) + 1)
+                                             - element_at(a, CAST(floor(q) AS INT) + 1))))
+                                  ELSE CAST(raise_error(concat(
+                                    '{p}topk: unsupported agg ', agg,
+                                    ' (SQL surface dispatches avg/sum/',
+                                    'min/max/count/p<number>; twa is',
+                                    ' facade-only)'))
+                                    AS DOUBLE)
                              END, 6) AS __v
                 FROM (SELECT key, {b} AS __b, value
                       FROM {p}samples WHERE {nn})

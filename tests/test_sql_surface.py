@@ -143,6 +143,11 @@ def test_sql_table_functions_match_operators(spark, samples_df):
          ts_topk(st.samples, dur, 1, "avg")),
         (f"SELECT * FROM ts_topk({dur}, 2, 'max', true)",
          ts_topk(st.samples, dur, 2, "max", bottom=True)),
+        # round-8 parity: p-name exact percentiles dispatch in SQL too
+        (f"SELECT * FROM ts_topk({dur}, 1, 'p50', false)",
+         ts_topk(st.samples, dur, 1, "p50")),
+        (f"SELECT * FROM ts_topk({dur}, 2, 'p99.9', false)",
+         ts_topk(st.samples, dur, 2, "p99.9")),
         (f"SELECT * FROM ts_deriv({dur})", ts_deriv(st.samples, dur)),
         (f"SELECT * FROM ts_delta({dur})", ts_delta(st.samples, dur)),
         ("SELECT * FROM ts_idelta()", ts_idelta(st.samples)),
@@ -181,7 +186,7 @@ def test_sql_table_functions_match_operators(spark, samples_df):
     import pytest as _pytest
 
     with _pytest.raises(Exception, match="unsupported agg"):
-        spark.sql(f"SELECT * FROM ts_topk({dur}, 1, 'p50', false)").collect()
+        spark.sql(f"SELECT * FROM ts_topk({dur}, 1, 'twa', false)").collect()
     with _pytest.raises(Exception, match="locf or linear"):
         spark.sql("SELECT * FROM ts_resample(20000, 'cubic')").collect()
 
