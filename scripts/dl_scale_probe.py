@@ -175,6 +175,13 @@ def main():
             ),
             _bpe_merges(),
         ),
+        # byte-level BPE apply (round 8): pretokens keep case +
+        # punctuation + whitespace runs, so the memo faces the diverse
+        # vocabulary a real tokenizer sees — the amortization claim is
+        # probed on the natural corpus, not a lowercased one
+        "d34_bpe_bytes": lambda: __import__(
+            "redistimeseries_spark.pipeline.bpe", fromlist=["bpe_token_counts"]
+        ).bpe_token_counts(docs, _bpe_bytes_merges(), mode="bytes"),
         "d7_ngram_jaccard_t08": lambda: ngram_jaccard_pairs(docs, threshold=0.8),
         "d8_components_star": lambda: connected_components_star(
             minhash_lsh_pairs(docs, max_bucket=256).localCheckpoint()
@@ -338,6 +345,20 @@ def main():
             )
         ),
     }
+
+    def _bpe_bytes_merges():
+        if "bpe_bytes" not in _TIDX:
+            from redistimeseries_spark.pipeline.bpe import bpe_train
+
+            t0 = time.time()
+            _TIDX["bpe_bytes"] = bpe_train(docs, num_merges=100, mode="bytes")
+            print(
+                json.dumps(
+                    {"stage": "bpe_bytes_train", "sec": round(time.time() - t0, 2)}
+                ),
+                flush=True,
+            )
+        return _TIDX["bpe_bytes"]
 
     def _bpe_merges():
         # merge ranks trained once (Spark word-freq agg + driver loop),

@@ -1,0 +1,81 @@
+"""Hot-series skew probe (BASELINE.md round 8; verdict r7 next #1).
+
+ONE series, N rows (default 100M): the pathological shape for the
+full-history chain family — under the pre-round-8 plan
+(`_key_window_chain`: lag window partitioned by bare key) the entire
+history sorts and lags inside a single task; the round-8 bucket-local
+plan (`_bucket_chain`) parallelizes across (key, bucket) and touches the
+bare-key axis only on the per-bucket aggregated frame (#buckets rows).
+
+Synthetic counter: ts = i*1000 ms, value = i mod 100_000 (a reset every
+100k samples), 1h buckets -> ~27.8k buckets at 100M rows.  Both arms
+compute ts_increase semantics to a noop sink; results are
+count-compared for the equivalence sanity check.
+
+Usage:
+    python scripts/hot_series_probe.py [N_ROWS] [skip_old]
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from pyspark.sql import functions as F
+
+from redistimeseries_spark import MAX_TS, MIN_TS, get_spark
+
+H = 3_600_000
+
+
+def main():
+    n = int(sys.argv[1]) if len(sys.argv) > 1 else 100_000_000
+    skip_old = len(sys.argv) > 2 and sys.argv[2] == "skip_old"
+    spark = get_spark("hot_series_probe")
+    spark.sparkContext.setLogLevel("ERROR")
+
+    from redistimeseries_spark.operators.rate import (
+        _increase_step,
+        _key_window_chain,
+        ts_increase,
+    )
+
+    df = spark.range(n).select(
+        F.lit("hot").alias("key"),
+        (F.col("id") * 1000).alias("ts"),
+        (F.col("id") % 100_000).cast("double").alias("value"),
+    )
+
+    def timed(build):
+        t0 = time.time()
+        build().write.mode("overwrite").format("noop").save()
+        return round(time.time() - t0, 1)
+
+    new_s = timed(lambda: ts_increase(df, H))
+    out = {"n_rows": n, "bucket_local_sec": new_s}
+    if not skip_old:
+        out["key_window_sec"] = timed(
+            lambda: _key_window_chain(
+                df, H, _increase_step, None, MIN_TS, MAX_TS, "0"
+            )
+        )
+    # sanity: same bucket count both ways (cheap recompute at n/100)
+    small = spark.range(n // 100).select(
+        F.lit("hot").alias("key"),
+        (F.col("id") * 1000).alias("ts"),
+        (F.col("id") % 100_000).cast("double").alias("value"),
+    )
+    a = ts_increase(small, H).count()
+    b = _key_window_chain(
+        small, H, _increase_step, None, MIN_TS, MAX_TS, "0"
+    ).count()
+    out["equiv_buckets"] = (a, b, a == b)
+    print(json.dumps(out))
+
+
+if __name__ == "__main__":
+    main()
