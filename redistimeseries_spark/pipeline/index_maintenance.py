@@ -144,13 +144,43 @@ def compact_index(spark, path: str) -> dict[str, int]:
     return out
 
 
+def compact_dedup_state(spark, state_dir: str) -> dict[str, int]:
+    """Compact a `DedupStream` state directory (pipeline/streaming_dedup):
+    fps/bands/texts/decisions/batches all append one fragment set per
+    micro-batch.  These rows carry NO batch_id — the store's crash
+    contract is anti-join-own-batch + deterministic replay, which makes
+    duplicate rows structurally harmless — so compaction is a plain
+    distinct + rewrite: a crashed batch's orphan rows survive as the
+    single copy its replay would have re-appended anyway, and the replay
+    anti-join still removes them by doc_id.  Same quiesced-writer
+    precondition and rename-swap crash story as `compact_index`."""
+    tables = ("fps", "bands", "texts", "decisions", "batches")
+    out: dict[str, int] = {}
+    for sub in tables:
+        if not _path_exists(spark, f"{state_dir}/{sub}"):
+            continue
+        rows = spark.read.parquet(f"{state_dir}/{sub}").distinct()
+        cnt = rows.count()
+        n_files = max(1, cnt // 2_000_000 + (1 if cnt % 2_000_000 else 0))
+
+        def _writer(df, dest, n=n_files):
+            df.repartition(n).write.mode("overwrite").parquet(dest)
+
+        _swap_in(spark, state_dir, sub, rows, _writer)
+        out[sub] = cnt
+    return out
+
+
 def index_file_counts(spark, path: str) -> dict[str, int]:
     """Parquet data-file count per row table — the quantity compaction
     bounds (tests assert it; ops dashboards watch it)."""
     jvm = spark._jvm
     conf = spark._jsc.hadoopConfiguration()
     out: dict[str, int] = {}
-    for sub in ("postings", "cells", "stats_batches", "decisions", "batches"):
+    for sub in (
+        "postings", "cells", "stats_batches", "decisions", "batches",
+        "fps", "bands", "texts",
+    ):
         p = f"{path}/{sub}"
         if not _path_exists(spark, p):
             continue

@@ -190,3 +190,44 @@ def test_compaction_idempotent_and_rerunnable(spark, tmp_path):
     assert got == want
     assert not os.path.exists(f"{path}/postings__old")
     assert not os.path.exists(f"{path}/postings__compact")
+
+
+def test_dedup_state_compaction_equivalence(spark, tmp_path):
+    """DedupStream state: 5 micro-batches -> compact: decisions equal,
+    the NEXT batch decides identically on the compacted state, and the
+    per-table file counts collapse."""
+    from redistimeseries_spark.pipeline.index_maintenance import (
+        compact_dedup_state,
+    )
+    from redistimeseries_spark.pipeline.streaming_dedup import DedupStream
+
+    docs = _docs(spark)
+    a_dir, b_dir = str(tmp_path / "a"), str(tmp_path / "b")
+    sa = DedupStream(spark, a_dir, verify_threshold=0.5)
+    sb = DedupStream(spark, b_dir, verify_threshold=0.5)
+    batches = [docs.filter(f"doc_id % 6 = {i}") for i in range(6)]
+    for i in range(5):
+        sa.process_batch(batches[i], i)
+        sb.process_batch(batches[i], i)
+
+    pre = index_file_counts(spark, a_dir)
+    written = compact_dedup_state(spark, a_dir)
+    post = index_file_counts(spark, a_dir)
+
+    dec_a = sorted(map(tuple, sa.decisions().collect()))
+    dec_b = sorted(map(tuple, sb.decisions().collect()))
+    assert dec_a == dec_b
+    for sub in ("fps", "bands", "decisions", "batches"):
+        assert post[sub] == 1 and pre[sub] > 1, sub
+    assert written["batches"] == 5
+
+    sa.process_batch(batches[5], 5)
+    sb.process_batch(batches[5], 5)
+    assert sorted(map(tuple, sa.decisions().collect())) == sorted(
+        map(tuple, sb.decisions().collect())
+    )
+    # replay of an old id stays a no-op on the compacted store
+    sa.process_batch(batches[0], 0)
+    assert sorted(map(tuple, sa.decisions().collect())) == sorted(
+        map(tuple, sb.decisions().collect())
+    )
