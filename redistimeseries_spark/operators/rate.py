@@ -566,6 +566,12 @@ def ts_idelta(
     ).orderBy("key")
 
 
+# internal chunk for the keep-last-two prune (~4.7 h of millis): any
+# fixed chunk works — parallelism grows with a hot series' time span,
+# the axis a time series actually grows along
+_LAST_PAIR_CHUNK_MS = 1 << 24
+
+
 def _last_pair(
     samples: DataFrame,
     keys: list[str] | str | None,
@@ -574,11 +580,19 @@ def _last_pair(
 ) -> DataFrame:
     """Shared ts_idelta / ts_irate core: per key, the single
     deterministic LAST valid in-range sample and its predecessor —
-    (key, ts, value, __pv, __pt).  One lag window ordered by
-    (ts, value) with a same-order full-frame count, so the keep-last
-    row_number filter reuses the lag's sort (one exchange, one sort;
-    exchange-free over the bucketed layout).  Keys with <2 valid
-    samples drop out via the __pv null filter."""
+    (key, ts, value, __pv, __pt).
+
+    Skew-safe in two stages (the _bucket_chain discipline applied to a
+    keep-last-two): a (key, time-chunk)-partitioned top-2 prune first —
+    the global last two samples ALWAYS survive it, because the global #1
+    is its chunk's #1 and the global #2 is either the same chunk's #2 or
+    an earlier chunk's #1 — then the exact lag + keep-last runs on the
+    surviving <=2 rows per (key, chunk), a frame orders of magnitude
+    smaller than the samples.  A hot series therefore parallelizes
+    across its time span instead of sorting its whole history in one
+    task.  Ordering is (ts, value) everywhere — the deterministic
+    duplicate-timestamp rule both TVF and oracle share.  Keys with <2
+    valid samples drop out via the __pv null filter."""
     df = samples.filter(~F.isnan("value"))
     if keys is not None:
         klist = [keys] if isinstance(keys, str) else list(keys)
@@ -587,9 +601,19 @@ def _last_pair(
         df = df.filter(F.col("ts") >= F.lit(start))
     if end < MAX_TS:
         df = df.filter(F.col("ts") <= F.lit(end))
+    wc = Window.partitionBy(
+        "key", (F.col("ts") - F.pmod(F.col("ts"), F.lit(_LAST_PAIR_CHUNK_MS)))
+    ).orderBy(F.col("ts").desc(), F.col("value").desc())
+    pruned = (
+        df.select(
+            "key", "ts", "value", F.row_number().over(wc).alias("__cr")
+        )
+        .filter(F.col("__cr") <= 2)
+        .drop("__cr")
+    )
     w = Window.partitionBy("key").orderBy("ts", "value")
     wn = w.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
-    d = df.select(
+    d = pruned.select(
         "key",
         "ts",
         "value",
