@@ -462,9 +462,13 @@ def ts_gaps(
     the reference's INFO exposes only totalSamples, not where the holes
     are.
 
-    One lag window over (key, ts) then a filter — pure JVM, the
-    counter-rate plan shape.  NaN samples still COUNT as samples here
-    (the device reported, the value was bad — that is not a collection
+    Skew-safe plan (the _bucket_chain discipline on a ROW-LEVEL output):
+    the lag runs chunk-locally — partitioned by (key, ~4.7h time chunk)
+    — and the one consecutive pair that crosses each chunk edge is
+    recovered from a per-(key, chunk) min/max aggregation stitched by a
+    lag over the tiny aggregated frame; the two branches union.  Pure
+    JVM, no Python.  NaN samples still COUNT as samples here (the
+    device reported, the value was bad — that is not a collection
     gap)."""
     if min_gap_ms <= 0:
         raise ValueError("min_gap_ms must be positive")
@@ -476,14 +480,30 @@ def ts_gaps(
         df = df.filter(F.col("ts") >= F.lit(start))
     if end < MAX_TS:
         df = df.filter(F.col("ts") <= F.lit(end))
-    w = Window.partitionBy("key").orderBy("ts")
-    prev = F.lag("ts").over(w)
-    return (
-        df.select("key", prev.alias("gap_start"), F.col("ts").alias("gap_end"))
-        .filter(
-            F.col("gap_start").isNotNull()
-            & (F.col("gap_end") - F.col("gap_start") > min_gap_ms)
+    chunk = (F.col("ts") - F.pmod(F.col("ts"), F.lit(_LAST_PAIR_CHUNK_MS)))
+    wloc = Window.partitionBy("key", chunk).orderBy("ts")
+    local = df.select(
+        "key",
+        F.lag("ts").over(wloc).alias("gap_start"),
+        F.col("ts").alias("gap_end"),
+    ).filter(F.col("gap_start").isNotNull())
+    edges = (
+        df.select("key", chunk.alias("__c"), "ts")
+        .groupBy("key", "__c")
+        .agg(F.min("ts").alias("__first"), F.max("ts").alias("__last"))
+    )
+    wk = Window.partitionBy("key").orderBy("__c")
+    boundary = (
+        edges.select(
+            "key",
+            F.lag("__last").over(wk).alias("gap_start"),
+            F.col("__first").alias("gap_end"),
         )
+        .filter(F.col("gap_start").isNotNull())
+    )
+    return (
+        local.unionByName(boundary)
+        .filter(F.col("gap_end") - F.col("gap_start") > min_gap_ms)
         .select(
             "key",
             "gap_start",

@@ -120,12 +120,88 @@ def _empty_bucket_vals(
 def twa_buckets_expr(
     df: DataFrame, dur: int, start: int, end: int
 ) -> DataFrame:
-    """Pure-JVM TWA (no Python in the hot path): consecutive-pair trapezoid
-    terms via a lag window, cross-bucket boundary terms exploded to the two
-    buckets they close/open, then one (key, bucket) aggregation.  Term
-    derivation mirrors TwaAddValue/TwaAddNextBucketFirstSample
-    (src/compaction.c:348-419) exactly; see _twa_kernel for the same math
-    in numpy (used by the EMPTY path and cross-checked in tests)."""
+    """Pure-JVM TWA (no Python in the hot path), SKEW-SAFE (round 8):
+    the lag window that feeds the in-bucket trapezoid terms partitions
+    by (key, bucket) — never bare key — so one hot series parallelizes
+    across its buckets (the rate-family `_bucket_chain` discipline).
+    The cross-bucket boundary terms need exactly two values per edge —
+    the previous bucket's LAST sample (the open term's interpolation
+    anchor) and the next bucket's FIRST sample (the close term's) — and
+    both live on the per-bucket aggregated frame (one row per non-empty
+    (key, bucket)), where a lag+lead over key costs #buckets rows, not
+    #samples.  Term derivation mirrors TwaAddValue/
+    TwaAddNextBucketFirstSample (src/compaction.c:348-419) exactly; see
+    _twa_kernel for the same math in numpy (used by the EMPTY path and
+    cross-checked in tests), and `_twa_key_window_expr` for the
+    pre-round-8 bare-key-window plan kept as the differential twin."""
+    from pyspark.sql import Window
+
+    wloc = Window.partitionBy("key", "__bucket").orderBy("ts")
+    rng_end = float(min(end, MAX_TS))
+    d = (
+        df.filter(~F.isnan("value"))
+        .select("key", "ts", "value", "__bucket")
+        .withColumn("pts", F.lag("ts").over(wloc))
+        .withColumn("pv", F.lag("value").over(wloc))
+    )
+    ts, v = F.col("ts").cast("double"), F.col("value")
+    pts, pv = F.col("pts").cast("double"), F.col("pv")
+    # in-bucket trapezoids fold locally; the bucket's first/last samples
+    # ride into the aggregated frame for the boundary terms
+    agg = d.groupBy("key", "__bucket").agg(
+        F.sum(
+            F.when(F.col("pts").isNotNull(), (pv + v) * (ts - pts) / 2.0)
+        ).alias("__larea"),
+        F.min("ts").cast("double").alias("fts"),
+        F.min_by("value", "ts").alias("fv"),
+        F.max("ts").cast("double").alias("lts"),
+        F.max_by("value", "ts").alias("lastv"),
+    )
+    wk = Window.partitionBy("key").orderBy("__bucket")
+    st = agg.select(
+        "key", "__bucket", "__larea", "fts", "fv", "lts", "lastv",
+        F.lag("lts").over(wk).alias("plts"),
+        F.lag("lastv").over(wk).alias("plv"),
+        F.lead("fts").over(wk).alias("nfts"),
+        F.lead("fv").over(wk).alias("nfv"),
+    )
+    b = F.col("__bucket")
+    ta = F.greatest(b.cast("double"), F.lit(float(start)))
+    tb = F.least(b.cast("double") + F.lit(float(dur)), F.lit(rng_end))
+    opens = F.col("plts").isNotNull()
+    closes = F.col("nfts").isNotNull()
+    vab_open = F.col("plv") + (ta - F.col("plts")) * (
+        F.col("fv") - F.col("plv")
+    ) / (F.col("fts") - F.col("plts"))
+    vab_close = F.col("lastv") + (tb - F.col("lts")) * (
+        F.col("nfv") - F.col("lastv")
+    ) / (F.col("nfts") - F.col("lts"))
+    res = (
+        F.coalesce(F.col("__larea"), F.lit(0.0))
+        + F.when(opens, (vab_open + F.col("fv")) * (F.col("fts") - ta) / 2.0)
+        .otherwise(0.0)
+        + F.when(closes, (vab_close + F.col("lastv")) * (tb - F.col("lts")) / 2.0)
+        .otherwise(0.0)
+    )
+    first_ts = F.when(opens, ta).otherwise(F.col("fts"))
+    last_ts = F.when(closes, tb).otherwise(F.col("lts"))
+    return st.select(
+        "key",
+        "__bucket",
+        F.when(last_ts == first_ts, F.col("lastv"))
+        .otherwise(res / F.abs(last_ts - first_ts))
+        .alias("twa"),
+    )
+
+
+def _twa_key_window_expr(
+    df: DataFrame, dur: int, start: int, end: int
+) -> DataFrame:
+    """The pre-round-8 plan — per-sample lag AND lead over bare
+    (key, ts).  Kept as the DIFFERENTIAL REFERENCE for the skew-safe
+    `twa_buckets_expr` (fuzz-pinned equal in tests) and the comparison
+    arm of the hot-series probe: semantically identical, but one hot
+    series serializes its full history into a single window task."""
     from pyspark.sql import Window
 
     w = Window.partitionBy("key").orderBy("ts")

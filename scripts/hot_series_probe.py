@@ -57,11 +57,26 @@ def main():
 
     new_s = timed(lambda: ts_increase(df, H))
     out = {"n_rows": n, "bucket_local_sec": new_s}
+
+    # TWA arm (round 8): the heavy trapezoid operator on the same shapes
+    from redistimeseries_spark.functions.buckets import bucket_start
+    from redistimeseries_spark.operators.twa import (
+        _twa_key_window_expr,
+        twa_buckets_expr,
+    )
+
+    bdf = df.withColumn("__bucket", bucket_start(F.col("ts"), H, 0))
+    out["twa_bucket_local_sec"] = timed(
+        lambda: twa_buckets_expr(bdf, H, 0, 10**15)
+    )
     if not skip_old:
         out["key_window_sec"] = timed(
             lambda: _key_window_chain(
                 df, H, _increase_step, None, MIN_TS, MAX_TS, "0"
             )
+        )
+        out["twa_key_window_sec"] = timed(
+            lambda: _twa_key_window_expr(bdf, H, 0, 10**15)
         )
     # sanity: same bucket count both ways (cheap recompute at n/100)
     small = spark.range(n // 100).select(

@@ -928,3 +928,32 @@ def test_idelta_irate_duplicate_ts_deterministic(spark):
     assert "k" not in ir2  # last pair is the two ts=2000 rows: zero span
     id2 = {r.key: (r.ts, r.idelta) for r in ts_idelta(sdf2).collect()}
     assert id2["k"] == (2000, 2.0)
+
+
+def test_gaps_across_chunk_boundaries(spark):
+    """The skew-safe ts_gaps recovers the consecutive pair that crosses
+    the internal time-chunk edge — including multi-chunk-spanning gaps
+    (intervening chunks are EMPTY, so the boundary lag still pairs the
+    true neighbors)."""
+    from redistimeseries_spark.operators.rate import (
+        _LAST_PAIR_CHUNK_MS as C,
+    )
+    from redistimeseries_spark.operators.rate import ts_gaps
+
+    rows = [
+        ("k", 100, 1.0),
+        ("k", C - 50, 1.0),        # same chunk: local gap C-150
+        ("k", C + 200, 1.0),       # crosses one edge: gap 250
+        ("k", 5 * C + 7, 1.0),     # spans 4 empty chunks: gap 4C-193
+        ("q", 10, 1.0),            # single-sample key: no gaps
+    ]
+    sdf = spark.createDataFrame(rows, "key string, ts long, value double")
+    got = sorted(
+        (r.key, r.gap_start, r.gap_end, r.gap_ms)
+        for r in ts_gaps(sdf, min_gap_ms=200).collect()
+    )
+    assert got == [
+        ("k", 100, C - 50, C - 150),
+        ("k", C - 50, C + 200, 250),
+        ("k", C + 200, 5 * C + 7, 4 * C - 193),
+    ]

@@ -130,3 +130,71 @@ def test_empty_edge_gaps_not_emitted(samples_df):
     ).collect()
     assert min(r.ts for r in out) == 0
     assert max(r.ts for r in out) == 10000
+
+
+def test_twa_bucket_local_vs_key_window_differential(samples_df):
+    """The round-8 skew-safe TWA plan (bucket-local lag + aggregated-
+    frame boundary stitch) is pinned equal to the pre-r8 bare-key-window
+    twin across random series: NaNs, duplicate-bucket edges, sparse and
+    dense buckets, and range cuts landing mid-bucket."""
+    import math
+    import random as _random
+
+    from pyspark.sql import functions as F
+
+    from redistimeseries_spark.functions.buckets import bucket_start
+    from redistimeseries_spark.operators.twa import (
+        _twa_key_window_expr,
+        twa_buckets_expr,
+    )
+
+    rng = _random.Random(0x7A7A)
+    for trial in range(8):
+        rows = []
+        for k in ("a", "b", "c"):
+            pts = sorted(rng.sample(range(0, 60_000), rng.randint(2, 60)))
+            for t in pts:
+                v = float("nan") if rng.random() < 0.1 else rng.uniform(-5, 9)
+                rows.append((k, t, v))
+        dur = rng.choice([700, 1000, 9000])
+        lo = rng.choice([0, rng.randrange(0, 30_000)])
+        hi = rng.choice([10**15, rng.randrange(lo + 1, 70_000)])
+        df = samples_df(rows).filter(
+            (F.col("ts") >= lo) & (F.col("ts") <= hi)
+        ).withColumn("__bucket", bucket_start(F.col("ts"), dur, 0))
+        got = {
+            (r.key, r["__bucket"]): r.twa
+            for r in twa_buckets_expr(df, dur, lo, hi).collect()
+        }
+        want = {
+            (r.key, r["__bucket"]): r.twa
+            for r in _twa_key_window_expr(df, dur, lo, hi).collect()
+        }
+        assert set(got) == set(want), (trial, dur, lo, hi)
+        for kk in got:
+            assert math.isclose(
+                got[kk], want[kk], rel_tol=1e-9, abs_tol=1e-9
+            ), (trial, kk, got[kk], want[kk])
+
+
+def test_twa_plan_is_bucket_local(samples_df):
+    """The sample-level lag window partitions by (key, __bucket) — the
+    hot-series funnel is gone from the TWA hot path (the EMPTY path
+    keeps its per-key Arrow kernel, documented)."""
+    from pyspark.sql import functions as F
+
+    from redistimeseries_spark.functions.buckets import bucket_start
+    from redistimeseries_spark.operators.twa import twa_buckets_expr
+
+    df = samples_df([("k", t, float(t)) for t in range(0, 5000, 100)])
+    df = df.withColumn("__bucket", bucket_start(F.col("ts"), 1000, 0))
+    plan = (
+        twa_buckets_expr(df, 1000, 0, 10**15)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    lag_lines = [
+        ln for ln in plan.splitlines() if "lag(" in ln and "Window" in ln
+    ]
+    assert lag_lines
+    sample_lags = [ln for ln in lag_lines if "lag(value" in ln or "lag(ts" in ln]
+    assert sample_lags and all("__bucket" in ln for ln in sample_lags), plan
