@@ -198,3 +198,23 @@ def test_rate_family_bucketed_plans(spark, stores):
         ts_predict_linear(bt, 60_000, 60_000),
     ):
         assert "Exchange hashpartitioning" not in _plan(df)
+
+
+def test_range_count_uses_window_group_limit(spark):
+    """The per-series COUNT path's row_number <= k filter rewrites into
+    WindowGroupLimit (partial per-partition heaps BEFORE the shuffle,
+    then a final limit) — so a hot series ships at most
+    count x #input-partitions rows into its window task, never its full
+    history.  The rate/TWA family needed an explicit bucket-local
+    rewrite for this property; COUNT gets it from the optimizer, pinned
+    here so a regression (e.g. an expression change hiding the rank
+    pattern) is caught."""
+    from redistimeseries_spark.operators.range_query import ts_range
+
+    df = spark.createDataFrame(
+        [("k", t, 1.0) for t in range(100)],
+        "key string, ts long, value double",
+    )
+    for kwargs in ({"count": 5}, {"count": 5, "rev": True}):
+        plan = _plan(ts_range(df, **kwargs))
+        assert plan.count("WindowGroupLimit") == 2, (kwargs, plan)
