@@ -195,7 +195,7 @@ def _key_window_chain(
     (key, bucket) aggregation.  Kept as the DIFFERENTIAL REFERENCE for
     the skew-safe `_bucket_chain` (fuzz-pinned equal in
     tests/test_aggs_nan.py) and as the comparison arm of the hot-series
-    probe (scripts/probe_hot_series.py; BASELINE.md): semantically
+    probe (scripts/hot_series_probe.py; BASELINE.md): semantically
     identical, but a single hot series serializes its full history into
     one task here."""
     if bucket_dur <= 0:

@@ -143,10 +143,12 @@ def decontaminate(
     )
 
 
-# benchmark suites are small by construction; past this many eval docs
-# the gram table stops being an obviously-safe broadcast and the join
+# benchmark suites are small by construction; past this many eval
+# (doc, gram) ROWS — the table actually broadcast, not the doc count
+# that merely generates it — the broadcast stops being obviously safe
+# (~2M rows ≈ low-hundreds of MB with gram strings) and the join
 # strategy is left to AQE (ADVICE r7)
-EVAL_BROADCAST_MAX_DOCS = 100_000
+EVAL_BROADCAST_MAX_GRAMS = 2_000_000
 
 
 def eval_contamination_report(
@@ -172,16 +174,17 @@ def eval_contamination_report(
 
     `broadcast_eval` guards the broadcast (ADVICE r7: an unexpectedly
     large eval corpus would blow the driver/broadcast limit): None
-    (default) probes the eval side with a BOUNDED limit-count — the eval
-    table only, never the corpus — and falls back to a plain join (AQE
-    picks the strategy) past EVAL_BROADCAST_MAX_DOCS; True/False force
-    the choice when the caller already knows the size."""
+    (default) probes the (doc, gram) table that is actually shipped —
+    a BOUNDED limit-count over the eval side only, never the corpus —
+    and falls back to a plain join (AQE picks the strategy) past
+    EVAL_BROADCAST_MAX_GRAMS rows; True/False force the choice when the
+    caller already knows the size.  Counting the GRAM rows rather than
+    the docs matters: 90k long documents are few docs but a multi-GB
+    gram table."""
     ge = word_ngrams(eval_docs, n)  # (eval doc_id, gram), per-doc distinct
     if broadcast_eval is None:
-        cap = EVAL_BROADCAST_MAX_DOCS
-        broadcast_eval = (
-            eval_docs.limit(cap + 1).count() <= cap
-        )
+        cap = EVAL_BROADCAST_MAX_GRAMS
+        broadcast_eval = ge.limit(cap + 1).count() <= cap
     sizes = ge.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_grams"))
     gt = word_ngrams(docs, n).select("gram")
     hits = (

@@ -29,8 +29,13 @@ Single-writer maintenance op: run it while no stream is writing to the
 store and no query is mid-flight — the tmp-write + rename swap is atomic
 per table on a real filesystem but the multi-table sequence is not
 transactional (the same contract as OPTIMIZE on plain-parquet layouts).
-A crash between the swap renames leaves a `<sub>__old` directory next to
-a complete new table; rerunning compact_index cleans it up.
+Crash recovery: every swap is preceded by `_recover_swap`, which
+restores a table stranded mid-swap — live dir missing with `<sub>__old`
+present (crash between the two renames) renames the old data back;
+leftover `__old`/`__compact` dirs next to a live table are deleted — so
+RERUNNING compact_index (or any later compaction) repairs every crash
+point, and queries between the crash and the rerun fail loudly (path
+missing) rather than reading half-swapped state.
 """
 
 from __future__ import annotations
@@ -59,17 +64,36 @@ def _rename(spark, src: str, dst: str) -> None:
         raise IOError(f"rename {src} -> {dst} failed")
 
 
-def _swap_in(spark, path: str, sub: str, compacted: DataFrame, writer) -> None:
-    """Write `compacted` to `<sub>__compact`, then swap it in under a
-    rename pair; `writer(df, dest)` performs the actual write so callers
-    control partitioning/file counts."""
-    tmp, old = f"{path}/{sub}__compact", f"{path}/{sub}__old"
+def _recover_swap(spark, path: str, sub: str) -> bool:
+    """Repair a table stranded by a crashed previous swap.  Returns
+    whether the table exists after recovery (False = nothing to
+    compact).  Cases: live dir missing + `__old` present -> the crash
+    hit between the two renames, rename the old data back (the
+    `__compact` copy may be incomplete if the writer crashed — the old
+    data is the only copy known-good); leftover `__old`/`__compact`
+    beside a live table -> delete them."""
+    live, tmp, old = f"{path}/{sub}", f"{path}/{sub}__compact", f"{path}/{sub}__old"
+    if not _path_exists(spark, live) and _path_exists(spark, old):
+        _rename(spark, old, live)
     _rm(spark, tmp)
-    _rm(spark, old)  # leftover from a crashed previous compaction
+    _rm(spark, old)
+    return _path_exists(spark, live)
+
+
+def _swap_in(spark, path: str, sub: str, compacted: DataFrame, writer) -> int:
+    """Write `compacted` to `<sub>__compact`, swap it in under a rename
+    pair, and return the row count — read back from the WRITTEN files
+    (metadata-cheap), so the compaction lineage executes exactly once
+    (a pre-swap .count() would run the whole read+join+distinct job a
+    second time).  `writer(df, dest)` performs the actual write so
+    callers control partitioning/file counts."""
+    tmp, old = f"{path}/{sub}__compact", f"{path}/{sub}__old"
     writer(compacted, tmp)
+    cnt = spark.read.parquet(tmp).count()
     _rename(spark, f"{path}/{sub}", old)
     _rename(spark, tmp, f"{path}/{sub}")
     _rm(spark, old)
+    return cnt
 
 
 def _committed(rows: DataFrame, done: DataFrame) -> DataFrame:
@@ -99,7 +123,7 @@ def compact_index(spark, path: str) -> dict[str, int]:
     out: dict[str, int] = {}
 
     for sub, part_col in _ROW_TABLES:
-        if not _path_exists(spark, f"{path}/{sub}"):
+        if not _recover_swap(spark, path, sub):
             continue
         rows = _committed(_read_index_rows(spark, path, sub), done)
         # one task per partition value -> one file per partition dir
@@ -108,11 +132,12 @@ def compact_index(spark, path: str) -> dict[str, int]:
         def _writer(df, dest, pc=part_col):
             df.write.mode("overwrite").partitionBy(pc).parquet(dest)
 
-        cnt = compacted.count()
-        _swap_in(spark, path, sub, compacted, _writer)
-        out[sub] = cnt
+        out[sub] = _swap_in(spark, path, sub, compacted, _writer)
 
-    if _path_exists(spark, f"{path}/stats_batches"):
+    def _one_file(df, dest):
+        df.coalesce(1).write.mode("overwrite").parquet(dest)
+
+    if _recover_swap(spark, path, "stats_batches"):
         sb = _committed(
             spark.read.parquet(f"{path}/stats_batches"), done
         )
@@ -121,25 +146,15 @@ def compact_index(spark, path: str) -> dict[str, int]:
             F.coalesce(F.sum("n_docs"), F.lit(0)).alias("n_docs"),
             F.coalesce(F.sum("total_dl"), F.lit(0)).alias("total_dl"),
         ).filter(F.col("batch_id").isNotNull())
-
-        def _one_file(df, dest):
-            df.coalesce(1).write.mode("overwrite").parquet(dest)
-
-        cnt = folded.count()
-        _swap_in(spark, path, "stats_batches", folded, _one_file)
-        out["stats_batches"] = cnt
+        out["stats_batches"] = _swap_in(
+            spark, path, "stats_batches", folded, _one_file
+        )
 
     for sub in ("decisions", "batches"):
-        if not _path_exists(spark, f"{path}/{sub}"):
+        if not _recover_swap(spark, path, sub):
             continue
         rows = spark.read.parquet(f"{path}/{sub}").distinct()
-
-        def _one_file(df, dest):
-            df.coalesce(1).write.mode("overwrite").parquet(dest)
-
-        cnt = rows.count()
-        _swap_in(spark, path, sub, rows, _one_file)
-        out[sub] = cnt
+        out[sub] = _swap_in(spark, path, sub, rows, _one_file)
 
     return out
 
@@ -157,17 +172,15 @@ def compact_dedup_state(spark, state_dir: str) -> dict[str, int]:
     tables = ("fps", "bands", "texts", "decisions", "batches")
     out: dict[str, int] = {}
     for sub in tables:
-        if not _path_exists(spark, f"{state_dir}/{sub}"):
+        if not _recover_swap(spark, state_dir, sub):
             continue
         rows = spark.read.parquet(f"{state_dir}/{sub}").distinct()
-        cnt = rows.count()
-        n_files = max(1, cnt // 2_000_000 + (1 if cnt % 2_000_000 else 0))
+        # spark.sql.shuffle.partitions tasks write the distinct; an AQE
+        # coalesce folds small outputs — no pre-count needed to size it
+        def _writer(df, dest):
+            df.write.mode("overwrite").parquet(dest)
 
-        def _writer(df, dest, n=n_files):
-            df.repartition(n).write.mode("overwrite").parquet(dest)
-
-        _swap_in(spark, state_dir, sub, rows, _writer)
-        out[sub] = cnt
+        out[sub] = _swap_in(spark, state_dir, sub, rows, _writer)
     return out
 
 

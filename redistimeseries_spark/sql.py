@@ -55,14 +55,20 @@ def _ts_tvf_sql(p: str) -> list[str]:
         # PromQL topk/bottomk per bucket (operators/multi.ts_topk); agg
         # dispatch covers the groupBy-native core five PLUS the p-name
         # exact percentiles ('p50', 'p99.9' — round-8 parity with the
-        # facade's percentile_frac).  percentile()'s percentage argument
-        # must be foldable AT CREATE-FUNCTION ANALYSIS, where `agg` is
-        # still a parameter — so the branch computes the identical
-        # quantile_cont interpolation itself over sort_array(
-        # collect_list(...)), binding the sorted array and the rank
-        # position via the reduce-lambda trick (dl_word_ngrams); same
-        # per-group buffering as percentile(), bucket-bounded.  twa
-        # stays facade-only (documented in README).
+        # facade's percentile_frac; >100 reaches raise_error like the
+        # facade's out-of-range ValueError).  percentile()'s percentage
+        # argument must be foldable AT CREATE-FUNCTION ANALYSIS, where
+        # `agg` is still a parameter — so the percentile arm computes
+        # the identical quantile_cont interpolation itself over
+        # sort_array(collect_list(...)), binding the sorted array and
+        # the rank position via the reduce-lambda trick (dl_word_ngrams).
+        # The two arms are a UNION ALL with mutually-exclusive HAVING
+        # predicates on `agg` alone: after the TVF inlines, the literal
+        # folds them to true/false and PropagateEmptyRelation DELETES the
+        # dead aggregate — an avg/sum/min/max/count call never builds the
+        # collect_list buffer (outer refs can't appear INSIDE an
+        # aggregate function, so a single guarded CASE cannot express
+        # this).  twa stays facade-only (documented in README).
         f"""CREATE OR REPLACE TEMPORARY FUNCTION {p}topk(
                 dur BIGINT, n INT, agg STRING, bottom BOOLEAN)
             RETURNS TABLE (ts BIGINT, key STRING, value DOUBLE, rnk INT)
@@ -78,30 +84,39 @@ def _ts_tvf_sql(p: str) -> list[str]:
                                   WHEN agg = 'min' THEN min(value)
                                   WHEN agg = 'max' THEN max(value)
                                   WHEN agg = 'count' THEN CAST(count(value) AS DOUBLE)
-                                  WHEN agg RLIKE '^p[0-9]+([.][0-9]+)?$'
-                                    THEN reduce(
-                                      array(sort_array(collect_list(value))),
-                                      CAST(NULL AS DOUBLE),
-                                      (z, a) -> reduce(
-                                        array((size(a) - 1)
-                                          * CAST(substring(agg, 2) AS DOUBLE)
-                                          / 100),
-                                        CAST(NULL AS DOUBLE),
-                                        (z2, q) ->
-                                          element_at(a, CAST(floor(q) AS INT) + 1)
-                                          + (q - floor(q))
-                                          * (element_at(a, CAST(ceil(q) AS INT) + 1)
-                                             - element_at(a, CAST(floor(q) AS INT) + 1))))
                                   ELSE CAST(raise_error(concat(
                                     '{p}topk: unsupported agg ', agg,
                                     ' (SQL surface dispatches avg/sum/',
-                                    'min/max/count/p<number>; twa is',
+                                    'min/max/count/p<number> with the',
+                                    ' percentile in [0, 100]; twa is',
                                     ' facade-only)'))
                                     AS DOUBLE)
                              END, 6) AS __v
                 FROM (SELECT key, {b} AS __b, value
                       FROM {p}samples WHERE {nn})
-                GROUP BY key, __b)
+                GROUP BY key, __b
+                HAVING NOT (agg RLIKE '^p[0-9]+([.][0-9]+)?$'
+                            AND try_cast(substring(agg, 2) AS DOUBLE) <= 100)
+                UNION ALL
+                SELECT key, __b,
+                       round(reduce(
+                         array(sort_array(collect_list(value))),
+                         CAST(NULL AS DOUBLE),
+                         (z, a) -> reduce(
+                           array((size(a) - 1)
+                             * try_cast(substring(agg, 2) AS DOUBLE) / 100),
+                           CAST(NULL AS DOUBLE),
+                           (z2, q) ->
+                             element_at(a, CAST(floor(q) AS INT) + 1)
+                             + (q - floor(q))
+                             * (element_at(a, CAST(ceil(q) AS INT) + 1)
+                                - element_at(a, CAST(floor(q) AS INT) + 1)))),
+                         6) AS __v
+                FROM (SELECT key, {b} AS __b, value
+                      FROM {p}samples WHERE {nn})
+                GROUP BY key, __b
+                HAVING agg RLIKE '^p[0-9]+([.][0-9]+)?$'
+                       AND try_cast(substring(agg, 2) AS DOUBLE) <= 100)
               WHERE __v IS NOT NULL AND NOT isnan(__v))
             WHERE rnk <= n""",
         # per-bucket least-squares slope, value-units/second (ts_deriv)

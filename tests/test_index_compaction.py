@@ -181,13 +181,28 @@ def test_compaction_idempotent_and_rerunnable(spark, tmp_path):
     compact_index(spark, path)
     import os
 
-    os.makedirs(f"{path}/postings__old", exist_ok=True)  # crash leftover
+    os.makedirs(f"{path}/postings__old", exist_ok=True)  # benign leftover
     compact_index(spark, path)
     got = [
         (r.doc_id, r.score)
         for r in bm25_topk_indexed(spark, path, q, k=10).collect()
     ]
     assert got == want
+    assert not os.path.exists(f"{path}/postings__old")
+    assert not os.path.exists(f"{path}/postings__compact")
+
+    # the REAL crash window: between the two swap renames the live dir
+    # is gone and the data sits in __old (with a possibly-incomplete
+    # __compact next to it) — the rerun must restore from __old
+    os.rename(f"{path}/postings", f"{path}/postings__old")
+    os.makedirs(f"{path}/postings__compact", exist_ok=True)
+    compact_index(spark, path)
+    got = [
+        (r.doc_id, r.score)
+        for r in bm25_topk_indexed(spark, path, q, k=10).collect()
+    ]
+    assert got == want
+    assert os.path.exists(f"{path}/postings")
     assert not os.path.exists(f"{path}/postings__old")
     assert not os.path.exists(f"{path}/postings__compact")
 

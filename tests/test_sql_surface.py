@@ -187,6 +187,24 @@ def test_sql_table_functions_match_operators(spark, samples_df):
 
     with _pytest.raises(Exception, match="unsupported agg"):
         spark.sql(f"SELECT * FROM ts_topk({dur}, 1, 'twa', false)").collect()
+    # out-of-range percentiles error like the facade's ValueError,
+    # instead of silently interpolating past the array
+    with _pytest.raises(Exception, match="unsupported agg"):
+        spark.sql(f"SELECT * FROM ts_topk({dur}, 1, 'p200', false)").collect()
+    # dead-branch elimination: a core-five call must never build the
+    # percentile arm's O(bucket) collect_list buffer (the two UNION arms
+    # carry constant-foldable HAVING predicates; PropagateEmptyRelation
+    # deletes the inactive aggregate at the call site)
+    avg_plan = (
+        spark.sql(f"SELECT * FROM ts_topk({dur}, 1, 'avg', false)")
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "collect_list" not in avg_plan and "Union" not in avg_plan
+    p_plan = (
+        spark.sql(f"SELECT * FROM ts_topk({dur}, 1, 'p50', false)")
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "collect_list" in p_plan and "Union" not in p_plan
     with _pytest.raises(Exception, match="locf or linear"):
         spark.sql("SELECT * FROM ts_resample(20000, 'cubic')").collect()
 
