@@ -1210,6 +1210,36 @@ def q_bm25_topk(spark, sf_dir):
     )
 
 
+def q_bm25_compacted(spark, sf_dir):
+    """BM25 against a stream-built then COMPACTED index store (round 8):
+    three micro-batches append to a TextIndexStream store, compact_index
+    rewrites the committed rows one-file-per-bucket, and the query runs
+    against the compacted store — so the maintenance pass's
+    content-preservation claim gets DRIVER-oracle evidence, not just
+    pytest (the oracle is plain corpus-side BM25, blind to the store's
+    physical life story)."""
+    import os
+    import tempfile
+
+    from redistimeseries_spark.pipeline.index_maintenance import (
+        compact_index,
+    )
+    from redistimeseries_spark.pipeline.retrieval import (
+        TextIndexStream,
+        bm25_topk_indexed,
+    )
+
+    docs = _docs(spark, sf_dir).select("doc_id", "text")
+    path = os.path.join(
+        tempfile.mkdtemp(prefix="sparkts_gate_cix_"), "tix"
+    )
+    stream = TextIndexStream(spark, path)
+    for i in range(3):
+        stream.process_batch(docs.filter(f"doc_id % 3 = {i}"), i)
+    compact_index(spark, path)
+    return bm25_topk_indexed(spark, path, "merge join hash", k=15)
+
+
 def q_rrf_fuse(spark, sf_dir):
     """Reciprocal rank fusion of two BM25 rankings (score-calibration-free
     ensemble retrieval — the same operator fuses lexical with embedding
@@ -2101,7 +2131,12 @@ def _base_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # ts_bucket_percentiles (driver-green r7; the percentile family keeps
     # ts_agg_percentile inside the window) slides out.  dl_mm_decode
     # (already below the 50-entry window in r7) moves below the tail
-    # marker to keep the comment honest.
+    # marker to keep the comment honest.  Second wave: NEW
+    # dl_bm25_compacted (stream-built-then-compacted index — driver
+    # evidence for compact_index's content preservation) promotes;
+    # dl_mixture_sample (driver-green r4+r7; the curation family keeps
+    # dl_url_dedup + dl_eval_contamination + dl_substring_contaminated
+    # in the window) rotates to the tail.
     return {
         # --- checked prefix: one representative per operator family -----
         "ts_range_raw": q_range_raw,
@@ -2126,6 +2161,7 @@ def _base_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ts_holt": q_holt,
         "dl_mm_decode_png": q_mm_decode_png,
         "dl_bm25_topk": q_bm25_topk,
+        "dl_bm25_compacted": q_bm25_compacted,
         "ts_info_full": q_info_full,
         "dl_url_dedup": q_url_dedup,
         "ts_agg_percentile": q_agg_percentile,
@@ -2140,7 +2176,6 @@ def _base_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dl_rrf_fuse": q_rrf_fuse,
         "ts_compaction_increase_1h": q_compaction_increase_1h,
         "ts_anomalies": q_anomalies,
-        "dl_mixture_sample": q_mixture_sample,
         "ts_delta": q_delta,
         "ts_idelta": q_idelta,
         "dl_dedup_pipeline": q_dedup_pipeline,
@@ -2159,6 +2194,7 @@ def _base_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dl_curation": q_curation,
         "ts_asof_join": q_asof_join,
         # --- tail: family variants, locally gated -----------------------
+        "dl_mixture_sample": q_mixture_sample,
         "dl_mm_decode": q_mm_decode,
         "dl_chunk_docs": q_chunk_docs,
         "dl_rolling_fingerprint": q_rolling_fingerprint,
@@ -2557,6 +2593,7 @@ def _pipeline_oracles() -> dict[str, str]:
             FROM band a JOIN band b USING (band, band_key)
             WHERE a.doc_id % 50 <> 0 AND b.doc_id % 50 = 0""",
         "dl_bm25_topk": _bm25_sql(words, ("fast", "query", "scan", "table"), 20),
+        "dl_bm25_compacted": _bm25_sql(words, ("merge", "join", "hash"), 15),
         "dl_rrf_fuse": f"""WITH
             r1 AS (SELECT doc_id, score,
                           row_number() OVER (ORDER BY score DESC, doc_id) AS rnk
