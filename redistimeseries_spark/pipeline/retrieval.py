@@ -515,10 +515,24 @@ class TextIndexStream:
     dedup upstream is the pipeline's dedup stage's job.
     """
 
-    def __init__(self, spark, path: str, buckets: int = TEXT_INDEX_BUCKETS):
+    def __init__(
+        self,
+        spark,
+        path: str,
+        buckets: int = TEXT_INDEX_BUCKETS,
+        compact_every: int | None = None,
+    ):
+        """`compact_every=N` runs `index_maintenance.compact_index` after
+        every Nth committed batch, inside process_batch — the stream is
+        the store's only writer there, so the maintenance pass's
+        quiesced-writer precondition holds by construction and the
+        per-batch parquet fragments never accumulate past N batches
+        (readers racing the rename-swap see the same committed content
+        either side of it)."""
         import os
 
         self.spark, self.path, self.buckets = spark, path, buckets
+        self.compact_every = compact_every
         self._store_checked = False
         os.makedirs(path, exist_ok=True)
 
@@ -573,3 +587,19 @@ class TextIndexStream:
         self.spark.createDataFrame([(batch_id,)], "batch_id long").write.mode(
             "append"
         ).parquet(f"{self.path}/batches")
+        _maybe_compact(self.spark, self.path, batch_id, self.compact_every)
+
+
+def _maybe_compact(spark, path: str, batch_id: int, every: int | None) -> None:
+    """Periodic in-stream compaction: after the Nth, 2Nth, ... committed
+    batch (by monotone micro-batch id), rewrite the store's fragments
+    (`index_maintenance.compact_index`).  Runs AFTER the batch marker,
+    so a crash mid-compaction loses only maintenance work — the next
+    trigger (or a manual rerun) repairs the swap via `_recover_swap`
+    and the batch itself stays committed."""
+    if every and (batch_id + 1) % every == 0:
+        from redistimeseries_spark.pipeline.index_maintenance import (
+            compact_index,
+        )
+
+        compact_index(spark, path)

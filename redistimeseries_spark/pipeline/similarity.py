@@ -807,10 +807,21 @@ class IVFIndexStream:
     whole hybrid store.  Frozen-codebook encode is the same production
     convention as the frozen coarse quantizer: retrains are a rebuild."""
 
-    def __init__(self, spark, path: str, ncent: int = 16):
+    def __init__(
+        self,
+        spark,
+        path: str,
+        ncent: int = 16,
+        compact_every: int | None = None,
+    ):
+        """`compact_every=N` compacts the store after every Nth
+        committed batch (retrieval._maybe_compact — the stream is the
+        only writer inside process_batch, so the maintenance pass's
+        quiesced-writer precondition holds by construction)."""
         import os
 
         self.spark, self.path, self.ncent = spark, path, ncent
+        self.compact_every = compact_every
         self._store_checked = False
         os.makedirs(path, exist_ok=True)
 
@@ -887,6 +898,9 @@ class IVFIndexStream:
         self.spark.createDataFrame([(batch_id,)], "batch_id long").write.mode(
             "append"
         ).parquet(f"{self.path}/batches")
+        from redistimeseries_spark.pipeline.retrieval import _maybe_compact
+
+        _maybe_compact(self.spark, self.path, batch_id, self.compact_every)
 
 
 def _read_cells(spark, path: str) -> DataFrame:
@@ -1141,13 +1155,14 @@ class SemDedupStream:
     DECISION_SCHEMA = "vec_id long, status string, dup_of long"
 
     def __init__(self, spark, path: str, threshold: float = 0.95,
-                 ncent: int = 16):
+                 ncent: int = 16, compact_every: int | None = None):
         import os
 
         if not 0.0 <= threshold <= 1.0:
             raise ValueError("threshold must lie in [0, 1]")
         self.spark, self.path = spark, path
         self.threshold, self.ncent = threshold, ncent
+        self.compact_every = compact_every
         os.makedirs(path, exist_ok=True)
 
     def _read(self, sub: str, schema: str) -> DataFrame:
@@ -1248,3 +1263,6 @@ class SemDedupStream:
         self.spark.createDataFrame([(batch_id,)], "batch_id long").write.mode(
             "append"
         ).parquet(f"{self.path}/batches")
+        from redistimeseries_spark.pipeline.retrieval import _maybe_compact
+
+        _maybe_compact(self.spark, self.path, batch_id, self.compact_every)

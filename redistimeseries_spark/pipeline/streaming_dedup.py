@@ -56,6 +56,7 @@ class DedupStream:
         k: int = 5,
         verify_threshold: float | None = None,
         ngram_n: int = 3,
+        compact_every: int | None = None,
     ):
         """verify_threshold: when set, band-collision candidates are
         DISPOSED by exact word-n-gram Jaccard (the batch dedup_pipeline's
@@ -68,6 +69,11 @@ class DedupStream:
         self.state_dir = state_dir
         self.num_hashes, self.bands, self.k = num_hashes, bands, k
         self.verify_threshold, self.ngram_n = verify_threshold, ngram_n
+        # compact_every=N: fold the per-batch state fragments after every
+        # Nth committed batch (index_maintenance.compact_dedup_state) —
+        # the stream is the only writer inside process_batch, so the
+        # maintenance pass's quiesced-writer precondition holds
+        self.compact_every = compact_every
         os.makedirs(state_dir, exist_ok=True)
 
     def _read(self, sub: str, schema: str) -> DataFrame:
@@ -258,6 +264,12 @@ class DedupStream:
         self._append(
             self.spark.createDataFrame([(batch_id,)], BATCH_SCHEMA), "batches"
         )
+        if self.compact_every and (batch_id + 1) % self.compact_every == 0:
+            from redistimeseries_spark.pipeline.index_maintenance import (
+                compact_dedup_state,
+            )
+
+            compact_dedup_state(self.spark, self.state_dir)
 
 
 def start_dedup_stream(

@@ -246,3 +246,64 @@ def test_dedup_state_compaction_equivalence(spark, tmp_path):
     assert sorted(map(tuple, sa.decisions().collect())) == sorted(
         map(tuple, sb.decisions().collect())
     )
+
+
+def test_auto_compaction_in_stream(spark, tmp_path):
+    """compact_every=2: the stream self-compacts after every second
+    committed batch — results identical to an uncompacted twin, file
+    counts bounded, replay guard intact."""
+    from redistimeseries_spark.pipeline.retrieval import (
+        TextIndexStream,
+        bm25_topk_indexed,
+        read_index_stats,
+    )
+
+    docs = _docs(spark)
+    a_path, b_path = str(tmp_path / "auto"), str(tmp_path / "plain")
+    sa = TextIndexStream(spark, a_path, compact_every=2)
+    sb = TextIndexStream(spark, b_path)
+    for i in range(6):
+        sa.process_batch(docs.filter(f"doc_id % 6 = {i}"), i)
+        sb.process_batch(docs.filter(f"doc_id % 6 = {i}"), i)
+
+    q = "fast table scan query"
+    got = [
+        (r.doc_id, r.score)
+        for r in bm25_topk_indexed(spark, a_path, q, k=15).collect()
+    ]
+    want = [
+        (r.doc_id, r.score)
+        for r in bm25_topk_indexed(spark, b_path, q, k=15).collect()
+    ]
+    assert got == want
+    sa_stats = read_index_stats(spark, a_path).collect()[0]
+    sb_stats = read_index_stats(spark, b_path).collect()[0]
+    assert (sa_stats.n_docs, sa_stats.total_dl) == (
+        sb_stats.n_docs,
+        sb_stats.total_dl,
+    )
+    ca, cb = index_file_counts(spark, a_path), index_file_counts(spark, b_path)
+    assert ca["postings"] < cb["postings"]
+    assert ca["stats_batches"] == 1  # last trigger was batch 5 (6th)
+    sa.process_batch(docs.filter("doc_id % 6 = 0"), 0)  # replay no-op
+    assert read_index_stats(spark, a_path).collect()[0].n_docs == sa_stats.n_docs
+
+
+def test_auto_compaction_dedup_stream(spark, tmp_path):
+    """DedupStream compact_every: decisions equal an uncompacted twin
+    through two compaction triggers and a subsequent batch."""
+    from redistimeseries_spark.pipeline.streaming_dedup import DedupStream
+
+    docs = _docs(spark)
+    a_dir, b_dir = str(tmp_path / "auto"), str(tmp_path / "plain")
+    sa = DedupStream(spark, a_dir, compact_every=2)
+    sb = DedupStream(spark, b_dir)
+    for i in range(5):
+        sa.process_batch(docs.filter(f"doc_id % 5 = {i}"), i)
+        sb.process_batch(docs.filter(f"doc_id % 5 = {i}"), i)
+    assert sorted(map(tuple, sa.decisions().collect())) == sorted(
+        map(tuple, sb.decisions().collect())
+    )
+    ca = index_file_counts(spark, a_dir)
+    cb = index_file_counts(spark, b_dir)
+    assert ca["fps"] < cb["fps"] and ca["bands"] < cb["bands"]
