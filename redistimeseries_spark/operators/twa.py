@@ -136,7 +136,11 @@ def twa_buckets_expr(
     pre-round-8 bare-key-window plan kept as the differential twin."""
     from pyspark.sql import Window
 
-    wloc = Window.partitionBy("key", "__bucket").orderBy("ts")
+    # (ts, value) ordering everywhere: duplicate (key, ts) rows — legal
+    # in the RAW sample table — resolve deterministically (the
+    # rate._last_pair rule), so the trapezoid chain, the bucket-first
+    # and bucket-last picks all agree across retries and engines
+    wloc = Window.partitionBy("key", "__bucket").orderBy("ts", "value")
     rng_end = float(min(end, MAX_TS))
     d = (
         df.filter(~F.isnan("value"))
@@ -147,15 +151,22 @@ def twa_buckets_expr(
     ts, v = F.col("ts").cast("double"), F.col("value")
     pts, pv = F.col("pts").cast("double"), F.col("pv")
     # in-bucket trapezoids fold locally; the bucket's first/last samples
-    # ride into the aggregated frame for the boundary terms
+    # ride into the aggregated frame for the boundary terms (min/max of
+    # the (ts, value) struct = the window order's first/last row)
     agg = d.groupBy("key", "__bucket").agg(
         F.sum(
             F.when(F.col("pts").isNotNull(), (pv + v) * (ts - pts) / 2.0)
         ).alias("__larea"),
-        F.min("ts").cast("double").alias("fts"),
-        F.min_by("value", "ts").alias("fv"),
-        F.max("ts").cast("double").alias("lts"),
-        F.max_by("value", "ts").alias("lastv"),
+        F.min(F.struct("ts", "value")).alias("__f"),
+        F.max(F.struct("ts", "value")).alias("__l"),
+    ).select(
+        "key",
+        "__bucket",
+        "__larea",
+        F.col("__f.ts").cast("double").alias("fts"),
+        F.col("__f.value").alias("fv"),
+        F.col("__l.ts").cast("double").alias("lts"),
+        F.col("__l.value").alias("lastv"),
     )
     wk = Window.partitionBy("key").orderBy("__bucket")
     st = agg.select(

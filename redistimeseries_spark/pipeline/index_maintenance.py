@@ -80,15 +80,36 @@ def _recover_swap(spark, path: str, sub: str) -> bool:
     return _path_exists(spark, live)
 
 
+def _data_file_count(spark, path: str) -> int:
+    jvm = spark._jvm
+    hp = jvm.org.apache.hadoop.fs.Path(path)
+    fs = hp.getFileSystem(spark._jsc.hadoopConfiguration())
+    it = fs.listFiles(hp, True)
+    n = 0
+    while it.hasNext():
+        if it.next().getPath().getName().endswith(".parquet"):
+            n += 1
+    return n
+
+
 def _swap_in(spark, path: str, sub: str, compacted: DataFrame, writer) -> int:
     """Write `compacted` to `<sub>__compact`, swap it in under a rename
     pair, and return the row count — read back from the WRITTEN files
     (metadata-cheap), so the compaction lineage executes exactly once
     (a pre-swap .count() would run the whole read+join+distinct job a
     second time).  `writer(df, dest)` performs the actual write so
-    callers control partitioning/file counts."""
+    callers control partitioning/file counts.
+
+    An EMPTY compacted frame (e.g. a store holding only crash-orphan
+    rows) skips the swap: a dynamic-partition write of zero rows emits
+    no data files, so swapping it in would leave a schema-less dir that
+    breaks readers — the original table (whose orphans are invisible to
+    readers anyway) stays in place and 0 is returned."""
     tmp, old = f"{path}/{sub}__compact", f"{path}/{sub}__old"
     writer(compacted, tmp)
+    if _data_file_count(spark, tmp) == 0:
+        _rm(spark, tmp)
+        return 0
     cnt = spark.read.parquet(tmp).count()
     _rename(spark, f"{path}/{sub}", old)
     _rename(spark, tmp, f"{path}/{sub}")
@@ -119,11 +140,19 @@ def compact_index(spark, path: str) -> dict[str, int]:
     Returns {table: rows_written} for the tables it rewrote.  See the
     module docstring for the safety argument and the quiesced-writer
     precondition."""
+    # recover EVERY table before reading the commit watermark: a crash
+    # inside the batches swap leaves batches/ missing, and reading it
+    # first would yield an EMPTY watermark that makes _committed drop
+    # every committed row of the other tables
+    present = {
+        sub: _recover_swap(spark, path, sub)
+        for sub in ("postings", "cells", "stats_batches", "decisions", "batches")
+    }
     done = _read_optional(spark, f"{path}/batches", "batch_id long")
     out: dict[str, int] = {}
 
     for sub, part_col in _ROW_TABLES:
-        if not _recover_swap(spark, path, sub):
+        if not present[sub]:
             continue
         rows = _committed(_read_index_rows(spark, path, sub), done)
         # one task per partition value -> one file per partition dir
@@ -137,7 +166,7 @@ def compact_index(spark, path: str) -> dict[str, int]:
     def _one_file(df, dest):
         df.coalesce(1).write.mode("overwrite").parquet(dest)
 
-    if _recover_swap(spark, path, "stats_batches"):
+    if present["stats_batches"]:
         sb = _committed(
             spark.read.parquet(f"{path}/stats_batches"), done
         )
@@ -150,11 +179,19 @@ def compact_index(spark, path: str) -> dict[str, int]:
             spark, path, "stats_batches", folded, _one_file
         )
 
-    for sub in ("decisions", "batches"):
-        if not _recover_swap(spark, path, sub):
-            continue
-        rows = spark.read.parquet(f"{path}/{sub}").distinct()
-        out[sub] = _swap_in(spark, path, sub, rows, _one_file)
+    # decisions grows with the corpus (one row per vector/doc ever
+    # processed) — AQE-coalesced parallel write, never a coalesce(1)
+    # funnel; batches stays genuinely tiny
+    if present["decisions"]:
+        rows = spark.read.parquet(f"{path}/decisions").distinct()
+
+        def _parallel(df, dest):
+            df.write.mode("overwrite").parquet(dest)
+
+        out["decisions"] = _swap_in(spark, path, "decisions", rows, _parallel)
+    if present["batches"]:
+        rows = spark.read.parquet(f"{path}/batches").distinct()
+        out["batches"] = _swap_in(spark, path, "batches", rows, _one_file)
 
     return out
 

@@ -525,10 +525,13 @@ class TextIndexStream:
         """`compact_every=N` runs `index_maintenance.compact_index` after
         every Nth committed batch, inside process_batch — the stream is
         the store's only writer there, so the maintenance pass's
-        quiesced-writer precondition holds by construction and the
-        per-batch parquet fragments never accumulate past N batches
-        (readers racing the rename-swap see the same committed content
-        either side of it)."""
+        QUIESCED-WRITER precondition holds by construction and the
+        per-batch parquet fragments never accumulate past N batches.
+        The quiesced-READER precondition is the caller's to arrange: a
+        query racing the rename-swap can fail transiently on the
+        vanished path (same contract as manual compact_index) — size N
+        so compactions land in ingest maintenance windows, or retry
+        failed reads."""
         import os
 
         self.spark, self.path, self.buckets = spark, path, buckets
@@ -590,16 +593,23 @@ class TextIndexStream:
         _maybe_compact(self.spark, self.path, batch_id, self.compact_every)
 
 
-def _maybe_compact(spark, path: str, batch_id: int, every: int | None) -> None:
+def _maybe_compact(
+    spark, path: str, batch_id: int, every: int | None, fn=None
+) -> None:
     """Periodic in-stream compaction: after the Nth, 2Nth, ... committed
-    batch (by monotone micro-batch id), rewrite the store's fragments
-    (`index_maintenance.compact_index`).  Runs AFTER the batch marker,
-    so a crash mid-compaction loses only maintenance work — the next
-    trigger (or a manual rerun) repairs the swap via `_recover_swap`
-    and the batch itself stays committed."""
+    batch (by monotone micro-batch id), rewrite the store's fragments.
+    `fn(spark, path)` is the store's compaction pass (default
+    `index_maintenance.compact_index`; DedupStream passes
+    `compact_dedup_state`) — ONE shared trigger rule for all four
+    stores.  Runs AFTER the batch marker, so a crash mid-compaction
+    loses only maintenance work — the next trigger (or a manual rerun)
+    repairs the swap via `_recover_swap` and the batch itself stays
+    committed."""
     if every and (batch_id + 1) % every == 0:
-        from redistimeseries_spark.pipeline.index_maintenance import (
-            compact_index,
-        )
+        if fn is None:
+            from redistimeseries_spark.pipeline.index_maintenance import (
+                compact_index,
+            )
 
-        compact_index(spark, path)
+            fn = compact_index
+        fn(spark, path)

@@ -264,12 +264,15 @@ class DedupStream:
         self._append(
             self.spark.createDataFrame([(batch_id,)], BATCH_SCHEMA), "batches"
         )
-        if self.compact_every and (batch_id + 1) % self.compact_every == 0:
-            from redistimeseries_spark.pipeline.index_maintenance import (
-                compact_dedup_state,
-            )
+        from redistimeseries_spark.pipeline.index_maintenance import (
+            compact_dedup_state,
+        )
+        from redistimeseries_spark.pipeline.retrieval import _maybe_compact
 
-            compact_dedup_state(self.spark, self.state_dir)
+        _maybe_compact(
+            self.spark, self.state_dir, batch_id, self.compact_every,
+            fn=compact_dedup_state,
+        )
 
 
 def start_dedup_stream(

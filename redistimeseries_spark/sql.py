@@ -95,8 +95,9 @@ def _ts_tvf_sql(p: str) -> list[str]:
                 FROM (SELECT key, {b} AS __b, value
                       FROM {p}samples WHERE {nn})
                 GROUP BY key, __b
-                HAVING NOT (agg RLIKE '^p[0-9]+([.][0-9]+)?$'
-                            AND try_cast(substring(agg, 2) AS DOUBLE) <= 100)
+                HAVING agg IS NULL
+                       OR NOT (agg RLIKE '^p[0-9]+([.][0-9]+)?$'
+                               AND try_cast(substring(agg, 2) AS DOUBLE) <= 100)
                 UNION ALL
                 SELECT key, __b,
                        round(reduce(
