@@ -198,3 +198,32 @@ def test_twa_plan_is_bucket_local(samples_df):
     assert lag_lines
     sample_lags = [ln for ln in lag_lines if "lag(value" in ln or "lag(ts" in ln]
     assert sample_lags and all("__bucket" in ln for ln in sample_lags), plan
+
+
+def test_twa_duplicate_ts_deterministic(samples_df):
+    """Duplicate (key, ts) rows at bucket edges resolve by (ts, value) —
+    the result is identical across repeated executions (the raw table
+    permits dup rows; the rate-family determinism rule, round 8)."""
+    from pyspark.sql import functions as F
+
+    from redistimeseries_spark.functions.buckets import bucket_start
+    from redistimeseries_spark.operators.twa import twa_buckets_expr
+
+    rows = [
+        ("k", 0, 5.0), ("k", 900, 1.0), ("k", 900, 9.0),   # dup at bucket end
+        ("k", 1000, 2.0), ("k", 1000, 7.0),                 # dup at bucket start
+        ("k", 1800, 4.0),
+    ]
+    df = samples_df(rows).withColumn(
+        "__bucket", bucket_start(F.col("ts"), 1000, 0)
+    )
+    first = sorted(
+        (r.key, r["__bucket"], round(r.twa, 12))
+        for r in twa_buckets_expr(df, 1000, 0, 10**15).collect()
+    )
+    for _ in range(3):
+        again = sorted(
+            (r.key, r["__bucket"], round(r.twa, 12))
+            for r in twa_buckets_expr(df, 1000, 0, 10**15).collect()
+        )
+        assert again == first
