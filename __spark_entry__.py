@@ -196,6 +196,31 @@ def q_deriv(spark, sf_dir):
     )
 
 
+def q_mad(spark, sf_dir):
+    """Beyond-reference robust dispersion: per-(key, 6h bucket) median +
+    median absolute deviation (Hampel estimator family; two exact
+    interpolated percentile passes bridged by a co-partitioned join —
+    Spark percentile(0.5) == DuckDB quantile_cont/mad)."""
+    from redistimeseries_spark.operators.percentiles import ts_mad
+
+    st = _store(spark, sf_dir)
+    return ts_mad(st.samples, 6 * H, start=D14, end=D21).select(
+        "key", "ts", F.round("med", 6).alias("med"),
+        F.round("mad", 6).alias("mad"),
+    )
+
+
+def q_outlier_mad(spark, sf_dir):
+    """Robust per-sample outlier flags: Hampel z = |v - med| /
+    (1.4826 * mad) vs k=3 per (key, 6h bucket); flags decided from the
+    6dp-rounded score on both engines (the q_anomalies convention);
+    mad=0 buckets flag nothing."""
+    from redistimeseries_spark.operators.percentiles import ts_outlier_mad
+
+    st = _store(spark, sf_dir)
+    return ts_outlier_mad(st.samples, 6 * H, k=3.0, start=D14, end=D21)
+
+
 def q_value_hist(spark, sf_dir):
     """Per-series fixed-width value histogram (bin 25.0 from 0.0):
     the distribution companion to bucketed percentiles."""
@@ -2136,7 +2161,12 @@ def _base_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # evidence for compact_index's content preservation) promotes;
     # dl_mixture_sample (driver-green r4+r7; the curation family keeps
     # dl_url_dedup + dl_eval_contamination + dl_substring_contaminated
-    # in the window) rotates to the tail.
+    # in the window) rotates to the tail.  Third wave: NEW ts_mad
+    # (robust median/MAD dispersion — the Hampel estimator pair, exact
+    # interpolated-median oracle via DuckDB mad()) promotes with its
+    # per-sample outlier twin ts_outlier_mad starting in the gated tail;
+    # dl_rrf_fuse (driver-green r5+r7; fusion is exercised in-window
+    # inside dl_hybrid_search) rotates to the tail.
     return {
         # --- checked prefix: one representative per operator family -----
         "ts_range_raw": q_range_raw,
@@ -2168,12 +2198,12 @@ def _base_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ts_ignore_filter": q_ignore_filter,
         "ts_deriv": q_deriv,
         "ts_value_hist": q_value_hist,
+        "ts_mad": q_mad,
         "ts_counter_rate": q_counter_rate,
         "ts_resample_locf": q_resample_locf,
         "dl_cross_contaminated": q_cross_contaminated,
         "ts_topk": q_topk,
         "dl_dedup_lines": q_dedup_lines,
-        "dl_rrf_fuse": q_rrf_fuse,
         "ts_compaction_increase_1h": q_compaction_increase_1h,
         "ts_anomalies": q_anomalies,
         "ts_delta": q_delta,
@@ -2194,6 +2224,8 @@ def _base_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dl_curation": q_curation,
         "ts_asof_join": q_asof_join,
         # --- tail: family variants, locally gated -----------------------
+        "ts_outlier_mad": q_outlier_mad,
+        "dl_rrf_fuse": q_rrf_fuse,
         "dl_mixture_sample": q_mixture_sample,
         "dl_mm_decode": q_mm_decode,
         "dl_chunk_docs": q_chunk_docs,
@@ -3434,6 +3466,22 @@ WHERE ts BETWEEN {D14} AND {D21}
 GROUP BY key, 2
 HAVING count(CASE WHEN NOT isnan(value) THEN 1 END) > 0""",
         "ts_agg_percentile": _agg_oracle(["p50", "p95", "avg"], 6 * H, D14, D14, D21),
+        "ts_mad": f"""{ORACLE_PREFIX},
+v AS (SELECT key, {bucket_sql('ts', 6 * H)} AS b, value::DOUBLE AS value
+      FROM samples WHERE NOT isnan(value) AND ts BETWEEN {D14} AND {D21})
+SELECT key, b AS ts, round(median(value), 6) AS med,
+       round(mad(value), 6) AS mad
+FROM v GROUP BY key, b""",
+        "ts_outlier_mad": f"""{ORACLE_PREFIX},
+v AS (SELECT key, ts, {bucket_sql('ts', 6 * H)} AS b, value::DOUBLE AS value
+      FROM samples WHERE NOT isnan(value) AND ts BETWEEN {D14} AND {D21}),
+st AS (SELECT key, b, median(value) AS med, mad(value) AS madv
+       FROM v GROUP BY 1, 2)
+SELECT key, ts, value,
+       round(abs(value - med) / (1.4826 * nullif(madv, 0)), 6) AS score,
+       coalesce(round(abs(value - med) / (1.4826 * nullif(madv, 0)), 6) > 3.0,
+                false) AS is_outlier
+FROM v JOIN st USING (key, b)""",
         "ts_resample_linear": f"""{ORACLE_PREFIX},
 v AS (SELECT key, ts, value FROM samples
       WHERE NOT isnan(value) AND ts BETWEEN {D14} AND {D21}),

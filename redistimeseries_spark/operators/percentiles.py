@@ -81,6 +81,133 @@ def ts_bucket_percentiles(
     ).orderBy("key", "ts")
 
 
+def ts_mad(
+    samples: DataFrame,
+    bucket_dur: int,
+    keys: list[str] | str | None = None,
+    start: int = MIN_TS,
+    end: int = MAX_TS,
+    align="0",
+) -> DataFrame:
+    """(key, ts, med, mad) — per-(key, bucket) MEDIAN and MEDIAN ABSOLUTE
+    DEVIATION of the valid samples; ts is the bucket start.  The robust
+    dispersion pair (Hampel's estimator family): unlike avg/std.p it
+    shrugs off the heavy-tailed latency outliers that dominate ops data,
+    which is why robust dashboards alert on MAD, not sigma.  Both
+    medians are EXACT with linear interpolation — Spark percentile(0.5)
+    == DuckDB quantile_cont(0.5)/mad(), which is what makes the oracle
+    gate possible.  NaN samples are invalid everywhere (isValueValid)
+    and are dropped; buckets with no valid samples are not emitted
+    (the nv > 0 rule).
+
+    Spark shape: TWO (key, bucket) hash aggregations bridged by a
+    co-partitioned join — median first, then the median of |v - med|
+    (MAD is inherently two-pass; both percentile buffers are
+    bucket-bounded, the ts_bucket_percentiles scale note).  The join
+    keys equal both aggregations' grouping keys, so the plan reuses one
+    clustering; no window anywhere."""
+    if bucket_dur <= 0:
+        raise ValueError("bucket_dur must be positive")
+    df = samples.filter(~F.isnan("value"))
+    if keys is not None:
+        klist = [keys] if isinstance(keys, str) else list(keys)
+        df = df.filter(F.col("key").isin(klist))
+    if start > MIN_TS:
+        df = df.filter(F.col("ts") >= F.lit(start))
+    if end < MAX_TS:
+        df = df.filter(F.col("ts") <= F.lit(end))
+    align_ts = resolve_align(align, start, end)
+    d = df.select(
+        "key",
+        bucket_start(F.col("ts"), bucket_dur, align_ts).alias("__b"),
+        "value",
+    )
+    med = d.groupBy("key", "__b").agg(
+        F.expr("percentile(value, 0.5)").alias("med")
+    )
+    return (
+        d.join(med, ["key", "__b"])
+        .select(
+            "key", "__b", "med", F.abs(F.col("value") - F.col("med")).alias("__d")
+        )
+        .groupBy("key", "__b")
+        .agg(
+            F.first("med").alias("med"),
+            F.expr("percentile(__d, 0.5)").alias("mad"),
+        )
+        .select("key", F.col("__b").alias("ts"), "med", "mad")
+        .orderBy("key", "ts")
+    )
+
+
+# scale factor making MAD a consistent sigma estimator under normality
+# (1 / Phi^-1(3/4)); the standard robust-z convention (Hampel filter)
+MAD_SIGMA = 1.4826
+
+
+def ts_outlier_mad(
+    samples: DataFrame,
+    bucket_dur: int,
+    k: float = 3.0,
+    keys: list[str] | str | None = None,
+    start: int = MIN_TS,
+    end: int = MAX_TS,
+    align="0",
+) -> DataFrame:
+    """(key, ts, value, score, is_outlier) — robust per-sample outlier
+    flags: score = |value - bucket_med| / (MAD_SIGMA * bucket_mad), the
+    Hampel robust z-score, and is_outlier = score > k.  The robust twin
+    of smooth.ts_anomalies' rolling z-score: a latency spike cannot
+    inflate the very dispersion used to judge it, so bursts of outliers
+    still flag (masked under sigma-based rules).
+
+    Degenerate buckets (mad = 0: over half the samples share one value)
+    emit score NULL and is_outlier false — documented convention; the
+    oracle decides the flag from the 6dp-ROUNDED score on both engines
+    so the boundary never flips on float noise.
+
+    Spark shape: ts_mad's two aggregations + one more co-partitioned
+    join back to the samples — all (key, bucket)-keyed, one clustering
+    end to end, no window."""
+    if k <= 0:
+        raise ValueError("k must be positive")
+    stats = ts_mad(samples, bucket_dur, keys, start, end, align).select(
+        "key", F.col("ts").alias("__b"), "med", "mad"
+    )
+    df = samples.filter(~F.isnan("value"))
+    if keys is not None:
+        klist = [keys] if isinstance(keys, str) else list(keys)
+        df = df.filter(F.col("key").isin(klist))
+    if start > MIN_TS:
+        df = df.filter(F.col("ts") >= F.lit(start))
+    if end < MAX_TS:
+        df = df.filter(F.col("ts") <= F.lit(end))
+    align_ts = resolve_align(align, start, end)
+    d = df.select(
+        "key",
+        "ts",
+        "value",
+        bucket_start(F.col("ts"), bucket_dur, align_ts).alias("__b"),
+    )
+    score = F.round(
+        F.abs(F.col("value") - F.col("med"))
+        / (F.lit(MAD_SIGMA) * F.nullif(F.col("mad"), F.lit(0.0))),
+        6,
+    )
+    return (
+        d.join(stats, ["key", "__b"])
+        .select(
+            "key",
+            "ts",
+            "value",
+            score.alias("score"),
+            (score > F.lit(float(k))).alias("is_outlier"),
+        )
+        .na.fill({"is_outlier": False})
+        .orderBy("key", "ts")
+    )
+
+
 def ts_value_histogram(
     samples: DataFrame,
     bin_width: float,

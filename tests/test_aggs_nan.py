@@ -957,3 +957,46 @@ def test_gaps_across_chunk_boundaries(spark):
         ("k", C - 50, C + 200, 250),
         ("k", C + 200, 5 * C + 7, 4 * C - 193),
     ]
+
+
+def test_mad_and_outliers(spark):
+    """ts_mad: exact interpolated median/MAD per bucket, NaN dropped,
+    empty buckets absent; ts_outlier_mad: Hampel flags from the rounded
+    score, mad=0 buckets flag nothing."""
+    import math
+
+    from redistimeseries_spark.operators.percentiles import (
+        ts_mad,
+        ts_outlier_mad,
+    )
+
+    nan = float("nan")
+    rows = [
+        # bucket 0: values 1,2,4,9 -> med 3.0, deviations (2,1,1,6) -> mad 1.5
+        ("k", 0, 1.0), ("k", 100, 2.0), ("k", 200, 4.0), ("k", 300, 9.0),
+        ("k", 400, nan),
+        # bucket 1000: constant -> med 5, mad 0 (degenerate)
+        ("k", 1000, 5.0), ("k", 1100, 5.0), ("k", 1200, 5.0),
+        # bucket 2000: one wild outlier among tight values
+        ("q", 2000, 10.0), ("q", 2100, 10.5), ("q", 2200, 9.5),
+        ("q", 2300, 10.2), ("q", 2400, 100.0),
+    ]
+    sdf = spark.createDataFrame(rows, "key string, ts long, value double")
+    got = {
+        (r.key, r.ts): (r.med, r.mad) for r in ts_mad(sdf, 1000).collect()
+    }
+    assert math.isclose(got[("k", 0)][0], 3.0)
+    assert math.isclose(got[("k", 0)][1], 1.5)
+    assert got[("k", 1000)] == (5.0, 0.0)
+
+    out = {
+        (r.key, r.ts): (r.score, r.is_outlier)
+        for r in ts_outlier_mad(sdf, 1000, k=3.0).collect()
+    }
+    # q bucket: med 10.2, mad = median(|dev|) of (0.2, 0.3, 0.7, 0.0, 89.8) = 0.3
+    assert out[("q", 2400)][1] is True
+    assert all(not out[("q", t)][1] for t in (2000, 2100, 2200, 2300))
+    # degenerate bucket: score NULL, never an outlier
+    assert out[("k", 1000)] == (None, False)
+    # NaN sample absent entirely
+    assert ("k", 400) not in out
