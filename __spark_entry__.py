@@ -196,6 +196,23 @@ def q_deriv(spark, sf_dir):
     )
 
 
+def q_hist_quantile(spark, sf_dir):
+    """PromQL histogram_quantile over the per-series value histogram
+    (bin 25.0): rank q*total, first crossing bin, uniform interpolation
+    inside it — the estimator consumes the bin-bounded histogram, never
+    the samples (the composition a 100-TB latency dashboard runs)."""
+    from redistimeseries_spark.operators.percentiles import (
+        ts_histogram_quantile,
+        ts_value_histogram,
+    )
+
+    st = _store(spark, sf_dir)
+    hist = ts_value_histogram(st.samples, 25.0, start=D14, end=D21)
+    return ts_histogram_quantile(hist, 0.9, 25.0).select(
+        "key", F.round("qv", 6).alias("qv")
+    )
+
+
 def q_mad(spark, sf_dir):
     """Beyond-reference robust dispersion: per-(key, 6h bucket) median +
     median absolute deviation (Hampel estimator family; two exact
@@ -2166,7 +2183,12 @@ def _base_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # interpolated-median oracle via DuckDB mad()) promotes with its
     # per-sample outlier twin ts_outlier_mad starting in the gated tail;
     # dl_rrf_fuse (driver-green r5+r7; fusion is exercised in-window
-    # inside dl_hybrid_search) rotates to the tail.
+    # inside dl_hybrid_search) rotates to the tail.  NEW
+    # ts_hist_quantile (PromQL histogram_quantile over the value
+    # histogram — rank + first-crossing-bin interpolation) promotes;
+    # ts_anomalies (driver-green r5+r7; the anomaly/smoothing family
+    # keeps ts_holt in-window and the robust twin ts_outlier_mad in the
+    # gated tail) rotates out.
     return {
         # --- checked prefix: one representative per operator family -----
         "ts_range_raw": q_range_raw,
@@ -2199,13 +2221,13 @@ def _base_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ts_deriv": q_deriv,
         "ts_value_hist": q_value_hist,
         "ts_mad": q_mad,
+        "ts_hist_quantile": q_hist_quantile,
         "ts_counter_rate": q_counter_rate,
         "ts_resample_locf": q_resample_locf,
         "dl_cross_contaminated": q_cross_contaminated,
         "ts_topk": q_topk,
         "dl_dedup_lines": q_dedup_lines,
         "ts_compaction_increase_1h": q_compaction_increase_1h,
-        "ts_anomalies": q_anomalies,
         "ts_delta": q_delta,
         "ts_idelta": q_idelta,
         "dl_dedup_pipeline": q_dedup_pipeline,
@@ -2224,6 +2246,7 @@ def _base_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dl_curation": q_curation,
         "ts_asof_join": q_asof_join,
         # --- tail: family variants, locally gated -----------------------
+        "ts_anomalies": q_anomalies,
         "ts_outlier_mad": q_outlier_mad,
         "dl_rrf_fuse": q_rrf_fuse,
         "dl_mixture_sample": q_mixture_sample,
@@ -3466,6 +3489,20 @@ WHERE ts BETWEEN {D14} AND {D21}
 GROUP BY key, 2
 HAVING count(CASE WHEN NOT isnan(value) THEN 1 END) > 0""",
         "ts_agg_percentile": _agg_oracle(["p50", "p95", "avg"], 6 * H, D14, D14, D21),
+        "ts_hist_quantile": f"""{ORACLE_PREFIX},
+h AS (SELECT key, floor(value / 25.0) * 25.0 AS bin_lo, count(*) AS n
+      FROM samples WHERE NOT isnan(value) AND ts BETWEEN {D14} AND {D21}
+      GROUP BY 1, 2),
+c AS (SELECT key, bin_lo, n,
+             sum(n) OVER (PARTITION BY key) AS tot,
+             sum(n) OVER (PARTITION BY key ORDER BY bin_lo
+                          ROWS UNBOUNDED PRECEDING) AS cum
+      FROM h),
+x AS (SELECT key, bin_lo, n, cum, 0.9 * tot AS r,
+             row_number() OVER (PARTITION BY key ORDER BY bin_lo) AS rn
+      FROM c WHERE cum >= 0.9 * tot)
+SELECT key, round(bin_lo + 25.0 * (r - (cum - n)) / n, 6) AS qv
+FROM x WHERE rn = 1""",
         "ts_mad": f"""{ORACLE_PREFIX},
 v AS (SELECT key, {bucket_sql('ts', 6 * H)} AS b, value::DOUBLE AS value
       FROM samples WHERE NOT isnan(value) AND ts BETWEEN {D14} AND {D21})

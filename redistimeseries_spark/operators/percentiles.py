@@ -208,6 +208,57 @@ def ts_outlier_mad(
     )
 
 
+def ts_histogram_quantile(
+    hist: DataFrame,
+    q: float,
+    bin_width: float,
+) -> DataFrame:
+    """(key, qv) — quantile ESTIMATE per key from a `ts_value_histogram`
+    frame (key, bin_lo, n): PromQL's histogram_quantile rule — rank
+    r = q * total, walk the cumulative counts to the first bin holding
+    r, interpolate uniformly inside it:
+
+        qv = bin_lo + bin_width * (r - cum_before) / n_bin
+
+    The estimator every Prometheus latency dashboard runs; it consumes
+    the HISTOGRAM (bin-bounded, collectable at any corpus scale), never
+    the samples — the point of pre-bucketing at 100 TB.  q=1 lands on
+    the last occupied bin's upper edge; empty keys emit nothing.
+
+    Spark shape: one per-key total (window over the bin-bounded frame),
+    one cumulative-sum window (same clustering), one first-crossing
+    min-aggregation — every structure is bin-bounded, not
+    sample-bounded."""
+    from pyspark.sql import Window
+
+    if not 0.0 <= q <= 1.0:
+        raise ValueError("q must lie in [0, 1]")
+    if bin_width <= 0:
+        raise ValueError("bin_width must be positive")
+    wk = Window.partitionBy("key")
+    wc = (
+        Window.partitionBy("key")
+        .orderBy("bin_lo")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    d = hist.select(
+        "key",
+        "bin_lo",
+        "n",
+        F.sum("n").over(wk).alias("__tot"),
+        F.sum("n").over(wc).alias("__cum"),
+    ).withColumn("__r", F.lit(float(q)) * F.col("__tot"))
+    crossing = d.filter(F.col("__cum") >= F.col("__r"))
+    first = crossing.groupBy("key").agg(
+        F.min(F.struct("bin_lo", "n", "__cum", "__r")).alias("__c")
+    )
+    c = F.col("__c")
+    qv = c.getField("bin_lo") + F.lit(float(bin_width)) * (
+        c.getField("__r") - (c.getField("__cum") - c.getField("n"))
+    ) / c.getField("n")
+    return first.select("key", qv.alias("qv")).orderBy("key")
+
+
 def ts_value_histogram(
     samples: DataFrame,
     bin_width: float,

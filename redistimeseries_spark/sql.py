@@ -217,6 +217,42 @@ def _ts_tvf_sql(p: str) -> list[str]:
                        (PARTITION BY key ORDER BY ts DESC, value DESC) AS __rn
               FROM {p}samples WHERE {nn})
             WHERE __rn = 1 AND idelta IS NOT NULL""",
+        # robust median/MAD dispersion per bucket (percentiles.ts_mad):
+        # two percentile aggregations bridged by a co-partitioned join —
+        # the facade's exact plan (percentile's 0.5 literal folds fine;
+        # only ARGUMENT-dependent percentages need the topk workaround)
+        f"""CREATE OR REPLACE TEMPORARY FUNCTION {p}mad(dur BIGINT)
+            RETURNS TABLE (key STRING, ts BIGINT, med DOUBLE, mad DOUBLE)
+            RETURN WITH s AS (
+              SELECT key, {b} AS __b, value FROM {p}samples WHERE {nn}),
+            m AS (SELECT key, __b, percentile(value, 0.5) AS med
+                  FROM s GROUP BY key, __b)
+            SELECT s.key, s.__b AS ts, first(m.med) AS med,
+                   percentile(abs(s.value - m.med), 0.5) AS mad
+            FROM s JOIN m ON s.key = m.key AND s.__b = m.__b
+            GROUP BY s.key, s.__b""",
+        # PromQL histogram_quantile composed over the value histogram
+        # (percentiles.ts_histogram_quantile): rank q*total, first
+        # crossing bin, uniform interpolation inside it
+        f"""CREATE OR REPLACE TEMPORARY FUNCTION {p}hist_quantile(
+                bin_width DOUBLE, q DOUBLE)
+            RETURNS TABLE (key STRING, qv DOUBLE)
+            RETURN WITH h AS (
+              SELECT key, floor(value / bin_width) * bin_width AS bin_lo,
+                     count(1) AS n
+              FROM {p}samples WHERE {nn}
+              GROUP BY 1, 2),
+            c AS (SELECT key, bin_lo, n,
+                         sum(n) OVER (PARTITION BY key) AS tot,
+                         sum(n) OVER (PARTITION BY key ORDER BY bin_lo
+                           ROWS UNBOUNDED PRECEDING) AS cum
+                  FROM h),
+            x AS (SELECT key, bin_lo, n, cum, q * tot AS r,
+                         row_number() OVER
+                           (PARTITION BY key ORDER BY bin_lo) AS rn
+                  FROM c WHERE cum >= q * tot)
+            SELECT key, bin_lo + bin_width * (r - (cum - n)) / n AS qv
+            FROM x WHERE rn = 1""",
         # fixed-width value histogram (percentiles.ts_value_histogram)
         f"""CREATE OR REPLACE TEMPORARY FUNCTION {p}value_hist(
                 bin_width DOUBLE, lo DOUBLE)

@@ -229,6 +229,19 @@ def main():
         "b25_idelta": lambda: __import__(
             "redistimeseries_spark.operators.rate", fromlist=["ts_idelta"]
         ).ts_idelta(samples),
+        # robust median/MAD: two bucket-bounded percentile aggs + one
+        # co-partitioned join (round 8)
+        "b26_mad_2h": lambda: __import__(
+            "redistimeseries_spark.operators.percentiles", fromlist=["ts_mad"]
+        ).ts_mad(samples, 2 * H),
+        # histogram_quantile composed over the value histogram — the
+        # second stage touches only bin-bounded frames (round 8)
+        "b27_hist_quantile": lambda: (lambda P: P.ts_histogram_quantile(
+            P.ts_value_histogram(samples, 10.0), 0.9, 10.0
+        ))(__import__(
+            "redistimeseries_spark.operators.percentiles",
+            fromlist=["ts_histogram_quantile", "ts_value_histogram"],
+        )),
     }
 
     # SPARK_GRAFT_BUCKETED=1: also build the key-bucketed layout and probe

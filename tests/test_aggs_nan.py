@@ -1000,3 +1000,34 @@ def test_mad_and_outliers(spark):
     assert out[("k", 1000)] == (None, False)
     # NaN sample absent entirely
     assert ("k", 400) not in out
+
+
+def test_histogram_quantile(spark):
+    """ts_histogram_quantile: PromQL rank + first-crossing-bin uniform
+    interpolation; q=1 hits the last occupied bin's upper edge; q=0
+    lands at the first bin's floor; validation errors."""
+    import math
+
+    import pytest as _pytest
+
+    from redistimeseries_spark.operators.percentiles import (
+        ts_histogram_quantile,
+    )
+
+    # key h: bins 0.0 (n=2), 10.0 (n=6), 30.0 (n=2) -> total 10
+    hist = spark.createDataFrame(
+        [("h", 0.0, 2), ("h", 10.0, 6), ("h", 30.0, 2), ("solo", 50.0, 4)],
+        "key string, bin_lo double, n long",
+    )
+    got = {r.key: r.qv for r in ts_histogram_quantile(hist, 0.5, 10.0).collect()}
+    # rank 5 -> second bin (cum 8), inside: 10 + 10*(5-2)/6 = 15.0
+    assert math.isclose(got["h"], 15.0)
+    assert math.isclose(got["solo"], 55.0)  # rank 2 of 4 in one bin
+    q1 = {r.key: r.qv for r in ts_histogram_quantile(hist, 1.0, 10.0).collect()}
+    assert math.isclose(q1["h"], 40.0) and math.isclose(q1["solo"], 60.0)
+    q0 = {r.key: r.qv for r in ts_histogram_quantile(hist, 0.0, 10.0).collect()}
+    assert math.isclose(q0["h"], 0.0)
+    with _pytest.raises(ValueError):
+        ts_histogram_quantile(hist, 1.5, 10.0)
+    with _pytest.raises(ValueError):
+        ts_histogram_quantile(hist, 0.5, 0.0)

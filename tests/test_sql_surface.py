@@ -160,6 +160,18 @@ def test_sql_table_functions_match_operators(spark, samples_df):
          ts_predict_linear(st.samples, dur, 60_000)),
         ("SELECT * FROM ts_value_hist(2.0, 0.0)",
          ts_value_histogram(st.samples, 2.0, 0.0)),
+        (f"SELECT * FROM ts_mad({dur})",
+         __import__(
+             "redistimeseries_spark.operators.percentiles",
+             fromlist=["ts_mad"],
+         ).ts_mad(st.samples, dur)),
+        ("SELECT * FROM ts_hist_quantile(2.0, 0.9)",
+         __import__(
+             "redistimeseries_spark.operators.percentiles",
+             fromlist=["ts_histogram_quantile", "ts_value_histogram"],
+         ).ts_histogram_quantile(
+             ts_value_histogram(st.samples, 2.0, 0.0), 0.9, 2.0
+         )),
         ("SELECT * FROM ts_resample(20000, 'locf')",
          ts_resample(st.samples, 20_000, "locf")),
         ("SELECT * FROM ts_resample(20000, 'linear')",
