@@ -231,6 +231,29 @@ def _ts_tvf_sql(p: str) -> list[str]:
                    percentile(abs(s.value - m.med), 0.5) AS mad
             FROM s JOIN m ON s.key = m.key AND s.__b = m.__b
             GROUP BY s.key, s.__b""",
+        # per-sample Hampel robust-z outlier flags (ts_outlier_mad):
+        # the {p}mad stats joined back to the samples; flags from the
+        # 6dp-rounded score, mad=0 buckets flag nothing
+        f"""CREATE OR REPLACE TEMPORARY FUNCTION {p}outlier_mad(
+                dur BIGINT, k DOUBLE)
+            RETURNS TABLE (key STRING, ts BIGINT, value DOUBLE,
+                           score DOUBLE, is_outlier BOOLEAN)
+            RETURN WITH s AS (
+              SELECT key, ts, {b} AS __b, value
+              FROM {p}samples WHERE {nn}),
+            m AS (SELECT key, __b, percentile(value, 0.5) AS med
+                  FROM s GROUP BY key, __b),
+            st AS (SELECT s.key, s.__b, first(m.med) AS med,
+                          percentile(abs(s.value - m.med), 0.5) AS mad
+                   FROM s JOIN m ON s.key = m.key AND s.__b = m.__b
+                   GROUP BY s.key, s.__b)
+            SELECT s.key, s.ts, s.value,
+                   round(abs(s.value - st.med)
+                         / (1.4826 * nullif(st.mad, 0.0)), 6) AS score,
+                   coalesce(round(abs(s.value - st.med)
+                            / (1.4826 * nullif(st.mad, 0.0)), 6) > k,
+                            false) AS is_outlier
+            FROM s JOIN st ON s.key = st.key AND s.__b = st.__b""",
         # PromQL histogram_quantile composed over the value histogram
         # (percentiles.ts_histogram_quantile): rank q*total, first
         # crossing bin, uniform interpolation inside it

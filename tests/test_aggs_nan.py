@@ -1031,3 +1031,42 @@ def test_histogram_quantile(spark):
         ts_histogram_quantile(hist, 1.5, 10.0)
     with _pytest.raises(ValueError):
         ts_histogram_quantile(hist, 0.5, 0.0)
+
+
+def test_mad_random_vs_numpy(spark):
+    """ts_mad vs numpy's interpolated percentile on random series —
+    6 seeded trials (the exactness claim behind the DuckDB oracle)."""
+    import math
+    import random as _random
+
+    import numpy as np
+
+    from redistimeseries_spark.operators.percentiles import ts_mad
+
+    rng = _random.Random(0x3AD)
+    for trial in range(6):
+        rows = []
+        want = {}
+        for k in ("a", "b"):
+            for bstart in range(0, 5000, 1000):
+                n = rng.randint(0, 7)
+                vals = [rng.uniform(-10, 10) for _ in range(n)]
+                for i, v in enumerate(vals):
+                    rows.append((k, bstart + i * 97, v))
+                if vals:
+                    med = float(np.percentile(vals, 50))
+                    mad = float(
+                        np.percentile([abs(v - med) for v in vals], 50)
+                    )
+                    want[(k, bstart)] = (med, mad)
+        if not rows:
+            continue
+        sdf = spark.createDataFrame(rows, "key string, ts long, value double")
+        got = {
+            (r.key, r.ts): (r.med, r.mad)
+            for r in ts_mad(sdf, 1000).collect()
+        }
+        assert set(got) == set(want), trial
+        for kk in got:
+            assert math.isclose(got[kk][0], want[kk][0], abs_tol=1e-9), kk
+            assert math.isclose(got[kk][1], want[kk][1], abs_tol=1e-9), kk

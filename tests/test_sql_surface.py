@@ -165,6 +165,11 @@ def test_sql_table_functions_match_operators(spark, samples_df):
              "redistimeseries_spark.operators.percentiles",
              fromlist=["ts_mad"],
          ).ts_mad(st.samples, dur)),
+        (f"SELECT * FROM ts_outlier_mad({dur}, 2.0)",
+         __import__(
+             "redistimeseries_spark.operators.percentiles",
+             fromlist=["ts_outlier_mad"],
+         ).ts_outlier_mad(st.samples, dur, k=2.0)),
         ("SELECT * FROM ts_hist_quantile(2.0, 0.9)",
          __import__(
              "redistimeseries_spark.operators.percentiles",
