@@ -293,6 +293,37 @@ def mixture_targets(weights: dict[str, float], total_n: int) -> dict[str, int]:
     return alloc
 
 
+def temperature_weights(
+    counts: dict[str, int], temperature: float
+) -> dict[str, float]:
+    """Temperature-smoothed mixture weights from stratum counts:
+    q_s ∝ (n_s / N)^(1/T), normalized — the multilingual-sampling rule
+    (XLM-R / mT5 style): T=1 keeps natural proportions, T→∞ approaches
+    uniform, T<1 sharpens toward the head.  Feed the result to
+    `mixture_sample` / `mixture_targets` for the actual draw:
+
+        counts = {r.stratum: r.n for r in
+                  docs.groupBy("lang").agg(count("*")).collect()}
+        mixture_sample(docs, temperature_weights(counts, T=3.0), total_n,
+                       stratum_col="lang")
+
+    Pure driver arithmetic over the |strata|-row count table (the one
+    aggregate is the only corpus pass), deterministic given counts.
+    Empty strata (n=0) get weight 0."""
+    if temperature <= 0:
+        raise ValueError("temperature must be positive")
+    if not counts:
+        raise ValueError("counts must be non-empty")
+    if any(n < 0 for n in counts.values()):
+        raise ValueError("counts must be non-negative")
+    total = sum(counts.values())
+    if total == 0:
+        raise ValueError("counts must not all be zero")
+    q = {s: (n / total) ** (1.0 / temperature) for s, n in counts.items()}
+    z = sum(q.values())
+    return {s: v / z for s, v in q.items()}
+
+
 def mixture_sample(
     docs: DataFrame,
     weights: dict[str, float],

@@ -2505,3 +2505,55 @@ def test_eval_contamination_broadcast_guard(spark):
     )
     assert [tuple(r) for r in a] == [tuple(r) for r in b]
     assert a[0].contaminated_grams == 2  # the two grams inside the overlap
+
+
+def test_temperature_weights_and_mixture(spark):
+    """temperature_weights: T=1 reproduces natural proportions, large T
+    flattens toward uniform, T<1 sharpens; sums to 1; composes with
+    mixture_sample into exact per-stratum counts."""
+    import math
+
+    from redistimeseries_spark.pipeline.curation import (
+        mixture_sample,
+        mixture_targets,
+        temperature_weights,
+    )
+
+    counts = {"en": 800, "de": 150, "sw": 50}
+    w1 = temperature_weights(counts, 1.0)
+    assert math.isclose(w1["en"], 0.8) and math.isclose(w1["sw"], 0.05)
+    w_flat = temperature_weights(counts, 100.0)
+    assert max(w_flat.values()) - min(w_flat.values()) < 0.01
+    w_sharp = temperature_weights(counts, 0.5)
+    assert w_sharp["en"] > 0.9
+    for w in (w1, w_flat, w_sharp):
+        assert math.isclose(sum(w.values()), 1.0)
+    # upsampling the tail: T=3 gives sw far more than its natural share
+    w3 = temperature_weights(counts, 3.0)
+    assert w3["sw"] > 2.5 * 0.05
+
+    docs = spark.createDataFrame(
+        [(i, "en" if i < 800 else ("de" if i < 950 else "sw"), )
+         for i in range(1000)],
+        "doc_id long, source string",
+    )
+    got = (
+        mixture_sample(docs, w3, 200)
+        .groupBy("stratum")
+        .count()
+        .collect()
+    )
+    want = mixture_targets(w3, 200)
+    assert {r.stratum: r["count"] for r in got} == {
+        s: n for s, n in want.items() if n > 0
+    }
+
+    import pytest as _pytest
+
+    for bad in (0.0, -1.0):
+        with _pytest.raises(ValueError):
+            temperature_weights(counts, bad)
+    with _pytest.raises(ValueError):
+        temperature_weights({}, 1.0)
+    with _pytest.raises(ValueError):
+        temperature_weights({"a": 0}, 1.0)
