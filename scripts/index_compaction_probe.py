@@ -6,7 +6,9 @@ corpus, measures the b12-protocol indexed BM25 query (selective term
 and re-measures — plus the parquet file counts that explain the delta.
 
 Usage:
-    python scripts/index_compaction_probe.py [N_BATCHES]   # default 50
+    python scripts/index_compaction_probe.py [N_BATCHES] [COMPACT_EVERY]
+    # default 50 batches; COMPACT_EVERY > 0 builds the stream with
+    # in-stream auto-compaction instead of one manual pass at the end
 """
 
 from __future__ import annotations
@@ -24,6 +26,7 @@ from redistimeseries_spark import get_spark
 
 def main():
     n_batches = int(sys.argv[1]) if len(sys.argv) > 1 else 50
+    compact_every = int(sys.argv[2]) if len(sys.argv) > 2 else 0
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     spark = get_spark("compaction_probe")
     spark.sparkContext.setLogLevel("ERROR")
@@ -41,7 +44,9 @@ def main():
     docs = _dup_corpus(spark, sf_dir).cache()
     docs.count()
     path = os.path.join(tempfile.mkdtemp(prefix="sparkts_cprobe_"), "tix")
-    stream = TextIndexStream(spark, path)
+    stream = TextIndexStream(
+        spark, path, compact_every=compact_every or None
+    )
     t0 = time.time()
     for i in range(n_batches):
         stream.process_batch(docs.filter(f"doc_id % {n_batches} = {i}"), i)
@@ -70,6 +75,7 @@ def main():
         json.dumps(
             {
                 "n_batches": n_batches,
+                "compact_every": compact_every,
                 "stream_build_sec": round(build_s, 1),
                 "files_pre": pre_files,
                 "files_post": post_files,
