@@ -234,6 +234,10 @@ def main():
         "b26_mad_2h": lambda: __import__(
             "redistimeseries_spark.operators.percentiles", fromlist=["ts_mad"]
         ).ts_mad(samples, 2 * H),
+        # sampling-gap report: chunk-local lag + boundary stitch (round 8)
+        "b28_gaps": lambda: __import__(
+            "redistimeseries_spark.operators.rate", fromlist=["ts_gaps"]
+        ).ts_gaps(samples, 120_000),
         # histogram_quantile composed over the value histogram — the
         # second stage touches only bin-bounded frames (round 8)
         "b27_hist_quantile": lambda: (lambda P: P.ts_histogram_quantile(

@@ -1070,3 +1070,41 @@ def test_mad_random_vs_numpy(spark):
         for kk in got:
             assert math.isclose(got[kk][0], want[kk][0], abs_tol=1e-9), kk
             assert math.isclose(got[kk][1], want[kk][1], abs_tol=1e-9), kk
+
+
+def test_gaps_random_vs_sequential(spark):
+    """ts_gaps (chunk-local + boundary-stitch) vs a literal sequential
+    simulation on random series — 6 seeded trials with ts ranges far
+    wider than the internal chunk, NaN samples counted as samples, and
+    range cuts."""
+    import random as _random
+
+    from redistimeseries_spark.operators.rate import (
+        _LAST_PAIR_CHUNK_MS as C,
+    )
+    from redistimeseries_spark.operators.rate import ts_gaps
+
+    rng = _random.Random(0x6A75)
+    for trial in range(6):
+        rows = []
+        series = {}
+        for k in ("a", "b"):
+            pts = sorted(rng.sample(range(0, 6 * C), rng.randint(2, 40)))
+            series[k] = pts
+            for t in pts:
+                v = float("nan") if rng.random() < 0.2 else rng.random()
+                rows.append((k, t, v))
+        thr = rng.choice([C // 2, C, 2 * C, 1000])
+        lo = rng.choice([0, rng.randrange(0, 3 * C)])
+        sdf = spark.createDataFrame(rows, "key string, ts long, value double")
+        got = sorted(
+            (r.key, r.gap_start, r.gap_end, r.gap_ms)
+            for r in ts_gaps(sdf, thr, start=lo).collect()
+        )
+        want = []
+        for k, pts in series.items():
+            inr = [t for t in pts if t >= lo]
+            for t0, t1 in zip(inr, inr[1:]):
+                if t1 - t0 > thr:
+                    want.append((k, t0, t1, t1 - t0))
+        assert got == sorted(want), (trial, thr, lo)
