@@ -100,12 +100,15 @@ def ts_mad(
     and are dropped; buckets with no valid samples are not emitted
     (the nv > 0 rule).
 
-    Spark shape: TWO (key, bucket) hash aggregations bridged by a
-    co-partitioned join — median first, then the median of |v - med|
-    (MAD is inherently two-pass; both percentile buffers are
-    bucket-bounded, the ts_bucket_percentiles scale note).  The join
-    keys equal both aggregations' grouping keys, so the plan reuses one
-    clustering; no window anywhere."""
+    Spark shape: ONE (key, bucket) hash aggregation — the bucket's
+    sorted value array yields the median by interpolation, the sorted
+    absolute deviations yield the MAD, all inside a single expression
+    (nested reduce lambdas bind the array/median/deviation stages, the
+    dl_word_ngrams trick), so MAD's "inherent second pass" touches the
+    bucket-bounded buffer, never the corpus: no join, no second
+    shuffle.  The two-pass join formulation measured 691 s at 1B rows —
+    the re-join of 1B deviation rows WAS the cost; this shape stays in
+    the percentile plan class (BASELINE.md round 8)."""
     if bucket_dur <= 0:
         raise ValueError("bucket_dur must be positive")
     df = samples.filter(~F.isnan("value"))
@@ -122,20 +125,35 @@ def ts_mad(
         bucket_start(F.col("ts"), bucket_dur, align_ts).alias("__b"),
         "value",
     )
-    med = d.groupBy("key", "__b").agg(
-        F.expr("percentile(value, 0.5)").alias("med")
+    # q = 0.5*(n-1); med = a[floor(q)] + frac * (a[ceil(q)] - a[floor(q)])
+    # — exactly Spark percentile()'s interpolation, on the same doubles
+    interp = (
+        "element_at({a}, CAST(floor((size({a}) - 1) * 0.5) AS INT) + 1)"
+        " + ((size({a}) - 1) * 0.5 - floor((size({a}) - 1) * 0.5))"
+        " * (element_at({a}, CAST(ceil((size({a}) - 1) * 0.5) AS INT) + 1)"
+        "    - element_at({a}, CAST(floor((size({a}) - 1) * 0.5) AS INT) + 1))"
+    )
+    mm = F.expr(
+        "reduce(array(sort_array(collect_list(value))),"
+        " CAST(NULL AS STRUCT<med: DOUBLE, mad: DOUBLE>),"
+        " (z, a) -> reduce(array(" + interp.format(a="a") + "),"
+        "   CAST(NULL AS STRUCT<med: DOUBLE, mad: DOUBLE>),"
+        "   (z2, med) -> reduce("
+        "     array(sort_array(transform(a, x -> abs(x - med)))),"
+        "     CAST(NULL AS STRUCT<med: DOUBLE, mad: DOUBLE>),"
+        "     (z3, dv) -> struct(med AS med, "
+        + interp.format(a="dv")
+        + " AS mad))))"
     )
     return (
-        d.join(med, ["key", "__b"])
+        d.groupBy("key", "__b")
+        .agg(mm.alias("__m"))
         .select(
-            "key", "__b", "med", F.abs(F.col("value") - F.col("med")).alias("__d")
+            "key",
+            F.col("__b").alias("ts"),
+            F.col("__m.med").alias("med"),
+            F.col("__m.mad").alias("mad"),
         )
-        .groupBy("key", "__b")
-        .agg(
-            F.first("med").alias("med"),
-            F.expr("percentile(__d, 0.5)").alias("mad"),
-        )
-        .select("key", F.col("__b").alias("ts"), "med", "mad")
         .orderBy("key", "ts")
     )
 
