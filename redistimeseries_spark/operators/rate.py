@@ -90,7 +90,11 @@ def _bucket_chain(
     df = df.filter(~F.isnan("value"))
     align_ts = resolve_align(align, start, end)
     b = bucket_start(F.col("ts"), bucket_dur, align_ts)
-    wloc = Window.partitionBy("key", "__b").orderBy("ts")
+    # (ts, value) ordering: duplicate (key, ts) rows — legal in the RAW
+    # sample table — resolve deterministically (the _last_pair / TWA
+    # rule), so the local lag, the bucket-first pick and the
+    # cross-bucket carry below all agree across retries and engines
+    wloc = Window.partitionBy("key", "__b").orderBy("ts", "value")
     in_rng = F.lit(True)
     if start > MIN_TS:
         in_rng = in_rng & (F.col("ts") >= F.lit(start))
@@ -120,7 +124,9 @@ def _bucket_chain(
         F.max(F.when(is_first, F.col("value"))).alias("__fv"),
         F.max(is_first.cast("int")).alias("__hf"),
         # the bucket's last valid value: what the NEXT bucket chains to
-        F.max_by("value", "ts").alias("__lv"),
+        # (max over the (ts, value) struct = the window order's last row,
+        # deterministic under duplicate timestamps)
+        F.max_by("value", F.struct("ts", "value")).alias("__lv"),
         F.sum(F.col("__in").cast("int")).alias("__nin"),
     )
     # tiny frame: one row per (key, bucket).  lag hands each bucket the

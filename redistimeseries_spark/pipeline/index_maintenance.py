@@ -48,7 +48,16 @@ from redistimeseries_spark.pipeline.retrieval import (
     _read_index_rows,
     _read_optional,
     _rm,
+    _touch,
 )
+
+# marker present while a compaction pass is mid-flight: readers racing a
+# rename-swap translate their PATH_NOT_FOUND into a clear RETRYABLE
+# error (see retrieval._read_index_rows) instead of a bare missing-path
+# failure.  Left behind by a crash, it is removed by the next compaction
+# (which starts by recovering swaps anyway) — a stale marker only makes
+# an unrelated missing-path error claim retryability, never hides one.
+COMPACTING_MARKER = "_compacting"
 
 # every row table a store flavor can own: (subdir, partition column)
 _ROW_TABLES = (("postings", "tb"), ("cells", "cid"))
@@ -144,6 +153,7 @@ def compact_index(spark, path: str) -> dict[str, int]:
     # inside the batches swap leaves batches/ missing, and reading it
     # first would yield an EMPTY watermark that makes _committed drop
     # every committed row of the other tables
+    _touch(spark, f"{path}/{COMPACTING_MARKER}")
     present = {
         sub: _recover_swap(spark, path, sub)
         for sub in ("postings", "cells", "stats_batches", "decisions", "batches")
@@ -193,6 +203,7 @@ def compact_index(spark, path: str) -> dict[str, int]:
         rows = spark.read.parquet(f"{path}/batches").distinct()
         out["batches"] = _swap_in(spark, path, "batches", rows, _one_file)
 
+    _rm(spark, f"{path}/{COMPACTING_MARKER}")
     return out
 
 
@@ -208,6 +219,7 @@ def compact_dedup_state(spark, state_dir: str) -> dict[str, int]:
     precondition and rename-swap crash story as `compact_index`."""
     tables = ("fps", "bands", "texts", "decisions", "batches")
     out: dict[str, int] = {}
+    _touch(spark, f"{state_dir}/{COMPACTING_MARKER}")
     for sub in tables:
         if not _recover_swap(spark, state_dir, sub):
             continue
@@ -218,6 +230,7 @@ def compact_dedup_state(spark, state_dir: str) -> dict[str, int]:
             df.write.mode("overwrite").parquet(dest)
 
         out[sub] = _swap_in(spark, state_dir, sub, rows, _writer)
+    _rm(spark, f"{state_dir}/{COMPACTING_MARKER}")
     return out
 
 

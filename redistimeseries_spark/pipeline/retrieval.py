@@ -392,6 +392,26 @@ def _clear_stream_state(spark, path: str, extra: tuple[str, ...] = ()) -> None:
         _rm(spark, f"{path}/{sub}")
 
 
+class IndexCompactingError(RuntimeError):
+    """A query raced an in-flight compaction's rename-swap (the store's
+    `_compacting` marker is present): the table it tried to read is
+    mid-swap, not lost.  RETRYABLE — re-issue the query once the
+    compaction pass finishes (typically sub-second; the marker is
+    removed at the end of compact_index / compact_dedup_state)."""
+
+
+def _check_compacting(spark, path: str, exc) -> None:
+    """Translate a missing-table read under an in-flight compaction into
+    the clear retryable error class (ADVICE r8: a raw PATH_NOT_FOUND
+    mid-swap gives readers no retry hint)."""
+    if _path_exists(spark, f"{path}/_compacting"):
+        raise IndexCompactingError(
+            f"index store at {path} is mid-compaction (its _compacting "
+            f"marker is present) and a table vanished under this read — "
+            f"retry after the compaction pass finishes"
+        ) from exc
+
+
 def _read_index_rows(spark, path: str, sub: str) -> DataFrame:
     """Read an index row table (`postings`/`cells`) with the
     legacy-mixed-schema rescue: if a pre-sentinel batch build was
@@ -399,8 +419,16 @@ def _read_index_rows(spark, path: str, sub: str) -> DataFrame:
     footer (dropping batch_id), re-read with mergeSchema so commit
     filtering isn't silently skipped.  Current builds stamp
     BATCH_BUILT_ID, so the footer-merge cost is confined to the legacy
-    shape."""
-    d = spark.read.parquet(f"{path}/{sub}")
+    shape.  A PATH_NOT_FOUND while the store's `_compacting` marker is
+    present re-raises as the retryable IndexCompactingError."""
+    from pyspark.errors import AnalysisException
+
+    try:
+        d = spark.read.parquet(f"{path}/{sub}")
+    except AnalysisException as exc:
+        if "PATH_NOT_FOUND" in str(exc) or "Path does not exist" in str(exc):
+            _check_compacting(spark, path, exc)
+        raise
     if "batch_id" not in d.columns and _path_exists(spark, f"{path}/batches"):
         d = spark.read.option("mergeSchema", "true").parquet(f"{path}/{sub}")
     return d
@@ -531,7 +559,9 @@ class TextIndexStream:
         query racing the rename-swap can fail transiently on the
         vanished path (same contract as manual compact_index) — size N
         so compactions land in ingest maintenance windows, or retry
-        failed reads."""
+        failed reads.  The pass holds a `_compacting` marker while
+        running, so a racing reader gets the retryable
+        IndexCompactingError instead of a bare missing-path failure."""
         import os
 
         self.spark, self.path, self.buckets = spark, path, buckets

@@ -261,8 +261,9 @@ def _ts_tvf_sql(p: str) -> list[str]:
             RETURN WITH s AS (
               SELECT key, ts, {b} AS __b, value
               FROM {p}samples WHERE {nn}),
-            st AS (SELECT key, __b, {mm_sql}.med AS med, {mm_sql}.mad AS mad
-                   FROM s GROUP BY key, __b)
+            m AS (SELECT key, __b, {mm_sql} AS mm
+                  FROM s GROUP BY key, __b),
+            st AS (SELECT key, __b, mm.med AS med, mm.mad AS mad FROM m)
             SELECT s.key, s.ts, s.value,
                    round(abs(s.value - st.med)
                          / (1.4826 * nullif(st.mad, 0.0)), 6) AS score,
@@ -272,14 +273,23 @@ def _ts_tvf_sql(p: str) -> list[str]:
             FROM s JOIN st ON s.key = st.key AND s.__b = st.__b""",
         # PromQL histogram_quantile composed over the value histogram
         # (percentiles.ts_histogram_quantile): rank q*total, first
-        # crossing bin, uniform interpolation inside it
+        # crossing bin, uniform interpolation inside it.  q outside
+        # [0, 1] raises (the facade's ValueError; the guard lives in the
+        # source CTE because an out-of-range q otherwise yields an EMPTY
+        # crossing set — silently no rows — and the TVF inlines q as a
+        # literal, so Catalyst folds the valid-q case to true and the
+        # invalid case to a plan-time error, the {p}topk pattern)
         f"""CREATE OR REPLACE TEMPORARY FUNCTION {p}hist_quantile(
                 bin_width DOUBLE, q DOUBLE)
             RETURNS TABLE (key STRING, qv DOUBLE)
             RETURN WITH h AS (
               SELECT key, floor(value / bin_width) * bin_width AS bin_lo,
                      count(1) AS n
-              FROM {p}samples WHERE {nn}
+              FROM {p}samples
+              WHERE {nn} AND (CASE WHEN q BETWEEN 0 AND 1 THEN true
+                              ELSE CAST(raise_error(concat(
+                                '{p}hist_quantile: q must lie in [0, 1],'
+                                ' got ', q)) AS BOOLEAN) END)
               GROUP BY 1, 2),
             c AS (SELECT key, bin_lo, n,
                          sum(n) OVER (PARTITION BY key) AS tot,
@@ -347,6 +357,25 @@ def _ts_tvf_sql(p: str) -> list[str]:
                    ELSE __pv + (__nv - __pv) * (ts - __pt) / (__nt - __pt)
               END AS value
             FROM e WHERE __s = 0""",
+        # EWMA smoothing (smooth.ts_ewma); aggregate() fold over each
+        # series' (ts, value)-sorted sample array — SQL twin only (the
+        # chunk-affine facade is the scale path; round 9 closes the
+        # holt-has-a-TVF / ewma-doesn't asymmetry)
+        f"""CREATE OR REPLACE TEMPORARY FUNCTION {p}ewma(alpha DOUBLE)
+            RETURNS TABLE (key STRING, ts BIGINT, ewma DOUBLE)
+            RETURN WITH arr AS (
+              SELECT key, array_sort(collect_list(struct(ts, value))) AS a
+              FROM {p}samples WHERE {nn}
+              GROUP BY key),
+            sm AS (
+              SELECT key, a, aggregate(
+                slice(a, 2, size(a) - 1),
+                array(element_at(a, 1).value),
+                (acc, x) -> concat(acc, array(
+                  alpha * x.value + (1 - alpha) * element_at(acc, -1)))) AS ys
+              FROM arr)
+            SELECT key, p.ts AS ts, element_at(ys, pos + 1) AS ewma
+            FROM sm LATERAL VIEW posexplode(a) t AS pos, p""",
         # Holt double-exponential smoothing (smooth.ts_holt); aggregate()
         # fold over each series' sorted sample array — SQL twin only, the
         # Arrow facade is the scale path

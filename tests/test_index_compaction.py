@@ -307,3 +307,59 @@ def test_auto_compaction_dedup_stream(spark, tmp_path):
     ca = index_file_counts(spark, a_dir)
     cb = index_file_counts(spark, b_dir)
     assert ca["fps"] < cb["fps"] and ca["bands"] < cb["bands"]
+
+
+def test_compacting_marker_makes_race_retryable(spark, tmp_path):
+    """Round-9 (ADVICE r8): a reader racing the rename-swap used to get
+    a raw PATH_NOT_FOUND with no retry hint.  With the `_compacting`
+    marker held for the duration of the pass, a vanished-table read
+    raises the typed retryable IndexCompactingError; without the marker
+    the original AnalysisException propagates unchanged; and a completed
+    compaction leaves no marker behind."""
+    import pytest as _pytest
+
+    from redistimeseries_spark.pipeline.index_maintenance import (
+        COMPACTING_MARKER,
+        compact_index,
+    )
+    from redistimeseries_spark.pipeline.retrieval import (
+        IndexCompactingError,
+        TextIndexStream,
+        _path_exists,
+        _read_index_rows,
+        _touch,
+        bm25_topk_indexed,
+    )
+
+    docs = _docs(spark)
+    path = str(tmp_path / "race")
+    st = TextIndexStream(spark, path)
+    for i in range(2):
+        st.process_batch(docs.filter(f"doc_id % 2 = {i}"), i)
+    compact_index(spark, path)
+    assert not _path_exists(spark, f"{path}/{COMPACTING_MARKER}")
+
+    # simulate the mid-swap window: marker present, postings vanished
+    import shutil
+
+    shutil.move(f"{path}/postings", f"{path}/postings__compact")
+    _touch(spark, f"{path}/{COMPACTING_MARKER}")
+    with _pytest.raises(IndexCompactingError, match="retry"):
+        _read_index_rows(spark, path, "postings")
+    with _pytest.raises(IndexCompactingError, match="retry"):
+        bm25_topk_indexed(spark, path, "fast table scan query", k=3).collect()
+
+    # no marker -> the original missing-path error propagates
+    from pyspark.errors import AnalysisException
+
+    from redistimeseries_spark.pipeline.retrieval import _rm
+
+    _rm(spark, f"{path}/{COMPACTING_MARKER}")
+    with _pytest.raises(AnalysisException):
+        _read_index_rows(spark, path, "postings")
+
+    # a compaction rerun recovers the half-swapped table and clears up
+    shutil.move(f"{path}/postings__compact", f"{path}/postings")
+    compact_index(spark, path)
+    assert not _path_exists(spark, f"{path}/{COMPACTING_MARKER}")
+    assert bm25_topk_indexed(spark, path, "fast table scan query", k=3).count() > 0

@@ -183,6 +183,10 @@ def test_sql_table_functions_match_operators(spark, samples_df):
          ts_resample(st.samples, 20_000, "linear")),
         ("SELECT * FROM ts_holt(0.5, 0.3)",
          ts_holt(st.samples, 0.5, 0.3)),
+        ("SELECT * FROM ts_ewma(0.4)",
+         __import__(
+             "redistimeseries_spark.operators.smooth", fromlist=["ts_ewma"]
+         ).ts_ewma(st.samples, 0.4)),
     ]
     for sql_q, op_df in cases:
         assert key_rows(spark.sql(sql_q)) == key_rows(op_df), sql_q
@@ -222,6 +226,21 @@ def test_sql_table_functions_match_operators(spark, samples_df):
         ._jdf.queryExecution().executedPlan().toString()
     )
     assert "collect_list" in p_plan and "Union" not in p_plan
+    # hist_quantile validates q like the facade's ValueError (round 9,
+    # ADVICE r8): q > 1 used to return silently-empty (no bin crosses
+    # q*total), q < 0 the first bin
+    for bad_q in ("1.5", "-0.1"):
+        with _pytest.raises(Exception, match="q must lie"):
+            spark.sql(
+                f"SELECT * FROM ts_hist_quantile(2.0, {bad_q})"
+            ).collect()
+    # the outlier_mad TVF computes the median/MAD struct ONCE per group
+    # (ADVICE r8: the nested-reduce expression used to expand twice)
+    om_plan = (
+        spark.sql(f"SELECT * FROM ts_outlier_mad({dur}, 2.0)")
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert om_plan.count("sort_array(collect_list") <= 2  # med arr + dev arr
     with _pytest.raises(Exception, match="locf or linear"):
         spark.sql("SELECT * FROM ts_resample(20000, 'cubic')").collect()
 
