@@ -5,23 +5,40 @@ EWMA is the standard dashboard/alerting smoother).  The recurrence
 
     y_0 = x_0;   y_t = alpha * x_t + (1 - alpha) * y_{t-1}
 
-is inherently sequential per key — exactly the class of semantics this
-repo routes to a vectorized Arrow kernel (the IGNORE kept-chain / TWA
-EMPTY precedent): applyInPandas per key, pandas' C-implemented
-`ewm(alpha, adjust=False)` evaluating the same recurrence, no per-row
-Python.  NaN samples are invalid everywhere (isValueValid) and are
-dropped before smoothing — the chain links valid samples.
+is sequential per key — but it is a LINEAR recurrence, so it is NOT a
+single-task funnel (round 9, the `_bucket_chain` discipline applied to
+state machines): every chunk of a series folds, independently and in
+parallel, to the AFFINE MAP it applies to whatever state enters it
+(exit = A * entry + B with A = (1-alpha)^n), a tiny per-key scan over
+the one-row-per-chunk frame composes the entry states, and the per-row
+values come back as pure expressions (pow * entry + local).  Holt is
+the same idea one dimension up: state' = M state + c x with a constant
+2x2 M, per-chunk M^n by squaring and the local folds by a vectorized
+doubling scan (Hillis-Steele over affine maps), so a pathologically hot
+series parallelizes across its TIME SPAN instead of serializing its
+history into one task.  NaN samples are invalid everywhere
+(isValueValid) and are dropped before smoothing — the chain links valid
+samples.  Duplicate (key, ts) rows order deterministically by
+(ts, value) — the rate._last_pair rule.
 
-Scale shape: one shuffle on key (none over the key-bucketed layout),
-each task smooths whole series sequentially — the reference's
-chunk-iterator access pattern.  Per-key state is O(1); only the Arrow
-batch bounds per-task memory.  The DuckDB oracle replays the recurrence
-with a recursive CTE, so the operator is hash-gated despite being
-non-relational.
+Float note: the chunked composition is mathematically exact but not
+bit-identical to the sequential loop (power/scan vs multiply-add
+order).  Drift is bounded by ulps of the final few chunks — the decay
+factor (1-alpha)^n of any real chunk annihilates upstream error — and
+the sequential kernels are retained (`_ts_ewma_sequential`,
+`_ts_holt_sequential`) as differential twins, fuzz-pinned within 1e-9;
+the oracle gates compare at 6dp rounding on both engines.
+
+Scale shape: one exchange to (key, chunk), chunk-bounded Arrow kernels
+(pandas' C `ewm` for EWMA; O(n) numpy + O(log n) scan passes for
+Holt), one #chunks-sized per-key stitch, one co-partitioned join back.
+The DuckDB oracle replays the recurrence with a recursive CTE, so the
+operator is hash-gated despite being non-relational.
 """
 
 from __future__ import annotations
 
+import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
@@ -31,6 +48,11 @@ from redistimeseries_spark import MAX_TS, MIN_TS
 EWMA_SCHEMA = "key string, ts long, ewma double"
 LTTB_SCHEMA = "key string, ts long, value double"
 HOLT_SCHEMA = "key string, ts long, level double, trend double"
+
+# per-(key, time-chunk) partitioning for the linear-recurrence family
+# (~4.7 h of millis, the rate._last_pair constant): parallelism grows
+# with a hot series' time span — the axis a time series grows along
+SMOOTH_CHUNK_MS = 1 << 24
 
 
 def ts_anomalies(
@@ -106,13 +128,24 @@ def ts_lttb(
     maximizes the triangle area with the previously kept point and the
     next bucket's centroid; first/last points always kept).
 
-    Sequential per key (each pick depends on the previous) — the same
-    Arrow applyInPandas route as ts_ewma; the per-bucket area computation
+    Sequential per key (each pick depends on the previous) — the
+    bare-key Arrow applyInPandas route; the per-bucket area computation
     is vectorized numpy, the Python loop is O(threshold) per series.  NaN
     samples are dropped first (a NaN coordinate would poison every area).
     No SQL oracle exists for this pick order — covered by a pure-Python
     reference implementation in tests instead (the persisted-IVF
-    precedent for non-relational operators)."""
+    precedent for non-relational operators).
+
+    SCALE POSITION (round 9, deliberate): unlike ts_ewma/ts_holt — whose
+    linear recurrences admit the chunk-affine stitch — LTTB's pick chain
+    is genuinely sequential AND it is a VISUALIZATION DOWNSAMPLER: its
+    output is bounded by rendered points (`threshold`, typically a few
+    thousand), so the right way to run it on a pathologically hot series
+    is to PRE-AGGREGATE first (TS.RANGE avg per bucket — one chart pixel
+    cannot show more than one bucket anyway) and LTTB the bucketed
+    series.  The bare-key kernel is therefore kept as the exact
+    algorithm on purpose; it is not a hidden funnel, it is the
+    documented contract."""
     import numpy as np
 
     if threshold < 3:
@@ -160,6 +193,69 @@ def ts_lttb(
     )
 
 
+def _filter_range(
+    samples: DataFrame,
+    keys: list[str] | str | None,
+    start: int,
+    end: int,
+) -> DataFrame:
+    df = samples.filter(~F.isnan("value"))
+    if keys is not None:
+        klist = [keys] if isinstance(keys, str) else list(keys)
+        df = df.filter(F.col("key").isin(klist))
+    if start > MIN_TS:
+        df = df.filter(F.col("ts") >= F.lit(start))
+    if end < MAX_TS:
+        df = df.filter(F.col("ts") <= F.lit(end))
+    return df
+
+
+def _holt_mats(alpha: float, beta: float):
+    """The constant transition of the Holt recurrence written as
+    state' = M state + c x over state = [level, trend]:
+
+        level' = (1-a) level + (1-a) trend + a x
+        trend' = -ab  level + (b(1-a)+(1-b)) trend + ab x
+    """
+    M = np.array(
+        [
+            [1 - alpha, 1 - alpha],
+            [-alpha * beta, beta * (1 - alpha) + (1 - beta)],
+        ]
+    )
+    c = np.array([alpha, alpha * beta])
+    return M, c
+
+
+def _mat_pow(M: np.ndarray, n: int) -> np.ndarray:
+    """M^n by binary exponentiation (2x2)."""
+    R = np.eye(2)
+    P = M.copy()
+    while n:
+        if n & 1:
+            R = P @ R
+        P = P @ P
+        n >>= 1
+    return R
+
+
+def _affine_scan(M: np.ndarray, U: np.ndarray) -> np.ndarray:
+    """Inclusive scan of the first-order vector recurrence
+    S_j = M S_{j-1} + U_j (S_0 = 0): returns S with
+    S_j = sum_{i<=j} M^(j-i) U_i.  Hillis-Steele doubling — log2(n)
+    vectorized numpy passes, no per-row Python — S[o:] += S[:-o] M^o
+    with M^o squared each pass."""
+    S = U.astype(np.float64).copy()
+    n = len(U)
+    Mp = M.copy()
+    o = 1
+    while o < n:
+        S[o:] = S[o:] + S[:-o] @ Mp.T
+        Mp = Mp @ Mp
+        o <<= 1
+    return S
+
+
 def ts_holt(
     samples: DataFrame,
     alpha: float,
@@ -167,6 +263,7 @@ def ts_holt(
     keys: list[str] | str | None = None,
     start: int = MIN_TS,
     end: int = MAX_TS,
+    chunk_ms: int = SMOOTH_CHUNK_MS,
 ) -> DataFrame:
     """(key, ts, level, trend) — Holt double-exponential smoothing per
     series: EWMA that tracks a TREND, so ramping series are smoothed
@@ -184,29 +281,157 @@ def ts_holt(
     applies BEFORE smoothing (the caller's window restarts the fit),
     both matching ts_ewma and the oracle.
 
-    Sequential per key like ts_ewma, via the same Arrow applyInPandas
-    route; the coupled two-state recurrence has no pandas C kernel, so
-    the kernel is a tight O(1)-per-row numpy scalar loop (the next-fit
-    packing precedent).  The DuckDB oracle replays (level, trend) with a
-    recursive CTE, so the operator is hash-gated despite being
-    non-relational."""
-    import numpy as np
-
+    SKEW-SAFE plan (round 9; see module docstring): the recurrence is
+    state' = M state + c x with a CONSTANT 2x2 M, so each (key,
+    chunk_ms time-chunk) folds independently to the affine map it
+    applies to its entry state (M^n by squaring; the additive part by a
+    vectorized doubling scan), a per-key stitch over the
+    one-row-per-chunk frame composes entry states (the global two-point
+    seed handled there, including a first chunk holding only one
+    sample), and a second chunk-local kernel replays each chunk seeded
+    with its entry — a hot series parallelizes across its time span.
+    `_ts_holt_sequential` is the retained differential twin."""
     if not 0 < alpha <= 1:
         raise ValueError("alpha must be in (0, 1]")
     if not 0 < beta <= 1:
         raise ValueError("beta must be in (0, 1]")
-    df = samples.filter(~F.isnan("value"))
-    if keys is not None:
-        klist = [keys] if isinstance(keys, str) else list(keys)
-        df = df.filter(F.col("key").isin(klist))
-    if start > MIN_TS:
-        df = df.filter(F.col("ts") >= F.lit(start))
-    if end < MAX_TS:
-        df = df.filter(F.col("ts") <= F.lit(end))
+    if chunk_ms <= 0:
+        raise ValueError("chunk_ms must be positive")
+    df = _filter_range(samples, keys, start, end)
+    M, c = _holt_mats(alpha, beta)
+    d = df.select(
+        "key",
+        "ts",
+        "value",
+        (F.col("ts") - F.pmod(F.col("ts"), F.lit(chunk_ms))).alias("__c"),
+    )
+
+    sum_schema = (
+        "key string, __c long, n long, a11 double, a12 double, a21 double,"
+        " a22 double, b1 double, b2 double, fv1 double, fv2 double,"
+        " exf_l double, exf_t double"
+    )
+
+    def summarize(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values(["ts", "value"]).reset_index(drop=True)
+        x = pdf["value"].to_numpy(np.float64)
+        n = len(x)
+        A = _mat_pow(M, n)
+        b = _affine_scan(M, np.outer(x, c))[-1]
+        fv2 = exf = None
+        if n >= 2:
+            fv2 = x[1]
+            # exit state if this chunk opens the series: rows 2..n seeded
+            # with [x0, x1-x0] folded into the first scan input
+            seed = np.array([x[0], x[1] - x[0]])
+            U = np.outer(x[1:], c)
+            U[0] = M @ seed + c * x[1]
+            exf = _affine_scan(M, U)[-1]
+        return pd.DataFrame(
+            {
+                "key": [pdf["key"].iloc[0]],
+                "__c": [pdf["__c"].iloc[0]],
+                "n": [n],
+                "a11": [A[0, 0]], "a12": [A[0, 1]],
+                "a21": [A[1, 0]], "a22": [A[1, 1]],
+                "b1": [b[0]], "b2": [b[1]],
+                "fv1": [x[0]],
+                "fv2": [fv2],
+                "exf_l": [None if exf is None else exf[0]],
+                "exf_t": [None if exf is None else exf[1]],
+            }
+        )
+
+    summaries = d.groupBy("key", "__c").applyInPandas(summarize, sum_schema)
+
+    state_schema = "key string, __c long, sl double, st double, mode string"
+
+    def stitch(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values("__c").reset_index(drop=True)
+        n = pdf["n"].to_numpy(np.int64)
+        if len(pdf) == 1 and n[0] < 2:
+            return pd.DataFrame(
+                {"key": [], "__c": [], "sl": [], "st": [], "mode": []}
+            ).astype(
+                {"key": str, "__c": "int64", "sl": float, "st": float,
+                 "mode": str}
+            )
+        fv1 = pdf["fv1"].to_numpy(np.float64)
+        # global two-point seed: second value lives in the first chunk,
+        # or — when the first chunk holds one sample — in the second
+        x1 = pdf["fv2"].iloc[0] if n[0] >= 2 else fv1[1]
+        seed = np.array([fv1[0], x1 - fv1[0]])
+        rows = {"__c": [pdf["__c"].iloc[0]], "sl": [seed[0]],
+                "st": [seed[1]], "mode": ["F"]}
+        if n[0] >= 2:
+            state = np.array([pdf["exf_l"].iloc[0], pdf["exf_t"].iloc[0]])
+        else:
+            state = seed
+        for i in range(1, len(pdf)):
+            rows["__c"].append(pdf["__c"].iloc[i])
+            rows["sl"].append(state[0])
+            rows["st"].append(state[1])
+            rows["mode"].append("R")
+            A = np.array(
+                [[pdf["a11"].iloc[i], pdf["a12"].iloc[i]],
+                 [pdf["a21"].iloc[i], pdf["a22"].iloc[i]]]
+            )
+            b = np.array([pdf["b1"].iloc[i], pdf["b2"].iloc[i]])
+            state = A @ state + b
+        rows["key"] = [pdf["key"].iloc[0]] * len(rows["__c"])
+        return pd.DataFrame(rows)
+
+    states = summaries.groupBy("key").applyInPandas(stitch, state_schema)
+
+    def replay(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values(["ts", "value"]).reset_index(drop=True)
+        x = pdf["value"].to_numpy(np.float64)
+        n = len(x)
+        s = np.array([pdf["sl"].iloc[0], pdf["st"].iloc[0]])
+        out = np.empty((n, 2))
+        if pdf["mode"].iloc[0] == "F":
+            out[0] = s
+            if n >= 2:
+                U = np.outer(x[1:], c)
+                U[0] = M @ s + c * x[1]
+                out[1:] = _affine_scan(M, U)
+        else:
+            U = np.outer(x, c)
+            U[0] = M @ s + c * x[0]
+            out = _affine_scan(M, U)
+        return pd.DataFrame(
+            {"key": pdf["key"], "ts": pdf["ts"],
+             "level": out[:, 0], "trend": out[:, 1]}
+        )
+
+    return (
+        d.join(states, ["key", "__c"])
+        .groupBy("key", "__c")
+        .applyInPandas(replay, HOLT_SCHEMA)
+    )
+
+
+def _ts_holt_sequential(
+    samples: DataFrame,
+    alpha: float,
+    beta: float,
+    keys: list[str] | str | None = None,
+    start: int = MIN_TS,
+    end: int = MAX_TS,
+) -> DataFrame:
+    """The pre-round-9 plan — one applyInPandas per BARE key, an
+    O(1)-per-row scalar loop over the whole series.  Kept as the
+    DIFFERENTIAL REFERENCE for the chunked `ts_holt` (fuzz-pinned within
+    1e-9) and the comparison arm of the hot-series probe: semantically
+    identical, but one hot series serializes its history into one task."""
+    if not 0 < alpha <= 1:
+        raise ValueError("alpha must be in (0, 1]")
+    if not 0 < beta <= 1:
+        raise ValueError("beta must be in (0, 1]")
+    df = _filter_range(samples, keys, start, end)
 
     def smooth(pdf: pd.DataFrame) -> pd.DataFrame:
-        pdf = pdf.sort_values("ts").reset_index(drop=True)
+        pdf = pdf.sort_values(["ts", "value"]).reset_index(drop=True)
         n = len(pdf)
         if n < 2:
             return pd.DataFrame(
@@ -238,24 +463,106 @@ def ts_ewma(
     keys: list[str] | str | None = None,
     start: int = MIN_TS,
     end: int = MAX_TS,
+    chunk_ms: int = SMOOTH_CHUNK_MS,
 ) -> DataFrame:
     """(key, ts, ewma) — one smoothed row per valid sample.  The time cut
     applies BEFORE smoothing (the smoothed series restarts at the range
     start — the window the caller asked to smooth), matching the oracle.
-    """
+
+    SKEW-SAFE plan (round 9; see module docstring): one chunk-local
+    kernel per (key, chunk_ms time-chunk) folds each chunk to its affine
+    map (A = (1-alpha)^n by in-order cumprod; B = the zero-entry local
+    fold's exit, pandas' C `ewm` over a zero-prepended series) plus its
+    first value; a per-key stitch over that one-row-per-chunk frame
+    composes entry states (the first chunk's virtual entry is its own
+    first value: a*x1 + (1-a)*x1 = x1 reproduces the y_0 = x_0 seed —
+    bit-equal to the plain seed, so no mode flag is needed); and a
+    second chunk-local kernel replays each chunk with its entry
+    prepended — in-chunk arithmetic is EXACTLY the sequential `ewm`
+    recurrence, so drift enters only through the stitched entries.
+    `_ts_ewma_sequential` is the retained differential twin."""
     if not 0 < alpha <= 1:
         raise ValueError("alpha must be in (0, 1]")
-    df = samples.filter(~F.isnan("value"))
-    if keys is not None:
-        klist = [keys] if isinstance(keys, str) else list(keys)
-        df = df.filter(F.col("key").isin(klist))
-    if start > MIN_TS:
-        df = df.filter(F.col("ts") >= F.lit(start))
-    if end < MAX_TS:
-        df = df.filter(F.col("ts") <= F.lit(end))
+    if chunk_ms <= 0:
+        raise ValueError("chunk_ms must be positive")
+    df = _filter_range(samples, keys, start, end)
+    d = df.select(
+        "key",
+        "ts",
+        "value",
+        (F.col("ts") - F.pmod(F.col("ts"), F.lit(chunk_ms))).alias("__c"),
+    )
+
+    sum_schema = "key string, __c long, A double, B double, fv double"
+
+    def summarize(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values(["ts", "value"]).reset_index(drop=True)
+        x = pdf["value"].astype(np.float64)
+        A = float(np.cumprod(np.full(len(x), 1.0 - alpha))[-1])
+        B = float(
+            pd.concat([pd.Series([0.0]), x], ignore_index=True)
+            .ewm(alpha=alpha, adjust=False)
+            .mean()
+            .iloc[-1]
+        )
+        return pd.DataFrame(
+            {"key": [pdf["key"].iloc[0]], "__c": [pdf["__c"].iloc[0]],
+             "A": [A], "B": [B], "fv": [float(x.iloc[0])]}
+        )
+
+    summaries = d.groupBy("key", "__c").applyInPandas(summarize, sum_schema)
+
+    state_schema = "key string, __c long, s double"
+
+    def stitch(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values("__c").reset_index(drop=True)
+        A = pdf["A"].to_numpy(np.float64)
+        B = pdf["B"].to_numpy(np.float64)
+        s = np.empty(len(pdf))
+        s[0] = pdf["fv"].iloc[0]
+        for i in range(1, len(s)):
+            s[i] = A[i - 1] * s[i - 1] + B[i - 1]
+        return pd.DataFrame({"key": pdf["key"], "__c": pdf["__c"], "s": s})
+
+    states = summaries.groupBy("key").applyInPandas(stitch, state_schema)
+
+    def replay(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values(["ts", "value"]).reset_index(drop=True)
+        y = (
+            pd.concat(
+                [pd.Series([pdf["s"].iloc[0]]), pdf["value"]],
+                ignore_index=True,
+            )
+            .ewm(alpha=alpha, adjust=False)
+            .mean()
+            .iloc[1:]
+            .reset_index(drop=True)
+        )
+        return pd.DataFrame({"key": pdf["key"], "ts": pdf["ts"], "ewma": y})
+
+    return (
+        d.join(states, ["key", "__c"])
+        .groupBy("key", "__c")
+        .applyInPandas(replay, EWMA_SCHEMA)
+    )
+
+
+def _ts_ewma_sequential(
+    samples: DataFrame,
+    alpha: float,
+    keys: list[str] | str | None = None,
+    start: int = MIN_TS,
+    end: int = MAX_TS,
+) -> DataFrame:
+    """The pre-round-9 plan — pandas `ewm` per BARE key.  Kept as the
+    DIFFERENTIAL REFERENCE for the chunked `ts_ewma` (fuzz-pinned within
+    1e-9) and the comparison arm of the hot-series probe."""
+    if not 0 < alpha <= 1:
+        raise ValueError("alpha must be in (0, 1]")
+    df = _filter_range(samples, keys, start, end)
 
     def smooth(pdf: pd.DataFrame) -> pd.DataFrame:
-        pdf = pdf.sort_values("ts")
+        pdf = pdf.sort_values(["ts", "value"])
         return pd.DataFrame(
             {
                 "key": pdf["key"],

@@ -646,6 +646,105 @@ def test_holt_random_vs_sequential(spark):
             ), (trial, kk)
 
 
+def test_ewma_chunked_vs_sequential_differential(spark):
+    """The round-9 skew-safe chunked ts_ewma vs the retained bare-key
+    sequential twin, with chunk_ms forced TINY (2000 ms over a 0..60000
+    ts domain -> up to ~30 chunks/key) so the affine stitch, the
+    first-chunk virtual entry and single-sample chunks are all
+    exercised.  10 seeded trials with NaNs, duplicate timestamps and
+    random alphas; pinned within 1e-9 (the chunked composition is
+    mathematically exact, float order differs — module docstring)."""
+    import math
+    import random as _random
+
+    from redistimeseries_spark.operators.smooth import (
+        _ts_ewma_sequential,
+        ts_ewma,
+    )
+
+    rng = _random.Random(0x9E3A)
+    for trial in range(10):
+        alpha = rng.choice([0.05, 0.3, 0.5, 0.9, 1.0])
+        rows = []
+        for k in ("a", "b", "solo1"):
+            n = 1 if k == "solo1" else rng.randint(2, 60)
+            for t in sorted(rng.sample(range(0, 60_000), n)):
+                v = float("nan") if rng.random() < 0.15 else rng.uniform(-10, 10)
+                rows.append((k, t, v))
+                if rng.random() < 0.1:  # duplicate timestamp
+                    rows.append((k, t, rng.uniform(-10, 10)))
+        sdf = spark.createDataFrame(rows, "key string, ts long, value double")
+
+        def by_key(res):  # dup-ts rows emit >1 value per (key, ts)
+            out = {}
+            for r in res:
+                out.setdefault((r.key, r.ts), []).append(r.ewma)
+            return {k: sorted(v) for k, v in out.items()}
+
+        got = by_key(ts_ewma(sdf, alpha, chunk_ms=2000).collect())
+        want = by_key(_ts_ewma_sequential(sdf, alpha).collect())
+        assert set(got) == set(want), (trial, alpha)
+        for kk in got:
+            assert len(got[kk]) == len(want[kk]), (trial, kk)
+            for g, w in zip(got[kk], want[kk]):
+                assert math.isclose(g, w, rel_tol=1e-9, abs_tol=1e-9), (
+                    trial, alpha, kk, got[kk], want[kk],
+                )
+
+
+def test_holt_chunked_vs_sequential_differential(spark):
+    """The round-9 chunked ts_holt vs the sequential twin under forced
+    tiny chunks — covers the two-point seed split across chunks (a
+    first chunk holding ONE sample), single-sample interior chunks,
+    NaNs, duplicate timestamps.  Pinned within 1e-9."""
+    import math
+    import random as _random
+
+    from redistimeseries_spark.operators.smooth import (
+        _ts_holt_sequential,
+        ts_holt,
+    )
+
+    rng = _random.Random(0xB017)
+    for trial in range(10):
+        a = rng.choice([0.2, 0.4, 0.7, 1.0])
+        b = rng.choice([0.1, 0.3, 0.8, 1.0])
+        rows = [
+            # pinned shape: first chunk (chunk_ms=2000) holds exactly one
+            # sample, so the trend seed spans the chunk boundary
+            ("seedsplit", 100, 3.0),
+            ("seedsplit", 2100, 7.0),
+            ("seedsplit", 2200, 1.0),
+            ("seedsplit", 9100, 4.0),
+            ("solo1", 50, 5.0),
+        ]
+        for k in ("a", "b"):
+            for t in sorted(rng.sample(range(0, 60_000), rng.randint(2, 60))):
+                v = float("nan") if rng.random() < 0.15 else rng.uniform(-10, 10)
+                rows.append((k, t, v))
+                if rng.random() < 0.1:
+                    rows.append((k, t, rng.uniform(-10, 10)))
+        sdf = spark.createDataFrame(rows, "key string, ts long, value double")
+
+        def by_key(res):  # dup-ts rows emit >1 (level, trend) per (key, ts)
+            out = {}
+            for r in res:
+                out.setdefault((r.key, r.ts), []).append((r.level, r.trend))
+            return {k: sorted(v) for k, v in out.items()}
+
+        got = by_key(ts_holt(sdf, a, b, chunk_ms=2000).collect())
+        want = by_key(_ts_holt_sequential(sdf, a, b).collect())
+        assert set(got) == set(want), (trial, a, b)
+        assert ("solo1", 50) not in got  # <2 samples emits nothing
+        for kk in got:
+            assert len(got[kk]) == len(want[kk]), (trial, kk)
+            for g, w in zip(got[kk], want[kk]):
+                for i in (0, 1):
+                    assert math.isclose(
+                        g[i], w[i], rel_tol=1e-9, abs_tol=1e-9
+                    ), (trial, a, b, kk, got[kk], want[kk])
+
+
 def test_resample_linear_and_locf(spark):
     """ts_resample: hand-computed linear interpolation and LOCF on a
     regular grid, coinciding samples returned exactly, NaN samples
@@ -1070,6 +1169,44 @@ def test_mad_random_vs_numpy(spark):
         for kk in got:
             assert math.isclose(got[kk][0], want[kk][0], abs_tol=1e-9), kk
             assert math.isclose(got[kk][1], want[kk][1], abs_tol=1e-9), kk
+
+
+def test_mad_approx_escape_hatch(spark):
+    """ts_mad(exact=False) — the round-9 t-digest escape hatch for
+    pathological buckets: same (key, bucket) emission set as the exact
+    path, med/mad within approx_percentile's documented accuracy on
+    random buckets (loose tolerance: the approx path is documented
+    non-oracle-exact), and the plan carries NO collect_list buffer."""
+    import random as _random
+
+    from redistimeseries_spark.operators.percentiles import ts_mad
+
+    rng = _random.Random(0x3AD)
+    rows = []
+    for k in ("a", "b"):
+        for t in sorted(rng.sample(range(0, 10_000), 400)):
+            v = float("nan") if rng.random() < 0.1 else rng.uniform(0, 100)
+            rows.append((k, t, v))
+    sdf = spark.createDataFrame(rows, "key string, ts long, value double")
+    exact = {
+        (r.key, r.ts): (r.med, r.mad) for r in ts_mad(sdf, 1000).collect()
+    }
+    approx = {
+        (r.key, r.ts): (r.med, r.mad)
+        for r in ts_mad(sdf, 1000, exact=False).collect()
+    }
+    assert set(exact) == set(approx)
+    for kk in exact:
+        # ~40 uniform samples per bucket on [0, 100]: the t-digest at
+        # default accuracy lands within a few value-units of the exact
+        # interpolated median — a sanity band, not an exactness claim
+        assert abs(exact[kk][0] - approx[kk][0]) < 10.0, (kk, exact[kk], approx[kk])
+        assert abs(exact[kk][1] - approx[kk][1]) < 10.0, (kk, exact[kk], approx[kk])
+    plan = (
+        ts_mad(sdf, 1000, exact=False)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "collect_list" not in plan and "approx_percentile" in plan
 
 
 def test_gaps_random_vs_sequential(spark):
