@@ -131,9 +131,9 @@ def twa_buckets_expr(
     (key, bucket)), where a lag+lead over key costs #buckets rows, not
     #samples.  Term derivation mirrors TwaAddValue/
     TwaAddNextBucketFirstSample (src/compaction.c:348-419) exactly; see
-    _twa_kernel for the same math in numpy (used by the EMPTY path and
+    _twa_kernel for the same math in numpy (the differential twin,
     cross-checked in tests), and `_twa_key_window_expr` for the
-    pre-round-8 bare-key-window plan kept as the differential twin."""
+    pre-round-8 bare-key-window plan kept as the other twin."""
     from pyspark.sql import Window
 
     # (ts, value) ordering everywhere: duplicate (key, ts) rows — legal
@@ -141,7 +141,6 @@ def twa_buckets_expr(
     # rate._last_pair rule), so the trapezoid chain, the bucket-first
     # and bucket-last picks all agree across retries and engines
     wloc = Window.partitionBy("key", "__bucket").orderBy("ts", "value")
-    rng_end = float(min(end, MAX_TS))
     d = (
         df.filter(~F.isnan("value"))
         .select("key", "ts", "value", "__bucket")
@@ -168,6 +167,18 @@ def twa_buckets_expr(
         F.col("__l.ts").cast("double").alias("lts"),
         F.col("__l.value").alias("lastv"),
     )
+    return _twa_stitch(agg, dur, start, end)
+
+
+def _twa_stitch(agg: DataFrame, dur: int, start: int, end: int) -> DataFrame:
+    """Cross-bucket boundary-term stitch over the per-bucket aggregated
+    frame — `agg` has one row per NON-EMPTY (key, __bucket) with columns
+    (__larea, fts, fv, lts, lastv); a lag+lead over key costs #buckets
+    rows.  Shared by the non-EMPTY path (twa_buckets_expr) and the
+    round-9 EMPTY path (twa_buckets_empty_expr)."""
+    from pyspark.sql import Window
+
+    rng_end = float(min(end, MAX_TS))
     wk = Window.partitionBy("key").orderBy("__bucket")
     st = agg.select(
         "key", "__bucket", "__larea", "fts", "fv", "lts", "lastv",
@@ -202,6 +213,153 @@ def twa_buckets_expr(
         F.when(last_ts == first_ts, F.col("lastv"))
         .otherwise(res / F.abs(last_ts - first_ts))
         .alias("twa"),
+    )
+
+
+def twa_buckets_empty_expr(
+    df: DataFrame, dur: int, start: int, end: int
+) -> DataFrame:
+    """EMPTY-path TWA as pure JVM expressions, SKEW-SAFE (round 9 — the
+    last TWA family member still partitioned by bare key): emits every
+    bucket of each key's [min, max] bucket span; non-empty buckets carry
+    the `_twa_stitch` value, empty / NaN-only buckets the neighbor
+    interpolation of twa_calc_empty_bucket_val
+    (src/filter_iterator.c:307-386).
+
+    The interpolation needs at most TWO valid samples on each side of an
+    empty bucket, and both live on per-bucket aggregates: the nearest
+    left sample is the previous non-empty bucket's LAST (`__l`), the
+    second-nearest is that bucket's second-to-last (`__l2`) when it
+    holds >=2 samples, else the non-empty bucket before it's last — so
+    one lag over the per-bucket frame precomputes a `pen` struct per
+    non-empty bucket and ONE last(ignorenulls) gather over the bucket
+    spine resolves both left neighbors for every empty bucket (lead +
+    first(ignorenulls) symmetrically on the right).  No structure ever
+    holds more than one bucket of one series; the spine windows are
+    #buckets-bounded (the OUTPUT size), never #samples-bounded.  The
+    numpy kernel (`_twa_kernel` + `_empty_bucket_vals` via
+    `_twa_buckets_kernel`) is retained as the differential twin."""
+    from pyspark.sql import Window
+
+    rng_end = float(min(end, MAX_TS))
+    valid = df.filter(~F.isnan("value"))
+    wloc = Window.partitionBy("key", "__bucket").orderBy("ts", "value")
+    wlocd = Window.partitionBy("key", "__bucket").orderBy(
+        F.col("ts").desc(), F.col("value").desc()
+    )
+    d = valid.select(
+        "key",
+        "ts",
+        "value",
+        "__bucket",
+        F.lag("ts").over(wloc).alias("pts"),
+        F.lag("value").over(wloc).alias("pv"),
+        F.row_number().over(wloc).alias("__ra"),
+        F.row_number().over(wlocd).alias("__rd"),
+    )
+    ts, v = F.col("ts").cast("double"), F.col("value")
+    pts, pv = F.col("pts").cast("double"), F.col("pv")
+    perb = d.groupBy("key", "__bucket").agg(
+        F.sum(
+            F.when(F.col("pts").isNotNull(), (pv + v) * (ts - pts) / 2.0)
+        ).alias("__larea"),
+        F.min(F.struct("ts", "value")).alias("__f"),
+        F.max(F.struct("ts", "value")).alias("__l"),
+        F.min(F.when(F.col("__ra") == 2, F.struct("ts", "value"))).alias("__f2"),
+        F.max(F.when(F.col("__rd") == 2, F.struct("ts", "value"))).alias("__l2"),
+        F.count(F.lit(1)).alias("__n"),
+    )
+    nonempty = _twa_stitch(
+        perb.select(
+            "key",
+            "__bucket",
+            "__larea",
+            F.col("__f.ts").cast("double").alias("fts"),
+            F.col("__f.value").alias("fv"),
+            F.col("__l.ts").cast("double").alias("lts"),
+            F.col("__l.value").alias("lastv"),
+        ),
+        dur,
+        start,
+        end,
+    )
+    # spine bounds come from ALL rows (NaN-only buckets extend the span,
+    # exactly the kernel's `ball`); sequence's step matches the aligned
+    # bucket grid
+    bounds = df.groupBy("key").agg(
+        F.min("__bucket").alias("__lo"), F.max("__bucket").alias("__hi")
+    )
+    spine = bounds.select(
+        "key",
+        F.explode(
+            F.sequence(F.col("__lo"), F.col("__hi"), F.lit(int(dur)))
+        ).alias("__bucket"),
+    )
+    wke = Window.partitionBy("key").orderBy("__bucket")
+    nbf = perb.select(
+        "key",
+        "__bucket",
+        "__f",
+        "__l",
+        "__n",
+        # pen: the sample just BELOW this bucket's last in the key's
+        # global order; nxt: just above its first — sourced in-bucket
+        # when the bucket holds >=2 samples, else from the adjacent
+        # non-empty bucket on the per-bucket frame
+        F.when(F.col("__n") >= 2, F.col("__l2"))
+        .otherwise(F.lag("__l").over(wke))
+        .alias("__pen"),
+        F.when(F.col("__n") >= 2, F.col("__f2"))
+        .otherwise(F.lead("__f").over(wke))
+        .alias("__nxt"),
+    )
+    full = spine.join(nbf, ["key", "__bucket"], "left")
+    wsp = Window.partitionBy("key").orderBy("__bucket")
+    before = wsp.rowsBetween(Window.unboundedPreceding, -1)
+    after = wsp.rowsBetween(1, Window.unboundedFollowing)
+    g = full.select(
+        "key",
+        "__bucket",
+        "__n",
+        F.last("__l", ignorenulls=True).over(before).alias("__L1"),
+        F.last("__pen", ignorenulls=True).over(before).alias("__L2"),
+        F.first("__f", ignorenulls=True).over(after).alias("__R0"),
+        F.first("__nxt", ignorenulls=True).over(after).alias("__R1"),
+    )
+    b = F.col("__bucket")
+    ta = F.greatest(b.cast("double"), F.lit(float(start)))
+    tb = F.least(b.cast("double") + F.lit(float(dur)), F.lit(rng_end))
+    tl1, vl1 = F.col("__L1.ts"), F.col("__L1.value")
+    tl2 = F.col("__L2.ts")
+    tr0, vr0 = F.col("__R0.ts"), F.col("__R0.value")
+    tr1 = F.col("__R1.ts")
+    dv = vr0 - vl1
+    dt = (tr0 - tl1).cast("double")
+    va = vl1 + (ta - tl1) * dv / dt
+    vb = vl1 + (tb - tl1) * dv / dt
+    # twa_calc_empty_bucket_val's decision tree (see _empty_bucket_vals,
+    # the numpy twin): both sides -> average of the through-line at
+    # ta/tb; one-sided needs TWO samples on that side, the extrapolated
+    # next-sample instant to cross into the bucket, and the
+    # half-spacing keep heuristic; otherwise the bucket reports NULL —
+    # the kernel's NaN crossed the Arrow boundary as null, so null IS
+    # the established empty-and-uninterpolatable contract downstream
+    # (fill_empty_buckets, the mrange reply shaping, the oracle)
+    near_r = tb + (tr1 - tr0).cast("double") > tr0.cast("double")
+    keep_r = ~(tb + F.floor((tr1 - tr0) / 2) <= tr0.cast("double"))
+    near_l = (tl1 + (tl1 - tl2)).cast("double") > ta
+    keep_l = ~((tl1 + F.floor((tl1 - tl2) / 2)).cast("double") <= ta)
+    fill = (
+        F.when(tl1.isNotNull() & tr0.isNotNull(), (va + vb) / 2.0)
+        .when(tl1.isNull() & tr1.isNotNull() & near_r & keep_r, vr0)
+        .when(tr0.isNull() & tl2.isNotNull() & near_l & keep_l, vl1)
+    )
+    return g.join(nonempty, ["key", "__bucket"], "left").select(
+        "key",
+        "__bucket",
+        F.when(F.col("__n").isNotNull(), F.col("twa")).otherwise(fill).alias(
+            "twa"
+        ),
     )
 
 
@@ -292,10 +450,28 @@ def twa_buckets(
     Returns (key, __bucket, twa).  With empty=True also emits interior
     empty / NaN-only buckets with the interpolated value.
 
-    Non-EMPTY queries take the pure-JVM expression path; EMPTY needs the
-    neighbor-interpolation lookups and runs the numpy kernel per key."""
+    Both paths are pure-JVM, bucket-local expression plans (round 9
+    closed the EMPTY path's bare-key kernel — the last TWA member that
+    serialized a hot series into one task); `_twa_buckets_kernel` is the
+    retained numpy differential twin for the EMPTY path."""
     if not empty:
         return twa_buckets_expr(df, dur, start, end)
+    return twa_buckets_empty_expr(df, dur, start, end)
+
+
+def _twa_buckets_kernel(
+    df: DataFrame,
+    dur: int,
+    start: int,
+    end: int,
+) -> DataFrame:
+    """The pre-round-9 EMPTY-path plan — the numpy kernel
+    (`_twa_kernel` + `_empty_bucket_vals`) via applyInPandas per BARE
+    key.  Kept as the DIFFERENTIAL REFERENCE for
+    `twa_buckets_empty_expr` (fuzz-pinned equal in tests) and the
+    comparison arm of the hot-series probe: one hot series serializes
+    its full history into a single task here."""
+    empty = True
     range_end = min(end, MAX_TS)
 
     def fn(pdf: pd.DataFrame) -> pd.DataFrame:

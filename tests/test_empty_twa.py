@@ -179,8 +179,8 @@ def test_twa_bucket_local_vs_key_window_differential(samples_df):
 
 def test_twa_plan_is_bucket_local(samples_df):
     """The sample-level lag window partitions by (key, __bucket) — the
-    hot-series funnel is gone from the TWA hot path (the EMPTY path
-    keeps its per-key Arrow kernel, documented)."""
+    hot-series funnel is gone from the TWA hot path (round 9 removed it
+    from the EMPTY path too; see test_twa_empty_plan_is_bucket_local)."""
     from pyspark.sql import functions as F
 
     from redistimeseries_spark.functions.buckets import bucket_start
@@ -227,3 +227,85 @@ def test_twa_duplicate_ts_deterministic(samples_df):
             for r in twa_buckets_expr(df, 1000, 0, 10**15).collect()
         )
         assert again == first
+
+
+def test_twa_empty_plan_is_bucket_local(samples_df):
+    """The EMPTY path's sample-level lag window partitions by
+    (key, __bucket) — round 9: no applyInPandas / Arrow eval appears in
+    the plan at all, and every per-sample window is bucket-local (the
+    per-key windows that remain run over the #buckets-bounded spine and
+    aggregated frames)."""
+    from pyspark.sql import functions as F
+
+    from redistimeseries_spark.functions.buckets import bucket_start
+    from redistimeseries_spark.operators.twa import twa_buckets_empty_expr
+
+    df = samples_df([("k", t, float(t)) for t in range(0, 5000, 100)])
+    df = df.withColumn("__bucket", bucket_start(F.col("ts"), 1000, 0))
+    plan = (
+        twa_buckets_empty_expr(df, 1000, 0, 10**15)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "ArrowEvalPython" not in plan and "FlatMapGroupsInPandas" not in plan
+    sample_lags = [
+        ln
+        for ln in plan.splitlines()
+        if "Window" in ln and ("lag(value" in ln or "lag(ts" in ln)
+    ]
+    assert sample_lags and all("__bucket" in ln for ln in sample_lags), plan
+
+
+def test_twa_empty_expr_vs_kernel_differential(samples_df):
+    """The round-9 bucket-local EMPTY-path plan (twa_buckets_empty_expr:
+    spine + aggregated-frame neighbor gathers) is pinned equal to the
+    retained numpy kernel twin across random series — NaN-only buckets
+    extending the spine, multi-bucket gaps (both one-sided heuristics
+    and the both-sides interpolation), single-sample buckets feeding
+    the pen/nxt fallbacks, and range cuts landing mid-bucket.
+    Uninterpolatable buckets are NULL in both plans (the kernel's NaN
+    crosses the Arrow boundary as null — the established contract)."""
+    import math
+    import random as _random
+
+    from pyspark.sql import functions as F
+
+    from redistimeseries_spark.functions.buckets import bucket_start
+    from redistimeseries_spark.operators.twa import (
+        _twa_buckets_kernel,
+        twa_buckets_empty_expr,
+    )
+
+    rng = _random.Random(0xE119)
+    for trial in range(8):
+        rows = []
+        for k in ("a", "b", "gappy", "allnan"):
+            if k == "gappy":
+                # sparse: big interior gaps so every empty branch fires
+                pts = sorted(rng.sample(range(0, 200_000), rng.randint(2, 8)))
+            else:
+                pts = sorted(rng.sample(range(0, 60_000), rng.randint(1, 50)))
+            for t in pts:
+                p_nan = 1.0 if k == "allnan" else 0.15
+                v = float("nan") if rng.random() < p_nan else rng.uniform(-5, 9)
+                rows.append((k, t, v))
+        dur = rng.choice([700, 1000, 9000])
+        lo = rng.choice([0, rng.randrange(0, 30_000)])
+        hi = rng.choice([10**15, rng.randrange(lo + 1, 200_000)])
+        df = samples_df(rows).filter(
+            (F.col("ts") >= lo) & (F.col("ts") <= hi)
+        ).withColumn("__bucket", bucket_start(F.col("ts"), dur, 0))
+
+        def key_map(res):
+            return {(r.key, r["__bucket"]): r.twa for r in res}
+
+        got = key_map(twa_buckets_empty_expr(df, dur, lo, hi).collect())
+        want = key_map(_twa_buckets_kernel(df, dur, lo, hi).collect())
+        assert set(got) == set(want), (trial, dur, lo, hi)
+        for kk in got:
+            g, w = got[kk], want[kk]
+            if w is None or math.isnan(w):
+                assert g is None or math.isnan(g), (trial, kk, g, w)
+            else:
+                assert g is not None and math.isclose(
+                    g, w, rel_tol=1e-9, abs_tol=1e-9
+                ), (trial, kk, g, w)
