@@ -88,6 +88,7 @@ def ts_mad(
     start: int = MIN_TS,
     end: int = MAX_TS,
     align="0",
+    exact: bool = True,
 ) -> DataFrame:
     """(key, ts, med, mad) — per-(key, bucket) MEDIAN and MEDIAN ABSOLUTE
     DEVIATION of the valid samples; ts is the bucket start.  The robust
@@ -108,7 +109,17 @@ def ts_mad(
     bucket-bounded buffer, never the corpus: no join, no second
     shuffle.  The two-pass join formulation measured 691 s at 1B rows —
     the re-join of 1B deviation rows WAS the cost; this shape stays in
-    the percentile plan class (BASELINE.md round 8)."""
+    the percentile plan class (BASELINE.md round 8).
+
+    The buffer is BUCKET-BOUNDED by design (samples-per-key-per-bucket),
+    but a pathological bucket — one key at ms cadence under a 1-day
+    bucket is 86M doubles in one aggregation buffer — has the
+    `exact=False` escape hatch (round 9; ts_bucket_percentiles'
+    convention): approx_percentile's t-digest bounds memory per group at
+    the cost of oracle-exactness (its error is documented, its results
+    engine-specific) via two bucket-keyed aggregations and one
+    co-partitioned join — ONE clustering end to end, never the 1B-row
+    deviation re-shuffle of the rejected exact two-pass."""
     if bucket_dur <= 0:
         raise ValueError("bucket_dur must be positive")
     df = samples.filter(~F.isnan("value"))
@@ -125,6 +136,20 @@ def ts_mad(
         bucket_start(F.col("ts"), bucket_dur, align_ts).alias("__b"),
         "value",
     )
+    if not exact:
+        med = d.groupBy("key", "__b").agg(
+            F.expr("approx_percentile(value, 0.5)").alias("med")
+        )
+        return (
+            d.join(med, ["key", "__b"])
+            .groupBy("key", "__b")
+            .agg(
+                F.first("med").alias("med"),
+                F.expr("approx_percentile(abs(value - med), 0.5)").alias("mad"),
+            )
+            .select("key", F.col("__b").alias("ts"), "med", "mad")
+            .orderBy("key", "ts")
+        )
     # q = 0.5*(n-1); med = a[floor(q)] + frac * (a[ceil(q)] - a[floor(q)])
     # — exactly Spark percentile()'s interpolation, on the same doubles
     interp = (

@@ -77,6 +77,15 @@ class StreamingStore:
     # chained across micro-batches by seeding with the latest table
     ignore_max_time_diff: int = 0
     ignore_max_val_diff: float = 0.0
+    # compact_every=N rewrites the log in resolved form after every Nth
+    # micro-batch (round 9; the index stores' _maybe_compact rule):
+    # _append_log adds one fragment set per batch per touched day, so
+    # without it the log's FILE COUNT grows linearly with batch count
+    # and every read's listing/open cost with it.  process_batch is the
+    # store's only writer, so compact()'s quiesced-writer precondition
+    # holds by construction; size N so the rewrites land in maintenance
+    # windows (the rewrite reads the whole log — amortize it).
+    compact_every: int | None = None
     _batch_id: int = 0
     # DataFrames persisted during the current micro-batch's maintenance;
     # unpersisted at the end of process_batch (a long-running stream must
@@ -609,6 +618,12 @@ class StreamingStore:
             df.unpersist()
         self._batch_cached.clear()
         self._batch_id = batch_id
+        # periodic log compaction AFTER all of the batch's maintenance —
+        # a crash mid-compaction loses only the rewrite (the .tmp dir is
+        # simply re-overwritten next trigger); the batch itself is fully
+        # applied above
+        if self.compact_every and (batch_id + 1) % self.compact_every == 0:
+            self.compact()
 
     @staticmethod
     def _swap(tmp: str, final: str):
@@ -644,13 +659,25 @@ class StreamingStore:
             .drop("__open")
         )
 
+    def log_file_count(self) -> int:
+        """Parquet data-file count of the ingest log — the quantity
+        compaction bounds (tests assert it; ops dashboards watch it)."""
+        n = 0
+        for root, _dirs, files in os.walk(self.log_dir):
+            n += sum(1 for f in files if f.endswith(".parquet"))
+        return n
+
     def compact(self):
         """Rewrite the log in resolved form (the periodic MERGE job),
-        preserving the `__day` layout."""
+        preserving the `__day` layout at ONE file per day partition
+        (the repartition gives each day one task — the
+        index_maintenance file-count rule; day partitions are
+        micro-batch-sized, far under a task's working set)."""
         resolved = self.samples().withColumn("seq", F.lit(0).cast("long"))
         tmp = self.log_dir + ".tmp"
         (
             resolved.withColumn("__day", F.expr(f"ts div {DAY_MS}").cast("int"))
+            .repartition(F.col("__day"))
             .write.mode("overwrite")
             .partitionBy("__day")
             .parquet(tmp)

@@ -69,6 +69,25 @@ def main():
     out["twa_bucket_local_sec"] = timed(
         lambda: twa_buckets_expr(bdf, H, 0, 10**15)
     )
+
+    # round-9 arms: EMPTY-path TWA (spine + neighbor gathers) and the
+    # chunk-affine smoothers vs their retained sequential twins
+    from redistimeseries_spark.operators.smooth import (
+        _ts_ewma_sequential,
+        _ts_holt_sequential,
+        ts_ewma,
+        ts_holt,
+    )
+    from redistimeseries_spark.operators.twa import (
+        _twa_buckets_kernel,
+        twa_buckets_empty_expr,
+    )
+
+    out["twa_empty_expr_sec"] = timed(
+        lambda: twa_buckets_empty_expr(bdf, H, 0, 10**15)
+    )
+    out["ewma_chunked_sec"] = timed(lambda: ts_ewma(df, 0.3))
+    out["holt_chunked_sec"] = timed(lambda: ts_holt(df, 0.4, 0.2))
     if not skip_old:
         out["key_window_sec"] = timed(
             lambda: _key_window_chain(
@@ -78,6 +97,11 @@ def main():
         out["twa_key_window_sec"] = timed(
             lambda: _twa_key_window_expr(bdf, H, 0, 10**15)
         )
+        out["twa_empty_kernel_sec"] = timed(
+            lambda: _twa_buckets_kernel(bdf, H, 0, 10**15)
+        )
+        out["ewma_key_sec"] = timed(lambda: _ts_ewma_sequential(df, 0.3))
+        out["holt_key_sec"] = timed(lambda: _ts_holt_sequential(df, 0.4, 0.2))
     # sanity: same bucket count both ways (cheap recompute at n/100)
     small = spark.range(n // 100).select(
         F.lit("hot").alias("key"),
@@ -89,6 +113,9 @@ def main():
         small, H, _increase_step, None, MIN_TS, MAX_TS, "0"
     ).count()
     out["equiv_buckets"] = (a, b, a == b)
+    e1 = ts_ewma(small, 0.3).count()
+    e2 = _ts_ewma_sequential(small, 0.3).count()
+    out["equiv_ewma_rows"] = (e1, e2, e1 == e2)
     print(json.dumps(out))
 
 

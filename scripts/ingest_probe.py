@@ -72,12 +72,55 @@ def one_batch(spark, store, days, keys, batch_rows):
     return time.monotonic() - t0
 
 
+def auto_compact_probe(spark, keys, batch_rows, n_batches, every):
+    """Round-9 arm (verdict r8 ask #3): N same-day micro-batches through
+    one store WITH compact_every vs one WITHOUT — per-batch wall must
+    stay flat at high batch counts with the compactions amortized, and
+    the compacted store's log file count bounded."""
+    import tempfile as _tf
+
+    out = {}
+    for label, every_n in (("auto", every), ("none", None)):
+        root = _tf.mkdtemp(prefix=f"ingest_probe_ac_{label}_")
+        try:
+            store = StreamingStore(
+                spark, os.path.join(root, "store"), "last",
+                [CompactionRule(None, "_avg_1h", "avg", 3_600_000)],
+                compact_every=every_n,
+            )
+            walls = []
+            for i in range(n_batches):
+                batch = spark.range(batch_rows).select(
+                    F.concat(F.lit("k"), (F.col("id") % keys)).alias("key"),
+                    (F.col("id") * 7 + i).alias("ts"),
+                    F.col("id").cast("double").alias("value"),
+                )
+                t0 = time.monotonic()
+                store.process_batch(batch, batch_id=i)
+                walls.append(time.monotonic() - t0)
+            q = max(1, n_batches // 4)
+            out[label] = {
+                "first_quarter_avg_sec": round(sum(walls[:q]) / q, 3),
+                "last_quarter_avg_sec": round(sum(walls[-q:]) / q, 3),
+                "total_sec": round(sum(walls), 1),
+                "log_files": store.log_file_count(),
+            }
+            print(f"auto_compact[{label}]: {out[label]}", flush=True)
+        finally:
+            shutil.rmtree(root, ignore_errors=True)
+    return out
+
+
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--days", type=int, nargs="+", default=[10, 100])
     ap.add_argument("--keys", type=int, default=50)
     ap.add_argument("--per-day", type=int, default=20_000)
     ap.add_argument("--batch-rows", type=int, default=5_000)
+    ap.add_argument("--auto-compact", action="store_true",
+                    help="run the round-9 compact_every probe instead")
+    ap.add_argument("--batches", type=int, default=40)
+    ap.add_argument("--every", type=int, default=10)
     a = ap.parse_args()
 
     spark = (
@@ -88,6 +131,10 @@ def main():
         .getOrCreate()
     )
     spark.sparkContext.setLogLevel("ERROR")
+
+    if a.auto_compact:
+        auto_compact_probe(spark, a.keys, a.batch_rows, a.batches, a.every)
+        return
 
     results = {}
     for days in a.days:

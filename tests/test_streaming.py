@@ -181,6 +181,62 @@ def test_dup_policy_across_batches(spark, dirs):
     assert [(r.ts, r.value) for r in store.samples().collect()] == [(100, 3.5)]
 
 
+def test_ingest_log_auto_compaction_bounds_files(spark, dirs):
+    """compact_every=N (round 9): the ingest log's parquet file count is
+    BOUNDED across many micro-batches instead of growing one fragment
+    set per batch — and the merge-on-read view, the latest table and a
+    compaction rule's dest are unchanged by the rewrites (compaction
+    changes file count, never visible content).  Includes a
+    dup-overwrite and an all-batches drain through the same store."""
+    rule = CompactionRule(None, "_avg_1s", "avg", 1000)
+    store = StreamingStore(
+        spark, os.path.join(dirs, "store"), "last", [rule], compact_every=3
+    )
+    n_batches = 7
+    for i in range(n_batches):
+        # one day partition per batch + a shared hot key (dup overwrite)
+        write_input(
+            spark,
+            dirs,
+            [("k", i * 100, float(i)), ("hot", 50, float(i))],
+            f"b{i}",
+        )
+    drain(spark, dirs, store)
+    # the log was compacted after batches 3 and 6: 1 file per touched
+    # day partition + at most compact_every uncompacted fragment sets
+    n_files = store.log_file_count()
+    assert n_files <= (1 + 1) + (store.compact_every - 1) * 2, n_files
+    got = {(r.key, r.ts): r.value for r in store.samples().collect()}
+    want = {("k", i * 100): float(i) for i in range(n_batches)}
+    want[("hot", 50)] = float(n_batches - 1)  # DP_LAST keeps the newest
+    assert got == want
+    latest = {r.key: (r.ts, r.value) for r in store.latest().collect()}
+    assert latest == {
+        "k": ((n_batches - 1) * 100, float(n_batches - 1)),
+        "hot": (50, float(n_batches - 1)),
+    }
+    dest = {
+        (r.key, r.ts): r.value
+        for r in store.rule_table(rule, include_open=True).collect()
+    }
+    assert dest[("hot", 0)] == float(n_batches - 1)
+
+    # an uncompacted control store accumulates strictly more files
+    ctrl = StreamingStore(spark, os.path.join(dirs, "ctrl"), "last", [])
+    for i in range(n_batches):
+        spark.createDataFrame(
+            [("k", i * 100, float(i)), ("hot", 50, float(i))], SCHEMA
+        ).coalesce(1).write.mode("append").parquet(os.path.join(dirs, "cin"))
+    stream = (
+        spark.readStream.schema(SCHEMA)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(os.path.join(dirs, "cin"))
+    )
+    q = start_ingest(stream, ctrl, availableNow=True)
+    q.awaitTermination(120)
+    assert ctrl.log_file_count() > n_files
+
+
 def test_tail_read_block_and_timeout(spark, dirs):
     store = StreamingStore(spark, os.path.join(dirs, "store"), "last", [])
     write_input(spark, dirs, [("k", 0, 1.0), ("k", 10, 2.0)], "b1")
