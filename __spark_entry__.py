@@ -2189,6 +2189,20 @@ def _base_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # ts_anomalies (driver-green r5+r7; the anomaly/smoothing family
     # keeps ts_holt in-window and the robust twin ts_outlier_mad in the
     # gated tail) rotates out.
+    # Round-9 rotation (verdict r8 ask #6 + driver evidence for the
+    # round's three plan rewrites): ts_outlier_mad promotes into the
+    # window (the r8 newcomer that had started in the gated tail);
+    # ts_agg_twa_empty promotes (its EMPTY path moved from the bare-key
+    # numpy kernel to the bucket-local spine/neighbor-gather expression
+    # plan this round — the driver should gate the NEW plan); ts_ewma
+    # promotes back (chunk-affine skew-safe rewrite, same reason; its
+    # sibling ts_holt — also rewritten — is already in-window).
+    # Rotated to the tail, each multi-round driver-green with family
+    # representation retained: ts_counter_increase (r8-green; counters
+    # keep ts_counter_rate, ts_compaction_increase_1h, ts_delta,
+    # ts_idelta, ts_irate in-window), dl_stream_semdedup (r8-green;
+    # SemDeDup keeps dl_semdedup), ts_predict_linear (r8-green; the
+    # regression pair keeps ts_deriv).
     return {
         # --- checked prefix: one representative per operator family -----
         "ts_range_raw": q_range_raw,
@@ -2209,7 +2223,7 @@ def _base_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dl_simhash": q_simhash,
         "ts_changes": q_changes,
         "ts_resets": q_resets,
-        "ts_predict_linear": q_predict_linear,
+        "ts_ewma": q_ewma,
         "ts_holt": q_holt,
         "dl_mm_decode_png": q_mm_decode_png,
         "dl_bm25_topk": q_bm25_topk,
@@ -2221,6 +2235,7 @@ def _base_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ts_deriv": q_deriv,
         "ts_value_hist": q_value_hist,
         "ts_mad": q_mad,
+        "ts_outlier_mad": q_outlier_mad,
         "ts_hist_quantile": q_hist_quantile,
         "ts_counter_rate": q_counter_rate,
         "ts_resample_locf": q_resample_locf,
@@ -2237,24 +2252,24 @@ def _base_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dl_substring_contaminated": q_substring_contaminated,
         "dl_mm_frame_sample": q_mm_frame_sample,
         "dl_hybrid_search": q_hybrid_search,
-        "ts_counter_increase": q_counter_increase,
+        "ts_agg_twa_empty": q_agg_twa_empty,
         "dl_semdedup": q_semdedup,
-        "dl_stream_semdedup": q_stream_semdedup,
         "ts_irate": q_irate,
         "ts_bucket_percentiles": q_bucket_percentiles,
         "dl_pii": q_pii,
         "dl_curation": q_curation,
         "ts_asof_join": q_asof_join,
         # --- tail: family variants, locally gated -----------------------
+        "ts_counter_increase": q_counter_increase,
+        "dl_stream_semdedup": q_stream_semdedup,
+        "ts_predict_linear": q_predict_linear,
         "ts_anomalies": q_anomalies,
-        "ts_outlier_mad": q_outlier_mad,
         "dl_rrf_fuse": q_rrf_fuse,
         "dl_mixture_sample": q_mixture_sample,
         "dl_mm_decode": q_mm_decode,
         "dl_chunk_docs": q_chunk_docs,
         "dl_rolling_fingerprint": q_rolling_fingerprint,
         "dl_embed_neardup_lsh": q_embed_neardup_lsh,
-        "ts_ewma": q_ewma,
         "ts_gaps": q_gaps,
         "ts_resample_linear": q_resample_linear,
         "ts_mrange_groupby_avg": q_mrange_groupby_avg,
@@ -2302,7 +2317,6 @@ def _base_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dl_lang_id": q_lang_id,
         "ts_range_latest": q_range_latest,
         "ts_incrby": q_incrby,
-        "ts_agg_twa_empty": q_agg_twa_empty,
         "ts_compaction_twa_1h": q_compaction_twa_1h,
         "ts_agg_empty_multi_twa": q_agg_empty_multi_twa,
         "ts_agg_align_literal": q_agg_align_literal,
