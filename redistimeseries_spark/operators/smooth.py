@@ -63,6 +63,7 @@ def ts_anomalies(
     start: int = MIN_TS,
     end: int = MAX_TS,
     flag_only: bool = False,
+    chunk_ms: int = SMOOTH_CHUNK_MS,
 ) -> DataFrame:
     """(key, ts, value, mean, std, zscore, anomaly) — rolling z-score
     outlier detection per series: each sample is compared against the
@@ -72,28 +73,131 @@ def ts_anomalies(
     variance get zscore NULL / anomaly false — there is no baseline to
     deviate from.
 
-    Pure window expressions (avg/stddev_samp over ROWS BETWEEN n
-    PRECEDING AND 1 PRECEDING): one key-partitioned sort, no Python —
-    over the key-bucketed layout the window needs no exchange.  NaN
-    samples are invalid everywhere and dropped first.  `flag_only=True`
-    keeps just the anomalous rows (the alerting consumer's shape)."""
+    SKEW-SAFE plan (round 9 — the `_bucket_chain` discipline generalized
+    to BOUNDED-WINDOW state): the rolling frame partitions by (key,
+    chunk_ms time-chunk), and each chunk's first rows get their missing
+    predecessors as CONTEXT ROWS — every chunk folds to the array of its
+    last <=window_n samples (one conditional aggregate), a tiny per-key
+    scan over the one-row-per-chunk frame computes each chunk's incoming
+    context (last n of the running concatenation — exact even when
+    chunks hold fewer than n samples), and the exploded context unions
+    with the real rows ahead of the same (key, chunk) window (context ts
+    always precedes the chunk, so ordering is natural; context rows are
+    dropped after the aggregates).  Every real row sees EXACTLY the same
+    preceding-sample multiset as the bare-key plan, retained as
+    `_ts_anomalies_key_window`, the fuzz-pinned differential twin.  NaN
+    samples are invalid everywhere and dropped first; duplicate
+    (key, ts) rows order deterministically by (ts, value).
+    `flag_only=True` keeps just the anomalous rows (the alerting
+    consumer's shape)."""
     if window_n < 2:
         raise ValueError("window_n must be >= 2")
     if z <= 0:
         raise ValueError("z must be positive")
-    df = samples.filter(~F.isnan("value"))
-    if keys is not None:
-        klist = [keys] if isinstance(keys, str) else list(keys)
-        df = df.filter(F.col("key").isin(klist))
-    if start > MIN_TS:
-        df = df.filter(F.col("ts") >= F.lit(start))
-    if end < MAX_TS:
-        df = df.filter(F.col("ts") <= F.lit(end))
+    if chunk_ms <= 0:
+        raise ValueError("chunk_ms must be positive")
     from pyspark.sql import Window
 
+    df = _filter_range(samples, keys, start, end)
+    d = df.select(
+        "key",
+        "ts",
+        "value",
+        (F.col("ts") - F.pmod(F.col("ts"), F.lit(chunk_ms))).alias("__c"),
+    )
+    wdesc = Window.partitionBy("key", "__c").orderBy(
+        F.col("ts").desc(), F.col("value").desc()
+    )
+    tails = (
+        d.select(
+            "key", "__c", "ts", "value",
+            F.row_number().over(wdesc).alias("__rd"),
+        )
+        .groupBy("key", "__c")
+        .agg(
+            F.sort_array(
+                F.collect_list(
+                    F.when(
+                        F.col("__rd") <= window_n, F.struct("ts", "value")
+                    )
+                )
+            ).alias("__tail")
+        )
+    )
+
+    ctx_schema = (
+        "key string, __c long, __ctx array<struct<ts: bigint, value: double>>"
+    )
+
+    def stitch(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values("__c").reset_index(drop=True)
+        ctxs, run = [], []
+        for tail in pdf["__tail"]:
+            ctxs.append(list(run))
+            run = (run + list(tail))[-window_n:]
+        return pd.DataFrame(
+            {"key": pdf["key"], "__c": pdf["__c"], "__ctx": ctxs}
+        )
+
+    ctx = tails.groupBy("key").applyInPandas(stitch, ctx_schema)
+    ctx_rows = ctx.select(
+        "key", "__c", F.explode("__ctx").alias("__e")
+    ).select(
+        "key",
+        "__c",
+        F.col("__e.ts").alias("ts"),
+        F.col("__e.value").alias("value"),
+        F.lit(1).alias("__is_ctx"),
+    )
+    unioned = d.withColumn("__is_ctx", F.lit(0)).unionByName(ctx_rows)
+    w = (
+        Window.partitionBy("key", "__c")
+        .orderBy("ts", "value")
+        .rowsBetween(-window_n, -1)
+    )
+    n_prev = F.count("value").over(w)
+    mean = F.avg("value").over(w)
+    std = F.stddev_samp("value").over(w)
+    zscore = F.when(
+        (n_prev >= window_n) & (std > 0),
+        (F.col("value") - mean) / std,
+    )
+    out = unioned.select(
+        "key",
+        "ts",
+        "value",
+        "__is_ctx",
+        F.when(n_prev >= window_n, mean).alias("mean"),
+        F.when(n_prev >= window_n, std).alias("std"),
+        zscore.alias("zscore"),
+        F.coalesce(F.abs(zscore) > z, F.lit(False)).alias("anomaly"),
+    ).filter(F.col("__is_ctx") == 0).drop("__is_ctx")
+    return out.filter("anomaly") if flag_only else out
+
+
+def _ts_anomalies_key_window(
+    samples: DataFrame,
+    window_n: int = 20,
+    z: float = 3.0,
+    keys: list[str] | str | None = None,
+    start: int = MIN_TS,
+    end: int = MAX_TS,
+    flag_only: bool = False,
+) -> DataFrame:
+    """The pre-round-9 plan — one bare-key rolling window (a hot series
+    sorts its whole history in one task).  Kept as the DIFFERENTIAL
+    REFERENCE for the chunk-context `ts_anomalies` and the comparison
+    arm of the hot-series probe."""
+    if window_n < 2:
+        raise ValueError("window_n must be >= 2")
+    if z <= 0:
+        raise ValueError("z must be positive")
+    from pyspark.sql import Window
+
+    df = _filter_range(samples, keys, start, end)
     w = (
         Window.partitionBy("key")
-        .orderBy("ts")
+        .orderBy("ts", "value")
         .rowsBetween(-window_n, -1)
     )
     n_prev = F.count("value").over(w)

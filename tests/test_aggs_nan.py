@@ -745,6 +745,75 @@ def test_holt_chunked_vs_sequential_differential(spark):
                     ), (trial, a, b, kk, got[kk], want[kk])
 
 
+def test_anomalies_chunked_vs_key_window_differential(spark):
+    """The round-9 chunk-context ts_anomalies (bounded-window state
+    carried as <=window_n-sample context arrays over the chunk frame) vs
+    the retained bare-key-window twin, under forced tiny chunks — sparse
+    chunks holding fewer than window_n samples (context spans MULTIPLE
+    previous chunks), NaNs, duplicate timestamps, flag_only.  Every real
+    row must see the identical preceding multiset, so values pin at
+    1e-9."""
+    import math
+    import random as _random
+
+    from redistimeseries_spark.operators.smooth import (
+        _ts_anomalies_key_window,
+        ts_anomalies,
+    )
+
+    rng = _random.Random(0xA404)
+    for trial in range(6):
+        n_w = rng.choice([3, 5, 20])
+        rows = []
+        for k in ("dense", "sparse"):
+            n = rng.randint(40, 80) if k == "dense" else rng.randint(5, 15)
+            for t in sorted(rng.sample(range(0, 60_000), n)):
+                v = float("nan") if rng.random() < 0.1 else rng.uniform(-5, 9)
+                rows.append((k, t, v))
+                if rng.random() < 0.08:
+                    rows.append((k, t, rng.uniform(-5, 9)))
+        sdf = spark.createDataFrame(rows, "key string, ts long, value double")
+
+        def by_key(res):
+            out = {}
+            for r in res:
+                out.setdefault((r.key, r.ts), []).append(
+                    (r.value, r.mean, r.std, r.zscore, r.anomaly)
+                )
+            return {
+                k: sorted(v, key=lambda x: (x[0], x[1] is None))
+                for k, v in out.items()
+            }
+
+        got = by_key(ts_anomalies(sdf, n_w, 2.0, chunk_ms=2000).collect())
+        want = by_key(_ts_anomalies_key_window(sdf, n_w, 2.0).collect())
+        assert set(got) == set(want), (trial, n_w)
+        for kk in got:
+            assert len(got[kk]) == len(want[kk]), (trial, kk)
+            for g, w in zip(got[kk], want[kk]):
+                assert g[4] == w[4], (trial, kk, g, w)  # anomaly flag
+                for i in range(4):
+                    if g[i] is None or w[i] is None:
+                        assert g[i] == w[i], (trial, kk, g, w)
+                    else:
+                        assert math.isclose(
+                            g[i], w[i], rel_tol=1e-9, abs_tol=1e-9
+                        ), (trial, n_w, kk, g, w)
+        fg = sorted(
+            (r.key, r.ts)
+            for r in ts_anomalies(
+                sdf, n_w, 2.0, chunk_ms=2000, flag_only=True
+            ).collect()
+        )
+        fw = sorted(
+            (r.key, r.ts)
+            for r in _ts_anomalies_key_window(
+                sdf, n_w, 2.0, flag_only=True
+            ).collect()
+        )
+        assert fg == fw, (trial, n_w)
+
+
 def test_resample_linear_and_locf(spark):
     """ts_resample: hand-computed linear interpolation and LOCF on a
     regular grid, coinciding samples returned exactly, NaN samples
