@@ -2202,7 +2202,12 @@ def _base_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # keep ts_counter_rate, ts_compaction_increase_1h, ts_delta,
     # ts_idelta, ts_irate in-window), dl_stream_semdedup (r8-green;
     # SemDeDup keeps dl_semdedup), ts_predict_linear (r8-green; the
-    # regression pair keeps ts_deriv).
+    # regression pair keeps ts_deriv).  Late round-9: ts_anomalies
+    # promotes back (its rolling frame moved from the bare-key window to
+    # the chunk-context plan this round — the driver should gate the NEW
+    # plan); dl_cross_contaminated (driver-green r5-r8; contamination
+    # keeps dl_eval_contamination + dl_substring_contaminated in-window)
+    # rotates to the tail.
     return {
         # --- checked prefix: one representative per operator family -----
         "ts_range_raw": q_range_raw,
@@ -2239,7 +2244,7 @@ def _base_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ts_hist_quantile": q_hist_quantile,
         "ts_counter_rate": q_counter_rate,
         "ts_resample_locf": q_resample_locf,
-        "dl_cross_contaminated": q_cross_contaminated,
+        "ts_anomalies": q_anomalies,
         "ts_topk": q_topk,
         "dl_dedup_lines": q_dedup_lines,
         "ts_compaction_increase_1h": q_compaction_increase_1h,
@@ -2263,7 +2268,7 @@ def _base_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ts_counter_increase": q_counter_increase,
         "dl_stream_semdedup": q_stream_semdedup,
         "ts_predict_linear": q_predict_linear,
-        "ts_anomalies": q_anomalies,
+        "dl_cross_contaminated": q_cross_contaminated,
         "dl_rrf_fuse": q_rrf_fuse,
         "dl_mixture_sample": q_mixture_sample,
         "dl_mm_decode": q_mm_decode,

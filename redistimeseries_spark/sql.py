@@ -36,7 +36,8 @@ def _ts_tvf_sql(p: str) -> list[str]:
     over the `<p>samples` view, one per beyond-reference TS companion, so
     the `spark.sql` surface matches the Python facade (engine.topk /
     deriv / changes / resets / predict_linear / value_histogram /
-    resample / holt — named `<p><op>`, so two stores registered under
+    resample / holt / ewma / anomalies / mad / outlier_mad /
+    hist_quantile — named `<p><op>`, so two stores registered under
     different prefixes keep independent function sets).  Bodies are the
     operators' exact plans re-expressed
     declaratively — Catalyst inlines them at the call site, so `SELECT *
@@ -406,6 +407,54 @@ def _ts_tvf_sql(p: str) -> list[str]:
                    element_at(st.ls, pos + 1) AS level,
                    element_at(st.bs, pos + 1) AS trend
             FROM sm LATERAL VIEW posexplode(a) t AS pos, p""",
+        # rolling z-score anomalies (smooth.ts_anomalies); a SQL window
+        # frame bound must be a PARSE-TIME literal, so `window_n` cannot
+        # parameterize `ROWS BETWEEN n PRECEDING` — instead a running
+        # collect_list gathers each row's predecessors and slice() takes
+        # the last window_n (O(n^2) per key; SQL twin only, the
+        # chunk-context facade is the scale path).  Guards mirror the
+        # facade's ValueErrors ({p}hist_quantile's raise_error pattern);
+        # NULL tail (fewer than window_n predecessors) propagates NULL
+        # mean/std/zscore and anomaly=false, and a zero-variance window
+        # yields std=0 -> zscore NULL, exactly the facade's rules.
+        f"""CREATE OR REPLACE TEMPORARY FUNCTION {p}anomalies(
+                window_n INT, z DOUBLE)
+            RETURNS TABLE (key STRING, ts BIGINT, value DOUBLE,
+                           mean DOUBLE, std DOUBLE, zscore DOUBLE,
+                           anomaly BOOLEAN)
+            RETURN WITH e AS (
+              SELECT key, ts, value,
+                collect_list(value) OVER (PARTITION BY key
+                  ORDER BY ts, value
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS prev
+              FROM {p}samples WHERE {nn}),
+            r AS (
+              SELECT key, ts, value,
+                CASE WHEN window_n < 2 THEN CAST(raise_error(concat(
+                       '{p}anomalies: window_n must be >= 2, got ',
+                       CAST(window_n AS STRING))) AS ARRAY<DOUBLE>)
+                     WHEN z <= 0D THEN CAST(raise_error(concat(
+                       '{p}anomalies: z must be positive, got ',
+                       CAST(z AS STRING))) AS ARRAY<DOUBLE>)
+                     WHEN size(prev) >= window_n
+                       THEN slice(prev, size(prev) - window_n + 1, window_n)
+                END AS tail
+              FROM e),
+            m AS (
+              SELECT key, ts, value, tail,
+                aggregate(tail, 0D, (s, x) -> s + x) / size(tail) AS mn
+              FROM r),
+            s AS (
+              SELECT key, ts, value, mn,
+                sqrt(aggregate(tail, 0D, (s2, x) -> s2 + (x - mn) * (x - mn))
+                     / (size(tail) - 1)) AS sd
+              FROM m)
+            SELECT key, ts, value, mn AS mean, sd AS std,
+              CASE WHEN sd > 0 THEN (value - mn) / sd END AS zscore,
+              coalesce(CASE WHEN sd > 0
+                            THEN abs((value - mn) / sd) > z END,
+                       false) AS anomaly
+            FROM s""",
     ]
 
 

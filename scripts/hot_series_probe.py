@@ -73,8 +73,10 @@ def main():
     # round-9 arms: EMPTY-path TWA (spine + neighbor gathers) and the
     # chunk-affine smoothers vs their retained sequential twins
     from redistimeseries_spark.operators.smooth import (
+        _ts_anomalies_key_window,
         _ts_ewma_sequential,
         _ts_holt_sequential,
+        ts_anomalies,
         ts_ewma,
         ts_holt,
     )
@@ -88,6 +90,7 @@ def main():
     )
     out["ewma_chunked_sec"] = timed(lambda: ts_ewma(df, 0.3))
     out["holt_chunked_sec"] = timed(lambda: ts_holt(df, 0.4, 0.2))
+    out["anomalies_chunked_sec"] = timed(lambda: ts_anomalies(df, 20, 3.0))
     if not skip_old:
         out["key_window_sec"] = timed(
             lambda: _key_window_chain(
@@ -102,6 +105,9 @@ def main():
         )
         out["ewma_key_sec"] = timed(lambda: _ts_ewma_sequential(df, 0.3))
         out["holt_key_sec"] = timed(lambda: _ts_holt_sequential(df, 0.4, 0.2))
+        out["anomalies_key_sec"] = timed(
+            lambda: _ts_anomalies_key_window(df, 20, 3.0)
+        )
     # sanity: same bucket count both ways (cheap recompute at n/100)
     small = spark.range(n // 100).select(
         F.lit("hot").alias("key"),
@@ -116,6 +122,9 @@ def main():
     e1 = ts_ewma(small, 0.3).count()
     e2 = _ts_ewma_sequential(small, 0.3).count()
     out["equiv_ewma_rows"] = (e1, e2, e1 == e2)
+    a1 = ts_anomalies(small, 20, 3.0, flag_only=True).count()
+    a2 = _ts_anomalies_key_window(small, 20, 3.0, flag_only=True).count()
+    out["equiv_anomaly_flags"] = (a1, a2, a1 == a2)
     print(json.dumps(out))
 
 

@@ -187,6 +187,18 @@ def test_sql_table_functions_match_operators(spark, samples_df):
          __import__(
              "redistimeseries_spark.operators.smooth", fromlist=["ts_ewma"]
          ).ts_ewma(st.samples, 0.4)),
+        # round-9: rolling z-score anomalies TVF twin (running-collect +
+        # slice — a frame bound cannot be a TVF parameter)
+        ("SELECT * FROM ts_anomalies(3, 1.0)",
+         __import__(
+             "redistimeseries_spark.operators.smooth",
+             fromlist=["ts_anomalies"],
+         ).ts_anomalies(st.samples, 3, 1.0)),
+        ("SELECT * FROM ts_anomalies(2, 0.5)",
+         __import__(
+             "redistimeseries_spark.operators.smooth",
+             fromlist=["ts_anomalies"],
+         ).ts_anomalies(st.samples, 2, 0.5)),
     ]
     for sql_q, op_df in cases:
         assert key_rows(spark.sql(sql_q)) == key_rows(op_df), sql_q
@@ -212,6 +224,11 @@ def test_sql_table_functions_match_operators(spark, samples_df):
     # instead of silently interpolating past the array
     with _pytest.raises(Exception, match="unsupported agg"):
         spark.sql(f"SELECT * FROM ts_topk({dur}, 1, 'p200', false)").collect()
+    # anomalies arg guards mirror the facade's ValueErrors
+    with _pytest.raises(Exception, match="window_n must be >= 2"):
+        spark.sql("SELECT * FROM ts_anomalies(1, 1.0)").collect()
+    with _pytest.raises(Exception, match="z must be positive"):
+        spark.sql("SELECT * FROM ts_anomalies(3, 0.0)").collect()
     # dead-branch elimination: a core-five call must never build the
     # percentile arm's O(bucket) collect_list buffer (the two UNION arms
     # carry constant-foldable HAVING predicates; PropagateEmptyRelation
