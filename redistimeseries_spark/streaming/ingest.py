@@ -66,6 +66,15 @@ def _pk(col):
     return F.pmod(F.hash(col), F.lit(LATEST_BUCKETS))
 
 
+class StoreCompactingError(RuntimeError):
+    """A read raced the ingest log's compaction rename-swap (the store's
+    `_compacting` marker is present): the log is mid-swap, not lost —
+    and definitely not EMPTY, which is what the empty-safe read would
+    otherwise report.  RETRYABLE — re-issue once the swap finishes
+    (sub-second; the marker is removed at the end of compact()).  The
+    ingest-log twin of pipeline.retrieval.IndexCompactingError."""
+
+
 @dataclass
 class StreamingStore:
     spark: SparkSession
@@ -107,17 +116,32 @@ class StreamingStore:
     def rule_dir(self, rule: CompactionRule):
         return os.path.join(self.root, f"rule{rule.dest_suffix}")
 
+    @property
+    def _compacting_marker(self):
+        return os.path.join(self.root, "_compacting")
+
     def _empty_read(self, path, schema) -> DataFrame | None:
         """Spark read of a maybe-absent state path: only "no state yet" is
         recoverable (error-class matched, correct for remote URIs where
         os.path checks lie — same pattern as pipeline/streaming_dedup);
-        returns None when the path doesn't exist."""
+        returns None when the path doesn't exist.  EXCEPT while the
+        store's `_compacting` marker is up: then a missing path means the
+        read raced compact()'s rename-swap, and treating it as "no state"
+        would silently answer from an EMPTY log — raise the typed
+        retryable error instead (the index stores' ADVICE-r8 rule)."""
         from pyspark.errors import AnalysisException
 
         try:
             df = self.spark.read.parquet(path)
         except AnalysisException as exc:
             if "PATH_NOT_FOUND" in str(exc) or "Path does not exist" in str(exc):
+                if os.path.exists(self._compacting_marker):
+                    raise StoreCompactingError(
+                        f"ingest store at {self.root} is mid-compaction "
+                        f"(its _compacting marker is present) and "
+                        f"{path} vanished under this read — retry after "
+                        f"the compaction pass finishes"
+                    ) from exc
                 return None
             raise
         return df
@@ -682,7 +706,20 @@ class StreamingStore:
             .partitionBy("__day")
             .parquet(tmp)
         )
-        self._swap(tmp, self.log_dir)
+        # marker up only for the swap window: a reader racing the
+        # rmtree->rename gets the typed retryable StoreCompactingError
+        # instead of a silently-empty log (see _empty_read).  A stale
+        # marker (crash mid-swap) only adds a retry hint to missing-path
+        # errors — the next compact() pass removes it.
+        with open(self._compacting_marker, "w"):
+            pass
+        try:
+            self._swap(tmp, self.log_dir)
+        finally:
+            try:
+                os.remove(self._compacting_marker)
+            except OSError:
+                pass
 
 
 def start_ingest(

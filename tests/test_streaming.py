@@ -237,6 +237,35 @@ def test_ingest_log_auto_compaction_bounds_files(spark, dirs):
     assert ctrl.log_file_count() > n_files
 
 
+def test_ingest_log_compacting_marker(spark, dirs):
+    """A read racing compact()'s rename-swap must raise the typed
+    retryable StoreCompactingError, NOT silently answer from an "empty"
+    log (the _empty_read no-state-yet rescue).  And a normal compact()
+    leaves no marker behind."""
+    import shutil
+
+    import pytest
+
+    from redistimeseries_spark.streaming.ingest import StoreCompactingError
+
+    store = StreamingStore(spark, os.path.join(dirs, "store"), "last", [])
+    write_input(spark, dirs, [("k", 100, 1.0)], "b1")
+    drain(spark, dirs, store)
+    store.compact()
+    assert not os.path.exists(store._compacting_marker)
+    assert [(r.ts, r.value) for r in store.samples().collect()] == [(100, 1.0)]
+
+    # simulate the mid-swap window: marker up, log dir momentarily gone
+    shutil.rmtree(store.log_dir)
+    with open(store._compacting_marker, "w"):
+        pass
+    with pytest.raises(StoreCompactingError, match="mid-compaction"):
+        store.samples().collect()
+    # marker down -> the same missing path is a genuine "no state yet"
+    os.remove(store._compacting_marker)
+    assert store.samples().count() == 0
+
+
 def test_tail_read_block_and_timeout(spark, dirs):
     store = StreamingStore(spark, os.path.join(dirs, "store"), "last", [])
     write_input(spark, dirs, [("k", 0, 1.0), ("k", 10, 2.0)], "b1")
