@@ -80,10 +80,17 @@ def ts_resample(
         .orderBy("ts", F.col("__s").desc())
         .rowsBetween(Window.unboundedPreceding, 0)
     )
-    wf = (
+    # the forward gather runs as a GROWING frame under the REVERSED sort:
+    # Spark evaluates a growing frame incrementally but recomputes a
+    # shrinking `rowsBetween(0, unboundedFollowing)` frame from scratch
+    # per row — O(n^2) per key, a hot-series funnel (measured 52 s for a
+    # 27.8k-row frame on the TWA spine before the same fix).  last()
+    # over (ts DESC, __s ASC) up to the current row sees exactly the
+    # rows the forward frame saw, nearest-first.
+    wf_rev = (
         Window.partitionBy("key")
-        .orderBy("ts", F.col("__s").desc())
-        .rowsBetween(0, Window.unboundedFollowing)
+        .orderBy(F.col("ts").desc(), F.col("__s").asc())
+        .rowsBetween(Window.unboundedPreceding, 0)
     )
     sample_ts = F.when(F.col("__s") == 1, F.col("ts"))
     enriched = u.select(
@@ -92,8 +99,8 @@ def ts_resample(
         "__s",
         F.last("value", ignorenulls=True).over(wb).alias("__pv"),
         F.last(sample_ts, ignorenulls=True).over(wb).alias("__pt"),
-        F.first("value", ignorenulls=True).over(wf).alias("__nv"),
-        F.first(sample_ts, ignorenulls=True).over(wf).alias("__nt"),
+        F.last("value", ignorenulls=True).over(wf_rev).alias("__nv"),
+        F.last(sample_ts, ignorenulls=True).over(wf_rev).alias("__nt"),
     ).filter(F.col("__s") == 0)
     if method == "locf":
         val = F.col("__pv")

@@ -170,15 +170,43 @@ def twa_buckets_expr(
     return _twa_stitch(agg, dur, start, end)
 
 
+def _twa_value_col(dur: int, start: int, end: int, larea, fts, fv, lts,
+                   lastv, plts, plv, nfts, nfv):
+    """The cross-bucket boundary-term TWA value as ONE column expression
+    over per-bucket columns: in-bucket trapezoid area `larea`, the
+    bucket's first/last sample (fts/fv, lts/lastv), the previous
+    non-empty bucket's last (plts/plv) and the next non-empty bucket's
+    first (nfts/nfv).  Shared by the non-EMPTY stitch (_twa_stitch) and
+    the round-9 EMPTY path, which computes the same value on its wider
+    per-bucket frame so the aggregation pipeline runs ONCE."""
+    rng_end = float(min(end, MAX_TS))
+    b = F.col("__bucket")
+    ta = F.greatest(b.cast("double"), F.lit(float(start)))
+    tb = F.least(b.cast("double") + F.lit(float(dur)), F.lit(rng_end))
+    opens = plts.isNotNull()
+    closes = nfts.isNotNull()
+    vab_open = plv + (ta - plts) * (fv - plv) / (fts - plts)
+    vab_close = lastv + (tb - lts) * (nfv - lastv) / (nfts - lts)
+    res = (
+        F.coalesce(larea, F.lit(0.0))
+        + F.when(opens, (vab_open + fv) * (fts - ta) / 2.0).otherwise(0.0)
+        + F.when(closes, (vab_close + lastv) * (tb - lts) / 2.0).otherwise(0.0)
+    )
+    first_ts = F.when(opens, ta).otherwise(fts)
+    last_ts = F.when(closes, tb).otherwise(lts)
+    return F.when(last_ts == first_ts, lastv).otherwise(
+        res / F.abs(last_ts - first_ts)
+    )
+
+
 def _twa_stitch(agg: DataFrame, dur: int, start: int, end: int) -> DataFrame:
     """Cross-bucket boundary-term stitch over the per-bucket aggregated
     frame — `agg` has one row per NON-EMPTY (key, __bucket) with columns
     (__larea, fts, fv, lts, lastv); a lag+lead over key costs #buckets
-    rows.  Shared by the non-EMPTY path (twa_buckets_expr) and the
-    round-9 EMPTY path (twa_buckets_empty_expr)."""
+    rows.  Used by the non-EMPTY path (twa_buckets_expr); the EMPTY path
+    inlines the same `_twa_value_col` on its own per-bucket frame."""
     from pyspark.sql import Window
 
-    rng_end = float(min(end, MAX_TS))
     wk = Window.partitionBy("key").orderBy("__bucket")
     st = agg.select(
         "key", "__bucket", "__larea", "fts", "fv", "lts", "lastv",
@@ -187,32 +215,15 @@ def _twa_stitch(agg: DataFrame, dur: int, start: int, end: int) -> DataFrame:
         F.lead("fts").over(wk).alias("nfts"),
         F.lead("fv").over(wk).alias("nfv"),
     )
-    b = F.col("__bucket")
-    ta = F.greatest(b.cast("double"), F.lit(float(start)))
-    tb = F.least(b.cast("double") + F.lit(float(dur)), F.lit(rng_end))
-    opens = F.col("plts").isNotNull()
-    closes = F.col("nfts").isNotNull()
-    vab_open = F.col("plv") + (ta - F.col("plts")) * (
-        F.col("fv") - F.col("plv")
-    ) / (F.col("fts") - F.col("plts"))
-    vab_close = F.col("lastv") + (tb - F.col("lts")) * (
-        F.col("nfv") - F.col("lastv")
-    ) / (F.col("nfts") - F.col("lts"))
-    res = (
-        F.coalesce(F.col("__larea"), F.lit(0.0))
-        + F.when(opens, (vab_open + F.col("fv")) * (F.col("fts") - ta) / 2.0)
-        .otherwise(0.0)
-        + F.when(closes, (vab_close + F.col("lastv")) * (tb - F.col("lts")) / 2.0)
-        .otherwise(0.0)
-    )
-    first_ts = F.when(opens, ta).otherwise(F.col("fts"))
-    last_ts = F.when(closes, tb).otherwise(F.col("lts"))
     return st.select(
         "key",
         "__bucket",
-        F.when(last_ts == first_ts, F.col("lastv"))
-        .otherwise(res / F.abs(last_ts - first_ts))
-        .alias("twa"),
+        _twa_value_col(
+            dur, start, end,
+            F.col("__larea"), F.col("fts"), F.col("fv"), F.col("lts"),
+            F.col("lastv"), F.col("plts"), F.col("plv"), F.col("nfts"),
+            F.col("nfv"),
+        ).alias("twa"),
     )
 
 
@@ -244,9 +255,7 @@ def twa_buckets_empty_expr(
     rng_end = float(min(end, MAX_TS))
     valid = df.filter(~F.isnan("value"))
     wloc = Window.partitionBy("key", "__bucket").orderBy("ts", "value")
-    wlocd = Window.partitionBy("key", "__bucket").orderBy(
-        F.col("ts").desc(), F.col("value").desc()
-    )
+    wcnt = Window.partitionBy("key", "__bucket")
     d = valid.select(
         "key",
         "ts",
@@ -255,7 +264,12 @@ def twa_buckets_empty_expr(
         F.lag("ts").over(wloc).alias("pts"),
         F.lag("value").over(wloc).alias("pv"),
         F.row_number().over(wloc).alias("__ra"),
-        F.row_number().over(wlocd).alias("__rd"),
+        # rank-from-the-end WITHOUT a second (desc) sort: the unordered
+        # count shares wloc's partitioning, so one local sort serves
+        # every per-sample window in the plan
+        (
+            F.count(F.lit(1)).over(wcnt) - F.row_number().over(wloc) + 1
+        ).alias("__rd"),
     )
     ts, v = F.col("ts").cast("double"), F.col("value")
     pts, pv = F.col("pts").cast("double"), F.col("pv")
@@ -269,32 +283,13 @@ def twa_buckets_empty_expr(
         F.max(F.when(F.col("__rd") == 2, F.struct("ts", "value"))).alias("__l2"),
         F.count(F.lit(1)).alias("__n"),
     )
-    nonempty = _twa_stitch(
-        perb.select(
-            "key",
-            "__bucket",
-            "__larea",
-            F.col("__f.ts").cast("double").alias("fts"),
-            F.col("__f.value").alias("fv"),
-            F.col("__l.ts").cast("double").alias("lts"),
-            F.col("__l.value").alias("lastv"),
-        ),
-        dur,
-        start,
-        end,
-    )
-    # spine bounds come from ALL rows (NaN-only buckets extend the span,
-    # exactly the kernel's `ball`); sequence's step matches the aligned
-    # bucket grid
-    bounds = df.groupBy("key").agg(
-        F.min("__bucket").alias("__lo"), F.max("__bucket").alias("__hi")
-    )
-    spine = bounds.select(
-        "key",
-        F.explode(
-            F.sequence(F.col("__lo"), F.col("__hi"), F.lit(int(dur)))
-        ).alias("__bucket"),
-    )
+    # ONE per-bucket frame carries BOTH the non-empty TWA value and the
+    # empty-bucket neighbor structs (pen/nxt), so the #samples-sized
+    # aggregation pipeline executes ONCE — the first cut of this plan
+    # built `nonempty` and the neighbor frame as separate branches from
+    # `perb` and Catalyst ran the whole source scan + sort + aggregation
+    # TWICE (no ReusedExchange across the differing projections): 3 scans
+    # of a 100M-row series measured 50 s where this shape takes ~20
     wke = Window.partitionBy("key").orderBy("__bucket")
     nbf = perb.select(
         "key",
@@ -312,19 +307,60 @@ def twa_buckets_empty_expr(
         F.when(F.col("__n") >= 2, F.col("__f2"))
         .otherwise(F.lead("__f").over(wke))
         .alias("__nxt"),
+        _twa_value_col(
+            dur, start, end,
+            F.col("__larea"),
+            F.col("__f.ts").cast("double"),
+            F.col("__f.value"),
+            F.col("__l.ts").cast("double"),
+            F.col("__l.value"),
+            F.lag(F.col("__l.ts").cast("double")).over(wke),
+            F.lag("__l.value").over(wke),
+            F.lead(F.col("__f.ts").cast("double")).over(wke),
+            F.lead("__f.value").over(wke),
+        ).alias("twa"),
+    )
+    # spine bounds come from ALL rows (NaN-only buckets extend the span,
+    # exactly the kernel's `ball`); sequence's step matches the aligned
+    # bucket grid
+    bounds = df.groupBy("key").agg(
+        F.min("__bucket").alias("__lo"), F.max("__bucket").alias("__hi")
+    )
+    spine = bounds.select(
+        "key",
+        F.explode(
+            F.sequence(F.col("__lo"), F.col("__hi"), F.lit(int(dur)))
+        ).alias("__bucket"),
     )
     full = spine.join(nbf, ["key", "__bucket"], "left")
-    wsp = Window.partitionBy("key").orderBy("__bucket")
-    before = wsp.rowsBetween(Window.unboundedPreceding, -1)
-    after = wsp.rowsBetween(1, Window.unboundedFollowing)
+    # BOTH gather directions run as GROWING frames (unboundedPreceding
+    # .. -1): Spark evaluates a growing frame incrementally (O(1)/row)
+    # but RECOMPUTES a shrinking unboundedFollowing frame from scratch
+    # for every row — the natural `first(...).over(rowsBetween(1,
+    # unboundedFollowing))` phrasing is O(#buckets^2) per key and
+    # measured 52 s on a 27.8k-bucket spine where this shape takes <1 s.
+    # "First non-null to the RIGHT in ascending order" == "last non-null
+    # seen so far scanning in DESCENDING order", so the right-side
+    # gathers just flip the sort.
+    before = (
+        Window.partitionBy("key")
+        .orderBy("__bucket")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    after_rev = (
+        Window.partitionBy("key")
+        .orderBy(F.col("__bucket").desc())
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
     g = full.select(
         "key",
         "__bucket",
         "__n",
+        "twa",
         F.last("__l", ignorenulls=True).over(before).alias("__L1"),
         F.last("__pen", ignorenulls=True).over(before).alias("__L2"),
-        F.first("__f", ignorenulls=True).over(after).alias("__R0"),
-        F.first("__nxt", ignorenulls=True).over(after).alias("__R1"),
+        F.last("__f", ignorenulls=True).over(after_rev).alias("__R0"),
+        F.last("__nxt", ignorenulls=True).over(after_rev).alias("__R1"),
     )
     b = F.col("__bucket")
     ta = F.greatest(b.cast("double"), F.lit(float(start)))
@@ -354,7 +390,7 @@ def twa_buckets_empty_expr(
         .when(tl1.isNull() & tr1.isNotNull() & near_r & keep_r, vr0)
         .when(tr0.isNull() & tl2.isNotNull() & near_l & keep_l, vl1)
     )
-    return g.join(nonempty, ["key", "__bucket"], "left").select(
+    return g.select(
         "key",
         "__bucket",
         F.when(F.col("__n").isNotNull(), F.col("twa")).otherwise(fill).alias(

@@ -340,12 +340,12 @@ def _ts_tvf_sql(p: str) -> list[str]:
                 last(CASE WHEN __s = 1 THEN ts END, true) OVER
                   (PARTITION BY key ORDER BY ts, __s DESC
                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS __pt,
-                first(value, true) OVER
-                  (PARTITION BY key ORDER BY ts, __s DESC
-                   ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS __nv,
-                first(CASE WHEN __s = 1 THEN ts END, true) OVER
-                  (PARTITION BY key ORDER BY ts, __s DESC
-                   ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS __nt
+                last(value, true) OVER
+                  (PARTITION BY key ORDER BY ts DESC, __s ASC
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS __nv,
+                last(CASE WHEN __s = 1 THEN ts END, true) OVER
+                  (PARTITION BY key ORDER BY ts DESC, __s ASC
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS __nt
               FROM u)
             SELECT key, ts,
               CASE WHEN method NOT IN ('locf', 'linear')

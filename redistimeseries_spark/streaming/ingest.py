@@ -398,10 +398,17 @@ class StreamingStore:
             core.select("key", F.col("ts").alias("__t"), F.col("ts").alias("__s"))
         )
         w = Window.partitionBy("key").orderBy("__t")
+        # __next runs as a GROWING frame under the reversed sort: Spark
+        # recomputes a shrinking unboundedFollowing frame from scratch per
+        # row (O(span^2); see operators/twa.py's spine-gather note) — the
+        # desc-ordered growing frame sees the same at-or-after rows
+        # incrementally (equal-__t peers are in-frame either way, and any
+        # sample peer carries __s == __t, so tie order is immaterial)
+        w_rev = Window.partitionBy("key").orderBy(F.col("__t").desc())
         pts = pts.withColumn(
             "__prev", F.last("__s", True).over(w.rangeBetween(Window.unboundedPreceding, -1))
         ).withColumn(
-            "__next", F.first("__s", True).over(w.rangeBetween(0, Window.unboundedFollowing))
+            "__next", F.last("__s", True).over(w_rev.rangeBetween(Window.unboundedPreceding, 0))
         )
         neighbors = (
             pts.filter(F.col("__s").isNull())
