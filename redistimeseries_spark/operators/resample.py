@@ -11,15 +11,32 @@ key's observed [min_ts, max_ts] span —
     linear:  straight line between the bracketing valid samples
              (exactly the sample's value when one sits on the grid point)
 
-Spark shape — no Python anywhere: the grid is a per-key bounded
-`sequence()` (the EMPTY-spine discipline: never generate beyond observed
-data), grid points UNION with the samples, and ONE window pass per
-direction (`last(..., ignorenulls)` looking back, `first(...,
-ignorenulls)` looking forward) attaches the bracketing samples to every
-grid row.  A coinciding sample orders BEFORE its grid point, so the
+Spark shape — no Python anywhere, SKEW-SAFE (late round 9; the
+chunk-context discipline of smooth.ts_anomalies): the grid is a per-key
+bounded `sequence()` (the EMPTY-spine discipline: never generate beyond
+observed data), grid points UNION with the samples, and the bracketing
+gathers run under (key, time-chunk) windows — a pathologically hot
+series sorts in parallel across its time span instead of inside one
+task.  Grid rows whose bracket lives outside their chunk take it from
+the chunk-context frame: per-chunk first/last sample aggregates (one
+sortless map-side aggregation) hang off the key's chunk spine, and one
+growing-frame gather per direction hands every chunk its nearest
+neighbors; a co-partitioned join patches the local nulls.  Both gather
+directions are GROWING frames (`unboundedPreceding .. k`) — Spark
+recomputes a shrinking `k .. unboundedFollowing` frame from scratch per
+row, O(n^2) per partition (measured 143.9 s for ONE KEY at 100k rows
+under the original phrasing) — the right-side gathers flip the sort
+instead.  A coinciding sample orders BEFORE its grid point, so the
 backward window already carries it and both methods return the sample
-value exactly.  NaN samples are invalid everywhere (isValueValid) and
-are dropped before any of this.
+value exactly.  Duplicate (key, ts) samples resolve by the (ts, value)
+last-wins rule (rate._last_pair): both brackets read the max-value
+duplicate.  NaN samples are invalid everywhere (isValueValid) and are
+dropped before any of this.
+
+`_ts_resample_key_window` retains the bare-key-window plan as the
+differential twin (fuzz-pinned equal under forced tiny chunks); the
+`{p}resample` SQL TVF mirrors the twin's simpler shape — the facade is
+the scale path (the ewma/holt TVF convention).
 """
 
 from __future__ import annotations
@@ -31,29 +48,14 @@ from redistimeseries_spark import MAX_TS, MIN_TS
 
 METHODS = ("locf", "linear")
 
+# ~4.7 h of millis — the rate/smooth chunking constant: parallelism
+# grows along a hot series' time span
+RESAMPLE_CHUNK_MS = 1 << 24
 
-def ts_resample(
-    samples: DataFrame,
-    step_ms: int,
-    method: str = "linear",
-    keys: list[str] | str | None = None,
-    start: int = MIN_TS,
-    end: int = MAX_TS,
-) -> DataFrame:
-    """(key, ts, value) — one row per grid point; keys whose span contains
-    no grid point (short series between two grid lines) emit nothing."""
-    if step_ms <= 0:
-        raise ValueError("step_ms must be positive")
-    if method not in METHODS:
-        raise ValueError(f"method must be one of {METHODS}")
-    df = samples.filter(~F.isnan("value"))
-    if keys is not None:
-        klist = [keys] if isinstance(keys, str) else list(keys)
-        df = df.filter(F.col("key").isin(klist))
-    if start > MIN_TS:
-        df = df.filter(F.col("ts") >= F.lit(start))
-    if end < MAX_TS:
-        df = df.filter(F.col("ts") <= F.lit(end))
+
+def _grid_union(df: DataFrame, step_ms: int):
+    """samples ∪ per-key grid rows (__s = 1 sample / 0 grid), with the
+    key's observed bounds kept on the side for spine construction."""
     bounds = df.groupBy("key").agg(
         F.min("ts").alias("__lo"), F.max("ts").alias("__hi")
     )
@@ -73,23 +75,163 @@ def ts_resample(
         grid.select("key", "ts", F.lit(None).cast("double").alias("value"),
                     F.lit(0).alias("__s"))
     )
-    # samples order BEFORE a coinciding grid point: the backward frame
-    # then already contains them
+    return u, bounds
+
+
+def _filtered(samples, keys, start, end):
+    df = samples.filter(~F.isnan("value"))
+    if keys is not None:
+        klist = [keys] if isinstance(keys, str) else list(keys)
+        df = df.filter(F.col("key").isin(klist))
+    if start > MIN_TS:
+        df = df.filter(F.col("ts") >= F.lit(start))
+    if end < MAX_TS:
+        df = df.filter(F.col("ts") <= F.lit(end))
+    return df
+
+
+def _resample_value(method: str):
+    if method == "locf":
+        return F.col("__pv")
+    return (
+        F.when(F.col("__pt") == F.col("ts"), F.col("__pv"))
+        .when(
+            F.col("__nt").isNull(), F.col("__pv")  # tail grid point ==
+            # max_ts only when max_ts is ON the grid, handled above;
+            # kept for safety
+        )
+        .otherwise(
+            F.col("__pv")
+            + (F.col("__nv") - F.col("__pv"))
+            * (F.col("ts") - F.col("__pt"))
+            / (F.col("__nt") - F.col("__pt"))
+        )
+    )
+
+
+def ts_resample(
+    samples: DataFrame,
+    step_ms: int,
+    method: str = "linear",
+    keys: list[str] | str | None = None,
+    start: int = MIN_TS,
+    end: int = MAX_TS,
+    chunk_ms: int = RESAMPLE_CHUNK_MS,
+) -> DataFrame:
+    """(key, ts, value) — one row per grid point; keys whose span contains
+    no grid point (short series between two grid lines) emit nothing.
+    See the module docstring for the chunk-local plan."""
+    if step_ms <= 0:
+        raise ValueError("step_ms must be positive")
+    if method not in METHODS:
+        raise ValueError(f"method must be one of {METHODS}")
+    if chunk_ms <= 0:
+        raise ValueError("chunk_ms must be positive")
+    df = _filtered(samples, keys, start, end)
+    u, bounds = _grid_union(df, step_ms)
+    c = (F.col("ts") - F.pmod(F.col("ts"), F.lit(chunk_ms))).alias("__c")
+    u = u.select("key", "ts", "value", "__s", c)
+    # chunk-LOCAL brackets; (ts, value) duplicate rule: the max-value
+    # duplicate sorts last in both frames, so last() reads it
     wb = (
-        Window.partitionBy("key")
-        .orderBy("ts", F.col("__s").desc())
+        Window.partitionBy("key", "__c")
+        .orderBy("ts", F.col("__s").desc(), "value")
         .rowsBetween(Window.unboundedPreceding, 0)
     )
-    # the forward gather runs as a GROWING frame under the REVERSED sort:
-    # Spark evaluates a growing frame incrementally but recomputes a
-    # shrinking `rowsBetween(0, unboundedFollowing)` frame from scratch
-    # per row — O(n^2) per key, a hot-series funnel (measured 52 s for a
-    # 27.8k-row frame on the TWA spine before the same fix).  last()
-    # over (ts DESC, __s ASC) up to the current row sees exactly the
-    # rows the forward frame saw, nearest-first.
+    wf_rev = (
+        Window.partitionBy("key", "__c")
+        .orderBy(F.col("ts").desc(), F.col("__s").asc(), F.col("value").asc())
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    sample_ts = F.when(F.col("__s") == 1, F.col("ts"))
+    e = u.select(
+        "key",
+        "ts",
+        "__s",
+        "__c",
+        F.last("value", ignorenulls=True).over(wb).alias("__pv"),
+        F.last(sample_ts, ignorenulls=True).over(wb).alias("__pt"),
+        F.last("value", ignorenulls=True).over(wf_rev).alias("__nv"),
+        F.last(sample_ts, ignorenulls=True).over(wf_rev).alias("__nt"),
+    ).filter(F.col("__s") == 0)
+    # chunk-context frame: per-chunk first/last sample (sortless map-side
+    # aggregation over the raw samples — max/min of the (ts, value)
+    # struct embeds the duplicate rule), hung on the key's full chunk
+    # spine so runs of sample-free chunks still see their neighbors
+    pc = df.groupBy(
+        "key", (F.col("ts") - F.pmod(F.col("ts"), F.lit(chunk_ms))).alias("__c")
+    ).agg(
+        F.min(F.struct("ts", "value")).alias("__f"),
+        F.max(F.struct("ts", "value")).alias("__l"),
+    )
+    spine = bounds.select(
+        "key",
+        F.explode(
+            F.sequence(
+                F.col("__lo") - F.pmod(F.col("__lo"), F.lit(chunk_ms)),
+                F.col("__hi") - F.pmod(F.col("__hi"), F.lit(chunk_ms)),
+                F.lit(chunk_ms),
+            )
+        ).alias("__c"),
+    )
+    wkb = (
+        Window.partitionBy("key")
+        .orderBy("__c")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    wkf_rev = (
+        Window.partitionBy("key")
+        .orderBy(F.col("__c").desc())
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    ctx = spine.join(pc, ["key", "__c"], "left").select(
+        "key",
+        "__c",
+        F.last("__l", ignorenulls=True).over(wkb).alias("__prev"),
+        F.last("__f", ignorenulls=True).over(wkf_rev).alias("__next"),
+    )
+    filled = e.join(ctx, ["key", "__c"], "left").select(
+        "key",
+        "ts",
+        F.coalesce(F.col("__pv"), F.col("__prev.value")).alias("__pv"),
+        F.coalesce(F.col("__pt"), F.col("__prev.ts")).alias("__pt"),
+        F.coalesce(F.col("__nv"), F.col("__next.value")).alias("__nv"),
+        F.coalesce(F.col("__nt"), F.col("__next.ts")).alias("__nt"),
+    )
+    return filled.select(
+        "key", "ts", _resample_value(method).alias("value")
+    ).orderBy("key", "ts")
+
+
+def _ts_resample_key_window(
+    samples: DataFrame,
+    step_ms: int,
+    method: str = "linear",
+    keys: list[str] | str | None = None,
+    start: int = MIN_TS,
+    end: int = MAX_TS,
+) -> DataFrame:
+    """The pre-chunking plan — one bare-key window pass per direction
+    (a hot series sorts its whole history + grid in one task).  Kept as
+    the DIFFERENTIAL REFERENCE for the chunk-local `ts_resample` and the
+    comparison arm of the hot-series probe; also the shape the
+    `{p}resample` SQL TVF mirrors."""
+    if step_ms <= 0:
+        raise ValueError("step_ms must be positive")
+    if method not in METHODS:
+        raise ValueError(f"method must be one of {METHODS}")
+    df = _filtered(samples, keys, start, end)
+    u, _bounds = _grid_union(df, step_ms)
+    # samples order BEFORE a coinciding grid point: the backward frame
+    # then already contains them; (ts, value) duplicate rule as above
+    wb = (
+        Window.partitionBy("key")
+        .orderBy("ts", F.col("__s").desc(), "value")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
     wf_rev = (
         Window.partitionBy("key")
-        .orderBy(F.col("ts").desc(), F.col("__s").asc())
+        .orderBy(F.col("ts").desc(), F.col("__s").asc(), F.col("value").asc())
         .rowsBetween(Window.unboundedPreceding, 0)
     )
     sample_ts = F.when(F.col("__s") == 1, F.col("ts"))
@@ -102,21 +244,6 @@ def ts_resample(
         F.last("value", ignorenulls=True).over(wf_rev).alias("__nv"),
         F.last(sample_ts, ignorenulls=True).over(wf_rev).alias("__nt"),
     ).filter(F.col("__s") == 0)
-    if method == "locf":
-        val = F.col("__pv")
-    else:
-        val = (
-            F.when(F.col("__pt") == F.col("ts"), F.col("__pv"))
-            .when(
-                F.col("__nt").isNull(), F.col("__pv")  # tail grid point ==
-                # max_ts only when max_ts is ON the grid, handled above;
-                # kept for safety
-            )
-            .otherwise(
-                F.col("__pv")
-                + (F.col("__nv") - F.col("__pv"))
-                * (F.col("ts") - F.col("__pt"))
-                / (F.col("__nt") - F.col("__pt"))
-            )
-        )
-    return enriched.select("key", "ts", val.alias("value")).orderBy("key", "ts")
+    return enriched.select(
+        "key", "ts", _resample_value(method).alias("value")
+    ).orderBy("key", "ts")

@@ -98,6 +98,14 @@ def main():
     out["ewma_chunked_sec"] = timed(lambda: ts_ewma(df, 0.3))
     out["holt_chunked_sec"] = timed(lambda: ts_holt(df, 0.4, 0.2))
     out["anomalies_chunked_sec"] = timed(lambda: ts_anomalies(df, 20, 3.0))
+    from redistimeseries_spark.operators.resample import (
+        _ts_resample_key_window,
+        ts_resample,
+    )
+
+    out["resample_chunked_sec"] = timed(
+        lambda: ts_resample(df, 60_000, "linear")
+    )
     if not skip_old:
         out["key_window_sec"] = timed(
             lambda: _key_window_chain(
@@ -114,6 +122,9 @@ def main():
         out["holt_key_sec"] = timed(lambda: _ts_holt_sequential(df, 0.4, 0.2))
         out["anomalies_key_sec"] = timed(
             lambda: _ts_anomalies_key_window(df, 20, 3.0)
+        )
+        out["resample_key_sec"] = timed(
+            lambda: _ts_resample_key_window(df, 60_000, "linear")
         )
     # sanity: same bucket count both ways (cheap recompute at n/100)
     small = spark.range(n // 100).select(
@@ -132,6 +143,9 @@ def main():
     a1 = ts_anomalies(small, 20, 3.0, flag_only=True).count()
     a2 = _ts_anomalies_key_window(small, 20, 3.0, flag_only=True).count()
     out["equiv_anomaly_flags"] = (a1, a2, a1 == a2)
+    r1 = ts_resample(small, 60_000, "linear").count()
+    r2 = _ts_resample_key_window(small, 60_000, "linear").count()
+    out["equiv_resample_rows"] = (r1, r2, r1 == r2)
     print(json.dumps(out))
 
 

@@ -211,6 +211,49 @@ def test_fuzz_resample_vs_duckdb(envs):
     assert not failures, failures[:2]
 
 
+def test_fuzz_resample_chunk_context(spark):
+    """The chunk-local ts_resample (late round 9) ≡ the retained
+    bare-key-window twin under FORCED TINY CHUNKS (4096 ms): brackets
+    that live in a neighboring chunk, grid points inside multi-chunk
+    sample-free gaps, duplicate (key, ts) samples (the (ts, value)
+    last-wins rule on both plans), and chunk-boundary grid points."""
+    from redistimeseries_spark.operators.resample import (
+        METHODS,
+        _ts_resample_key_window,
+    )
+
+    rng = random.Random(0xC47)
+    rows = []
+    for k in ("c1", "c2"):
+        for t in rng.sample(range(0, 50_000), 30):
+            rows.append((k, t, rng.uniform(-5.0, 5.0)))
+        # duplicate-ts pair: both plans must read the max-value twin
+        rows += [(k, 12_345, 1.0), (k, 12_345, 9.0)]
+        # a grid point exactly on a chunk boundary (4096 * 3)
+        rows += [(k, 4096 * 3, 7.0)]
+    # ~10 consecutive sample-free chunks mid-series + NaN at the edge
+    rows += [("c3", 0, 1.0), ("c3", 7, NAN), ("c3", 40_000, 5.0)]
+    sdf = spark.createDataFrame(
+        rows, "key string, ts long, value double"
+    ).cache()
+    sdf.count()
+    try:
+        failures = []
+        for step in (700, 1000, 2600, 9000):
+            for method in METHODS:
+                got = _normalize(
+                    ts_resample(sdf, step, method, chunk_ms=4096).toPandas()
+                )
+                ref = _normalize(
+                    _ts_resample_key_window(sdf, step, method).toPandas()
+                )
+                if not got.equals(ref):
+                    failures.append((step, method, got.shape, ref.shape))
+        assert not failures, failures
+    finally:
+        sdf.unpersist()
+
+
 def test_fuzz_increase_vs_duckdb(envs):
     rng, _, _, sdf, con = envs
     all_keys = KEYS + ["rb"]
