@@ -27,9 +27,65 @@ from pyspark.sql import functions as F
 from redistimeseries_spark.functions.buckets import bucket_start
 
 
-def incrby(increments: DataFrame, seq_col: str = "seq") -> DataFrame:
+# seq-chunk width for the incrby running sum (power of two; the
+# rate/smooth time-chunk discipline applied to the ARRIVAL axis)
+INCRBY_CHUNK = 1 << 20
+
+
+def incrby(
+    increments: DataFrame, seq_col: str = "seq", chunk: int = INCRBY_CHUNK
+) -> DataFrame:
     """increments: (key, ts, value=delta, seq).  Returns the resulting
-    samples: running sum of deltas per key in arrival order."""
+    samples: running sum of deltas per key in arrival order.
+
+    SKEW-SAFE (late round 9): the cumulative sum is associative, so each
+    (key, seq-chunk) folds its deltas locally, a cumulative sum over the
+    one-row-per-chunk frame hands every chunk the sum of everything
+    before it, and the in-chunk running sum adds the local prefix — a
+    single hot counter key replayed over a large backfill batch
+    parallelizes across its arrival order instead of one task.  The
+    bare-key plan is kept as `_incrby_key_window`, the differential
+    twin.  (The streaming path — stateful.py — carries state across
+    micro-batches and is unaffected.)"""
+    if chunk <= 0:
+        raise ValueError("chunk must be positive")
+    d = increments.withColumn(
+        "__c", F.col(seq_col) - F.pmod(F.col(seq_col), F.lit(chunk))
+    )
+    wloc = (
+        Window.partitionBy("key", "__c")
+        .orderBy(seq_col)
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    wk = Window.partitionBy("key").orderBy("__c")
+    base = (
+        d.groupBy("key", "__c")
+        .agg(F.sum("value").alias("__csum"))
+        .select(
+            "key",
+            "__c",
+            F.coalesce(
+                F.sum("__csum").over(
+                    wk.rowsBetween(Window.unboundedPreceding, -1)
+                ),
+                F.lit(0.0),
+            ).alias("__base"),
+        )
+    )
+    return (
+        d.join(base, ["key", "__c"])
+        .select(
+            "key",
+            "ts",
+            (F.col("__base") + F.sum("value").over(wloc)).alias("value"),
+        )
+    )
+
+
+def _incrby_key_window(increments: DataFrame, seq_col: str = "seq") -> DataFrame:
+    """The pre-chunking plan — one bare-key running sum (a hot counter
+    replays its whole batch in one task).  Kept as the DIFFERENTIAL
+    REFERENCE for the chunk-local `incrby`."""
     w = (
         Window.partitionBy("key")
         .orderBy(seq_col)

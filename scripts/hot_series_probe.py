@@ -106,6 +106,12 @@ def main():
     out["resample_chunked_sec"] = timed(
         lambda: ts_resample(df, 60_000, "linear")
     )
+    from redistimeseries_spark.operators.session import (
+        _sessionize_key_window,
+        sessionize,
+    )
+
+    out["sessionize_chunked_sec"] = timed(lambda: sessionize(df, 500))
     if not skip_old:
         out["key_window_sec"] = timed(
             lambda: _key_window_chain(
@@ -125,6 +131,9 @@ def main():
         )
         out["resample_key_sec"] = timed(
             lambda: _ts_resample_key_window(df, 60_000, "linear")
+        )
+        out["sessionize_key_sec"] = timed(
+            lambda: _sessionize_key_window(df, 500)
         )
     # sanity: same bucket count both ways (cheap recompute at n/100)
     small = spark.range(n // 100).select(

@@ -470,3 +470,88 @@ def test_sessionize_random_vs_sequential(spark, data):
                 sid += 1
             assert got[(k, t)] == sid, (k, t, gap)
             prev = t
+
+
+@settings(
+    max_examples=8,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(data=st.data())
+def test_sessionize_chunk_context_vs_key_window(spark, data):
+    """The chunk-local sessionize (late round 9) ≡ the retained bare-key
+    twin under FORCED TINY CHUNKS: sessions spanning chunk boundaries,
+    single-sample chunks, multi-chunk silent gaps, and gaps exactly at a
+    chunk edge."""
+    from redistimeseries_spark.operators.session import (
+        _sessionize_key_window,
+        sessionize,
+    )
+
+    gap = data.draw(st.integers(1, 30))
+    chunk = data.draw(st.sampled_from([8, 16, 64]))
+    rows = []
+    for k in ["a", "b"]:
+        tss = sorted(
+            data.draw(
+                st.lists(
+                    st.integers(0, 300), min_size=0, max_size=20, unique=True
+                )
+            )
+        )
+        rows += [(k, t, 0.0) for t in tss]
+    if not rows:
+        return
+    sdf = spark.createDataFrame(rows, "key string, ts long, value double")
+    got = {
+        (r.key, r.ts): r.session_id
+        for r in sessionize(sdf, gap, chunk_ms=chunk).collect()
+    }
+    want = {
+        (r.key, r.ts): r.session_id
+        for r in _sessionize_key_window(sdf, gap).collect()
+    }
+    assert got == want, (gap, chunk)
+
+
+@settings(
+    max_examples=8,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(data=st.data())
+def test_incrby_chunk_context_vs_key_window(spark, data):
+    """The chunk-local incrby running sum (late round 9) ≡ the retained
+    bare-key twin under FORCED TINY SEQ CHUNKS (float drift bounded by
+    summation reorder — compared at 1e-9)."""
+    from redistimeseries_spark.write.mutate import (
+        _incrby_key_window,
+        incrby,
+    )
+
+    chunk = data.draw(st.sampled_from([2, 4, 16]))
+    rows = []
+    for k in ["a", "b"]:
+        n = data.draw(st.integers(0, 25))
+        for i in range(n):
+            rows.append(
+                (k, i * 10, data.draw(
+                    st.floats(-50, 50, allow_nan=False, width=32)
+                ), i)
+            )
+    if not rows:
+        return
+    sdf = spark.createDataFrame(
+        rows, "key string, ts long, value double, seq long"
+    )
+    got = {
+        (r.key, r.ts): r.value
+        for r in incrby(sdf, chunk=chunk).collect()
+    }
+    want = {
+        (r.key, r.ts): r.value
+        for r in _incrby_key_window(sdf).collect()
+    }
+    assert got.keys() == want.keys()
+    for kk in got:
+        assert abs(got[kk] - want[kk]) < 1e-9, (kk, got[kk], want[kk])
