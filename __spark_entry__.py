@@ -354,6 +354,26 @@ def q_anomalies(spark, sf_dir):
     )
 
 
+def q_decompose(spark, sf_dir):
+    """Beyond-reference classical additive seasonal decomposition on the
+    3h grid with a daily (period 8) season: ONE (key, bucket) exchange is
+    the only per-sample stage, then #buckets-bounded spine windows — the
+    centered 2x-MA trend, phase-mean seasonal re-centered to zero, and
+    the residual (operators/decompose.ts_decompose)."""
+    from redistimeseries_spark.operators.decompose import ts_decompose
+
+    st = _store(spark, sf_dir)
+    d = ts_decompose(st.samples, 3 * H, 8, start=D14, end=D21)
+    return d.select(
+        "key",
+        "ts",
+        F.round("value", 6).alias("value"),
+        F.round("trend", 6).alias("trend"),
+        F.round("seasonal", 6).alias("seasonal"),
+        F.round("resid", 6).alias("resid"),
+    )
+
+
 def q_agg_percentile(spark, sf_dir):
     """Beyond-reference p-name aggregators inside the standard TS.RANGE
     pipeline: percentiles mix with the reference aggregator set in one
@@ -2207,7 +2227,12 @@ def _base_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # the chunk-context plan this round — the driver should gate the NEW
     # plan); dl_cross_contaminated (driver-green r5-r8; contamination
     # keeps dl_eval_contamination + dl_substring_contaminated in-window)
-    # rotates to the tail.
+    # rotates to the tail.  NEW ts_decompose (classical additive seasonal
+    # decomposition — bucket-grid 2x-MA trend, re-centered phase-mean
+    # seasonal, residual) enters the window in its adding commit;
+    # ts_resets (driver-green since r4; the counter family keeps
+    # ts_changes, ts_counter_rate, ts_delta, ts_idelta, ts_irate and
+    # ts_compaction_increase_1h in-window) rotates to the tail.
     return {
         # --- checked prefix: one representative per operator family -----
         "ts_range_raw": q_range_raw,
@@ -2227,7 +2252,7 @@ def _base_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ts_rollup_route": q_rollup_route,
         "dl_simhash": q_simhash,
         "ts_changes": q_changes,
-        "ts_resets": q_resets,
+        "ts_decompose": q_decompose,
         "ts_ewma": q_ewma,
         "ts_holt": q_holt,
         "dl_mm_decode_png": q_mm_decode_png,
@@ -2268,6 +2293,7 @@ def _base_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ts_counter_increase": q_counter_increase,
         "dl_stream_semdedup": q_stream_semdedup,
         "ts_predict_linear": q_predict_linear,
+        "ts_resets": q_resets,
         "dl_cross_contaminated": q_cross_contaminated,
         "dl_rrf_fuse": q_rrf_fuse,
         "dl_mixture_sample": q_mixture_sample,
@@ -3606,6 +3632,34 @@ SELECT key, ts, value,
                                THEN (value - mean) / std END, 6)) > 2.5,
                 false) AS anomaly
 FROM w""",
+        "ts_decompose": f"""{ORACLE_PREFIX},
+v AS (SELECT key, ts, value FROM samples
+      WHERE NOT isnan(value) AND ts BETWEEN {D14} AND {D21}),
+g AS (SELECT key, ts - ts % {3 * H} AS b, avg(value) AS value
+      FROM v GROUP BY 1, 2),
+bounds AS (SELECT key, min(b) AS lo, max(b) AS hi FROM g GROUP BY key),
+spine AS (SELECT key, unnest(range(lo, hi + 1, {3 * H})) AS b FROM bounds),
+gr AS (SELECT s.key, s.b, g.value
+       FROM spine s LEFT JOIN g ON s.key = g.key AND s.b = g.b),
+t AS (SELECT key, b, value,
+             CASE WHEN count(value) OVER w = 9 THEN
+               (sum(value) OVER w
+                - (lag(value, 4) OVER w2 + lead(value, 4) OVER w2) / 2.0) / 8
+             END AS trend,
+             (b // {3 * H}) % 8 AS phase
+      FROM gr
+      WINDOW w AS (PARTITION BY key ORDER BY b
+                   ROWS BETWEEN 4 PRECEDING AND 4 FOLLOWING),
+             w2 AS (PARTITION BY key ORDER BY b)),
+d AS (SELECT key, b, value, trend, phase, value - trend AS det FROM t),
+ph AS (SELECT key, phase, avg(det) AS pmean FROM d GROUP BY 1, 2),
+se AS (SELECT key, phase,
+              pmean - avg(pmean) OVER (PARTITION BY key) AS seasonal
+       FROM ph)
+SELECT d.key, d.b AS ts, round(d.value, 6) AS value,
+       round(d.trend, 6) AS trend, round(se.seasonal, 6) AS seasonal,
+       round(d.value - d.trend - se.seasonal, 6) AS resid
+FROM d LEFT JOIN se ON d.key = se.key AND d.phase = se.phase""",
         "ts_ewma": f"""WITH RECURSIVE {SAMPLES_SQL},
 v AS (SELECT key, ts, value,
              row_number() OVER (PARTITION BY key ORDER BY ts) AS rn

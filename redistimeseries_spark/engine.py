@@ -591,6 +591,20 @@ class TimeSeriesEngine:
             end=self._resolve_ts(to_ts, key),
         ).drop("key")
 
+    def decompose(self, key: str, step, period_n: int,
+                  from_ts="-", to_ts="+") -> DataFrame:
+        """Classical additive seasonal decomposition on the `step` grid
+        (beyond-reference; operators/decompose.ts_decompose)."""
+        from redistimeseries_spark.operators.decompose import ts_decompose
+
+        return ts_decompose(
+            self._series_df(key, False),
+            parse_duration_ms(step),
+            period_n,
+            start=self._resolve_ts(from_ts, key),
+            end=self._resolve_ts(to_ts, key),
+        ).drop("key")
+
     def gaps(self, key: str, min_gap, from_ts="-", to_ts="+") -> DataFrame:
         """Sampling-gap report (beyond-reference; operators/rate.ts_gaps)."""
         from redistimeseries_spark.operators.rate import ts_gaps

@@ -1,0 +1,128 @@
+"""Classical additive seasonal decomposition over a bucketed grid.
+
+Beyond-reference operator (the reference has no seasonal primitive; this
+is the `seasonal_decompose` every monitoring stack reaches for after
+EWMA/Holt): split each series into
+
+    value = trend + seasonal + resid
+
+with a known period of `period_n` grid steps — trend by centered moving
+average (the classical 2x-MA when period_n is even), seasonal as the
+phase means of the detrended series re-centered to sum to zero, resid
+as the leftover.
+
+Spark-first scale shape: the ONLY per-sample stage is the grid
+aggregation — one (key, bucket) groupBy (map-side partials, skew-safe,
+the same exchange every bucketed aggregator uses).  Everything after
+runs on the per-key BUCKET SPINE (one row per grid step of the key's
+observed span, missing buckets present with NULL value — the EMPTY-
+spine discipline), so every window is #buckets-bounded: the centered-MA
+frame is a literal +-half-period ROWS frame, the phase means are a
+(key, phase) groupBy, and the re-centering is a window over the
+period_n-row phase frame.  A pathologically hot series costs one
+bucket exchange, never a per-sample key sort.
+
+Semantics notes (statsmodels-compatible):
+- trend is emitted only where the full centered window is present AND
+  valid (period_n rows for odd, period_n + 1 for even) — edge buckets
+  and windows touching a data gap report NULL trend, like the NaN edges
+  statsmodels leaves.
+- seasonal is the phase's mean detrended value minus the mean of the
+  phase means (so one period sums to ~0), emitted for EVERY spine row
+  of a phase that has at least one detrended observation.
+- resid = value - trend - seasonal, NULL wherever either part is.
+- NaN samples are invalid everywhere (isValueValid) and are dropped
+  before bucketing; a bucket with no valid samples is a NULL spine row.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from redistimeseries_spark import MAX_TS, MIN_TS
+
+
+def ts_decompose(
+    samples: DataFrame,
+    step_ms: int,
+    period_n: int,
+    keys: list[str] | str | None = None,
+    start: int = MIN_TS,
+    end: int = MAX_TS,
+) -> DataFrame:
+    """(key, ts, value, trend, seasonal, resid) — one row per grid step
+    (`ts` = bucket start, align 0) of each key's observed span; `value`
+    is the bucket's mean."""
+    if step_ms <= 0:
+        raise ValueError("step_ms must be positive")
+    if period_n < 2:
+        raise ValueError("period_n must be >= 2")
+    df = samples.filter(~F.isnan("value"))
+    if keys is not None:
+        klist = [keys] if isinstance(keys, str) else list(keys)
+        df = df.filter(F.col("key").isin(klist))
+    if start > MIN_TS:
+        df = df.filter(F.col("ts") >= F.lit(start))
+    if end < MAX_TS:
+        df = df.filter(F.col("ts") <= F.lit(end))
+    g = df.groupBy(
+        "key",
+        (F.col("ts") - F.pmod(F.col("ts"), F.lit(step_ms))).alias("__b"),
+    ).agg(F.avg("value").alias("value"))
+    spine = (
+        g.groupBy("key")
+        .agg(F.min("__b").alias("__lo"), F.max("__b").alias("__hi"))
+        .select(
+            "key",
+            F.explode(
+                F.sequence(F.col("__lo"), F.col("__hi"), F.lit(int(step_ms)))
+            ).alias("__b"),
+        )
+    )
+    grid = spine.join(g, ["key", "__b"], "left")
+    w = Window.partitionBy("key").orderBy("__b")
+    if period_n % 2 == 1:
+        h = (period_n - 1) // 2
+        frame = w.rowsBetween(-h, h)
+        full = F.count("value").over(frame) == period_n
+        trend = F.when(full, F.avg("value").over(frame))
+    else:
+        # classical 2x-MA: the +-half window spans period_n + 1 rows with
+        # half weight on both extremes
+        h = period_n // 2
+        frame = w.rowsBetween(-h, h)
+        full = F.count("value").over(frame) == period_n + 1
+        trend = F.when(
+            full,
+            (
+                F.sum("value").over(frame)
+                - (F.lag("value", h).over(w) + F.lead("value", h).over(w)) / 2.0
+            )
+            / period_n,
+        )
+    t = grid.select(
+        "key",
+        "__b",
+        "value",
+        trend.alias("trend"),
+        F.pmod(F.expr(f"__b div {int(step_ms)}"), F.lit(period_n)).alias(
+            "__phase"
+        ),
+    ).withColumn("__det", F.col("value") - F.col("trend"))
+    ph = t.groupBy("key", "__phase").agg(F.avg("__det").alias("__pmean"))
+    wk = Window.partitionBy("key")
+    seas = ph.select(
+        "key",
+        "__phase",
+        (F.col("__pmean") - F.avg("__pmean").over(wk)).alias("seasonal"),
+    )
+    out = t.join(seas, ["key", "__phase"], "left")
+    return out.select(
+        "key",
+        F.col("__b").alias("ts"),
+        "value",
+        "trend",
+        "seasonal",
+        (F.col("value") - F.col("trend") - F.col("seasonal")).alias("resid"),
+    )

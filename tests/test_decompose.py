@@ -1,0 +1,155 @@
+"""ts_decompose — classical additive seasonal decomposition.
+
+Planted linear-plus-seasonal series recover their parts EXACTLY (a
+centered MA of a linear trend is the trend; an aligned seasonal summing
+to zero vanishes from every full window), for both the odd-period MA
+and the even-period 2x-MA; gaps null the trend exactly where the window
+is incomplete; NaN samples are invalid; the DuckDB twin of the gate
+query lives in __spark_entry__.py.
+"""
+
+from __future__ import annotations
+
+import math
+
+import pytest
+
+from redistimeseries_spark.operators.decompose import ts_decompose
+
+NAN = float("nan")
+
+
+def _rows_for(season, slope, n, step=1000, key="a"):
+    p = len(season)
+    return [
+        (key, i * step, slope * i + season[i % p]) for i in range(n)
+    ]
+
+
+def _collect(df):
+    return {
+        (r.key, r.ts): (r.value, r.trend, r.seasonal, r.resid)
+        for r in df.collect()
+    }
+
+
+def test_even_period_exact_recovery(spark):
+    season = [2.0, -1.0, 0.0, -1.0]  # sums to 0 -> centered == itself
+    rows = _rows_for(season, 0.5, 24)
+    out = _collect(
+        ts_decompose(
+            spark.createDataFrame(rows, "key string, ts long, value double"),
+            1000,
+            4,
+        )
+    )
+    assert len(out) == 24
+    for (k, ts), (v, tr, se, re) in out.items():
+        i = ts // 1000
+        assert v == pytest.approx(0.5 * i + season[i % 4])
+        assert se == pytest.approx(season[i % 4], abs=1e-9)
+        if 2 <= i <= 21:  # full +-2 window present
+            assert tr == pytest.approx(0.5 * i, abs=1e-9), i
+            assert re == pytest.approx(0.0, abs=1e-9), i
+        else:  # statsmodels-style NaN edges
+            assert tr is None and re is None, i
+
+
+def test_odd_period_exact_recovery(spark):
+    season = [3.0, -1.0, -2.0, 1.0, -1.0]  # sums to 0
+    rows = _rows_for(season, -0.25, 25)
+    out = _collect(
+        ts_decompose(
+            spark.createDataFrame(rows, "key string, ts long, value double"),
+            1000,
+            5,
+        )
+    )
+    for (k, ts), (v, tr, se, re) in out.items():
+        i = ts // 1000
+        assert se == pytest.approx(season[i % 5], abs=1e-9)
+        if 2 <= i <= 22:
+            assert tr == pytest.approx(-0.25 * i, abs=1e-9), i
+            assert re == pytest.approx(0.0, abs=1e-9), i
+        else:
+            assert tr is None and re is None, i
+
+
+def test_uncentered_season_recenters(spark):
+    # season mean 1.0 -> it leaks into the trend, seasonal re-centers
+    season = [3.0, 1.0, 0.0, 0.0]
+    rows = _rows_for(season, 0.0, 20)
+    out = _collect(
+        ts_decompose(
+            spark.createDataFrame(rows, "key string, ts long, value double"),
+            1000,
+            4,
+        )
+    )
+    for (k, ts), (v, tr, se, re) in out.items():
+        i = ts // 1000
+        assert se == pytest.approx(season[i % 4] - 1.0, abs=1e-9)
+        if 2 <= i <= 17:
+            assert tr == pytest.approx(1.0, abs=1e-9)
+            assert re == pytest.approx(0.0, abs=1e-9)
+
+
+def test_gap_nulls_trend_window(spark):
+    season = [1.0, -1.0]
+    rows = _rows_for(season, 1.0, 12)
+    # drop bucket i=6 and NaN bucket i=3 (both become NULL spine rows)
+    rows = [r for r in rows if r[1] != 6000]
+    rows = [(k, t, NAN if t == 3000 else v) for k, t, v in rows]
+    out = _collect(
+        ts_decompose(
+            spark.createDataFrame(rows, "key string, ts long, value double"),
+            1000,
+            2,
+        )
+    )
+    # spine keeps both missing buckets as rows with NULL value
+    assert out[("a", 6000)][0] is None
+    assert out[("a", 3000)][0] is None
+    for i in (3, 6):
+        for j in range(i - 1, i + 2):  # +-1 window touches the hole
+            assert out[("a", j * 1000)][1] is None, (i, j)
+    # far from the holes the trend is the line
+    assert out[("a", 9000)][1] == pytest.approx(9.0, abs=1e-9)
+
+
+def test_multi_key_and_short_series(spark):
+    rows = _rows_for([1.0, -1.0, 0.0], 0.0, 15, key="long")
+    rows += [("short", 0, 5.0), ("short", 1000, 7.0)]  # < one period
+    out = _collect(
+        ts_decompose(
+            spark.createDataFrame(rows, "key string, ts long, value double"),
+            1000,
+            3,
+        )
+    )
+    # the short key emits spine rows but no trend and no resid
+    assert out[("short", 0)][1] is None
+    assert out[("short", 1000)][1] is None
+    assert out[("long", 7000)][1] is not None
+
+
+def test_validation(spark):
+    df = spark.createDataFrame(
+        [("a", 0, 1.0)], "key string, ts long, value double"
+    )
+    with pytest.raises(ValueError, match="step_ms"):
+        ts_decompose(df, 0, 4)
+    with pytest.raises(ValueError, match="period_n"):
+        ts_decompose(df, 1000, 1)
+
+
+def test_engine_facade(spark):
+    from redistimeseries_spark.engine import TimeSeriesEngine
+
+    eng = TimeSeriesEngine(spark, duplicate_policy="last")
+    eng.create("d1")
+    for i in range(12):
+        eng.add("d1", i * 1000, float(i % 3))
+    got = eng.decompose("d1", 1000, 3).collect()
+    assert len(got) == 12
+    assert {r.ts for r in got} == {i * 1000 for i in range(12)}
