@@ -43,6 +43,9 @@ from pyspark.sql import functions as F
 from redistimeseries_spark import MAX_TS, MIN_TS
 
 
+MODES = ("additive", "multiplicative")
+
+
 def ts_decompose(
     samples: DataFrame,
     step_ms: int,
@@ -50,14 +53,21 @@ def ts_decompose(
     keys: list[str] | str | None = None,
     start: int = MIN_TS,
     end: int = MAX_TS,
+    mode: str = "additive",
 ) -> DataFrame:
     """(key, ts, value, trend, seasonal, resid) — one row per grid step
     (`ts` = bucket start, align 0) of each key's observed span; `value`
-    is the bucket's mean."""
+    is the bucket's mean.  mode="multiplicative" decomposes
+    value = trend * seasonal * resid instead (detrend by ratio, phase
+    means re-centered to mean 1, residual by division; zero trend yields
+    NULL ratios — the statsmodels convention of requiring positive
+    series holds in spirit: feed it positive data)."""
     if step_ms <= 0:
         raise ValueError("step_ms must be positive")
     if period_n < 2:
         raise ValueError("period_n must be >= 2")
+    if mode not in MODES:
+        raise ValueError(f"mode must be one of {MODES}")
     df = samples.filter(~F.isnan("value"))
     if keys is not None:
         klist = [keys] if isinstance(keys, str) else list(keys)
@@ -101,6 +111,12 @@ def ts_decompose(
             )
             / period_n,
         )
+    mult = mode == "multiplicative"
+    det = (
+        F.when(F.col("trend") != 0, F.col("value") / F.col("trend"))
+        if mult
+        else F.col("value") - F.col("trend")
+    )
     t = grid.select(
         "key",
         "__b",
@@ -109,20 +125,33 @@ def ts_decompose(
         F.pmod(F.expr(f"__b div {int(step_ms)}"), F.lit(period_n)).alias(
             "__phase"
         ),
-    ).withColumn("__det", F.col("value") - F.col("trend"))
+    ).withColumn("__det", det)
     ph = t.groupBy("key", "__phase").agg(F.avg("__det").alias("__pmean"))
     wk = Window.partitionBy("key")
+    center = F.avg("__pmean").over(wk)
     seas = ph.select(
         "key",
         "__phase",
-        (F.col("__pmean") - F.avg("__pmean").over(wk)).alias("seasonal"),
+        (
+            F.when(center != 0, F.col("__pmean") / center)
+            if mult
+            else F.col("__pmean") - center
+        ).alias("seasonal"),
     )
     out = t.join(seas, ["key", "__phase"], "left")
+    resid = (
+        F.when(
+            (F.col("trend") != 0) & (F.col("seasonal") != 0),
+            F.col("value") / F.col("trend") / F.col("seasonal"),
+        )
+        if mult
+        else F.col("value") - F.col("trend") - F.col("seasonal")
+    )
     return out.select(
         "key",
         F.col("__b").alias("ts"),
         "value",
         "trend",
         "seasonal",
-        (F.col("value") - F.col("trend") - F.col("seasonal")).alias("resid"),
+        resid.alias("resid"),
     )

@@ -133,6 +133,30 @@ def test_multi_key_and_short_series(spark):
     assert out[("long", 7000)][1] is not None
 
 
+def test_multiplicative_exact_recovery(spark):
+    # y = trend * season with season mean 1 -> exact recovery (the
+    # centered MA of trend*season over an aligned full window is the
+    # trend when trend is CONSTANT; use a constant trend for exactness)
+    season = [1.5, 0.5, 1.25, 0.75]  # mean exactly 1
+    rows = [("a", i * 1000, 8.0 * season[i % 4]) for i in range(24)]
+    out = _collect(
+        ts_decompose(
+            spark.createDataFrame(rows, "key string, ts long, value double"),
+            1000,
+            4,
+            mode="multiplicative",
+        )
+    )
+    for (k, ts), (v, tr, se, re) in out.items():
+        i = ts // 1000
+        assert se == pytest.approx(season[i % 4], abs=1e-9)
+        if 2 <= i <= 21:
+            assert tr == pytest.approx(8.0, abs=1e-9), i
+            assert re == pytest.approx(1.0, abs=1e-9), i
+        else:
+            assert tr is None and re is None, i
+
+
 def test_validation(spark):
     df = spark.createDataFrame(
         [("a", 0, 1.0)], "key string, ts long, value double"
@@ -141,6 +165,8 @@ def test_validation(spark):
         ts_decompose(df, 0, 4)
     with pytest.raises(ValueError, match="period_n"):
         ts_decompose(df, 1000, 1)
+    with pytest.raises(ValueError, match="mode"):
+        ts_decompose(df, 1000, 4, mode="log")
 
 
 def test_engine_facade(spark):

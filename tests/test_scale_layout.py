@@ -145,16 +145,28 @@ def test_nrange_multiagg_single_scan(spark, tmp_path):
     assert row.k1_avg == sum(1 + t for t in range(10)) / 10
 
 
-def test_session_stats_single_exchange(spark):
-    """Window partitionBy(key) then groupBy(key, session_id): the key
-    partitioning satisfies the grouping's clustered distribution, so the
-    whole pipeline runs on ONE hash exchange."""
+def test_session_stats_chunk_local_plan(spark):
+    """Late round 9: the per-SAMPLE window partitions by (key, chunk) —
+    never bare key — so a hot series parallelizes across its time span;
+    the bare-key axis survives only on the one-row-per-chunk context
+    frame.  (The pre-r9 plan ran ONE key-hash exchange end-to-end, and
+    with it one task per hot series.)"""
+    import re
+
     from redistimeseries_spark.operators.session import session_stats
 
     s = spark.createDataFrame(
         [("k", t, 1.0) for t in range(10)], "key string, ts long, value double"
     )
-    assert _plan(session_stats(s, 1000)).count("Exchange hashpartitioning") == 1
+    plan = _plan(session_stats(s, 1000))
+    # every sample-level window sort carries BOTH partition keys: no
+    # bare "windowspecdefinition(key#..., ts#... ASC" over the samples
+    for spec in re.findall(r"windowspecdefinition\(([^)]*)\)", plan):
+        head = spec.split(",")[0]
+        if "__c" not in spec and "key" in head:
+            # the only bare-key windows allowed are over the per-chunk
+            # frame (ordered by __c), never over per-sample ts
+            assert "ts#" not in spec.split("ASC")[0], spec
 
 
 def test_stratified_sample_no_full_window_over_corpus(spark):
