@@ -374,6 +374,18 @@ def q_decompose(spark, sf_dir):
     )
 
 
+def q_forecast(spark, sf_dir):
+    """Beyond-reference seasonal linear forecast: OLS line over
+    ts_decompose's season-free trend component + the re-centered phase
+    seasonal, extrapolated 16 grid steps past each key's last bucket
+    (operators/decompose.ts_forecast)."""
+    from redistimeseries_spark.operators.decompose import ts_forecast
+
+    st = _store(spark, sf_dir)
+    d = ts_forecast(st.samples, 3 * H, 8, 16, start=D14, end=D21)
+    return d.select("key", "ts", F.round("forecast", 6).alias("forecast"))
+
+
 def q_agg_percentile(spark, sf_dir):
     """Beyond-reference p-name aggregators inside the standard TS.RANGE
     pipeline: percentiles mix with the reference aggregator set in one
@@ -2232,7 +2244,11 @@ def _base_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # seasonal, residual) enters the window in its adding commit;
     # ts_resets (driver-green since r4; the counter family keeps
     # ts_changes, ts_counter_rate, ts_delta, ts_idelta, ts_irate and
-    # ts_compaction_increase_1h in-window) rotates to the tail.
+    # ts_compaction_increase_1h in-window) rotates to the tail.  NEW
+    # ts_forecast (seasonal linear forecast off the decomposition)
+    # enters the window in its adding commit; ts_counter_rate
+    # (driver-green r4+; the counter family keeps five in-window
+    # siblings) rotates to the tail.
     return {
         # --- checked prefix: one representative per operator family -----
         "ts_range_raw": q_range_raw,
@@ -2267,7 +2283,7 @@ def _base_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ts_mad": q_mad,
         "ts_outlier_mad": q_outlier_mad,
         "ts_hist_quantile": q_hist_quantile,
-        "ts_counter_rate": q_counter_rate,
+        "ts_forecast": q_forecast,
         "ts_resample_locf": q_resample_locf,
         "ts_anomalies": q_anomalies,
         "ts_topk": q_topk,
@@ -2294,6 +2310,7 @@ def _base_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dl_stream_semdedup": q_stream_semdedup,
         "ts_predict_linear": q_predict_linear,
         "ts_resets": q_resets,
+        "ts_counter_rate": q_counter_rate,
         "dl_cross_contaminated": q_cross_contaminated,
         "dl_rrf_fuse": q_rrf_fuse,
         "dl_mixture_sample": q_mixture_sample,
@@ -3660,6 +3677,45 @@ SELECT d.key, d.b AS ts, round(d.value, 6) AS value,
        round(d.trend, 6) AS trend, round(se.seasonal, 6) AS seasonal,
        round(d.value - d.trend - se.seasonal, 6) AS resid
 FROM d LEFT JOIN se ON d.key = se.key AND d.phase = se.phase""",
+        "ts_forecast": f"""{ORACLE_PREFIX},
+v AS (SELECT key, ts, value FROM samples
+      WHERE NOT isnan(value) AND ts BETWEEN {D14} AND {D21}),
+g AS (SELECT key, ts - ts % {3 * H} AS b, avg(value) AS value
+      FROM v GROUP BY 1, 2),
+bounds AS (SELECT key, min(b) AS lo, max(b) AS hi FROM g GROUP BY key),
+spine AS (SELECT key, unnest(range(lo, hi + 1, {3 * H})) AS b FROM bounds),
+gr AS (SELECT s.key, s.b, g.value
+       FROM spine s LEFT JOIN g ON s.key = g.key AND s.b = g.b),
+t AS (SELECT key, b, value,
+             CASE WHEN count(value) OVER w = 9 THEN
+               (sum(value) OVER w
+                - (lag(value, 4) OVER w2 + lead(value, 4) OVER w2) / 2.0) / 8
+             END AS trend,
+             (b // {3 * H}) % 8 AS phase
+      FROM gr
+      WINDOW w AS (PARTITION BY key ORDER BY b
+                   ROWS BETWEEN 4 PRECEDING AND 4 FOLLOWING),
+             w2 AS (PARTITION BY key ORDER BY b)),
+d AS (SELECT key, b, value, trend, phase, value - trend AS det FROM t),
+ph AS (SELECT key, phase, avg(det) AS pmean FROM d GROUP BY 1, 2),
+se AS (SELECT key, phase,
+              pmean - avg(pmean) OVER (PARTITION BY key) AS seasonal
+       FROM ph),
+f AS (SELECT key,
+             regr_slope(trend, CAST(b AS DOUBLE)) AS m,
+             regr_intercept(trend, CAST(b AS DOUBLE)) AS c,
+             max(b) AS last_b
+      FROM d GROUP BY key
+      HAVING regr_slope(trend, CAST(b AS DOUBLE)) IS NOT NULL),
+hz AS (SELECT key, m, c,
+              unnest(range(last_b + {3 * H},
+                           last_b + {3 * H} * 16 + 1, {3 * H})) AS ts
+       FROM f)
+SELECT hz.key, hz.ts,
+       round(hz.m * CAST(hz.ts AS DOUBLE) + hz.c
+             + coalesce(se.seasonal, 0), 6) AS forecast
+FROM hz LEFT JOIN se
+  ON se.key = hz.key AND se.phase = (hz.ts // {3 * H}) % 8""",
         "ts_ewma": f"""WITH RECURSIVE {SAMPLES_SQL},
 v AS (SELECT key, ts, value,
              row_number() OVER (PARTITION BY key ORDER BY ts) AS rn

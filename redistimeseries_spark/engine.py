@@ -605,6 +605,22 @@ class TimeSeriesEngine:
             end=self._resolve_ts(to_ts, key),
         ).drop("key")
 
+    def forecast(self, key: str, step, period_n: int, horizon_n: int,
+                 from_ts="-", to_ts="+", mode: str = "additive") -> DataFrame:
+        """Seasonal linear forecast past the last observed bucket
+        (beyond-reference; operators/decompose.ts_forecast)."""
+        from redistimeseries_spark.operators.decompose import ts_forecast
+
+        return ts_forecast(
+            self._series_df(key, False),
+            parse_duration_ms(step),
+            period_n,
+            horizon_n,
+            start=self._resolve_ts(from_ts, key),
+            end=self._resolve_ts(to_ts, key),
+            mode=mode,
+        ).drop("key")
+
     def gaps(self, key: str, min_gap, from_ts="-", to_ts="+") -> DataFrame:
         """Sampling-gap report (beyond-reference; operators/rate.ts_gaps)."""
         from redistimeseries_spark.operators.rate import ts_gaps

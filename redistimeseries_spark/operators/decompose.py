@@ -155,3 +155,74 @@ def ts_decompose(
         "seasonal",
         resid.alias("resid"),
     )
+
+
+def ts_forecast(
+    samples: DataFrame,
+    step_ms: int,
+    period_n: int,
+    horizon_n: int,
+    keys: list[str] | str | None = None,
+    start: int = MIN_TS,
+    end: int = MAX_TS,
+    mode: str = "additive",
+) -> DataFrame:
+    """(key, ts, forecast) — `horizon_n` grid steps past each key's last
+    observed bucket: the decompose-then-extrapolate baseline every
+    capacity dashboard starts from.  The trend line is the per-key OLS
+    fit (regr_slope/intercept) of the decomposition's TREND component —
+    season-free by construction, unlike a fit of the raw series, where
+    even a mean-zero season biases the slope (it is not orthogonal to
+    the linear term) — and the season is `ts_decompose`'s re-centered
+    phase component, repeated forward: forecast = line + seasonal
+    (additive) or line * seasonal (multiplicative).  Phases whose
+    seasonal is undefined fall back to the bare line.  Same scale shape
+    as ts_decompose: one (key, bucket) exchange, then per-key-bounded
+    frames; the horizon explode is horizon_n rows/key.  A key too short
+    for any full centered-MA window (so no trend rows, or a
+    zero-variance fit input) emits nothing."""
+    if horizon_n < 1:
+        raise ValueError("horizon_n must be >= 1")
+    dec = ts_decompose(
+        samples, step_ms, period_n, keys=keys, start=start, end=end,
+        mode=mode,
+    )
+    phase = F.pmod(F.expr(f"ts div {int(step_ms)}"), F.lit(period_n))
+    seas = (
+        dec.select("key", phase.alias("__phase"), "seasonal")
+        .groupBy("key", "__phase")
+        .agg(F.min("seasonal").alias("seasonal"))
+    )
+    fit = (
+        dec.groupBy("key")
+        .agg(
+            F.expr("regr_slope(trend, CAST(ts AS DOUBLE))").alias("__m"),
+            F.expr("regr_intercept(trend, CAST(ts AS DOUBLE))").alias("__c"),
+            F.max("ts").alias("__last"),
+        )
+        .filter(F.col("__m").isNotNull())
+    )
+    horizon = fit.select(
+        "key",
+        "__m",
+        "__c",
+        F.explode(
+            F.sequence(
+                F.col("__last") + F.lit(int(step_ms)),
+                F.col("__last") + F.lit(int(step_ms) * horizon_n),
+                F.lit(int(step_ms)),
+            )
+        ).alias("ts"),
+    )
+    line = F.col("__m") * F.col("ts").cast("double") + F.col("__c")
+    mult = mode == "multiplicative"
+    fc = (
+        line * F.coalesce(F.col("seasonal"), F.lit(1.0))
+        if mult
+        else line + F.coalesce(F.col("seasonal"), F.lit(0.0))
+    )
+    return (
+        horizon.withColumn("__phase", phase)
+        .join(seas, ["key", "__phase"], "left")
+        .select("key", "ts", fc.alias("forecast"))
+    )

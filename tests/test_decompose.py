@@ -157,6 +157,71 @@ def test_multiplicative_exact_recovery(spark):
             assert tr is None and re is None, i
 
 
+def test_forecast_additive_exact(spark):
+    from redistimeseries_spark.operators.decompose import ts_forecast
+
+    season = [2.0, -1.0, 0.0, -1.0]
+    rows = _rows_for(season, 0.5, 24)
+    got = {
+        r.ts: r.forecast
+        for r in ts_forecast(
+            spark.createDataFrame(rows, "key string, ts long, value double"),
+            1000,
+            4,
+            horizon_n=6,
+        ).collect()
+    }
+    assert set(got) == {i * 1000 for i in range(24, 30)}
+    for i in range(24, 30):
+        assert got[i * 1000] == pytest.approx(
+            0.5 * i + season[i % 4], abs=1e-6
+        ), i
+
+
+def test_forecast_multiplicative_exact(spark):
+    from redistimeseries_spark.operators.decompose import ts_forecast
+
+    season = [1.5, 0.5, 1.25, 0.75]
+    rows = [("a", i * 1000, 8.0 * season[i % 4]) for i in range(24)]
+    got = {
+        r.ts: r.forecast
+        for r in ts_forecast(
+            spark.createDataFrame(rows, "key string, ts long, value double"),
+            1000,
+            4,
+            horizon_n=4,
+            mode="multiplicative",
+        ).collect()
+    }
+    for i in range(24, 28):
+        assert got[i * 1000] == pytest.approx(8.0 * season[i % 4], abs=1e-6)
+
+
+def test_forecast_short_series_emits_nothing(spark):
+    from redistimeseries_spark.operators.decompose import ts_forecast
+
+    rows = [("s", 0, 1.0), ("s", 1000, 2.0)]  # < one MA window for p=4
+    assert (
+        ts_forecast(
+            spark.createDataFrame(rows, "key string, ts long, value double"),
+            1000,
+            4,
+            horizon_n=3,
+        ).count()
+        == 0
+    )
+
+
+def test_forecast_validation(spark):
+    from redistimeseries_spark.operators.decompose import ts_forecast
+
+    df = spark.createDataFrame(
+        [("a", 0, 1.0)], "key string, ts long, value double"
+    )
+    with pytest.raises(ValueError, match="horizon_n"):
+        ts_forecast(df, 1000, 4, horizon_n=0)
+
+
 def test_validation(spark):
     df = spark.createDataFrame(
         [("a", 0, 1.0)], "key string, ts long, value double"
