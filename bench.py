@@ -200,6 +200,30 @@ def main():
 
     floor = _floor()
 
+    # shuffle floor (round 9): the noop floor is CPU/codegen-bound and
+    # missed a host-noise mode where it read AT the idle reference while
+    # every real query ran ~25% high (three consecutive idle runs:
+    # totals 12.38/9.81/10.37 s with floors 0.078/0.106/0.114 — ANTI-
+    # correlated).  Real queries are exchange/memory-bound; this floor
+    # is a fixed-work shuffle + hash aggregation, so the pair separates
+    # compute noise from memory/shuffle noise.
+    def _floor_shuffle():
+        best = float("inf")
+        for _ in range(3):
+            t0 = time.time()
+            (
+                spark.range(20_000_000)
+                .groupBy(F.pmod("id", F.lit(65536)).alias("k"))
+                .count()
+                .write.mode("overwrite")
+                .format("noop")
+                .save()
+            )
+            best = min(best, time.time() - t0)
+        return round(best, 3)
+
+    floor_shuffle = _floor_shuffle()
+
     times = {}
     for name, build in bms.items():
         best = float("inf")
@@ -217,6 +241,7 @@ def main():
                 "unit": "sec",
                 "queries": times,
                 "floor_noop_sec": floor,
+                "floor_shuffle_sec": floor_shuffle,
                 "sf": sf,
             }
         )
