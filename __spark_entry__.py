@@ -3702,11 +3702,12 @@ se AS (SELECT key, phase,
               pmean - avg(pmean) OVER (PARTITION BY key) AS seasonal
        FROM ph),
 f AS (SELECT key,
-             regr_slope(trend, CAST(b AS DOUBLE)) AS m,
-             regr_intercept(trend, CAST(b AS DOUBLE)) AS c,
+             coalesce(regr_slope(trend, CAST(b AS DOUBLE)), 0) AS m,
+             coalesce(regr_intercept(trend, CAST(b AS DOUBLE)),
+                      avg(trend)) AS c,
              max(b) AS last_b
       FROM d GROUP BY key
-      HAVING regr_slope(trend, CAST(b AS DOUBLE)) IS NOT NULL),
+      HAVING avg(trend) IS NOT NULL),
 hz AS (SELECT key, m, c,
               unnest(range(last_b + {3 * H},
                            last_b + {3 * H} * 16 + 1, {3 * H})) AS ts

@@ -592,9 +592,10 @@ class TimeSeriesEngine:
         ).drop("key")
 
     def decompose(self, key: str, step, period_n: int,
-                  from_ts="-", to_ts="+") -> DataFrame:
-        """Classical additive seasonal decomposition on the `step` grid
-        (beyond-reference; operators/decompose.ts_decompose)."""
+                  from_ts="-", to_ts="+", mode: str = "additive") -> DataFrame:
+        """Classical seasonal decomposition on the `step` grid — additive
+        or multiplicative (beyond-reference; operators/decompose.
+        ts_decompose)."""
         from redistimeseries_spark.operators.decompose import ts_decompose
 
         return ts_decompose(
@@ -603,6 +604,7 @@ class TimeSeriesEngine:
             period_n,
             start=self._resolve_ts(from_ts, key),
             end=self._resolve_ts(to_ts, key),
+            mode=mode,
         ).drop("key")
 
     def forecast(self, key: str, step, period_n: int, horizon_n: int,

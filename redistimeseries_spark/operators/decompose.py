@@ -179,8 +179,9 @@ def ts_forecast(
     seasonal is undefined fall back to the bare line.  Same scale shape
     as ts_decompose: one (key, bucket) exchange, then per-key-bounded
     frames; the horizon explode is horizon_n rows/key.  A key too short
-    for any full centered-MA window (so no trend rows, or a
-    zero-variance fit input) emits nothing."""
+    for any full centered-MA window (no trend rows at all) emits
+    nothing; a key with exactly ONE trend row (regr_slope undefined)
+    forecasts the flat line through that constant trend."""
     if horizon_n < 1:
         raise ValueError("horizon_n must be >= 1")
     dec = ts_decompose(
@@ -193,14 +194,26 @@ def ts_forecast(
         .groupBy("key", "__phase")
         .agg(F.min("seasonal").alias("seasonal"))
     )
+    # regr_slope is NULL when fewer than two trend rows exist (the spine's
+    # ts values are always distinct, so zero x-variance can't occur): a
+    # single-trend-row key is a CONSTANT trend — exactly forecastable —
+    # so fall back to the flat line (slope 0 through the trend mean)
+    # instead of dropping the key; only trend-free keys emit nothing
     fit = (
         dec.groupBy("key")
         .agg(
-            F.expr("regr_slope(trend, CAST(ts AS DOUBLE))").alias("__m"),
-            F.expr("regr_intercept(trend, CAST(ts AS DOUBLE))").alias("__c"),
+            F.expr("regr_slope(trend, CAST(ts AS DOUBLE))").alias("__m0"),
+            F.expr("regr_intercept(trend, CAST(ts AS DOUBLE))").alias("__c0"),
+            F.avg("trend").alias("__mu"),
             F.max("ts").alias("__last"),
         )
-        .filter(F.col("__m").isNotNull())
+        .filter(F.col("__mu").isNotNull())
+        .select(
+            "key",
+            F.coalesce(F.col("__m0"), F.lit(0.0)).alias("__m"),
+            F.coalesce(F.col("__c0"), F.col("__mu")).alias("__c"),
+            "__last",
+        )
     )
     horizon = fit.select(
         "key",

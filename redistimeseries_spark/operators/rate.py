@@ -557,7 +557,16 @@ def ts_delta(
         df.select("key", b.alias("__b"), "ts", "value")
         .groupBy("key", "__b")
         .agg(
-            (F.max_by("value", "ts") - F.min_by("value", "ts")).alias("delta"),
+            # deterministic on duplicate-(key, ts) rows: the (ts, value)
+            # last-wins rule makes the MAX-value duplicate the effective
+            # sample at any ts, so both endpoints order by (ts, value
+            # desc-for-first / asc-for-last) instead of bare ts
+            (
+                F.max_by("value", F.struct("ts", "value"))
+                - F.min_by(
+                    "value", F.struct(F.col("ts"), (-F.col("value")).alias("v"))
+                )
+            ).alias("delta"),
             F.count(F.lit(1)).alias("__n"),
         )
         .filter(F.col("__n") >= 2)

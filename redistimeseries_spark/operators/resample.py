@@ -158,10 +158,18 @@ def ts_resample(
     # aggregation over the raw samples — max/min of the (ts, value)
     # struct embeds the duplicate rule), hung on the key's full chunk
     # spine so runs of sample-free chunks still see their neighbors
+    # duplicate-(key, ts) rule everywhere is (ts, value) LAST-wins: the
+    # effective sample at any ts is its MAX-value duplicate.  __l's
+    # struct-max embeds that for free (max ts, then max value); __f must
+    # order (ts asc, value DESC) — a bare struct-min would hand the
+    # next-bracket the min-value duplicate (round-9 ADVICE finding)
     pc = df.groupBy(
         "key", (F.col("ts") - F.pmod(F.col("ts"), F.lit(chunk_ms))).alias("__c")
     ).agg(
-        F.min(F.struct("ts", "value")).alias("__f"),
+        F.min_by(
+            F.struct("ts", "value"),
+            F.struct(F.col("ts"), (-F.col("value")).alias("v")),
+        ).alias("__f"),
         F.max(F.struct("ts", "value")).alias("__l"),
     )
     spine = bounds.select(

@@ -37,7 +37,8 @@ def _ts_tvf_sql(p: str) -> list[str]:
     the `spark.sql` surface matches the Python facade (engine.topk /
     deriv / changes / resets / predict_linear / value_histogram /
     resample / holt / ewma / anomalies / mad / outlier_mad /
-    hist_quantile — named `<p><op>`, so two stores registered under
+    hist_quantile / decompose / forecast — named `<p><op>`, so two
+    stores registered under
     different prefixes keep independent function sets).  Bodies are the
     operators' exact plans re-expressed
     declaratively — Catalyst inlines them at the call site, so `SELECT *
@@ -333,18 +334,20 @@ def _ts_tvf_sql(p: str) -> list[str]:
               UNION ALL
               SELECT key, ts, CAST(NULL AS DOUBLE), 0 FROM grid),
             e AS (
+              -- (ts, value) last-wins tiebreak on duplicate-(key, ts)
+              -- samples, mirroring the facade and the differential twin
               SELECT key, ts, __s,
                 last(value, true) OVER
-                  (PARTITION BY key ORDER BY ts, __s DESC
+                  (PARTITION BY key ORDER BY ts, __s DESC, value
                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS __pv,
                 last(CASE WHEN __s = 1 THEN ts END, true) OVER
-                  (PARTITION BY key ORDER BY ts, __s DESC
+                  (PARTITION BY key ORDER BY ts, __s DESC, value
                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS __pt,
                 last(value, true) OVER
-                  (PARTITION BY key ORDER BY ts DESC, __s ASC
+                  (PARTITION BY key ORDER BY ts DESC, __s ASC, value ASC
                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS __nv,
                 last(CASE WHEN __s = 1 THEN ts END, true) OVER
-                  (PARTITION BY key ORDER BY ts DESC, __s ASC
+                  (PARTITION BY key ORDER BY ts DESC, __s ASC, value ASC
                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS __nt
               FROM u)
             SELECT key, ts,
@@ -455,6 +458,173 @@ def _ts_tvf_sql(p: str) -> list[str]:
                             THEN abs((value - mn) / sd) > z END,
                        false) AS anomaly
             FROM s""",
+        # classical seasonal decomposition (decompose.ts_decompose); a
+        # SQL window frame bound must be a PARSE-TIME literal, so the
+        # +-half-period centered-MA frame cannot be `ROWS BETWEEN h
+        # PRECEDING` — the TVF gathers each spine row's window via a
+        # key-equi self-join with a +-h*step band predicate instead
+        # (O(rows x period) matched pairs, O(n^2) filtering inside a hot
+        # key: the documented SQL-twin convention, {p}anomalies'
+        # precedent; the expression-windowed facade is the scale path).
+        # Guards mirror the facade's ValueErrors; both modes supported.
+        f"""CREATE OR REPLACE TEMPORARY FUNCTION {p}decompose(
+                step BIGINT, period INT, mode STRING)
+            RETURNS TABLE (key STRING, ts BIGINT, value DOUBLE,
+                           trend DOUBLE, seasonal DOUBLE, resid DOUBLE)
+            RETURN WITH g AS (
+              SELECT key,
+                CASE WHEN step <= 0 THEN CAST(raise_error(concat(
+                       '{p}decompose: step must be positive, got ',
+                       CAST(step AS STRING))) AS BIGINT)
+                     WHEN period < 2 THEN CAST(raise_error(concat(
+                       '{p}decompose: period must be >= 2, got ',
+                       CAST(period AS STRING))) AS BIGINT)
+                     WHEN mode NOT IN ('additive', 'multiplicative')
+                       THEN CAST(raise_error(concat(
+                       '{p}decompose: mode must be additive or ',
+                       'multiplicative, got ', mode)) AS BIGINT)
+                     ELSE ts - pmod(ts, step) END AS b,
+                avg(value) AS value
+              FROM {p}samples WHERE {nn} GROUP BY 1, 2),
+            spine AS (
+              SELECT key, explode(sequence(min(b), max(b), step)) AS b
+              FROM g GROUP BY key),
+            gr AS (
+              SELECT s.key, s.b, g.value
+              FROM spine s LEFT JOIN g ON s.key = g.key AND s.b = g.b),
+            tj AS (
+              -- an aggregate may not MIX outer params with local refs
+              -- inside the function call, so the edge flag (offset ==
+              -- +-half-period) is projected BEFORE the aggregation
+              SELECT g1.key, g1.b, g1.value AS v0, o.value AS nval,
+                CASE WHEN abs(o.b - g1.b) = (period DIV 2) * step
+                     THEN o.value END AS edge_val
+              FROM gr g1 LEFT JOIN gr o
+                ON o.key = g1.key
+                AND o.b BETWEEN g1.b - (period DIV 2) * step
+                            AND g1.b + (period DIV 2) * step),
+            t AS (
+              SELECT key, b, v0 AS value,
+                CASE WHEN period % 2 = 1
+                       AND count(nval) = period
+                     THEN sum(nval) / period
+                     WHEN period % 2 = 0
+                       AND count(nval) = period + 1
+                     THEN (sum(nval) - sum(edge_val) / 2.0) / period
+                END AS trend,
+                pmod(b DIV step, period) AS phase
+              FROM tj GROUP BY key, b, v0),
+            d AS (
+              SELECT key, b, value, trend, phase,
+                CASE WHEN mode = 'multiplicative'
+                     THEN CASE WHEN trend <> 0 THEN value / trend END
+                     ELSE value - trend END AS det
+              FROM t),
+            se AS (
+              SELECT key, phase,
+                CASE WHEN mode = 'multiplicative'
+                     THEN CASE WHEN ctr <> 0 THEN pmean / ctr END
+                     ELSE pmean - ctr END AS seasonal
+              FROM (SELECT key, phase, pmean,
+                           avg(pmean) OVER (PARTITION BY key) AS ctr
+                    FROM (SELECT key, phase, avg(det) AS pmean
+                          FROM d GROUP BY 1, 2)))
+            SELECT d.key, d.b AS ts, d.value, d.trend, se.seasonal,
+              CASE WHEN mode = 'multiplicative'
+                   THEN CASE WHEN d.trend <> 0 AND se.seasonal <> 0
+                             THEN d.value / d.trend / se.seasonal END
+                   ELSE d.value - d.trend - se.seasonal END AS resid
+            FROM d LEFT JOIN se
+              ON d.key = se.key AND d.phase = se.phase""",
+        # seasonal linear forecast (decompose.ts_forecast): the
+        # decompose CTE chain + a per-key OLS fit of the trend with the
+        # constant-trend flat-line fallback (round 10), extrapolated
+        # horizon steps with the phase component repeated forward
+        f"""CREATE OR REPLACE TEMPORARY FUNCTION {p}forecast(
+                step BIGINT, period INT, horizon INT, mode STRING)
+            RETURNS TABLE (key STRING, ts BIGINT, forecast DOUBLE)
+            RETURN WITH g AS (
+              SELECT key,
+                CASE WHEN step <= 0 THEN CAST(raise_error(concat(
+                       '{p}forecast: step must be positive, got ',
+                       CAST(step AS STRING))) AS BIGINT)
+                     WHEN period < 2 THEN CAST(raise_error(concat(
+                       '{p}forecast: period must be >= 2, got ',
+                       CAST(period AS STRING))) AS BIGINT)
+                     WHEN horizon < 1 THEN CAST(raise_error(concat(
+                       '{p}forecast: horizon must be >= 1, got ',
+                       CAST(horizon AS STRING))) AS BIGINT)
+                     WHEN mode NOT IN ('additive', 'multiplicative')
+                       THEN CAST(raise_error(concat(
+                       '{p}forecast: mode must be additive or ',
+                       'multiplicative, got ', mode)) AS BIGINT)
+                     ELSE ts - pmod(ts, step) END AS b,
+                avg(value) AS value
+              FROM {p}samples WHERE {nn} GROUP BY 1, 2),
+            spine AS (
+              SELECT key, explode(sequence(min(b), max(b), step)) AS b
+              FROM g GROUP BY key),
+            gr AS (
+              SELECT s.key, s.b, g.value
+              FROM spine s LEFT JOIN g ON s.key = g.key AND s.b = g.b),
+            tj AS (
+              -- an aggregate may not MIX outer params with local refs
+              -- inside the function call, so the edge flag (offset ==
+              -- +-half-period) is projected BEFORE the aggregation
+              SELECT g1.key, g1.b, g1.value AS v0, o.value AS nval,
+                CASE WHEN abs(o.b - g1.b) = (period DIV 2) * step
+                     THEN o.value END AS edge_val
+              FROM gr g1 LEFT JOIN gr o
+                ON o.key = g1.key
+                AND o.b BETWEEN g1.b - (period DIV 2) * step
+                            AND g1.b + (period DIV 2) * step),
+            t AS (
+              SELECT key, b, v0 AS value,
+                CASE WHEN period % 2 = 1
+                       AND count(nval) = period
+                     THEN sum(nval) / period
+                     WHEN period % 2 = 0
+                       AND count(nval) = period + 1
+                     THEN (sum(nval) - sum(edge_val) / 2.0) / period
+                END AS trend,
+                pmod(b DIV step, period) AS phase
+              FROM tj GROUP BY key, b, v0),
+            d AS (
+              SELECT key, b, trend, phase,
+                CASE WHEN mode = 'multiplicative'
+                     THEN CASE WHEN trend <> 0 THEN value / trend END
+                     ELSE value - trend END AS det
+              FROM t),
+            se AS (
+              SELECT key, phase,
+                CASE WHEN mode = 'multiplicative'
+                     THEN CASE WHEN ctr <> 0 THEN pmean / ctr END
+                     ELSE pmean - ctr END AS seasonal
+              FROM (SELECT key, phase, pmean,
+                           avg(pmean) OVER (PARTITION BY key) AS ctr
+                    FROM (SELECT key, phase, avg(det) AS pmean
+                          FROM d GROUP BY 1, 2))),
+            f AS (
+              SELECT key,
+                coalesce(regr_slope(trend, CAST(b AS DOUBLE)), 0D) AS m,
+                coalesce(regr_intercept(trend, CAST(b AS DOUBLE)),
+                         avg(trend)) AS c,
+                max(b) AS last_b
+              FROM d GROUP BY key HAVING avg(trend) IS NOT NULL),
+            hz AS (
+              SELECT key, m, c,
+                explode(sequence(last_b + step,
+                                 last_b + step * horizon, step)) AS ts
+              FROM f)
+            SELECT hz.key, hz.ts,
+              CASE WHEN mode = 'multiplicative'
+                   THEN (hz.m * CAST(hz.ts AS DOUBLE) + hz.c)
+                        * coalesce(se.seasonal, 1D)
+                   ELSE hz.m * CAST(hz.ts AS DOUBLE) + hz.c
+                        + coalesce(se.seasonal, 0D) END AS forecast
+            FROM hz LEFT JOIN se
+              ON se.key = hz.key
+              AND se.phase = pmod(hz.ts DIV step, period)""",
     ]
 
 

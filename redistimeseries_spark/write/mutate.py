@@ -58,19 +58,20 @@ def incrby(
         .rowsBetween(Window.unboundedPreceding, 0)
     )
     wk = Window.partitionBy("key").orderBy("__c")
-    base = (
-        d.groupBy("key", "__c")
-        .agg(F.sum("value").alias("__csum"))
-        .select(
-            "key",
-            "__c",
-            F.coalesce(
-                F.sum("__csum").over(
-                    wk.rowsBetween(Window.unboundedPreceding, -1)
-                ),
-                F.lit(0.0),
-            ).alias("__base"),
-        )
+    csum = d.groupBy("key", "__c").agg(F.sum("value").alias("__csum"))
+    # the coalesce zero must carry sum(value)'s OWN type — a 0.0 double
+    # literal would widen integer deltas to double, diverging from the
+    # bare-key twin's schema (round-9 ADVICE finding)
+    zero = F.lit(0).cast(csum.schema["__csum"].dataType)
+    base = csum.select(
+        "key",
+        "__c",
+        F.coalesce(
+            F.sum("__csum").over(
+                wk.rowsBetween(Window.unboundedPreceding, -1)
+            ),
+            zero,
+        ).alias("__base"),
     )
     return (
         d.join(base, ["key", "__c"])

@@ -212,6 +212,46 @@ def test_forecast_short_series_emits_nothing(spark):
     )
 
 
+def test_forecast_constant_trend_flat_line(spark):
+    """A key with exactly ONE trend row (regr_slope undefined) must
+    forecast the FLAT line through that constant trend instead of being
+    dropped (round-10; the constant series is exactly forecastable)."""
+    from redistimeseries_spark.operators.decompose import ts_forecast
+
+    # p=4 over 5 buckets -> exactly one full centered-MA window (the
+    # middle bucket), so regr_slope sees a single (x, y) point
+    rows = [("c", i * 1000, 5.0) for i in range(5)]
+    got = sorted(
+        ts_forecast(
+            spark.createDataFrame(rows, "key string, ts long, value double"),
+            1000,
+            4,
+            horizon_n=3,
+        ).collect(),
+        key=lambda r: r.ts,
+    )
+    assert [r.ts for r in got] == [5000, 6000, 7000]
+    for r in got:
+        # constant series: trend 5.0, every seasonal 0 -> flat 5.0
+        assert r.forecast == pytest.approx(5.0, abs=1e-9)
+
+
+def test_engine_decompose_mode_passthrough(spark):
+    """engine.decompose exposes mode (round-9 ADVICE: multiplicative was
+    unreachable from the facade)."""
+    from redistimeseries_spark.engine import TimeSeriesEngine
+
+    eng = TimeSeriesEngine(spark, duplicate_policy="last")
+    eng.create("dm1")
+    season = [1.0, 2.0, 0.5, 1.5]
+    for i in range(16):
+        eng.add("dm1", i * 1000, 8.0 * season[i % 4])
+    got = {r.ts: r for r in eng.decompose("dm1", 1000, 4,
+                                          mode="multiplicative").collect()}
+    mid = [r for r in got.values() if r.trend is not None]
+    assert mid and all(r.resid == pytest.approx(1.0, abs=1e-6) for r in mid)
+
+
 def test_forecast_validation(spark):
     from redistimeseries_spark.operators.decompose import ts_forecast
 

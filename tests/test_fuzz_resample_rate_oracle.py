@@ -233,6 +233,14 @@ def test_fuzz_resample_chunk_context(spark):
         rows += [(k, 4096 * 3, 7.0)]
     # ~10 consecutive sample-free chunks mid-series + NaN at the edge
     rows += [("c3", 0, 1.0), ("c3", 7, NAN), ("c3", 40_000, 5.0)]
+    # PINNED (round-9 ADVICE): a duplicate pair as the FIRST sample of a
+    # chunk serving a cross-chunk NEXT bracket — the chunk-context __f
+    # must hand grids 1000..4000 the MAX-value duplicate (9.0), not the
+    # struct-min's 1.0
+    rows += [("c4", 0, 1.0), ("c4", 5000, 1.0), ("c4", 5000, 9.0)]
+    # same layout across a run of sample-free chunks
+    rows += [("c5", 0, 2.0), ("c5", 4096 * 3 + 10, 1.0),
+             ("c5", 4096 * 3 + 10, 9.0)]
     sdf = spark.createDataFrame(
         rows, "key string, ts long, value double"
     ).cache()
@@ -415,6 +423,40 @@ def test_fuzz_delta_vs_duckdb(envs):
         if not got.equals(exp):
             failures.append((i, s, got.shape, exp.shape))
     assert not failures, failures[:2]
+
+
+def test_fuzz_delta_dup_ts(spark):
+    """ts_delta on duplicate-(key, ts) input (round 10): the (ts, value)
+    last-wins rule makes the MAX-value duplicate the effective sample at
+    both bucket endpoints, so the result is deterministic across
+    retries.  Oracle: DuckDB ordered-aggregate first/last with the same
+    (ts, value desc / asc) orderings."""
+    from redistimeseries_spark.operators.rate import ts_delta
+
+    rng = random.Random(0xDE17A)
+    rows = []
+    for k in ("d1", "d2"):
+        for t in rng.sample(range(0, 20_000), 40):
+            rows.append((k, t, rng.uniform(-50.0, 50.0)))
+            if rng.random() < 0.3:  # duplicate the ts with another value
+                rows.append((k, t, rng.uniform(-50.0, 50.0)))
+    # pinned: duplicates at BOTH bucket endpoints
+    rows += [("d3", 0, 1.0), ("d3", 0, 9.0), ("d3", 900, 3.0),
+             ("d3", 900, 7.0)]
+    sdf = spark.createDataFrame(rows, "key string, ts long, value double")
+    con = duckdb.connect()
+    con.execute("CREATE TABLE t(key VARCHAR, ts BIGINT, value DOUBLE)")
+    con.executemany("INSERT INTO t VALUES (?, ?, ?)", rows)
+    for dur in (700, 1000, 7919):
+        got = _normalize(ts_delta(sdf, dur).toPandas())
+        exp = _normalize(con.sql(f"""
+          WITH s AS (SELECT key, value, ts - ts % {dur} AS b, ts FROM t)
+          SELECT key, b AS ts,
+                 last(value ORDER BY ts, value)
+                   - first(value ORDER BY ts, value DESC) AS delta
+          FROM s GROUP BY key, b HAVING count(*) >= 2
+        """).df())
+        assert got.equals(exp), (dur, got.shape, exp.shape)
 
 
 def _event_oracle(spec, cond: str, col: str) -> str:

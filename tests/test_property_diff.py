@@ -555,3 +555,22 @@ def test_incrby_chunk_context_vs_key_window(spark, data):
     assert got.keys() == want.keys()
     for kk in got:
         assert abs(got[kk] - want[kk]) < 1e-9, (kk, got[kk], want[kk])
+
+
+def test_incrby_integer_deltas_keep_schema(spark):
+    """Integer-typed deltas: the chunked incrby must carry sum(value)'s
+    own type through the cross-chunk coalesce — a 0.0 double literal
+    widened the schema vs the twin (round-9 ADVICE finding).  Exact
+    value equality too: integer summation has no reorder drift."""
+    from redistimeseries_spark.write.mutate import _incrby_key_window, incrby
+
+    rows = [("k", i * 10, (-1) ** i * (i + 1), i) for i in range(20)]
+    sdf = spark.createDataFrame(
+        rows, "key string, ts long, value long, seq long"
+    )
+    got = incrby(sdf, chunk=4)
+    want = _incrby_key_window(sdf)
+    assert got.schema["value"].dataType == want.schema["value"].dataType
+    assert {(r.key, r.ts): r.value for r in got.collect()} == {
+        (r.key, r.ts): r.value for r in want.collect()
+    }

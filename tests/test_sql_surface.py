@@ -199,6 +199,27 @@ def test_sql_table_functions_match_operators(spark, samples_df):
              "redistimeseries_spark.operators.smooth",
              fromlist=["ts_anomalies"],
          ).ts_anomalies(st.samples, 2, 0.5)),
+        # round-10: decompose/forecast TVF twins, both modes
+        (f"SELECT * FROM ts_decompose({dur}, 3, 'additive')",
+         __import__(
+             "redistimeseries_spark.operators.decompose",
+             fromlist=["ts_decompose"],
+         ).ts_decompose(st.samples, dur, 3)),
+        (f"SELECT * FROM ts_decompose({dur}, 2, 'multiplicative')",
+         __import__(
+             "redistimeseries_spark.operators.decompose",
+             fromlist=["ts_decompose"],
+         ).ts_decompose(st.samples, dur, 2, mode="multiplicative")),
+        (f"SELECT * FROM ts_forecast({dur}, 3, 4, 'additive')",
+         __import__(
+             "redistimeseries_spark.operators.decompose",
+             fromlist=["ts_forecast"],
+         ).ts_forecast(st.samples, dur, 3, 4)),
+        (f"SELECT * FROM ts_forecast({dur}, 2, 2, 'multiplicative')",
+         __import__(
+             "redistimeseries_spark.operators.decompose",
+             fromlist=["ts_forecast"],
+         ).ts_forecast(st.samples, dur, 2, 2, mode="multiplicative")),
     ]
     for sql_q, op_df in cases:
         assert key_rows(spark.sql(sql_q)) == key_rows(op_df), sql_q
@@ -260,6 +281,31 @@ def test_sql_table_functions_match_operators(spark, samples_df):
     assert om_plan.count("sort_array(collect_list") <= 2  # med arr + dev arr
     with _pytest.raises(Exception, match="locf or linear"):
         spark.sql("SELECT * FROM ts_resample(20000, 'cubic')").collect()
+
+
+def test_sql_resample_tvf_dup_ts_tiebreak(spark, samples_df):
+    """The {p}resample TVF resolves duplicate-(key, ts) samples by the
+    (ts, value) last-wins rule — matching the facade twin (round-9
+    ADVICE: the TVF window orderings lacked the value tiebreak)."""
+    from redistimeseries_spark.operators.resample import (
+        _ts_resample_key_window,
+    )
+
+    rows = [("d", 0, 1.0), ("d", 5000, 1.0), ("d", 5000, 9.0),
+            ("d", 9000, 3.0), ("d", 9000, 0.5)]
+    st = TSStore.from_dataframes(samples_df(rows))
+    register_sql(spark, st, prefix="dup_")
+
+    def rnd(df):
+        return sorted(
+            tuple(round(x, 9) if isinstance(x, float) else x for x in r)
+            for r in df.collect()
+        )
+
+    for method in ("locf", "linear"):
+        got = rnd(spark.sql(f"SELECT * FROM dup_resample(1000, '{method}')"))
+        want = rnd(_ts_resample_key_window(st.samples, 1000, method))
+        assert got == want, method
 
 
 def test_sql_table_functions_respect_prefix(spark, samples_df):
