@@ -2249,6 +2249,14 @@ def _base_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # enters the window in its adding commit; ts_counter_rate
     # (driver-green r4+; the counter family keeps five in-window
     # siblings) rotates to the tail.
+    # Round-10 rotation: ts_resample_linear promotes into the window —
+    # the round's resample fix (chunk-context __f now resolves
+    # duplicate-(key, ts) samples by the (ts, value) last-wins rule)
+    # changes the NEXT-bracket gather, which only the LINEAR method
+    # reads, so the driver should gate the fixed plan (its locf sibling
+    # ts_resample_locf stays in-window too); ts_changes (driver-green
+    # r4+; the counter/event family keeps ts_compaction_increase_1h,
+    # ts_delta, ts_idelta, ts_irate in-window) rotates to the tail.
     return {
         # --- checked prefix: one representative per operator family -----
         "ts_range_raw": q_range_raw,
@@ -2267,7 +2275,7 @@ def _base_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dl_quality_summary": q_quality_summary,
         "ts_rollup_route": q_rollup_route,
         "dl_simhash": q_simhash,
-        "ts_changes": q_changes,
+        "ts_resample_linear": q_resample_linear,
         "ts_decompose": q_decompose,
         "ts_ewma": q_ewma,
         "ts_holt": q_holt,
@@ -2319,7 +2327,7 @@ def _base_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dl_rolling_fingerprint": q_rolling_fingerprint,
         "dl_embed_neardup_lsh": q_embed_neardup_lsh,
         "ts_gaps": q_gaps,
-        "ts_resample_linear": q_resample_linear,
+        "ts_changes": q_changes,
         "ts_mrange_groupby_avg": q_mrange_groupby_avg,
         "ts_nrange_pivot": q_nrange_pivot,
         "ts_dup_last": q_dup_last,

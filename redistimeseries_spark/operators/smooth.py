@@ -64,6 +64,7 @@ def ts_anomalies(
     end: int = MAX_TS,
     flag_only: bool = False,
     chunk_ms: int = SMOOTH_CHUNK_MS,
+    fast: bool = False,
 ) -> DataFrame:
     """(key, ts, value, mean, std, zscore, anomaly) — rolling z-score
     outlier detection per series: each sample is compared against the
@@ -89,7 +90,22 @@ def ts_anomalies(
     samples are invalid everywhere and dropped first; duplicate
     (key, ts) rows order deterministically by (ts, value).
     `flag_only=True` keeps just the anomalous rows (the alerting
-    consumer's shape)."""
+    consumer's shape).
+
+    `fast=True` (round 10): swap the rolling aggregation for the
+    centered cumulative-sum formulation — Spark re-aggregates a SLIDING
+    frame per row (O(window_n)/row; measured 67.6 of the 72.2 s total
+    at 1 key x 100M), while GROWING frames evaluate incrementally, so
+    rolling sum/sumsq become two cumsums plus lag differences
+    (23.2 s measured, ~3x).  Values are centered by the partition mean
+    first (one evaluate-once unbounded frame), which keeps the
+    two-pass variance formula exact-in-practice; the documented
+    tradeoff is pathological data whose rolling variance sits MANY
+    orders below the partition's value spread (a plateau after a huge
+    in-chunk ramp), where the subtraction cancels — the default plan
+    uses Spark's numerically stable central-moment sliding aggregate
+    and stays the oracle-gated path.  Fuzz-pinned to the default
+    within 1e-6 (test_fuzz_anomalies_fast)."""
     if window_n < 2:
         raise ValueError("window_n must be >= 2")
     if z <= 0:
@@ -150,6 +166,48 @@ def ts_anomalies(
         F.lit(1).alias("__is_ctx"),
     )
     unioned = d.withColumn("__is_ctx", F.lit(0)).unionByName(ctx_rows)
+    if fast:
+        wo = Window.partitionBy("key", "__c").orderBy("ts", "value")
+        # partition mean: an UNBOUNDED frame evaluates once per
+        # partition; centering on it keeps the two-pass formula sane
+        cm = F.avg("value").over(Window.partitionBy("key", "__c"))
+        b = unioned.withColumn("__cm", cm).withColumn(
+            "__vc", F.col("value") - F.col("__cm")
+        )
+        wg = wo.rowsBetween(Window.unboundedPreceding, 0)
+        rn = F.row_number().over(wo)
+        cs = F.sum("__vc").over(wg)
+        cq = F.sum(F.col("__vc") * F.col("__vc")).over(wg)
+        e = b.select(
+            "key", "ts", "value", "__is_ctx", "__cm", "__c",
+            rn.alias("__rn"), cs.alias("__cs"), cq.alias("__cq"),
+        )
+        wl = Window.partitionBy("key", "__c").orderBy("__rn")
+        s_w = F.lag("__cs", 1).over(wl) - F.coalesce(
+            F.lag("__cs", window_n + 1).over(wl), F.lit(0.0)
+        )
+        q_w = F.lag("__cq", 1).over(wl) - F.coalesce(
+            F.lag("__cq", window_n + 1).over(wl), F.lit(0.0)
+        )
+        n_prev = F.least(F.col("__rn") - 1, F.lit(window_n))
+        mean = F.col("__cm") + s_w / n_prev
+        var = (q_w - s_w * s_w / n_prev) / (n_prev - 1)
+        std = F.sqrt(F.greatest(var, F.lit(0.0)))
+        zscore = F.when(
+            (n_prev >= window_n) & (std > 0),
+            (F.col("value") - mean) / std,
+        )
+        out = e.select(
+            "key",
+            "ts",
+            "value",
+            "__is_ctx",
+            F.when(n_prev >= window_n, mean).alias("mean"),
+            F.when(n_prev >= window_n, std).alias("std"),
+            zscore.alias("zscore"),
+            F.coalesce(F.abs(zscore) > z, F.lit(False)).alias("anomaly"),
+        ).filter(F.col("__is_ctx") == 0).drop("__is_ctx")
+        return out.filter("anomaly") if flag_only else out
     w = (
         Window.partitionBy("key", "__c")
         .orderBy("ts", "value")

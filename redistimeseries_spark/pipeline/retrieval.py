@@ -549,12 +549,16 @@ class TextIndexStream:
         path: str,
         buckets: int = TEXT_INDEX_BUCKETS,
         compact_every: int | None = None,
+        compact_max_files: int | None = None,
     ):
         """`compact_every=N` runs `index_maintenance.compact_index` after
         every Nth committed batch, inside process_batch — the stream is
         the store's only writer there, so the maintenance pass's
         QUIESCED-WRITER precondition holds by construction and the
         per-batch parquet fragments never accumulate past N batches.
+        `compact_max_files=N` instead triggers on the store's total
+        parquet data-file count exceeding N (see `_maybe_compact`;
+        either trigger firing compacts).
         The quiesced-READER precondition is the caller's to arrange: a
         query racing the rename-swap can fail transiently on the
         vanished path (same contract as manual compact_index) — size N
@@ -566,6 +570,7 @@ class TextIndexStream:
 
         self.spark, self.path, self.buckets = spark, path, buckets
         self.compact_every = compact_every
+        self.compact_max_files = compact_max_files
         self._store_checked = False
         os.makedirs(path, exist_ok=True)
 
@@ -620,22 +625,47 @@ class TextIndexStream:
         self.spark.createDataFrame([(batch_id,)], "batch_id long").write.mode(
             "append"
         ).parquet(f"{self.path}/batches")
-        _maybe_compact(self.spark, self.path, batch_id, self.compact_every)
+        _maybe_compact(
+            self.spark, self.path, batch_id, self.compact_every,
+            max_files=self.compact_max_files,
+        )
 
 
 def _maybe_compact(
-    spark, path: str, batch_id: int, every: int | None, fn=None
+    spark,
+    path: str,
+    batch_id: int,
+    every: int | None,
+    fn=None,
+    max_files: int | None = None,
 ) -> None:
-    """Periodic in-stream compaction: after the Nth, 2Nth, ... committed
-    batch (by monotone micro-batch id), rewrite the store's fragments.
+    """Periodic in-stream compaction — ONE shared trigger rule for all
+    four stores, two triggers (either fires):
+
+    - `every=N`: after the Nth, 2Nth, ... committed batch (by monotone
+      micro-batch id) — the round-9 rule, kept as the fallback for
+      callers that want compactions on a schedule.
+    - `max_files=N` (round 10): when the store's total parquet
+      data-file count exceeds N.  The read-side cost compaction bounds
+      IS the fragment count, so thresholding on it directly holds the
+      same floor at lower amortized build cost than a fixed cadence —
+      one recursive listing per batch (`index_file_counts`), the same
+      class of listing the batch's own appends perform.
+
     `fn(spark, path)` is the store's compaction pass (default
     `index_maintenance.compact_index`; DedupStream passes
-    `compact_dedup_state`) — ONE shared trigger rule for all four
-    stores.  Runs AFTER the batch marker, so a crash mid-compaction
-    loses only maintenance work — the next trigger (or a manual rerun)
-    repairs the swap via `_recover_swap` and the batch itself stays
-    committed."""
-    if every and (batch_id + 1) % every == 0:
+    `compact_dedup_state`).  Runs AFTER the batch marker, so a crash
+    mid-compaction loses only maintenance work — the next trigger (or a
+    manual rerun) repairs the swap via `_recover_swap` and the batch
+    itself stays committed."""
+    due = bool(every and (batch_id + 1) % every == 0)
+    if not due and max_files:
+        from redistimeseries_spark.pipeline.index_maintenance import (
+            index_file_counts,
+        )
+
+        due = sum(index_file_counts(spark, path).values()) > max_files
+    if due:
         if fn is None:
             from redistimeseries_spark.pipeline.index_maintenance import (
                 compact_index,

@@ -813,15 +813,19 @@ class IVFIndexStream:
         path: str,
         ncent: int = 16,
         compact_every: int | None = None,
+        compact_max_files: int | None = None,
     ):
         """`compact_every=N` compacts the store after every Nth
         committed batch (retrieval._maybe_compact — the stream is the
         only writer inside process_batch, so the maintenance pass's
-        quiesced-writer precondition holds by construction)."""
+        quiesced-writer precondition holds by construction);
+        `compact_max_files=N` triggers on total data-file count instead
+        (either firing compacts)."""
         import os
 
         self.spark, self.path, self.ncent = spark, path, ncent
         self.compact_every = compact_every
+        self.compact_max_files = compact_max_files
         self._store_checked = False
         os.makedirs(path, exist_ok=True)
 
@@ -900,7 +904,10 @@ class IVFIndexStream:
         ).parquet(f"{self.path}/batches")
         from redistimeseries_spark.pipeline.retrieval import _maybe_compact
 
-        _maybe_compact(self.spark, self.path, batch_id, self.compact_every)
+        _maybe_compact(
+            self.spark, self.path, batch_id, self.compact_every,
+            max_files=self.compact_max_files,
+        )
 
 
 def _read_cells(spark, path: str) -> DataFrame:
@@ -1155,7 +1162,8 @@ class SemDedupStream:
     DECISION_SCHEMA = "vec_id long, status string, dup_of long"
 
     def __init__(self, spark, path: str, threshold: float = 0.95,
-                 ncent: int = 16, compact_every: int | None = None):
+                 ncent: int = 16, compact_every: int | None = None,
+                 compact_max_files: int | None = None):
         import os
 
         if not 0.0 <= threshold <= 1.0:
@@ -1163,6 +1171,7 @@ class SemDedupStream:
         self.spark, self.path = spark, path
         self.threshold, self.ncent = threshold, ncent
         self.compact_every = compact_every
+        self.compact_max_files = compact_max_files
         os.makedirs(path, exist_ok=True)
 
     def _read(self, sub: str, schema: str) -> DataFrame:
@@ -1265,4 +1274,7 @@ class SemDedupStream:
         ).parquet(f"{self.path}/batches")
         from redistimeseries_spark.pipeline.retrieval import _maybe_compact
 
-        _maybe_compact(self.spark, self.path, batch_id, self.compact_every)
+        _maybe_compact(
+            self.spark, self.path, batch_id, self.compact_every,
+            max_files=self.compact_max_files,
+        )

@@ -57,6 +57,7 @@ class DedupStream:
         verify_threshold: float | None = None,
         ngram_n: int = 3,
         compact_every: int | None = None,
+        compact_max_files: int | None = None,
     ):
         """verify_threshold: when set, band-collision candidates are
         DISPOSED by exact word-n-gram Jaccard (the batch dedup_pipeline's
@@ -72,8 +73,11 @@ class DedupStream:
         # compact_every=N: fold the per-batch state fragments after every
         # Nth committed batch (index_maintenance.compact_dedup_state) —
         # the stream is the only writer inside process_batch, so the
-        # maintenance pass's quiesced-writer precondition holds
+        # maintenance pass's quiesced-writer precondition holds;
+        # compact_max_files=N triggers on total data-file count instead
+        # (retrieval._maybe_compact; either firing compacts)
         self.compact_every = compact_every
+        self.compact_max_files = compact_max_files
         os.makedirs(state_dir, exist_ok=True)
 
     def _read(self, sub: str, schema: str) -> DataFrame:
@@ -271,7 +275,7 @@ class DedupStream:
 
         _maybe_compact(
             self.spark, self.state_dir, batch_id, self.compact_every,
-            fn=compact_dedup_state,
+            fn=compact_dedup_state, max_files=self.compact_max_files,
         )
 
 

@@ -95,6 +95,15 @@ class StreamingStore:
     # holds by construction; size N so the rewrites land in maintenance
     # windows (the rewrite reads the whole log — amortize it).
     compact_every: int | None = None
+    # compact_max_files=N compacts when the log's parquet data-file
+    # count exceeds N (round 10): the batch-count rule pays a full-log
+    # rewrite every N batches whether or not fragmentation accumulated,
+    # while the read-side cost compaction exists to bound IS the file
+    # count — so thresholding on it directly holds the same floor at
+    # lower amortized build cost.  The check is one recursive listing
+    # per batch (the same class of listing the append itself performs).
+    # Both triggers may be set; compaction fires when EITHER trips.
+    compact_max_files: int | None = None
     _batch_id: int = 0
     # DataFrames persisted during the current micro-batch's maintenance;
     # unpersisted at the end of process_batch (a long-running stream must
@@ -653,7 +662,12 @@ class StreamingStore:
         # a crash mid-compaction loses only the rewrite (the .tmp dir is
         # simply re-overwritten next trigger); the batch itself is fully
         # applied above
-        if self.compact_every and (batch_id + 1) % self.compact_every == 0:
+        due = bool(
+            self.compact_every and (batch_id + 1) % self.compact_every == 0
+        )
+        if not due and self.compact_max_files:
+            due = self.log_file_count() > self.compact_max_files
+        if due:
             self.compact()
 
     @staticmethod

@@ -98,6 +98,12 @@ def main():
     out["ewma_chunked_sec"] = timed(lambda: ts_ewma(df, 0.3))
     out["holt_chunked_sec"] = timed(lambda: ts_holt(df, 0.4, 0.2))
     out["anomalies_chunked_sec"] = timed(lambda: ts_anomalies(df, 20, 3.0))
+    # round-10: the centered-cumsum rolling formulation (fast=True) —
+    # growing frames evaluate incrementally where sliding frames
+    # re-aggregate per row
+    out["anomalies_fast_sec"] = timed(
+        lambda: ts_anomalies(df, 20, 3.0, fast=True)
+    )
     from redistimeseries_spark.operators.resample import (
         _ts_resample_key_window,
         ts_resample,
@@ -112,6 +118,17 @@ def main():
     )
 
     out["sessionize_chunked_sec"] = timed(lambda: sessionize(df, 500))
+    # round-10 arms (verdict r9 next #2): the decompose/forecast
+    # newcomers — one (key, bucket) hash aggregation is the only
+    # per-sample stage, every later window is #buckets-bounded, so the
+    # expected line is the bucketed-aggregation class (ts_increase's)
+    from redistimeseries_spark.operators.decompose import (
+        ts_decompose,
+        ts_forecast,
+    )
+
+    out["decompose_sec"] = timed(lambda: ts_decompose(df, H, 24))
+    out["forecast_sec"] = timed(lambda: ts_forecast(df, H, 24, 48))
     if not skip_old:
         out["key_window_sec"] = timed(
             lambda: _key_window_chain(

@@ -80,13 +80,44 @@ def auto_compact_probe(spark, keys, batch_rows, n_batches, every):
     import tempfile as _tf
 
     out = {}
-    for label, every_n in (("auto", every), ("none", None)):
+    # round-10 arm: compact_max_files thresholds on the quantity the
+    # read-side floor actually depends on (log data-file count), firing
+    # only when fragmentation accumulated.  This probe's batches write
+    # ~32 fragment files each (range-parallel appends), so 64*every
+    # (=640 at the default) trips about every 2*every batches — half
+    # the rewrites of compact_every=N for a still-bounded read floor
+    arms = (
+        ("auto", {"compact_every": every}),
+        ("maxfiles", {"compact_max_files": 64 * every}),
+        ("none", {}),
+    )
+    # untimed warmup into a throwaway store: the first batches in a
+    # fresh JVM pay JIT/heap expansion (~7 s/batch extra), which would
+    # otherwise land entirely on the first arm and dominate its total
+    warm_root = _tf.mkdtemp(prefix="ingest_probe_ac_warm_")
+    try:
+        warm = StreamingStore(
+            spark, os.path.join(warm_root, "store"), "last",
+            [CompactionRule(None, "_avg_1h", "avg", 3_600_000)],
+        )
+        for i in range(3):
+            warm.process_batch(
+                spark.range(batch_rows).select(
+                    F.concat(F.lit("k"), (F.col("id") % keys)).alias("key"),
+                    (F.col("id") * 7 + i).alias("ts"),
+                    F.col("id").cast("double").alias("value"),
+                ),
+                batch_id=i,
+            )
+    finally:
+        shutil.rmtree(warm_root, ignore_errors=True)
+    for label, kw in arms:
         root = _tf.mkdtemp(prefix=f"ingest_probe_ac_{label}_")
         try:
             store = StreamingStore(
                 spark, os.path.join(root, "store"), "last",
                 [CompactionRule(None, "_avg_1h", "avg", 3_600_000)],
-                compact_every=every_n,
+                **kw,
             )
             walls = []
             for i in range(n_batches):

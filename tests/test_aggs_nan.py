@@ -814,6 +814,63 @@ def test_anomalies_chunked_vs_key_window_differential(spark):
         assert fg == fw, (trial, n_w)
 
 
+def test_fuzz_anomalies_fast(spark):
+    """ts_anomalies(fast=True) — the round-10 centered-cumsum rolling
+    formulation (growing frames, O(1)/row) vs the stable sliding-frame
+    default, under forced tiny chunks: same rows, same anomaly flags,
+    mean/std/zscore within 1e-6 (the two-pass formula's documented
+    contract; the default stays the oracle-gated plan)."""
+    import math
+    import random as _random
+
+    from redistimeseries_spark.operators.smooth import ts_anomalies
+
+    rng = _random.Random(0xFA57)
+    for trial in range(4):
+        n_w = rng.choice([3, 5, 20])
+        rows = []
+        for k in ("dense", "sparse", "offset"):
+            n = rng.randint(40, 80) if k == "dense" else rng.randint(5, 25)
+            base = 10_000.0 if k == "offset" else 0.0  # exercise centering
+            for t in sorted(rng.sample(range(0, 60_000), n)):
+                v = (
+                    float("nan") if rng.random() < 0.1
+                    else base + rng.uniform(-5, 9)
+                )
+                rows.append((k, t, v))
+                if rng.random() < 0.08:
+                    rows.append((k, t, base + rng.uniform(-5, 9)))
+        sdf = spark.createDataFrame(rows, "key string, ts long, value double")
+
+        def by_key(res):
+            out = {}
+            for r in res:
+                out.setdefault((r.key, r.ts), []).append(
+                    (r.value, r.mean, r.std, r.zscore, r.anomaly)
+                )
+            return {
+                k: sorted(v, key=lambda x: (x[0], x[1] is None))
+                for k, v in out.items()
+            }
+
+        got = by_key(
+            ts_anomalies(sdf, n_w, 2.0, chunk_ms=2000, fast=True).collect()
+        )
+        want = by_key(ts_anomalies(sdf, n_w, 2.0, chunk_ms=2000).collect())
+        assert set(got) == set(want), (trial, n_w)
+        for kk in got:
+            assert len(got[kk]) == len(want[kk]), (trial, kk)
+            for g, w in zip(got[kk], want[kk]):
+                assert g[4] == w[4], (trial, kk, g, w)
+                for i in range(4):
+                    if g[i] is None or w[i] is None:
+                        assert g[i] == w[i], (trial, kk, g, w)
+                    else:
+                        assert math.isclose(
+                            g[i], w[i], rel_tol=1e-6, abs_tol=1e-6
+                        ), (trial, n_w, kk, g, w)
+
+
 def test_resample_linear_and_locf(spark):
     """ts_resample: hand-computed linear interpolation and LOCF on a
     regular grid, coinciding samples returned exactly, NaN samples

@@ -289,6 +289,42 @@ def test_auto_compaction_in_stream(spark, tmp_path):
     assert read_index_stats(spark, a_path).collect()[0].n_docs == sa_stats.n_docs
 
 
+def test_size_based_compaction_trigger(spark, tmp_path):
+    """compact_max_files (round 10): compaction fires only when the
+    store's total data-file count exceeds the threshold — file counts
+    stay bounded, results equal an uncompacted twin, and a generous
+    threshold fires NOTHING (the build pays zero rewrites where the
+    batch-count rule would have paid them on schedule)."""
+    from redistimeseries_spark.pipeline.retrieval import (
+        TextIndexStream,
+        bm25_topk_indexed,
+    )
+
+    docs = _docs(spark)
+    a_path = str(tmp_path / "sized")
+    b_path = str(tmp_path / "plain")
+    c_path = str(tmp_path / "lofty")
+    sa = TextIndexStream(spark, a_path, compact_max_files=25)
+    sb = TextIndexStream(spark, b_path)
+    sc = TextIndexStream(spark, c_path, compact_max_files=100_000)
+    for i in range(6):
+        for s in (sa, sb, sc):
+            s.process_batch(docs.filter(f"doc_id % 6 = {i}"), i)
+    q = "fast table scan query"
+    got = [(r.doc_id, r.score)
+           for r in bm25_topk_indexed(spark, a_path, q, k=15).collect()]
+    want = [(r.doc_id, r.score)
+            for r in bm25_topk_indexed(spark, b_path, q, k=15).collect()]
+    assert got == want
+    ca = index_file_counts(spark, a_path)
+    cb = index_file_counts(spark, b_path)
+    cc = index_file_counts(spark, c_path)
+    assert sum(ca.values()) < sum(cb.values())
+    # the generous threshold never tripped: same fragment counts as the
+    # never-compacted twin
+    assert cc == cb
+
+
 def test_auto_compaction_dedup_stream(spark, tmp_path):
     """DedupStream compact_every: decisions equal an uncompacted twin
     through two compaction triggers and a subsequent batch."""

@@ -15,9 +15,9 @@ from redistimeseries_spark.streaming.ingest import StreamingStore, start_ingest,
 SCHEMA = "key string, ts long, value double"
 
 
-def write_input(spark, d, rows, name):
+def write_input(spark, d, rows, name, sub="in"):
     spark.createDataFrame(rows, SCHEMA).coalesce(1).write.mode("append").parquet(
-        os.path.join(d, "in")
+        os.path.join(d, sub)
     )
 
 
@@ -41,11 +41,11 @@ def dirs(tmp_path):
     return str(tmp_path)
 
 
-def drain(spark, d, store):
+def drain(spark, d, store, sub="in"):
     stream = (
         spark.readStream.schema(SCHEMA)
         .option("maxFilesPerTrigger", "1")  # force multiple micro-batches
-        .parquet(os.path.join(d, "in"))
+        .parquet(os.path.join(d, sub))
     )
     q = start_ingest(stream, store, availableNow=True)
     q.awaitTermination(120)
@@ -235,6 +235,37 @@ def test_ingest_log_auto_compaction_bounds_files(spark, dirs):
     q = start_ingest(stream, ctrl, availableNow=True)
     q.awaitTermination(120)
     assert ctrl.log_file_count() > n_files
+
+
+def test_ingest_log_size_based_compaction(spark, dirs):
+    """compact_max_files=N (round 10): the log compacts only when its
+    data-file count exceeds N — bounded files with correct content, and
+    a generous threshold performs no rewrite at all."""
+    store = StreamingStore(
+        spark, os.path.join(dirs, "store"), "last", [], compact_max_files=4
+    )
+    n_batches = 8
+    for i in range(n_batches):
+        write_input(spark, dirs, [("k", i * 100, float(i))], f"b{i}")
+    drain(spark, dirs, store)
+    n_files = store.log_file_count()
+    # each compaction folds the log to 1 file/day; at most the threshold
+    # plus one batch's fragments can accumulate before the next fires
+    assert n_files <= 4 + 2, n_files
+    got = {(r.key, r.ts): r.value for r in store.samples().collect()}
+    assert got == {("k", i * 100): float(i) for i in range(n_batches)}
+
+    lofty = StreamingStore(
+        spark, os.path.join(dirs, "lofty"), "last", [],
+        compact_max_files=10_000,
+    )
+    for i in range(n_batches):
+        write_input(
+            spark, dirs, [("k", i * 100, float(i))], f"l{i}", sub="lin"
+        )
+    drain(spark, dirs, lofty, sub="lin")
+    # never tripped: one fragment set per batch survives
+    assert lofty.log_file_count() >= n_batches
 
 
 def test_ingest_log_compacting_marker(spark, dirs):
