@@ -386,6 +386,54 @@ def q_forecast(spark, sf_dir):
     return d.select("key", "ts", F.round("forecast", 6).alias("forecast"))
 
 
+def q_corr(spark, sf_dir):
+    """Beyond-reference pairwise correlation: per-24h-bucket Pearson
+    correlation between click_i and view_i hourly-average series
+    (operators/correlate.ts_corr — samples matched at identical
+    timestamps, so the aligned hourly grid is the documented input
+    shape; raw event timestamps almost never collide)."""
+    from redistimeseries_spark.operators.correlate import ts_corr
+
+    st = _store(spark, sf_dir)
+    hourly = (
+        st.samples.filter(~F.isnan("value"))
+        .filter(F.col("ts").between(D14, D21))
+        .groupBy(
+            "key", (F.col("ts") - F.pmod(F.col("ts"), F.lit(H))).alias("ts")
+        )
+        .agg(F.avg("value").alias("value"))
+    )
+    pairs = [(f"click_{i}", f"view_{i}") for i in range(10)] + [
+        ("error_0", "purchase_0")
+    ]
+    return ts_corr(hourly, 24 * H, pairs).select(
+        "key_a", "key_b", "ts", F.round("corr", 6).alias("corr"), "n"
+    )
+
+
+def q_cusum(spark, sf_dir):
+    """Beyond-reference CUSUM drift detection: two-sided tabular CUSUM
+    per key, self-baselined on the in-range mean (operators/correlate.
+    ts_cusum — chunk-local closed form S - min(0, running_min S); the
+    DuckDB oracle replays the literal max(0, prev + d) recurrence with
+    a recursive CTE, an independent formulation).  alarm is computed
+    from the 6dp-rounded statistics on BOTH sides so a float ulp at the
+    threshold cannot flip the boolean."""
+    from redistimeseries_spark.operators.correlate import ts_cusum
+
+    st = _store(spark, sf_dir)
+    d = ts_cusum(st.samples, 1.0, 15.0, start=D14, end=D21)
+    sp6, sn6 = F.round("s_pos", 6), F.round("s_neg", 6)
+    return d.select(
+        "key",
+        "ts",
+        F.round("value", 6).alias("value"),
+        sp6.alias("s_pos"),
+        sn6.alias("s_neg"),
+        ((sp6 > 15.0) | (sn6 > 15.0)).alias("alarm"),
+    )
+
+
 def q_agg_percentile(spark, sf_dir):
     """Beyond-reference p-name aggregators inside the standard TS.RANGE
     pipeline: percentiles mix with the reference aggregator set in one
@@ -2257,6 +2305,15 @@ def _base_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # ts_resample_locf stays in-window too); ts_changes (driver-green
     # r4+; the counter/event family keeps ts_compaction_increase_1h,
     # ts_delta, ts_idelta, ts_irate in-window) rotates to the tail.
+    # NEW ts_corr (per-bucket pairwise Pearson correlation over aligned
+    # hourly series — the cross-series question no per-series aggregator
+    # answers) and NEW ts_cusum (two-sided tabular CUSUM drift detection,
+    # chunk-local closed form, recursive-CTE oracle) enter the window in
+    # their adding commit; dl_dup_spans (driver-green r5+; the substring
+    # family keeps dl_substring_contaminated + dl_eval_contamination
+    # in-window) and ts_value_hist (driver-green r4+; the histogram
+    # family keeps ts_hist_quantile — which composes over value_hist —
+    # in-window) rotate to the tail.
     return {
         # --- checked prefix: one representative per operator family -----
         "ts_range_raw": q_range_raw,
@@ -2287,7 +2344,7 @@ def _base_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ts_agg_percentile": q_agg_percentile,
         "ts_ignore_filter": q_ignore_filter,
         "ts_deriv": q_deriv,
-        "ts_value_hist": q_value_hist,
+        "ts_corr": q_corr,
         "ts_mad": q_mad,
         "ts_outlier_mad": q_outlier_mad,
         "ts_hist_quantile": q_hist_quantile,
@@ -2302,7 +2359,7 @@ def _base_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dl_dedup_pipeline": q_dedup_pipeline,
         "dl_eval_contamination": q_eval_contamination,
         "dl_ann_lsh_topk": q_ann_lsh_topk,
-        "dl_dup_spans": q_dup_spans,
+        "ts_cusum": q_cusum,
         "dl_substring_contaminated": q_substring_contaminated,
         "dl_mm_frame_sample": q_mm_frame_sample,
         "dl_hybrid_search": q_hybrid_search,
@@ -2328,6 +2385,8 @@ def _base_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dl_embed_neardup_lsh": q_embed_neardup_lsh,
         "ts_gaps": q_gaps,
         "ts_changes": q_changes,
+        "dl_dup_spans": q_dup_spans,
+        "ts_value_hist": q_value_hist,
         "ts_mrange_groupby_avg": q_mrange_groupby_avg,
         "ts_nrange_pivot": q_nrange_pivot,
         "ts_dup_last": q_dup_last,
@@ -3725,6 +3784,43 @@ SELECT hz.key, hz.ts,
              + coalesce(se.seasonal, 0), 6) AS forecast
 FROM hz LEFT JOIN se
   ON se.key = hz.key AND se.phase = (hz.ts // {3 * H}) % 8""",
+        "ts_corr": f"""{ORACLE_PREFIX},
+hv AS (SELECT key, ts - ts % {H} AS hts, avg(value) AS value
+       FROM samples WHERE NOT isnan(value) AND ts BETWEEN {D14} AND {D21}
+       GROUP BY 1, 2),
+p(ka, kb) AS (VALUES {", ".join(
+    [f"('click_{i}', 'view_{i}')" for i in range(10)]
+    + ["('error_0', 'purchase_0')"]
+)}),
+m AS (SELECT p.ka, p.kb, a.hts, a.value AS va, b.value AS vb
+      FROM p JOIN hv a ON a.key = p.ka
+             JOIN hv b ON b.key = p.kb AND b.hts = a.hts)
+SELECT ka AS key_a, kb AS key_b, hts - hts % {24 * H} AS ts,
+       round(corr(va, vb), 6) AS corr, count(*) AS n
+FROM m GROUP BY 1, 2, 3
+HAVING corr(va, vb) IS NOT NULL AND NOT isnan(corr(va, vb))""",
+        "ts_cusum": f"""WITH RECURSIVE {SAMPLES_SQL},
+v AS (SELECT key, ts, value FROM samples
+      WHERE NOT isnan(value) AND ts BETWEEN {D14} AND {D21}),
+mu AS (SELECT key, avg(value) AS m FROM v GROUP BY key),
+w AS (SELECT v.key, v.ts, v.value, mu.m,
+             row_number() OVER
+               (PARTITION BY v.key ORDER BY v.ts, v.value) AS rn
+      FROM v JOIN mu ON mu.key = v.key),
+r AS (
+  SELECT key, ts, value, m, rn,
+         greatest(0, value - m - 1.0) AS sp,
+         greatest(0, m - value - 1.0) AS sn
+  FROM w WHERE rn = 1
+  UNION ALL
+  SELECT w.key, w.ts, w.value, w.m, w.rn,
+         greatest(0, r.sp + w.value - w.m - 1.0),
+         greatest(0, r.sn + w.m - w.value - 1.0)
+  FROM w JOIN r ON w.key = r.key AND w.rn = r.rn + 1)
+SELECT key, ts, round(value, 6) AS value,
+       round(sp, 6) AS s_pos, round(sn, 6) AS s_neg,
+       round(sp, 6) > 15.0 OR round(sn, 6) > 15.0 AS alarm
+FROM r""",
         "ts_ewma": f"""WITH RECURSIVE {SAMPLES_SQL},
 v AS (SELECT key, ts, value,
              row_number() OVER (PARTITION BY key ORDER BY ts) AS rn

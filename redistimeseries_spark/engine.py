@@ -969,6 +969,36 @@ class TimeSeriesEngine:
             **kw,
         )
 
+    def corr(self, key_a: str, key_b: str, bucket_dur,
+             from_ts="-", to_ts="+", align="0") -> DataFrame:
+        """Per-bucket Pearson correlation between two series
+        (beyond-reference; operators/correlate.ts_corr)."""
+        from redistimeseries_spark.operators.correlate import ts_corr
+
+        return ts_corr(
+            self.samples,
+            parse_duration_ms(bucket_dur),
+            [(key_a, key_b)],
+            start=self._resolve_ts(from_ts),
+            end=self._resolve_ts(to_ts),
+            align=align,
+        ).drop("key_a", "key_b")
+
+    def cusum(self, key: str, k, h, target: float | None = None,
+              from_ts="-", to_ts="+") -> DataFrame:
+        """Two-sided tabular CUSUM drift detection (beyond-reference;
+        operators/correlate.ts_cusum)."""
+        from redistimeseries_spark.operators.correlate import ts_cusum
+
+        return ts_cusum(
+            self._series_df(key, False),
+            float(k),
+            float(h),
+            target=target,
+            start=self._resolve_ts(from_ts, key),
+            end=self._resolve_ts(to_ts, key),
+        ).drop("key")
+
     def queryindex(self, filters: list[str]) -> list[str]:
         return sorted(r.key for r in matched_keys(self.labels_df, filters).collect())
 

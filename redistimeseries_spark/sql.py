@@ -37,8 +37,8 @@ def _ts_tvf_sql(p: str) -> list[str]:
     the `spark.sql` surface matches the Python facade (engine.topk /
     deriv / changes / resets / predict_linear / value_histogram /
     resample / holt / ewma / anomalies / mad / outlier_mad /
-    hist_quantile / decompose / forecast — named `<p><op>`, so two
-    stores registered under
+    hist_quantile / decompose / forecast / corr / cusum — named
+    `<p><op>`, so two stores registered under
     different prefixes keep independent function sets).  Bodies are the
     operators' exact plans re-expressed
     declaratively — Catalyst inlines them at the call site, so `SELECT *
@@ -536,6 +536,74 @@ def _ts_tvf_sql(p: str) -> list[str]:
                    ELSE d.value - d.trend - se.seasonal END AS resid
             FROM d LEFT JOIN se
               ON d.key = se.key AND d.phase = se.phase""",
+        # pairwise per-bucket Pearson correlation (correlate.ts_corr);
+        # guarded moment components instead of corr() — a zero-variance
+        # leg raises DIVIDE_BY_ZERO under ANSI inside the aggregate
+        f"""CREATE OR REPLACE TEMPORARY FUNCTION {p}corr(
+                dur BIGINT, ka STRING, kb STRING)
+            RETURNS TABLE (key_a STRING, key_b STRING, ts BIGINT,
+                           corr DOUBLE, n BIGINT)
+            RETURN WITH v AS (
+              SELECT key, ts, max(value) AS value
+              FROM {p}samples WHERE {nn} GROUP BY key, ts),
+            m AS (
+              SELECT a.ts AS ts, a.value AS va, b.value AS vb
+              FROM v a JOIN v b ON b.ts = a.ts
+              WHERE a.key = ka AND b.key = kb),
+            g AS (
+              SELECT CASE WHEN dur <= 0 THEN CAST(raise_error(concat(
+                       '{p}corr: dur must be positive, got ',
+                       CAST(dur AS STRING))) AS BIGINT)
+                     ELSE {b} END AS __b,
+                     covar_samp(va, vb) AS cov,
+                     stddev_samp(va) AS sa, stddev_samp(vb) AS sb,
+                     count(1) AS n
+              FROM m GROUP BY 1)
+            SELECT ka AS key_a, kb AS key_b, __b AS ts,
+                   cov / (sa * sb) AS corr, n
+            FROM g WHERE sa > 0 AND sb > 0""",
+        # two-sided tabular CUSUM (correlate.ts_cusum): the closed form
+        # s = S - min(0, running_min(S)) over prefix sums — growing
+        # frames only; target NULL self-baselines on the key's mean
+        f"""CREATE OR REPLACE TEMPORARY FUNCTION {p}cusum(
+                k DOUBLE, h DOUBLE, target DOUBLE)
+            RETURNS TABLE (key STRING, ts BIGINT, value DOUBLE,
+                           s_pos DOUBLE, s_neg DOUBLE, alarm BOOLEAN)
+            RETURN WITH v AS (
+              SELECT key, ts, value,
+                     avg(value) OVER (PARTITION BY key) AS mkey
+              FROM {p}samples WHERE {nn}),
+            d AS (
+              SELECT key, ts, value,
+                CASE WHEN k < 0 THEN CAST(raise_error(concat(
+                       '{p}cusum: k (slack) must be >= 0, got ',
+                       CAST(k AS STRING))) AS DOUBLE)
+                     WHEN h <= 0 THEN CAST(raise_error(concat(
+                       '{p}cusum: h (threshold) must be positive, got ',
+                       CAST(h AS STRING))) AS DOUBLE)
+                     ELSE value - coalesce(target, mkey) - k END AS dp,
+                coalesce(target, mkey) - value - k AS dn
+              FROM v),
+            s AS (
+              SELECT key, ts, value,
+                sum(dp) OVER (PARTITION BY key ORDER BY ts, value
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS csp,
+                sum(dn) OVER (PARTITION BY key ORDER BY ts, value
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS csn
+              FROM d),
+            r AS (
+              SELECT key, ts, value, csp, csn,
+                min(csp) OVER (PARTITION BY key ORDER BY ts, value
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS mp,
+                min(csn) OVER (PARTITION BY key ORDER BY ts, value
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS mn
+              FROM s)
+            SELECT key, ts, value,
+              csp - least(0D, mp) AS s_pos,
+              csn - least(0D, mn) AS s_neg,
+              (csp - least(0D, mp)) > h
+                OR (csn - least(0D, mn)) > h AS alarm
+            FROM r""",
         # seasonal linear forecast (decompose.ts_forecast): the
         # decompose CTE chain + a per-key OLS fit of the trend with the
         # constant-trend flat-line fallback (round 10), extrapolated

@@ -129,6 +129,20 @@ def main():
 
     out["decompose_sec"] = timed(lambda: ts_decompose(df, H, 24))
     out["forecast_sec"] = timed(lambda: ts_forecast(df, H, 24, 48))
+    # round-10: CUSUM closed form (chunk-local prefix-sum/running-min
+    # folds) vs the literal sequential replay twin
+    from redistimeseries_spark.operators.correlate import (
+        _ts_cusum_sequential,
+        ts_cusum,
+    )
+
+    out["cusum_chunked_sec"] = timed(
+        lambda: ts_cusum(df, 1.0, 1e6, target=50_000.0)
+    )
+    if not skip_old:
+        out["cusum_key_sec"] = timed(
+            lambda: _ts_cusum_sequential(df, 1.0, 1e6, target=50_000.0)
+        )
     if not skip_old:
         out["key_window_sec"] = timed(
             lambda: _key_window_chain(

@@ -1,0 +1,235 @@
+"""ts_corr / ts_cusum (round 10, operators/correlate) — hand-computed
+cases, DuckDB oracles, and the chunk-local-vs-sequential CUSUM twin."""
+
+from __future__ import annotations
+
+import math
+import random
+
+import duckdb
+import pytest
+
+from redistimeseries_spark.operators.correlate import (
+    _ts_cusum_sequential,
+    ts_corr,
+    ts_cusum,
+)
+
+NAN = float("nan")
+
+
+def test_corr_hand_cases(spark):
+    rows = []
+    for i in range(10):
+        rows.append(("a", i * 1000, float(i)))
+        rows.append(("b", i * 1000, 2.0 * i + 3.0))   # corr +1 with a
+        rows.append(("c", i * 1000, -float(i)))       # corr -1 with a
+        rows.append(("d", i * 1000, 5.0))             # zero variance
+    sdf = spark.createDataFrame(rows, "key string, ts long, value double")
+    got = {
+        (r.key_a, r.key_b): (round(r.corr, 9), r.n)
+        for r in ts_corr(
+            sdf, 1_000_000, [("a", "b"), ("a", "c"), ("a", "d")]
+        ).collect()
+    }
+    assert got == {("a", "b"): (1.0, 10), ("a", "c"): (-1.0, 10)}
+    # ("a", "d") dropped: zero variance on the d leg
+
+
+def test_corr_alignment_nan_and_dups(spark):
+    rows = [
+        ("a", 0, 1.0), ("a", 1000, 2.0), ("a", 2000, NAN), ("a", 3000, 4.0),
+        # b misses ts=3000; has a NaN at 1000 and a dup pair at 0
+        ("b", 0, 9.0), ("b", 0, 5.0), ("b", 1000, NAN), ("b", 2000, 1.0),
+        ("b", 4000, 7.0),
+    ]
+    sdf = spark.createDataFrame(rows, "key string, ts long, value double")
+    # matched pairs: only ts=0 (b's dup folds to max value 9.0) — a
+    # single pair defines no correlation, so nothing is emitted
+    assert ts_corr(sdf, 1_000_000, [("a", "b")]).count() == 0
+    # add one more matched ts -> one bucket row with n=2
+    rows += [("a", 5000, 8.0), ("b", 5000, 3.0)]
+    sdf = spark.createDataFrame(rows, "key string, ts long, value double")
+    out = ts_corr(sdf, 1_000_000, [("a", "b")]).collect()
+    assert len(out) == 1 and out[0].n == 2
+
+
+def test_corr_vs_duckdb(spark):
+    rng = random.Random(0xC0BB)
+    rows = []
+    for k in ("x", "y", "z"):
+        for t in range(0, 40_000, 500):  # shared cadence
+            v = NAN if rng.random() < 0.05 else rng.uniform(-10, 10)
+            rows.append((k, t, v))
+    sdf = spark.createDataFrame(rows, "key string, ts long, value double")
+    con = duckdb.connect()
+    con.execute("CREATE TABLE t(key VARCHAR, ts BIGINT, value DOUBLE)")
+    con.executemany("INSERT INTO t VALUES (?, ?, ?)", rows)
+    for dur in (7000, 10_000):
+        got = sorted(
+            (r.key_a, r.key_b, r.ts, round(r.corr, 9), r.n)
+            for r in ts_corr(
+                sdf, dur, [("x", "y"), ("y", "z"), ("x", "x")]
+            ).collect()
+        )
+        exp = sorted(
+            map(
+                tuple,
+                con.sql(f"""
+            WITH v AS (SELECT key, ts, max(value) AS value FROM t
+                       WHERE NOT isnan(value) GROUP BY key, ts),
+            p(ka, kb) AS (VALUES ('x','y'), ('y','z'), ('x','x')),
+            m AS (SELECT p.ka, p.kb, a.ts, a.value AS va, b.value AS vb
+                  FROM p JOIN v a ON a.key = p.ka
+                         JOIN v b ON b.key = p.kb AND b.ts = a.ts)
+            SELECT ka, kb, ts - ts % {dur} AS b,
+                   round(corr(va, vb), 9) AS c, count(*) AS n
+            FROM m GROUP BY 1, 2, 3
+            HAVING corr(va, vb) IS NOT NULL AND NOT isnan(corr(va, vb))
+            """).fetchall(),
+            )
+        )
+        assert got == exp, dur
+
+
+def test_corr_validation(spark):
+    sdf = spark.createDataFrame([("a", 0, 1.0)], "key string, ts long, value double")
+    with pytest.raises(ValueError, match="bucket_dur"):
+        ts_corr(sdf, 0, [("a", "b")])
+    with pytest.raises(ValueError, match="pairs"):
+        ts_corr(sdf, 1000, [])
+
+
+def test_cusum_hand_step_change(spark):
+    # flat at 10 for 10 samples, then a +5 step: with explicit
+    # target=10, k=1, h=6 the upward statistic accumulates 4/sample
+    # after the step and alarms on the 2nd shifted sample
+    rows = [("s", i * 1000, 10.0) for i in range(10)]
+    rows += [("s", (10 + i) * 1000, 15.0) for i in range(4)]
+    sdf = spark.createDataFrame(rows, "key string, ts long, value double")
+    got = {r.ts: r for r in ts_cusum(sdf, 1.0, 6.0, target=10.0).collect()}
+    assert len(got) == 14
+    for i in range(10):  # pre-step: s_pos pinned at 0 by the max clamp
+        assert got[i * 1000].s_pos == pytest.approx(0.0)
+        assert not got[i * 1000].alarm
+    assert got[10_000].s_pos == pytest.approx(4.0) and not got[10_000].alarm
+    assert got[11_000].s_pos == pytest.approx(8.0) and got[11_000].alarm
+    assert got[13_000].s_pos == pytest.approx(16.0)
+    # downward statistic never rises: s_neg stays 0 throughout
+    assert all(r.s_neg == pytest.approx(0.0) for r in got.values())
+
+
+def test_cusum_self_baseline_and_validation(spark):
+    rows = [("s", i * 1000, float(i % 2)) for i in range(20)]
+    sdf = spark.createDataFrame(rows, "key string, ts long, value double")
+    # alternating 0/1 around mean 0.5 with k=0.5: every increment is
+    # exactly 0 -> both statistics stay 0, no alarms
+    out = ts_cusum(sdf, 0.5, 1.0).collect()
+    assert len(out) == 20
+    assert all(
+        r.s_pos == pytest.approx(0.0) and r.s_neg == pytest.approx(0.0)
+        and not r.alarm
+        for r in out
+    )
+    with pytest.raises(ValueError, match="slack"):
+        ts_cusum(sdf, -0.1, 1.0)
+    with pytest.raises(ValueError, match="threshold"):
+        ts_cusum(sdf, 0.5, 0.0)
+
+
+def test_cusum_chunked_vs_sequential_fuzz(spark):
+    """Chunk-local closed form == the literal max(0, prev + d) replay
+    under FORCED TINY CHUNKS — drifting data, NaNs, duplicate ts,
+    sample-free chunk runs; pinned at 1e-9."""
+    rng = random.Random(0xC5C5)
+    for trial in range(4):
+        rows = []
+        for kname in ("u", "v"):
+            drift = rng.uniform(-0.3, 0.3)
+            ts_pool = sorted(rng.sample(range(0, 50_000), rng.randint(20, 60)))
+            val = 0.0
+            for t in ts_pool:
+                val += drift + rng.uniform(-1, 1)
+                v = NAN if rng.random() < 0.08 else val
+                rows.append((kname, t, v))
+                if rng.random() < 0.08:
+                    rows.append((kname, t, val + rng.uniform(-1, 1)))
+        # a key with long sample-free chunk runs under chunk_ms=2048
+        rows += [("w", 0, 1.0), ("w", 30_000, 9.0), ("w", 30_500, -4.0)]
+        sdf = spark.createDataFrame(rows, "key string, ts long, value double")
+        for target in (None, 0.0):
+            got = {
+                (r.key, r.ts, r.value): (r.s_pos, r.s_neg, r.alarm)
+                for r in ts_cusum(
+                    sdf, 0.25, 2.0, target=target, chunk_ms=2048
+                ).collect()
+            }
+            want = {
+                (r.key, r.ts, r.value): (r.s_pos, r.s_neg, r.alarm)
+                for r in _ts_cusum_sequential(
+                    sdf, 0.25, 2.0, target=target
+                ).collect()
+            }
+            assert got.keys() == want.keys(), (trial, target)
+            for kk in got:
+                assert got[kk][2] == want[kk][2], (trial, target, kk)
+                for i in (0, 1):
+                    assert math.isclose(
+                        got[kk][i], want[kk][i], rel_tol=1e-9, abs_tol=1e-9
+                    ), (trial, target, kk, got[kk], want[kk])
+
+
+def test_engine_facade_corr_cusum(spark):
+    from redistimeseries_spark.engine import TimeSeriesEngine
+
+    eng = TimeSeriesEngine(spark, duplicate_policy="last")
+    eng.create("m1"), eng.create("m2")
+    for i in range(12):
+        eng.add("m1", i * 1000, float(i))
+        eng.add("m2", i * 1000, 3.0 * i + 1.0)
+    c = eng.corr("m1", "m2", 1_000_000).collect()
+    assert len(c) == 1 and c[0].corr == pytest.approx(1.0) and c[0].n == 12
+    cs = eng.cusum("m1", 0.5, 2.0, target=0.0).collect()
+    assert len(cs) == 12 and cs[-1].alarm  # monotone ramp drifts up
+
+
+def test_cusum_vs_duckdb_recursive(spark):
+    """ts_cusum vs an INDEPENDENT DuckDB recursive-CTE replay of the
+    max(0, prev + d) recurrence (explicit target so both sides share
+    the exact baseline)."""
+    rng = random.Random(0xD0C5)
+    rows = []
+    for kname in ("a", "b"):
+        for i, t in enumerate(sorted(rng.sample(range(0, 30_000), 40))):
+            rows.append((kname, t, rng.uniform(-3, 8) + (2.0 if i > 25 else 0.0)))
+    sdf = spark.createDataFrame(rows, "key string, ts long, value double")
+    con = duckdb.connect()
+    con.execute("CREATE TABLE t(key VARCHAR, ts BIGINT, value DOUBLE)")
+    con.executemany("INSERT INTO t VALUES (?, ?, ?)", rows)
+    k, h, target = 0.5, 5.0, 2.0
+    exp = {
+        (r[0], r[1]): (round(r[2], 9), round(r[3], 9), r[4])
+        for r in con.sql(f"""
+        WITH RECURSIVE v AS (
+          SELECT key, ts, value,
+                 row_number() OVER (PARTITION BY key ORDER BY ts) AS rn
+          FROM t),
+        r AS (
+          SELECT key, ts, rn,
+                 greatest(0, value - {target} - {k}) AS sp,
+                 greatest(0, {target} - value - {k}) AS sn
+          FROM v WHERE rn = 1
+          UNION ALL
+          SELECT v.key, v.ts, v.rn,
+                 greatest(0, r.sp + v.value - {target} - {k}),
+                 greatest(0, r.sn + {target} - v.value - {k})
+          FROM v JOIN r ON v.key = r.key AND v.rn = r.rn + 1)
+        SELECT key, ts, round(sp, 9), round(sn, 9), sp > {h} OR sn > {h}
+        FROM r
+        """).fetchall()
+    }
+    got = {
+        (r.key, r.ts): (round(r.s_pos, 9), round(r.s_neg, 9), r.alarm)
+        for r in ts_cusum(sdf, k, h, target=target).collect()
+    }
+    assert got == exp

@@ -283,6 +283,38 @@ def test_sql_table_functions_match_operators(spark, samples_df):
         spark.sql("SELECT * FROM ts_resample(20000, 'cubic')").collect()
 
 
+def test_sql_corr_cusum_tvfs(spark, samples_df):
+    """Round-10 TVFs: {p}corr / {p}cusum answer identically to the
+    correlate operators — aligned cadence for corr (the documented
+    input shape), self-baselined and explicit-target cusum."""
+    from redistimeseries_spark.operators.correlate import ts_corr, ts_cusum
+
+    rows = []
+    for i in range(24):
+        rows.append(("ca", i * 1000, float(i % 7) + 0.25 * i))
+        rows.append(("cb", i * 1000, 10.0 - 0.5 * i + float(i % 3)))
+        rows.append(("cc", i * 1000, 5.0))  # zero variance leg
+    st = TSStore.from_dataframes(samples_df(rows))
+    register_sql(spark, st, prefix="cx_")
+
+    def rnd(df):
+        return sorted(
+            tuple(round(x, 9) if isinstance(x, float) else x for x in r)
+            for r in df.collect()
+        )
+
+    got = rnd(spark.sql("SELECT * FROM cx_corr(8000, 'ca', 'cb')"))
+    want = rnd(ts_corr(st.samples, 8000, [("ca", "cb")]))
+    assert got and got == want
+    # zero-variance leg: no rows from either surface
+    assert spark.sql("SELECT * FROM cx_corr(8000, 'ca', 'cc')").count() == 0
+    assert ts_corr(st.samples, 8000, [("ca", "cc")]).count() == 0
+    for tgt_sql, tgt in (("CAST(NULL AS DOUBLE)", None), ("4.0", 4.0)):
+        got = rnd(spark.sql(f"SELECT * FROM cx_cusum(0.5, 3.0, {tgt_sql})"))
+        want = rnd(ts_cusum(st.samples, 0.5, 3.0, target=tgt))
+        assert got and got == want, tgt
+
+
 def test_sql_resample_tvf_dup_ts_tiebreak(spark, samples_df):
     """The {p}resample TVF resolves duplicate-(key, ts) samples by the
     (ts, value) last-wins rule — matching the facade twin (round-9
