@@ -69,6 +69,65 @@ def test_stateful_incrby_across_batches(spark, tmp_path):
     assert got == [(10, 5.0), (20, 7.5), (30, 6.5)]  # state crossed the batch boundary
 
 
+def test_stateful_cusum_across_batches(spark, tmp_path):
+    """cusum_stream (round 10): the per-key (s_pos, s_neg) statistics
+    cross micro-batch boundaries through the state store, the
+    incremental stream equals the batch operator on the same ordered
+    feed, out-of-order rows are dropped (the incrby_stream ts<last
+    rule), and NaN rows are invalid."""
+    import math
+
+    from redistimeseries_spark.operators.correlate import ts_cusum
+    from redistimeseries_spark.streaming.stateful import cusum_stream
+
+    d = str(tmp_path)
+    nan = float("nan")
+    b1 = [("c", 10, 12.0), ("c", 20, 14.0), ("d", 10, 1.0)]
+    b2 = [("c", 30, nan), ("c", 40, 16.0), ("c", 5, 99.0), ("d", 20, 2.0)]
+    b3 = [("c", 50, 4.0), ("d", 30, 30.0)]
+    for b in (b1, b2, b3):
+        feed(spark, d, b)
+    stream = (
+        spark.readStream.schema(SCHEMA)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(os.path.join(d, "in"))
+    )
+    q = (
+        cusum_stream(stream, 1.0, 5.0, target=10.0)
+        .writeStream.format("memory")
+        .queryName("drift")
+        .outputMode("append")
+        .option("checkpointLocation", os.path.join(d, "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = {
+        (r.key, r.ts): (r.value, r.s_pos, r.s_neg, r.alarm)
+        for r in spark.sql("SELECT * FROM drift").collect()
+    }
+    # the ts=5 late row and the NaN row are gone; everything else
+    # matches the batch operator replayed over the kept ordered rows
+    kept = [r for r in b1 + b2 + b3 if r[1] != 5 and not math.isnan(r[2])]
+    sdf = spark.createDataFrame(kept, SCHEMA)
+    want = {
+        (r.key, r.ts): (r.value, r.s_pos, r.s_neg, r.alarm)
+        for r in ts_cusum(sdf, 1.0, 5.0, target=10.0).collect()
+    }
+    assert got.keys() == want.keys()
+    for kk in got:
+        assert got[kk][3] == want[kk][3], kk
+        for i in range(3):
+            assert got[kk][i] == pytest.approx(want[kk][i], abs=1e-9), kk
+    # spot semantics: c's values 12,14,16 accumulate +1,+3,+5 over
+    # target+k -> s_pos 1,4,9; alarm from 9 > 5
+    assert got[("c", 40)][1] == pytest.approx(9.0) and got[("c", 40)][3]
+    with pytest.raises(ValueError, match="slack"):
+        cusum_stream(stream, -1.0, 5.0, target=0.0)
+    with pytest.raises(ValueError, match="threshold"):
+        cusum_stream(stream, 1.0, 0.0, target=0.0)
+
+
 def test_retention_reject_to_error_sink(spark, tmp_path):
     d = str(tmp_path)
     store = StreamingStore(spark, os.path.join(d, "store"), "last", [], retention_ms=1000)
