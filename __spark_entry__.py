@@ -3904,7 +3904,7 @@ s AS (SELECT key, value, {bucket_sql('ts', 6 * H)} AS b, ts FROM samples
 SELECT key, b AS ts,
        round(arg_max(value, ts) - arg_min(value, ts), 6) AS delta
 FROM s GROUP BY key, b
-HAVING count(*) >= 2""",
+HAVING count(DISTINCT ts) >= 2""",
         "ts_idelta": f"""{ORACLE_PREFIX},
 v AS (SELECT key, ts, value FROM samples
       WHERE NOT isnan(value) AND ts BETWEEN {D14} AND {D21}),

@@ -972,11 +972,23 @@ class TimeSeriesEngine:
     def corr(self, key_a: str, key_b: str, bucket_dur,
              from_ts="-", to_ts="+", align="0") -> DataFrame:
         """Per-bucket Pearson correlation between two series
-        (beyond-reference; operators/correlate.ts_corr)."""
+        (beyond-reference; operators/correlate.ts_corr).  Each leg goes
+        through `_series_df` like every other keyed method — compaction
+        destinations materialize and per-key retention clamps apply.
+        '$' is rejected: it means "this key's last ts + 1" and a
+        two-series query has no single such key."""
         from redistimeseries_spark.operators.correlate import ts_corr
 
+        if "$" in (from_ts, to_ts):
+            raise ValueError(
+                "corr spans two series; '$' is ambiguous — pass an"
+                " explicit timestamp"
+            )
+        src = self._series_df(key_a, False).unionByName(
+            self._series_df(key_b, False)
+        )
         return ts_corr(
-            self.samples,
+            src,
             parse_duration_ms(bucket_dur),
             [(key_a, key_b)],
             start=self._resolve_ts(from_ts),

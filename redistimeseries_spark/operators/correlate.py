@@ -38,6 +38,7 @@ from pyspark.sql import functions as F
 
 from redistimeseries_spark import MAX_TS, MIN_TS
 from redistimeseries_spark.functions.buckets import bucket_start, resolve_align
+from redistimeseries_spark.functions.filters import filter_valid_range
 
 # the rate/smooth/incrby time-chunk constant (~4.7 h of millis)
 CUSUM_CHUNK_MS = 1 << 24
@@ -48,16 +49,8 @@ CUSUM_SCHEMA = (
 )
 
 
-def _filtered(samples, keys, start, end):
-    df = samples.filter(~F.isnan("value"))
-    if keys is not None:
-        klist = [keys] if isinstance(keys, str) else list(keys)
-        df = df.filter(F.col("key").isin(klist))
-    if start > MIN_TS:
-        df = df.filter(F.col("ts") >= F.lit(start))
-    if end < MAX_TS:
-        df = df.filter(F.col("ts") <= F.lit(end))
-    return df
+# shared validity/key/range pre-filter (functions/filters since round 10)
+_filtered = filter_valid_range
 
 
 def ts_corr(

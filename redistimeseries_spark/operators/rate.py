@@ -567,7 +567,10 @@ def ts_delta(
                     "value", F.struct(F.col("ts"), (-F.col("value")).alias("v"))
                 )
             ).alias("delta"),
-            F.count(F.lit(1)).alias("__n"),
+            # the two-sample minimum counts EFFECTIVE samples: a bucket
+            # holding only duplicates of one ts is one sample under the
+            # last-wins rule, so no difference is defined there either
+            F.countDistinct("ts").alias("__n"),
         )
         .filter(F.col("__n") >= 2)
         .select("key", F.col("__b").alias("ts"), "delta")

@@ -45,6 +45,7 @@ from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from redistimeseries_spark import MAX_TS, MIN_TS
+from redistimeseries_spark.functions.filters import filter_valid_range
 
 METHODS = ("locf", "linear")
 
@@ -78,16 +79,8 @@ def _grid_union(df: DataFrame, step_ms: int):
     return u, bounds
 
 
-def _filtered(samples, keys, start, end):
-    df = samples.filter(~F.isnan("value"))
-    if keys is not None:
-        klist = [keys] if isinstance(keys, str) else list(keys)
-        df = df.filter(F.col("key").isin(klist))
-    if start > MIN_TS:
-        df = df.filter(F.col("ts") >= F.lit(start))
-    if end < MAX_TS:
-        df = df.filter(F.col("ts") <= F.lit(end))
-    return df
+# shared validity/key/range pre-filter (functions/filters since round 10)
+_filtered = filter_valid_range
 
 
 def _resample_value(method: str):

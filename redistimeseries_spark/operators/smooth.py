@@ -44,6 +44,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from redistimeseries_spark import MAX_TS, MIN_TS
+from redistimeseries_spark.functions.filters import filter_valid_range
 
 EWMA_SCHEMA = "key string, ts long, ewma double"
 LTTB_SCHEMA = "key string, ts long, value double"
@@ -193,8 +194,15 @@ def ts_anomalies(
         mean = F.col("__cm") + s_w / n_prev
         var = (q_w - s_w * s_w / n_prev) / (n_prev - 1)
         std = F.sqrt(F.greatest(var, F.lit(0.0)))
+        # credibility guard: the two-pass variance is a difference of
+        # ~q_w-magnitude terms, so a residue below ~1e-10 of the mean
+        # centered square is cancellation noise, not signal — without
+        # this, a tiny positive residue on a flat-after-ramp window
+        # yields std ~ 0+ and an exploding zscore that FLIPS the anomaly
+        # boolean (the default plan's stable aggregate has no such zone)
+        credible = var > F.lit(1e-10) * (q_w / n_prev)
         zscore = F.when(
-            (n_prev >= window_n) & (std > 0),
+            (n_prev >= window_n) & (std > 0) & credible,
             (F.col("value") - mean) / std,
         )
         out = e.select(
@@ -355,21 +363,8 @@ def ts_lttb(
     )
 
 
-def _filter_range(
-    samples: DataFrame,
-    keys: list[str] | str | None,
-    start: int,
-    end: int,
-) -> DataFrame:
-    df = samples.filter(~F.isnan("value"))
-    if keys is not None:
-        klist = [keys] if isinstance(keys, str) else list(keys)
-        df = df.filter(F.col("key").isin(klist))
-    if start > MIN_TS:
-        df = df.filter(F.col("ts") >= F.lit(start))
-    if end < MAX_TS:
-        df = df.filter(F.col("ts") <= F.lit(end))
-    return df
+# shared validity/key/range pre-filter (functions/filters since round 10)
+_filter_range = filter_valid_range
 
 
 def _holt_mats(alpha: float, beta: float):

@@ -571,6 +571,7 @@ class TextIndexStream:
         self.spark, self.path, self.buckets = spark, path, buckets
         self.compact_every = compact_every
         self.compact_max_files = compact_max_files
+        self._compact_floor = None
         self._store_checked = False
         os.makedirs(path, exist_ok=True)
 
@@ -625,9 +626,9 @@ class TextIndexStream:
         self.spark.createDataFrame([(batch_id,)], "batch_id long").write.mode(
             "append"
         ).parquet(f"{self.path}/batches")
-        _maybe_compact(
+        self._compact_floor = _maybe_compact(
             self.spark, self.path, batch_id, self.compact_every,
-            max_files=self.compact_max_files,
+            max_files=self.compact_max_files, floor=self._compact_floor,
         )
 
 
@@ -638,7 +639,8 @@ def _maybe_compact(
     every: int | None,
     fn=None,
     max_files: int | None = None,
-) -> None:
+    floor: int | None = None,
+) -> int | None:
     """Periodic in-stream compaction — ONE shared trigger rule for all
     four stores, two triggers (either fires):
 
@@ -652,6 +654,17 @@ def _maybe_compact(
       one recursive listing per batch (`index_file_counts`), the same
       class of listing the batch's own appends perform.
 
+    `floor` is the store's post-compaction file count from the last
+    pass (the store carries it between calls; this function RETURNS the
+    updated value).  It guards the size trigger against thrash: once a
+    compacted store's OWN file count exceeds max_files (more populated
+    partitions than the threshold), a bare `count > max_files` would
+    re-fire on EVERY batch, paying a full-store rewrite per micro-batch
+    — so the size trigger requires `count > max(max_files, 2 * floor)`:
+    fragmentation must double past the last compacted state before the
+    next rewrite.  The floor is in-memory only; a restarted stream pays
+    at most one redundant compaction to re-learn it.
+
     `fn(spark, path)` is the store's compaction pass (default
     `index_maintenance.compact_index`; DedupStream passes
     `compact_dedup_state`).  Runs AFTER the batch marker, so a crash
@@ -659,13 +672,15 @@ def _maybe_compact(
     manual rerun) repairs the swap via `_recover_swap` and the batch
     itself stays committed."""
     due = bool(every and (batch_id + 1) % every == 0)
-    if not due and max_files:
+    size_due = False
+    if max_files and not due:
         from redistimeseries_spark.pipeline.index_maintenance import (
             index_file_counts,
         )
 
-        due = sum(index_file_counts(spark, path).values()) > max_files
-    if due:
+        cnt = sum(index_file_counts(spark, path).values())
+        size_due = cnt > max_files and (floor is None or cnt > 2 * floor)
+    if due or size_due:
         if fn is None:
             from redistimeseries_spark.pipeline.index_maintenance import (
                 compact_index,
@@ -673,3 +688,10 @@ def _maybe_compact(
 
             fn = compact_index
         fn(spark, path)
+        if max_files:
+            from redistimeseries_spark.pipeline.index_maintenance import (
+                index_file_counts,
+            )
+
+            return sum(index_file_counts(spark, path).values())
+    return floor

@@ -826,6 +826,7 @@ class IVFIndexStream:
         self.spark, self.path, self.ncent = spark, path, ncent
         self.compact_every = compact_every
         self.compact_max_files = compact_max_files
+        self._compact_floor = None
         self._store_checked = False
         os.makedirs(path, exist_ok=True)
 
@@ -904,9 +905,9 @@ class IVFIndexStream:
         ).parquet(f"{self.path}/batches")
         from redistimeseries_spark.pipeline.retrieval import _maybe_compact
 
-        _maybe_compact(
+        self._compact_floor = _maybe_compact(
             self.spark, self.path, batch_id, self.compact_every,
-            max_files=self.compact_max_files,
+            max_files=self.compact_max_files, floor=self._compact_floor,
         )
 
 
@@ -1172,6 +1173,7 @@ class SemDedupStream:
         self.threshold, self.ncent = threshold, ncent
         self.compact_every = compact_every
         self.compact_max_files = compact_max_files
+        self._compact_floor = None
         os.makedirs(path, exist_ok=True)
 
     def _read(self, sub: str, schema: str) -> DataFrame:
@@ -1274,7 +1276,7 @@ class SemDedupStream:
         ).parquet(f"{self.path}/batches")
         from redistimeseries_spark.pipeline.retrieval import _maybe_compact
 
-        _maybe_compact(
+        self._compact_floor = _maybe_compact(
             self.spark, self.path, batch_id, self.compact_every,
-            max_files=self.compact_max_files,
+            max_files=self.compact_max_files, floor=self._compact_floor,
         )

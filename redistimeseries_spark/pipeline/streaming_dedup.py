@@ -78,6 +78,7 @@ class DedupStream:
         # (retrieval._maybe_compact; either firing compacts)
         self.compact_every = compact_every
         self.compact_max_files = compact_max_files
+        self._compact_floor = None
         os.makedirs(state_dir, exist_ok=True)
 
     def _read(self, sub: str, schema: str) -> DataFrame:
@@ -273,9 +274,10 @@ class DedupStream:
         )
         from redistimeseries_spark.pipeline.retrieval import _maybe_compact
 
-        _maybe_compact(
+        self._compact_floor = _maybe_compact(
             self.spark, self.state_dir, batch_id, self.compact_every,
             fn=compact_dedup_state, max_files=self.compact_max_files,
+            floor=self._compact_floor,
         )
 
 

@@ -221,9 +221,12 @@ def _ts_tvf_sql(p: str) -> list[str]:
         f"""CREATE OR REPLACE TEMPORARY FUNCTION {p}delta(dur BIGINT)
             RETURNS TABLE (key STRING, ts BIGINT, delta DOUBLE)
             RETURN SELECT key, __b AS ts, delta FROM (
+              -- duplicate-(key, ts) rows: (ts, value) last-wins ordering
+              -- on both endpoints, effective-sample two-row minimum
               SELECT key, __b,
-                     max_by(value, ts) - min_by(value, ts) AS delta,
-                     count(1) AS __n
+                     max_by(value, struct(ts, value))
+                       - min_by(value, struct(ts, -value)) AS delta,
+                     count(DISTINCT ts) AS __n
               FROM (SELECT key, ts, {b} AS __b, value
                     FROM {p}samples WHERE {nn})
               GROUP BY key, __b)

@@ -103,7 +103,14 @@ class StreamingStore:
     # lower amortized build cost.  The check is one recursive listing
     # per batch (the same class of listing the append itself performs).
     # Both triggers may be set; compaction fires when EITHER trips.
+    # Thrash guard: once the COMPACTED log's own file count exceeds the
+    # threshold (more day partitions than compact_max_files), a bare
+    # count-check would re-fire every batch — the size trigger requires
+    # count > max(compact_max_files, 2 * _compact_floor), the
+    # post-compaction count of the last pass (in-memory; a restarted
+    # stream pays at most one redundant compaction to re-learn it).
     compact_max_files: int | None = None
+    _compact_floor: int | None = None
     _batch_id: int = 0
     # DataFrames persisted during the current micro-batch's maintenance;
     # unpersisted at the end of process_batch (a long-running stream must
@@ -666,9 +673,15 @@ class StreamingStore:
             self.compact_every and (batch_id + 1) % self.compact_every == 0
         )
         if not due and self.compact_max_files:
-            due = self.log_file_count() > self.compact_max_files
+            cnt = self.log_file_count()
+            due = cnt > self.compact_max_files and (
+                self._compact_floor is None
+                or cnt > 2 * self._compact_floor
+            )
         if due:
             self.compact()
+            if self.compact_max_files:
+                self._compact_floor = self.log_file_count()
 
     @staticmethod
     def _swap(tmp: str, final: str):

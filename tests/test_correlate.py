@@ -191,6 +191,16 @@ def test_engine_facade_corr_cusum(spark):
     assert len(c) == 1 and c[0].corr == pytest.approx(1.0) and c[0].n == 12
     cs = eng.cusum("m1", 0.5, 2.0, target=0.0).collect()
     assert len(cs) == 12 and cs[-1].alarm  # monotone ramp drifts up
+    # review fix: corr goes through _series_df — retention clamps apply
+    # (an expired sample is invisible to corr like to range), and '$'
+    # is rejected as ambiguous across two series
+    eng.create("m3", retention=3000)
+    for i in range(12):
+        eng.add("m3", i * 1000, float(i))
+    n_kept = eng.corr("m1", "m3", 1_000_000).collect()[0].n
+    assert n_kept == eng.range("m3").count() == 4  # last 3 s + the tip
+    with pytest.raises(ValueError, match="ambiguous"):
+        eng.corr("m1", "m2", 1_000_000, from_ts="$")
 
 
 def test_cusum_vs_duckdb_recursive(spark):

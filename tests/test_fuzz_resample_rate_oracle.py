@@ -380,7 +380,7 @@ def _delta_oracle(spec) -> str:
                  WHERE {' AND '.join(where)})
       SELECT key, b AS ts, arg_max(value, ts) - arg_min(value, ts) AS delta
       FROM s GROUP BY key, b
-      HAVING count(*) >= 2
+      HAVING count(DISTINCT ts) >= 2
     """
 
 
@@ -443,6 +443,9 @@ def test_fuzz_delta_dup_ts(spark):
     # pinned: duplicates at BOTH bucket endpoints
     rows += [("d3", 0, 1.0), ("d3", 0, 9.0), ("d3", 900, 3.0),
              ("d3", 900, 7.0)]
+    # pinned (round-10 review): a bucket holding ONLY duplicates of one
+    # ts is ONE effective sample — no delta row may be emitted
+    rows += [("d4", 0, 1.0), ("d4", 0, 9.0)]
     sdf = spark.createDataFrame(rows, "key string, ts long, value double")
     con = duckdb.connect()
     con.execute("CREATE TABLE t(key VARCHAR, ts BIGINT, value DOUBLE)")
@@ -454,7 +457,7 @@ def test_fuzz_delta_dup_ts(spark):
           SELECT key, b AS ts,
                  last(value ORDER BY ts, value)
                    - first(value ORDER BY ts, value DESC) AS delta
-          FROM s GROUP BY key, b HAVING count(*) >= 2
+          FROM s GROUP BY key, b HAVING count(DISTINCT ts) >= 2
         """).df())
         assert got.equals(exp), (dur, got.shape, exp.shape)
 

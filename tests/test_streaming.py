@@ -268,6 +268,41 @@ def test_ingest_log_size_based_compaction(spark, dirs):
     assert lofty.log_file_count() >= n_batches
 
 
+def test_size_trigger_floor_guard_prevents_thrash(spark, dirs):
+    """Round-10 review fix: when the COMPACTED log's own file count
+    exceeds compact_max_files (one file per day across many days), a
+    bare threshold would rewrite the whole log on EVERY batch — the
+    floor guard requires fragmentation to double past the last
+    compacted state, so the rewrite count stays logarithmic-ish, not
+    per-batch."""
+    store = StreamingStore(
+        spark, os.path.join(dirs, "store"), "last", [], compact_max_files=2
+    )
+    calls = {"n": 0}
+    inner = store.compact
+
+    def counting():
+        calls["n"] += 1
+        inner()
+
+    store.compact = counting
+    n_batches = 8
+    for i in range(n_batches):
+        # one NEW day partition per batch: the compacted floor itself
+        # grows past the threshold
+        write_input(
+            spark, dirs, [("k", i * 86_400_000, float(i))], f"b{i}"
+        )
+    drain(spark, dirs, store)
+    # without the guard this would be ~6 compactions (every batch once
+    # count exceeded 2); with it: once at count 3 (floor 3), once past
+    # 2*3 (floor ~7) — bounded, and the data is intact
+    assert calls["n"] <= 3, calls
+    assert calls["n"] >= 1
+    got = {(r.key, r.ts): r.value for r in store.samples().collect()}
+    assert got == {("k", i * 86_400_000): float(i) for i in range(n_batches)}
+
+
 def test_ingest_log_compacting_marker(spark, dirs):
     """A read racing compact()'s rename-swap must raise the typed
     retryable StoreCompactingError, NOT silently answer from an "empty"
