@@ -277,6 +277,44 @@ def dedup_lines(
     )
 
 
+def _doc_feature_slots(
+    docs: DataFrame, num_buckets: int, bigrams: bool
+) -> DataFrame:
+    """(doc_id, __n, slot) — one exploded row per feature occurrence:
+    lowercased word unigrams (plus word bigrams when asked, fastText's
+    recipe) hashed into `num_buckets` slots with the engine-portable md5
+    slot hash.  The SHARED feature map of classifier inference
+    (`hashed_classifier_scores`) and training
+    (`pipeline/train.train_quality_classifier`) — weights transfer
+    between them only because both sides hash identically."""
+    wa = docs.select(
+        "doc_id",
+        F.expr(f"array_remove(split(lower(text), '{WORD_RE}'), '')").alias(
+            "wa"
+        ),
+    )
+    feats = F.col("wa")
+    if bigrams:
+        # explicit empty when size < 2: sequence(1, 0) would run BACKWARD
+        # in Spark (negative default step), not empty like generate_series
+        bi = F.when(
+            F.size("wa") >= 2,
+            F.expr(
+                "transform(sequence(1, size(wa) - 1),"
+                " i -> concat_ws(' ', slice(wa, i, 2)))"
+            ),
+        ).otherwise(F.expr("array()"))
+        feats = F.concat(F.col("wa"), bi)
+    d = wa.select(
+        "doc_id", feats.alias("__f"), F.size(feats).alias("__n")
+    ).select("doc_id", "__n", F.explode("__f").alias("tok"))
+    slot = (
+        F.conv(F.substring(F.md5(F.col("tok")), 1, 7), 16, 10).cast("long")
+        % num_buckets
+    )
+    return d.withColumn("slot", slot).drop("tok")
+
+
 def hashed_classifier_scores(
     docs: DataFrame,
     weights,
@@ -317,31 +355,7 @@ def hashed_classifier_scores(
             [(int(s), float(w)) for s, w in weights.items()],
             "slot long, weight double",
         )
-    wa = docs.select(
-        "doc_id",
-        F.expr(f"array_remove(split(lower(text), '{WORD_RE}'), '')").alias(
-            "wa"
-        ),
-    )
-    feats = F.col("wa")
-    if bigrams:
-        # explicit empty when size < 2: sequence(1, 0) would run BACKWARD
-        # in Spark (negative default step), not empty like generate_series
-        bi = F.when(
-            F.size("wa") >= 2,
-            F.expr(
-                "transform(sequence(1, size(wa) - 1),"
-                " i -> concat_ws(' ', slice(wa, i, 2)))"
-            ),
-        ).otherwise(F.expr("array()"))
-        feats = F.concat(F.col("wa"), bi)
-    d = wa.select(
-        "doc_id", feats.alias("__f"), F.size(feats).alias("__n")
-    ).select("doc_id", "__n", F.explode("__f").alias("tok"))
-    slot = (
-        F.conv(F.substring(F.md5(F.col("tok")), 1, 7), 16, 10).cast("long")
-        % num_buckets
-    )
+    d = _doc_feature_slots(docs, num_buckets, bigrams)
     # INNER join: tokens missing from the model contribute 0, so only
     # HIT rows (the model-vocabulary fraction of the token stream) reach
     # the per-doc aggregation; __n rides the exploded rows so the corpus
@@ -349,8 +363,7 @@ def hashed_classifier_scores(
     # doc — measured slower than the hit savings at 10M docs).  No-hit
     # and no-feature docs come back through the cheap doc_id spine.
     hits = (
-        d.withColumn("slot", slot)
-        .join(F.broadcast(weights), "slot")
+        d.join(F.broadcast(weights), "slot")
         .groupBy("doc_id")
         .agg(
             (F.lit(float(bias)) + F.sum("weight") / F.first("__n")).alias(
