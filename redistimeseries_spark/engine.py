@@ -970,7 +970,8 @@ class TimeSeriesEngine:
         )
 
     def corr(self, key_a: str, key_b: str, bucket_dur,
-             from_ts="-", to_ts="+", align="0") -> DataFrame:
+             from_ts="-", to_ts="+", align="0",
+             tolerance_ms: int | None = None) -> DataFrame:
         """Per-bucket Pearson correlation between two series
         (beyond-reference; operators/correlate.ts_corr).  Each leg goes
         through `_series_df` like every other keyed method — compaction
@@ -994,6 +995,7 @@ class TimeSeriesEngine:
             start=self._resolve_ts(from_ts),
             end=self._resolve_ts(to_ts),
             align=align,
+            tolerance_ms=tolerance_ms,
         ).drop("key_a", "key_b")
 
     def cusum(self, key: str, k, h, target: float | None = None,

@@ -60,21 +60,29 @@ def ts_corr(
     start: int = MIN_TS,
     end: int = MAX_TS,
     align="0",
+    tolerance_ms: int | None = None,
 ) -> DataFrame:
     """(key_a, key_b, ts, corr, n) — per-bucket Pearson correlation
-    between each requested (key_a, key_b) pair, over samples matched at
-    IDENTICAL timestamps (the aligned-cadence convention; resample
-    irregular series onto a grid first — operators/resample).  `ts` is
-    the bucket start; `n` counts the matched sample pairs.  Buckets
-    where the correlation is undefined — fewer than two matched pairs,
-    or zero variance on either leg — are not emitted.  NaN samples are
-    invalid everywhere and are dropped first; duplicate (key, ts) rows
-    fold to the (ts, value) last-wins effective sample BEFORE matching
-    (a raw join would cross-product them)."""
+    between each requested (key_a, key_b) pair.  By default samples
+    match at IDENTICAL timestamps (the aligned-cadence convention;
+    resample irregular series onto a grid first — operators/resample);
+    `tolerance_ms` switches to AS-OF matching for irregular cadences:
+    each a-sample pairs with b's latest sample at-or-before it and at
+    most tolerance_ms older (asof.ts_asof_join's union-window — one
+    sort per pair, no range-join explosion; note the direction is
+    asymmetric, a leads).  `ts` is the bucket start; `n` counts the
+    matched sample pairs.  Buckets where the correlation is undefined —
+    fewer than two matched pairs, or zero variance on either leg — are
+    not emitted.  NaN samples are invalid everywhere and are dropped
+    first; duplicate (key, ts) rows fold to the (ts, value) last-wins
+    effective sample BEFORE matching (a raw join would cross-product
+    them)."""
     if bucket_dur <= 0:
         raise ValueError("bucket_dur must be positive")
     if not pairs:
         raise ValueError("pairs must be a non-empty list of (key_a, key_b)")
+    if tolerance_ms is not None and tolerance_ms < 0:
+        raise ValueError("tolerance_ms must be >= 0")
     spark = samples.sparkSession
     pdf = spark.createDataFrame(
         [(a, b) for a, b in pairs], "key_a string, key_b string"
@@ -89,12 +97,51 @@ def ts_corr(
     a = d.join(
         F.broadcast(pdf), d["key"] == pdf["key_a"]
     ).select("key_a", "key_b", "ts", F.col("value").alias("__va"))
-    m = a.join(
-        d.select(
-            F.col("key").alias("key_b"), "ts", F.col("value").alias("__vb")
-        ),
-        ["key_b", "ts"],
-    )
+    if tolerance_ms is None:
+        m = a.join(
+            d.select(
+                F.col("key").alias("key_b"), "ts",
+                F.col("value").alias("__vb"),
+            ),
+            ["key_b", "ts"],
+        )
+    else:
+        # as-of matching: union both legs per pair, carry b's latest
+        # (ts, value) forward under one (pair)-partitioned window — b
+        # sorts before a at equal ts, so a coinciding sample matches
+        b_side = d.join(
+            F.broadcast(pdf), d["key"] == pdf["key_b"]
+        ).select(
+            "key_a", "key_b", "ts",
+            F.lit(None).cast("double").alias("__va"),
+            F.lit(0).alias("__side"),
+            F.col("ts").alias("__bt"),
+            F.col("value").alias("__bv"),
+        )
+        a_side = a.select(
+            "key_a", "key_b", "ts", "__va",
+            F.lit(1).alias("__side"),
+            F.lit(None).cast("long").alias("__bt"),
+            F.lit(None).cast("double").alias("__bv"),
+        )
+        w = (
+            Window.partitionBy("key_a", "key_b")
+            .orderBy("ts", "__side")
+            .rowsBetween(Window.unboundedPreceding, 0)
+        )
+        m = (
+            a_side.unionByName(b_side)
+            .select(
+                "key_a", "key_b", "ts", "__va", "__side",
+                F.last("__bt", ignorenulls=True).over(w).alias("__mt"),
+                F.last("__bv", ignorenulls=True).over(w).alias("__vb"),
+            )
+            .filter(
+                (F.col("__side") == 1)
+                & F.col("__mt").isNotNull()
+                & (F.col("ts") - F.col("__mt") <= tolerance_ms)
+            )
+        )
     # Pearson from guarded moment components (covar / stddev product)
     # instead of corr(): a zero-variance leg raises DIVIDE_BY_ZERO under
     # ANSI mode inside the aggregate; here the F.when guard skips the

@@ -92,6 +92,69 @@ def test_corr_vs_duckdb(spark):
         assert got == exp, dur
 
 
+def test_corr_tolerance_asof_matching(spark):
+    """tolerance_ms (round 10): irregular cadences match as-of — each
+    a-sample takes b's latest at-or-before sample within tolerance;
+    exact-coinciding samples still match; stale matches drop."""
+    rows = [
+        # a at 0/1000/2000/3000; b offset by ~100ms except one gap
+        ("a", 0, 1.0), ("a", 1000, 2.0), ("a", 2000, 3.0), ("a", 3000, 4.0),
+        ("b", 0, 2.0), ("b", 900, 4.0), ("b", 2900, 8.0),
+    ]
+    sdf = spark.createDataFrame(rows, "key string, ts long, value double")
+    # exact matching: only ts=0 pairs -> no corr row
+    assert ts_corr(sdf, 1_000_000, [("a", "b")]).count() == 0
+    # tolerance 200: a@0->b@0, a@1000->b@900, a@3000->b@2900; a@2000's
+    # latest b (900) is 1100ms stale -> dropped.  matched va/vb are
+    # perfectly linear (vb = 2*va) -> corr 1, n 3
+    out = ts_corr(sdf, 1_000_000, [("a", "b")], tolerance_ms=200).collect()
+    assert len(out) == 1
+    assert out[0].n == 3 and out[0].corr == pytest.approx(1.0)
+    with pytest.raises(ValueError, match="tolerance_ms"):
+        ts_corr(sdf, 1000, [("a", "b")], tolerance_ms=-1)
+
+
+def test_corr_tolerance_vs_duckdb_asof(spark):
+    """tolerance matching vs DuckDB's native ASOF JOIN — an independent
+    formulation of the same at-or-before-within-tolerance rule."""
+    rng = random.Random(0xA50F)
+    rows = []
+    for k in ("x", "y"):
+        for t in sorted(rng.sample(range(0, 40_000), 60)):
+            v = NAN if rng.random() < 0.05 else rng.uniform(-10, 10)
+            rows.append((k, t, v))
+    sdf = spark.createDataFrame(rows, "key string, ts long, value double")
+    con = duckdb.connect()
+    con.execute("CREATE TABLE t(key VARCHAR, ts BIGINT, value DOUBLE)")
+    con.executemany("INSERT INTO t VALUES (?, ?, ?)", rows)
+    for tol, dur in ((500, 8000), (3000, 10_000)):
+        got = sorted(
+            (r.key_a, r.key_b, r.ts, round(r.corr, 9), r.n)
+            for r in ts_corr(
+                sdf, dur, [("x", "y")], tolerance_ms=tol
+            ).collect()
+        )
+        exp = sorted(
+            map(
+                tuple,
+                con.sql(f"""
+            WITH v AS (SELECT key, ts, max(value) AS value FROM t
+                       WHERE NOT isnan(value) GROUP BY key, ts),
+            a AS (SELECT ts, value AS va FROM v WHERE key = 'x'),
+            b AS (SELECT ts AS bts, value AS vb FROM v WHERE key = 'y'),
+            m AS (SELECT a.ts, a.va, b.vb
+                  FROM a ASOF JOIN b ON b.bts <= a.ts
+                  WHERE a.ts - b.bts <= {tol})
+            SELECT 'x' AS ka, 'y' AS kb, ts - ts % {dur} AS b,
+                   round(corr(va, vb), 9) AS c, count(*) AS n
+            FROM m GROUP BY 3
+            HAVING corr(va, vb) IS NOT NULL AND NOT isnan(corr(va, vb))
+            """).fetchall(),
+            )
+        )
+        assert got == exp, (tol, dur)
+
+
 def test_corr_validation(spark):
     sdf = spark.createDataFrame([("a", 0, 1.0)], "key string, ts long, value double")
     with pytest.raises(ValueError, match="bucket_dur"):

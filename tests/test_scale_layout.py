@@ -169,6 +169,30 @@ def test_session_stats_chunk_local_plan(spark):
             assert "ts#" not in spec.split("ASC")[0], spec
 
 
+def test_cusum_chunk_local_plan(spark):
+    """Round 10: ts_cusum's per-SAMPLE windows partition by (key, chunk)
+    and use only GROWING frames (no sliding re-aggregation, no
+    shrinking-frame quadratic, no Python) — the bare-key axis survives
+    only on the one-row-per-chunk stitch frame."""
+    import re
+
+    from redistimeseries_spark.operators.correlate import ts_cusum
+
+    s = spark.createDataFrame(
+        [("k", t, float(t)) for t in range(10)],
+        "key string, ts long, value double",
+    )
+    plan = _plan(ts_cusum(s, 1.0, 5.0, target=0.0))
+    assert "PythonUDF" not in plan and "FlatMapGroupsInPandas" not in plan
+    for spec in re.findall(r"windowspecdefinition\(([^)]*)\)", plan):
+        head = spec.split(",")[0]
+        if "__c" not in spec and "key" in head:
+            assert "ts#" not in spec.split("ASC")[0], spec
+        # growing frames only: every frame ends at currentrow$() or a
+        # fixed offset below it — no unboundedfollowing anywhere
+        assert "unboundedfollowing" not in spec, spec
+
+
 def test_stratified_sample_no_full_window_over_corpus(spark):
     """The hash cut must reach the window input: the plan filters on the
     u32-hash threshold BEFORE the row_number sort, so a giant stratum
