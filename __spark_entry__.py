@@ -151,6 +151,31 @@ def q_holt(spark, sf_dir):
     )
 
 
+def q_ewm_band(spark, sf_dir):
+    """Beyond-reference adaptive Bollinger band: EWM mean +- k * EWM
+    std (biased same-weights variance = ewm(x^2) - ewm(x)^2 for
+    adjust=False), breakout tested against the ONE-STEP-AHEAD band so
+    an outlier cannot inflate its own envelope; the oracle replays both
+    moments with a recursive CTE.  breakout is recomputed from the
+    6dp-rounded band on BOTH sides so a float ulp cannot flip it (the
+    ts_cusum alarm convention); a zero-width rounded band never flags."""
+    from redistimeseries_spark.operators.smooth import ts_ewm_band
+
+    st = _store(spark, sf_dir)
+    d = ts_ewm_band(st.samples, 0.3, band_k=3.0, start=D14, end=D21)
+    rv, ru, rl = F.round("value", 6), F.round("upper", 6), F.round("lower", 6)
+    return d.select(
+        "key",
+        "ts",
+        rv.alias("value"),
+        F.round("ewma", 6).alias("ewma"),
+        F.round("std", 6).alias("std"),
+        ru.alias("upper"),
+        rl.alias("lower"),
+        ((ru - rl > 0) & ((rv > ru) | (rv < rl))).alias("breakout"),
+    )
+
+
 def q_resample_linear(spark, sf_dir):
     """Beyond-reference regular-grid resampling with linear interpolation
     (the time_bucket_gapfill/interpolate feature class): one bounded
@@ -2313,7 +2338,12 @@ def _base_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # family keeps dl_substring_contaminated + dl_eval_contamination
     # in-window) and ts_value_hist (driver-green r4+; the histogram
     # family keeps ts_hist_quantile — which composes over value_hist —
-    # in-window) rotate to the tail.
+    # in-window) rotate to the tail.  NEW ts_ewm_band (adaptive
+    # Bollinger envelope off the EWM moment pair, one-step-ahead
+    # breakout) enters the window in its adding commit; ts_holt
+    # (driver-green r3+; the smoothing family keeps ts_ewma,
+    # ts_anomalies and the newcomer in-window, and holt's TVF parity +
+    # chunk-affine fuzz pins stay locally gated) rotates to the tail.
     return {
         # --- checked prefix: one representative per operator family -----
         "ts_range_raw": q_range_raw,
@@ -2335,7 +2365,7 @@ def _base_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ts_resample_linear": q_resample_linear,
         "ts_decompose": q_decompose,
         "ts_ewma": q_ewma,
-        "ts_holt": q_holt,
+        "ts_ewm_band": q_ewm_band,
         "dl_mm_decode_png": q_mm_decode_png,
         "dl_bm25_topk": q_bm25_topk,
         "dl_bm25_compacted": q_bm25_compacted,
@@ -2385,6 +2415,7 @@ def _base_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dl_embed_neardup_lsh": q_embed_neardup_lsh,
         "ts_gaps": q_gaps,
         "ts_changes": q_changes,
+        "ts_holt": q_holt,
         "dl_dup_spans": q_dup_spans,
         "ts_value_hist": q_value_hist,
         "ts_mrange_groupby_avg": q_mrange_groupby_avg,
@@ -3821,6 +3852,42 @@ SELECT key, ts, round(value, 6) AS value,
        round(sp, 6) AS s_pos, round(sn, 6) AS s_neg,
        round(sp, 6) > 15.0 OR round(sn, 6) > 15.0 AS alarm
 FROM r""",
+        "ts_ewm_band": f"""WITH RECURSIVE {SAMPLES_SQL},
+v AS (SELECT key, ts, max(value) AS value FROM samples
+      WHERE NOT isnan(value) AND ts BETWEEN {D14} AND {D21}
+      GROUP BY key, ts),
+w AS (SELECT key, ts, value,
+             row_number() OVER (PARTITION BY key ORDER BY ts) AS rn
+      FROM v),
+r AS (
+  SELECT key, ts, rn, value, value AS m, value * value AS q
+  FROM w WHERE rn = 1
+  UNION ALL
+  SELECT w.key, w.ts, w.rn, w.value,
+         0.3 * w.value + 0.7 * r.m,
+         0.3 * w.value * w.value + 0.7 * r.q
+  FROM w JOIN r ON w.key = r.key AND w.rn = r.rn + 1),
+e AS (
+  SELECT key, ts, value, m, q,
+         (m - 0.3 * value) / 0.7 AS pm,
+         (q - 0.3 * value * value) / 0.7 AS pq
+  FROM r),
+g AS (
+  SELECT key, ts, value, m, q, pm,
+         sqrt(CASE WHEN q - m * m > 1e-10 * q
+                   THEN q - m * m ELSE 0 END) AS sd,
+         sqrt(CASE WHEN pq - pm * pm > 1e-10 * pq
+                   THEN pq - pm * pm ELSE 0 END) AS psd
+  FROM e),
+f AS (
+  SELECT key, ts, round(value, 6) AS value, round(m, 6) AS ewma,
+         round(sd, 6) AS std,
+         round(pm + 3.0 * psd, 6) AS upper,
+         round(pm - 3.0 * psd, 6) AS lower
+  FROM g)
+SELECT key, ts, value, ewma, std, upper, lower,
+       upper - lower > 0 AND (value > upper OR value < lower) AS breakout
+FROM f""",
         "ts_ewma": f"""WITH RECURSIVE {SAMPLES_SQL},
 v AS (SELECT key, ts, value,
              row_number() OVER (PARTITION BY key ORDER BY ts) AS rn

@@ -567,6 +567,21 @@ class TimeSeriesEngine:
             end=self._resolve_ts(to_ts, key),
         ).drop("key")
 
+    def ewm_band(self, key: str, alpha: float, band_k: float = 2.0,
+                 from_ts="-", to_ts="+") -> DataFrame:
+        """Adaptive Bollinger envelope: EWM mean +- band_k * EWM std
+        with one-step-ahead breakouts (beyond-reference;
+        operators/smooth.ts_ewm_band)."""
+        from redistimeseries_spark.operators.smooth import ts_ewm_band
+
+        return ts_ewm_band(
+            self._series_df(key, False),
+            alpha,
+            band_k=band_k,
+            start=self._resolve_ts(from_ts, key),
+            end=self._resolve_ts(to_ts, key),
+        ).drop("key")
+
     def anomalies(self, key: str, from_ts="-", to_ts="+", **kw) -> DataFrame:
         """Rolling z-score outliers (beyond-reference; operators/smooth)."""
         from redistimeseries_spark.operators.smooth import ts_anomalies

@@ -704,6 +704,96 @@ def ts_ewma(
     )
 
 
+def ts_ewm_band(
+    samples: DataFrame,
+    alpha: float,
+    band_k: float = 2.0,
+    keys: list[str] | str | None = None,
+    start: int = MIN_TS,
+    end: int = MAX_TS,
+    chunk_ms: int = SMOOTH_CHUNK_MS,
+) -> DataFrame:
+    """(key, ts, value, ewma, std, upper, lower, breakout) — adaptive
+    Bollinger band per series: EWM mean +- band_k * EWM standard
+    deviation, with `breakout` flagging samples outside the band (the
+    self-tuning alerting envelope dashboards reach for after plain
+    EWMA; a fixed-window Bollinger is the same idea with worse decay).
+
+    The EWM variance uses the same-weights biased form — for
+    adjust=False the weighted variance IS ewm(x^2) - ewm(x)^2 (pandas'
+    ewm.var(bias=True)) — so the whole operator is TWO runs of the
+    chunk-affine ts_ewma (one over x, one over x^2) joined
+    co-partitioned on (key, ts): the skew-safe linear-recurrence
+    machinery is reused verbatim, nothing new scans per-sample.
+    `upper`/`lower` are the ONE-STEP-AHEAD band each sample was tested
+    against — the pre-update EWM state, so an outlier cannot inflate
+    its own envelope (the ts_anomalies exclude-self discipline); the
+    recurrence makes that state recoverable WITHOUT a lag window:
+    m_prev = (m - a*x) / (1-a), same for the second moment (exact, and
+    for a series' first sample it degenerates to the sample itself —
+    zero-width band, never a breakout).  `ewma`/`std` are the
+    post-update smoothed series users chart.  alpha=1 keeps no history
+    (the band would be undefined) and is rejected.  Duplicate (key, ts)
+    rows fold to the (ts, value) last-wins EFFECTIVE sample before
+    smoothing — the x and x^2 recurrences must consume duplicates in
+    the SAME order, and value-order under squaring flips for negative
+    pairs, so the fold (ts_corr's rule) removes the ambiguity instead
+    of inheriting ts_ewma's raw-dup ordering.  NaN samples are invalid
+    everywhere and are dropped first."""
+    if band_k <= 0:
+        raise ValueError("band_k must be positive")
+    if not 0 < alpha < 1:
+        raise ValueError(
+            "alpha must be in (0, 1) — alpha=1 keeps no history, so the"
+            " one-step-ahead band is undefined"
+        )
+    d = _filter_range(samples, keys, start, end)
+    eff = d.groupBy("key", "ts").agg(F.max("value").alias("value"))
+    m = ts_ewma(eff, alpha, chunk_ms=chunk_ms).withColumnRenamed(
+        "ewma", "__m"
+    )
+    q = ts_ewma(
+        eff.withColumn("value", F.col("value") * F.col("value")),
+        alpha,
+        chunk_ms=chunk_ms,
+    ).withColumnRenamed("ewma", "__q")
+    j = eff.join(m, ["key", "ts"]).join(q, ["key", "ts"])
+    x = F.col("value")
+    pm = (F.col("__m") - alpha * x) / (1.0 - alpha)
+    pq = (F.col("__q") - alpha * x * x) / (1.0 - alpha)
+
+    # variance credibility snap: q - m^2 is a difference of
+    # q-magnitude terms, so a residue below ~1e-10 of the second
+    # moment is float cancellation, not variance — sqrt would amplify
+    # it to a spurious 1e-6-scale band width that differs between any
+    # two arithmetic orders (it broke 6dp oracle matching on every
+    # key's second sample before the snap)
+    def _credible_std(var, moment):
+        return F.sqrt(
+            F.when(var > F.lit(1e-10) * moment, var).otherwise(F.lit(0.0))
+        )
+
+    pstd = _credible_std(pq - pm * pm, pq)
+    std = _credible_std(
+        F.col("__q") - F.col("__m") * F.col("__m"), F.col("__q")
+    )
+    upper = pm + F.lit(float(band_k)) * pstd
+    lower = pm - F.lit(float(band_k)) * pstd
+    return j.select(
+        "key",
+        "ts",
+        "value",
+        F.col("__m").alias("ewma"),
+        std.alias("std"),
+        upper.alias("upper"),
+        lower.alias("lower"),
+        # a zero-width band is degenerate (one-sample or constant
+        # history — no variance to scale by; ts_anomalies' std>0 rule):
+        # never a breakout; use ts_cusum to detect steps off a constant
+        ((pstd > 0) & ((x > upper) | (x < lower))).alias("breakout"),
+    )
+
+
 def _ts_ewma_sequential(
     samples: DataFrame,
     alpha: float,

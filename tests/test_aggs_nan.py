@@ -871,6 +871,96 @@ def test_fuzz_anomalies_fast(spark):
                         ), (trial, n_w, kk, g, w)
 
 
+def test_ewm_band(spark):
+    """ts_ewm_band (round 10): EWM mean +- k * EWM std — constant series
+    collapse the band (no breakouts), a spike breaks out, values match
+    pandas ewm mean/var(bias=True) through forced tiny chunks, and
+    duplicate (key, ts) rows fold to the effective sample first."""
+    import numpy as np
+    import pandas as pd
+    import pytest as _pytest
+
+    from redistimeseries_spark.operators.smooth import ts_ewm_band
+
+    # constant series: ewma == value, std == 0, never a breakout
+    rows = [("c", i * 1000, 5.0) for i in range(10)]
+    got = ts_ewm_band(
+        spark.createDataFrame(rows, "key string, ts long, value double"),
+        0.3,
+    ).collect()
+    assert all(
+        r.ewma == 5.0 and r.std == _pytest.approx(0.0) and not r.breakout
+        for r in got
+    )
+
+    # noisy-flat series with one spike: exactly the spike breaks out
+    import random as _random
+
+    rng = _random.Random(0xB011)
+    vals = [10.0 + rng.uniform(-0.5, 0.5) for _ in range(40)]
+    vals[25] = 30.0
+    rows = [("s", i * 1000, v) for i, v in enumerate(vals)]
+    sdf = spark.createDataFrame(rows, "key string, ts long, value double")
+    out = {r.ts: r for r in ts_ewm_band(sdf, 0.2, band_k=4.0).collect()}
+    assert out[25_000].breakout
+    assert sum(1 for r in out.values() if r.breakout) == 1
+
+    # pandas differential (bias=True variance), through tiny chunks;
+    # the band is the ONE-STEP-AHEAD (previous-state) envelope
+    s = pd.Series(vals)
+    m = s.ewm(alpha=0.2, adjust=False).mean()
+    v = s.ewm(alpha=0.2, adjust=False).var(bias=True)
+    chunked = {
+        r.ts: r for r in ts_ewm_band(sdf, 0.2, band_k=4.0,
+                                     chunk_ms=4096).collect()
+    }
+    for i in range(40):
+        r = chunked[i * 1000]
+        assert r.ewma == _pytest.approx(m.iloc[i], abs=1e-9)
+        assert r.std == _pytest.approx(
+            float(np.sqrt(max(v.iloc[i], 0.0))), abs=1e-9
+        )
+        pm = m.iloc[i - 1] if i else vals[0]
+        pv = max(v.iloc[i - 1], 0.0) if i else 0.0
+        assert r.upper == _pytest.approx(
+            pm + 4.0 * float(np.sqrt(pv)), abs=1e-8
+        ), i
+        assert r.lower == _pytest.approx(
+            pm - 4.0 * float(np.sqrt(pv)), abs=1e-8
+        ), i
+
+    # duplicate fold: a negative dup pair (value-order flips under
+    # squaring) — band equals the band of the pre-folded input
+    dup_rows = [("d", 0, -3.0), ("d", 0, 2.0), ("d", 1000, 1.0)]
+    fold_rows = [("d", 0, 2.0), ("d", 1000, 1.0)]
+    a = sorted(
+        map(
+            tuple,
+            ts_ewm_band(
+                spark.createDataFrame(
+                    dup_rows, "key string, ts long, value double"
+                ),
+                0.4,
+            ).collect(),
+        )
+    )
+    b = sorted(
+        map(
+            tuple,
+            ts_ewm_band(
+                spark.createDataFrame(
+                    fold_rows, "key string, ts long, value double"
+                ),
+                0.4,
+            ).collect(),
+        )
+    )
+    assert a == b
+
+    with _pytest.raises(ValueError, match="band_k"):
+        ts_ewm_band(sdf, 0.2, band_k=0.0)
+
+
 def test_resample_linear_and_locf(spark):
     """ts_resample: hand-computed linear interpolation and LOCF on a
     regular grid, coinciding samples returned exactly, NaN samples
