@@ -37,7 +37,8 @@ def _ts_tvf_sql(p: str) -> list[str]:
     the `spark.sql` surface matches the Python facade (engine.topk /
     deriv / changes / resets / predict_linear / value_histogram /
     resample / holt / ewma / anomalies / mad / outlier_mad /
-    hist_quantile / decompose / forecast / corr / cusum — named
+    hist_quantile / decompose / forecast / corr / cusum / ewm_band —
+    named
     `<p><op>`, so two stores registered under
     different prefixes keep independent function sets).  Bodies are the
     operators' exact plans re-expressed
@@ -383,6 +384,72 @@ def _ts_tvf_sql(p: str) -> list[str]:
               FROM arr)
             SELECT key, p.ts AS ts, element_at(ys, pos + 1) AS ewma
             FROM sm LATERAL VIEW posexplode(a) t AS pos, p""",
+        # adaptive Bollinger envelope (smooth.ts_ewm_band); aggregate()
+        # fold carrying BOTH EWM moments over each series' effective
+        # (dup-folded) sorted samples — SQL twin only, the chunk-affine
+        # facade is the scale path.  Same one-step-ahead band, variance
+        # credibility snap, and zero-width suppression as the facade.
+        f"""CREATE OR REPLACE TEMPORARY FUNCTION {p}ewm_band(
+                alpha DOUBLE, band_k DOUBLE)
+            RETURNS TABLE (key STRING, ts BIGINT, value DOUBLE,
+                           ewma DOUBLE, std DOUBLE, upper DOUBLE,
+                           lower DOUBLE, breakout BOOLEAN)
+            RETURN WITH arr AS (
+              SELECT key, array_sort(collect_list(struct(ts, value))) AS a
+              FROM (SELECT key, ts, max(value) AS value
+                    FROM {p}samples WHERE {nn} GROUP BY key, ts)
+              GROUP BY key),
+            sm AS (
+              SELECT key, a,
+                CASE WHEN alpha <= 0 OR alpha >= 1
+                  THEN CAST(raise_error(concat(
+                    '{p}ewm_band: alpha must be in (0, 1), got ',
+                    CAST(alpha AS STRING)))
+                    AS STRUCT<ms: ARRAY<DOUBLE>, qs: ARRAY<DOUBLE>>)
+                  WHEN band_k <= 0
+                  THEN CAST(raise_error(concat(
+                    '{p}ewm_band: band_k must be positive, got ',
+                    CAST(band_k AS STRING)))
+                    AS STRUCT<ms: ARRAY<DOUBLE>, qs: ARRAY<DOUBLE>>)
+                  ELSE aggregate(
+                    slice(a, 2, size(a) - 1),
+                    named_struct(
+                      'ms', array(element_at(a, 1).value),
+                      'qs', array(element_at(a, 1).value
+                                  * element_at(a, 1).value)),
+                    (acc, x) -> named_struct(
+                      'ms', concat(acc.ms, array(
+                        alpha * x.value
+                        + (1 - alpha) * element_at(acc.ms, -1))),
+                      'qs', concat(acc.qs, array(
+                        alpha * x.value * x.value
+                        + (1 - alpha) * element_at(acc.qs, -1)))))
+                END AS st
+              FROM arr),
+            e AS (
+              SELECT key, p.ts AS ts, p.value AS value,
+                     element_at(st.ms, pos + 1) AS m,
+                     element_at(st.qs, pos + 1) AS q
+              FROM sm LATERAL VIEW posexplode(a) t AS pos, p),
+            g AS (
+              SELECT key, ts, value, m, q,
+                     (m - alpha * value) / (1 - alpha) AS pm,
+                     (q - alpha * value * value) / (1 - alpha) AS pq
+              FROM e),
+            f AS (
+              SELECT key, ts, value, m,
+                sqrt(CASE WHEN q - m * m > 1e-10 * q
+                          THEN q - m * m ELSE 0D END) AS sd,
+                pm,
+                sqrt(CASE WHEN pq - pm * pm > 1e-10 * pq
+                          THEN pq - pm * pm ELSE 0D END) AS psd
+              FROM g)
+            SELECT key, ts, value, m AS ewma, sd AS std,
+                   pm + band_k * psd AS upper,
+                   pm - band_k * psd AS lower,
+                   psd > 0 AND (value > pm + band_k * psd
+                                OR value < pm - band_k * psd) AS breakout
+            FROM f""",
         # Holt double-exponential smoothing (smooth.ts_holt); aggregate()
         # fold over each series' sorted sample array — SQL twin only, the
         # Arrow facade is the scale path

@@ -199,6 +199,12 @@ def test_sql_table_functions_match_operators(spark, samples_df):
              "redistimeseries_spark.operators.smooth",
              fromlist=["ts_anomalies"],
          ).ts_anomalies(st.samples, 2, 0.5)),
+        # round-10: adaptive Bollinger envelope TVF twin
+        ("SELECT * FROM ts_ewm_band(0.3, 3.0)",
+         __import__(
+             "redistimeseries_spark.operators.smooth",
+             fromlist=["ts_ewm_band"],
+         ).ts_ewm_band(st.samples, 0.3, band_k=3.0)),
         # round-10: decompose/forecast TVF twins, both modes
         (f"SELECT * FROM ts_decompose({dur}, 3, 'additive')",
          __import__(
