@@ -129,6 +129,10 @@ def main():
 
     out["decompose_sec"] = timed(lambda: ts_decompose(df, H, 24))
     out["forecast_sec"] = timed(lambda: ts_forecast(df, H, 24, 48))
+    # round-10: adaptive Bollinger envelope (fused EWM moment pair)
+    from redistimeseries_spark.operators.smooth import ts_ewm_band
+
+    out["ewm_band_sec"] = timed(lambda: ts_ewm_band(df, 0.3, band_k=3.0))
     # round-10: CUSUM closed form (chunk-local prefix-sum/running-min
     # folds) vs the literal sequential replay twin
     from redistimeseries_spark.operators.correlate import (
