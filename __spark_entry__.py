@@ -3860,30 +3860,31 @@ w AS (SELECT key, ts, value,
              row_number() OVER (PARTITION BY key ORDER BY ts) AS rn
       FROM v),
 r AS (
-  SELECT key, ts, rn, value, value AS m, value * value AS q
+  SELECT key, ts, rn, value, value AS c0,
+         CAST(0 AS DOUBLE) AS m, CAST(0 AS DOUBLE) AS q
   FROM w WHERE rn = 1
   UNION ALL
-  SELECT w.key, w.ts, w.rn, w.value,
-         0.3 * w.value + 0.7 * r.m,
-         0.3 * w.value * w.value + 0.7 * r.q
+  SELECT w.key, w.ts, w.rn, w.value, r.c0,
+         0.3 * (w.value - r.c0) + 0.7 * r.m,
+         0.3 * (w.value - r.c0) * (w.value - r.c0) + 0.7 * r.q
   FROM w JOIN r ON w.key = r.key AND w.rn = r.rn + 1),
 e AS (
-  SELECT key, ts, value, m, q,
-         (m - 0.3 * value) / 0.7 AS pm,
-         (q - 0.3 * value * value) / 0.7 AS pq
+  SELECT key, ts, value, c0, value - c0 AS y, m, q,
+         (m - 0.3 * (value - c0)) / 0.7 AS pm,
+         (q - 0.3 * (value - c0) * (value - c0)) / 0.7 AS pq
   FROM r),
 g AS (
-  SELECT key, ts, value, m, q, pm,
+  SELECT key, ts, value, c0, y, m, q, pm,
          sqrt(CASE WHEN q - m * m > 1e-10 * q
                    THEN q - m * m ELSE 0 END) AS sd,
-         sqrt(CASE WHEN pq - pm * pm > 1e-10 * pq
+         sqrt(CASE WHEN pq - pm * pm > 1e-10 * q
                    THEN pq - pm * pm ELSE 0 END) AS psd
   FROM e),
 f AS (
-  SELECT key, ts, round(value, 6) AS value, round(m, 6) AS ewma,
+  SELECT key, ts, round(value, 6) AS value, round(c0 + m, 6) AS ewma,
          round(sd, 6) AS std,
-         round(pm + 3.0 * psd, 6) AS upper,
-         round(pm - 3.0 * psd, 6) AS lower
+         round(c0 + (pm + 3.0 * psd), 6) AS upper,
+         round(c0 + (pm - 3.0 * psd), 6) AS lower
   FROM g)
 SELECT key, ts, value, ewma, std, upper, lower,
        upper - lower > 0 AND (value > upper OR value < lower) AS breakout

@@ -84,8 +84,11 @@ def ts_corr(
     if tolerance_ms is not None and tolerance_ms < 0:
         raise ValueError("tolerance_ms must be >= 0")
     spark = samples.sparkSession
+    # dedupe the request: a duplicated (key_a, key_b) entry would join
+    # every a-sample twice, doubling the reported n per bucket
+    # (round-10 ADVICE finding; corr itself is ratio-invariant)
     pdf = spark.createDataFrame(
-        [(a, b) for a, b in pairs], "key_a string, key_b string"
+        sorted({(a, b) for a, b in pairs}), "key_a string, key_b string"
     )
     all_keys = sorted({k for p in pairs for k in p})
     d = (

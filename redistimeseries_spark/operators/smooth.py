@@ -707,18 +707,32 @@ def ts_ewma(
 def _ts_ewm_moments(
     eff: DataFrame, alpha: float, chunk_ms: int
 ) -> DataFrame:
-    """(key, ts, value, __m, __q) — BOTH EWM moments (mean of x and of
-    x^2) in ONE chunk-affine pipeline: the two recurrences share their
-    decay A = (1-alpha)^n, so each chunk folds to (A, B_m, B_q, first
-    values), one per-key stitch composes both entry states, and one
-    replay emits both smoothed columns.  This is the fused form of
-    running ts_ewma twice — same exchange count as ONE ewma (the naive
-    composition re-scans the source three times and joins two
-    100M-row outputs; measured 122.9 -> ~60 s at 1 key x 100M)."""
-    d = eff.select(
+    """(key, ts, value, __c0, __m, __q) — BOTH EWM moments (mean of y
+    and of y^2, where y = value - __c0 is CENTERED on the key's first
+    effective sample) in ONE chunk-affine pipeline: the two recurrences
+    share their decay A = (1-alpha)^n, so each chunk folds to (A, B_m,
+    B_q, first values), one per-key stitch composes both entry states,
+    and one replay emits both smoothed columns.  This is the fused form
+    of running ts_ewma twice — same exchange count as ONE ewma (the
+    naive composition re-scans the source three times and joins two
+    100M-row outputs; measured 122.9 -> ~60 s at 1 key x 100M).
+
+    Centering is the variance-credibility discipline (same as
+    ts_anomalies fast=True): the downstream variance q - m^2 is a
+    difference of q-magnitude terms, so for a large-offset series
+    (mean 1e6, true std 10) the uncentered second moment is ~1e12 and
+    the genuine 100-scale variance drowns in cancellation noise — and
+    a relative snap threshold then deletes it.  Centered on the first
+    sample, q is variance-scaled after the offset decays and the snap
+    only ever removes true float residue.  `eff` must be dup-folded
+    (unique ts per key), so the first sample needs no value tiebreak."""
+    c0 = eff.groupBy("key").agg(F.min_by("value", "ts").alias("__c0"))
+    d = eff.join(c0, "key").select(
         "key",
         "ts",
         "value",
+        "__c0",
+        (F.col("value") - F.col("__c0")).alias("__y"),
         (F.col("ts") - F.pmod(F.col("ts"), F.lit(chunk_ms))).alias("__c"),
     )
 
@@ -729,7 +743,7 @@ def _ts_ewm_moments(
 
     def summarize(pdf: pd.DataFrame) -> pd.DataFrame:
         pdf = pdf.sort_values(["ts", "value"]).reset_index(drop=True)
-        x = pdf["value"].astype(np.float64)
+        x = pdf["__y"].astype(np.float64)
         x2 = x * x
         A = float(np.cumprod(np.full(len(x), 1.0 - alpha))[-1])
 
@@ -775,7 +789,10 @@ def _ts_ewm_moments(
 
     states = summaries.groupBy("key").applyInPandas(stitch, state_schema)
 
-    out_schema = "key string, ts long, value double, __m double, __q double"
+    out_schema = (
+        "key string, ts long, value double, __c0 double,"
+        " __m double, __q double"
+    )
 
     def replay(pdf: pd.DataFrame) -> pd.DataFrame:
         pdf = pdf.sort_values(["ts", "value"]).reset_index(drop=True)
@@ -789,12 +806,13 @@ def _ts_ewm_moments(
                 .reset_index(drop=True)
             )
 
-        x = pdf["value"].astype(np.float64)
+        x = pdf["__y"].astype(np.float64)
         return pd.DataFrame(
             {
                 "key": pdf["key"],
                 "ts": pdf["ts"],
                 "value": pdf["value"],
+                "__c0": pdf["__c0"],
                 "__m": run(x, pdf["sm"].iloc[0]),
                 "__q": run(x * x, pdf["sq"].iloc[0]),
             }
@@ -853,39 +871,53 @@ def ts_ewm_band(
     d = _filter_range(samples, keys, start, end)
     eff = d.groupBy("key", "ts").agg(F.max("value").alias("value"))
     j = _ts_ewm_moments(eff, alpha, chunk_ms)
-    x = F.col("value")
-    pm = (F.col("__m") - alpha * x) / (1.0 - alpha)
-    pq = (F.col("__q") - alpha * x * x) / (1.0 - alpha)
+    # the moments are CENTERED on the key's first sample (__c0) — see
+    # _ts_ewm_moments; variance is shift-invariant, the displayed
+    # ewma/upper/lower add the offset back
+    y = F.col("value") - F.col("__c0")
+    pm = (F.col("__m") - alpha * y) / (1.0 - alpha)
+    pq = (F.col("__q") - alpha * y * y) / (1.0 - alpha)
 
     # variance credibility snap: q - m^2 is a difference of
     # q-magnitude terms, so a residue below ~1e-10 of the second
     # moment is float cancellation, not variance — sqrt would amplify
-    # it to a spurious 1e-6-scale band width that differs between any
-    # two arithmetic orders (it broke 6dp oracle matching on every
-    # key's second sample before the snap)
+    # it to a spurious band width that differs between any two
+    # arithmetic orders (it broke 6dp oracle matching on every key's
+    # second sample before the snap).  With CENTERED moments q is
+    # variance-scaled (not offset^2-scaled), so the relative threshold
+    # only ever removes true float residue — a mean-1e6/std-10 series
+    # keeps its genuine variance (the round-10 ADVICE finding: the
+    # uncentered q was ~1e12 there and the snap deleted var=100,
+    # collapsing the band and suppressing every breakout)
     def _credible_std(var, moment):
         return F.sqrt(
             F.when(var > F.lit(1e-10) * moment, var).otherwise(F.lit(0.0))
         )
 
-    pstd = _credible_std(pq - pm * pm, pq)
+    # BOTH snaps reference the POST-update moment q: at a key's second
+    # sample the pre-update pq is itself a pure cancellation residue
+    # (centered first sample is exactly 0), so a threshold relative to
+    # pq would keep it — q is the smallest genuinely variance-scaled
+    # reference at every row
+    pstd = _credible_std(pq - pm * pm, F.col("__q"))
     std = _credible_std(
         F.col("__q") - F.col("__m") * F.col("__m"), F.col("__q")
     )
-    upper = pm + F.lit(float(band_k)) * pstd
-    lower = pm - F.lit(float(band_k)) * pstd
+    half = F.lit(float(band_k)) * pstd
     return j.select(
         "key",
         "ts",
         "value",
-        F.col("__m").alias("ewma"),
+        (F.col("__c0") + F.col("__m")).alias("ewma"),
         std.alias("std"),
-        upper.alias("upper"),
-        lower.alias("lower"),
+        (F.col("__c0") + (pm + half)).alias("upper"),
+        (F.col("__c0") + (pm - half)).alias("lower"),
         # a zero-width band is degenerate (one-sample or constant
         # history — no variance to scale by; ts_anomalies' std>0 rule):
         # never a breakout; use ts_cusum to detect steps off a constant
-        ((pstd > 0) & ((x > upper) | (x < lower))).alias("breakout"),
+        ((pstd > 0) & ((y > pm + half) | (y < pm - half))).alias(
+            "breakout"
+        ),
     )
 
 

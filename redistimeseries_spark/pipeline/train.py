@@ -15,20 +15,29 @@ the fitted coefficients drop straight into the scorer:
 
 Scale position: training is the SMALL side (thousands to low millions
 of labeled docs; the corpus being scored is the 100-TB side, and it
-only ever sees the broadcast weights).  The per-doc sparse-vector
-assembly therefore uses a plain Python UDF (Arrow cannot carry
-VectorUDT) — acceptable on the labeled set by design, never on the
-corpus; everything after is MLlib's distributed L-BFGS.
+only ever sees the broadcast weights).  Vector assembly: for
+num_buckets <= 2^14 the per-doc feature vector is built as a DENSE
+expression — map_from_entries lookup over sequence(0, nb-1) into
+pyspark.ml.functions.array_to_vector — keeping the whole path
+JVM-side (no Python row UDF anywhere in the package's default-config
+paths); above that a dense array stops paying (nb doubles per doc),
+so a plain Python UDF assembles SparseVector instead (Arrow cannot
+carry VectorUDT) — acceptable on the labeled set by design, never on
+the corpus; everything after is MLlib's distributed L-BFGS.
 `standardization=False` keeps the coefficients in raw feature units so
 they transfer verbatim.  Round-trip exactness (MLlib's probability ==
 the expression scorer's sigmoid at 1e-9) is pinned in
-tests/test_train.py.
+tests/test_train.py, on both assembly arms.
 """
 
 from __future__ import annotations
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+
+# widest num_buckets assembled as a dense expression vector; above it
+# the sparse Python-UDF fallback engages (dense cost: nb doubles/doc)
+DENSE_ASSEMBLY_MAX = 1 << 14
 
 
 def train_quality_classifier(
@@ -46,7 +55,6 @@ def train_quality_classifier(
     Feed the first two straight into `hashed_classifier_scores` with
     the SAME num_buckets/bigrams."""
     from pyspark.ml.classification import LogisticRegression
-    from pyspark.ml.linalg import SparseVector, VectorUDT
 
     if num_buckets <= 0:
         raise ValueError("num_buckets must be positive")
@@ -67,20 +75,43 @@ def train_quality_classifier(
     )
     nb = num_buckets
 
-    def assemble(pairs):
-        if not pairs:
-            return SparseVector(nb, {})
-        return SparseVector(
-            nb, {int(p["slot"]): float(p["x"]) for p in pairs}
-        )
+    if nb <= DENSE_ASSEMBLY_MAX:
+        # dense expression assembly — no Python row path: slot->x map
+        # per doc, materialized over the full bucket range, then the
+        # JVM-side array_to_vector (a doc with NO features gets the
+        # all-zero vector and still trains the intercept)
+        from pyspark.ml.functions import array_to_vector
 
-    to_vec = F.udf(assemble, VectorUDT())
+        m = F.map_from_entries(
+            F.coalesce(
+                F.col("__sx"),
+                F.array().cast("array<struct<slot:long,x:double>>"),
+            )
+        )
+        dense = F.transform(
+            F.sequence(F.lit(0), F.lit(nb - 1)),
+            lambda i: F.coalesce(
+                F.element_at(m, i.cast("long")), F.lit(0.0)
+            ),
+        )
+        to_vec = array_to_vector(dense)
+    else:
+        from pyspark.ml.linalg import SparseVector, VectorUDT
+
+        def assemble(pairs):
+            if not pairs:
+                return SparseVector(nb, {})
+            return SparseVector(
+                nb, {int(p["slot"]): float(p["x"]) for p in pairs}
+            )
+
+        to_vec = F.udf(assemble, VectorUDT())(F.col("__sx"))
     # left join from the labeled spine: a doc with NO features still
     # trains the intercept with an all-zero vector
     train_df = (
         labeled.select("doc_id", F.col("label").cast("double").alias("label"))
         .join(per, "doc_id", "left")
-        .select("doc_id", "label", to_vec("__sx").alias("features"))
+        .select("doc_id", "label", to_vec.alias("features"))
     )
     lr = LogisticRegression(
         featuresCol="features",

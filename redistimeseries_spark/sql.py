@@ -388,7 +388,11 @@ def _ts_tvf_sql(p: str) -> list[str]:
         # fold carrying BOTH EWM moments over each series' effective
         # (dup-folded) sorted samples — SQL twin only, the chunk-affine
         # facade is the scale path.  Same one-step-ahead band, variance
-        # credibility snap, and zero-width suppression as the facade.
+        # credibility snap, zero-width suppression, AND first-sample
+        # centering as the facade (the moments run over y = value - c0
+        # where c0 is the key's first sample, so q is variance-scaled
+        # and the snap never deletes a large-offset series' genuine
+        # variance — the round-10 ADVICE finding).
         f"""CREATE OR REPLACE TEMPORARY FUNCTION {p}ewm_band(
                 alpha DOUBLE, band_k DOUBLE)
             RETURNS TABLE (key STRING, ts BIGINT, value DOUBLE,
@@ -400,7 +404,7 @@ def _ts_tvf_sql(p: str) -> list[str]:
                     FROM {p}samples WHERE {nn} GROUP BY key, ts)
               GROUP BY key),
             sm AS (
-              SELECT key, a,
+              SELECT key, a, element_at(a, 1).value AS c0,
                 CASE WHEN alpha <= 0 OR alpha >= 1
                   THEN CAST(raise_error(concat(
                     '{p}ewm_band: alpha must be in (0, 1), got ',
@@ -414,41 +418,41 @@ def _ts_tvf_sql(p: str) -> list[str]:
                   ELSE aggregate(
                     slice(a, 2, size(a) - 1),
                     named_struct(
-                      'ms', array(element_at(a, 1).value),
-                      'qs', array(element_at(a, 1).value
-                                  * element_at(a, 1).value)),
+                      'ms', array(0D), 'qs', array(0D)),
                     (acc, x) -> named_struct(
                       'ms', concat(acc.ms, array(
-                        alpha * x.value
+                        alpha * (x.value - element_at(a, 1).value)
                         + (1 - alpha) * element_at(acc.ms, -1))),
                       'qs', concat(acc.qs, array(
-                        alpha * x.value * x.value
+                        alpha * (x.value - element_at(a, 1).value)
+                              * (x.value - element_at(a, 1).value)
                         + (1 - alpha) * element_at(acc.qs, -1)))))
                 END AS st
               FROM arr),
             e AS (
-              SELECT key, p.ts AS ts, p.value AS value,
+              SELECT key, p.ts AS ts, p.value AS value, c0,
+                     p.value - c0 AS y,
                      element_at(st.ms, pos + 1) AS m,
                      element_at(st.qs, pos + 1) AS q
               FROM sm LATERAL VIEW posexplode(a) t AS pos, p),
             g AS (
-              SELECT key, ts, value, m, q,
-                     (m - alpha * value) / (1 - alpha) AS pm,
-                     (q - alpha * value * value) / (1 - alpha) AS pq
+              SELECT key, ts, value, c0, y, m, q,
+                     (m - alpha * y) / (1 - alpha) AS pm,
+                     (q - alpha * y * y) / (1 - alpha) AS pq
               FROM e),
             f AS (
-              SELECT key, ts, value, m,
+              SELECT key, ts, value, c0, y, m,
                 sqrt(CASE WHEN q - m * m > 1e-10 * q
                           THEN q - m * m ELSE 0D END) AS sd,
                 pm,
-                sqrt(CASE WHEN pq - pm * pm > 1e-10 * pq
+                sqrt(CASE WHEN pq - pm * pm > 1e-10 * q
                           THEN pq - pm * pm ELSE 0D END) AS psd
               FROM g)
-            SELECT key, ts, value, m AS ewma, sd AS std,
-                   pm + band_k * psd AS upper,
-                   pm - band_k * psd AS lower,
-                   psd > 0 AND (value > pm + band_k * psd
-                                OR value < pm - band_k * psd) AS breakout
+            SELECT key, ts, value, c0 + m AS ewma, sd AS std,
+                   c0 + (pm + band_k * psd) AS upper,
+                   c0 + (pm - band_k * psd) AS lower,
+                   psd > 0 AND (y > pm + band_k * psd
+                                OR y < pm - band_k * psd) AS breakout
             FROM f""",
         # Holt double-exponential smoothing (smooth.ts_holt); aggregate()
         # fold over each series' sorted sample array — SQL twin only, the
@@ -608,23 +612,32 @@ def _ts_tvf_sql(p: str) -> list[str]:
               ON d.key = se.key AND d.phase = se.phase""",
         # pairwise per-bucket Pearson correlation (correlate.ts_corr);
         # guarded moment components instead of corr() — a zero-variance
-        # leg raises DIVIDE_BY_ZERO under ANSI inside the aggregate
+        # leg raises DIVIDE_BY_ZERO under ANSI inside the aggregate.
+        # The dur guard lives in the SOURCE CTE's WHERE (the
+        # {p}hist_quantile pattern): inside the aggregate projection it
+        # would never evaluate when the pair matches zero rows, so an
+        # invalid dur silently returned empty instead of raising
+        # (round-10 ADVICE finding); here the TVF inlines dur as a
+        # literal and Catalyst folds the invalid case to a plan-time
+        # error regardless of matched rows
         f"""CREATE OR REPLACE TEMPORARY FUNCTION {p}corr(
                 dur BIGINT, ka STRING, kb STRING)
             RETURNS TABLE (key_a STRING, key_b STRING, ts BIGINT,
                            corr DOUBLE, n BIGINT)
             RETURN WITH v AS (
               SELECT key, ts, max(value) AS value
-              FROM {p}samples WHERE {nn} GROUP BY key, ts),
+              FROM {p}samples
+              WHERE {nn} AND (CASE WHEN dur > 0 THEN true
+                              ELSE CAST(raise_error(concat(
+                                '{p}corr: dur must be positive, got ',
+                                CAST(dur AS STRING))) AS BOOLEAN) END)
+              GROUP BY key, ts),
             m AS (
               SELECT a.ts AS ts, a.value AS va, b.value AS vb
               FROM v a JOIN v b ON b.ts = a.ts
               WHERE a.key = ka AND b.key = kb),
             g AS (
-              SELECT CASE WHEN dur <= 0 THEN CAST(raise_error(concat(
-                       '{p}corr: dur must be positive, got ',
-                       CAST(dur AS STRING))) AS BIGINT)
-                     ELSE {b} END AS __b,
+              SELECT {b} AS __b,
                      covar_samp(va, vb) AS cov,
                      stddev_samp(va) AS sa, stddev_samp(vb) AS sb,
                      count(1) AS n

@@ -961,6 +961,48 @@ def test_ewm_band(spark):
         ts_ewm_band(sdf, 0.2, band_k=0.0)
 
 
+def test_ewm_band_large_offset(spark):
+    """Round-10 ADVICE (medium): with UNCENTERED moments a mean-1e6 /
+    std<=10 series has q ~ 1e12, so genuine variance (~100) fell below
+    the 1e-10*q credibility snap — band collapsed, every breakout
+    suppressed.  Centered on the key's first sample, q is
+    variance-scaled: the band stays open and the injected spike flags;
+    values still match pandas ewm mean/var(bias=True) through forced
+    tiny chunks."""
+    import random as _random
+
+    import numpy as np
+    import pandas as pd
+    import pytest as _pytest
+
+    from redistimeseries_spark.operators.smooth import ts_ewm_band
+
+    rng = _random.Random(0x0FF5E7)
+    base = 1_000_000.0
+    vals = [base + rng.gauss(0.0, 5.0) for _ in range(60)]
+    vals[40] = base + 200.0  # 40-sigma spike
+    rows = [("k", i * 1000, v) for i, v in enumerate(vals)]
+    sdf = spark.createDataFrame(rows, "key string, ts long, value double")
+    out = {
+        r.ts: r
+        for r in ts_ewm_band(sdf, 0.2, band_k=4.0, chunk_ms=8192).collect()
+    }
+    # the spike breaks out and the band never collapses after warm-up
+    assert out[40_000].breakout
+    assert all(out[i * 1000].std > 1.0 for i in range(5, 40))
+    # values match pandas on the RAW (uncentered) series — centering is
+    # an internal numerical device, not a semantics change
+    s = pd.Series(vals)
+    m = s.ewm(alpha=0.2, adjust=False).mean()
+    v = s.ewm(alpha=0.2, adjust=False).var(bias=True)
+    for i in range(60):
+        r = out[i * 1000]
+        assert r.ewma == _pytest.approx(m.iloc[i], rel=1e-12)
+        assert r.std == _pytest.approx(
+            float(np.sqrt(max(v.iloc[i], 0.0))), rel=1e-6, abs=1e-9
+        )
+
+
 def test_resample_linear_and_locf(spark):
     """ts_resample: hand-computed linear interpolation and LOCF on a
     regular grid, coinciding samples returned exactly, NaN samples

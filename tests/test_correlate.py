@@ -54,6 +54,20 @@ def test_corr_alignment_nan_and_dups(spark):
     assert len(out) == 1 and out[0].n == 2
 
 
+def test_corr_duplicate_pairs_deduped(spark):
+    """A duplicated (key_a, key_b) request entry must not double-join
+    the a-leg (round-10 ADVICE: n doubled per bucket; corr itself is
+    ratio-invariant so the gate could not see it)."""
+    rows = [("a", i * 1000, float(i)) for i in range(6)]
+    rows += [("b", i * 1000, 2.0 * i + 1.0) for i in range(6)]
+    sdf = spark.createDataFrame(rows, "key string, ts long, value double")
+    once = ts_corr(sdf, 1_000_000, [("a", "b")]).collect()
+    duped = ts_corr(sdf, 1_000_000, [("a", "b"), ("a", "b")]).collect()
+    assert len(once) == len(duped) == 1
+    assert once[0].n == duped[0].n == 6
+    assert once[0].corr == duped[0].corr
+
+
 def test_corr_vs_duckdb(spark):
     rng = random.Random(0xC0BB)
     rows = []

@@ -378,7 +378,9 @@ def _delta_oracle(spec) -> str:
     return f"""
       WITH s AS (SELECT key, value, {b} AS b, ts FROM t
                  WHERE {' AND '.join(where)})
-      SELECT key, b AS ts, arg_max(value, ts) - arg_min(value, ts) AS delta
+      SELECT key, b AS ts,
+             last(value ORDER BY ts, value)
+               - first(value ORDER BY ts, value DESC) AS delta
       FROM s GROUP BY key, b
       HAVING count(DISTINCT ts) >= 2
     """

@@ -319,6 +319,15 @@ def test_sql_corr_cusum_tvfs(spark, samples_df):
         got = rnd(spark.sql(f"SELECT * FROM cx_cusum(0.5, 3.0, {tgt_sql})"))
         want = rnd(ts_cusum(st.samples, 0.5, 3.0, target=tgt))
         assert got and got == want, tgt
+    # the dur guard must fire even when the pair matches ZERO rows
+    # (round-10 ADVICE: guard inside the aggregate projection never
+    # evaluated on an empty group-by, silently returning empty) — it
+    # now lives in the source CTE's WHERE, folded at plan time
+    import pytest as _pytest
+
+    for ka, kb in (("ca", "cb"), ("no_such", "keys")):
+        with _pytest.raises(Exception, match="dur must be positive"):
+            spark.sql(f"SELECT * FROM cx_corr(0, '{ka}', '{kb}')").collect()
 
 
 def test_sql_resample_tvf_dup_ts_tiebreak(spark, samples_df):
