@@ -661,6 +661,33 @@ def q_compaction_increase_1h(spark, sf_dir):
     return materialize_rule(st.samples, rule)
 
 
+def q_compaction_ewma_1h(spark, sf_dir):
+    """EWM smoothing compaction rule (round 11): continuous recording-rule
+    smoothing — the dest sample per closed bucket is the running EWM level
+    after the bucket's last valid sample (streaming/compaction
+    parse_ewm_rule + the chunk-affine ts_ewma scale path; the incremental
+    streaming twin carries the moment state across micro-batches and is
+    pytest-pinned ≡ this batch materialization in
+    test_streaming_ewm_rules).  Restricted to D14-D21 so the recursive-CTE
+    oracle replays the same span."""
+    st = _store(spark, sf_dir)
+    rule = CompactionRule(None, "_ewma_1h", "ewma_0.3", H)
+    src = st.samples.filter(F.col("ts").between(D14, D21))
+    return materialize_rule(src, rule)
+
+
+def q_compaction_ewm_band_1h(spark, sf_dir):
+    """Adaptive-envelope compaction rule (round 11): dest sample = EWM
+    level + k * EWM std at each closed bucket's last valid sample (k's
+    sign selects the side; the centered fused-moment ts_ewm_band scale
+    path underneath).  The continuous upper-envelope recording rule an
+    alerting pipeline compares live traffic against."""
+    st = _store(spark, sf_dir)
+    rule = CompactionRule(None, "_ewmband_1h", "ewm_band_0.3_2.0", H)
+    src = st.samples.filter(F.col("ts").between(D14, D21))
+    return materialize_rule(src, rule)
+
+
 def q_compaction_latest(spark, sf_dir):
     st = _store(spark, sf_dir)
     rule = CompactionRule(None, "_avg_10m", "avg", 600_000)
@@ -2106,6 +2133,8 @@ ROUND_MAP: dict[str, list[str]] = {
     "ts_incrby": ["value"],
     "ts_compaction_avg_10m": ["value"],
     "ts_compaction_increase_1h": ["value"],
+    "ts_compaction_ewma_1h": ["value"],
+    "ts_compaction_ewm_band_1h": ["value"],
     "ts_compaction_twa_1h": ["value"],
     "ts_compaction_latest": ["value"],
     "ts_mrange_latest": ["value"],
@@ -2344,6 +2373,16 @@ def _base_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # (driver-green r3+; the smoothing family keeps ts_ewma,
     # ts_anomalies and the newcomer in-window, and holt's TVF parity +
     # chunk-affine fuzz pins stay locally gated) rotates to the tail.
+    # Round-11 rotation: NEW ts_compaction_ewma_1h and NEW
+    # ts_compaction_ewm_band_1h (EWM smoothing recording rules — the
+    # round's streaming-rule feature; the batch materialization the
+    # incremental moment-state repair is pytest-pinned against) enter
+    # the window in their adding commit; note ts_ewm_band STAYS
+    # in-window because this round recentered its moment recurrences
+    # (the r10 ADVICE fix — the driver should gate the new arithmetic).
+    # Rotated to the tail: ts_idelta and ts_irate (both driver-green
+    # r4+; the counter/event family keeps ts_compaction_increase_1h and
+    # ts_delta in-window).
     return {
         # --- checked prefix: one representative per operator family -----
         "ts_range_raw": q_range_raw,
@@ -2384,8 +2423,9 @@ def _base_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ts_topk": q_topk,
         "dl_dedup_lines": q_dedup_lines,
         "ts_compaction_increase_1h": q_compaction_increase_1h,
+        "ts_compaction_ewma_1h": q_compaction_ewma_1h,
+        "ts_compaction_ewm_band_1h": q_compaction_ewm_band_1h,
         "ts_delta": q_delta,
-        "ts_idelta": q_idelta,
         "dl_dedup_pipeline": q_dedup_pipeline,
         "dl_eval_contamination": q_eval_contamination,
         "dl_ann_lsh_topk": q_ann_lsh_topk,
@@ -2395,12 +2435,13 @@ def _base_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dl_hybrid_search": q_hybrid_search,
         "ts_agg_twa_empty": q_agg_twa_empty,
         "dl_semdedup": q_semdedup,
-        "ts_irate": q_irate,
         "ts_bucket_percentiles": q_bucket_percentiles,
         "dl_pii": q_pii,
         "dl_curation": q_curation,
         "ts_asof_join": q_asof_join,
         # --- tail: family variants, locally gated -----------------------
+        "ts_idelta": q_idelta,
+        "ts_irate": q_irate,
         "ts_counter_increase": q_counter_increase,
         "dl_stream_semdedup": q_stream_semdedup,
         "ts_predict_linear": q_predict_linear,
@@ -4288,6 +4329,53 @@ FROM s JOIN o ON s.key = o.key
 WHERE s.b < o.open
 GROUP BY 1, 2
 HAVING count(s.step) > 0""",
+        "ts_compaction_ewma_1h": f"""WITH RECURSIVE {SAMPLES_SQL},
+v AS (SELECT key, ts, max(value) AS value FROM samples
+      WHERE NOT isnan(value) AND ts BETWEEN {D14} AND {D21}
+      GROUP BY key, ts),
+w AS (SELECT key, ts, value,
+             row_number() OVER (PARTITION BY key ORDER BY ts) AS rn
+      FROM v),
+r AS (SELECT key, ts, rn, value AS m FROM w WHERE rn = 1
+      UNION ALL
+      SELECT w.key, w.ts, w.rn, 0.3 * w.value + 0.7 * r.m
+      FROM w JOIN r ON w.key = r.key AND w.rn = r.rn + 1),
+g AS (SELECT key, {bucket_sql('ts', H)} AS b, arg_max(m, ts) AS value
+      FROM r GROUP BY 1, 2),
+o AS (SELECT key, {bucket_sql('max(ts)', H, 0)} AS open
+      FROM samples WHERE ts BETWEEN {D14} AND {D21} GROUP BY key)
+SELECT g.key || '_ewma_1h' AS key, g.b AS ts, round(g.value, 6) AS value
+FROM g JOIN o ON g.key = o.key
+WHERE g.b < o.open""",
+        "ts_compaction_ewm_band_1h": f"""WITH RECURSIVE {SAMPLES_SQL},
+v AS (SELECT key, ts, max(value) AS value FROM samples
+      WHERE NOT isnan(value) AND ts BETWEEN {D14} AND {D21}
+      GROUP BY key, ts),
+w AS (SELECT key, ts, value,
+             row_number() OVER (PARTITION BY key ORDER BY ts) AS rn
+      FROM v),
+r AS (
+  SELECT key, ts, rn, value, value AS c0,
+         CAST(0 AS DOUBLE) AS m, CAST(0 AS DOUBLE) AS q
+  FROM w WHERE rn = 1
+  UNION ALL
+  SELECT w.key, w.ts, w.rn, w.value, r.c0,
+         0.3 * (w.value - r.c0) + 0.7 * r.m,
+         0.3 * (w.value - r.c0) * (w.value - r.c0) + 0.7 * r.q
+  FROM w JOIN r ON w.key = r.key AND w.rn = r.rn + 1),
+e AS (
+  SELECT key, ts, c0, m,
+         sqrt(CASE WHEN q - m * m > 1e-10 * q
+                   THEN q - m * m ELSE 0 END) AS sd
+  FROM r),
+g AS (SELECT key, {bucket_sql('ts', H)} AS b,
+             arg_max((c0 + m) + 2.0 * sd, ts) AS value
+      FROM e GROUP BY 1, 2),
+o AS (SELECT key, {bucket_sql('max(ts)', H, 0)} AS open
+      FROM samples WHERE ts BETWEEN {D14} AND {D21} GROUP BY key)
+SELECT g.key || '_ewmband_1h' AS key, g.b AS ts, round(g.value, 6) AS value
+FROM g JOIN o ON g.key = o.key
+WHERE g.b < o.open""",
         "ts_compaction_twa_1h": f"""WITH {SAMPLES_SQL},
             o AS (SELECT key, {bucket_sql('max(ts)', H, 0)} AS open
                   FROM samples GROUP BY key)

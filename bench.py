@@ -224,14 +224,44 @@ def main():
 
     floor_shuffle = _floor_shuffle()
 
-    times = {}
-    for name, build in bms.items():
-        best = float("inf")
-        for _ in range(2):  # warm-session best-of-2 (protocol: BASELINE.md)
-            t0 = time.time()
-            force(build())
-            best = min(best, time.time() - t0)
-        times[name] = round(best, 3)
+    def run_suite():
+        """One timed pass: warm-session best-of-2 per query (BASELINE.md
+        protocol), except b10 — the ~40-stage Python-heavy dedup chain
+        whose spread exceeds the floor pair's resolution — which runs
+        best-of-3 with per-rep times published so round-over-round drift
+        is attributable (round-11 protocol)."""
+        times, reps = {}, {}
+        for name, build in bms.items():
+            n = 3 if name == "b10_dedup_pipeline" else 2
+            rs = []
+            for _ in range(n):
+                t0 = time.time()
+                force(build())
+                rs.append(round(time.time() - t0, 3))
+            times[name] = min(rs)
+            reps[name] = rs
+        return times, reps
+
+    times, reps = run_suite()
+
+    # end-of-run contention check (round-11 protocol, BASELINE.md
+    # "recording BENCH"): if the floor pair reads >1.3x its idle
+    # references AFTER the suite, the run was contended — re-run the
+    # suite ONCE and keep the faster total, so a driver-of-record file
+    # is not written off a transiently loaded host (BENCH_r10 cost a
+    # full re-derivation exactly this way).
+    IDLE_FLOOR_NOOP = 0.085  # idle references for this host (BASELINE.md)
+    IDLE_FLOOR_SHUFFLE = 0.42
+    floor_end, floor_shuffle_end = _floor(), _floor_shuffle()
+    contended_rerun = (
+        floor_end > 1.3 * IDLE_FLOOR_NOOP
+        or floor_shuffle_end > 1.3 * IDLE_FLOOR_SHUFFLE
+    )
+    if contended_rerun:
+        times2, reps2 = run_suite()
+        floor_end, floor_shuffle_end = _floor(), _floor_shuffle()
+        if sum(times2.values()) < sum(times.values()):
+            times, reps = times2, reps2
 
     print(
         json.dumps(
@@ -240,8 +270,12 @@ def main():
                 "value": round(sum(times.values()), 3),
                 "unit": "sec",
                 "queries": times,
+                "queries_reps": reps,
                 "floor_noop_sec": floor,
                 "floor_shuffle_sec": floor_shuffle,
+                "floor_noop_end_sec": floor_end,
+                "floor_shuffle_end_sec": floor_shuffle_end,
+                "contended_rerun": contended_rerun,
                 "sf": sf,
             }
         )

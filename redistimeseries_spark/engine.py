@@ -583,7 +583,12 @@ class TimeSeriesEngine:
         ).drop("key")
 
     def anomalies(self, key: str, from_ts="-", to_ts="+", **kw) -> DataFrame:
-        """Rolling z-score outliers (beyond-reference; operators/smooth)."""
+        """Rolling z-score outliers (beyond-reference; operators/smooth).
+        Hot-series monitoring workloads should pass `fast=True` — the
+        centered-cumsum rolling formulation, ~3x at 1 key x 100M and up
+        to 37x in the hot-series probe (see ts_anomalies' STEERING
+        note); the default stays the numerically-stable oracle-exact
+        sliding aggregate."""
         from redistimeseries_spark.operators.smooth import ts_anomalies
 
         return ts_anomalies(

@@ -55,6 +55,138 @@ HOLT_SCHEMA = "key string, ts long, level double, trend double"
 # with a hot series' time span — the axis a time series grows along
 SMOOTH_CHUNK_MS = 1 << 24
 
+# density-adaptive chunking target for the PANDAS-backed chunk-affine
+# pipelines (ewma/holt/moments): ~128k rows per Arrow group — big enough
+# to amortize the per-group Python/Arrow overhead, small enough that a
+# 1B-row hot series still spreads over ~8k tasks
+ADAPTIVE_TARGET_ROWS = 1 << 17
+
+
+def _assign_chunks(df, chunk_ms, extra_stats=None):
+    """df + `__c` (+ any `extra_stats` per-key aggregate columns) — the
+    chunk column the chunk-affine pipelines group on.
+
+    `chunk_ms=None` (the operator default since round 11) uses the
+    DENSITY-ADAPTIVE per-key grid: each key splits into
+    ceil(n_k / ADAPTIVE_TARGET_ROWS) equal time slices of its OWN span,
+    so a hot series parallelizes across ~n/128k Arrow-sized groups
+    while a balanced fleet keeps ONE group per key.  A fixed time grid
+    cannot do both: round 9's 1<<24 ms grid splintered a balanced
+    10M-rows/500k-series layout (20 samples per key across a 28-day
+    span) into ~1-row groups, and the per-group Python/Arrow overhead
+    took ts_ewma from the sequential kernel's 1.7 s to 30+ s — while a
+    coarser grid would re-serialize the hot series.  Chunk indices are
+    time-monotone, so the stitch's `__c` ordering is unchanged.  The
+    stats aggregation is one map-side-combining hash agg on key; its
+    join lands on the same key axis the pipeline's own (key, __c)
+    exchange uses.  Expression-only chunk consumers (anomalies, cusum,
+    resample, sessionize) keep the fixed grid — JVM window state has no
+    per-group setup cost, and tiny partitions are free there.
+
+    `chunk_ms=<int>` keeps the fixed time grid (tests force tiny chunks
+    to pin the stitch math; probes compare grids).
+
+    In adaptive mode the result also carries `__ck` (the key's chunk
+    count): single-chunk keys (`__ck == 1` — the entire balanced fleet)
+    take the SINGLE-PASS sequential kernel instead of the three-stage
+    summarize/stitch/replay pipeline, which pays two extra full-data
+    exchanges and folds every value twice for nothing when there is no
+    state to stitch."""
+    aggs = dict(extra_stats or {})
+    if chunk_ms is None:
+        aggs["__n"] = F.count(F.lit(1))
+        aggs["__t0"] = F.min("ts")
+        aggs["__t1"] = F.max("ts")
+    if not aggs:
+        return df.withColumn(
+            "__c", F.col("ts") - F.pmod(F.col("ts"), F.lit(chunk_ms))
+        )
+    stats = df.groupBy("key").agg(
+        *[v.alias(k) for k, v in aggs.items()]
+    )
+    j = df.join(stats, "key")
+    if chunk_ms is None:
+        ck = F.ceil(F.col("__n") / F.lit(ADAPTIVE_TARGET_ROWS))
+        # exact in doubles: (ts - t0) * ck <= span * n/128k < 2^53 for
+        # any realistic (span_ms, rows); floor of a ts-monotone ratio
+        # keeps chunk indices sorted by time
+        span1 = F.col("__t1") - F.col("__t0") + F.lit(1)
+        j = (
+            j.withColumn("__ck", ck.cast("long"))
+            .withColumn(
+                "__c",
+                F.floor(
+                    ((F.col("ts") - F.col("__t0")) * F.col("__ck"))
+                    / span1
+                ).cast("long"),
+            )
+            .drop("__n", "__t0", "__t1")
+        )
+    else:
+        j = j.withColumn(
+            "__c", F.col("ts") - F.pmod(F.col("ts"), F.lit(chunk_ms))
+        )
+    return j
+
+
+def _split_cold(d, chunk_ms):
+    """(cold, hot) halves of an adaptive-chunked frame: cold = keys that
+    fit one chunk (sequential kernel), hot = the rest (chunk-affine
+    pipeline).  Fixed-grid mode sends everything through the pipeline
+    (the tests' forced-tiny-chunks contract)."""
+    if chunk_ms is not None or "__ck" not in d.columns:
+        return None, d
+    return d.filter(F.col("__ck") == 1), d.filter(F.col("__ck") > 1)
+
+
+def _ewma_seq_kernel(alpha):
+    """The single-pass per-key EWMA kernel (pandas C `ewm`) — shared by
+    the cold-key fast path and the `_ts_ewma_sequential` twin."""
+
+    def smooth(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values(["ts", "value"])
+        return pd.DataFrame(
+            {
+                "key": pdf["key"],
+                "ts": pdf["ts"],
+                "ewma": pdf["value"].ewm(alpha=alpha, adjust=False).mean(),
+            }
+        )
+
+    return smooth
+
+
+def _holt_seq_kernel(alpha, beta):
+    """The single-pass per-key Holt kernel — shared by the cold-key
+    fast path and the `_ts_holt_sequential` twin."""
+
+    def smooth(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values(["ts", "value"]).reset_index(drop=True)
+        n = len(pdf)
+        if n < 2:
+            return pd.DataFrame(
+                {"key": [], "ts": [], "level": [], "trend": []}
+            ).astype(
+                {"key": str, "ts": "int64", "level": float, "trend": float}
+            )
+        x = pdf["value"].to_numpy(dtype=np.float64)
+        level = np.empty(n)
+        trend = np.empty(n)
+        level[0], trend[0] = x[0], x[1] - x[0]
+        for i in range(1, n):
+            level[i] = (
+                alpha * x[i] + (1 - alpha) * (level[i - 1] + trend[i - 1])
+            )
+            trend[i] = (
+                beta * (level[i] - level[i - 1]) + (1 - beta) * trend[i - 1]
+            )
+        return pd.DataFrame(
+            {"key": pdf["key"], "ts": pdf["ts"],
+             "level": level, "trend": trend}
+        )
+
+    return smooth
+
 
 def ts_anomalies(
     samples: DataFrame,
@@ -106,7 +238,15 @@ def ts_anomalies(
     in-chunk ramp), where the subtraction cancels — the default plan
     uses Spark's numerically stable central-moment sliding aggregate
     and stays the oracle-gated path.  Fuzz-pinned to the default
-    within 1e-6 (test_fuzz_anomalies_fast)."""
+    within 1e-6 (test_fuzz_anomalies_fast).
+
+    STEERING: for hot-series monitoring workloads (few keys x many
+    samples — continuous anomaly sweeps over high-frequency metrics),
+    pass `fast=True`: measured 33.2 vs 72.2 s at 1 key x 100M in the
+    same run, 4.9 s at 10M, up to 37x in the round-10 hot-series probe.
+    Keep the default for offline/oracle-exact audits or data with
+    extreme in-window dynamic range (the two-pass contract above).
+    The engine facade forwards it: `engine.anomalies(key, fast=True)`."""
     if window_n < 2:
         raise ValueError("window_n must be >= 2")
     if z <= 0:
@@ -420,7 +560,7 @@ def ts_holt(
     keys: list[str] | str | None = None,
     start: int = MIN_TS,
     end: int = MAX_TS,
-    chunk_ms: int = SMOOTH_CHUNK_MS,
+    chunk_ms: int | None = None,
 ) -> DataFrame:
     """(key, ts, level, trend) — Holt double-exponential smoothing per
     series: EWMA that tracks a TREND, so ramping series are smoothed
@@ -447,21 +587,19 @@ def ts_holt(
     seed handled there, including a first chunk holding only one
     sample), and a second chunk-local kernel replays each chunk seeded
     with its entry — a hot series parallelizes across its time span.
-    `_ts_holt_sequential` is the retained differential twin."""
+    `_ts_holt_sequential` is the retained differential twin.
+    chunk_ms=None (default) uses the density-adaptive per-key grid —
+    see `_assign_chunks`."""
     if not 0 < alpha <= 1:
         raise ValueError("alpha must be in (0, 1]")
     if not 0 < beta <= 1:
         raise ValueError("beta must be in (0, 1]")
-    if chunk_ms <= 0:
+    if chunk_ms is not None and chunk_ms <= 0:
         raise ValueError("chunk_ms must be positive")
     df = _filter_range(samples, keys, start, end)
     M, c = _holt_mats(alpha, beta)
-    d = df.select(
-        "key",
-        "ts",
-        "value",
-        (F.col("ts") - F.pmod(F.col("ts"), F.lit(chunk_ms))).alias("__c"),
-    )
+    d = _assign_chunks(df.select("key", "ts", "value"), chunk_ms)
+    cold, d = _split_cold(d, chunk_ms)
 
     sum_schema = (
         "key string, __c long, n long, a11 double, a12 double, a21 double,"
@@ -561,11 +699,18 @@ def ts_holt(
              "level": out[:, 0], "trend": out[:, 1]}
         )
 
-    return (
+    out = (
         d.join(states, ["key", "__c"])
         .groupBy("key", "__c")
         .applyInPandas(replay, HOLT_SCHEMA)
     )
+    if cold is not None:
+        out = out.unionByName(
+            cold.groupBy("key").applyInPandas(
+                _holt_seq_kernel(alpha, beta), HOLT_SCHEMA
+            )
+        )
+    return out
 
 
 def _ts_holt_sequential(
@@ -586,31 +731,10 @@ def _ts_holt_sequential(
     if not 0 < beta <= 1:
         raise ValueError("beta must be in (0, 1]")
     df = _filter_range(samples, keys, start, end)
-
-    def smooth(pdf: pd.DataFrame) -> pd.DataFrame:
-        pdf = pdf.sort_values(["ts", "value"]).reset_index(drop=True)
-        n = len(pdf)
-        if n < 2:
-            return pd.DataFrame(
-                {"key": [], "ts": [], "level": [], "trend": []}
-            ).astype({"key": str, "ts": "int64", "level": float, "trend": float})
-        x = pdf["value"].to_numpy(dtype=np.float64)
-        level = np.empty(n)
-        trend = np.empty(n)
-        level[0], trend[0] = x[0], x[1] - x[0]
-        for i in range(1, n):
-            level[i] = alpha * x[i] + (1 - alpha) * (level[i - 1] + trend[i - 1])
-            trend[i] = (
-                beta * (level[i] - level[i - 1]) + (1 - beta) * trend[i - 1]
-            )
-        return pd.DataFrame(
-            {"key": pdf["key"], "ts": pdf["ts"], "level": level, "trend": trend}
-        )
-
     return (
         df.select("key", "ts", "value")
         .groupBy("key")
-        .applyInPandas(smooth, HOLT_SCHEMA)
+        .applyInPandas(_holt_seq_kernel(alpha, beta), HOLT_SCHEMA)
     )
 
 
@@ -620,7 +744,7 @@ def ts_ewma(
     keys: list[str] | str | None = None,
     start: int = MIN_TS,
     end: int = MAX_TS,
-    chunk_ms: int = SMOOTH_CHUNK_MS,
+    chunk_ms: int | None = None,
 ) -> DataFrame:
     """(key, ts, ewma) — one smoothed row per valid sample.  The time cut
     applies BEFORE smoothing (the smoothed series restarts at the range
@@ -637,18 +761,17 @@ def ts_ewma(
     second chunk-local kernel replays each chunk with its entry
     prepended — in-chunk arithmetic is EXACTLY the sequential `ewm`
     recurrence, so drift enters only through the stitched entries.
-    `_ts_ewma_sequential` is the retained differential twin."""
+    `_ts_ewma_sequential` is the retained differential twin.
+    chunk_ms=None (default) uses the density-adaptive per-key grid —
+    see `_assign_chunks` (round 11: the fixed grid splintered balanced
+    fleets into per-row Arrow groups)."""
     if not 0 < alpha <= 1:
         raise ValueError("alpha must be in (0, 1]")
-    if chunk_ms <= 0:
+    if chunk_ms is not None and chunk_ms <= 0:
         raise ValueError("chunk_ms must be positive")
     df = _filter_range(samples, keys, start, end)
-    d = df.select(
-        "key",
-        "ts",
-        "value",
-        (F.col("ts") - F.pmod(F.col("ts"), F.lit(chunk_ms))).alias("__c"),
-    )
+    d = _assign_chunks(df.select("key", "ts", "value"), chunk_ms)
+    cold, d = _split_cold(d, chunk_ms)
 
     sum_schema = "key string, __c long, A double, B double, fv double"
 
@@ -697,15 +820,22 @@ def ts_ewma(
         )
         return pd.DataFrame({"key": pdf["key"], "ts": pdf["ts"], "ewma": y})
 
-    return (
+    out = (
         d.join(states, ["key", "__c"])
         .groupBy("key", "__c")
         .applyInPandas(replay, EWMA_SCHEMA)
     )
+    if cold is not None:
+        out = out.unionByName(
+            cold.groupBy("key").applyInPandas(
+                _ewma_seq_kernel(alpha), EWMA_SCHEMA
+            )
+        )
+    return out
 
 
 def _ts_ewm_moments(
-    eff: DataFrame, alpha: float, chunk_ms: int
+    eff: DataFrame, alpha: float, chunk_ms: int | None
 ) -> DataFrame:
     """(key, ts, value, __c0, __m, __q) — BOTH EWM moments (mean of y
     and of y^2, where y = value - __c0 is CENTERED on the key's first
@@ -725,16 +855,15 @@ def _ts_ewm_moments(
     a relative snap threshold then deletes it.  Centered on the first
     sample, q is variance-scaled after the offset decays and the snap
     only ever removes true float residue.  `eff` must be dup-folded
-    (unique ts per key), so the first sample needs no value tiebreak."""
-    c0 = eff.groupBy("key").agg(F.min_by("value", "ts").alias("__c0"))
-    d = eff.join(c0, "key").select(
-        "key",
-        "ts",
-        "value",
-        "__c0",
-        (F.col("value") - F.col("__c0")).alias("__y"),
-        (F.col("ts") - F.pmod(F.col("ts"), F.lit(chunk_ms))).alias("__c"),
-    )
+    (unique ts per key), so the first sample needs no value tiebreak.
+    The centering origin rides the SAME per-key stats aggregation the
+    adaptive chunk grid uses (one hash agg, one co-partitioned join)."""
+    d = _assign_chunks(
+        eff.select("key", "ts", "value"),
+        chunk_ms,
+        extra_stats={"__c0": F.min_by("value", "ts")},
+    ).withColumn("__y", F.col("value") - F.col("__c0"))
+    cold, d = _split_cold(d, chunk_ms)
 
     sum_schema = (
         "key string, __c long, A double, Bm double, Bq double,"
@@ -818,11 +947,33 @@ def _ts_ewm_moments(
             }
         )
 
-    return (
+    out = (
         d.join(states, ["key", "__c"])
         .groupBy("key", "__c")
         .applyInPandas(replay, out_schema)
     )
+    if cold is not None:
+
+        def direct(pdf: pd.DataFrame) -> pd.DataFrame:
+            # single-chunk key: the replay seeded with its own first
+            # values (the virtual-entry trick: a*y1 + (1-a)*y1 = y1)
+            pdf = pdf.sort_values(["ts", "value"]).reset_index(drop=True)
+            x = pdf["__y"].astype(np.float64)
+            return pd.DataFrame(
+                {
+                    "key": pdf["key"],
+                    "ts": pdf["ts"],
+                    "value": pdf["value"],
+                    "__c0": pdf["__c0"],
+                    "__m": x.ewm(alpha=alpha, adjust=False).mean(),
+                    "__q": (x * x).ewm(alpha=alpha, adjust=False).mean(),
+                }
+            )
+
+        out = out.unionByName(
+            cold.groupBy("key").applyInPandas(direct, out_schema)
+        )
+    return out
 
 
 def ts_ewm_band(
@@ -832,7 +983,7 @@ def ts_ewm_band(
     keys: list[str] | str | None = None,
     start: int = MIN_TS,
     end: int = MAX_TS,
-    chunk_ms: int = SMOOTH_CHUNK_MS,
+    chunk_ms: int | None = None,
 ) -> DataFrame:
     """(key, ts, value, ewma, std, upper, lower, breakout) — adaptive
     Bollinger band per series: EWM mean +- band_k * EWM standard
@@ -934,19 +1085,8 @@ def _ts_ewma_sequential(
     if not 0 < alpha <= 1:
         raise ValueError("alpha must be in (0, 1]")
     df = _filter_range(samples, keys, start, end)
-
-    def smooth(pdf: pd.DataFrame) -> pd.DataFrame:
-        pdf = pdf.sort_values(["ts", "value"])
-        return pd.DataFrame(
-            {
-                "key": pdf["key"],
-                "ts": pdf["ts"],
-                "ewma": pdf["value"].ewm(alpha=alpha, adjust=False).mean(),
-            }
-        )
-
     return (
         df.select("key", "ts", "value")
         .groupBy("key")
-        .applyInPandas(smooth, EWMA_SCHEMA)
+        .applyInPandas(_ewma_seq_kernel(alpha), EWMA_SCHEMA)
     )

@@ -16,6 +16,7 @@ variant (structured streaming window agg) lives in streaming/ingest.py.
 
 from __future__ import annotations
 
+import re
 from dataclasses import dataclass
 
 from pyspark.sql import DataFrame
@@ -23,6 +24,40 @@ from pyspark.sql import functions as F
 
 from redistimeseries_spark.functions.aggs import agg_expr
 from redistimeseries_spark.functions.buckets import bucket_start
+
+# EWM rule aggregators (beyond-reference; the Prometheus recording-rule
+# shape increase/rate got in round 7, for continuous SMOOTHING): the agg
+# string carries the parameters, the p-name precedent ("p99.9").
+#   ewma_<alpha>            -> bucket-end EWM level
+#   ewm_band_<alpha>_<k>    -> bucket-end adaptive envelope level + k*std
+#                              (k < 0 selects the lower band)
+_EWMA_RULE_RE = re.compile(r"^ewma_(\d*\.?\d+)$")
+_EWM_BAND_RULE_RE = re.compile(r"^ewm_band_(\d*\.?\d+)_(-?\d*\.?\d+)$")
+
+
+def parse_ewm_rule(agg: str):
+    """(kind, alpha, k) for an EWM rule agg string, else None.  kind is
+    'ewma' (k is None) or 'ewm_band'.  alpha must land in (0, 1) —
+    alpha=1 keeps no history, so the band is undefined and the level
+    rule degenerates to plain `last`."""
+    m = _EWMA_RULE_RE.match(agg)
+    if m:
+        alpha = float(m.group(1))
+        if not 0 < alpha < 1:
+            raise ValueError(f"{agg}: alpha must be in (0, 1)")
+        return "ewma", alpha, None
+    m = _EWM_BAND_RULE_RE.match(agg)
+    if m:
+        alpha, k = float(m.group(1)), float(m.group(2))
+        if not 0 < alpha < 1:
+            raise ValueError(f"{agg}: alpha must be in (0, 1)")
+        if k == 0:
+            raise ValueError(
+                f"{agg}: k must be nonzero (positive = upper envelope,"
+                " negative = lower)"
+            )
+        return "ewm_band", alpha, k
+    return None
 
 
 @dataclass
@@ -104,6 +139,50 @@ def materialize_rule(
             .withColumnRenamed("rate" if rule.agg == "rate" else "increase",
                                "value")
             .withColumnRenamed("ts", "__bucket")
+        )
+    elif parse_ewm_rule(rule.agg) is not None:
+        # EWM smoothing rules (beyond-reference): the dest sample for a
+        # bucket is the running EWM statistic AFTER the bucket's last
+        # valid sample — cross-bucket with UNBOUNDED lookback (the level
+        # folds over the key's whole history), so it routes to the
+        # chunk-affine smooth operators (the ts_ewma/ts_ewm_band scale
+        # path), then takes each bucket's last smoothed row.  Rules run
+        # on the EFFECTIVE series: NaN samples dropped, duplicate
+        # (key, ts) rows folded last-wins by (ts, value) first — the
+        # x/x^2 recurrences must consume duplicates identically, and a
+        # store-resolved view makes the fold a no-op.  Emission: >=1
+        # valid sample in the bucket (the level persists across silent
+        # buckets but the rule only materializes observed ones — `last`
+        # semantics, matching the reference's sample-driven finalize).
+        kind, alpha, band_k = parse_ewm_rule(rule.agg)
+        eff = (
+            df.filter(~F.isnan("value"))
+            .groupBy("key", "ts")
+            .agg(F.max("value").alias("value"))
+        )
+        if kind == "ewma":
+            from redistimeseries_spark.operators.smooth import ts_ewma
+
+            sm = ts_ewma(eff, alpha).select(
+                "key", "ts", F.col("ewma").alias("__metric")
+            )
+        else:
+            from redistimeseries_spark.operators.smooth import ts_ewm_band
+
+            # band_k only scales the operator's upper/lower/breakout
+            # outputs, which this rule recombines itself (k's SIGN
+            # selects the envelope side); pass a positive placeholder
+            sm = ts_ewm_band(eff, alpha, band_k=abs(band_k)).select(
+                "key",
+                "ts",
+                (F.col("ewma") + F.lit(band_k) * F.col("std")).alias(
+                    "__metric"
+                ),
+            )
+        agg = (
+            sm.withColumn("__bucket", b)
+            .groupBy("key", "__bucket")
+            .agg(F.max_by("__metric", "ts").alias("value"))
         )
     else:
         agg = df.withColumn("__bucket", b).groupBy("key", "__bucket").agg(

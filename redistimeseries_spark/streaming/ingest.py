@@ -43,7 +43,10 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from redistimeseries_spark.functions.buckets import bucket_start
-from redistimeseries_spark.streaming.compaction import CompactionRule
+from redistimeseries_spark.streaming.compaction import (
+    CompactionRule,
+    parse_ewm_rule,
+)
 from redistimeseries_spark.functions.aggs import agg_expr
 from redistimeseries_spark.write.dup_policy import resolve_duplicates
 
@@ -52,6 +55,10 @@ from redistimeseries_spark.write.dup_policy import resolve_duplicates
 DEFAULT_READ_CAP = 10_000
 
 SAMPLES_SCHEMA = "key string, ts long, value double"
+
+# EWM rules' carried state: the moment pair (and centering origin) after
+# each bucket's last valid sample — see StreamingStore._ewm_recompute
+EWM_STATE_SCHEMA = "key string, __bucket long, c0 double, m double, q double"
 
 # physical partitioning of the maintained tables: `latest` is hash-bucketed
 # by key, rule dests are day-partitioned by bucket ts — so a micro-batch
@@ -131,6 +138,10 @@ class StreamingStore:
 
     def rule_dir(self, rule: CompactionRule):
         return os.path.join(self.root, f"rule{rule.dest_suffix}")
+
+    def rule_state_dir(self, rule: CompactionRule):
+        """EWM rules' carried-state table (see `_ewm_recompute`)."""
+        return os.path.join(self.root, f"rule{rule.dest_suffix}_state")
 
     @property
     def _compacting_marker(self):
@@ -324,6 +335,185 @@ class StreamingStore:
             return out.select("key", "__bucket", val.alias("value"))
 
         return self._window_recompute(rule, touched, kernel, valid_only=True)
+
+    def _ewm_recompute(self, rule: CompactionRule, touched: DataFrame):
+        """Incremental repair for the EWM smoothing rules (ewma_<alpha>,
+        ewm_band_<alpha>_<k>) — continuous recording-rule smoothing with
+        UNBOUNDED lookback: the dest value at bucket B folds over the
+        key's entire history up to B's last valid sample, so a sample
+        landing in bucket B invalidates every dest bucket >= B.
+
+        The chunk-affine state makes that repair LOCAL anyway: alongside
+        the dest, each rule keeps a state table (key, __bucket, c0, m, q)
+        — the EWM moment state after the bucket's last valid sample (the
+        streaming analogue of the reference's serialized agg contexts,
+        compaction.h:32-33, and of cusum_stream's carried (s_pos,
+        s_neg)).  Per batch:
+
+          1. B0(key) = the key's earliest touched bucket; the SEED is
+             its newest state row strictly before B0 — for in-order
+             appends that's the previous micro-batch's last row;
+          2. one day-pruned log read supplies the key's valid resolved
+             samples with ts >= B0 (keys with NO seed — brand-new, or an
+             out-of-order insert before their first sample, which moves
+             the centering origin c0 — fall back to their full history);
+          3. a per-key Arrow kernel replays the recurrences from the
+             seed (the smooth.py entry-state trick: pandas ewm seeded by
+             prepending the carried state) and emits one (dest value,
+             state) row per bucket >= B0 with >=1 valid sample;
+          4. dest rows flow into the generic partition-scoped upsert;
+             state rows >= B0 are replaced pk-partition-scoped (the
+             latest-table layout: state is only ever point-read by key).
+
+        Cost tracks batch time-locality: in-order ingest reads the
+        touched days and the touched keys' pk state partitions, never
+        the log's history.  (A deployment with years of buckets per key
+        would additionally day-partition the state table and probe it
+        like `_boundary_samples`; the pk layout keeps the read bounded
+        by state rows per hash bucket, which is dest-sized, not
+        sample-sized.)"""
+        import numpy as np
+        import pandas as pd
+
+        kind, alpha, band_k = parse_ewm_rule(rule.agg)
+        centered = kind == "ewm_band"
+        bucket_ms, align_ts = rule.bucket_ms, rule.align_ts
+        empty_out = self.spark.createDataFrame(
+            [], SAMPLES_SCHEMA.replace("ts long", "__bucket long")
+        ).select("key", "__bucket", "value")
+        if not touched.limit(1).count():
+            return touched, empty_out
+
+        sdir = self.rule_state_dir(rule)
+        st_df = self._empty_read(sdir, EWM_STATE_SCHEMA)
+        if st_df is None:
+            st_df = self.spark.createDataFrame(
+                [], EWM_STATE_SCHEMA + ", pk int"
+            )
+        b0 = touched.groupBy("key").agg(F.min("__bucket").alias("__b0"))
+        b0.persist()
+        self._batch_cached.append(b0)
+        seeds = (
+            st_df.join(F.broadcast(b0), "key")
+            .filter(F.col("__bucket") < F.col("__b0"))
+            .groupBy("key")
+            .agg(
+                F.max("__bucket").alias("__sb"),
+                F.max_by("c0", "__bucket").alias("__c0"),
+                F.max_by("m", "__bucket").alias("__m"),
+                F.max_by("q", "__bucket").alias("__q"),
+            )
+        )
+        spine = b0.join(seeds, "key", "left")
+        spine.persist()
+        self._batch_cached.append(spine)
+
+        all_days = self._log_days()
+        seedless = spine.filter(F.col("__sb").isNull()).limit(1).count() > 0
+        if seedless:
+            days = all_days
+        else:
+            lo = spine.agg(F.min("__b0").alias("lo")).collect()[0].lo
+            days = [d for d in all_days if d >= lo // DAY_MS]
+        samples = (
+            self._pruned(days)
+            .filter(~F.isnan("value"))
+            .join(F.broadcast(spine), "key")
+            .filter(F.col("__sb").isNotNull() | F.lit(seedless))
+            .filter(F.col("__sb").isNull() | (F.col("ts") >= F.col("__b0")))
+        )
+
+        out_schema = (
+            "key string, __bucket long, value double,"
+            " c0 double, m double, q double"
+        )
+        a = float(alpha)
+        kf = float(band_k) if band_k is not None else 0.0
+
+        def kernel(pdf: pd.DataFrame) -> pd.DataFrame:
+            pdf = pdf.sort_values("ts").reset_index(drop=True)
+            seeded = pd.notna(pdf["__sb"].iloc[0])
+            if seeded:
+                c0 = float(pdf["__c0"].iloc[0])
+                m0 = float(pdf["__m"].iloc[0])
+                q0 = float(pdf["__q"].iloc[0])
+            else:
+                c0 = float(pdf["value"].iloc[0]) if centered else 0.0
+                # unseeded first sample IS the level (pandas
+                # adjust=False): seed the replay with y_1 so the first
+                # output equals it (m1 = a*y1 + (1-a)*y1 = y1)
+                y1 = float(pdf["value"].iloc[0]) - c0
+                m0, q0 = y1, y1 * y1
+            y = pdf["value"].astype(np.float64) - c0
+
+            def run(series, entry):
+                return (
+                    pd.concat([pd.Series([entry]), series],
+                              ignore_index=True)
+                    .ewm(alpha=a, adjust=False)
+                    .mean()
+                    .iloc[1:]
+                    .reset_index(drop=True)
+                )
+
+            m = run(y, m0)
+            q = run(y * y, q0)
+            t = pdf["ts"].to_numpy(np.int64)
+            bkt = t - (t - align_ts) % bucket_ms
+            res = pd.DataFrame(
+                {"key": pdf["key"], "__bucket": bkt, "m": m, "q": q}
+            )
+            last = res.groupby("__bucket", as_index=False).last()
+            if centered:
+                var = last["q"] - last["m"] * last["m"]
+                std = np.sqrt(
+                    np.where(var > 1e-10 * last["q"], var, 0.0)
+                )
+                val = (c0 + last["m"]) + kf * std
+            else:
+                val = c0 + last["m"]
+            last["value"] = val
+            last["c0"] = c0
+            return last[["key", "__bucket", "value", "c0", "m", "q"]]
+
+        out = samples.groupBy("key").applyInPandas(kernel, out_schema)
+        out.persist()
+        self._batch_cached.append(out)
+
+        recomputed = out.select("key", "__bucket", "value")
+        touched_ext = (
+            touched.unionByName(out.select("key", "__bucket")).distinct()
+        )
+        touched_ext.persist()
+        self._batch_cached.append(touched_ext)
+
+        # pk-partition-scoped state upsert (the latest-table pattern):
+        # keep other keys' rows and this key's rows strictly before B0,
+        # replace everything >= B0 with the replayed states
+        pks = [
+            r.pk
+            for r in b0.select(_pk(F.col("key")).alias("pk"))
+            .distinct()
+            .collect()
+        ]
+        kept = (
+            st_df.filter(F.col("pk").isin(pks))
+            .join(F.broadcast(b0), "key", "left")
+            .filter(
+                F.col("__b0").isNull()
+                | (F.col("__bucket") < F.col("__b0"))
+            )
+            .select("key", "__bucket", "c0", "m", "q")
+        )
+        (
+            kept.unionByName(out.select("key", "__bucket", "c0", "m", "q"))
+            .withColumn("pk", _pk(F.col("key")))
+            .write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy("pk")
+            .parquet(sdir)
+        )
+        return touched_ext, recomputed
 
     def _window_recompute(
         self,
@@ -566,6 +756,12 @@ class StreamingStore:
                 touched, recomputed = self._twa_recompute(rule, touched)
             elif rule.agg in ("increase", "rate"):
                 touched, recomputed = self._increase_recompute(rule, touched)
+            elif parse_ewm_rule(rule.agg) is not None:
+                # EWM smoothing rules repair FORWARD from the earliest
+                # touched bucket, seeded by the carried moment state —
+                # no ±1 widening (a sample never changes earlier
+                # buckets; later ones are regenerated wholesale)
+                touched, recomputed = self._ewm_recompute(rule, touched)
             else:
                 # non-twa aggs need exactly the samples inside each touched
                 # bucket: per-bucket day coverage, exact for sparse sets

@@ -143,6 +143,24 @@ def main():
     out["cusum_chunked_sec"] = timed(
         lambda: ts_cusum(df, 1.0, 1e6, target=50_000.0)
     )
+    # round-11: hot-PAIR correlation — BOTH legs one key (the
+    # pathological pair shape; verdict r10 next #1).  The b-leg is an
+    # affine copy on the same ts grid, so every a-sample matches and the
+    # full volume flows through the co-partitioned (key_b, ts) equi-join
+    # — composite join key, so one hot pair still spreads across the ts
+    # axis (the skew-safety claim this arm verifies)
+    from redistimeseries_spark.operators.correlate import ts_corr
+
+    pair_df = df.unionByName(
+        df.select(
+            F.lit("hot2").alias("key"),
+            "ts",
+            (F.col("value") * 2.0 + 1.0).alias("value"),
+        )
+    )
+    out["corr_hot_pair_sec"] = timed(
+        lambda: ts_corr(pair_df, H, [("hot", "hot2")])
+    )
     if not skip_old:
         out["cusum_key_sec"] = timed(
             lambda: _ts_cusum_sequential(df, 1.0, 1e6, target=50_000.0)

@@ -258,6 +258,31 @@ def main():
             "redistimeseries_spark.operators.decompose",
             fromlist=["ts_forecast"],
         ).ts_forecast(samples, 2 * H, 12, 24),
+        # round-11 anchors (verdict r10 next #1): the round-10 newcomers.
+        # corr pairs adjacent replicas of the same source key (identical
+        # ts sets -> every a-sample matches; ~1/10 of the table flows
+        # through the co-partitioned (key_b, ts) equi-join + hash agg —
+        # the bucketed-aggregation plan class, deriv's line)
+        "b31_corr_2h": lambda: __import__(
+            "redistimeseries_spark.operators.correlate", fromlist=["ts_corr"]
+        ).ts_corr(
+            samples,
+            2 * H,
+            [
+                (f"click_{i}_{r}", f"click_{i}_{min(r + 1, replicas - 1)}")
+                for i in range(10)
+                for r in range(0, max(replicas - 1, 1), 2)
+            ],
+        ),
+        # CUSUM closed form: growing-frame prefix folds, chunk-stitched
+        # (the windowed-chain class)
+        "b32_cusum": lambda: __import__(
+            "redistimeseries_spark.operators.correlate", fromlist=["ts_cusum"]
+        ).ts_cusum(samples, 0.5, 1e6, target=50.0),
+        # fused EWM moment pair + band (single-ewma exchange count)
+        "b33_ewm_band": lambda: __import__(
+            "redistimeseries_spark.operators.smooth", fromlist=["ts_ewm_band"]
+        ).ts_ewm_band(samples, 0.3, band_k=2.0),
     }
 
     # SPARK_GRAFT_BUCKETED=1: also build the key-bucketed layout and probe

@@ -961,6 +961,52 @@ def test_ewm_band(spark):
         ts_ewm_band(sdf, 0.2, band_k=0.0)
 
 
+def test_adaptive_chunk_grid_smoothers(spark, monkeypatch):
+    """Round 11: the pandas-backed smoothers default to the
+    density-adaptive per-key chunk grid — a balanced fleet keeps ONE
+    group per key (single-pass kernel), a hot key splits into
+    ~target-row chunks — and every grid agrees with the sequential
+    twins at 1e-9 (the fixed 1<<24 ms grid had splintered 20-sample
+    keys into per-row Arrow groups: 1.7 -> 30+ s at 10M/balanced)."""
+    import random as _random
+
+    import pytest as _pytest
+
+    import redistimeseries_spark.operators.smooth as S
+
+    rng = _random.Random(0xADA7)
+    rows = [
+        (f"k{i}", t * 977, rng.uniform(-5, 5))
+        for i in range(6)
+        for t in range(50)
+    ]
+    sdf = spark.createDataFrame(rows, "key string, ts long, value double")
+
+    def pin(got, want, cols):
+        g = {(r.key, r.ts): r for r in got.collect()}
+        w = {(r.key, r.ts): r for r in want.collect()}
+        assert g.keys() == w.keys()
+        for k in g:
+            for c in cols:
+                assert g[k][c] == _pytest.approx(w[k][c], abs=1e-9), (k, c)
+
+    seq_e = S._ts_ewma_sequential(sdf, 0.3)
+    seq_h = S._ts_holt_sequential(sdf, 0.4, 0.2)
+    # cold path (50 rows/key, one chunk each) and forced-hot path
+    # (target=8 rows -> ~7 chunks/key) both pin to the twins
+    pin(S.ts_ewma(sdf, 0.3), seq_e, ["ewma"])
+    pin(S.ts_holt(sdf, 0.4, 0.2), seq_h, ["level", "trend"])
+    band_cold = S.ts_ewm_band(sdf, 0.3, band_k=2.0)
+    monkeypatch.setattr(S, "ADAPTIVE_TARGET_ROWS", 8)
+    pin(S.ts_ewma(sdf, 0.3), seq_e, ["ewma"])
+    pin(S.ts_holt(sdf, 0.4, 0.2), seq_h, ["level", "trend"])
+    pin(
+        S.ts_ewm_band(sdf, 0.3, band_k=2.0),
+        band_cold,
+        ["ewma", "std", "upper", "lower"],
+    )
+
+
 def test_ewm_band_large_offset(spark):
     """Round-10 ADVICE (medium): with UNCENTERED moments a mean-1e6 /
     std<=10 series has q ~ 1e12, so genuine variance (~100) fell below

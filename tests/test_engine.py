@@ -643,6 +643,28 @@ def test_engine_counter_and_smoothing_facade(eng):
     assert math.isclose(hl[500][0], lv) and math.isclose(hl[500][1], tr)
 
 
+def test_engine_anomalies_fast_passthrough(eng):
+    """VERDICT r10 #6: the facade forwards `fast=True` (the hot-series
+    steering path) and both formulations agree on the same series."""
+    import random as _random
+
+    rng = _random.Random(0xFA57)
+    eng.create("a")
+    vals = [50.0 + rng.uniform(-1, 1) for _ in range(40)]
+    vals[30] = 90.0
+    eng.madd([("a", i * 100, v) for i, v in enumerate(vals)])
+    slow = {r.ts: r for r in eng.anomalies("a", window_n=10).collect()}
+    fast = {r.ts: r for r in eng.anomalies(
+        "a", window_n=10, fast=True
+    ).collect()}
+    assert slow.keys() == fast.keys()
+    assert slow[3000].anomaly and fast[3000].anomaly
+    for t in slow:
+        assert slow[t].anomaly == fast[t].anomaly, t
+        if slow[t].zscore is not None:
+            assert abs(slow[t].zscore - fast[t].zscore) < 1e-6, t
+
+
 def test_engine_resample_and_gaps_facade(eng):
     eng.create("g")
     eng.madd([("g", 0, 0.0), ("g", 200, 20.0), ("g", 5200, 70.0)])
