@@ -904,6 +904,47 @@ def q_stream_incrby(spark, sf_dir):
     return out.select("key", "ts", "value")
 
 
+def q_stream_ewm_band(spark, sf_dir):
+    """ewm_band_stream (round 11): the live adaptive envelope — the
+    centered EWM moment pair carried in the streaming state store —
+    replayed bounded over the D14-D21 slice as ONE ordered micro-batch,
+    where it equals the batch ts_ewm_band exactly (the in-batch kernel
+    consumes samples in (ts, value) order; cross-batch state carry and
+    the ts<last drop rule are pytest-pinned in test_streaming_native).
+    Shares ts_ewm_band's oracle; breakout recomputed from the
+    6dp-rounded band on BOTH sides (the q_ewm_band convention)."""
+    import os
+    import tempfile
+
+    from redistimeseries_spark.streaming.stateful import ewm_band_stream
+
+    st = _store(spark, sf_dir)
+    src = os.path.join(tempfile.mkdtemp(prefix="sparkts_sband_"), "in")
+    (
+        st.samples.filter(F.col("ts").between(D14, D21))
+        .select("key", "ts", "value")
+        .coalesce(1)
+        .write.parquet(src)
+    )
+    stream = spark.readStream.schema(
+        "key string, ts long, value double"
+    ).parquet(src)
+    d = _run_bounded_stream(
+        ewm_band_stream(stream, 0.3, band_k=3.0), "gate_sband"
+    )
+    rv, ru, rl = F.round("value", 6), F.round("upper", 6), F.round("lower", 6)
+    return d.select(
+        "key",
+        "ts",
+        rv.alias("value"),
+        F.round("ewma", 6).alias("ewma"),
+        F.round("std", 6).alias("std"),
+        ru.alias("upper"),
+        rl.alias("lower"),
+        ((ru - rl > 0) & ((rv > ru) | (rv < rl))).alias("breakout"),
+    )
+
+
 def q_info_chunks(spark, sf_dir):
     """TS.INFO DEBUG chunk map for one series — per-day-chunk sample count
     and ts bounds (src/module.c:156-280); same function engine.info(debug)
@@ -2382,7 +2423,13 @@ def _base_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # (the r10 ADVICE fix — the driver should gate the new arithmetic).
     # Rotated to the tail: ts_idelta and ts_irate (both driver-green
     # r4+; the counter/event family keeps ts_compaction_increase_1h and
-    # ts_delta in-window).
+    # ts_delta in-window).  Late round-11: NEW ts_stream_ewm_band (the
+    # live-envelope stream twin — centered moment state in the
+    # streaming state store, single-ordered-batch bounded replay ==
+    # the batch operator, sharing its oracle) enters the window in its
+    # adding commit; dl_simhash (driver-green r5+; the dedup family
+    # keeps dl_dedup_pipeline + dl_cross_lsh_pairs in-window) rotates
+    # to the tail.
     return {
         # --- checked prefix: one representative per operator family -----
         "ts_range_raw": q_range_raw,
@@ -2400,7 +2447,7 @@ def _base_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dl_cross_lsh_pairs": q_cross_lsh_pairs,
         "dl_quality_summary": q_quality_summary,
         "ts_rollup_route": q_rollup_route,
-        "dl_simhash": q_simhash,
+        "ts_stream_ewm_band": q_stream_ewm_band,
         "ts_resample_linear": q_resample_linear,
         "ts_decompose": q_decompose,
         "ts_ewma": q_ewma,
@@ -2442,6 +2489,7 @@ def _base_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # --- tail: family variants, locally gated -----------------------
         "ts_idelta": q_idelta,
         "ts_irate": q_irate,
+        "dl_simhash": q_simhash,
         "ts_counter_increase": q_counter_increase,
         "dl_stream_semdedup": q_stream_semdedup,
         "ts_predict_linear": q_predict_linear,
@@ -3626,6 +3674,9 @@ def _with_aliases(oracles: dict[str, str]) -> dict[str, str]:
     # the star-CC variant must produce exactly the propagation result —
     # same recursive-CTE oracle
     oracles["dl_dedup_components_star"] = oracles["dl_dedup_components"]
+    # the bounded single-batch stream replay equals the batch operator
+    # on the same slice — same oracle (round 11)
+    oracles["ts_stream_ewm_band"] = oracles["ts_ewm_band"]
     # composed curation decision: the four component oracles as subqueries
     # (each is a complete SELECT; WITH-bearing ones nest fine in FROM)
     oracles["dl_curation"] = f"""

@@ -150,6 +150,14 @@ def main():
     ap.add_argument("--batch-rows", type=int, default=5_000)
     ap.add_argument("--auto-compact", action="store_true",
                     help="run the round-9 compact_every probe instead")
+    ap.add_argument("--ewm", action="store_true",
+                    help="attach the round-11 EWM smoothing rules "
+                    "(ewma_0.3 + ewm_band_0.3_2.0) instead of avg/twa — "
+                    "the warm batch builds the carried moment-state "
+                    "table via the no-seed full-history path; the "
+                    "measured batch must then be FLAT in history "
+                    "length (seeded forward repair reads only the "
+                    "touched days + the keys' pk state partitions)")
     ap.add_argument("--batches", type=int, default=40)
     ap.add_argument("--every", type=int, default=10)
     a = ap.parse_args()
@@ -171,10 +179,18 @@ def main():
     for days in a.days:
         root = tempfile.mkdtemp(prefix=f"ingest_probe_{days}d_")
         try:
-            rules = [
-                CompactionRule(None, "_avg_1h", "avg", 3_600_000),
-                CompactionRule(None, "_twa_1h", "twa", 3_600_000),
-            ]
+            if a.ewm:
+                rules = [
+                    CompactionRule(None, "_ewma_1h", "ewma_0.3", 3_600_000),
+                    CompactionRule(
+                        None, "_band_1h", "ewm_band_0.3_2.0", 3_600_000
+                    ),
+                ]
+            else:
+                rules = [
+                    CompactionRule(None, "_avg_1h", "avg", 3_600_000),
+                    CompactionRule(None, "_twa_1h", "twa", 3_600_000),
+                ]
             store = StreamingStore(spark, os.path.join(root, "store"), "last", rules)
             seed(spark, store, days, a.keys, a.per_day)
             # warm once (JIT/scheduler), measure the second batch

@@ -128,6 +128,66 @@ def test_stateful_cusum_across_batches(spark, tmp_path):
         cusum_stream(stream, 1.0, 0.0, target=0.0)
 
 
+def test_stateful_ewm_band_across_batches(spark, tmp_path):
+    """ewm_band_stream (round 11): the per-key centered EWM moment pair
+    crosses micro-batch boundaries through the state store; on the same
+    ordered feed the stream equals the batch ts_ewm_band operator
+    (values, band, breakouts); ts<last rows are dropped; NaN rows are
+    invalid everywhere — including a first batch that is ALL NaN for a
+    key, which must not freeze the centering origin at 0."""
+    import math
+
+    from redistimeseries_spark.operators.smooth import ts_ewm_band
+    from redistimeseries_spark.streaming.stateful import ewm_band_stream
+
+    d = str(tmp_path)
+    nan = float("nan")
+    base = 1_000_000.0  # large offset: the centering discipline's case
+    b1 = [("c", 10, base + 2.0), ("c", 20, base - 1.0), ("e", 10, nan)]
+    b2 = [("c", 30, nan), ("c", 40, base + 1.5), ("c", 5, 99.0),
+          ("e", 20, 7.0)]
+    b3 = [("c", 50, base + 50.0), ("e", 30, 7.4)]
+    for b in (b1, b2, b3):
+        feed(spark, d, b)
+    stream = (
+        spark.readStream.schema(SCHEMA)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(os.path.join(d, "in"))
+    )
+    q = (
+        ewm_band_stream(stream, 0.3, band_k=2.0)
+        .writeStream.format("memory")
+        .queryName("envelope")
+        .outputMode("append")
+        .option("checkpointLocation", os.path.join(d, "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = {
+        (r.key, r.ts): r for r in spark.sql("SELECT * FROM envelope").collect()
+    }
+    kept = [r for r in b1 + b2 + b3 if r[1] != 5 and not math.isnan(r[2])]
+    sdf = spark.createDataFrame(kept, SCHEMA)
+    want = {
+        (r.key, r.ts): r for r in ts_ewm_band(sdf, 0.3, band_k=2.0).collect()
+    }
+    assert got.keys() == want.keys()
+    for kk in got:
+        assert got[kk].breakout == want[kk].breakout, kk
+        for c in ("value", "ewma", "std", "upper", "lower"):
+            assert got[kk][c] == pytest.approx(want[kk][c], abs=1e-6), (kk, c)
+    # the 50-sigma-ish spike at ts=50 breaks out despite the 1e6 offset
+    # (collapsed pre-centering); e's all-NaN first batch did not pin its
+    # centering origin to 0 — its envelope tracks ~7, not ~0
+    assert got[("c", 50)].breakout
+    assert abs(got[("e", 30)].ewma - 7.0) < 1.0
+    with pytest.raises(ValueError, match="band_k"):
+        ewm_band_stream(stream, 0.3, band_k=0.0)
+    with pytest.raises(ValueError, match="alpha"):
+        ewm_band_stream(stream, 1.0)
+
+
 def test_retention_reject_to_error_sink(spark, tmp_path):
     d = str(tmp_path)
     store = StreamingStore(spark, os.path.join(d, "store"), "last", [], retention_ms=1000)
