@@ -459,6 +459,100 @@ def q_cusum(spark, sf_dir):
     )
 
 
+def q_xcorr(spark, sf_dir):
+    """Beyond-reference lagged cross-correlation sweep: Pearson r of
+    click_i's hourly-average series against view_i's shifted by each
+    lag in -3h..+3h (operators/correlate.ts_xcorr — the ts_corr
+    bucketed-aggregation class with the lag axis in place of the bucket
+    axis: broadcast pairs x broadcast-exploded lag vector on the b leg,
+    one co-partitioned equi-join, one guarded-moment hash agg)."""
+    from redistimeseries_spark.operators.correlate import ts_xcorr
+
+    st = _store(spark, sf_dir)
+    hourly = (
+        st.samples.filter(~F.isnan("value"))
+        .filter(F.col("ts").between(D14, D21))
+        .groupBy(
+            "key", (F.col("ts") - F.pmod(F.col("ts"), F.lit(H))).alias("ts")
+        )
+        .agg(F.avg("value").alias("value"))
+    )
+    pairs = [(f"click_{i}", f"view_{i}") for i in range(10)]
+    return ts_xcorr(hourly, pairs, [k * H for k in range(-3, 4)]).select(
+        "key_a", "key_b", "lag", F.round("corr", 6).alias("corr"), "n"
+    )
+
+
+def q_lead_lag(spark, sf_dir):
+    """Beyond-reference lead/lag discovery: the strongest lag per pair
+    from the full-month hourly xcorr sweep (operators/correlate.
+    ts_lead_lag — one max_by over a (|corr|, -|lag|, -lag) struct
+    ordering on top of the xcorr hash agg; min_n=5 drops thin lags).
+    The DuckDB oracle picks the same argmax independently via QUALIFY
+    row_number over the mirrored ordering."""
+    from redistimeseries_spark.operators.correlate import ts_lead_lag
+
+    st = _store(spark, sf_dir)
+    hourly = (
+        st.samples.filter(~F.isnan("value"))
+        .groupBy(
+            "key", (F.col("ts") - F.pmod(F.col("ts"), F.lit(H))).alias("ts")
+        )
+        .agg(F.avg("value").alias("value"))
+    )
+    pairs = [(f"click_{i}", f"view_{i}") for i in range(10)]
+    return ts_lead_lag(
+        hourly, pairs, [k * H for k in range(-3, 4)], min_n=5
+    ).select("key_a", "key_b", "lag", F.round("corr", 6).alias("corr"), "n")
+
+
+def q_rolling_quant(spark, sf_dir):
+    """Beyond-reference rolling median (moving 0.5-quantile over the
+    trailing 15 valid samples, NULL until the window fills —
+    operators/percentiles.ts_rolling_quantile, the ts_anomalies
+    bounded-window chunk-context plan; Spark's windowed percentile
+    interpolation is pinned against DuckDB's windowed quantile_cont)."""
+    from redistimeseries_spark.operators.percentiles import (
+        ts_rolling_quantile,
+    )
+
+    st = _store(spark, sf_dir)
+    return ts_rolling_quantile(
+        st.samples, 0.5, 15, keys=["click_3", "view_2"], start=D14, end=D21
+    ).select(
+        "key",
+        "ts",
+        F.round("value", 6).alias("value"),
+        "n",
+        F.round("rq", 6).alias("rq"),
+    )
+
+
+def q_holt_winters(spark, sf_dir):
+    """Beyond-reference Holt-Winters triple exponential smoothing on
+    the 6h bucket grid with a 4-phase (daily) season and an 8-bucket
+    forecast horizon (operators/holtwinters.ts_holt_winters — the only
+    per-sample stage is the bucket groupBy; the recurrences run per
+    key over its #buckets-bounded sequence).  The DuckDB oracle
+    replays the identical recurrences with a recursive CTE carrying
+    the seasonal vector as a LIST — an independent formulation."""
+    from redistimeseries_spark.operators.holtwinters import ts_holt_winters
+
+    st = _store(spark, sf_dir)
+    d = ts_holt_winters(
+        st.samples, 6 * H, 4, 0.3, 0.1, 0.2, horizon_n=8
+    )
+    return d.select(
+        "key",
+        "ts",
+        F.round("value", 6).alias("value"),
+        F.round("level", 6).alias("level"),
+        F.round("trend", 6).alias("trend"),
+        F.round("seasonal", 6).alias("seasonal"),
+        F.round("yhat", 6).alias("yhat"),
+    )
+
+
 def q_agg_percentile(spark, sf_dir):
     """Beyond-reference p-name aggregators inside the standard TS.RANGE
     pipeline: percentiles mix with the reference aggregator set in one
@@ -942,6 +1036,43 @@ def q_stream_ewm_band(spark, sf_dir):
         ru.alias("upper"),
         rl.alias("lower"),
         ((ru - rl > 0) & ((rv > ru) | (rv < rl))).alias("breakout"),
+    )
+
+
+def q_stream_anomalies(spark, sf_dir):
+    """anomaly_stream (round 11): the live rolling z-score monitor —
+    the bounded value tail carried in the streaming state store —
+    replayed bounded over the D14-D21 slice as ONE ordered micro-batch,
+    where it equals the batch ts_anomalies exactly (cross-batch tail
+    carry and the ts<last drop rule are pytest-pinned in
+    test_streaming_native).  Shares ts_anomalies' oracle; flag from the
+    ROUNDED zscore on both sides (the q_anomalies convention)."""
+    import os
+    import tempfile
+
+    from redistimeseries_spark.streaming.stateful import anomaly_stream
+
+    st = _store(spark, sf_dir)
+    src = os.path.join(tempfile.mkdtemp(prefix="sparkts_sanom_"), "in")
+    (
+        st.samples.filter(F.col("ts").between(D14, D21))
+        .select("key", "ts", "value")
+        .coalesce(1)
+        .write.parquet(src)
+    )
+    stream = spark.readStream.schema(
+        "key string, ts long, value double"
+    ).parquet(src)
+    d = _run_bounded_stream(
+        anomaly_stream(stream, window_n=20, z=2.5), "gate_sanom"
+    )
+    rz = F.round("zscore", 6)
+    return d.select(
+        "key", "ts", "value",
+        F.round("mean", 6).alias("mean"),
+        F.round("std", 6).alias("std"),
+        rz.alias("zscore"),
+        F.coalesce(F.abs(rz) > 2.5, F.lit(False)).alias("anomaly"),
     )
 
 
@@ -2429,7 +2560,33 @@ def _base_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # the batch operator, sharing its oracle) enters the window in its
     # adding commit; dl_simhash (driver-green r5+; the dedup family
     # keeps dl_dedup_pipeline + dl_cross_lsh_pairs in-window) rotates
-    # to the tail.
+    # to the tail.  Round-11 second wave: NEW ts_xcorr (lagged
+    # cross-correlation sweep), NEW ts_lead_lag (argmax-|corr| lag per
+    # pair, QUALIFY-mirrored oracle) and NEW ts_rolling_quant (rolling
+    # median over the trailing 15 samples — windowed percentile pinned
+    # against DuckDB's windowed quantile_cont) enter the window in
+    # their adding commit; displaced from the 50-entry driver window
+    # with family representation kept: dl_eval_contamination
+    # (multi-round driver-green; dl_substring_contaminated stays
+    # in-window), dl_hybrid_search (multi-round driver-green;
+    # dl_bm25_topk + dl_bm25_compacted stay in-window), and
+    # dl_semdedup (r10-green; slides to position 50 just past the
+    # window — the dedup family keeps dl_dedup_pipeline and
+    # dl_cross_lsh_pairs in-window, and its stream twin stays locally
+    # gated).  dl_pii moves below the tail marker for honesty — it
+    # already sat past the 50-entry cutoff (absent from
+    # CORRECTNESS_r10) despite its position above the marker.
+    # Round-11 third wave: NEW ts_holt_winters (seasonal triple
+    # exponential smoothing + forecast, recursive-CTE-with-LIST-state
+    # oracle) enters the window in its adding commit, displacing
+    # ts_resample_locf to the tail (driver-green r9/r10; the resample
+    # family keeps ts_resample_linear — the variant whose plan the
+    # round-10 fix changed — in-window).  NEW ts_stream_anomalies (the
+    # live rolling z-score monitor, anomaly_stream — bounded
+    # one-ordered-batch replay == batch ts_anomalies, sharing its
+    # oracle) enters in its adding commit, displacing
+    # dl_mm_frame_sample (driver-green r10; the multimodal family
+    # keeps dl_mm_decode_png in-window).
     return {
         # --- checked prefix: one representative per operator family -----
         "ts_range_raw": q_range_raw,
@@ -2465,7 +2622,7 @@ def _base_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ts_outlier_mad": q_outlier_mad,
         "ts_hist_quantile": q_hist_quantile,
         "ts_forecast": q_forecast,
-        "ts_resample_locf": q_resample_locf,
+        "ts_holt_winters": q_holt_winters,
         "ts_anomalies": q_anomalies,
         "ts_topk": q_topk,
         "dl_dedup_lines": q_dedup_lines,
@@ -2474,19 +2631,24 @@ def _base_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ts_compaction_ewm_band_1h": q_compaction_ewm_band_1h,
         "ts_delta": q_delta,
         "dl_dedup_pipeline": q_dedup_pipeline,
-        "dl_eval_contamination": q_eval_contamination,
         "dl_ann_lsh_topk": q_ann_lsh_topk,
         "ts_cusum": q_cusum,
         "dl_substring_contaminated": q_substring_contaminated,
-        "dl_mm_frame_sample": q_mm_frame_sample,
-        "dl_hybrid_search": q_hybrid_search,
+        "ts_stream_anomalies": q_stream_anomalies,
+        "ts_xcorr": q_xcorr,
+        "ts_lead_lag": q_lead_lag,
+        "ts_rolling_quant": q_rolling_quant,
         "ts_agg_twa_empty": q_agg_twa_empty,
         "dl_semdedup": q_semdedup,
         "ts_bucket_percentiles": q_bucket_percentiles,
-        "dl_pii": q_pii,
         "dl_curation": q_curation,
         "ts_asof_join": q_asof_join,
         # --- tail: family variants, locally gated -----------------------
+        "dl_mm_frame_sample": q_mm_frame_sample,
+        "ts_resample_locf": q_resample_locf,
+        "dl_eval_contamination": q_eval_contamination,
+        "dl_hybrid_search": q_hybrid_search,
+        "dl_pii": q_pii,
         "ts_idelta": q_idelta,
         "ts_irate": q_irate,
         "dl_simhash": q_simhash,
@@ -3677,6 +3839,9 @@ def _with_aliases(oracles: dict[str, str]) -> dict[str, str]:
     # the bounded single-batch stream replay equals the batch operator
     # on the same slice — same oracle (round 11)
     oracles["ts_stream_ewm_band"] = oracles["ts_ewm_band"]
+    # the live anomaly monitor equals the batch operator on an ordered
+    # bounded replay — same sharing rule as the envelope twin above
+    oracles["ts_stream_anomalies"] = oracles["ts_anomalies"]
     # composed curation decision: the four component oracles as subqueries
     # (each is a complete SELECT; WITH-bearing ones nest fine in FROM)
     oracles["dl_curation"] = f"""
@@ -3922,6 +4087,97 @@ SELECT ka AS key_a, kb AS key_b, hts - hts % {24 * H} AS ts,
        round(corr(va, vb), 6) AS corr, count(*) AS n
 FROM m GROUP BY 1, 2, 3
 HAVING corr(va, vb) IS NOT NULL AND NOT isnan(corr(va, vb))""",
+        "ts_xcorr": f"""{ORACLE_PREFIX},
+hv AS (SELECT key, ts - ts % {H} AS hts, avg(value) AS value
+       FROM samples WHERE NOT isnan(value) AND ts BETWEEN {D14} AND {D21}
+       GROUP BY 1, 2),
+p(ka, kb) AS (VALUES {", ".join(f"('click_{i}', 'view_{i}')" for i in range(10))}),
+l(lag) AS (VALUES {", ".join(f"({k * H})" for k in range(-3, 4))}),
+m AS (SELECT p.ka, p.kb, l.lag, a.value AS va, b.value AS vb
+      FROM p CROSS JOIN l
+      JOIN hv a ON a.key = p.ka
+      JOIN hv b ON b.key = p.kb AND b.hts = a.hts + l.lag)
+SELECT ka AS key_a, kb AS key_b, CAST(lag AS BIGINT) AS lag,
+       round(corr(va, vb), 6) AS corr, count(*) AS n
+FROM m GROUP BY 1, 2, 3
+HAVING corr(va, vb) IS NOT NULL AND NOT isnan(corr(va, vb))""",
+        "ts_lead_lag": f"""{ORACLE_PREFIX},
+hv AS (SELECT key, ts - ts % {H} AS hts, avg(value) AS value
+       FROM samples WHERE NOT isnan(value) GROUP BY 1, 2),
+p(ka, kb) AS (VALUES {", ".join(f"('click_{i}', 'view_{i}')" for i in range(10))}),
+l(lag) AS (VALUES {", ".join(f"({k * H})" for k in range(-3, 4))}),
+x AS (SELECT p.ka AS key_a, p.kb AS key_b, l.lag,
+             corr(a.value, b.value) AS corr, count(*) AS n
+      FROM p CROSS JOIN l
+      JOIN hv a ON a.key = p.ka
+      JOIN hv b ON b.key = p.kb AND b.hts = a.hts + l.lag
+      GROUP BY 1, 2, 3
+      HAVING corr(a.value, b.value) IS NOT NULL
+         AND NOT isnan(corr(a.value, b.value)) AND count(*) >= 5)
+SELECT key_a, key_b, CAST(lag AS BIGINT) AS lag,
+       round(corr, 6) AS corr, n FROM x
+QUALIFY row_number() OVER (PARTITION BY key_a, key_b
+  ORDER BY round(abs(corr), 9) DESC, abs(lag), lag) = 1""",
+        "ts_holt_winters": f"""WITH RECURSIVE {SAMPLES_SQL},
+g AS (SELECT key, ts - ts % {6 * H} AS b, avg(value) AS value
+      FROM samples WHERE NOT isnan(value) GROUP BY 1, 2),
+r0 AS (SELECT key, b, value,
+              row_number() OVER (PARTITION BY key ORDER BY b) AS rn,
+              count(*) OVER (PARTITION BY key) AS cnt,
+              max(b) OVER (PARTITION BY key) AS last_b
+       FROM g),
+w AS (SELECT * FROM r0 WHERE cnt >= 8),
+i AS (SELECT key, any_value(cnt) AS cnt, any_value(last_b) AS last_b,
+             list(value ORDER BY rn) FILTER (WHERE rn <= 4) AS s_raw,
+             avg(value) FILTER (WHERE rn <= 4) AS l0,
+             (avg(value) FILTER (WHERE rn > 4 AND rn <= 8)
+              - avg(value) FILTER (WHERE rn <= 4)) / 4 AS b0
+      FROM w GROUP BY key),
+r AS (
+  SELECT key, cnt, last_b, 4 AS i, l0 AS l, b0 AS bb,
+         list_transform(s_raw, x -> x - l0) AS s,
+         CAST(NULL AS DOUBLE) AS yhat, CAST(NULL AS DOUBLE) AS y,
+         CAST(NULL AS BIGINT) AS ts
+  FROM i
+  UNION ALL
+  SELECT key, cnt, last_b, i, l_new AS l,
+         0.1 * (l_new - pl) + 0.9 * pbb AS bb,
+         list_transform(ps, (x, jj) -> CASE WHEN jj = j
+             THEN 0.2 * (y - l_new) + 0.8 * x ELSE x END) AS s,
+         yhat, y, ts
+  FROM (SELECT r.key, r.cnt, r.last_b, r.i + 1 AS i,
+               (r.i % 4) + 1 AS j,
+               w.value AS y, w.b AS ts,
+               r.l + r.bb + r.s[(r.i % 4) + 1] AS yhat,
+               0.3 * (w.value - r.s[(r.i % 4) + 1])
+                 + 0.7 * (r.l + r.bb) AS l_new,
+               r.l AS pl, r.bb AS pbb, r.s AS ps
+        FROM r JOIN w ON w.key = r.key AND w.rn = r.i + 1) q),
+f AS (SELECT * FROM r WHERE i = cnt)
+SELECT key, ts, round(y, 6) AS value, round(l, 6) AS level,
+       round(bb, 6) AS trend,
+       round(s[((i - 1) % 4) + 1], 6) AS seasonal,
+       round(yhat, 6) AS yhat
+FROM r WHERE y IS NOT NULL
+UNION ALL
+SELECT f.key, f.last_b + h.h * {6 * H} AS ts,
+       CAST(NULL AS DOUBLE) AS value, CAST(NULL AS DOUBLE) AS level,
+       CAST(NULL AS DOUBLE) AS trend,
+       round(f.s[((f.cnt + h.h - 1) % 4) + 1], 6) AS seasonal,
+       round(f.l + h.h * f.bb
+             + f.s[((f.cnt + h.h - 1) % 4) + 1], 6) AS yhat
+FROM f CROSS JOIN (SELECT unnest(range(1, 9)) AS h) h""",
+        "ts_rolling_quant": f"""{ORACLE_PREFIX},
+v AS (SELECT key, ts, value FROM samples
+      WHERE NOT isnan(value) AND key IN ('click_3', 'view_2')
+        AND ts BETWEEN {D14} AND {D21})
+SELECT key, ts, round(value, 6) AS value,
+       count(value) OVER w AS n,
+       CASE WHEN count(value) OVER w >= 15
+            THEN round(quantile_cont(value, 0.5) OVER w, 6) END AS rq
+FROM v
+WINDOW w AS (PARTITION BY key ORDER BY ts, value
+             ROWS BETWEEN 14 PRECEDING AND CURRENT ROW)""",
         "ts_cusum": f"""WITH RECURSIVE {SAMPLES_SQL},
 v AS (SELECT key, ts, value FROM samples
       WHERE NOT isnan(value) AND ts BETWEEN {D14} AND {D21}),

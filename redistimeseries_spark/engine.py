@@ -1033,6 +1033,88 @@ class TimeSeriesEngine:
             end=self._resolve_ts(to_ts, key),
         ).drop("key")
 
+    def _pair_src(self, key_a: str, key_b: str, from_ts, to_ts):
+        """Shared two-series prep for corr-family facades ('$' is
+        ambiguous across two keys — the engine.corr rule)."""
+        if "$" in (from_ts, to_ts):
+            raise ValueError(
+                "the query spans two series; '$' is ambiguous — pass an"
+                " explicit timestamp"
+            )
+        return self._series_df(key_a, False).unionByName(
+            self._series_df(key_b, False)
+        )
+
+    def xcorr(self, key_a: str, key_b: str, lags: list[int],
+              from_ts="-", to_ts="+") -> DataFrame:
+        """Lagged cross-correlation sweep between two series
+        (beyond-reference; operators/correlate.ts_xcorr)."""
+        from redistimeseries_spark.operators.correlate import ts_xcorr
+
+        return ts_xcorr(
+            self._pair_src(key_a, key_b, from_ts, to_ts),
+            [(key_a, key_b)],
+            lags,
+            start=self._resolve_ts(from_ts),
+            end=self._resolve_ts(to_ts),
+        ).drop("key_a", "key_b")
+
+    def lead_lag(self, key_a: str, key_b: str, lags: list[int],
+                 from_ts="-", to_ts="+", min_n: int = 2) -> DataFrame:
+        """Strongest lag between two series from the xcorr sweep
+        (beyond-reference; operators/correlate.ts_lead_lag)."""
+        from redistimeseries_spark.operators.correlate import ts_lead_lag
+
+        return ts_lead_lag(
+            self._pair_src(key_a, key_b, from_ts, to_ts),
+            [(key_a, key_b)],
+            lags,
+            start=self._resolve_ts(from_ts),
+            end=self._resolve_ts(to_ts),
+            min_n=min_n,
+        ).drop("key_a", "key_b")
+
+    def holt_winters(self, key: str, step, period_n: int,
+                     alpha: float, beta: float, gamma: float,
+                     from_ts="-", to_ts="+", horizon_n: int = 0,
+                     mode: str = "additive") -> DataFrame:
+        """Holt-Winters triple exponential smoothing + forecast on the
+        bucket grid (beyond-reference; operators/holtwinters)."""
+        from redistimeseries_spark.operators.holtwinters import (
+            ts_holt_winters,
+        )
+
+        return ts_holt_winters(
+            self._series_df(key, False),
+            parse_duration_ms(step),
+            period_n,
+            alpha,
+            beta,
+            gamma,
+            start=self._resolve_ts(from_ts, key),
+            end=self._resolve_ts(to_ts, key),
+            horizon_n=horizon_n,
+            mode=mode,
+        ).drop("key")
+
+    def rolling_quantile(self, key: str, q, window_n: int,
+                         from_ts="-", to_ts="+", **kw) -> DataFrame:
+        """Rolling q-quantile / moving median (beyond-reference;
+        operators/percentiles.ts_rolling_quantile — min_n and chunk_ms
+        pass through)."""
+        from redistimeseries_spark.operators.percentiles import (
+            ts_rolling_quantile,
+        )
+
+        return ts_rolling_quantile(
+            self._series_df(key, False),
+            float(q),
+            window_n,
+            start=self._resolve_ts(from_ts, key),
+            end=self._resolve_ts(to_ts, key),
+            **kw,
+        ).drop("key")
+
     def queryindex(self, filters: list[str]) -> list[str]:
         return sorted(r.key for r in matched_keys(self.labels_df, filters).collect())
 

@@ -176,6 +176,142 @@ def ts_corr(
     return out
 
 
+def ts_xcorr(
+    samples: DataFrame,
+    pairs: list[tuple[str, str]],
+    lags: list[int],
+    start: int = MIN_TS,
+    end: int = MAX_TS,
+) -> DataFrame:
+    """(key_a, key_b, lag, corr, n) — sample cross-correlation of each
+    requested (key_a, key_b) pair at each requested lag (ms):
+
+        r(L) = corr( a(t), b(t + L) )     over matched timestamps t
+
+    so a POSITIVE lag measures how well `a` LEADS `b` by L ms (b's
+    sample L ms later), a negative lag how well it trails.  Samples
+    match at exact shifted timestamps — the aligned-cadence convention
+    of `ts_corr` (resample irregular series onto a grid first); `lag`
+    values should be multiples of that grid step or nothing matches.
+    One row per (pair, lag) whose correlation is defined (>= 2 matched
+    sample pairs with variance on both legs); undefined lags are not
+    emitted.  Both legs are range-filtered to [start, end] BEFORE
+    shifting, so the matched support at lag L is the overlap of a's
+    range with b's range shifted by -L.  NaN samples are invalid
+    everywhere and dropped first; duplicate (key, ts) rows fold to the
+    (ts, value) last-wins effective sample before matching.
+
+    The standard lead/lag discovery sweep on top is `ts_lead_lag`.
+
+    Spark shape (the ts_corr bucketed-aggregation class, with the lag
+    axis in place of the bucket axis): one broadcast of pairs, one
+    broadcast-explode of the lag vector over the b leg only (|b| x
+    |lags| rows, lags capped at 128 — the FILTER_BY_TS bound), one
+    co-partitioned (key_a, key_b, ts) equi-join, one hash aggregation
+    of guarded Pearson moment components per (pair, lag).  No windows,
+    no Python."""
+    if not pairs:
+        raise ValueError("pairs must be a non-empty list of (key_a, key_b)")
+    if not lags:
+        raise ValueError("lags must be a non-empty list of millisecond offsets")
+    lag_list = sorted({int(x) for x in lags})
+    if len(lag_list) > 128:
+        raise ValueError("at most 128 distinct lags per call")
+    spark = samples.sparkSession
+    pdf = spark.createDataFrame(
+        sorted({(a, b) for a, b in pairs}), "key_a string, key_b string"
+    )
+    all_keys = sorted({k for p in pairs for k in p})
+    d = (
+        _filtered(samples, all_keys, start, end)
+        .groupBy("key", "ts")
+        .agg(F.max("value").alias("value"))
+    )
+    a = d.join(
+        F.broadcast(pdf), d["key"] == pdf["key_a"]
+    ).select("key_a", "key_b", "ts", F.col("value").alias("__va"))
+    # b leg replicated per lag, timestamps shifted BACK by the lag so
+    # the match is a plain equi-join on (pair, ts): b(t + L) sits at t
+    lag_col = F.explode(
+        F.array(*[F.lit(x).cast("long") for x in lag_list])
+    ).alias("lag")
+    b = (
+        d.join(F.broadcast(pdf), d["key"] == pdf["key_b"])
+        .select(
+            "key_a", "key_b", "ts", F.col("value").alias("__vb"), lag_col
+        )
+        .withColumn("ts", F.col("ts") - F.col("lag"))
+    )
+    m = a.join(b, ["key_a", "key_b", "ts"])
+    corr = F.when(
+        (F.col("__sa") > 0) & (F.col("__sb") > 0),
+        F.col("__cov") / (F.col("__sa") * F.col("__sb")),
+    )
+    return (
+        m.groupBy("key_a", "key_b", "lag")
+        .agg(
+            F.covar_samp("__va", "__vb").alias("__cov"),
+            F.stddev_samp("__va").alias("__sa"),
+            F.stddev_samp("__vb").alias("__sb"),
+            F.count(F.lit(1)).alias("n"),
+        )
+        .select("key_a", "key_b", "lag", corr.alias("corr"), "n")
+        .filter(F.col("corr").isNotNull() & ~F.isnan("corr"))
+        .orderBy("key_a", "key_b", "lag")
+    )
+
+
+def ts_lead_lag(
+    samples: DataFrame,
+    pairs: list[tuple[str, str]],
+    lags: list[int],
+    start: int = MIN_TS,
+    end: int = MAX_TS,
+    min_n: int = 2,
+) -> DataFrame:
+    """(key_a, key_b, lag, corr, n) — the STRONGEST lag per pair from a
+    `ts_xcorr` sweep: the lag maximizing |corr| (sign-agnostic — a
+    strong anticorrelation is as much of a lead/lag relationship as a
+    positive one), ties broken toward the smaller |lag| then the
+    smaller lag (prefer the most parsimonious shift, deterministic).
+    Strengths compare at 9dp: a perfectly collinear pair reads
+    |corr| = 1 at EVERY lag up to float noise in the moment
+    arithmetic, and without the tolerance the argmax lands on
+    whichever lag's last ulp came out largest — an artifact, not a
+    lead (the emitted corr stays full precision).
+    `min_n` drops thin lags (few matched pairs correlate spuriously)
+    before the argmax; pairs with no qualifying lag are not emitted.
+
+    One `max_by` over a struct ordering on top of the xcorr hash
+    aggregate — no extra shuffle beyond xcorr's own (the pair axis is
+    already the grouping key)."""
+    if min_n < 2:
+        raise ValueError("min_n must be >= 2 (corr is undefined below)")
+    x = ts_xcorr(samples, pairs, lags, start, end).filter(
+        F.col("n") >= min_n
+    )
+    best = F.max_by(
+        F.struct("lag", "corr", "n"),
+        F.struct(
+            F.round(F.abs("corr"), 9).alias("s"),
+            (-F.abs("lag")).alias("al"),
+            (-F.col("lag")).alias("l"),
+        ),
+    ).alias("__b")
+    return (
+        x.groupBy("key_a", "key_b")
+        .agg(best)
+        .select(
+            "key_a",
+            "key_b",
+            F.col("__b.lag").alias("lag"),
+            F.col("__b.corr").alias("corr"),
+            F.col("__b.n").alias("n"),
+        )
+        .orderBy("key_a", "key_b")
+    )
+
+
 def _cusum_input(samples, k, keys, start, end, target):
     """Shared ts_cusum prep: valid in-range rows with the per-key (or
     literal) target joined and both drift increments projected."""

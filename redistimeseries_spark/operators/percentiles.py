@@ -29,6 +29,94 @@ from redistimeseries_spark import MAX_TS, MIN_TS
 from redistimeseries_spark.functions.buckets import bucket_start, resolve_align
 
 
+def ts_rolling_quantile(
+    samples: DataFrame,
+    q: float,
+    window_n: int,
+    keys: list[str] | str | None = None,
+    start: int = MIN_TS,
+    end: int = MAX_TS,
+    min_n: int | None = None,
+    chunk_ms: int | None = None,
+) -> DataFrame:
+    """(key, ts, value, n, rq) — rolling q-quantile per series: each
+    sample's `rq` is the exact linearly-interpolated quantile of the
+    TRAILING window holding the sample itself and its `window_n - 1`
+    preceding valid samples (the moving-median family — robust
+    smoothing that, unlike the mean family, ignores outliers entirely
+    instead of averaging them down; q=0.5 is the classic despiking
+    filter, q=0.95 a continuous SLO tracker).  `n` counts the window's
+    actual samples; `rq` is NULL until `min_n` (default: the full
+    `window_n`) samples have accumulated — pass min_n=1 for the
+    emit-from-the-first-sample pandas `min_periods=1` convention.  NaN
+    samples are invalid everywhere and dropped first; duplicate
+    (key, ts) rows order deterministically by (ts, value).
+
+    SKEW-SAFE plan (the ts_anomalies bounded-window discipline,
+    smooth._chunk_context): the rolling frame partitions by (key,
+    time-chunk) with each chunk's leading rows fed the previous
+    chunks' <= window_n - 1 tail samples as context rows, so a hot
+    series parallelizes across its time span while every row sees
+    exactly the bare-key window.  The quantile itself is Spark's
+    `percentile` evaluated over the sliding frame — one sorted buffer
+    per frame, O(window_n log window_n) per row, window-bounded memory
+    (the documented sliding-aggregate cost class of the ts_anomalies
+    default; there is no growing-frame closed form for order
+    statistics).  Interpolation matches DuckDB's windowed
+    quantile_cont exactly, which is what makes the oracle gate
+    possible.
+
+    `chunk_ms=None` uses the smoothing family's fixed
+    SMOOTH_CHUNK_MS grid (expression-only consumer — tiny JVM window
+    partitions are free, the adaptive-grid rationale in
+    smooth._assign_chunks)."""
+    from redistimeseries_spark.functions.filters import filter_valid_range
+    from redistimeseries_spark.operators.smooth import (
+        SMOOTH_CHUNK_MS,
+        _chunk_context,
+    )
+    from pyspark.sql import Window
+
+    if not 0 <= q <= 1:
+        raise ValueError("q must lie in [0, 1]")
+    if window_n < 1:
+        raise ValueError("window_n must be >= 1")
+    min_n = window_n if min_n is None else min_n
+    if not 1 <= min_n <= window_n:
+        raise ValueError("min_n must lie in [1, window_n]")
+    chunk_ms = SMOOTH_CHUNK_MS if chunk_ms is None else chunk_ms
+    if chunk_ms <= 0:
+        raise ValueError("chunk_ms must be positive")
+    d = filter_valid_range(samples, keys, start, end).select(
+        "key",
+        "ts",
+        "value",
+        (F.col("ts") - F.pmod(F.col("ts"), F.lit(chunk_ms))).alias("__c"),
+    )
+    unioned = _chunk_context(d, window_n - 1) if window_n > 1 else (
+        d.withColumn("__is_ctx", F.lit(0))
+    )
+    w = (
+        Window.partitionBy("key", "__c")
+        .orderBy("ts", "value")
+        .rowsBetween(-(window_n - 1), 0)
+    )
+    n_in = F.count("value").over(w)
+    rq = F.percentile("value", F.lit(float(q))).over(w)
+    return (
+        unioned.select(
+            "key",
+            "ts",
+            "value",
+            "__is_ctx",
+            n_in.alias("n"),
+            F.when(n_in >= min_n, rq).alias("rq"),
+        )
+        .filter(F.col("__is_ctx") == 0)
+        .drop("__is_ctx")
+    )
+
+
 def _pname(p: float) -> str:
     s = f"{p * 100:g}".replace(".", "_")
     return f"p{s}"

@@ -40,7 +40,7 @@ from __future__ import annotations
 
 import numpy as np
 import pandas as pd
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from redistimeseries_spark import MAX_TS, MIN_TS
@@ -188,6 +188,68 @@ def _holt_seq_kernel(alpha, beta):
     return smooth
 
 
+def _chunk_context(d, n: int):
+    """The BOUNDED-WINDOW chunk-context union (round 9's ts_anomalies
+    machinery, extracted in round 11 for every trailing-window
+    operator): given a frame with (key, ts, value, __c), return it
+    unioned with CONTEXT ROWS — each (key, chunk) gains the last `n`
+    samples of the key's preceding chunks, flagged `__is_ctx = 1` — so
+    a (key, __c)-partitioned trailing frame of up to `n` preceding
+    rows sees exactly the multiset the bare-key plan would.  Context
+    ts always precedes the chunk (chunk ids are time-monotone), so the
+    (ts, value) ordering needs no special casing; consumers drop
+    `__is_ctx = 1` rows after their window aggregates.
+
+    Cost: one (key, __c) hash agg folding each chunk to its <= n-sample
+    tail, one tiny per-key scan over the one-row-per-chunk frame (the
+    running concatenation, exact even when chunks hold fewer than n
+    samples), one explode + union — all bounded by n x #chunks, never
+    by the series length."""
+    wdesc = Window.partitionBy("key", "__c").orderBy(
+        F.col("ts").desc(), F.col("value").desc()
+    )
+    tails = (
+        d.select(
+            "key", "__c", "ts", "value",
+            F.row_number().over(wdesc).alias("__rd"),
+        )
+        .groupBy("key", "__c")
+        .agg(
+            F.sort_array(
+                F.collect_list(
+                    F.when(F.col("__rd") <= n, F.struct("ts", "value"))
+                )
+            ).alias("__tail")
+        )
+    )
+
+    ctx_schema = (
+        "key string, __c long, __ctx array<struct<ts: bigint, value: double>>"
+    )
+
+    def stitch(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values("__c").reset_index(drop=True)
+        ctxs, run = [], []
+        for tail in pdf["__tail"]:
+            ctxs.append(list(run))
+            run = (run + list(tail))[-n:]
+        return pd.DataFrame(
+            {"key": pdf["key"], "__c": pdf["__c"], "__ctx": ctxs}
+        )
+
+    ctx = tails.groupBy("key").applyInPandas(stitch, ctx_schema)
+    ctx_rows = ctx.select(
+        "key", "__c", F.explode("__ctx").alias("__e")
+    ).select(
+        "key",
+        "__c",
+        F.col("__e.ts").alias("ts"),
+        F.col("__e.value").alias("value"),
+        F.lit(1).alias("__is_ctx"),
+    )
+    return d.withColumn("__is_ctx", F.lit(0)).unionByName(ctx_rows)
+
+
 def ts_anomalies(
     samples: DataFrame,
     window_n: int = 20,
@@ -253,8 +315,6 @@ def ts_anomalies(
         raise ValueError("z must be positive")
     if chunk_ms <= 0:
         raise ValueError("chunk_ms must be positive")
-    from pyspark.sql import Window
-
     df = _filter_range(samples, keys, start, end)
     d = df.select(
         "key",
@@ -262,51 +322,7 @@ def ts_anomalies(
         "value",
         (F.col("ts") - F.pmod(F.col("ts"), F.lit(chunk_ms))).alias("__c"),
     )
-    wdesc = Window.partitionBy("key", "__c").orderBy(
-        F.col("ts").desc(), F.col("value").desc()
-    )
-    tails = (
-        d.select(
-            "key", "__c", "ts", "value",
-            F.row_number().over(wdesc).alias("__rd"),
-        )
-        .groupBy("key", "__c")
-        .agg(
-            F.sort_array(
-                F.collect_list(
-                    F.when(
-                        F.col("__rd") <= window_n, F.struct("ts", "value")
-                    )
-                )
-            ).alias("__tail")
-        )
-    )
-
-    ctx_schema = (
-        "key string, __c long, __ctx array<struct<ts: bigint, value: double>>"
-    )
-
-    def stitch(pdf: pd.DataFrame) -> pd.DataFrame:
-        pdf = pdf.sort_values("__c").reset_index(drop=True)
-        ctxs, run = [], []
-        for tail in pdf["__tail"]:
-            ctxs.append(list(run))
-            run = (run + list(tail))[-window_n:]
-        return pd.DataFrame(
-            {"key": pdf["key"], "__c": pdf["__c"], "__ctx": ctxs}
-        )
-
-    ctx = tails.groupBy("key").applyInPandas(stitch, ctx_schema)
-    ctx_rows = ctx.select(
-        "key", "__c", F.explode("__ctx").alias("__e")
-    ).select(
-        "key",
-        "__c",
-        F.col("__e.ts").alias("ts"),
-        F.col("__e.value").alias("value"),
-        F.lit(1).alias("__is_ctx"),
-    )
-    unioned = d.withColumn("__is_ctx", F.lit(0)).unionByName(ctx_rows)
+    unioned = _chunk_context(d, window_n)
     if fast:
         wo = Window.partitionBy("key", "__c").orderBy("ts", "value")
         # partition mean: an UNBOUNDED frame evaluates once per

@@ -645,6 +645,106 @@ def _ts_tvf_sql(p: str) -> list[str]:
             SELECT ka AS key_a, kb AS key_b, __b AS ts,
                    cov / (sa * sb) AS corr, n
             FROM g WHERE sa > 0 AND sb > 0""",
+        # lagged cross-correlation sweep (correlate.ts_xcorr): the lag
+        # grid is sequence(-max_lag, max_lag, step) — a SQL surface
+        # cannot take a Python list, so the TVF exposes the symmetric
+        # sweep (the common discovery shape); the 64-step cap mirrors
+        # the facade's 128-lag bound.  Same guarded moment components
+        # as {p}corr, same source-CTE guard placement (an invalid
+        # argument raises even when the pair matches zero rows)
+        f"""CREATE OR REPLACE TEMPORARY FUNCTION {p}xcorr(
+                ka STRING, kb STRING, max_lag BIGINT, step BIGINT)
+            RETURNS TABLE (key_a STRING, key_b STRING, lag BIGINT,
+                           corr DOUBLE, n BIGINT)
+            RETURN WITH v AS (
+              SELECT key, ts, max(value) AS value
+              FROM {p}samples
+              WHERE {nn} AND (CASE WHEN step > 0 AND max_lag >= 0
+                                     AND max_lag <= 64 * step THEN true
+                              ELSE CAST(raise_error(concat(
+                                '{p}xcorr: need step > 0 and 0 <= ',
+                                'max_lag <= 64 * step, got max_lag=',
+                                CAST(max_lag AS STRING), ' step=',
+                                CAST(step AS STRING))) AS BOOLEAN) END)
+              GROUP BY key, ts),
+            -- the guard lives TWICE: in v's WHERE (evaluated on every
+            -- source row BEFORE the key filter — the {p}corr rule, so
+            -- an invalid call raises even when the pair matches zero
+            -- rows and the join side prunes the Generate away) and
+            -- inside sequence's step argument (sequence(x, y, 0)
+            -- would otherwise throw its own pre-analysis boundary
+            -- error before any guard runs)
+            l AS (SELECT explode(sequence(-max_lag, max_lag,
+                    CASE WHEN step > 0 AND max_lag >= 0
+                           AND max_lag <= 64 * step THEN step
+                         ELSE CAST(raise_error(concat(
+                           '{p}xcorr: need step > 0 and 0 <= ',
+                           'max_lag <= 64 * step, got max_lag=',
+                           CAST(max_lag AS STRING), ' step=',
+                           CAST(step AS STRING))) AS BIGINT) END))
+                  AS lag),
+            m AS (
+              SELECT l.lag, a.value AS va, b.value AS vb
+              FROM v a CROSS JOIN l
+              JOIN v b ON b.key = kb AND b.ts = a.ts + l.lag
+              WHERE a.key = ka),
+            g AS (
+              SELECT lag,
+                     covar_samp(va, vb) AS cov,
+                     stddev_samp(va) AS sa, stddev_samp(vb) AS sb,
+                     count(1) AS n
+              FROM m GROUP BY 1)
+            SELECT ka AS key_a, kb AS key_b, lag,
+                   cov / (sa * sb) AS corr, n
+            FROM g WHERE sa > 0 AND sb > 0""",
+        # rolling q-quantile (percentiles.ts_rolling_quantile): a SQL
+        # frame bound must be a parse-time literal (the {p}decompose
+        # convention), so the trailing window materializes by exploding
+        # each row into the `win` windows it CONTRIBUTES to (rn + 0..
+        # win-1, an equi-join shape — no quadratic band join) and
+        # sorting each window's buffer once; exact quantile_cont
+        # interpolation inlined over the sorted array (percentile()'s
+        # percentage must fold at CREATE-FUNCTION analysis, the {p}topk
+        # note).  O(rows x win) — the documented interactive SQL-twin
+        # convention; the facade operator is the scale path
+        f"""CREATE OR REPLACE TEMPORARY FUNCTION {p}rolling_quantile(
+                q DOUBLE, win INT)
+            RETURNS TABLE (key STRING, ts BIGINT, value DOUBLE,
+                           n BIGINT, rq DOUBLE)
+            RETURN WITH v AS (
+              SELECT key, ts, value
+              FROM {p}samples
+              WHERE {nn} AND (CASE WHEN q >= 0 AND q <= 1 AND win >= 1
+                                   THEN true
+                              ELSE CAST(raise_error(concat(
+                                '{p}rolling_quantile: need q in [0, 1]',
+                                ' and win >= 1, got q=',
+                                CAST(q AS STRING), ' win=',
+                                CAST(win AS STRING))) AS BOOLEAN) END)),
+            w AS (
+              SELECT key, ts, value,
+                     row_number() OVER (PARTITION BY key
+                                        ORDER BY ts, value) AS rn
+              FROM v),
+            c AS (
+              SELECT key, rn + off AS rn2, value
+              FROM w CROSS JOIN (
+                SELECT explode(sequence(0, win - 1)) AS off)),
+            g AS (
+              SELECT key, rn2, count(value) AS n,
+                     sort_array(collect_list(value)) AS arr
+              FROM c GROUP BY 1, 2)
+            SELECT w.key, w.ts, w.value, g.n,
+              CASE WHEN g.n >= win THEN
+                element_at(g.arr,
+                  CAST(floor((g.n - 1) * q) AS INT) + 1)
+                + ((g.n - 1) * q - floor((g.n - 1) * q))
+                  * (element_at(g.arr,
+                       CAST(ceil((g.n - 1) * q) AS INT) + 1)
+                     - element_at(g.arr,
+                         CAST(floor((g.n - 1) * q) AS INT) + 1))
+              END AS rq
+            FROM w JOIN g ON g.key = w.key AND g.rn2 = w.rn""",
         # two-sided tabular CUSUM (correlate.ts_cusum): the closed form
         # s = S - min(0, running_min(S)) over prefix sums — growing
         # frames only; target NULL self-baselines on the key's mean

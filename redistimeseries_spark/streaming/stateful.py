@@ -188,6 +188,123 @@ def ewm_band_stream(samples, alpha: float, band_k: float = 2.0):
     )
 
 
+ANOM_OUTPUT_SCHEMA = (
+    "key string, ts long, value double, mean double, std double,"
+    " zscore double, anomaly boolean"
+)
+ANOM_STATE_SCHEMA = "last_ts long, tail array<double>"
+
+
+def anomaly_stream(samples, window_n: int = 20, z: float = 3.0):
+    """Continuous rolling z-score outlier detection over a sample
+    stream (operators/smooth.ts_anomalies' streaming form — the third
+    live monitor: cusum_stream watches DRIFT, ewm_band_stream watches
+    LEVEL, this watches POINT OUTLIERS).  Each sample is compared
+    against the mean/stddev of its `window_n` PRECEDING accepted
+    samples (itself excluded — an outlier cannot vote itself normal);
+    zscore/mean/std are NULL until window_n predecessors exist, exactly
+    the batch operator's warm-up contract, and the stream equals
+    `ts_anomalies` on in-order feeds (pinned in test_streaming_native).
+
+    The per-key state is the BOUNDED tail of the last window_n accepted
+    values (an array column in Spark's streaming state store —
+    checkpointed, key-partitioned, O(window_n) per key however long the
+    stream runs).  Each micro-batch applies its samples in (ts, value)
+    order; a row with ts below the running maximum is DROPPED (the
+    incrby_stream reject-if-ts<last rule — a trailing-window statistic
+    cannot be retro-inserted; feed the resolved ingest view for
+    replay-exact history).  In-batch the rolling moments vectorize as
+    pandas rolling mean/std over the tail-prepended series — no Python
+    loop per row."""
+    if window_n < 2:
+        raise ValueError("window_n must be >= 2")
+    if z <= 0:
+        raise ValueError("z must be positive")
+    n, zf = int(window_n), float(z)
+
+    def fn(
+        key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState
+    ) -> Iterator[pd.DataFrame]:
+        if state.exists:
+            last_ts, tail = state.get
+            tail = list(tail)
+        else:
+            last_ts, tail = -(1 << 62), []
+        outs = []
+        for pdf in pdfs:
+            pdf = pdf[~pdf["value"].isna()]
+            pdf = pdf.sort_values(["ts", "value"]).reset_index(drop=True)
+            t = pdf["ts"].to_numpy(np.int64)
+            prior = np.maximum.accumulate(
+                np.concatenate(([last_ts], t))
+            )[:-1]
+            keep = t >= prior
+            pdf = pdf[keep].reset_index(drop=True)
+            if not len(pdf):
+                continue
+            k_tail = len(tail)
+            ser = pd.Series(
+                tail + list(pdf["value"].astype(np.float64)),
+                dtype=np.float64,
+            )
+            prev = ser.shift(1)
+            n_prev = (
+                prev.rolling(n, min_periods=1).count().fillna(0.0)
+            )
+            mean = prev.rolling(n).mean()
+            std = prev.rolling(n).std(ddof=1)
+            full = (n_prev >= n).to_numpy()[k_tail:]
+            mv = mean.to_numpy()[k_tail:]
+            sv = std.to_numpy()[k_tail:]
+            yv = ser.to_numpy()[k_tail:]
+            zs = np.where(
+                full & (sv > 0), (yv - mv) / np.where(sv > 0, sv, 1.0),
+                np.nan,
+            )
+            outs.append(
+                pd.DataFrame(
+                    {
+                        "key": pdf["key"],
+                        "ts": pdf["ts"],
+                        "value": pdf["value"],
+                        "mean": np.where(full, mv, np.nan),
+                        "std": np.where(full, sv, np.nan),
+                        "zscore": zs,
+                        "anomaly": full & (sv > 0) & (np.abs(zs) > zf),
+                    }
+                ).astype(
+                    {
+                        "mean": object, "std": object, "zscore": object,
+                    }
+                ).where(lambda d: d.notna(), None)
+            )
+            last_ts = int(pdf["ts"].iloc[-1])
+            # plain Python floats: the state store pickles the tuple and
+            # numpy scalars don't unpickle JVM-side
+            tail = (tail + [float(v) for v in yv])[-n:]
+        state.update((last_ts, tail))
+        if outs:
+            yield pd.concat(outs)
+        else:
+            yield pd.DataFrame(
+                {
+                    c: []
+                    for c in [
+                        "key", "ts", "value", "mean", "std",
+                        "zscore", "anomaly",
+                    ]
+                }
+            )
+
+    return samples.groupBy("key").applyInPandasWithState(
+        fn,
+        outputStructType=ANOM_OUTPUT_SCHEMA,
+        stateStructType=ANOM_STATE_SCHEMA,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+
+
 CUSUM_OUTPUT_SCHEMA = (
     "key string, ts long, value double, s_pos double, s_neg double,"
     " alarm boolean"

@@ -3,6 +3,8 @@ vs a direct Python oracle implementing src/compaction.c semantics."""
 
 import math
 
+import pytest
+
 from tests.conftest import NAN, rows_match
 
 from redistimeseries_spark.operators.range_query import ts_range
@@ -1549,3 +1551,108 @@ def test_gaps_random_vs_sequential(spark):
                 if t1 - t0 > thr:
                     want.append((k, t0, t1, t1 - t0))
         assert got == sorted(want), (trial, thr, lo)
+
+
+# --------------------------------------------------------------------------
+# ts_rolling_quantile (round 11) — moving median / rolling robust stats
+# --------------------------------------------------------------------------
+
+def test_rolling_quantile_vs_pandas(spark):
+    """Random series vs pandas' rolling(...).quantile(interpolation=
+    'linear') — an independent implementation of the same exact
+    quantile_cont semantics — at three q values, full and partial
+    (min_n=1) warm-up conventions."""
+    import pandas as pd
+    import random as _random
+
+    from redistimeseries_spark.operators.percentiles import (
+        ts_rolling_quantile,
+    )
+
+    rng = _random.Random(31)
+    rows = [("rk", i * 1000, rng.uniform(-100, 100)) for i in range(150)]
+    sdf = spark.createDataFrame(rows, "key string, ts long, value double")
+    ser = pd.Series([v for _, _, v in rows])
+    for q in (0.5, 0.25, 0.9):
+        got = {
+            r.ts: (r.n, r.rq)
+            for r in ts_rolling_quantile(sdf, q, 10).collect()
+        }
+        want = ser.rolling(10).quantile(q, interpolation="linear")
+        assert len(got) == 150
+        for i in range(150):
+            n, rq = got[i * 1000]
+            assert n == min(i + 1, 10)
+            if i < 9:
+                assert rq is None
+            else:
+                assert rq == pytest.approx(want.iloc[i], abs=1e-9)
+    # min_n=1: emit from the first sample (pandas min_periods=1)
+    got = {
+        r.ts: r.rq
+        for r in ts_rolling_quantile(sdf, 0.5, 10, min_n=1).collect()
+    }
+    want = ser.rolling(10, min_periods=1).median()
+    for i in range(150):
+        assert got[i * 1000] == pytest.approx(want.iloc[i], abs=1e-9)
+
+
+def test_rolling_quantile_chunk_equivalence_fuzz(spark):
+    """Forced tiny chunks (context rows cross every boundary) ==
+    one-chunk plan == bare computation, under gaps, NaNs and
+    duplicate timestamps."""
+    import random as _random
+
+    from redistimeseries_spark.operators.percentiles import (
+        ts_rolling_quantile,
+    )
+
+    rng = _random.Random(47)
+    rows = []
+    for key in ("f1", "f2", "f3"):
+        t = 0
+        for _ in range(rng.randint(40, 120)):
+            t += rng.randint(1, 5000)
+            v = float("nan") if rng.random() < 0.1 else rng.uniform(0, 50)
+            rows.append((key, t, v))
+            if rng.random() < 0.08:  # duplicate ts, distinct value
+                rows.append((key, t, rng.uniform(0, 50)))
+    sdf = spark.createDataFrame(rows, "key string, ts long, value double")
+    big = sorted(
+        (r.key, r.ts, r.value, r.n, None if r.rq is None else round(r.rq, 9))
+        for r in ts_rolling_quantile(sdf, 0.5, 7, chunk_ms=1 << 40).collect()
+    )
+    tiny = sorted(
+        (r.key, r.ts, r.value, r.n, None if r.rq is None else round(r.rq, 9))
+        for r in ts_rolling_quantile(sdf, 0.5, 7, chunk_ms=3000).collect()
+    )
+    default = sorted(
+        (r.key, r.ts, r.value, r.n, None if r.rq is None else round(r.rq, 9))
+        for r in ts_rolling_quantile(sdf, 0.5, 7).collect()
+    )
+    assert big == tiny == default
+    # NaN rows are dropped entirely, not emitted with NULL rq
+    n_valid = sum(1 for _, _, v in rows if not math.isnan(v))
+    assert len(big) == n_valid
+
+
+def test_rolling_quantile_validation_and_edges(spark):
+    from redistimeseries_spark.operators.percentiles import (
+        ts_rolling_quantile,
+    )
+
+    sdf = spark.createDataFrame(
+        [("e", 0, 5.0), ("e", 1000, 7.0)], "key string, ts long, value double"
+    )
+    # window_n=1: rq == value everywhere (quantile of a single sample)
+    got = {r.ts: r.rq for r in ts_rolling_quantile(sdf, 0.9, 1).collect()}
+    assert got == {0: 5.0, 1000: 7.0}
+    for bad in (-0.1, 1.5):
+        with pytest.raises(ValueError, match="q must"):
+            ts_rolling_quantile(sdf, bad, 5)
+    with pytest.raises(ValueError, match="window_n"):
+        ts_rolling_quantile(sdf, 0.5, 0)
+    with pytest.raises(ValueError, match="min_n"):
+        ts_rolling_quantile(sdf, 0.5, 5, min_n=6)
+    with pytest.raises(ValueError, match="chunk_ms"):
+        ts_rolling_quantile(sdf, 0.5, 5, chunk_ms=0)

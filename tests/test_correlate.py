@@ -320,3 +320,148 @@ def test_cusum_vs_duckdb_recursive(spark):
         for r in ts_cusum(sdf, k, h, target=target).collect()
     }
     assert got == exp
+
+
+# --------------------------------------------------------------------------
+# ts_xcorr / ts_lead_lag (round 11)
+# --------------------------------------------------------------------------
+
+def test_xcorr_recovers_known_shift(spark):
+    """b is a scaled copy of a delayed by exactly 2 steps: the sweep
+    must read r ~ +1 at lag +2000 (a LEADS b) and weaker everywhere
+    else; ts_lead_lag must select that lag."""
+    from redistimeseries_spark.operators.correlate import (
+        ts_lead_lag,
+        ts_xcorr,
+    )
+
+    rng = random.Random(11)
+    base = [rng.uniform(0, 100) for _ in range(200)]
+    rows = []
+    for i, v in enumerate(base):
+        rows.append(("a", i * 1000, v))
+        if i >= 2:
+            rows.append(("b", i * 1000, 3.0 * base[i - 2] + 7.0))
+    sdf = spark.createDataFrame(rows, "key string, ts long, value double")
+    lags = [k * 1000 for k in range(-3, 4)]
+    got = {
+        r.lag: (round(r.corr, 9), r.n)
+        for r in ts_xcorr(sdf, [("a", "b")], lags).collect()
+    }
+    assert got[2000][0] == pytest.approx(1.0, abs=1e-9)
+    assert got[2000][1] == 198  # a's ts 0..197000 match b's 2000..199000
+    assert all(abs(c) < 0.5 for lag, (c, _) in got.items() if lag != 2000)
+    best = ts_lead_lag(sdf, [("a", "b")], lags).collect()
+    assert len(best) == 1 and best[0].lag == 2000
+
+
+def test_xcorr_nan_dups_and_validation(spark):
+    from redistimeseries_spark.operators.correlate import ts_xcorr
+
+    rows = [
+        ("a", 0, 1.0), ("a", 1000, 2.0), ("a", 2000, 3.0), ("a", 3000, NAN),
+        # dup at ts=1000 folds to 9.0 (max = last-wins effective sample)
+        ("b", 0, 4.0), ("b", 1000, 2.0), ("b", 1000, 9.0), ("b", 2000, 8.0),
+    ]
+    sdf = spark.createDataFrame(rows, "key string, ts long, value double")
+    got = {
+        r.lag: (round(r.corr, 9), r.n)
+        for r in ts_xcorr(sdf, [("a", "b")], [0]).collect()
+    }
+    # matched at lag 0: (1,4), (2,9), (3,8) — a's NaN row never matches
+    con = duckdb.connect()
+    want = con.execute(
+        "SELECT corr(x, y) FROM (VALUES (1.0, 4.0), (2.0, 9.0),"
+        " (3.0, 8.0)) t(x, y)"
+    ).fetchone()[0]
+    assert got[0][0] == pytest.approx(want, abs=1e-9) and got[0][1] == 3
+    with pytest.raises(ValueError, match="pairs"):
+        ts_xcorr(sdf, [], [0])
+    with pytest.raises(ValueError, match="lags"):
+        ts_xcorr(sdf, [("a", "b")], [])
+    with pytest.raises(ValueError, match="128"):
+        ts_xcorr(sdf, [("a", "b")], list(range(200)))
+    # duplicated pair entries and duplicated lags dedupe (n unchanged)
+    dup = ts_xcorr(
+        sdf, [("a", "b"), ("a", "b")], [0, 0]
+    ).collect()
+    assert len(dup) == 1 and dup[0].n == 3
+
+
+def test_lead_lag_tiebreaks_and_min_n(spark):
+    from redistimeseries_spark.operators.correlate import ts_lead_lag
+
+    # a perfectly linear ramp correlates +-1.0 with itself at EVERY
+    # lag: the tie must break toward |lag| = 0
+    rows = []
+    for i in range(50):
+        rows.append(("r", i * 1000, float(i)))
+        rows.append(("s", i * 1000, 2.0 * i))
+    sdf = spark.createDataFrame(rows, "key string, ts long, value double")
+    lags = [k * 1000 for k in range(-2, 3)]
+    best = ts_lead_lag(sdf, [("r", "s")], lags).collect()
+    assert len(best) == 1 and best[0].lag == 0
+    # min_n above every lag's matched count -> pair not emitted
+    assert ts_lead_lag(sdf, [("r", "s")], lags, min_n=51).count() == 0
+    with pytest.raises(ValueError, match="min_n"):
+        ts_lead_lag(sdf, [("r", "s")], lags, min_n=1)
+
+
+def test_xcorr_vs_duckdb(spark):
+    """Random irregular data, full sweep vs an independent DuckDB
+    formulation (shifted self-join + corr)."""
+    from redistimeseries_spark.operators.correlate import ts_xcorr
+
+    rng = random.Random(23)
+    rows = []
+    for key in ("u", "v"):
+        for i in range(300):
+            if rng.random() < 0.85:  # gaps
+                rows.append((key, i * 500, rng.uniform(-50, 50)))
+    sdf = spark.createDataFrame(rows, "key string, ts long, value double")
+    lags = [-1500, -500, 0, 500, 1000]
+    got = sorted(
+        (r.lag, round(r.corr, 9), r.n)
+        for r in ts_xcorr(sdf, [("u", "v")], lags).collect()
+    )
+    con = duckdb.connect()
+    con.execute(
+        "CREATE TABLE t AS SELECT * FROM (VALUES %s) AS v(key, ts, value)"
+        % ", ".join(f"('{k}', {t}, CAST({v!r} AS DOUBLE))" for k, t, v in rows)
+    )
+    want = sorted(
+        (lag, round(c, 9), n)
+        for lag, c, n in con.execute(
+            f"""WITH l(lag) AS (VALUES {", ".join(f"({x})" for x in lags)})
+            SELECT l.lag, corr(a.value, b.value), count(*)
+            FROM t a CROSS JOIN l
+            JOIN t b ON b.key = 'v' AND b.ts = a.ts + l.lag
+            WHERE a.key = 'u'
+            GROUP BY 1
+            HAVING corr(a.value, b.value) IS NOT NULL"""
+        ).fetchall()
+    )
+    assert got == want
+
+
+def test_engine_facade_xcorr_lead_lag_rolling_quantile(spark):
+    from redistimeseries_spark.engine import TimeSeriesEngine
+
+    eng = TimeSeriesEngine(spark, duplicate_policy="last")
+    eng.create("x1"), eng.create("x2")
+    for i in range(30):
+        eng.add("x1", i * 1000, float(i % 5) + 0.1 * i)
+        if i >= 1:  # x2 echoes x1 one step later
+            eng.add("x2", i * 1000, 2.0 * (float((i - 1) % 5) + 0.1 * (i - 1)))
+    lags = [-2000, -1000, 0, 1000, 2000]
+    xc = {r.lag: r.corr for r in eng.xcorr("x1", "x2", lags).collect()}
+    assert xc[1000] == pytest.approx(1.0, abs=1e-9)
+    best = eng.lead_lag("x1", "x2", lags).collect()
+    assert len(best) == 1 and best[0].lag == 1000
+    with pytest.raises(ValueError, match="ambiguous"):
+        eng.xcorr("x1", "x2", lags, from_ts="$")
+    rq = {r.ts: r.rq for r in eng.rolling_quantile("x1", 0.5, 3).collect()}
+    assert rq[0] is None and rq[1000] is None
+    # window at ts=2000: values of ts 0..2000
+    vals = sorted(float(i % 5) + 0.1 * i for i in range(3))
+    assert rq[2000] == pytest.approx(vals[1], abs=1e-9)

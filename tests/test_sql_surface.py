@@ -330,6 +330,62 @@ def test_sql_corr_cusum_tvfs(spark, samples_df):
             spark.sql(f"SELECT * FROM cx_corr(0, '{ka}', '{kb}')").collect()
 
 
+def test_sql_xcorr_rolling_quantile_tvfs(spark, samples_df):
+    """Round-11 TVFs: {p}xcorr's symmetric sweep == ts_xcorr over the
+    sequence(-max_lag, max_lag, step) grid; {p}rolling_quantile's
+    exploded-contribution window (no quadratic band join) == the
+    chunk-context operator, including the warm-up NULLs and the exact
+    quantile_cont interpolation."""
+    import pytest as _pytest
+
+    from redistimeseries_spark.operators.correlate import ts_xcorr
+    from redistimeseries_spark.operators.percentiles import (
+        ts_rolling_quantile,
+    )
+
+    rows = []
+    for i in range(40):
+        rows.append(("xa", i * 1000, float(i % 7) + 0.3 * i))
+        # xb echoes xa two steps later with noise-free scaling: the
+        # sweep must peak at lag = +2000 on both surfaces
+        rows.append(("xb", i * 1000, 2.0 * (float((i - 2) % 7) + 0.3 * (i - 2))))
+    st = TSStore.from_dataframes(samples_df(rows))
+    register_sql(spark, st, prefix="xc_")
+
+    def rnd(df):
+        return sorted(
+            tuple(round(x, 9) if isinstance(x, float) else x for x in r)
+            for r in df.collect()
+        )
+
+    got = rnd(spark.sql("SELECT * FROM xc_xcorr('xa', 'xb', 3000, 1000)"))
+    want = rnd(
+        ts_xcorr(st.samples, [("xa", "xb")], [-3000, -2000, -1000, 0,
+                                              1000, 2000, 3000])
+    )
+    assert got and got == want
+    # the invalid-argument guard fires even on a zero-row pair
+    for ka, kb in (("xa", "xb"), ("no_such", "keys")):
+        with _pytest.raises(Exception, match="need step > 0"):
+            spark.sql(
+                f"SELECT * FROM xc_xcorr('{ka}', '{kb}', 3000, 0)"
+            ).collect()
+    got = rnd(spark.sql("SELECT * FROM xc_rolling_quantile(0.5, 7)"))
+    want = rnd(ts_rolling_quantile(st.samples, 0.5, 7))
+    assert got and got == want
+    # generic-q interpolation (not just the median)
+    got = rnd(spark.sql("SELECT * FROM xc_rolling_quantile(0.9, 5)"))
+    want = rnd(ts_rolling_quantile(st.samples, 0.9, 5))
+    assert got and got == want
+    with _pytest.raises(Exception, match="need q in"):
+        spark.sql("SELECT * FROM xc_rolling_quantile(1.5, 7)").collect()
+    # declarative twins: no PythonUDF node in either inlined plan
+    for q in ("SELECT * FROM xc_xcorr('xa', 'xb', 3000, 1000)",
+              "SELECT * FROM xc_rolling_quantile(0.5, 7)"):
+        plan = spark.sql(q)._jdf.queryExecution().executedPlan().toString()
+        assert "PythonUDF" not in plan
+
+
 def test_sql_resample_tvf_dup_ts_tiebreak(spark, samples_df):
     """The {p}resample TVF resolves duplicate-(key, ts) samples by the
     (ts, value) last-wins rule — matching the facade twin (round-9

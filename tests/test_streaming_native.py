@@ -422,3 +422,69 @@ def test_incremental_dedup_missing_partner_text_is_conservative(spark, tmp_path)
     ds1.process_batch(spark.createDataFrame([(10, t2)], "doc_id long, text string"), 1)
     got = {r.doc_id: (r.status, r.dup_of) for r in ds1.decisions().collect()}
     assert got[10] == ("near_dup", 1)
+
+
+def test_stateful_anomaly_across_batches(spark, tmp_path):
+    """anomaly_stream (round 11): the bounded value tail crosses
+    micro-batch boundaries through the state store; on the same ordered
+    feed the stream equals the batch ts_anomalies default (mean, std,
+    zscore, anomaly — including the window_n warm-up NULLs); ts<last
+    rows are dropped; NaN rows are invalid everywhere."""
+    import math
+
+    from redistimeseries_spark.operators.smooth import ts_anomalies
+    from redistimeseries_spark.streaming.stateful import anomaly_stream
+
+    d = str(tmp_path)
+    nan = float("nan")
+    import random as _random
+
+    rng = _random.Random(5)
+    vals = [rng.uniform(10, 20) for _ in range(18)]
+    vals[9] = 400.0  # the outlier the monitor must flag
+    rows = [("a", (i + 1) * 10, v) for i, v in enumerate(vals)]
+    b1 = rows[:5] + [("a", 35, nan)]
+    b2 = rows[5:12] + [("a", 5, 1.0)]  # late row dropped
+    b3 = rows[12:]
+    for b in (b1, b2, b3):
+        feed(spark, d, b)
+    stream = (
+        spark.readStream.schema(SCHEMA)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(os.path.join(d, "in"))
+    )
+    q = (
+        anomaly_stream(stream, window_n=5, z=3.0)
+        .writeStream.format("memory")
+        .queryName("anomstream")
+        .outputMode("append")
+        .option("checkpointLocation", os.path.join(d, "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = {
+        (r.key, r.ts): r
+        for r in spark.sql("SELECT * FROM anomstream").collect()
+    }
+    sdf = spark.createDataFrame(rows, SCHEMA)
+    want = {
+        (r.key, r.ts): r
+        for r in ts_anomalies(sdf, window_n=5, z=3.0).collect()
+    }
+    assert got.keys() == want.keys()
+    for kk in got:
+        assert got[kk].anomaly == want[kk].anomaly, kk
+        for c in ("mean", "std", "zscore"):
+            g, w = got[kk][c], want[kk][c]
+            if w is None:
+                assert g is None, (kk, c)
+            else:
+                assert g == pytest.approx(w, abs=1e-9), (kk, c)
+    assert got[("a", 100)].anomaly  # the 400.0 spike
+    # warm-up rows carry NULL stats like the batch operator
+    assert got[("a", 10)].mean is None and got[("a", 10)].zscore is None
+    with pytest.raises(ValueError, match="window_n"):
+        anomaly_stream(stream, window_n=1)
+    with pytest.raises(ValueError, match="z must"):
+        anomaly_stream(stream, z=0.0)
