@@ -15,10 +15,18 @@ from pyspark.sql import SparkSession
 def get_spark(app_name: str = "sparkts", cpus: int | None = None) -> SparkSession:
     if cpus is None:
         cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    # shuffle width defaults to the core count (right for the sf0.01-0.1
+    # test fixtures) but must scale with DATA at probe scale: 1B rows
+    # through 32 partitions is ~31M rows per sort/window partition, which
+    # OOMs a 48g heap in WindowExec before spill kicks in (round-11
+    # b32_cusum finding).  AQE coalesces small partitions back down, so a
+    # generous width costs nothing at small SF — a cluster deployment
+    # would set this to ~2-3x total cores like any Spark job.
+    shuffle = os.environ.get("SPARK_GRAFT_SHUFFLE", str(cpus))
     return (
         SparkSession.builder.master(f"local[{cpus}]")
         .appName(app_name)
-        .config("spark.sql.shuffle.partitions", str(cpus))
+        .config("spark.sql.shuffle.partitions", shuffle)
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")

@@ -454,6 +454,120 @@ def _ts_tvf_sql(p: str) -> list[str]:
                    psd > 0 AND (y > pm + band_k * psd
                                 OR y < pm - band_k * psd) AS breakout
             FROM f""",
+        # Holt-Winters seasonal smoothing + forecast on the bucket grid
+        # (holtwinters.ts_holt_winters, ADDITIVE mode — multiplicative
+        # stays facade-only like twa); aggregate() fold over each key's
+        # sorted bucket-mean array carrying (i, level, trend, seasonal
+        # vector, output arrays), the seasonal slot updated by the
+        # transform (e, k) index lambda.  l_new has no let-binding in a
+        # SQL lambda, so its expression repeats inline per consumer —
+        # the documented SQL-twin convention; the Arrow facade is the
+        # scale path.  Argument guard in the bucket expression of the
+        # source CTE (evaluated per source row — the {p}corr rule)
+        f"""CREATE OR REPLACE TEMPORARY FUNCTION {p}holt_winters(
+                step BIGINT, period INT, alpha DOUBLE, beta DOUBLE,
+                gamma DOUBLE, horizon INT)
+            RETURNS TABLE (key STRING, ts BIGINT, value DOUBLE,
+                           level DOUBLE, trend DOUBLE, seasonal DOUBLE,
+                           yhat DOUBLE)
+            RETURN WITH g AS (
+              SELECT key,
+                     ts - pmod(ts, (CASE WHEN step > 0 AND period >= 2
+                         AND alpha > 0 AND alpha < 1
+                         AND beta > 0 AND beta < 1
+                         AND gamma > 0 AND gamma < 1 AND horizon >= 0
+                       THEN step
+                       ELSE CAST(raise_error(concat(
+                         '{p}holt_winters: need step > 0, period >= 2,',
+                         ' alpha/beta/gamma in (0, 1), horizon >= 0'))
+                         AS BIGINT) END)) AS b,
+                     avg(value) AS value
+              FROM {p}samples WHERE {nn} GROUP BY key, 2),
+            arr AS (
+              SELECT key,
+                     array_sort(collect_list(struct(b AS ts, value))) AS a
+              FROM g GROUP BY key HAVING count(1) >= 2 * period),
+            ini AS (
+              SELECT key, a, size(a) AS n,
+                aggregate(slice(a, 1, period), 0D,
+                          (z, x) -> z + x.value) / period AS l0,
+                (aggregate(slice(a, period + 1, period), 0D,
+                           (z, x) -> z + x.value) / period
+                 - aggregate(slice(a, 1, period), 0D,
+                             (z, x) -> z + x.value) / period)
+                  / period AS b0
+              FROM arr),
+            st AS (
+              SELECT key, a, n, aggregate(
+                slice(a, period + 1, n - period),
+                named_struct(
+                  'i', period, 'l', l0, 'b', b0,
+                  's', transform(slice(a, 1, period),
+                                 x -> x.value - l0),
+                  'ls', CAST(array() AS ARRAY<DOUBLE>),
+                  'bs', CAST(array() AS ARRAY<DOUBLE>),
+                  'ss', CAST(array() AS ARRAY<DOUBLE>),
+                  'ys', CAST(array() AS ARRAY<DOUBLE>)),
+                (acc, x) -> named_struct(
+                  'i', acc.i + 1,
+                  'l', alpha * (x.value
+                         - element_at(acc.s, pmod(acc.i, period) + 1))
+                       + (1 - alpha) * (acc.l + acc.b),
+                  'b', beta * ((alpha * (x.value
+                           - element_at(acc.s, pmod(acc.i, period) + 1))
+                         + (1 - alpha) * (acc.l + acc.b)) - acc.l)
+                       + (1 - beta) * acc.b,
+                  's', transform(acc.s, (e, k) ->
+                         CASE WHEN k = pmod(acc.i, period)
+                           THEN gamma * (x.value
+                             - (alpha * (x.value
+                                  - element_at(acc.s,
+                                      pmod(acc.i, period) + 1))
+                                + (1 - alpha) * (acc.l + acc.b)))
+                             + (1 - gamma) * e
+                           ELSE e END),
+                  'ls', concat(acc.ls, array(
+                          alpha * (x.value
+                            - element_at(acc.s, pmod(acc.i, period) + 1))
+                          + (1 - alpha) * (acc.l + acc.b))),
+                  'bs', concat(acc.bs, array(
+                          beta * ((alpha * (x.value
+                              - element_at(acc.s,
+                                  pmod(acc.i, period) + 1))
+                            + (1 - alpha) * (acc.l + acc.b)) - acc.l)
+                          + (1 - beta) * acc.b)),
+                  'ss', concat(acc.ss, array(
+                          gamma * (x.value
+                            - (alpha * (x.value
+                                 - element_at(acc.s,
+                                     pmod(acc.i, period) + 1))
+                               + (1 - alpha) * (acc.l + acc.b)))
+                          + (1 - gamma) * element_at(acc.s,
+                              pmod(acc.i, period) + 1))),
+                  'ys', concat(acc.ys, array(
+                          acc.l + acc.b + element_at(acc.s,
+                            pmod(acc.i, period) + 1))))) AS st
+              FROM ini)
+            SELECT key, p2.ts AS ts, p2.value AS value,
+                   element_at(st.ls, pos + 1) AS level,
+                   element_at(st.bs, pos + 1) AS trend,
+                   element_at(st.ss, pos + 1) AS seasonal,
+                   element_at(st.ys, pos + 1) AS yhat
+            FROM st LATERAL VIEW posexplode(
+              slice(a, period + 1, n - period)) t AS pos, p2
+            UNION ALL
+            SELECT key, element_at(a, -1).ts + h * step AS ts,
+                   CAST(NULL AS DOUBLE) AS value,
+                   CAST(NULL AS DOUBLE) AS level,
+                   CAST(NULL AS DOUBLE) AS trend,
+                   element_at(st.s, pmod(n + h - 1, period) + 1)
+                     AS seasonal,
+                   st.l + h * st.b
+                     + element_at(st.s, pmod(n + h - 1, period) + 1)
+                     AS yhat
+            FROM st LATERAL VIEW explode(
+              CASE WHEN horizon > 0 THEN sequence(1, horizon)
+                   ELSE CAST(array() AS ARRAY<INT>) END) t AS h""",
         # Holt double-exponential smoothing (smooth.ts_holt); aggregate()
         # fold over each series' sorted sample array — SQL twin only, the
         # Arrow facade is the scale path

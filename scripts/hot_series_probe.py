@@ -161,6 +161,28 @@ def main():
     out["corr_hot_pair_sec"] = timed(
         lambda: ts_corr(pair_df, H, [("hot", "hot2")])
     )
+    # round-11 second wave: the rolling quantile (sliding-percentile
+    # chunk-context plan — the anomalies-default cost class, expected
+    # higher: each frame sorts its window_n buffer), the lagged xcorr
+    # sweep on the hot pair (corr's join volume x |lags|), and
+    # Holt-Winters (bucket-bounded by construction, the decompose line)
+    from redistimeseries_spark.operators.correlate import ts_xcorr
+    from redistimeseries_spark.operators.holtwinters import ts_holt_winters
+    from redistimeseries_spark.operators.percentiles import (
+        ts_rolling_quantile,
+    )
+
+    out["rolling_quantile_sec"] = timed(
+        lambda: ts_rolling_quantile(df, 0.5, 20)
+    )
+    out["xcorr_hot_pair_sec"] = timed(
+        lambda: ts_xcorr(
+            pair_df, [("hot", "hot2")], [-2000, -1000, 0, 1000, 2000]
+        )
+    )
+    out["holt_winters_sec"] = timed(
+        lambda: ts_holt_winters(df, H, 24, 0.3, 0.1, 0.2, horizon_n=48)
+    )
     if not skip_old:
         out["cusum_key_sec"] = timed(
             lambda: _ts_cusum_sequential(df, 1.0, 1e6, target=50_000.0)

@@ -283,6 +283,30 @@ def main():
         "b33_ewm_band": lambda: __import__(
             "redistimeseries_spark.operators.smooth", fromlist=["ts_ewm_band"]
         ).ts_ewm_band(samples, 0.3, band_k=2.0),
+        # round-11 second wave: rolling quantile (sliding-percentile
+        # chunk-context plan), Holt-Winters (bucket-bounded), and the
+        # lagged xcorr sweep (adjacent-replica pairs x 3 lags — replica
+        # grids share identical ts, so lag 0 carries the full matched
+        # volume and the +-2h legs price the x|lags| join fan-out)
+        "b34_rolling_quantile": lambda: __import__(
+            "redistimeseries_spark.operators.percentiles",
+            fromlist=["ts_rolling_quantile"],
+        ).ts_rolling_quantile(samples, 0.5, 20),
+        "b35_holt_winters": lambda: __import__(
+            "redistimeseries_spark.operators.holtwinters",
+            fromlist=["ts_holt_winters"],
+        ).ts_holt_winters(samples, 2 * H, 12, 0.3, 0.1, 0.2, horizon_n=12),
+        "b36_xcorr": lambda: __import__(
+            "redistimeseries_spark.operators.correlate", fromlist=["ts_xcorr"]
+        ).ts_xcorr(
+            samples,
+            [
+                (f"click_{i}_{r}", f"click_{i}_{min(r + 1, replicas - 1)}")
+                for i in range(10)
+                for r in range(0, max(replicas - 1, 1), 2)
+            ],
+            [-2 * H, 0, 2 * H],
+        ),
     }
 
     # SPARK_GRAFT_BUCKETED=1: also build the key-bucketed layout and probe

@@ -386,6 +386,64 @@ def test_sql_xcorr_rolling_quantile_tvfs(spark, samples_df):
         assert "PythonUDF" not in plan
 
 
+def test_sql_holt_winters_tvf(spark, samples_df):
+    """Round-11 TVF: {p}holt_winters' aggregate() fold (seasonal vector
+    updated by the transform index lambda) == the facade operator,
+    in-sample rows AND horizon rows; additive mode (multiplicative is
+    facade-only, the twa convention); argument guard; declarative."""
+    import math
+    import random as _random
+
+    import pytest as _pytest
+
+    from redistimeseries_spark.operators.holtwinters import ts_holt_winters
+
+    rng = _random.Random(3)
+    rows = []
+    for key in ("w1", "w2"):
+        for i in range(40):
+            rows.append(
+                (
+                    key,
+                    i * 1000 + rng.randint(0, 400),
+                    30 + 0.3 * i
+                    + 5 * math.sin(2 * math.pi * (i % 5) / 5)
+                    + rng.uniform(-0.5, 0.5),
+                )
+            )
+    st = TSStore.from_dataframes(samples_df(rows))
+    register_sql(spark, st, prefix="hw_")
+
+    def rnd(df):
+        return sorted(
+            tuple(
+                None if x is None
+                else (round(x, 9) if isinstance(x, float) else x)
+                for x in r
+            )
+            for r in df.collect()
+        )
+
+    got = rnd(spark.sql("SELECT * FROM hw_holt_winters(1000, 5, 0.4, 0.2, 0.3, 6)"))
+    want = rnd(ts_holt_winters(st.samples, 1000, 5, 0.4, 0.2, 0.3, horizon_n=6))
+    assert got and got == want
+    # horizon 0: in-sample rows only (sequence(1, 0) must NOT produce
+    # the descending [1, 0] range)
+    n0 = spark.sql(
+        "SELECT count(*) c FROM hw_holt_winters(1000, 5, 0.4, 0.2, 0.3, 0)"
+    ).collect()[0].c
+    assert n0 == len(want) - 12  # two keys x 6 horizon rows dropped
+    with _pytest.raises(Exception, match="need step"):
+        spark.sql(
+            "SELECT * FROM hw_holt_winters(0, 5, 0.4, 0.2, 0.3, 0)"
+        ).collect()
+    plan = (
+        spark.sql("SELECT * FROM hw_holt_winters(1000, 5, 0.4, 0.2, 0.3, 6)")
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "PythonUDF" not in plan
+
+
 def test_sql_resample_tvf_dup_ts_tiebreak(spark, samples_df):
     """The {p}resample TVF resolves duplicate-(key, ts) samples by the
     (ts, value) last-wins rule — matching the facade twin (round-9
