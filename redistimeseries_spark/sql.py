@@ -811,6 +811,27 @@ def _ts_tvf_sql(p: str) -> list[str]:
             SELECT ka AS key_a, kb AS key_b, lag,
                    cov / (sa * sb) AS corr, n
             FROM g WHERE sa > 0 AND sb > 0""",
+        # strongest lag per pair (correlate.ts_lead_lag): one max_by
+        # over the SAME rounded-strength struct ordering the facade
+        # uses, on top of the {p}xcorr TVF (SQL UDFs inline, so the
+        # composition is one plan); min_n floors at 2 (corr undefined
+        # below)
+        f"""CREATE OR REPLACE TEMPORARY FUNCTION {p}lead_lag(
+                ka STRING, kb STRING, max_lag BIGINT, step BIGINT,
+                min_n BIGINT)
+            RETURNS TABLE (key_a STRING, key_b STRING, lag BIGINT,
+                           corr DOUBLE, n BIGINT)
+            RETURN WITH x AS (
+              SELECT * FROM {p}xcorr(ka, kb, max_lag, step)
+              WHERE n >= greatest(min_n, 2)),
+            b AS (
+              SELECT max_by(
+                       named_struct('lag', lag, 'corr', corr, 'n', n),
+                       named_struct('s', round(abs(corr), 9),
+                                    'al', -abs(lag), 'l', -lag)) AS w
+              FROM x)
+            SELECT ka AS key_a, kb AS key_b, w.lag, w.corr, w.n
+            FROM b WHERE w IS NOT NULL""",
         # rolling q-quantile (percentiles.ts_rolling_quantile): a SQL
         # frame bound must be a parse-time literal (the {p}decompose
         # convention), so the trailing window materializes by exploding

@@ -370,6 +370,20 @@ def test_sql_xcorr_rolling_quantile_tvfs(spark, samples_df):
             spark.sql(
                 f"SELECT * FROM xc_xcorr('{ka}', '{kb}', 3000, 0)"
             ).collect()
+    # lead_lag TVF: the inlined xcorr composition picks the same lag
+    # under the same rounded-strength ordering; empty when no lag
+    # qualifies (not a NULL row)
+    from redistimeseries_spark.operators.correlate import ts_lead_lag
+
+    got = rnd(spark.sql("SELECT * FROM xc_lead_lag('xa', 'xb', 3000, 1000, 2)"))
+    want = rnd(
+        ts_lead_lag(st.samples, [("xa", "xb")],
+                    [-3000, -2000, -1000, 0, 1000, 2000, 3000])
+    )
+    assert len(got) == len(want) == 1 and got == want
+    assert spark.sql(
+        "SELECT * FROM xc_lead_lag('xa', 'xb', 3000, 1000, 999)"
+    ).count() == 0
     got = rnd(spark.sql("SELECT * FROM xc_rolling_quantile(0.5, 7)"))
     want = rnd(ts_rolling_quantile(st.samples, 0.5, 7))
     assert got and got == want
