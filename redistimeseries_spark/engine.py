@@ -1074,6 +1074,41 @@ class TimeSeriesEngine:
             min_n=min_n,
         ).drop("key_a", "key_b")
 
+    def acf(self, key: str, bucket_dur, max_lag_n: int = 64,
+            from_ts="-", to_ts="+", align="0") -> DataFrame:
+        """Autocorrelation sweep on the bucket grid (beyond-reference;
+        operators/correlate.ts_acf)."""
+        from redistimeseries_spark.operators.correlate import ts_acf
+
+        return ts_acf(
+            self._series_df(key, False),
+            parse_duration_ms(bucket_dur),
+            max_lag_n,
+            start=self._resolve_ts(from_ts, key),
+            end=self._resolve_ts(to_ts, key),
+            align=align,
+        ).drop("key")
+
+    def detect_period(self, key: str, bucket_dur, max_period_n: int = 64,
+                      from_ts="-", to_ts="+", align="0", **kw) -> DataFrame:
+        """Dominant seasonal period from the ACF sweep's strongest local
+        peak (beyond-reference; operators/correlate.ts_detect_period —
+        min_strength and min_n pass through; feed the result into
+        `decompose` / `holt_winters` as their period)."""
+        from redistimeseries_spark.operators.correlate import (
+            ts_detect_period,
+        )
+
+        return ts_detect_period(
+            self._series_df(key, False),
+            parse_duration_ms(bucket_dur),
+            max_period_n,
+            start=self._resolve_ts(from_ts, key),
+            end=self._resolve_ts(to_ts, key),
+            align=align,
+            **kw,
+        ).drop("key")
+
     def holt_winters(self, key: str, step, period_n: int,
                      alpha: float, beta: float, gamma: float,
                      from_ts="-", to_ts="+", horizon_n: int = 0,

@@ -312,6 +312,266 @@ def ts_lead_lag(
     )
 
 
+def ts_acf(
+    samples: DataFrame,
+    bucket_dur: int,
+    max_lag_n: int = 64,
+    keys: list[str] | str | None = None,
+    start: int = MIN_TS,
+    end: int = MAX_TS,
+    align="0",
+) -> DataFrame:
+    """(key, lag_n, lag_ms, acf, n) — sample autocorrelation of each
+    series on a regular bucket grid, at every lag from 1 to
+    `max_lag_n` buckets:
+
+        acf(m) = corr( x(t), x(t + m * bucket_dur) )
+
+    over the OBSERVED buckets t (x is the per-bucket average; empty
+    buckets are absent, not zero — gaps shrink `n`, they do not inject
+    fake samples).  The grid exists because autocorrelation at a raw-
+    timestamp lag almost never matches anything (the ts_xcorr aligned-
+    cadence convention, with the bucketing built in).  One row per
+    (key, lag) whose correlation is defined (>= 2 matched buckets with
+    variance on both legs).  `ts_detect_period` turns the sweep into a
+    seasonality estimate.
+
+    Spark shape (ts_xcorr's, minus the pair broadcast — the pair is
+    the key itself, so NO driver-side pair list exists and the fleet
+    case needs no 500k-row broadcast): one (key, bucket) hash agg is
+    the only per-sample stage, then the b leg explodes the 1..max_lag_n
+    lag vector with bucket timestamps shifted back, one co-partitioned
+    (key, bucket) self equi-join (volume = #buckets x max_lag_n per
+    key, buckets-bounded), one guarded-moment hash agg per (key, lag).
+    No windows, no Python, no per-sample sort."""
+    if bucket_dur <= 0:
+        raise ValueError("bucket_dur must be positive")
+    if not 1 <= max_lag_n <= 128:
+        raise ValueError("max_lag_n must be in [1, 128]")
+    g = _acf_grid(samples, bucket_dur, keys, start, end, align)
+    return _acf_sweep(g, bucket_dur, max_lag_n)
+
+
+def _acf_grid(samples, bucket_dur, keys, start, end, align):
+    """Shared ACF prep: valid in-range rows averaged onto the regular
+    bucket grid -> (key, __b, __v)."""
+    align_ts = resolve_align(align, start, end)
+    return (
+        _filtered(samples, keys, start, end)
+        .groupBy(
+            "key",
+            bucket_start(F.col("ts"), bucket_dur, align_ts).alias("__b"),
+        )
+        .agg(F.avg("value").alias("__v"))
+    )
+
+
+def _acf_sweep(g, bucket_dur, max_lag_n):
+    """The lag sweep over a gridded (key, __b, __v) frame — the
+    ts_xcorr join/aggregate shape with the key as its own pair."""
+    b = (
+        g.select(
+            "key",
+            "__b",
+            F.col("__v").alias("__vb"),
+            F.explode(
+                F.sequence(F.lit(1), F.lit(int(max_lag_n)))
+            ).alias("lag_n"),
+        )
+        .withColumn(
+            "__b", F.col("__b") - F.col("lag_n").cast("long") * bucket_dur
+        )
+    )
+    m = g.select("key", "__b", F.col("__v").alias("__va")).join(
+        b, ["key", "__b"]
+    )
+    acf = F.when(
+        (F.col("__sa") > 0) & (F.col("__sb") > 0),
+        F.col("__cov") / (F.col("__sa") * F.col("__sb")),
+    )
+    return (
+        m.groupBy("key", "lag_n")
+        .agg(
+            F.covar_samp("__va", "__vb").alias("__cov"),
+            F.stddev_samp("__va").alias("__sa"),
+            F.stddev_samp("__vb").alias("__sb"),
+            F.count(F.lit(1)).alias("n"),
+        )
+        .select(
+            "key",
+            "lag_n",
+            (F.col("lag_n").cast("long") * bucket_dur).alias("lag_ms"),
+            acf.alias("acf"),
+            "n",
+        )
+        .filter(F.col("acf").isNotNull() & ~F.isnan("acf"))
+        .orderBy("key", "lag_n")
+    )
+
+
+def ts_detect_period(
+    samples: DataFrame,
+    bucket_dur: int,
+    max_period_n: int = 64,
+    min_strength: float = 0.3,
+    min_n: int = 4,
+    keys: list[str] | str | None = None,
+    start: int = MIN_TS,
+    end: int = MAX_TS,
+    align="0",
+    detrend: bool = True,
+    harmonic_tol: float = 0.1,
+) -> DataFrame:
+    """(key, period_n, period_ms, acf, n) — the dominant seasonal
+    period of each series, estimated as the strongest LOCAL PEAK of
+    the DETRENDED acf sweep: the lag m maximizing acf(m) among lags
+    where acf rises then falls (acf(m) > acf(m-1) and
+    acf(m) >= acf(m+1) — both neighbors must EXIST, so candidate
+    periods live in [2, max_period_n - 1]; size max_period_n past the
+    longest period you care about).
+
+    Trend is the classical failure mode of ACF period detection, and
+    it fails BOTH ways: a strongly trending series' autocorrelation
+    reads ~1 at every lag (the trend dominates both legs' variance),
+    so small noise ripples form genuine-but-meaningless local peaks no
+    strength floor can separate, while a seasonal series riding a
+    trend has its true peak damped toward the trend's plateau.  So by
+    default each key's per-bucket OLS line (fit on the bucket INDEX —
+    exact small integers, not epoch millis, so the normal equations
+    don't cancel at 1e12) is subtracted before the sweep; the
+    residual of a pure ramp is noise (acf ~ 0, nothing emitted) and
+    the residual of trend + season is the season.  `detrend=False`
+    restores the raw `ts_acf` sweep for pre-whitened inputs.  The
+    local-peak rule then separates the remaining shapes: season peaks
+    rise-and-fall, white residuals peak nowhere.  Neighbor comparisons
+    AND ties run at 9dp (the ts_lead_lag rounded-strength convention,
+    for the same reason: a perfectly collinear series reads acf = 1
+    at EVERY lag up to moment-arithmetic ulps, and full-precision
+    comparisons would crown whichever lag's last ulp poked highest a
+    "peak").  A seasonal signal peaks at EVERY multiple of its
+    period with only finite-sample differences between them (the
+    thinner overlap at longer lags typically nudges harmonics
+    HIGHER — by ~1e-3 on clean signals and ~1/sqrt(#buckets) under
+    noise — so a bare argmax picks 2p or 3p, not p).  The
+    fundamental-finding rule exploits that harmonics are exact
+    MULTIPLES: take the strongest peak, then descend to the smallest
+    peak lag that DIVIDES it and sits within `harmonic_tol` of its
+    strength.  Restricting the descent to divisors is what lets the
+    tolerance be generous (default 0.1): an unrelated noise ripple at
+    some small lag cannot steal the argmax unless it divides it AND
+    formed a rise-and-fall peak AND cleared `min_strength` — while a
+    genuinely stronger non-multiple peak keeps the argmax outright.
+    `min_n` drops thin-support lags BEFORE peak detection (on a
+    regular grid support shrinks with lag, so this trims a suffix of
+    the lag axis — neighbors stay adjacent).  Keys with no qualifying
+    peak are not emitted.  NOTE: the emitted `acf` is the detrended-series
+    autocorrelation — the seasonality's strength, not the raw
+    series' (which conflates trend with season).
+
+    Feed the result into `ts_decompose` / `ts_holt_winters` as their
+    `period_n` — the auto-seasonality front end of that family (kept a
+    separate composable step: periods are per-key, and silently fitting
+    a different period per key inside decompose would hide the single
+    most important modeling decision).
+
+    Cost: ts_acf's plan plus, for the detrend, two catalog-bounded
+    hash aggs + broadcast-joins on the bucket grid (min-bucket, then
+    the OLS moments — buckets-bounded, never sample-bounded), one
+    window over the per-key lag axis (<= max_period_n rows per key:
+    the neighbor comparison), and the argmax-agg + divisor-join +
+    min_by-agg of the fundamental descent on the peak frame."""
+    if not 3 <= max_period_n <= 128:
+        raise ValueError("max_period_n must be in [3, 128]")
+    if min_n < 2:
+        raise ValueError("min_n must be >= 2 (corr is undefined below)")
+    g = _acf_grid(samples, bucket_dur, keys, start, end, align)
+    if detrend:
+        # per-key OLS on the bucket index: x = (__b - min __b) / dur —
+        # exact small integers in double, so slope * x round-trips
+        first = g.groupBy("key").agg(F.min("__b").alias("__b0"))
+        gx = g.join(first, "key").withColumn(
+            "__x",
+            ((F.col("__b") - F.col("__b0")) / F.lit(bucket_dur)).cast(
+                "double"
+            ),
+        )
+        fit = gx.groupBy("key").agg(
+            F.regr_slope("__v", "__x").alias("__sl"),
+            F.regr_intercept("__v", "__x").alias("__ic"),
+        )
+        g = (
+            gx.join(fit, "key")
+            .select(
+                "key",
+                "__b",
+                # a single-bucket key has no defined line; keep the
+                # raw value (it can never form a peak anyway)
+                (
+                    F.col("__v")
+                    - F.coalesce(
+                        F.col("__ic") + F.col("__sl") * F.col("__x"),
+                        F.lit(0.0),
+                    )
+                ).alias("__v"),
+            )
+        )
+    a = _acf_sweep(g, bucket_dur, max_period_n).filter(
+        F.col("n") >= min_n
+    )
+    w = Window.partitionBy("key").orderBy("lag_n")
+    s9 = F.round("acf", 9)
+    peaks = (
+        a.select(
+            "key",
+            "lag_n",
+            "lag_ms",
+            "acf",
+            "n",
+            s9.alias("__s"),
+            F.lag(s9, 1).over(w).alias("__prev"),
+            F.lead(s9, 1).over(w).alias("__next"),
+        )
+        .filter(
+            F.col("__prev").isNotNull()
+            & F.col("__next").isNotNull()
+            & (F.col("__s") > F.col("__prev"))
+            & (F.col("__s") >= F.col("__next"))
+            & (F.col("acf") >= float(min_strength))
+        )
+    )
+    # fundamental-vs-harmonic pick: argmax peak per key (strongest at
+    # 9dp, smaller lag on exact ties), then descend to the smallest
+    # DIVISOR peak within harmonic_tol of it.  Both stages are aggs /
+    # joins over the <= max_period_n-rows-per-key peak frame —
+    # catalog-bounded, never sample-bounded.
+    am = peaks.groupBy("key").agg(
+        F.max_by(
+            F.struct(F.col("lag_n").alias("alag"), F.col("__s")),
+            F.struct(F.col("__s"), (-F.col("lag_n")).alias("l")),
+        ).alias("__a")
+    ).select("key", "__a.alag", F.col("__a.__s").alias("__as"))
+    best = F.min_by(
+        F.struct("lag_n", "lag_ms", "acf", "n"), F.col("lag_n")
+    ).alias("__b")
+    return (
+        peaks.join(am, "key")
+        .filter(
+            (F.col("alag") % F.col("lag_n") == 0)
+            & (F.col("__s") >= F.col("__as") - float(harmonic_tol))
+        )
+        .groupBy("key")
+        .agg(best)
+        .select(
+            "key",
+            F.col("__b.lag_n").alias("period_n"),
+            F.col("__b.lag_ms").alias("period_ms"),
+            F.col("__b.acf").alias("acf"),
+            F.col("__b.n").alias("n"),
+        )
+        .orderBy("key")
+    )
+
+
 def _cusum_input(samples, k, keys, start, end, target):
     """Shared ts_cusum prep: valid in-range rows with the per-key (or
     literal) target joined and both drift increments projected."""

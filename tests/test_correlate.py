@@ -465,3 +465,266 @@ def test_engine_facade_xcorr_lead_lag_rolling_quantile(spark):
     # window at ts=2000: values of ts 0..2000
     vals = sorted(float(i % 5) + 0.1 * i for i in range(3))
     assert rq[2000] == pytest.approx(vals[1], abs=1e-9)
+
+
+def test_acf_recovers_known_period(spark):
+    """A noisy sine with period 12 buckets: acf peaks at lag 12, dips
+    negative at the half period, and ts_detect_period reports 12."""
+    from redistimeseries_spark.operators.correlate import (
+        ts_acf,
+        ts_detect_period,
+    )
+
+    rng = random.Random(0xACF)
+    rows = [
+        ("s", t * 1000, math.sin(2 * math.pi * t / 12) + rng.gauss(0, 0.1))
+        for t in range(240)
+    ]
+    sdf = spark.createDataFrame(rows, "key string, ts long, value double")
+    a = {r.lag_n: r.acf for r in ts_acf(sdf, 1000, 20).collect()}
+    assert a[12] > 0.8 and a[6] < -0.8
+    assert a[12] > a[11] and a[12] > a[13]
+    p = ts_detect_period(sdf, 1000, 20).collect()
+    assert len(p) == 1
+    assert p[0].period_n == 12 and p[0].period_ms == 12_000
+    # the emitted strength is the DETRENDED acf (slope ~ 0 here, so it
+    # stays near the raw sweep's peak without being identical)
+    assert p[0].acf == pytest.approx(a[12], abs=0.05)
+    # detrend=False restores the raw sweep exactly
+    praw = ts_detect_period(sdf, 1000, 20, detrend=False).collect()
+    assert praw[0].period_n == 12
+    assert praw[0].acf == pytest.approx(a[12], abs=1e-12)
+
+
+def test_acf_buckets_gaps_nan_dups(spark):
+    """Bucketing averages within the bucket; NaN rows drop first; empty
+    buckets are ABSENT (gaps shrink n, never inject samples)."""
+    from redistimeseries_spark.operators.correlate import ts_acf
+
+    rows = [
+        ("g", 0, 1.0), ("g", 500, 3.0),     # bucket 0 -> avg 2.0
+        ("g", 1000, NAN), ("g", 1500, 4.0),  # bucket 1 -> 4.0 (NaN out)
+        # bucket 2 empty
+        ("g", 3000, 6.0),                    # bucket 3
+        ("g", 4000, 8.0),                    # bucket 4
+    ]
+    sdf = spark.createDataFrame(rows, "key string, ts long, value double")
+    out = {r.lag_n: (r.acf, r.n) for r in ts_acf(sdf, 1000, 3).collect()}
+    # lag 1 matches (b0,b1), (b3,b4) -> n=2; lag 3 matches (b0,b3),
+    # (b1,b4) -> n=2; lag 2 matches only (b1,b3) -> single pair, dropped
+    assert set(out) == {1, 3}
+    assert out[1][1] == 2 and out[3][1] == 2
+    # exact corr on two points is +-1; both ascending here
+    assert out[1][0] == pytest.approx(1.0, abs=1e-9)
+    assert out[3][0] == pytest.approx(1.0, abs=1e-9)
+
+
+def test_acf_vs_duckdb(spark):
+    rng = random.Random(0xACFD)
+    rows = []
+    for k in ("u", "v"):
+        for t in range(0, 30_000, 250):
+            if rng.random() < 0.15:
+                continue  # irregular support
+            v = NAN if rng.random() < 0.05 else rng.uniform(-5, 5)
+            rows.append((k, t, v))
+    sdf = spark.createDataFrame(rows, "key string, ts long, value double")
+    con = duckdb.connect()
+    con.execute("CREATE TABLE t(key VARCHAR, ts BIGINT, value DOUBLE)")
+    con.executemany("INSERT INTO t VALUES (?, ?, ?)", rows)
+    from redistimeseries_spark.operators.correlate import ts_acf
+
+    for dur in (1000, 1700):
+        got = sorted(
+            (r.key, r.lag_n, r.lag_ms, round(r.acf, 9), r.n)
+            for r in ts_acf(sdf, dur, 10).collect()
+        )
+        exp = sorted(
+            map(
+                tuple,
+                con.sql(f"""
+            WITH g AS (SELECT key, ts - ts % {dur} AS b, avg(value) AS v
+                       FROM t WHERE NOT isnan(value) GROUP BY 1, 2),
+            l(lag_n) AS (SELECT * FROM range(1, 11)),
+            m AS (SELECT g.key, l.lag_n, g.v AS va, b.v AS vb
+                  FROM g CROSS JOIN l
+                  JOIN g b ON b.key = g.key
+                          AND b.b = g.b + l.lag_n * {dur})
+            SELECT key, CAST(lag_n AS INT), CAST(lag_n * {dur} AS BIGINT),
+                   round(corr(va, vb), 9), count(*)
+            FROM m GROUP BY 1, 2, 3
+            HAVING corr(va, vb) IS NOT NULL AND NOT isnan(corr(va, vb))
+            """).fetchall(),
+            )
+        )
+        assert got == exp, dur
+
+
+def test_detect_period_trend_emits_nothing(spark):
+    """The classical ACF-detection failure mode, both shapes: an EXACT
+    linear ramp detrends to (numerical) zero and the 9dp-rounded
+    neighbor comparison refuses ulp-scale fake peaks; a NOISY trend —
+    whose RAW acf reads ~0.997 at every lag with genuine little local
+    peaks no strength floor could separate — detrends to white noise,
+    whose acf hovers near 0 far below the default min_strength."""
+    from redistimeseries_spark.operators.correlate import ts_detect_period
+
+    rows = [("r", t * 1000, 2.0 * t + 1.0) for t in range(120)]
+    sdf = spark.createDataFrame(rows, "key string, ts long, value double")
+    assert ts_detect_period(sdf, 1000, 24).count() == 0
+    rng = random.Random(0x7E2D)
+    rows = [
+        ("r", t * 1000, 2.0 * t + rng.gauss(0, 3.0)) for t in range(120)
+    ]
+    sdf = spark.createDataFrame(rows, "key string, ts long, value double")
+    assert ts_detect_period(sdf, 1000, 24).count() == 0
+    # ... and WITHOUT the detrend the raw ripples would have produced
+    # peaks above any floor below ~0.997 — pin the failure mode the
+    # default guards against
+    raw = ts_detect_period(
+        sdf, 1000, 24, min_strength=0.9, detrend=False
+    ).collect()
+    assert len(raw) == 1
+
+
+def test_detect_period_season_riding_trend(spark):
+    """Season + strong trend: the raw acf is trend-plateaued (damped
+    peak), the detrended acf recovers the planted period."""
+    from redistimeseries_spark.operators.correlate import ts_detect_period
+
+    rng = random.Random(0x5EA5)
+    rows = [
+        (
+            "st",
+            t * 1000,
+            5.0 * t + 40.0 * math.sin(2 * math.pi * t / 10)
+            + rng.gauss(0, 2.0),
+        )
+        for t in range(200)
+    ]
+    sdf = spark.createDataFrame(rows, "key string, ts long, value double")
+    p = ts_detect_period(sdf, 1000, 30).collect()
+    assert len(p) == 1 and p[0].period_n == 10
+    assert p[0].acf > 0.8
+
+
+def test_detect_period_harmonic_tiebreak_and_min_strength(spark):
+    """A pure sine reads acf ~= 1 at the fundamental AND its harmonics;
+    the 9dp-rounded argmax with the smaller-lag tiebreak picks the
+    fundamental.  min_strength above the peak suppresses the key."""
+    from redistimeseries_spark.operators.correlate import ts_detect_period
+
+    rows = [
+        ("h", t * 1000, math.sin(2 * math.pi * t / 8)) for t in range(160)
+    ]
+    sdf = spark.createDataFrame(rows, "key string, ts long, value double")
+    p = ts_detect_period(sdf, 1000, 20).collect()
+    assert len(p) == 1 and p[0].period_n == 8  # not the harmonic at 16
+    assert (
+        ts_detect_period(sdf, 1000, 20, min_strength=1.5).count() == 0
+    )
+
+
+def test_detect_period_vs_duckdb(spark):
+    """QUALIFY-mirrored oracle: acf sweep + neighbor comparison + the
+    rounded-strength argmax, replayed independently in DuckDB."""
+    from redistimeseries_spark.operators.correlate import ts_detect_period
+
+    rng = random.Random(0xDEC)
+    rows = []
+    for ki, k in enumerate(("p1", "p2", "p3")):
+        per = 6 + 4 * ki
+        for t in range(200):
+            v = math.sin(2 * math.pi * t / per) + rng.gauss(0, 0.3)
+            rows.append((k, t * 1000, v))
+    sdf = spark.createDataFrame(rows, "key string, ts long, value double")
+    con = duckdb.connect()
+    con.execute("CREATE TABLE t(key VARCHAR, ts BIGINT, value DOUBLE)")
+    con.executemany("INSERT INTO t VALUES (?, ?, ?)", rows)
+    got = sorted(
+        (r.key, r.period_n, r.period_ms, round(r.acf, 9), r.n)
+        for r in ts_detect_period(
+            sdf, 1000, 24, min_strength=0.2, min_n=4
+        ).collect()
+    )
+    exp = sorted(
+        map(
+            tuple,
+            con.sql("""
+        WITH g0 AS (SELECT key, ts - ts % 1000 AS b, avg(value) AS v
+                    FROM t WHERE NOT isnan(value) GROUP BY 1, 2),
+        gx AS (SELECT *, CAST(b - min(b) OVER (PARTITION BY key)
+                              AS DOUBLE) / 1000 AS x FROM g0),
+        fit AS (SELECT key, regr_slope(v, x) AS sl,
+                       regr_intercept(v, x) AS ic
+                FROM gx GROUP BY 1),
+        g AS (SELECT gx.key, gx.b,
+                     gx.v - coalesce(fit.ic + fit.sl * gx.x, 0) AS v
+              FROM gx JOIN fit USING (key)),
+        l(lag_n) AS (SELECT * FROM range(1, 25)),
+        acf AS (
+          SELECT g.key AS key, CAST(lag_n AS INT) AS lag_n,
+                 CAST(lag_n * 1000 AS BIGINT) AS lag_ms,
+                 corr(g.v, b.v) AS acf, count(*) AS n
+          FROM g CROSS JOIN l
+          JOIN g b ON b.key = g.key AND b.b = g.b + l.lag_n * 1000
+          GROUP BY 1, 2, 3
+          HAVING corr(g.v, b.v) IS NOT NULL
+             AND NOT isnan(corr(g.v, b.v)) AND count(*) >= 4),
+        w AS (
+          SELECT *, round(acf, 9) AS s,
+                 lag(round(acf, 9)) OVER (PARTITION BY key
+                                          ORDER BY lag_n) AS p,
+                 lead(round(acf, 9)) OVER (PARTITION BY key
+                                           ORDER BY lag_n) AS x
+          FROM acf),
+        pk AS (
+          SELECT key, lag_n, lag_ms, acf, n, s FROM w
+          WHERE p IS NOT NULL AND x IS NOT NULL
+            AND s > p AND s >= x AND acf >= 0.2),
+        am AS (
+          SELECT key, lag_n AS alag, s AS asr FROM pk
+          QUALIFY row_number() OVER (PARTITION BY key
+                                     ORDER BY s DESC, lag_n) = 1)
+        SELECT pk.key, lag_n, lag_ms, round(acf, 9), n
+        FROM pk JOIN am USING (key)
+        WHERE am.alag % pk.lag_n = 0 AND pk.s >= am.asr - 0.1
+        QUALIFY row_number() OVER (PARTITION BY pk.key
+                                   ORDER BY lag_n) = 1
+        """).fetchall(),
+        )
+    )
+    assert got == exp
+    # every planted period recovered
+    assert [r[1] for r in got] == [6, 10, 14]
+
+
+def test_acf_validation_and_engine_facade(spark):
+    from redistimeseries_spark.engine import TimeSeriesEngine
+    from redistimeseries_spark.operators.correlate import (
+        ts_acf,
+        ts_detect_period,
+    )
+
+    sdf = spark.createDataFrame(
+        [("a", 0, 1.0)], "key string, ts long, value double"
+    )
+    with pytest.raises(ValueError, match="bucket_dur"):
+        ts_acf(sdf, 0, 10)
+    with pytest.raises(ValueError, match="max_lag_n"):
+        ts_acf(sdf, 1000, 0)
+    with pytest.raises(ValueError, match="max_lag_n"):
+        ts_acf(sdf, 1000, 129)
+    with pytest.raises(ValueError, match="max_period_n"):
+        ts_detect_period(sdf, 1000, 2)
+    with pytest.raises(ValueError, match="min_n"):
+        ts_detect_period(sdf, 1000, 24, min_n=1)
+
+    eng = TimeSeriesEngine(spark, duplicate_policy="last")
+    eng.create("sea")
+    for t in range(96):
+        eng.add("sea", t * 1000, math.sin(2 * math.pi * t / 12))
+    a = {r.lag_n: r.acf for r in eng.acf("sea", 1000, 16).collect()}
+    assert a[12] == pytest.approx(1.0, abs=1e-6)
+    p = eng.detect_period("sea", 1000, 16).collect()
+    assert len(p) == 1 and p[0].period_n == 12
