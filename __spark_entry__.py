@@ -553,6 +553,36 @@ def q_holt_winters(spark, sf_dir):
     )
 
 
+def q_acf(spark, sf_dir):
+    """Beyond-reference autocorrelation sweep: each series' ACF on the
+    6h bucket grid at lags 1..24 (operators/correlate.ts_acf — the
+    xcorr join/aggregate shape with the key as its own pair, so no
+    pair broadcast exists and the fleet case scales by the catalog)."""
+    from redistimeseries_spark.operators.correlate import ts_acf
+
+    st = _store(spark, sf_dir)
+    return ts_acf(
+        st.samples, 6 * H, 24, keys=["click_3", "view_2", "purchase_0"],
+        start=D14, end=D21,
+    ).select("key", "lag_n", "lag_ms", F.round("acf", 6).alias("acf"), "n")
+
+
+def q_detect_period(spark, sf_dir):
+    """Beyond-reference seasonality detection: the dominant period of
+    every series on the 6h grid (operators/correlate.ts_detect_period
+    — per-key OLS detrend on the bucket index, 9dp-rounded local-peak
+    scan, then the divisor-descent fundamental pick; the DuckDB oracle
+    replays all three stages independently)."""
+    from redistimeseries_spark.operators.correlate import ts_detect_period
+
+    st = _store(spark, sf_dir)
+    return ts_detect_period(
+        st.samples, 6 * H, 40, min_strength=0.1
+    ).select(
+        "key", "period_n", "period_ms", F.round("acf", 6).alias("acf"), "n"
+    )
+
+
 def q_agg_percentile(spark, sf_dir):
     """Beyond-reference p-name aggregators inside the standard TS.RANGE
     pipeline: percentiles mix with the reference aggregator set in one
@@ -2586,7 +2616,15 @@ def _base_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # one-ordered-batch replay == batch ts_anomalies, sharing its
     # oracle) enters in its adding commit, displacing
     # dl_mm_frame_sample (driver-green r10; the multimodal family
-    # keeps dl_mm_decode_png in-window).
+    # keeps dl_mm_decode_png in-window).  Round-11 fourth wave: NEW
+    # ts_acf (bucket-grid autocorrelation sweep, the pair-free xcorr
+    # shape) and NEW ts_detect_period (detrended local-peak +
+    # divisor-descent seasonality estimate, all three stages mirrored
+    # in the oracle) enter the window in their adding commit,
+    # displacing ts_agg_twa_empty (driver-green r10; the agg family
+    # keeps ts_agg_all14 + ts_agg_percentile in-window) and
+    # dl_ann_lsh_topk (driver-green r10; the ANN family keeps
+    # dl_pq_adc in-window) just past the cutoff.
     return {
         # --- checked prefix: one representative per operator family -----
         "ts_range_raw": q_range_raw,
@@ -2631,18 +2669,20 @@ def _base_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ts_compaction_ewm_band_1h": q_compaction_ewm_band_1h,
         "ts_delta": q_delta,
         "dl_dedup_pipeline": q_dedup_pipeline,
-        "dl_ann_lsh_topk": q_ann_lsh_topk,
         "ts_cusum": q_cusum,
         "dl_substring_contaminated": q_substring_contaminated,
         "ts_stream_anomalies": q_stream_anomalies,
         "ts_xcorr": q_xcorr,
         "ts_lead_lag": q_lead_lag,
         "ts_rolling_quant": q_rolling_quant,
-        "ts_agg_twa_empty": q_agg_twa_empty,
+        "ts_acf": q_acf,
+        "ts_detect_period": q_detect_period,
         "dl_semdedup": q_semdedup,
         "ts_bucket_percentiles": q_bucket_percentiles,
         "dl_curation": q_curation,
         "ts_asof_join": q_asof_join,
+        "ts_agg_twa_empty": q_agg_twa_empty,
+        "dl_ann_lsh_topk": q_ann_lsh_topk,
         # --- tail: family variants, locally gated -----------------------
         "dl_mm_frame_sample": q_mm_frame_sample,
         "ts_resample_locf": q_resample_locf,
@@ -4118,6 +4158,53 @@ SELECT key_a, key_b, CAST(lag AS BIGINT) AS lag,
        round(corr, 6) AS corr, n FROM x
 QUALIFY row_number() OVER (PARTITION BY key_a, key_b
   ORDER BY round(abs(corr), 9) DESC, abs(lag), lag) = 1""",
+        "ts_acf": f"""{ORACLE_PREFIX},
+g AS (SELECT key, ts - ts % {6 * H} AS b, avg(value) AS v
+      FROM samples WHERE NOT isnan(value) AND ts BETWEEN {D14} AND {D21}
+        AND key IN ('click_3', 'view_2', 'purchase_0')
+      GROUP BY 1, 2),
+l(lag_n) AS (SELECT * FROM range(1, 25))
+SELECT g.key AS key, CAST(lag_n AS INT) AS lag_n,
+       CAST(lag_n * {6 * H} AS BIGINT) AS lag_ms,
+       round(corr(g.v, b.v), 6) AS acf, count(*) AS n
+FROM g CROSS JOIN l
+JOIN g b ON b.key = g.key AND b.b = g.b + l.lag_n * {6 * H}
+GROUP BY 1, 2, 3
+HAVING corr(g.v, b.v) IS NOT NULL AND NOT isnan(corr(g.v, b.v))""",
+        "ts_detect_period": f"""{ORACLE_PREFIX},
+g0 AS (SELECT key, ts - ts % {6 * H} AS b, avg(value) AS v
+       FROM samples WHERE NOT isnan(value) GROUP BY 1, 2),
+gx AS (SELECT *, CAST(b - min(b) OVER (PARTITION BY key) AS DOUBLE)
+                 / {6 * H} AS x FROM g0),
+fit AS (SELECT key, regr_slope(v, x) AS sl, regr_intercept(v, x) AS ic
+        FROM gx GROUP BY 1),
+g AS (SELECT gx.key, gx.b, gx.v - coalesce(fit.ic + fit.sl * gx.x, 0) AS v
+      FROM gx JOIN fit USING (key)),
+l(lag_n) AS (SELECT * FROM range(1, 41)),
+acf AS (
+  SELECT g.key AS key, CAST(lag_n AS INT) AS lag_n,
+         CAST(lag_n * {6 * H} AS BIGINT) AS lag_ms,
+         corr(g.v, b.v) AS acf, count(*) AS n
+  FROM g CROSS JOIN l
+  JOIN g b ON b.key = g.key AND b.b = g.b + l.lag_n * {6 * H}
+  GROUP BY 1, 2, 3
+  HAVING corr(g.v, b.v) IS NOT NULL AND NOT isnan(corr(g.v, b.v))
+     AND count(*) >= 4),
+w AS (SELECT *, round(acf, 9) AS s,
+             lag(round(acf, 9)) OVER (PARTITION BY key ORDER BY lag_n) AS p,
+             lead(round(acf, 9)) OVER (PARTITION BY key ORDER BY lag_n) AS x
+      FROM acf),
+pk AS (SELECT key, lag_n, lag_ms, acf, n, s FROM w
+       WHERE p IS NOT NULL AND x IS NOT NULL
+         AND s > p AND s >= x AND acf >= 0.1),
+am AS (SELECT key, lag_n AS alag, s AS asr FROM pk
+       QUALIFY row_number() OVER (PARTITION BY key
+                                  ORDER BY s DESC, lag_n) = 1)
+SELECT pk.key AS key, lag_n AS period_n, lag_ms AS period_ms,
+       round(acf, 6) AS acf, n
+FROM pk JOIN am USING (key)
+WHERE am.alag % pk.lag_n = 0 AND pk.s >= am.asr - 0.1
+QUALIFY row_number() OVER (PARTITION BY pk.key ORDER BY lag_n) = 1""",
         "ts_holt_winters": f"""WITH RECURSIVE {SAMPLES_SQL},
 g AS (SELECT key, ts - ts % {6 * H} AS b, avg(value) AS value
       FROM samples WHERE NOT isnan(value) GROUP BY 1, 2),

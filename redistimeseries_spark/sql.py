@@ -37,7 +37,8 @@ def _ts_tvf_sql(p: str) -> list[str]:
     the `spark.sql` surface matches the Python facade (engine.topk /
     deriv / changes / resets / predict_linear / value_histogram /
     resample / holt / ewma / anomalies / mad / outlier_mad /
-    hist_quantile / decompose / forecast / corr / cusum / ewm_band —
+    hist_quantile / decompose / forecast / corr / cusum / ewm_band /
+    acf / detect_period —
     named
     `<p><op>`, so two stores registered under
     different prefixes keep independent function sets).  Bodies are the
@@ -832,6 +833,143 @@ def _ts_tvf_sql(p: str) -> list[str]:
               FROM x)
             SELECT ka AS key_a, kb AS key_b, w.lag, w.corr, w.n
             FROM b WHERE w IS NOT NULL""",
+        # autocorrelation sweep (correlate.ts_acf): the {p}xcorr shape
+        # with the key as its own pair — no pair argument, every series
+        # sweeps against itself on the dur grid; same twice-placed
+        # guard (source-CTE WHERE + sequence step) so an invalid call
+        # raises even on an empty match
+        f"""CREATE OR REPLACE TEMPORARY FUNCTION {p}acf(
+                dur BIGINT, max_lag INT)
+            RETURNS TABLE (key STRING, lag_n INT, lag_ms BIGINT,
+                           acf DOUBLE, n BIGINT)
+            RETURN WITH g AS (
+              SELECT key, greatest(ts - pmod(ts, dur), 0) AS b,
+                     avg(value) AS v
+              FROM {p}samples
+              WHERE {nn} AND (CASE WHEN dur > 0 AND max_lag >= 1
+                                     AND max_lag <= 128 THEN true
+                              ELSE CAST(raise_error(concat(
+                                '{p}acf: need dur > 0 and max_lag in',
+                                ' [1, 128], got dur=',
+                                CAST(dur AS STRING), ' max_lag=',
+                                CAST(max_lag AS STRING))) AS BOOLEAN)
+                              END)
+              GROUP BY 1, 2),
+            l AS (SELECT explode(sequence(
+                    CASE WHEN dur > 0 AND max_lag >= 1
+                           AND max_lag <= 128 THEN 1
+                         ELSE CAST(raise_error(concat(
+                           '{p}acf: need dur > 0 and max_lag in',
+                           ' [1, 128], got dur=',
+                           CAST(dur AS STRING), ' max_lag=',
+                           CAST(max_lag AS STRING))) AS INT) END,
+                    max_lag)) AS lag_n),
+            m AS (
+              SELECT g.key, l.lag_n, g.v AS va, b.v AS vb
+              FROM g CROSS JOIN l
+              JOIN g b ON b.key = g.key
+                      AND b.b = g.b + CAST(l.lag_n AS BIGINT) * dur),
+            a AS (
+              SELECT key, lag_n,
+                     covar_samp(va, vb) AS cov,
+                     stddev_samp(va) AS sa, stddev_samp(vb) AS sb,
+                     count(1) AS n
+              FROM m GROUP BY 1, 2)
+            SELECT key, lag_n, CAST(lag_n AS BIGINT) * dur AS lag_ms,
+                   cov / (sa * sb) AS acf, n
+            FROM a WHERE sa > 0 AND sb > 0""",
+        # seasonality detection (correlate.ts_detect_period): the
+        # always-detrended chain — per-key OLS on the bucket index,
+        # the {p}acf sweep over the residual, 9dp-rounded local-peak
+        # scan, argmax, divisor-descent fundamental pick (facade
+        # covers detrend=False)
+        f"""CREATE OR REPLACE TEMPORARY FUNCTION {p}detect_period(
+                dur BIGINT, max_p INT, min_strength DOUBLE,
+                min_n BIGINT, tol DOUBLE)
+            RETURNS TABLE (key STRING, period_n INT, period_ms BIGINT,
+                           acf DOUBLE, n BIGINT)
+            RETURN WITH g0 AS (
+              SELECT key, greatest(ts - pmod(ts, dur), 0) AS b,
+                     avg(value) AS v
+              FROM {p}samples
+              WHERE {nn} AND (CASE WHEN dur > 0 AND max_p >= 3
+                                     AND max_p <= 128 AND min_n >= 2
+                                   THEN true
+                              ELSE CAST(raise_error(concat(
+                                '{p}detect_period: need dur > 0,',
+                                ' max_p in [3, 128], min_n >= 2,',
+                                ' got dur=', CAST(dur AS STRING),
+                                ' max_p=', CAST(max_p AS STRING),
+                                ' min_n=', CAST(min_n AS STRING)))
+                                AS BOOLEAN) END)
+              GROUP BY 1, 2),
+            gx AS (
+              SELECT *, CAST(b - min(b) OVER (PARTITION BY key)
+                             AS DOUBLE) / dur AS x
+              FROM g0),
+            fit AS (
+              SELECT key, regr_slope(v, x) AS sl,
+                     regr_intercept(v, x) AS ic
+              FROM gx GROUP BY 1),
+            g AS (
+              SELECT gx.key, gx.b,
+                     gx.v - coalesce(fit.ic + fit.sl * gx.x, 0D) AS v
+              FROM gx JOIN fit ON fit.key = gx.key),
+            l AS (SELECT explode(sequence(
+                    CASE WHEN dur > 0 AND max_p >= 3 AND max_p <= 128
+                           AND min_n >= 2 THEN 1
+                         ELSE CAST(raise_error(concat(
+                           '{p}detect_period: need dur > 0, max_p in',
+                           ' [3, 128], min_n >= 2, got dur=',
+                           CAST(dur AS STRING), ' max_p=',
+                           CAST(max_p AS STRING), ' min_n=',
+                           CAST(min_n AS STRING))) AS INT) END,
+                    max_p)) AS lag_n),
+            m AS (
+              SELECT g.key, l.lag_n, g.v AS va, b.v AS vb
+              FROM g CROSS JOIN l
+              JOIN g b ON b.key = g.key
+                      AND b.b = g.b + CAST(l.lag_n AS BIGINT) * dur),
+            a AS (
+              SELECT key, lag_n,
+                     covar_samp(va, vb) AS cov,
+                     stddev_samp(va) AS sa, stddev_samp(vb) AS sb,
+                     count(1) AS n
+              FROM m GROUP BY 1, 2),
+            acfs AS (
+              SELECT key, lag_n,
+                     CAST(lag_n AS BIGINT) * dur AS lag_ms,
+                     cov / (sa * sb) AS acf, n
+              FROM a WHERE sa > 0 AND sb > 0 AND n >= min_n),
+            w AS (
+              SELECT *, round(acf, 9) AS s,
+                     lag(round(acf, 9)) OVER (PARTITION BY key
+                                              ORDER BY lag_n) AS pv,
+                     lead(round(acf, 9)) OVER (PARTITION BY key
+                                               ORDER BY lag_n) AS nx
+              FROM acfs),
+            pk AS (
+              SELECT key, lag_n, lag_ms, acf, n, s FROM w
+              WHERE pv IS NOT NULL AND nx IS NOT NULL
+                AND s > pv AND s >= nx AND acf >= min_strength),
+            am AS (
+              SELECT key,
+                     max_by(named_struct('alag', lag_n, 'asr', s),
+                            named_struct('s', s, 'l', -lag_n)) AS a
+              FROM pk GROUP BY 1),
+            fin AS (
+              SELECT pk.key AS key,
+                     min_by(named_struct('pn', pk.lag_n,
+                                         'pm', pk.lag_ms,
+                                         'acf', pk.acf, 'n', pk.n),
+                            pk.lag_n) AS w
+              FROM pk JOIN am ON am.key = pk.key
+              WHERE am.a.alag % pk.lag_n = 0
+                AND pk.s >= am.a.asr - tol
+              GROUP BY 1)
+            SELECT key, w.pn AS period_n, w.pm AS period_ms,
+                   w.acf AS acf, w.n AS n
+            FROM fin""",
         # rolling q-quantile (percentiles.ts_rolling_quantile): a SQL
         # frame bound must be a parse-time literal (the {p}decompose
         # convention), so the trailing window materializes by exploding

@@ -583,3 +583,64 @@ def test_canonical_url_sql_matches_dataframe_op(spark):
         .toString()
     )
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_sql_acf_detect_period_tvfs(spark, samples_df):
+    """Round-11 TVFs: {p}acf's pair-free self-sweep == ts_acf on the
+    dur grid; {p}detect_period's detrend + local-peak + divisor-descent
+    chain == the facade's default path; guards fire on empty matches;
+    both plans stay declarative (no PythonUDF)."""
+    import math as _math
+    import random as _random
+
+    import pytest as _pytest
+
+    from redistimeseries_spark.operators.correlate import (
+        ts_acf,
+        ts_detect_period,
+    )
+
+    rng = _random.Random(0xACF2)
+    rows = []
+    for t in range(180):
+        rows.append((
+            "pa", t * 1000,
+            0.8 * t + 30.0 * _math.sin(2 * _math.pi * t / 9)
+            + rng.gauss(0, 1.0),
+        ))
+        if t % 3 != 2:  # irregular support on the second key
+            rows.append((
+                "pb", t * 1000,
+                _math.sin(2 * _math.pi * t / 15) + rng.gauss(0, 0.2),
+            ))
+    st = TSStore.from_dataframes(samples_df(rows))
+    register_sql(spark, st, prefix="af_")
+
+    def rnd(df):
+        return sorted(
+            tuple(round(x, 9) if isinstance(x, float) else x for x in r)
+            for r in df.collect()
+        )
+
+    got = rnd(spark.sql("SELECT * FROM af_acf(2000, 20)"))
+    want = rnd(ts_acf(st.samples, 2000, 20))
+    assert got and got == want
+    got = rnd(
+        spark.sql("SELECT * FROM af_detect_period(1000, 24, 0.3, 4, 0.1)")
+    )
+    want = rnd(ts_detect_period(st.samples, 1000, 24))
+    assert len(want) == 2 and got == want
+    # planted periods recovered through the SQL surface too
+    periods = {r[0]: r[1] for r in got}
+    assert periods == {"pa": 9, "pb": 15}
+    # guards fire even when nothing matches (source-CTE placement)
+    with _pytest.raises(Exception, match="max_lag in"):
+        spark.sql("SELECT * FROM af_acf(2000, 0)").collect()
+    with _pytest.raises(Exception, match="need dur > 0"):
+        spark.sql(
+            "SELECT * FROM af_detect_period(0, 24, 0.3, 4, 0.1)"
+        ).collect()
+    for q in ("SELECT * FROM af_acf(2000, 20)",
+              "SELECT * FROM af_detect_period(1000, 24, 0.3, 4, 0.1)"):
+        plan = spark.sql(q)._jdf.queryExecution().executedPlan().toString()
+        assert "PythonUDF" not in plan
