@@ -33,6 +33,20 @@ def get_spark(app_name: str = "sparkts", cpus: int | None = None) -> SparkSessio
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "48g"))
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        # JVM<->python-worker transport over a unix domain socket
+        # instead of loopback TCP.  Diagnosed at the 1B probes: a
+        # loopback TCP connection between an Arrow python runner and
+        # its worker wedged into zero-window persist mode (receive
+        # window stuck at 2 KB, rwnd_limited 99.8%, data trickling
+        # only on ~200 ms persist probes) and a 294-task stage sat on
+        # its last task for an hour at zero CPU.  UDS has no window /
+        # congestion machinery to wedge; on a multi-host cluster this
+        # setting is identical (workers are always host-local).
+        # SPARK_GRAFT_UDS=0 restores TCP for comparison.
+        .config(
+            "spark.python.unix.domain.socket.enabled",
+            os.environ.get("SPARK_GRAFT_UDS", "true"),
+        )
         .config("spark.ui.enabled", "false")
         .getOrCreate()
     )

@@ -183,6 +183,19 @@ def main():
     out["holt_winters_sec"] = timed(
         lambda: ts_holt_winters(df, H, 24, 0.3, 0.1, 0.2, horizon_n=48)
     )
+    # round-11 fourth wave: the ACF sweep and seasonality detection on
+    # the hot key — both bucket-bounded after the one (key, bucket)
+    # hash agg (the decompose line; the sweep joins the grid to itself
+    # x 24 lags, still #buckets-bounded)
+    from redistimeseries_spark.operators.correlate import (
+        ts_acf,
+        ts_detect_period,
+    )
+
+    out["acf_sec"] = timed(lambda: ts_acf(df, H, 24))
+    out["detect_period_sec"] = timed(
+        lambda: ts_detect_period(df, H, 36, min_strength=0.1)
+    )
     if not skip_old:
         out["cusum_key_sec"] = timed(
             lambda: _ts_cusum_sequential(df, 1.0, 1e6, target=50_000.0)

@@ -307,6 +307,16 @@ def main():
             ],
             [-2 * H, 0, 2 * H],
         ),
+        # round-11 fourth wave: the ACF sweep (the 2x-scan corr shape,
+        # pair-free) and full-fleet seasonality detection (acf + the
+        # catalog-bounded detrend/peak/descent stages on the 2h grid)
+        "b37_acf": lambda: __import__(
+            "redistimeseries_spark.operators.correlate", fromlist=["ts_acf"]
+        ).ts_acf(samples, 2 * H, 12),
+        "b38_detect_period": lambda: __import__(
+            "redistimeseries_spark.operators.correlate",
+            fromlist=["ts_detect_period"],
+        ).ts_detect_period(samples, 2 * H, 12, min_strength=0.1),
     }
 
     # SPARK_GRAFT_BUCKETED=1: also build the key-bucketed layout and probe
