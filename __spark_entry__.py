@@ -583,6 +583,33 @@ def q_detect_period(spark, sf_dir):
     )
 
 
+def q_features(spark, sf_dir):
+    """Beyond-reference fleet feature extraction: every series' feature
+    vector (volume, moments, trend, acf1, crossing/flat rates,
+    spikiness) on the 6h grid over week 3
+    (operators/features.ts_features — one grid hash agg + one per-key
+    window pass + one final agg; the cheap triage pass that decides
+    which series deserve decompose / holt_winters / monitoring)."""
+    from redistimeseries_spark.operators.features import ts_features
+
+    st = _store(spark, sf_dir)
+    out = ts_features(st.samples, 6 * H, start=D14, end=D21)
+    return out.select(
+        "key", "n_samples", "n_buckets",
+        F.round("mean", 6).alias("mean"),
+        F.round("std", 6).alias("std"),
+        F.round("cv", 6).alias("cv"),
+        F.round("vmin", 6).alias("vmin"),
+        F.round("vmax", 6).alias("vmax"),
+        F.round("trend_slope", 6).alias("trend_slope"),
+        F.round("trend_r2", 6).alias("trend_r2"),
+        F.round("acf1", 6).alias("acf1"),
+        F.round("crossing_rate", 6).alias("crossing_rate"),
+        F.round("flat_rate", 6).alias("flat_rate"),
+        F.round("spikiness", 6).alias("spikiness"),
+    )
+
+
 def q_agg_percentile(spark, sf_dir):
     """Beyond-reference p-name aggregators inside the standard TS.RANGE
     pipeline: percentiles mix with the reference aggregator set in one
@@ -2624,7 +2651,13 @@ def _base_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # displacing ts_agg_twa_empty (driver-green r10; the agg family
     # keeps ts_agg_all14 + ts_agg_percentile in-window) and
     # dl_ann_lsh_topk (driver-green r10; the ANN family keeps
-    # dl_pq_adc in-window) just past the cutoff.
+    # dl_pq_adc in-window) just past the cutoff.  Round-11 fifth wave:
+    # NEW ts_features (per-series feature-vector extraction — volume,
+    # moments, trend OLS, acf1, crossing/flat rates, spikiness in one
+    # grid-agg + window + final-agg chain, full-chain DuckDB oracle)
+    # enters the window in its adding commit, displacing
+    # ts_outlier_mad (driver-green r10; the robust-stats family keeps
+    # ts_mad + ts_hist_quantile in-window) just past the cutoff.
     return {
         # --- checked prefix: one representative per operator family -----
         "ts_range_raw": q_range_raw,
@@ -2657,7 +2690,7 @@ def _base_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ts_deriv": q_deriv,
         "ts_corr": q_corr,
         "ts_mad": q_mad,
-        "ts_outlier_mad": q_outlier_mad,
+        "ts_features": q_features,
         "ts_hist_quantile": q_hist_quantile,
         "ts_forecast": q_forecast,
         "ts_holt_winters": q_holt_winters,
@@ -2677,6 +2710,7 @@ def _base_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ts_rolling_quant": q_rolling_quant,
         "ts_acf": q_acf,
         "ts_detect_period": q_detect_period,
+        "ts_outlier_mad": q_outlier_mad,
         "dl_semdedup": q_semdedup,
         "ts_bucket_percentiles": q_bucket_percentiles,
         "dl_curation": q_curation,
@@ -4158,6 +4192,47 @@ SELECT key_a, key_b, CAST(lag AS BIGINT) AS lag,
        round(corr, 6) AS corr, n FROM x
 QUALIFY row_number() OVER (PARTITION BY key_a, key_b
   ORDER BY round(abs(corr), 9) DESC, abs(lag), lag) = 1""",
+        "ts_features": f"""{ORACLE_PREFIX},
+g AS (SELECT key, ts - ts % {6 * H} AS b, avg(value) AS v, count(*) AS c
+      FROM samples WHERE NOT isnan(value) AND ts BETWEEN {D14} AND {D21}
+      GROUP BY 1, 2),
+d AS (SELECT *, avg(v) OVER (PARTITION BY key) AS mu,
+             min(b) OVER (PARTITION BY key) AS minb,
+             lead(v) OVER (PARTITION BY key ORDER BY b) AS vn,
+             lead(b) OVER (PARTITION BY key ORDER BY b) AS bn
+      FROM g),
+e AS (SELECT *, CAST(b - minb AS DOUBLE) / {6 * H} AS x,
+             coalesce(bn = b + {6 * H}, false) AS adj
+      FROM d),
+a AS (SELECT key, CAST(sum(c) AS BIGINT) AS n_samples,
+             count(*) AS n_buckets, avg(v) AS mean,
+             stddev_samp(v) AS std, min(v) AS vmin, max(v) AS vmax,
+             regr_slope(v, x) AS sl, regr_r2(v, x) AS r2,
+             covar_samp(v, vn) FILTER (WHERE adj) AS cov,
+             stddev_samp(v) FILTER (WHERE adj) AS sa,
+             stddev_samp(vn) FILTER (WHERE adj) AS sb,
+             count(*) FILTER (WHERE adj) AS adjn,
+             count(*) FILTER (WHERE adj
+               AND (v - mu) * (vn - mu) < 0) AS crossings,
+             count(*) FILTER (WHERE adj AND vn = v) AS flats,
+             max(abs(v - mu)) AS maxdev
+      FROM e GROUP BY 1)
+SELECT key, n_samples, n_buckets, round(mean, 6) AS mean,
+       round(std, 6) AS std,
+       round(CASE WHEN std IS NOT NULL AND mean <> 0
+                  THEN std / abs(mean) END, 6) AS cv,
+       round(vmin, 6) AS vmin, round(vmax, 6) AS vmax,
+       round(sl, 6) AS trend_slope,
+       round(CASE WHEN std > 0 THEN r2 END, 6) AS trend_r2,
+       round(CASE WHEN sa > 0 AND sb > 0
+                  THEN cov / (sa * sb) END, 6) AS acf1,
+       round(CASE WHEN adjn > 0
+                  THEN crossings / CAST(adjn AS DOUBLE) END, 6)
+         AS crossing_rate,
+       round(CASE WHEN adjn > 0
+                  THEN flats / CAST(adjn AS DOUBLE) END, 6) AS flat_rate,
+       round(CASE WHEN std > 0 THEN maxdev / std END, 6) AS spikiness
+FROM a""",
         "ts_acf": f"""{ORACLE_PREFIX},
 g AS (SELECT key, ts - ts % {6 * H} AS b, avg(value) AS v
       FROM samples WHERE NOT isnan(value) AND ts BETWEEN {D14} AND {D21}

@@ -1109,6 +1109,29 @@ class TimeSeriesEngine:
             **kw,
         ).drop("key")
 
+    def features(self, bucket_dur, filters: list[str] | None = None,
+                 from_ts="-", to_ts="+", align="0") -> DataFrame:
+        """Fleet feature extraction (beyond-reference;
+        operators/features.ts_features): one feature row per matched
+        series — volume, moments, linear trend, lag-1 autocorrelation,
+        mean-crossing / flat rates, spikiness — on the `bucket_dur`
+        grid.  `filters` narrows the fleet with the usual label
+        predicates; the cheap triage pass that decides which series
+        deserve decompose / holt_winters / anomaly monitoring."""
+        from redistimeseries_spark.operators.features import ts_features
+
+        samples = self.samples
+        if filters:
+            ks = matched_keys(self.labels_df, filters)
+            samples = samples.join(F.broadcast(ks), "key", "left_semi")
+        return ts_features(
+            samples,
+            parse_duration_ms(bucket_dur),
+            start=self._resolve_ts(from_ts),
+            end=self._resolve_ts(to_ts),
+            align=align,
+        )
+
     def holt_winters(self, key: str, step, period_n: int,
                      alpha: float, beta: float, gamma: float,
                      from_ts="-", to_ts="+", horizon_n: int = 0,

@@ -38,7 +38,7 @@ def _ts_tvf_sql(p: str) -> list[str]:
     deriv / changes / resets / predict_linear / value_histogram /
     resample / holt / ewma / anomalies / mad / outlier_mad /
     hist_quantile / decompose / forecast / corr / cusum / ewm_band /
-    acf / detect_period —
+    acf / detect_period / features —
     named
     `<p><op>`, so two stores registered under
     different prefixes keep independent function sets).  Bodies are the
@@ -880,6 +880,70 @@ def _ts_tvf_sql(p: str) -> list[str]:
             FROM a WHERE sa > 0 AND sb > 0""",
         # seasonality detection (correlate.ts_detect_period): the
         # always-detrended chain — per-key OLS on the bucket index,
+        # fleet feature extraction (features.ts_features): one grid
+        # hash agg, one per-key window pass, one final agg — the whole
+        # per-key feature vector declaratively; dur guard in the
+        # source CTE (TVF args inline as literals, so Catalyst folds
+        # the valid case to true and the invalid case to a plan-time
+        # error even on an empty match — the {p}hist_quantile pattern)
+        f"""CREATE OR REPLACE TEMPORARY FUNCTION {p}features(dur BIGINT)
+            RETURNS TABLE (key STRING, n_samples BIGINT,
+                           n_buckets BIGINT, mean DOUBLE, std DOUBLE,
+                           cv DOUBLE, vmin DOUBLE, vmax DOUBLE,
+                           trend_slope DOUBLE, trend_r2 DOUBLE,
+                           acf1 DOUBLE, crossing_rate DOUBLE,
+                           flat_rate DOUBLE, spikiness DOUBLE)
+            RETURN WITH g AS (
+              SELECT key, greatest(ts - pmod(ts, dur), 0) AS b,
+                     avg(value) AS v, count(1) AS c
+              FROM {p}samples
+              WHERE {nn} AND (CASE WHEN dur > 0 THEN true
+                              ELSE CAST(raise_error(concat(
+                                '{p}features: dur must be positive,',
+                                ' got ', CAST(dur AS STRING)))
+                                AS BOOLEAN) END)
+              GROUP BY 1, 2),
+            d AS (SELECT *, avg(v) OVER (PARTITION BY key) AS mu,
+                         min(b) OVER (PARTITION BY key) AS minb,
+                         lead(v) OVER (PARTITION BY key ORDER BY b)
+                           AS vn,
+                         lead(b) OVER (PARTITION BY key ORDER BY b)
+                           AS bn
+                  FROM g),
+            e AS (SELECT *, CAST(b - minb AS DOUBLE) / dur AS x,
+                         coalesce(bn = b + dur, false) AS adj
+                  FROM d),
+            a AS (SELECT key, sum(c) AS n_samples,
+                         count(1) AS n_buckets, avg(v) AS mean,
+                         stddev_samp(v) AS std, min(v) AS vmin,
+                         max(v) AS vmax, regr_slope(v, x) AS sl,
+                         regr_r2(v, x) AS r2,
+                         covar_samp(CASE WHEN adj THEN v END,
+                                    CASE WHEN adj THEN vn END) AS cov,
+                         stddev_samp(CASE WHEN adj THEN v END) AS sa,
+                         stddev_samp(CASE WHEN adj THEN vn END) AS sb,
+                         sum(CASE WHEN adj THEN 1 ELSE 0 END) AS adjn,
+                         sum(CASE WHEN adj
+                                   AND (v - mu) * (vn - mu) < 0
+                                  THEN 1 ELSE 0 END) AS crossings,
+                         sum(CASE WHEN adj AND vn = v
+                                  THEN 1 ELSE 0 END) AS flats,
+                         max(abs(v - mu)) AS maxdev
+                  FROM e GROUP BY 1)
+            SELECT key, n_samples, n_buckets, mean, std,
+                   CASE WHEN std IS NOT NULL AND mean <> 0
+                        THEN std / abs(mean) END AS cv,
+                   vmin, vmax, sl AS trend_slope,
+                   CASE WHEN std > 0 THEN r2 END AS trend_r2,
+                   CASE WHEN sa > 0 AND sb > 0
+                        THEN cov / (sa * sb) END AS acf1,
+                   CASE WHEN adjn > 0
+                        THEN crossings / adjn END AS crossing_rate,
+                   CASE WHEN adjn > 0
+                        THEN flats / adjn END AS flat_rate,
+                   CASE WHEN std > 0
+                        THEN maxdev / std END AS spikiness
+            FROM a""",
         # the {p}acf sweep over the residual, 9dp-rounded local-peak
         # scan, argmax, divisor-descent fundamental pick (facade
         # covers detrend=False)

@@ -196,6 +196,11 @@ def main():
     out["detect_period_sec"] = timed(
         lambda: ts_detect_period(df, H, 36, min_strength=0.1)
     )
+    # round-11 fifth wave: the fleet feature vector on the hot key
+    # (grid agg + one window pass — the decompose cost class)
+    from redistimeseries_spark.operators.features import ts_features
+
+    out["features_sec"] = timed(lambda: ts_features(df, H))
     if not skip_old:
         out["cusum_key_sec"] = timed(
             lambda: _ts_cusum_sequential(df, 1.0, 1e6, target=50_000.0)

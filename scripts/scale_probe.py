@@ -317,6 +317,14 @@ def main():
             "redistimeseries_spark.operators.correlate",
             fromlist=["ts_detect_period"],
         ).ts_detect_period(samples, 2 * H, 12, min_strength=0.1),
+        # round-11 fifth wave: the fleet feature vector — one grid
+        # hash agg + one per-key window pass + one final agg (the
+        # decompose/acf cost class; nothing past the first agg scales
+        # with a key's sample count)
+        "b39_features": lambda: __import__(
+            "redistimeseries_spark.operators.features",
+            fromlist=["ts_features"],
+        ).ts_features(samples, 2 * H),
     }
 
     # SPARK_GRAFT_BUCKETED=1: also build the key-bucketed layout and probe

@@ -644,3 +644,45 @@ def test_sql_acf_detect_period_tvfs(spark, samples_df):
               "SELECT * FROM af_detect_period(1000, 24, 0.3, 4, 0.1)"):
         plan = spark.sql(q)._jdf.queryExecution().executedPlan().toString()
         assert "PythonUDF" not in plan
+
+
+def test_sql_features_tvf(spark, samples_df):
+    """{p}features == ts_features on the dur grid (whole feature
+    vector, NULL edges included); dur guard fires even on an empty
+    match (source-CTE literal folding); plan stays declarative."""
+    import random as _random
+
+    import pytest as _pytest
+
+    from redistimeseries_spark.operators.features import ts_features
+
+    rng = _random.Random(0xFEA8)
+    rows = [("cf", t * 1000, 5.0) for t in range(6)]  # constant key
+    rows += [
+        ("fa", t * 700, 0.3 * t + rng.uniform(-4, 4))
+        for t in range(300)
+        if rng.random() > 0.12
+    ]
+    rows += [("fb", 10, 1.0), ("fb", 20, 3.0)]  # single-bucket key
+    st = TSStore.from_dataframes(samples_df(rows))
+    register_sql(spark, st, prefix="ft_")
+
+    def rnd(df):
+        return sorted(
+            tuple(round(x, 9) if isinstance(x, float) else x for x in r)
+            for r in df.collect()
+        )
+
+    for dur in (2000, 5000):
+        got = rnd(spark.sql(f"SELECT * FROM ft_features({dur})"))
+        want = rnd(ts_features(st.samples, dur))
+        assert len(want) == 3 and got == want
+    with _pytest.raises(Exception, match="dur must be positive"):
+        spark.sql(
+            "SELECT * FROM ft_features(0) WHERE key = 'nomatch'"
+        ).collect()
+    plan = (
+        spark.sql("SELECT * FROM ft_features(2000)")
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "PythonUDF" not in plan
