@@ -610,6 +610,25 @@ def q_features(spark, sf_dir):
     )
 
 
+def q_seasonal_strength(spark, sf_dir):
+    """Beyond-reference decomposition strength measures: every series'
+    trend/seasonal strength (Wang/Smith/Hyndman) on the 6h grid at
+    period 4 over week 3 (operators/decompose.ts_seasonal_strength —
+    the ts_decompose plan plus one final per-key aggregation; the
+    oracle replays the full decomposition chain independently)."""
+    from redistimeseries_spark.operators.decompose import (
+        ts_seasonal_strength,
+    )
+
+    st = _store(spark, sf_dir)
+    out = ts_seasonal_strength(st.samples, 6 * H, 4, start=D14, end=D21)
+    return out.select(
+        "key", "n_est",
+        F.round("strength_trend", 6).alias("strength_trend"),
+        F.round("strength_seasonal", 6).alias("strength_seasonal"),
+    )
+
+
 def q_agg_percentile(spark, sf_dir):
     """Beyond-reference p-name aggregators inside the standard TS.RANGE
     pipeline: percentiles mix with the reference aggregator set in one
@@ -2658,6 +2677,12 @@ def _base_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # enters the window in its adding commit, displacing
     # ts_outlier_mad (driver-green r10; the robust-stats family keeps
     # ts_mad + ts_hist_quantile in-window) just past the cutoff.
+    # Round-11 sixth wave: NEW ts_seasonal_strength (Wang/Smith/
+    # Hyndman decomposition strength measures — the ts_decompose plan
+    # + one final per-key agg, full-chain DuckDB oracle) enters the
+    # window in its adding commit, displacing ts_deriv (driver-green
+    # r10; the counter/rate family keeps ts_compaction_increase_1h +
+    # ts_delta in-window) just past the cutoff.
     return {
         # --- checked prefix: one representative per operator family -----
         "ts_range_raw": q_range_raw,
@@ -2687,7 +2712,7 @@ def _base_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dl_url_dedup": q_url_dedup,
         "ts_agg_percentile": q_agg_percentile,
         "ts_ignore_filter": q_ignore_filter,
-        "ts_deriv": q_deriv,
+        "ts_seasonal_strength": q_seasonal_strength,
         "ts_corr": q_corr,
         "ts_mad": q_mad,
         "ts_features": q_features,
@@ -2711,6 +2736,7 @@ def _base_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ts_acf": q_acf,
         "ts_detect_period": q_detect_period,
         "ts_outlier_mad": q_outlier_mad,
+        "ts_deriv": q_deriv,
         "dl_semdedup": q_semdedup,
         "ts_bucket_percentiles": q_bucket_percentiles,
         "dl_curation": q_curation,
@@ -4078,6 +4104,46 @@ SELECT key, ts, value,
                                THEN (value - mean) / std END, 6)) > 2.5,
                 false) AS anomaly
 FROM w""",
+        "ts_seasonal_strength": f"""{ORACLE_PREFIX},
+v AS (SELECT key, ts, value FROM samples
+      WHERE NOT isnan(value) AND ts BETWEEN {D14} AND {D21}),
+g AS (SELECT key, ts - ts % {6 * H} AS b, avg(value) AS value
+      FROM v GROUP BY 1, 2),
+bounds AS (SELECT key, min(b) AS lo, max(b) AS hi FROM g GROUP BY key),
+spine AS (SELECT key, unnest(range(lo, hi + 1, {6 * H})) AS b FROM bounds),
+gr AS (SELECT s.key, s.b, g.value
+       FROM spine s LEFT JOIN g ON s.key = g.key AND s.b = g.b),
+t AS (SELECT key, b, value,
+             CASE WHEN count(value) OVER w = 5 THEN
+               (sum(value) OVER w
+                - (lag(value, 2) OVER w2 + lead(value, 2) OVER w2) / 2.0) / 4
+             END AS trend,
+             (b // {6 * H}) % 4 AS phase
+      FROM gr
+      WINDOW w AS (PARTITION BY key ORDER BY b
+                   ROWS BETWEEN 2 PRECEDING AND 2 FOLLOWING),
+             w2 AS (PARTITION BY key ORDER BY b)),
+d AS (SELECT key, b, value, trend, phase, value - trend AS det FROM t),
+ph AS (SELECT key, phase, avg(det) AS pmean FROM d GROUP BY 1, 2),
+se AS (SELECT key, phase,
+              pmean - avg(pmean) OVER (PARTITION BY key) AS seasonal
+       FROM ph),
+ss AS (SELECT d.key, d.trend, se.seasonal,
+              d.value - d.trend - se.seasonal AS resid
+       FROM d LEFT JOIN se ON d.key = se.key AND d.phase = se.phase),
+est AS (SELECT key, resid, seasonal + resid AS sr, trend + resid AS tr
+        FROM ss WHERE resid IS NOT NULL),
+a AS (SELECT key, count(*) AS n_est, var_samp(resid) AS vr,
+             var_samp(sr) AS vsr, var_samp(tr) AS vtr
+      FROM est GROUP BY 1)
+SELECT key, n_est,
+       round(CASE WHEN vtr > 0
+                  THEN greatest(0.0, 1.0 - vr / vtr) END, 6)
+         AS strength_trend,
+       round(CASE WHEN vsr > 0
+                  THEN greatest(0.0, 1.0 - vr / vsr) END, 6)
+         AS strength_seasonal
+FROM a""",
         "ts_decompose": f"""{ORACLE_PREFIX},
 v AS (SELECT key, ts, value FROM samples
       WHERE NOT isnan(value) AND ts BETWEEN {D14} AND {D21}),

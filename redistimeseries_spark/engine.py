@@ -627,6 +627,26 @@ class TimeSeriesEngine:
             mode=mode,
         ).drop("key")
 
+    def seasonal_strength(self, key: str, step, period_n: int,
+                          from_ts="-", to_ts="+",
+                          mode: str = "additive") -> DataFrame:
+        """Trend / seasonal strength of the classical decomposition
+        (beyond-reference; operators/decompose.ts_seasonal_strength —
+        the Wang/Smith/Hyndman measures; run detect_period first, model
+        only the keys whose strength justifies it)."""
+        from redistimeseries_spark.operators.decompose import (
+            ts_seasonal_strength,
+        )
+
+        return ts_seasonal_strength(
+            self._series_df(key, False),
+            parse_duration_ms(step),
+            period_n,
+            start=self._resolve_ts(from_ts, key),
+            end=self._resolve_ts(to_ts, key),
+            mode=mode,
+        ).drop("key")
+
     def forecast(self, key: str, step, period_n: int, horizon_n: int,
                  from_ts="-", to_ts="+", mode: str = "additive") -> DataFrame:
         """Seasonal linear forecast past the last observed bucket

@@ -239,3 +239,63 @@ def ts_forecast(
         .join(seas, ["key", "__phase"], "left")
         .select("key", "ts", fc.alias("forecast"))
     )
+
+
+def ts_seasonal_strength(
+    samples: DataFrame,
+    step_ms: int,
+    period_n: int,
+    keys: list[str] | str | None = None,
+    start: int = MIN_TS,
+    end: int = MAX_TS,
+    mode: str = "additive",
+) -> DataFrame:
+    """(key, n_est, strength_trend, strength_seasonal) — the
+    decomposition-based strength measures of Wang/Smith/Hyndman (the
+    `feat_stl` features of the fpp3/feasts tradition; public method):
+
+        strength_trend    = max(0, 1 - Var(R) / Var(T + R))
+        strength_seasonal = max(0, 1 - Var(R) / Var(S + R))
+
+    computed over the buckets where the classical decomposition is
+    estimable (resid defined — the centered-MA edge buckets drop).
+    Values near 1 mean the component dominates the residual; near 0,
+    indistinguishable from noise.  `mode="multiplicative"` composes the
+    mixed terms by product (S*R, T*R) on the multiplicative components,
+    the same analogy the decomposition itself uses.  NULL when the
+    mixed variance is 0 (constant/degenerate span) or under 2 estimable
+    buckets.
+
+    Spark shape: `ts_decompose`'s plan (one per-sample hash agg, then
+    #buckets-bounded windows and the phase-mean join) plus ONE final
+    per-key hash aggregation — the triage companion to `ts_features`:
+    run `ts_detect_period` to find the period, this to decide whether
+    the seasonality is worth modeling, `decompose`/`holt_winters` only
+    on the keys where it is."""
+    d = ts_decompose(samples, step_ms, period_n, keys, start, end, mode)
+    est = d.filter(F.col("resid").isNotNull())
+    if mode == "multiplicative":
+        sr = F.col("seasonal") * F.col("resid")
+        tr = F.col("trend") * F.col("resid")
+    else:
+        sr = F.col("seasonal") + F.col("resid")
+        tr = F.col("trend") + F.col("resid")
+    a = est.groupBy("key").agg(
+        F.count(F.lit(1)).alias("n_est"),
+        F.var_samp("resid").alias("__vr"),
+        F.var_samp(sr).alias("__vsr"),
+        F.var_samp(tr).alias("__vtr"),
+    )
+
+    def strength(mixed):
+        return F.when(
+            mixed > 0,
+            F.greatest(F.lit(0.0), F.lit(1.0) - F.col("__vr") / mixed),
+        )
+
+    return a.select(
+        "key",
+        "n_est",
+        strength(F.col("__vtr")).alias("strength_trend"),
+        strength(F.col("__vsr")).alias("strength_seasonal"),
+    ).orderBy("key")

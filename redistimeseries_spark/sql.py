@@ -38,7 +38,7 @@ def _ts_tvf_sql(p: str) -> list[str]:
     deriv / changes / resets / predict_linear / value_histogram /
     resample / holt / ewma / anomalies / mad / outlier_mad /
     hist_quantile / decompose / forecast / corr / cusum / ewm_band /
-    acf / detect_period / features —
+    acf / detect_period / features / seasonal_strength —
     named
     `<p><op>`, so two stores registered under
     different prefixes keep independent function sets).  Bodies are the
@@ -1213,6 +1213,38 @@ def _ts_tvf_sql(p: str) -> list[str]:
             FROM hz LEFT JOIN se
               ON se.key = hz.key
               AND se.phase = pmod(hz.ts DIV step, period)""",
+        # decomposition strength measures (decompose.ts_seasonal_strength
+        # — Wang/Smith/Hyndman): composes OVER the {p}decompose TVF
+        # (created above; temporary functions resolve at creation
+        # order), so the guards and both modes come for free and the
+        # two bodies cannot drift apart
+        f"""CREATE OR REPLACE TEMPORARY FUNCTION {p}seasonal_strength(
+                step BIGINT, period INT, mode STRING)
+            RETURNS TABLE (key STRING, n_est BIGINT,
+                           strength_trend DOUBLE,
+                           strength_seasonal DOUBLE)
+            RETURN WITH est AS (
+              SELECT key, resid,
+                CASE WHEN mode = 'multiplicative'
+                     THEN seasonal * resid
+                     ELSE seasonal + resid END AS sr,
+                CASE WHEN mode = 'multiplicative'
+                     THEN trend * resid
+                     ELSE trend + resid END AS tr
+              FROM {p}decompose(step, period, mode)
+              WHERE resid IS NOT NULL),
+            a AS (SELECT key, count(1) AS n_est,
+                         var_samp(resid) AS vr, var_samp(sr) AS vsr,
+                         var_samp(tr) AS vtr
+                  FROM est GROUP BY 1)
+            SELECT key, n_est,
+              CASE WHEN vtr > 0
+                   THEN greatest(CAST(0 AS DOUBLE), 1D - vr / vtr)
+                   END AS strength_trend,
+              CASE WHEN vsr > 0
+                   THEN greatest(CAST(0 AS DOUBLE), 1D - vr / vsr)
+                   END AS strength_seasonal
+            FROM a""",
     ]
 
 

@@ -201,6 +201,13 @@ def main():
     from redistimeseries_spark.operators.features import ts_features
 
     out["features_sec"] = timed(lambda: ts_features(df, H))
+    from redistimeseries_spark.operators.decompose import (
+        ts_seasonal_strength,
+    )
+
+    out["seasonal_strength_sec"] = timed(
+        lambda: ts_seasonal_strength(df, H, 24)
+    )
     if not skip_old:
         out["cusum_key_sec"] = timed(
             lambda: _ts_cusum_sequential(df, 1.0, 1e6, target=50_000.0)

@@ -325,6 +325,11 @@ def main():
             "redistimeseries_spark.operators.features",
             fromlist=["ts_features"],
         ).ts_features(samples, 2 * H),
+        # decompose plan + one catalog-sized agg (the b29 line)
+        "b40_seasonal_strength": lambda: __import__(
+            "redistimeseries_spark.operators.decompose",
+            fromlist=["ts_seasonal_strength"],
+        ).ts_seasonal_strength(samples, 2 * H, 12),
     }
 
     # SPARK_GRAFT_BUCKETED=1: also build the key-bucketed layout and probe

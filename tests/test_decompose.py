@@ -284,3 +284,98 @@ def test_engine_facade(spark):
     got = eng.decompose("d1", 1000, 3).collect()
     assert len(got) == 12
     assert {r.ts for r in got} == {i * 1000 for i in range(12)}
+
+
+# ---- ts_seasonal_strength (round-11 sixth wave) ---------------------------
+
+
+def test_seasonal_strength_planted_signals(spark):
+    """Strong planted seasonality reads strength_seasonal near 1 and a
+    strong trend reads strength_trend near 1; pure noise reads both
+    near 0 (clamped at 0)."""
+    import random
+
+    from redistimeseries_spark.operators.decompose import (
+        ts_seasonal_strength,
+    )
+
+    rng = random.Random(0x55EA)
+    rows = []
+    for t in range(96):
+        rows.append(
+            ("season", t * 1000,
+             10.0 * math.sin(2 * math.pi * t / 8) + rng.gauss(0, 0.3))
+        )
+        rows.append(("trendy", t * 1000, 2.0 * t + rng.gauss(0, 0.5)))
+        rows.append(("noise", t * 1000, rng.gauss(0, 1.0)))
+    sdf = spark.createDataFrame(rows, "key string, ts long, value double")
+    out = {r.key: r for r in ts_seasonal_strength(sdf, 1000, 8).collect()}
+    assert out["season"].strength_seasonal > 0.98
+    assert out["trendy"].strength_trend > 0.98
+    assert out["trendy"].strength_seasonal < 0.3
+    assert out["noise"].strength_seasonal < 0.3
+    assert out["noise"].strength_trend < 0.3
+    # estimable span: 96 buckets minus the two half-period MA edges
+    assert out["season"].n_est == 96 - 8
+
+
+def test_seasonal_strength_matches_decompose_variances(spark):
+    """The strengths equal the textbook variance formula computed off
+    the operator's own decomposition output (independent pandas
+    replay), and the constant series reads NULL (zero mixed
+    variance)."""
+    import numpy as np
+
+    from redistimeseries_spark.operators.decompose import (
+        ts_decompose,
+        ts_seasonal_strength,
+    )
+
+    rows = [
+        ("m", t * 500,
+         5.0 + 0.1 * t + 3.0 * math.sin(2 * math.pi * t / 6) + (t % 5) * 0.2)
+        for t in range(60)
+    ]
+    rows += [("flat", t * 500, 4.0) for t in range(30)]
+    sdf = spark.createDataFrame(rows, "key string, ts long, value double")
+    got = {r.key: r for r in ts_seasonal_strength(sdf, 500, 6).collect()}
+    pdf = ts_decompose(sdf, 500, 6, keys="m").toPandas().dropna(
+        subset=["resid"]
+    )
+    vr = np.var(pdf.resid, ddof=1)
+    vsr = np.var(pdf.seasonal + pdf.resid, ddof=1)
+    vtr = np.var(pdf.trend + pdf.resid, ddof=1)
+    assert got["m"].strength_seasonal == pytest.approx(
+        max(0.0, 1 - vr / vsr), rel=1e-9
+    )
+    assert got["m"].strength_trend == pytest.approx(
+        max(0.0, 1 - vr / vtr), rel=1e-9
+    )
+    assert got["m"].n_est == len(pdf)
+    assert got["flat"].strength_seasonal is None
+    assert got["flat"].strength_trend is None
+
+
+def test_seasonal_strength_multiplicative_and_facade(spark):
+    from redistimeseries_spark.engine import TimeSeriesEngine
+    from redistimeseries_spark.operators.decompose import (
+        ts_seasonal_strength,
+    )
+
+    rows = [
+        ("g", t * 1000,
+         (10.0 + 0.2 * t) * (1.0 + 0.4 * math.sin(2 * math.pi * t / 8)))
+        for t in range(80)
+    ]
+    sdf = spark.createDataFrame(rows, "key string, ts long, value double")
+    out = ts_seasonal_strength(sdf, 1000, 8, mode="multiplicative").collect()
+    assert len(out) == 1 and out[0].strength_seasonal > 0.9
+
+    eng = TimeSeriesEngine(spark, duplicate_policy="last")
+    eng.create("ss1")
+    for t in range(48):
+        eng.add("ss1", t * 1000, math.sin(2 * math.pi * t / 6) * 4.0 + 10.0)
+    r = eng.seasonal_strength("ss1", 1000, 6).collect()
+    assert len(r) == 1 and r[0].strength_seasonal > 0.95
+    with pytest.raises(ValueError, match="period_n"):
+        ts_seasonal_strength(sdf, 1000, 1)

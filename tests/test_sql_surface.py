@@ -686,3 +686,47 @@ def test_sql_features_tvf(spark, samples_df):
         ._jdf.queryExecution().executedPlan().toString()
     )
     assert "PythonUDF" not in plan
+
+
+def test_sql_seasonal_strength_tvf(spark, samples_df):
+    """{p}seasonal_strength composes over the {p}decompose TVF — parity
+    with the facade operator in both modes, guards inherited from the
+    decompose body, declarative plan."""
+    import math as _math
+
+    import pytest as _pytest
+
+    from redistimeseries_spark.operators.decompose import (
+        ts_seasonal_strength,
+    )
+
+    rows = [
+        ("sa", t * 1000,
+         6.0 * _math.sin(2 * _math.pi * t / 8) + 0.05 * t)
+        for t in range(64)
+    ]
+    rows += [("sb", t * 1000, 3.0 + 1.5 * t) for t in range(40)]
+    st = TSStore.from_dataframes(samples_df(rows))
+    register_sql(spark, st, prefix="ssx_")
+
+    def rnd(df):
+        return sorted(
+            tuple(round(x, 9) if isinstance(x, float) else x for x in r)
+            for r in df.collect()
+        )
+
+    for mode in ("additive", "multiplicative"):
+        got = rnd(spark.sql(
+            f"SELECT * FROM ssx_seasonal_strength(1000, 8, '{mode}')"
+        ))
+        want = rnd(ts_seasonal_strength(st.samples, 1000, 8, mode=mode))
+        assert got and got == want, mode
+    with _pytest.raises(Exception, match="step must be positive"):
+        spark.sql(
+            "SELECT * FROM ssx_seasonal_strength(0, 8, 'additive')"
+        ).collect()
+    plan = (
+        spark.sql("SELECT * FROM ssx_seasonal_strength(1000, 8, 'additive')")
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "PythonUDF" not in plan
