@@ -395,6 +395,19 @@ def minhash_lsh_pairs(
     band = band.withColumn("__bsz", F.count(F.lit(1)).over(w)).withColumn(
         "__rep", F.min("doc_id").over(w)
     )
+    # the banded table is consumed THREE times below (both self-join
+    # sides + the star branch).  Exchange reuse does NOT deduplicate the
+    # three subtrees — plan-verified: the MapInPandas minhash kernel
+    # appears three times with zero ReusedExchange, because self-join
+    # deduplication re-aliases one side and Python-UDF subtrees fail
+    # canonical matching — so without this the WHOLE minhash pass (the
+    # corpus scan, the Python kernel, the band exchange, the window) runs
+    # three times per query: measured 3 x ~1.7 s concurrent stages at
+    # sf0.1, and at 100 TB it would be three full corpus scans.  One
+    # eager materialization of the |docs| x bands banded rows (the same
+    # volume the exchange already wrote to shuffle disk) makes it run
+    # once.
+    band = band.localCheckpoint()
     small = band.filter(F.col("__bsz") <= max_bucket)
     a = small.alias("a")
     b = small.alias("b")
@@ -653,6 +666,7 @@ def ngram_jaccard_verify(
     with_containment: bool = False,
     broadcast_docs: int = 50_000,
     hashed_grams: bool = True,
+    n_docs: int | None = None,
 ) -> DataFrame:
     """(doc_a, doc_b, jaccard[, containment]) — exact n-gram Jaccard
     restricted to the given candidate pairs.  with_containment adds
@@ -676,24 +690,38 @@ def ngram_jaccard_verify(
     # only docs that appear in a candidate pair need grams: at production
     # blocking selectivity (candidates << corpus) the semi-join prunes the
     # gram computation to the involved docs; when most docs are involved
-    # it costs one broadcast-sized join against the pair list.  The pair
-    # list is consumed TWICE below (doc prune + the verify join), so it is
-    # materialized once — without this the upstream blocking chain
-    # (minhash/simhash) would execute twice.
-    pairs = pairs.select("doc_a", "doc_b").localCheckpoint()
-    cand_docs = (
-        pairs.select(F.col("doc_a").alias("doc_id"))
-        .union(pairs.select(F.col("doc_b").alias("doc_id")))
-        .distinct()
-    )
-    # the pair list is already materialized, so sizing the join strategy
-    # costs one tiny job: when few docs are involved (each gram set is a
-    # few KB — 50k docs ~ 150 MB, comfortably broadcastable) broadcast the
-    # gram table into both pair joins instead of letting a sort-merge
-    # shuffle |pairs| rows plus every gram array; above the threshold the
-    # shuffled join is the right plan and AQE keeps it
-    small = cand_docs.count() <= broadcast_docs
-    gsets = word_ngram_sets(docs.join(cand_docs, "doc_id", "left_semi"), n)
+    # it costs one broadcast-sized join against the pair list.  When the
+    # CALLER already knows the corpus is bounded (`n_docs` — dedup_pipeline
+    # reads it off its adaptive-collapse aggregate for free) the prune
+    # cannot pay: every doc's gram set fits the broadcast anyway, so the
+    # whole prune apparatus — the pair-list materialization pass, the
+    # distinct cand-doc count job, and the per-side semi-join — is skipped
+    # and the propose chain fuses with the verify join into ONE job
+    # (measured: −1.5 s of the 6.1 s steady-state b10 at sf0.1).
+    fused = n_docs is not None and n_docs <= broadcast_docs
+    if fused:
+        pairs = pairs.select("doc_a", "doc_b")
+        small = True
+        gsets = word_ngram_sets(docs, n)
+    else:
+        # the pair list is consumed TWICE below (doc prune + the verify
+        # join), so it is materialized once — without this the upstream
+        # blocking chain (minhash/simhash) would execute twice.
+        pairs = pairs.select("doc_a", "doc_b").localCheckpoint()
+        cand_docs = (
+            pairs.select(F.col("doc_a").alias("doc_id"))
+            .union(pairs.select(F.col("doc_b").alias("doc_id")))
+            .distinct()
+        )
+        # the pair list is already materialized, so sizing the join
+        # strategy costs one tiny job: when few docs are involved (each
+        # gram set is a few KB — 50k docs ~ 150 MB, comfortably
+        # broadcastable) broadcast the gram table into both pair joins
+        # instead of letting a sort-merge shuffle |pairs| rows plus every
+        # gram array; above the threshold the shuffled join is the right
+        # plan and AQE keeps it
+        small = cand_docs.count() <= broadcast_docs
+        gsets = word_ngram_sets(docs.join(cand_docs, "doc_id", "left_semi"), n)
     if hashed_grams:
         # intersect 64-bit gram hashes instead of gram strings: the
         # per-pair hash-set probe stops re-hashing ~15-char strings
@@ -705,7 +733,15 @@ def ngram_jaccard_verify(
             "doc_id", F.expr("transform(gs, g -> xxhash64(g))").alias("gs")
         )
     if small:
-        gsets = F.broadcast(gsets)
+        # the gram table is referenced by BOTH pair joins; without the
+        # checkpoint each side plans its own BroadcastExchange over the
+        # full gram-computation subtree (the doc scan, the semi-join when
+        # pruning, the shingling, the xxhash64 pass all run TWICE — plan-
+        # verified: two independent BroadcastExchange subtrees, no reuse,
+        # because the per-side column renames make the subtrees unequal).
+        # It is bounded here by construction: at most `broadcast_docs`
+        # gram rows, the same bound the broadcast itself relies on.
+        gsets = F.broadcast(gsets.localCheckpoint())
     return (
         pairs
         .join(
@@ -806,7 +842,13 @@ def dedup_pipeline(
     else:
         rep_docs, exact = docs, None
     cand = minhash_lsh_pairs(rep_docs, num_hashes, bands, k, max_bucket)
-    near = ngram_jaccard_verify(rep_docs, cand, n, threshold).select("doc_a", "doc_b")
+    # n_docs is known for free from the adaptive-collapse aggregate: when
+    # the corpus is broadcast-bounded, verify skips its prune/materialize
+    # apparatus and the propose chain fuses with the verify join into one
+    # job (see ngram_jaccard_verify)
+    near = ngram_jaccard_verify(
+        rep_docs, cand, n, threshold, n_docs=st.n
+    ).select("doc_a", "doc_b")
     comp = connected_components_star(
         near if exact is None else near.unionByName(exact)
     )
@@ -925,14 +967,28 @@ def connected_components_star(
                 parent[max(ru, rv)] = min(ru, rv)  # root stays the min id
         nodes = {n for r_ in rows for n in (r_.u, r_.v)}
         out_rows = [(n, find(n)) for n in sorted(nodes)]
-        return pairs.sparkSession.createDataFrame(
-            out_rows,
-            T.StructType(
-                [
-                    T.StructField("doc_id", e.schema["u"].dataType),
-                    T.StructField("component", e.schema["v"].dataType),
-                ]
-            ),
+        import pandas as pd
+
+        schema = T.StructType(
+            [
+                T.StructField("doc_id", e.schema["u"].dataType),
+                T.StructField("component", e.schema["v"].dataType),
+            ]
+        )
+        # pandas in, not a list of tuples: the tuple path pickles and
+        # type-verifies row by row (~0.55 s at 10k rows, measured); the
+        # pandas path crosses as ONE Arrow batch (~0.17 s).  The broadcast
+        # hint matters because driver-resolved components are bounded
+        # (2 x driver_threshold rows) but arrive as an ExistingRDD with no
+        # size statistics, so a downstream join would plan sort-merge —
+        # exchange + sort on BOTH sides (plan-verified on dedup_pipeline's
+        # final left join); the hint makes it a BroadcastHashJoin with no
+        # shuffle at all.
+        return F.broadcast(
+            pairs.sparkSession.createDataFrame(
+                pd.DataFrame(out_rows, columns=["doc_id", "component"]),
+                schema,
+            )
         )
 
     def sym(edges):
