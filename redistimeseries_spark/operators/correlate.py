@@ -226,6 +226,12 @@ def ts_xcorr(
         _filtered(samples, all_keys, start, end)
         .groupBy("key", "ts")
         .agg(F.max("value").alias("value"))
+        # materialized once: BOTH legs read this frame, and without the
+        # checkpoint each leg re-executes the scan + dedup aggregation
+        # (re-aliased subtrees defeat exchange reuse — the LSH band-table
+        # failure).  One pass of the involved keys' effective samples
+        # instead of two.
+        .localCheckpoint()
     )
     a = d.join(
         F.broadcast(pdf), d["key"] == pdf["key_a"]
@@ -356,6 +362,15 @@ def _acf_grid(samples, bucket_dur, keys, start, end, align):
     """Shared ACF prep: valid in-range rows averaged onto the regular
     bucket grid -> (key, __b, __v)."""
     align_ts = resolve_align(align, start, end)
+    # MATERIALIZED (eager localCheckpoint): the grid is bucket-bounded
+    # (#keys x #buckets rows — catalog scale, never sample scale) but its
+    # consumers re-execute the whole per-sample scan + hash agg otherwise:
+    # the acf sweep reads it twice (a/b legs of the lag self-join) and
+    # ts_detect_period's detrend adds three more reads (min-bucket, OLS
+    # moments, residual join) — plan-verified 16 base-table scans in one
+    # detect_period plan, i.e. up to ~6 full corpus aggregations per query
+    # at scale.  Subtree reuse does not deduplicate them (the re-aliased
+    # self-join sides fail canonical matching, as with the LSH band table).
     return (
         _filtered(samples, keys, start, end)
         .groupBy(
@@ -363,6 +378,7 @@ def _acf_grid(samples, bucket_dur, keys, start, end, align):
             bucket_start(F.col("ts"), bucket_dur, align_ts).alias("__b"),
         )
         .agg(F.avg("value").alias("__v"))
+        .localCheckpoint()
     )
 
 

@@ -76,10 +76,19 @@ def ts_decompose(
         df = df.filter(F.col("ts") >= F.lit(start))
     if end < MAX_TS:
         df = df.filter(F.col("ts") <= F.lit(end))
+    # MATERIALIZED (eager localCheckpoint): the gridded aggregate is
+    # bucket-bounded (#keys x #buckets rows) but is consumed twice here
+    # (the spine min/max aggregate + the grid join) and the whole
+    # decomposition is consumed twice more by ts_forecast (seasonal-index
+    # and trend-fit aggregates) — without this each consumer re-executes
+    # the per-sample scan + hash aggregation (4 base-table scans in one
+    # ts_decompose plan, plan-verified; re-aliased subtrees defeat
+    # exchange reuse).  After the checkpoint every re-read is
+    # bucket-bounded.
     g = df.groupBy(
         "key",
         (F.col("ts") - F.pmod(F.col("ts"), F.lit(step_ms))).alias("__b"),
-    ).agg(F.avg("value").alias("value"))
+    ).agg(F.avg("value").alias("value")).localCheckpoint()
     spine = (
         g.groupBy("key")
         .agg(F.min("__b").alias("__lo"), F.max("__b").alias("__hi"))

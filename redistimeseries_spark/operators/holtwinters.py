@@ -105,10 +105,15 @@ def ts_holt_winters(
         df = df.filter(F.col("ts") >= F.lit(start))
     if end < MAX_TS:
         df = df.filter(F.col("ts") <= F.lit(end))
+    # MATERIALIZED (eager localCheckpoint): the gridded aggregate is
+    # bucket-bounded but consumed twice (the short-key count aggregate and
+    # the semi-join probe side) — without this both consumers re-execute
+    # the per-sample scan + hash aggregation (re-aliased subtrees defeat
+    # exchange reuse, the LSH band-table failure).
     g = df.groupBy(
         "key",
         (F.col("ts") - F.pmod(F.col("ts"), F.lit(step_ms))).alias("ts"),
-    ).agg(F.avg("value").alias("value"))
+    ).agg(F.avg("value").alias("value")).localCheckpoint()
     # drop short keys BEFORE the per-key kernel: one #buckets-bounded
     # hash agg + co-partitioned semi-join (no Arrow group ever sees a
     # key it will discard)

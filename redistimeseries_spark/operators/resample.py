@@ -57,9 +57,13 @@ RESAMPLE_CHUNK_MS = 1 << 24
 def _grid_union(df: DataFrame, step_ms: int):
     """samples ∪ per-key grid rows (__s = 1 sample / 0 grid), with the
     key's observed bounds kept on the side for spine construction."""
+    # materialized: the per-key bounds frame is catalog-bounded (one row
+    # per key) but consumed twice (the grid explode here and the caller's
+    # chunk spine) — each re-execution is a full base scan + hash agg
+    # otherwise (re-aliased subtrees defeat exchange reuse).
     bounds = df.groupBy("key").agg(
         F.min("ts").alias("__lo"), F.max("ts").alias("__hi")
-    )
+    ).localCheckpoint()
     g0 = (F.col("__lo") + step_ms - 1) - (F.col("__lo") + step_ms - 1) % step_ms
     g1 = F.col("__hi") - F.col("__hi") % step_ms
     grid = bounds.select(
@@ -120,7 +124,11 @@ def ts_resample(
         raise ValueError(f"method must be one of {METHODS}")
     if chunk_ms <= 0:
         raise ValueError("chunk_ms must be positive")
-    df = _filtered(samples, keys, start, end)
+    # materialized: the filtered frame feeds the bounds aggregate, the
+    # grid union AND the chunk-context aggregate — three full scans
+    # without it (plan-verified 4 base-table scans per query including
+    # the bounds re-spine).  One narrow (key, ts, value) pass instead.
+    df = _filtered(samples, keys, start, end).localCheckpoint()
     u, bounds = _grid_union(df, step_ms)
     c = (F.col("ts") - F.pmod(F.col("ts"), F.lit(chunk_ms))).alias("__c")
     u = u.select("key", "ts", "value", "__s", c)

@@ -133,7 +133,21 @@ def _split_cold(d, chunk_ms):
     """(cold, hot) halves of an adaptive-chunked frame: cold = keys that
     fit one chunk (sequential kernel), hot = the rest (chunk-affine
     pipeline).  Fixed-grid mode sends everything through the pipeline
-    (the tests' forced-tiny-chunks contract)."""
+    (the tests' forced-tiny-chunks contract).
+
+    The chunked frame is MATERIALIZED here (eager localCheckpoint): the
+    three-stage pipeline consumes it three times (the cold kernel, the
+    summarize aggregation, and the replay join), and neither compile-time
+    exchange reuse nor AQE's runtime stage cache deduplicates the
+    subtrees — the Arrow group kernels between them defeat canonical
+    matching (the same failure plan-verified on the minhash LSH band
+    table) — so without this the scan, the per-key stats aggregation and
+    the stats join all execute three times per query.  Measured at 1 key
+    x 10M rows: ts_ewma 82 s -> 12 s; balanced 5k-key fleets are
+    unchanged within noise.  The materialized volume is the filtered
+    input plus two small columns — the same order as one shuffle of the
+    data, which the pipeline's own (key, chunk) exchange already pays."""
+    d = d.localCheckpoint()
     if chunk_ms is not None or "__ck" not in d.columns:
         return None, d
     return d.filter(F.col("__ck") == 1), d.filter(F.col("__ck") > 1)

@@ -181,7 +181,13 @@ def eval_contamination_report(
     caller already knows the size.  Counting the GRAM rows rather than
     the docs matters: 90k long documents are few docs but a multi-GB
     gram table."""
-    ge = word_ngrams(eval_docs, n)  # (eval doc_id, gram), per-doc distinct
+    # (eval doc_id, gram), per-doc distinct — materialized once: it is
+    # executed by the size probe, the per-doc sizes aggregate AND the
+    # broadcast build (three runs of the eval-side tokenize + explode
+    # otherwise; re-aliased subtrees defeat exchange reuse).  The frame
+    # is benchmark-sized by contract — the same bound the broadcast
+    # default relies on.
+    ge = word_ngrams(eval_docs, n).localCheckpoint()
     if broadcast_eval is None:
         cap = EVAL_BROADCAST_MAX_GRAMS
         broadcast_eval = ge.limit(cap + 1).count() <= cap

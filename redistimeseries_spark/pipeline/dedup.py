@@ -88,9 +88,14 @@ def duplicate_span_stats(
         f"transform(sequence(1, greatest(length(nt) - {w} + 1, 1), {stride}),"
         f" i -> md5(substring(nt, i, {w})))"
     )
+    # materialized once: the window-fingerprint projection (one md5 per
+    # strided window — the expensive stage) is consumed by the document-
+    # frequency count, the dup join AND the final per-doc spine; without
+    # this each consumer recomputes every window hash (re-aliased
+    # subtrees defeat exchange reuse — the LSH band-table failure).
     spine = nt.select("doc_id", wins.alias("__w")).select(
         "doc_id", "__w", F.size("__w").cast("long").alias("n_windows")
-    )
+    ).localCheckpoint()
     ex = spine.select("doc_id", F.explode("__w").alias("fp"))
     cnt = ex.groupBy("fp").agg(F.count(F.lit(1)).alias("__c"))
     dup = (
@@ -553,7 +558,13 @@ def simhash_hamming_pairs(
     """
     nb = max_hamming + 1
     width = bits // nb
-    sig = simhash(docs, bits)
+    # materialized once: both self-join sides read the fingerprint frame,
+    # and the simhash projection is the expensive stage (a bits-wide
+    # interpreted aggregation over every token — measured seconds per 5k
+    # docs); re-aliased subtrees defeat exchange reuse (the LSH band-table
+    # failure), so without this it computes twice.  The frame is two
+    # narrow columns per doc.
+    sig = simhash(docs, bits).localCheckpoint()
     seg_exprs = []
     for i in range(nb):
         lo = i * width
@@ -630,7 +641,14 @@ def ngram_jaccard_pairs(
     otherwise make the candidate join quadratic on that key.  The cut
     removes the gram from both the intersection and the sizes, so the
     Jaccard stays exact over the retained gram vocabulary."""
-    g = word_ngrams(docs, n)
+    # the exploded gram frame is consumed FOUR times (the hot-gram
+    # aggregation, the per-doc sizes, and both sides of the candidate
+    # self-join); without materialization each consumer re-runs the doc
+    # scan + tokenize + explode — neither compile-time exchange reuse nor
+    # AQE's stage cache deduplicates the re-aliased subtrees (the same
+    # failure plan-verified on the LSH band table).  One eager
+    # materialization of the gram rows bounds it to one pass.
+    g = word_ngrams(docs, n).localCheckpoint()
     hot = (
         g.groupBy("gram")
         .agg(F.count(F.lit(1)).alias("__df"))
@@ -1066,6 +1084,11 @@ def embedding_neardup_pairs(
             )
         ).alias("norm"),
     )
+    # materialized once: both self-join sides read this frame, and the
+    # bucket + norm projection is an interpreted fold over every vector —
+    # re-aliased subtrees defeat exchange reuse (the LSH band-table
+    # failure), so without this it computes twice.
+    d = d.localCheckpoint()
     a, b = d.alias("a"), d.alias("b")
     dot = F.aggregate(
         F.zip_with(F.col("a.v"), F.col("b.v"), lambda x, y: x * y),

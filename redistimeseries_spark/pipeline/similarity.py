@@ -251,9 +251,14 @@ def ivf_topk_batch(
     from pyspark.sql import Window
 
     d = emb.select("vec_id", F.col("embedding").cast("array<double>").alias("v"))
+    # seed centroids materialize once (ncent rows): they feed the corpus
+    # assignment AND the query probe join, and each would otherwise re-run
+    # the orderBy-limit corpus scan deriving them
     cents = centroids if centroids is not None else d.orderBy("vec_id").limit(
         ncent
-    ).select(F.col("vec_id").cast("long").alias("cid"), F.col("v").alias("cv"))
+    ).select(
+        F.col("vec_id").cast("long").alias("cid"), F.col("v").alias("cv")
+    ).localCheckpoint()
     # arrow: the corpus-side assignment (the one pass that touches every
     # vector) runs the BLAS kernel; probe/top-k stay expression-side
     arrow = _resolve_arrow(arrow, d, n_rows)
@@ -328,15 +333,34 @@ def cosine_topk_quantized(emb: DataFrame, query_vec_id: int, k: int = 20) -> Dat
 
 
 # `arrow="auto"` picks the BLAS/Arrow kernel at-or-above this input size:
-# the interpreted expression paths are the oracle-gated reference and win
-# below it (no Arrow serialization, stays in one codegen stage), but the
-# probes put them at 5-14x the BLAS kernels from ~100k vectors up — a
-# user who never discovers arrow=True must not run the slow plan at
-# exactly the scale where it hurts.
-ARROW_AUTO_THRESHOLD = 50_000
+# the interpreted expression paths are the oracle-gated reference twins,
+# but their per-row cost is ncent-or-ksub interpreted O(dim) folds, so
+# the BLAS kernels win far earlier than the original 50k setting assumed:
+# an interleaved warm A/B on 2k x 512 vectors read semdedup 1.7-2.1 s
+# expression vs 0.81-0.92 s Arrow (and 5-14x at 100k+, the probe
+# numbers).  Below ~2k rows the two are within Python-worker-startup
+# noise of each other; the expression twins stay reachable via
+# arrow=False and the A/B pytest pins 6dp equality either way.
+ARROW_AUTO_THRESHOLD = 2_000
+
+# pq_encode's own auto threshold: its expression path pays m * ksub
+# interpreted aggregate folds PER ROW (128 at the default 8x16 — measured
+# 1.4 s expression vs 0.36 s Arrow at just 2k vectors, the gap linear in
+# rows) PLUS a ~8 s one-time analysis/codegen tax on the fold tree that
+# dwarfs the Python-worker startup the 50k default was guarding against —
+# so "auto" always takes the Arrow kernel here.  The expression path
+# stays reachable via arrow=False as the oracle-gated reference twin;
+# byte-equality of the two paths is pytest-pinned, so the switch point is
+# pure plan choice.
+PQ_ARROW_AUTO_THRESHOLD = 0
 
 
-def _resolve_arrow(arrow, d: DataFrame, n_rows: int | None = None) -> bool:
+def _resolve_arrow(
+    arrow,
+    d: DataFrame,
+    n_rows: int | None = None,
+    threshold: int = ARROW_AUTO_THRESHOLD,
+) -> bool:
     """Resolve an `arrow` kernel flag: True/False are explicit; "auto"
     picks the BLAS kernel when the input reaches ARROW_AUTO_THRESHOLD
     rows.  Any other string raises — bool('false') is True, so a typo'd
@@ -354,8 +378,8 @@ def _resolve_arrow(arrow, d: DataFrame, n_rows: int | None = None) -> bool:
                 f"arrow must be True, False or 'auto', got {arrow!r}"
             )
         if n_rows is not None:
-            return n_rows >= ARROW_AUTO_THRESHOLD
-        return d.limit(ARROW_AUTO_THRESHOLD).count() >= ARROW_AUTO_THRESHOLD
+            return n_rows >= threshold
+        return d.limit(threshold).count() >= threshold
     return bool(arrow)
 
 
@@ -484,21 +508,36 @@ def pq_encode(
     m = len(cb)
     dsub = len(cb[0][0])
     d = emb.select("vec_id", F.col("embedding").cast("array<double>").alias("v"))
-    if _resolve_arrow(arrow, d, n_rows):
+    if _resolve_arrow(arrow, d, n_rows, threshold=PQ_ARROW_AUTO_THRESHOLD):
         return _pq_encode_arrow(d, cb)
+    # ONE transform over a ksub x dsub codebook literal per subspace, not
+    # ksub separate fold subtrees: the unrolled form built m * ksub
+    # independent aggregate(zip_with(...)) trees (thousands of expression
+    # nodes), and Catalyst analysis + codegen of that tree cost ~10 s PER
+    # EXECUTION at m=8, ksub=16 — pure driver time, zero tasks.  The
+    # element-wise math and the (dist, code) struct array_min tie-break
+    # are identical, so codes are byte-equal (oracle-pinned).
     code_cols = []
     for s in range(m):
         sub_v = F.slice("v", s * dsub + 1, dsub)
-        cands = []
-        for c, sv in enumerate(cb[s]):
-            lit_sv = F.array(*[F.lit(float(x)) for x in sv])
-            dist = F.aggregate(
-                F.zip_with(sub_v, lit_sv, lambda a, b: (a - b) * (a - b)),
-                F.lit(0.0),
-                lambda acc, t: acc + t,
-            )
-            cands.append(F.struct(dist.alias("d"), F.lit(c).alias("c")))
-        code_cols.append(F.array_min(F.array(*cands)).getField("c"))
+        cb_lit = F.array(
+            *[
+                F.array(*[F.lit(float(x)) for x in sv])
+                for sv in cb[s]
+            ]
+        )
+        cands = F.transform(
+            cb_lit,
+            lambda sv, c: F.struct(
+                F.aggregate(
+                    F.zip_with(sub_v, sv, lambda a, b: (a - b) * (a - b)),
+                    F.lit(0.0),
+                    lambda acc, t: acc + t,
+                ).alias("d"),
+                c.alias("c"),
+            ),
+        )
+        code_cols.append(F.array_min(cands).getField("c"))
     return d.select("vec_id", F.array(*code_cols).alias("codes"))
 
 
@@ -1043,7 +1082,14 @@ def semdedup(
     ).limit(ncent).select(
         F.col("vec_id").cast("long").alias("cid"), F.col("v").alias("cv")
     )
-    assigned = (_assign_cells_arrow if arrow else _assign_cells)(d, cents)
+    # the assignment pass (scan + nearest-centroid argmax over every
+    # vector) is consumed twice — the unit-normalized pair frame and the
+    # final dup_of left join — and re-aliased subtrees defeat exchange
+    # reuse, so it is materialized once (plan-verified: two sort-merge
+    # joins each re-running the assignment otherwise)
+    assigned = (_assign_cells_arrow if arrow else _assign_cells)(
+        d, cents
+    ).localCheckpoint()
     # normalize ONCE per row so the pairwise filter is a bare dot product
     # (an inlined norm would re-run an O(dim) aggregate per candidate pair)
     unit = assigned.select(

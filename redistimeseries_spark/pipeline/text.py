@@ -497,8 +497,17 @@ def char_ngram_lm_scores(docs: DataFrame, n: int = 3) -> DataFrame:
         F.length("nt") >= n,
         F.expr(f"transform(sequence(1, length(nt) - {n - 1}), i -> substring(nt, i, {n}))"),
     ).otherwise(F.array().cast("array<string>"))
-    occ = norm.select("doc_id", F.explode(grams_expr).alias("gram"))
-    model = occ.groupBy("gram").agg(F.count(F.lit(1)).alias("cnt"))
+    # the gram ARRAY projection is materialized once (normalize + per-
+    # position substring is the expensive stage, and the exploded stream
+    # is consumed by both the model aggregation and the scoring join);
+    # the model is materialized too — it is vocab-bounded (|charset|^n
+    # rows) yet its two consumers (the total aggregate and the join
+    # build) would each re-run the full corpus aggregation otherwise.
+    gsets = norm.select("doc_id", grams_expr.alias("__gs")).localCheckpoint()
+    occ = gsets.select("doc_id", F.explode("__gs").alias("gram"))
+    model = occ.groupBy("gram").agg(
+        F.count(F.lit(1)).alias("cnt")
+    ).localCheckpoint()
     total = model.agg(F.sum("cnt").alias("total"))
     scored = (
         occ.join(model, "gram")
