@@ -49,6 +49,14 @@ CUSUM_SCHEMA = (
 )
 
 
+def _DISK_ONLY():
+    """DISK_ONLY for corpus-scale materializations (see dedup._disk_only:
+    memory-level checkpoint blocks linger and squeeze later queries)."""
+    from pyspark.storagelevel import StorageLevel
+
+    return StorageLevel.DISK_ONLY
+
+
 # shared validity/key/range pre-filter (functions/filters since round 10)
 _filtered = filter_valid_range
 
@@ -95,6 +103,11 @@ def ts_corr(
         _filtered(samples, all_keys, start, end)
         .groupBy("key", "ts")
         .agg(F.max("value").alias("value"))
+        # materialized once: the a-leg and the b-leg (equi-join or as-of
+        # union) both read this frame — without the checkpoint each leg
+        # re-executes the scan + dedup aggregation (re-aliased subtrees
+        # defeat exchange reuse; the ts_xcorr treatment)
+        .localCheckpoint(eager=True, storageLevel=_DISK_ONLY())
     )
     align_ts = resolve_align(align, start, end)
     a = d.join(
@@ -230,8 +243,9 @@ def ts_xcorr(
         # checkpoint each leg re-executes the scan + dedup aggregation
         # (re-aliased subtrees defeat exchange reuse — the LSH band-table
         # failure).  One pass of the involved keys' effective samples
-        # instead of two.
-        .localCheckpoint()
+        # instead of two.  DISK_ONLY: corpus-scale blocks in memory
+        # squeeze execution memory for later queries in the session.
+        .localCheckpoint(eager=True, storageLevel=_DISK_ONLY())
     )
     a = d.join(
         F.broadcast(pdf), d["key"] == pdf["key_a"]

@@ -128,7 +128,11 @@ def ts_resample(
     # grid union AND the chunk-context aggregate — three full scans
     # without it (plan-verified 4 base-table scans per query including
     # the bounds re-spine).  One narrow (key, ts, value) pass instead.
-    df = _filtered(samples, keys, start, end).localCheckpoint()
+    from pyspark.storagelevel import StorageLevel
+
+    df = _filtered(samples, keys, start, end).localCheckpoint(
+        eager=True, storageLevel=StorageLevel.DISK_ONLY
+    )
     u, bounds = _grid_union(df, step_ms)
     c = (F.col("ts") - F.pmod(F.col("ts"), F.lit(chunk_ms))).alias("__c")
     u = u.select("key", "ts", "value", "__s", c)

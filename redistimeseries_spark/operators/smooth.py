@@ -146,8 +146,15 @@ def _split_cold(d, chunk_ms):
     x 10M rows: ts_ewma 82 s -> 12 s; balanced 5k-key fleets are
     unchanged within noise.  The materialized volume is the filtered
     input plus two small columns — the same order as one shuffle of the
-    data, which the pipeline's own (key, chunk) exchange already pays."""
-    d = d.localCheckpoint()
+    data, which the pipeline's own (key, chunk) exchange already pays.
+    DISK_ONLY: a corpus-scale block in the default MEMORY_AND_DISK level
+    squeezes execution memory for every LATER query in the session
+    (py4j releases the driver-side reference lazily, so blocks linger) —
+    measured ts_holt 5.5 s isolated but 15.9 s after two prior ts_ewma
+    calls; DISK_ONLY holds it at 6.2 s regardless of session history."""
+    from pyspark.storagelevel import StorageLevel
+
+    d = d.localCheckpoint(eager=True, storageLevel=StorageLevel.DISK_ONLY)
     if chunk_ms is not None or "__ck" not in d.columns:
         return None, d
     return d.filter(F.col("__ck") == 1), d.filter(F.col("__ck") > 1)

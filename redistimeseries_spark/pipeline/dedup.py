@@ -36,6 +36,18 @@ from pyspark.sql import types as T
 WORD_RE = "[^a-z0-9]+"
 
 
+def _disk_only():
+    """Storage level for corpus-scale eager materializations: DISK_ONLY
+    keeps the blocks out of executor storage memory, which the default
+    MEMORY_AND_DISK level would otherwise hold hostage for the rest of
+    the session (driver-side references release lazily through py4j;
+    measured: a later smoother query ran 3x slower with two prior
+    memory-level checkpoints resident)."""
+    from pyspark.storagelevel import StorageLevel
+
+    return StorageLevel.DISK_ONLY
+
+
 def _words(col: str = "text"):
     return F.array_remove(F.split(F.lower(F.col(col)), WORD_RE), "")
 
@@ -95,7 +107,7 @@ def duplicate_span_stats(
     # subtrees defeat exchange reuse — the LSH band-table failure).
     spine = nt.select("doc_id", wins.alias("__w")).select(
         "doc_id", "__w", F.size("__w").cast("long").alias("n_windows")
-    ).localCheckpoint()
+    ).localCheckpoint(eager=True, storageLevel=_disk_only())
     ex = spine.select("doc_id", F.explode("__w").alias("fp"))
     cnt = ex.groupBy("fp").agg(F.count(F.lit(1)).alias("__c"))
     dup = (
@@ -412,7 +424,9 @@ def minhash_lsh_pairs(
     # eager materialization of the |docs| x bands banded rows (the same
     # volume the exchange already wrote to shuffle disk) makes it run
     # once.
-    band = band.localCheckpoint()
+    band = band.localCheckpoint(
+        eager=True, storageLevel=_disk_only()
+    )
     small = band.filter(F.col("__bsz") <= max_bucket)
     a = small.alias("a")
     b = small.alias("b")
@@ -564,7 +578,9 @@ def simhash_hamming_pairs(
     # docs); re-aliased subtrees defeat exchange reuse (the LSH band-table
     # failure), so without this it computes twice.  The frame is two
     # narrow columns per doc.
-    sig = simhash(docs, bits).localCheckpoint()
+    sig = simhash(docs, bits).localCheckpoint(
+        eager=True, storageLevel=_disk_only()
+    )
     seg_exprs = []
     for i in range(nb):
         lo = i * width
@@ -648,7 +664,9 @@ def ngram_jaccard_pairs(
     # AQE's stage cache deduplicates the re-aliased subtrees (the same
     # failure plan-verified on the LSH band table).  One eager
     # materialization of the gram rows bounds it to one pass.
-    g = word_ngrams(docs, n).localCheckpoint()
+    g = word_ngrams(docs, n).localCheckpoint(
+        eager=True, storageLevel=_disk_only()
+    )
     hot = (
         g.groupBy("gram")
         .agg(F.count(F.lit(1)).alias("__df"))
@@ -1088,7 +1106,7 @@ def embedding_neardup_pairs(
     # bucket + norm projection is an interpreted fold over every vector —
     # re-aliased subtrees defeat exchange reuse (the LSH band-table
     # failure), so without this it computes twice.
-    d = d.localCheckpoint()
+    d = d.localCheckpoint(eager=True, storageLevel=_disk_only())
     a, b = d.alias("a"), d.alias("b")
     dot = F.aggregate(
         F.zip_with(F.col("a.v"), F.col("b.v"), lambda x, y: x * y),

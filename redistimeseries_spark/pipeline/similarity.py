@@ -16,6 +16,7 @@ from __future__ import annotations
 
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
+from pyspark.storagelevel import StorageLevel
 
 
 def _dot(a: Column, b: Column) -> Column:
@@ -1089,7 +1090,7 @@ def semdedup(
     # joins each re-running the assignment otherwise)
     assigned = (_assign_cells_arrow if arrow else _assign_cells)(
         d, cents
-    ).localCheckpoint()
+    ).localCheckpoint(eager=True, storageLevel=StorageLevel.DISK_ONLY)
     # normalize ONCE per row so the pairwise filter is a bare dot product
     # (an inlined norm would re-run an O(dim) aggregate per candidate pair)
     unit = assigned.select(

@@ -30,7 +30,6 @@ def main():
     import bench
     from __spark_entry__ import _dup_corpus, _raw
 
-    raw = bench.F.broadcast  # noqa: F841 (keep import shape identical)
     raw = _raw(spark, sf_dir)
     dup_docs = _dup_corpus(spark, sf_dir).repartition(4)
     dup_docs.cache().count()

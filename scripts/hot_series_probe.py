@@ -49,6 +49,21 @@ def main():
         (F.col("id") * 1000).alias("ts"),
         (F.col("id") % 100_000).cast("double").alias("value"),
     )
+    # `parquet` arg (round-11 optimization protocol): back the probe with
+    # a real parquet store instead of the in-memory range.  The range
+    # source made re-executed subtrees look nearly free (re-running
+    # `range` costs no I/O), which masked the multiply-consumed-subtree
+    # class of defect entirely — ts_ewma read 3.3 s from range but
+    # 82-112 s from parquet before the materialization fix.  Every real
+    # deployment reads a store, so the parquet mode is the
+    # representative one; the range mode stays for comparability with
+    # the earlier rounds' tables.
+    if "parquet" in sys.argv[2:]:
+        import tempfile
+
+        path = tempfile.mkdtemp(prefix="hot_probe_") + "/hot"
+        df.write.mode("overwrite").parquet(path)
+        df = spark.read.parquet(path)
 
     def timed(build):
         # steady-state protocol: each arm executes TWICE and reports the

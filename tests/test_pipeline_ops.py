@@ -2557,3 +2557,36 @@ def test_temperature_weights_and_mixture(spark):
         temperature_weights({}, 1.0)
     with _pytest.raises(ValueError):
         temperature_weights({"a": 0}, 1.0)
+
+
+def test_rolling_fingerprint_arrow_matches_expression(spark):
+    """The numpy rolling-hash kernel is value-identical to the unrolled
+    expression twin — including the edge shapes: shorter-than-window
+    text (zero-padded ascii('') = 0 reads), exactly-window-length text,
+    empty text (fingerprint 0), NULL text (NULL fp), multi-byte
+    codepoints (Spark ascii() = code point = Python ord), and repeated
+    whitespace (normalized JVM-side in both paths)."""
+    from redistimeseries_spark.pipeline.text import rolling_fingerprints
+
+    rows = [
+        (1, "the quick brown fox jumps over the lazy dog" * 3),
+        (2, "tiny"),
+        (3, "exactly8"),
+        (4, ""),
+        (5, None),
+        (6, "café naïve résumé 中文文本"),
+        (7, "  spaced    out\ttabs\nand newlines  "),
+        (8, "the quick brown fox jumps over the lazy dog" * 3),  # dup of 1
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    expr = {
+        r.doc_id: r.roll_fp
+        for r in rolling_fingerprints(docs, arrow=False).collect()
+    }
+    arrow = {
+        r.doc_id: r.roll_fp
+        for r in rolling_fingerprints(docs, arrow=True).collect()
+    }
+    assert expr == arrow
+    assert arrow[1] == arrow[8]  # identical text -> identical fp
+    assert arrow[5] is None
