@@ -180,11 +180,20 @@ def test_decode_real_optional_import_gate():
 def test_connected_components_transitive(spark):
     # chain 1-2-3 (no direct 1-3 pair), chain 10-11, singleton edge 20-21:
     # components collapse transitively to the min id
+    # the self-pair (30, 30) must register node 30 as its own component on
+    # BOTH paths (the propagation loop keeps self-loop nodes; the adaptive
+    # union-find registers them without a union)
     pairs = spark.createDataFrame(
-        [(1, 2), (2, 3), (10, 11), (20, 21)], "doc_a long, doc_b long"
+        [(1, 2), (2, 3), (10, 11), (20, 21), (30, 30)], "doc_a long, doc_b long"
     )
+    want = {1: 1, 2: 1, 3: 1, 10: 10, 11: 10, 20: 20, 21: 20, 30: 30}
     got = {r.doc_id: r.component for r in connected_components(pairs).collect()}
-    assert got == {1: 1, 2: 1, 3: 1, 10: 10, 11: 10, 20: 20, 21: 20}
+    assert got == want  # adaptive driver union-find path (default threshold)
+    prop = {
+        r.doc_id: r.component
+        for r in connected_components(pairs, driver_threshold=0).collect()
+    }
+    assert prop == want  # distributed min-label propagation path
 
 
 def test_connected_components_long_chain(spark):
@@ -192,8 +201,13 @@ def test_connected_components_long_chain(spark):
     pairs = spark.createDataFrame(
         [(i, i + 1) for i in range(1, 9)], "doc_a long, doc_b long"
     )
-    got = {r.doc_id: r.component for r in connected_components(pairs).collect()}
+    got = {
+        r.doc_id: r.component
+        for r in connected_components(pairs, driver_threshold=0).collect()
+    }
     assert got == {i: 1 for i in range(1, 10)}
+    fast = {r.doc_id: r.component for r in connected_components(pairs).collect()}
+    assert fast == got
 
 
 def test_ann_recall_vs_brute_force(spark):
@@ -228,7 +242,11 @@ def test_connected_components_star_matches_propagation(spark):
         pairs = [(rng.randint(1, n), rng.randint(1, n)) for _ in range(m)]
         pairs = [(a, b) for a, b in pairs if a != b] or [(1, 2)]
         df = spark.createDataFrame(pairs, "doc_a long, doc_b long")
-        base = {r.doc_id: r.component for r in connected_components(df).collect()}
+        # distributed min-label propagation (threshold disabled)
+        base = {
+            r.doc_id: r.component
+            for r in connected_components(df, driver_threshold=0).collect()
+        }
         # adaptive driver union-find path (small graph, default threshold)
         fast = {r.doc_id: r.component for r in connected_components_star(df).collect()}
         # distributed star loop path (threshold disabled)
@@ -2590,3 +2608,52 @@ def test_rolling_fingerprint_arrow_matches_expression(spark):
     assert expr == arrow
     assert arrow[1] == arrow[8]  # identical text -> identical fp
     assert arrow[5] is None
+
+
+def test_simhash_arrow_matches_expression(spark):
+    """The numpy simhash kernel is value-identical to the expression
+    aggregation twin — including: docs with no tokens (dropped on both
+    paths), unicode text (tokenizer strips non-[a-z0-9] JVM-side before
+    Python sees anything), repeated tokens (occurrence-weighted votes),
+    single-token docs, bit 63's int64-min weight (forced via a doc whose
+    votes set the top bit), and sub-64 bit widths."""
+    from redistimeseries_spark.pipeline.dedup import simhash
+
+    rows = [
+        (1, "the quick brown fox jumps over the lazy dog"),
+        (2, "the the the quick quick fox"),
+        (3, "singleton"),
+        (4, "!!! ??? ..."),  # tokenizes to nothing -> no output row
+        (5, ""),
+        (6, "café 123 naïve x9 中文"),
+        (7, "a b c d e f g h i j k l m n o p q r s t u v w x y z"),
+        (8, "the quick brown fox jumps over the lazy dog"),  # dup of 1
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    for bits in (64, 16, 13):
+        expr = {
+            r.doc_id: r.simhash
+            for r in simhash(docs, bits, arrow=False).collect()
+        }
+        arrow = {
+            r.doc_id: r.simhash
+            for r in simhash(docs, bits, arrow=True).collect()
+        }
+        assert expr == arrow, f"bits={bits}"
+        assert 4 not in arrow and 5 not in arrow
+        assert arrow[1] == arrow[8]
+    # bit-63 coverage: at least one doc across the corpus should exercise
+    # the sign bit at 64 bits over a larger random corpus
+    import random
+
+    rnd = random.Random(7)
+    big = [
+        (i, " ".join(rnd.choice("alpha beta gamma delta eps zeta".split())
+                     for _ in range(30)))
+        for i in range(40)
+    ]
+    docs2 = spark.createDataFrame(big, "doc_id long, text string")
+    e2 = {r.doc_id: r.simhash for r in simhash(docs2, arrow=False).collect()}
+    a2 = {r.doc_id: r.simhash for r in simhash(docs2, arrow=True).collect()}
+    assert e2 == a2
+    assert any(v < 0 for v in a2.values())  # sign bit exercised
