@@ -714,7 +714,11 @@ def word_ngrams(docs: DataFrame, n: int = 3) -> DataFrame:
 
 
 def ngram_jaccard_pairs(
-    docs: DataFrame, n: int = 3, threshold: float = 0.4, max_doc_freq: int = 10_000
+    docs: DataFrame,
+    n: int = 3,
+    threshold: float = 0.4,
+    max_doc_freq: int = 10_000,
+    heavy_df_floor: int = 64,
 ) -> DataFrame:
     """Exact n-gram Jaccard over candidate pairs that share >=1 gram.
     Returns (doc_a, doc_b, jaccard >= threshold).
@@ -726,34 +730,134 @@ def ngram_jaccard_pairs(
     self-join — one boilerplate gram shared by millions of docs would
     otherwise make the candidate join quadratic on that key.  The cut
     removes the gram from both the intersection and the sizes, so the
-    Jaccard stays exact over the retained gram vocabulary."""
-    # the exploded gram frame is consumed FOUR times (the hot-gram
-    # aggregation, the per-doc sizes, and both sides of the candidate
-    # self-join); without materialization each consumer re-runs the doc
-    # scan + tokenize + explode — neither compile-time exchange reuse nor
-    # AQE's stage cache deduplicates the re-aliased subtrees (the same
-    # failure plan-verified on the LSH band table).  One eager
-    # materialization of the gram rows bounds it to one pass.
-    g = word_ngrams(docs, n).localCheckpoint(
+    Jaccard stays exact over the retained gram vocabulary.
+
+    HOT-GRAM SPLIT (exact — output is byte-identical): the candidate-join
+    volume is sum(df^2) over retained grams, and a handful of
+    high-but-under-the-cut df grams usually dominate it (measured on the
+    planted-mutation corpus: 4 grams at df 5k-10k carried 175M of the
+    203M join rows, almost all landing on pairs whose only overlap is
+    that boilerplate).  The top <=64 retained grams by df (those with
+    df >= `heavy_df_floor`) are therefore excluded from candidate
+    GENERATION and instead ride every doc as one 64-bit membership mask:
+    a pair found through any light gram adds `bit_count(hmask_a &
+    hmask_b)` to its light-gram intersection count, which is exactly
+    |shared heavy grams|.  Pairs sharing ONLY heavy grams satisfy
+    jaccard <= min(h_a/sz_a, h_b/sz_b) (inter <= min(h_a, h_b) and
+    union >= max(sz_a, sz_b)), so they can reach the threshold only when
+    BOTH endpoints are "risky" (h_x >= threshold * sz_x — docs that are
+    mostly hot boilerplate); risky docs get an exact array_intersect
+    verify over their full gram sets, and the risky set is counted off
+    the materialized per-doc frame so the sub-path is skipped entirely
+    when empty (every corpus measured).  A degenerate threshold <= 0
+    marks every doc risky and the sub-path degrades to the full heavy
+    join — still exact, never lossy.
+
+    The same bound gives the PPJoin length filter: jaccard >= t implies
+    min(sz) >= t * max(sz), applied as a join predicate.
+
+    PARALLELISM: the interpreted shingle pass and the candidate join run
+    at the input's partitioning; a corpus assembled from a few small
+    scans (or a unioned fixture) would run them near-serially, so inputs
+    with fewer partitions than the session shuffle width are repartitioned
+    by doc_id first (a no-op at scale, where scans carry many splits).
+    The check inspects `docs.rdd`, which is free for scan-rooted inputs;
+    a shuffle-rooted input pays one upstream materialization for it.
+    """
+    spark = docs.sparkSession
+    try:
+        width = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    except (TypeError, ValueError):
+        width = spark.sparkContext.defaultParallelism
+    try:
+        if docs.rdd.getNumPartitions() < width:
+            docs = docs.repartition(width, F.col("doc_id"))
+    except Exception:
+        pass
+    # the gram frame is consumed by the df aggregation, the per-doc
+    # sizes/mask aggregation and both sides of the candidate self-join;
+    # without materialization each consumer re-runs the doc scan +
+    # tokenize + shingle — neither compile-time exchange reuse nor AQE's
+    # stage cache deduplicates the re-aliased subtrees (the same failure
+    # plan-verified on the LSH band table).  The checkpoint holds the
+    # per-doc gram ARRAYS, not the exploded rows: exploding an inline
+    # gram expression makes the planner push a `size(grams) > 0` filter
+    # below the exchange into the scan, re-evaluating the whole
+    # interpreted shingle transform a second time at the INPUT's
+    # parallelism (measured 4.3 s vs 0.05 s for the explode alone at
+    # sf0.1); exploding the materialized arrays is a cheap per-consumer
+    # projection, and the array form is the more compact thing to store.
+    gsets = word_ngram_sets(docs, n).localCheckpoint(
         eager=True, storageLevel=_disk_only()
     )
-    hot = (
+    g = gsets.select("doc_id", F.explode("gs").alias("gram"))
+    # gram document frequencies materialized once (vocabulary-sized):
+    # consumed by the hot cut on every g2 consumer AND the driver-side
+    # heavy-gram selection below.
+    dfreq = (
         g.groupBy("gram")
         .agg(F.count(F.lit(1)).alias("__df"))
-        .filter(F.col("__df") > max_doc_freq)
-        .select("gram")
+        .localCheckpoint(eager=True, storageLevel=_disk_only())
     )
-    g = g.join(hot, "gram", "left_anti")
-    sizes = g.groupBy("doc_id").agg(F.count(F.lit(1)).alias("sz"))
-    gsz = g.join(sizes, "doc_id")
+    hot = dfreq.filter(F.col("__df") > max_doc_freq).select("gram")
+    g2 = g.join(hot, "gram", "left_anti")
+    # top <=64 retained grams by df — the hot-key set handled specially.
+    # Bounded collect (64 rows); deterministic tie-break on the gram text.
+    heavy = [
+        r.gram
+        for r in dfreq.filter(
+            (F.col("__df") <= max_doc_freq) & (F.col("__df") >= heavy_df_floor)
+        )
+        .orderBy(F.col("__df").desc(), "gram")
+        .limit(64)
+        .collect()
+    ]
+    if heavy:
+        mask_entries = []
+        for i, gram in enumerate(heavy):
+            v = 1 << i
+            if v >= 1 << 63:
+                v -= 1 << 64  # bit 63 as the int64 sign bit
+            mask_entries += [F.lit(gram), F.lit(v)]
+        hmap = F.create_map(*mask_entries)
+        hmask_agg = F.bit_or(
+            F.coalesce(F.element_at(hmap, F.col("gram")), F.lit(0))
+        )
+    else:
+        hmask_agg = F.max(F.lit(0))
+    # per-doc (retained-gram count, heavy membership mask), materialized:
+    # joined into both candidate sides and, when heavy grams exist, read
+    # again for the risky-doc count — |docs| rows of three columns.
+    docinfo = (
+        g2.groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("sz"), hmask_agg.alias("hmask"))
+        .localCheckpoint(eager=True, storageLevel=_disk_only())
+    )
+    gl = g2
+    if heavy:
+        gl = gl.filter(F.element_at(hmap, F.col("gram")).isNull())
+    gsz = gl.join(docinfo, "doc_id")
     a, b = gsz.alias("a"), gsz.alias("b")
-    return (
-        a.join(b, (F.col("a.gram") == F.col("b.gram")) & (F.col("a.doc_id") < F.col("b.doc_id")))
+    light = (
+        a.join(
+            b,
+            (F.col("a.gram") == F.col("b.gram"))
+            & (F.col("a.doc_id") < F.col("b.doc_id"))
+            # length filter: jaccard >= t implies min(sz) >= t * max(sz)
+            & (F.col("a.sz") >= F.lit(threshold) * F.col("b.sz"))
+            & (F.col("b.sz") >= F.lit(threshold) * F.col("a.sz")),
+        )
         .groupBy(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
         .agg(
-            F.count(F.lit(1)).alias("inter"),
+            F.count(F.lit(1)).alias("__light"),
             F.first("a.sz").alias("sza"),
             F.first("b.sz").alias("szb"),
+            F.first("a.hmask").alias("hma"),
+            F.first("b.hmask").alias("hmb"),
+        )
+        .withColumn(
+            "inter",
+            F.col("__light") + F.expr("bit_count(hma & hmb)").cast("long"),
         )
         .withColumn(
             "jaccard",
@@ -762,6 +866,56 @@ def ngram_jaccard_pairs(
         .filter(F.col("jaccard") >= threshold)
         .select("doc_a", "doc_b", F.round("jaccard", 6).alias("jaccard"))
     )
+    if not heavy:
+        return light
+    risky = docinfo.filter(
+        F.expr("bit_count(hmask)").cast("double")
+        >= F.lit(threshold) * F.col("sz")
+    )
+    if risky.count() < 2:
+        return light
+    # exact verify for heavy-only pairs among risky docs: full gram sets
+    # (light + heavy) so the intersection is over the same vocabulary as
+    # the light path; pairs also found through a light gram produce the
+    # identical row there, deduplicated by the final distinct.
+    rdoc = risky.select("doc_id")
+    rg = g2.join(rdoc, "doc_id", "left_semi")
+    rh = rg.filter(F.element_at(hmap, F.col("gram")).isNotNull()).join(
+        docinfo, "doc_id"
+    )
+    ra, rb = rh.alias("a"), rh.alias("b")
+    rpairs = (
+        ra.join(
+            rb,
+            (F.col("a.gram") == F.col("b.gram"))
+            & (F.col("a.doc_id") < F.col("b.doc_id"))
+            & (F.col("a.sz") >= F.lit(threshold) * F.col("b.sz"))
+            & (F.col("b.sz") >= F.lit(threshold) * F.col("a.sz")),
+        )
+        .select(
+            F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
+        )
+        .distinct()
+    )
+    rsets = rg.groupBy("doc_id").agg(F.collect_list("gram").alias("gs"))
+    risky_out = (
+        rpairs.join(
+            rsets.select(F.col("doc_id").alias("doc_a"), F.col("gs").alias("ga")),
+            "doc_a",
+        )
+        .join(
+            rsets.select(F.col("doc_id").alias("doc_b"), F.col("gs").alias("gb")),
+            "doc_b",
+        )
+        .withColumn("inter", F.size(F.array_intersect("ga", "gb")).cast("long"))
+        .withColumn(
+            "jaccard",
+            F.col("inter") / (F.size("ga") + F.size("gb") - F.col("inter")),
+        )
+        .filter(F.col("jaccard") >= threshold)
+        .select("doc_a", "doc_b", F.round("jaccard", 6).alias("jaccard"))
+    )
+    return light.unionByName(risky_out).distinct()
 
 
 def ngram_jaccard_verify(

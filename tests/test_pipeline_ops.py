@@ -102,6 +102,39 @@ def test_jaccard_df_cut(spark):
     assert len(without) == 3  # all pairs share the boilerplate grams
 
 
+def test_jaccard_heavy_split_identical(spark):
+    """The hot-gram bitmask split (heavy_df_floor) must be output-identical
+    to the plain candidate join, including the risky-doc heavy-only path:
+    docs made ENTIRELY of boilerplate grams pair through heavy grams alone
+    (no light gram shared), so they only appear if the risky verify runs."""
+    rows = []
+    for i in range(20):
+        if i < 12:
+            # pure boilerplate: every gram is heavy (df=12+), pairs share
+            # ONLY heavy grams -> must come from the risky path
+            rows.append((i, "alpha beta gamma delta epsilon " * 2))
+        else:
+            # boilerplate prefix + unique tail: pairs share heavy AND
+            # light grams -> light path with heavy mask correction
+            rows.append((i, f"alpha beta gamma delta u{i} v{i} w{i} x{i}"))
+    d = spark.createDataFrame(rows, "doc_id long, text string")
+    for t in (0.3, 0.05, 0.0):
+        split = sorted(
+            tuple(r)
+            for r in ngram_jaccard_pairs(d, n=3, threshold=t, heavy_df_floor=2).collect()
+        )
+        plain = sorted(
+            tuple(r)
+            for r in ngram_jaccard_pairs(
+                d, n=3, threshold=t, heavy_df_floor=1 << 30
+            ).collect()
+        )
+        assert split == plain, f"threshold {t}"
+        if t == 0.3:
+            # the pure-boilerplate clique (jaccard 1.0) must be present
+            assert (0, 1, 1.0) in split
+
+
 def test_cosine_topk_finds_twin(spark):
     rows = [(0, [1.0, 0.0, 0.0]), (1, [0.99, 0.1, 0.0]), (2, [0.0, 1.0, 0.0]),
             (3, [-1.0, 0.0, 0.0])]
