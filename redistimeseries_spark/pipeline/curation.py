@@ -22,7 +22,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from redistimeseries_spark.pipeline.dedup import word_ngrams
+from redistimeseries_spark.pipeline.dedup import _disk_only, _widen, word_ngrams
 
 # md5-prefix arithmetic identical in Spark SQL and DuckDB (same trick as
 # the minhash signatures in pipeline/dedup.py)
@@ -113,7 +113,7 @@ def url_dedup(docs: DataFrame, url_col: str = "url") -> DataFrame:
 
 
 def decontaminate(
-    docs: DataFrame, eval_docs: DataFrame, n: int = 5
+    docs: DataFrame, eval_docs: DataFrame, n: int = 5, hashed_grams: bool = True
 ) -> DataFrame:
     """(doc_id, contaminated_grams, contaminated) — one row per training
     doc; contaminated_grams counts the doc's distinct word n-grams that
@@ -124,9 +124,20 @@ def decontaminate(
     tiny relative to the corpus — the hint is the semantics here, not a
     size guess) and the corpus grams probe it map-side; the only shuffle
     is the per-doc count aggregation, partial-agg first.
+
+    `hashed_grams` (default) projects both sides' grams to xxhash64
+    before the probe: the broadcast hash table holds 8-byte keys instead
+    of n-word strings and every corpus-side probe hashes a long, not a
+    string.  The count changes only if two DIFFERENT grams collide in
+    64 bits (~1e-15 for benchmark-sized gram sets — the
+    ngram_jaccard_verify tolerance); hashed_grams=False keeps the
+    exact-string probe.
     """
-    g = word_ngrams(docs, n)
+    g = word_ngrams(_widen(docs), n)
     ge = word_ngrams(eval_docs, n).select("gram").distinct()
+    if hashed_grams:
+        g = g.select("doc_id", F.xxhash64("gram").alias("gram"))
+        ge = ge.select(F.xxhash64("gram").alias("gram")).distinct()
     hits = (
         g.join(F.broadcast(ge), "gram")
         .groupBy("doc_id")
@@ -156,6 +167,7 @@ def eval_contamination_report(
     eval_docs: DataFrame,
     n: int = 5,
     broadcast_eval: bool | None = None,
+    hashed_grams: bool = True,
 ) -> DataFrame:
     """(doc_id, n_grams, contaminated_grams, contamination_frac) — one
     row per EVAL doc: how many of its distinct word n-grams appear
@@ -180,19 +192,38 @@ def eval_contamination_report(
     EVAL_BROADCAST_MAX_GRAMS rows; True/False force the choice when the
     caller already knows the size.  Counting the GRAM rows rather than
     the docs matters: 90k long documents are few docs but a multi-GB
-    gram table."""
-    # (eval doc_id, gram), per-doc distinct — materialized once: it is
-    # executed by the size probe, the per-doc sizes aggregate AND the
-    # broadcast build (three runs of the eval-side tokenize + explode
-    # otherwise; re-aliased subtrees defeat exchange reuse).  The frame
-    # is benchmark-sized by contract — the same bound the broadcast
-    # default relies on.
-    ge = word_ngrams(eval_docs, n).localCheckpoint()
+    gram table.
+
+    `hashed_grams` (default) projects both sides' grams to xxhash64 —
+    the decontaminate tradeoff: 8-byte broadcast keys and long-hash
+    probes, counts unchanged unless two different grams collide in 64
+    bits (~1e-15); per-doc n_grams counts rows, which hashing never
+    changes."""
+    ge_raw = word_ngrams(eval_docs, n)
+    if hashed_grams:
+        ge_raw = ge_raw.select("doc_id", F.xxhash64("gram").alias("gram"))
+    # the size probe runs BEFORE any materialization: limit-count is
+    # bounded on the lazy frame, whereas an eager checkpoint would
+    # execute and store the ENTIRE (doc, gram) table first — in the
+    # exact oversized case the guard exists for (ADVICE r11).
     if broadcast_eval is None:
         cap = EVAL_BROADCAST_MAX_GRAMS
-        broadcast_eval = ge.limit(cap + 1).count() <= cap
+        broadcast_eval = ge_raw.limit(cap + 1).count() <= cap
+    # (eval doc_id, gram), per-doc distinct — materialized once: it is
+    # executed by the per-doc sizes aggregate AND the broadcast build
+    # (two runs of the eval-side tokenize + explode otherwise;
+    # re-aliased subtrees defeat exchange reuse).  Confirmed-small
+    # tables checkpoint eagerly; the oversized fallback defers the
+    # checkpoint to first use so nothing multi-GB is staged before the
+    # plan needs it.  DISK_ONLY keeps the blocks out of executor
+    # storage memory either way.
+    ge = ge_raw.localCheckpoint(
+        eager=bool(broadcast_eval), storageLevel=_disk_only()
+    )
     sizes = ge.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_grams"))
-    gt = word_ngrams(docs, n).select("gram")
+    gt = word_ngrams(_widen(docs), n).select("gram")
+    if hashed_grams:
+        gt = gt.select(F.xxhash64("gram").alias("gram"))
     hits = (
         gt.join(F.broadcast(ge) if broadcast_eval else ge, "gram")
         .select("doc_id", "gram")

@@ -52,6 +52,28 @@ def _words(col: str = "text"):
     return F.array_remove(F.split(F.lower(F.col(col)), WORD_RE), "")
 
 
+def _widen(docs: DataFrame, key: str = "doc_id") -> DataFrame:
+    """Repartition `docs` by `key` to the session shuffle width when it
+    has fewer partitions — a parallelism floor for the interpreted
+    per-doc passes (shingling, tokenize) that otherwise run at the
+    input's partitioning (a corpus unioned from a few small scans runs
+    them near-serially).  A no-op at scale, where scans carry many
+    splits.  The partition-count check inspects `docs.rdd`, which is
+    free for scan-rooted inputs; a shuffle-rooted input pays one
+    upstream materialization for it."""
+    spark = docs.sparkSession
+    try:
+        width = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    except (TypeError, ValueError):
+        width = spark.sparkContext.defaultParallelism
+    try:
+        if docs.rdd.getNumPartitions() < width:
+            return docs.repartition(width, F.col(key))
+    except Exception:
+        pass
+    return docs
+
+
 def exact_dedup(docs: DataFrame) -> DataFrame:
     """Hash-groupBy exact dedup: one row per distinct text with the keeper
     (min doc_id) and the duplicate count."""
@@ -169,26 +191,32 @@ def substring_contaminated(
             F.regexp_replace(F.lower(F.col("text")), "\\s+", " ").alias("nt"),
         )
 
+    # window arrays are never null or empty by construction
+    # (greatest(..., 1); null text folds to [NULL], whose NULL fp never
+    # joins), so explode_outer is row-identical to explode WITHOUT the
+    # inferred size()>0 filter that re-evaluates the whole interpreted
+    # window transform below the exchange (see word_ngrams)
     ev = (
         _nt(eval_docs)
         .select(
-            F.explode(
-                F.expr(
-                    f"transform(sequence(1, greatest(length(nt) - {w} + 1, 1)),"
-                    f" i -> md5(substring(nt, i, {w})))"
-                )
-            ).alias("fp")
+            F.expr(
+                f"transform(sequence(1, greatest(length(nt) - {w} + 1, 1)),"
+                f" i -> md5(substring(nt, i, {w})))"
+            ).alias("__w")
         )
+        .select(F.explode_outer("__w").alias("fp"))
         .distinct()
     )
-    tr = _nt(train).select(
-        "doc_id",
-        F.explode(
+    tr = (
+        _nt(_widen(train))
+        .select(
+            "doc_id",
             F.expr(
                 f"transform(sequence(1, greatest(length(nt) - {w} + 1, 1), {stride}),"
                 f" i -> md5(substring(nt, i, {w})))"
-            )
-        ).alias("fp"),
+            ).alias("__w"),
+        )
+        .select("doc_id", F.explode_outer("__w").alias("fp"))
     )
     hits = (
         tr.join(F.broadcast(ev), "fp")
@@ -213,18 +241,21 @@ def substring_contaminated(
 def char_shingles(docs: DataFrame, k: int = 5) -> DataFrame:
     """(doc_id, shingle) — distinct lowercased char k-grams."""
     # lowered text projected before the lambda: an inlined lower(text)
-    # re-evaluates per element (O(len^2) per doc)
+    # re-evaluates per element (O(len^2) per doc).  explode_outer:
+    # shingle arrays are never null or empty by construction (null text
+    # folds to [NULL], emitting the NULL shingle the plain explode also
+    # emits), and a plain explode infers a size()>0 filter that
+    # re-evaluates the transform below the exchange (see word_ngrams).
     return (
         docs.select("doc_id", F.lower(F.col("text")).alias("lt"))
         .select(
             "doc_id",
-            F.explode(
-                F.expr(
-                    f"array_distinct(transform(sequence(1, greatest(length(lt) - {k - 1}, 1)),"
-                    f" i -> substring(lt, i, {k})))"
-                )
-            ).alias("shingle"),
+            F.expr(
+                f"array_distinct(transform(sequence(1, greatest(length(lt) - {k - 1}, 1)),"
+                f" i -> substring(lt, i, {k})))"
+            ).alias("__sh"),
         )
+        .select("doc_id", F.explode_outer("__sh").alias("shingle"))
         .distinct()
     )
 
@@ -707,9 +738,20 @@ def word_ngrams(docs: DataFrame, n: int = 3) -> DataFrame:
     """(doc_id, gram) — distinct word n-grams, one row per gram.
     array_distinct already guarantees per-doc uniqueness, so the explode
     needs no distinct() after it — adding one would re-shuffle every gram
-    row for nothing."""
+    row for nothing.
+
+    explode_outer, not explode: a plain explode makes the optimizer infer
+    a `size(gs) > 0` row filter and push it below any exchange into the
+    scan, where it RE-EVALUATES the whole interpreted shingle transform a
+    second time (measured: the corpus gram pass of the decontaminate
+    family ran 4.2 s where the transform itself costs 0.4 s).  The gram
+    array is never null or empty by construction (`greatest(..., 1)`
+    keeps one element even for short docs, and a null/empty word array
+    still folds to [''] through concat_ws), so the outer explode is
+    row-for-row identical — including the '' gram a null-text doc
+    produces — with no inferred filter to duplicate."""
     return word_ngram_sets(docs, n).select(
-        "doc_id", F.explode("gs").alias("gram")
+        "doc_id", F.explode_outer("gs").alias("gram")
     )
 
 
@@ -764,16 +806,7 @@ def ngram_jaccard_pairs(
     The check inspects `docs.rdd`, which is free for scan-rooted inputs;
     a shuffle-rooted input pays one upstream materialization for it.
     """
-    spark = docs.sparkSession
-    try:
-        width = int(spark.conf.get("spark.sql.shuffle.partitions"))
-    except (TypeError, ValueError):
-        width = spark.sparkContext.defaultParallelism
-    try:
-        if docs.rdd.getNumPartitions() < width:
-            docs = docs.repartition(width, F.col("doc_id"))
-    except Exception:
-        pass
+    docs = _widen(docs)
     # the gram frame is consumed by the df aggregation, the per-doc
     # sizes/mask aggregation and both sides of the candidate self-join;
     # without materialization each consumer re-runs the doc scan +

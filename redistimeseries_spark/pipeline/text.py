@@ -648,19 +648,32 @@ def top_ngrams(
     TakeOrderedAndProject (bounded heaps per partition + driver merge,
     never a full sort); ties at the boundary break deterministically by
     gram text.  min_df cuts hapax noise before the heap."""
-    grams = docs.select(
-        "doc_id",
-        F.expr(f"array_remove(split(lower(text), '{WORD_RE}'), '')").alias("wa"),
-    ).select(
-        "doc_id",
-        F.explode(
+    # explode_outer + null-gram filter: a plain explode infers a
+    # size()>0 row filter that re-evaluates the whole gram transform
+    # below the exchange (see dedup.word_ngrams); the outer explode
+    # turns the empty arrays (docs shorter than n) into one null-gram
+    # row each, dropped by a filter on the GENERATED column, which
+    # cannot be pushed below the generator.
+    from redistimeseries_spark.pipeline.dedup import _widen
+
+    grams = (
+        _widen(docs)
+        .filter(F.col("text").isNotNull())
+        .select(
+            "doc_id",
+            F.expr(f"array_remove(split(lower(text), '{WORD_RE}'), '')").alias("wa"),
+        )
+        .select(
+            "doc_id",
             F.expr(
                 f"CASE WHEN size(wa) >= {n} THEN transform("
                 f"sequence(1, size(wa) - {n - 1}),"
                 f" i -> concat_ws(' ', slice(wa, i, {n}))) "
                 f"ELSE array() END"
-            )
-        ).alias("gram"),
+            ).alias("__gs"),
+        )
+        .select("doc_id", F.explode_outer("__gs").alias("gram"))
+        .filter(F.col("gram").isNotNull())
     )
     agg = grams.groupBy("gram").agg(
         F.count(F.lit(1)).alias("tf"),
