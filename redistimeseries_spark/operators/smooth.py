@@ -42,6 +42,7 @@ import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
+from redistimeseries_spark.materialize import materialize
 
 from redistimeseries_spark import MAX_TS, MIN_TS
 from redistimeseries_spark.functions.filters import filter_valid_range
@@ -152,9 +153,7 @@ def _split_cold(d, chunk_ms):
     (py4j releases the driver-side reference lazily, so blocks linger) —
     measured ts_holt 5.5 s isolated but 15.9 s after two prior ts_ewma
     calls; DISK_ONLY holds it at 6.2 s regardless of session history."""
-    from pyspark.storagelevel import StorageLevel
-
-    d = d.localCheckpoint(eager=True, storageLevel=StorageLevel.DISK_ONLY)
+    d = materialize(d)
     if chunk_ms is not None or "__ck" not in d.columns:
         return None, d
     return d.filter(F.col("__ck") == 1), d.filter(F.col("__ck") > 1)
@@ -872,7 +871,7 @@ def ts_ewma(
 
 
 def _ts_ewm_moments(
-    eff: DataFrame, alpha: float, chunk_ms: int | None
+    samples: DataFrame, alpha: float, chunk_ms: int | None
 ) -> DataFrame:
     """(key, ts, value, __c0, __m, __q) — BOTH EWM moments (mean of y
     and of y^2, where y = value - __c0 is CENTERED on the key's first
@@ -891,14 +890,32 @@ def _ts_ewm_moments(
     the genuine 100-scale variance drowns in cancellation noise — and
     a relative snap threshold then deletes it.  Centered on the first
     sample, q is variance-scaled after the offset decays and the snap
-    only ever removes true float residue.  `eff` must be dup-folded
-    (unique ts per key), so the first sample needs no value tiebreak.
-    The centering origin rides the SAME per-key stats aggregation the
-    adaptive chunk grid uses (one hash agg, one co-partitioned join)."""
+    only ever removes true float residue.  The centering origin rides
+    the SAME per-key stats aggregation the adaptive chunk grid uses
+    (one hash agg, one co-partitioned join).
+
+    DUPLICATE (key, ts) rows fold to the (ts, value) LAST-WINS
+    effective sample INSIDE the chunk kernels (duplicates share a ts so
+    they always land in one chunk): a `groupBy(key, ts)` pre-fold costs
+    a full-data exchange + hash agg that, sitting UPSTREAM of the
+    `_split_cold` checkpoint, also executes twice (the stats aggregation
+    and the join both consume it) — measured 24.3 -> ~16 s at 1 key x
+    10M parquet-backed.  The centering origin accordingly uses
+    max_by(value, struct(-ts, value)) — the effective (max-value) sample
+    at the minimum ts — instead of min_by over pre-folded rows; the
+    chunk-count stats count raw rows, which only shifts chunk
+    boundaries (any chunking is exact)."""
     d = _assign_chunks(
-        eff.select("key", "ts", "value"),
+        samples.select("key", "ts", "value"),
         chunk_ms,
-        extra_stats={"__c0": F.min_by("value", "ts")},
+        extra_stats={
+            "__c0": F.max_by(
+                "value",
+                F.struct(
+                    (-F.col("ts")).alias("nts"), F.col("value").alias("v")
+                ),
+            )
+        },
     ).withColumn("__y", F.col("value") - F.col("__c0"))
     cold, d = _split_cold(d, chunk_ms)
 
@@ -908,7 +925,11 @@ def _ts_ewm_moments(
     )
 
     def summarize(pdf: pd.DataFrame) -> pd.DataFrame:
-        pdf = pdf.sort_values(["ts", "value"]).reset_index(drop=True)
+        pdf = (
+            pdf.sort_values(["ts", "value"])
+            .drop_duplicates(subset=["ts"], keep="last")
+            .reset_index(drop=True)
+        )
         x = pdf["__y"].astype(np.float64)
         x2 = x * x
         A = float(np.cumprod(np.full(len(x), 1.0 - alpha))[-1])
@@ -961,7 +982,11 @@ def _ts_ewm_moments(
     )
 
     def replay(pdf: pd.DataFrame) -> pd.DataFrame:
-        pdf = pdf.sort_values(["ts", "value"]).reset_index(drop=True)
+        pdf = (
+            pdf.sort_values(["ts", "value"])
+            .drop_duplicates(subset=["ts"], keep="last")
+            .reset_index(drop=True)
+        )
 
         def run(series, entry):
             return (
@@ -994,7 +1019,11 @@ def _ts_ewm_moments(
         def direct(pdf: pd.DataFrame) -> pd.DataFrame:
             # single-chunk key: the replay seeded with its own first
             # values (the virtual-entry trick: a*y1 + (1-a)*y1 = y1)
-            pdf = pdf.sort_values(["ts", "value"]).reset_index(drop=True)
+            pdf = (
+                pdf.sort_values(["ts", "value"])
+                .drop_duplicates(subset=["ts"], keep="last")
+                .reset_index(drop=True)
+            )
             x = pdf["__y"].astype(np.float64)
             return pd.DataFrame(
                 {
@@ -1047,8 +1076,11 @@ def ts_ewm_band(
     smoothing — the x and x^2 recurrences must consume duplicates in
     the SAME order, and value-order under squaring flips for negative
     pairs, so the fold (ts_corr's rule) removes the ambiguity instead
-    of inheriting ts_ewma's raw-dup ordering.  NaN samples are invalid
-    everywhere and are dropped first."""
+    of inheriting ts_ewma's raw-dup ordering; the fold happens inside
+    `_ts_ewm_moments`' chunk kernels (round 12 — the former
+    groupBy(key, ts) pre-fold cost a doubly-executed full-data
+    exchange, see there).  NaN samples are invalid everywhere and are
+    dropped first."""
     if band_k <= 0:
         raise ValueError("band_k must be positive")
     if not 0 < alpha < 1:
@@ -1057,8 +1089,7 @@ def ts_ewm_band(
             " one-step-ahead band is undefined"
         )
     d = _filter_range(samples, keys, start, end)
-    eff = d.groupBy("key", "ts").agg(F.max("value").alias("value"))
-    j = _ts_ewm_moments(eff, alpha, chunk_ms)
+    j = _ts_ewm_moments(d, alpha, chunk_ms)
     # the moments are CENTERED on the key's first sample (__c0) — see
     # _ts_ewm_moments; variance is shift-invariant, the displayed
     # ewma/upper/lower add the offset back
