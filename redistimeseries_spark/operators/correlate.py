@@ -35,6 +35,7 @@ import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
+from redistimeseries_spark.materialize import materialize
 
 from redistimeseries_spark import MAX_TS, MIN_TS
 from redistimeseries_spark.functions.buckets import bucket_start, resolve_align
@@ -47,14 +48,6 @@ CUSUM_SCHEMA = (
     "key string, ts long, value double, s_pos double, s_neg double,"
     " alarm boolean"
 )
-
-
-def _DISK_ONLY():
-    """DISK_ONLY for corpus-scale materializations (see dedup._disk_only:
-    memory-level checkpoint blocks linger and squeeze later queries)."""
-    from pyspark.storagelevel import StorageLevel
-
-    return StorageLevel.DISK_ONLY
 
 
 # shared validity/key/range pre-filter (functions/filters since round 10)
@@ -107,7 +100,7 @@ def ts_corr(
         # union) both read this frame — without the checkpoint each leg
         # re-executes the scan + dedup aggregation (re-aliased subtrees
         # defeat exchange reuse; the ts_xcorr treatment)
-        .localCheckpoint(eager=True, storageLevel=_DISK_ONLY())
+        .transform(materialize)
     )
     align_ts = resolve_align(align, start, end)
     a = d.join(
@@ -245,7 +238,7 @@ def ts_xcorr(
         # failure).  One pass of the involved keys' effective samples
         # instead of two.  DISK_ONLY: corpus-scale blocks in memory
         # squeeze execution memory for later queries in the session.
-        .localCheckpoint(eager=True, storageLevel=_DISK_ONLY())
+        .transform(materialize)
     )
     a = d.join(
         F.broadcast(pdf), d["key"] == pdf["key_a"]

@@ -39,6 +39,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
+from redistimeseries_spark.materialize import materialize
 
 from redistimeseries_spark import MAX_TS, MIN_TS
 
@@ -88,7 +89,7 @@ def ts_decompose(
     g = df.groupBy(
         "key",
         (F.col("ts") - F.pmod(F.col("ts"), F.lit(step_ms))).alias("__b"),
-    ).agg(F.avg("value").alias("value")).localCheckpoint()
+    ).agg(F.avg("value").alias("value")).transform(materialize, disk=False)
     spine = (
         g.groupBy("key")
         .agg(F.min("__b").alias("__lo"), F.max("__b").alias("__hi"))

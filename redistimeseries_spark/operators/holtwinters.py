@@ -52,6 +52,7 @@ import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
+from redistimeseries_spark.materialize import materialize
 
 from redistimeseries_spark import MAX_TS, MIN_TS
 
@@ -113,7 +114,7 @@ def ts_holt_winters(
     g = df.groupBy(
         "key",
         (F.col("ts") - F.pmod(F.col("ts"), F.lit(step_ms))).alias("ts"),
-    ).agg(F.avg("value").alias("value")).localCheckpoint()
+    ).agg(F.avg("value").alias("value")).transform(materialize, disk=False)
     # drop short keys BEFORE the per-key kernel: one #buckets-bounded
     # hash agg + co-partitioned semi-join (no Arrow group ever sees a
     # key it will discard)

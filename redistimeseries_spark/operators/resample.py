@@ -43,6 +43,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
+from redistimeseries_spark.materialize import materialize
 
 from redistimeseries_spark import MAX_TS, MIN_TS
 from redistimeseries_spark.functions.filters import filter_valid_range
@@ -63,7 +64,7 @@ def _grid_union(df: DataFrame, step_ms: int):
     # otherwise (re-aliased subtrees defeat exchange reuse).
     bounds = df.groupBy("key").agg(
         F.min("ts").alias("__lo"), F.max("ts").alias("__hi")
-    ).localCheckpoint()
+    ).transform(materialize, disk=False)
     g0 = (F.col("__lo") + step_ms - 1) - (F.col("__lo") + step_ms - 1) % step_ms
     g1 = F.col("__hi") - F.col("__hi") % step_ms
     grid = bounds.select(
@@ -128,11 +129,7 @@ def ts_resample(
     # grid union AND the chunk-context aggregate — three full scans
     # without it (plan-verified 4 base-table scans per query including
     # the bounds re-spine).  One narrow (key, ts, value) pass instead.
-    from pyspark.storagelevel import StorageLevel
-
-    df = _filtered(samples, keys, start, end).localCheckpoint(
-        eager=True, storageLevel=StorageLevel.DISK_ONLY
-    )
+    df = materialize(_filtered(samples, keys, start, end))
     u, bounds = _grid_union(df, step_ms)
     c = (F.col("ts") - F.pmod(F.col("ts"), F.lit(chunk_ms))).alias("__c")
     u = u.select("key", "ts", "value", "__s", c)

@@ -22,7 +22,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from redistimeseries_spark.pipeline.dedup import _disk_only, _widen, word_ngrams
+from redistimeseries_spark.materialize import materialize
+from redistimeseries_spark.pipeline.dedup import _widen, word_ngrams
 
 # md5-prefix arithmetic identical in Spark SQL and DuckDB (same trick as
 # the minhash signatures in pipeline/dedup.py)
@@ -217,9 +218,14 @@ def eval_contamination_report(
     # checkpoint to first use so nothing multi-GB is staged before the
     # plan needs it.  DISK_ONLY keeps the blocks out of executor
     # storage memory either way.
-    ge = ge_raw.localCheckpoint(
-        eager=bool(broadcast_eval), storageLevel=_disk_only()
-    )
+    if broadcast_eval:
+        ge = materialize(ge_raw)
+    else:
+        from pyspark.storagelevel import StorageLevel
+
+        ge = ge_raw.localCheckpoint(
+            eager=False, storageLevel=StorageLevel.DISK_ONLY
+        )
     sizes = ge.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_grams"))
     gt = word_ngrams(_widen(docs), n).select("gram")
     if hashed_grams:

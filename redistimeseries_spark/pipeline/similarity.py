@@ -16,6 +16,7 @@ from __future__ import annotations
 
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
+from redistimeseries_spark.materialize import materialize
 from pyspark.storagelevel import StorageLevel
 
 
@@ -378,6 +379,11 @@ def _resolve_arrow(
             raise ValueError(
                 f"arrow must be True, False or 'auto', got {arrow!r}"
             )
+        if threshold <= 0:
+            # every input reaches a non-positive threshold — the PQ
+            # family's always-on kernels (PQ_ARROW_AUTO_THRESHOLD = 0)
+            # would otherwise still pay one limit(0).count() job per call
+            return True
         if n_rows is not None:
             return n_rows >= threshold
         return d.limit(threshold).count() >= threshold
@@ -1090,7 +1096,7 @@ def semdedup(
     # joins each re-running the assignment otherwise)
     assigned = (_assign_cells_arrow if arrow else _assign_cells)(
         d, cents
-    ).localCheckpoint(eager=True, storageLevel=StorageLevel.DISK_ONLY)
+    ).transform(materialize)
     # normalize ONCE per row so the pairwise filter is a bare dot product
     # (an inlined norm would re-run an O(dim) aggregate per candidate pair)
     unit = assigned.select(
