@@ -30,22 +30,11 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+from redistimeseries_spark.materialize import materialize
 from pyspark.sql import types as T
 
 # ---- shared tokenization (identical text in Spark SQL and DuckDB) --------
 WORD_RE = "[^a-z0-9]+"
-
-
-def _disk_only():
-    """Storage level for corpus-scale eager materializations: DISK_ONLY
-    keeps the blocks out of executor storage memory, which the default
-    MEMORY_AND_DISK level would otherwise hold hostage for the rest of
-    the session (driver-side references release lazily through py4j;
-    measured: a later smoother query ran 3x slower with two prior
-    memory-level checkpoints resident)."""
-    from pyspark.storagelevel import StorageLevel
-
-    return StorageLevel.DISK_ONLY
 
 
 def _words(col: str = "text"):
@@ -129,7 +118,7 @@ def duplicate_span_stats(
     # subtrees defeat exchange reuse — the LSH band-table failure).
     spine = nt.select("doc_id", wins.alias("__w")).select(
         "doc_id", "__w", F.size("__w").cast("long").alias("n_windows")
-    ).localCheckpoint(eager=True, storageLevel=_disk_only())
+    ).transform(materialize)
     ex = spine.select("doc_id", F.explode("__w").alias("fp"))
     cnt = ex.groupBy("fp").agg(F.count(F.lit(1)).alias("__c"))
     dup = (
@@ -455,9 +444,7 @@ def minhash_lsh_pairs(
     # eager materialization of the |docs| x bands banded rows (the same
     # volume the exchange already wrote to shuffle disk) makes it run
     # once.
-    band = band.localCheckpoint(
-        eager=True, storageLevel=_disk_only()
-    )
+    band = band.transform(materialize)
     small = band.filter(F.col("__bsz") <= max_bucket)
     a = small.alias("a")
     b = small.alias("b")
@@ -679,9 +666,7 @@ def simhash_hamming_pairs(
     # docs); re-aliased subtrees defeat exchange reuse (the LSH band-table
     # failure), so without this it computes twice.  The frame is two
     # narrow columns per doc.
-    sig = simhash(docs, bits).localCheckpoint(
-        eager=True, storageLevel=_disk_only()
-    )
+    sig = simhash(docs, bits).transform(materialize)
     seg_exprs = []
     for i in range(nb):
         lo = i * width
@@ -820,9 +805,7 @@ def ngram_jaccard_pairs(
     # parallelism (measured 4.3 s vs 0.05 s for the explode alone at
     # sf0.1); exploding the materialized arrays is a cheap per-consumer
     # projection, and the array form is the more compact thing to store.
-    gsets = word_ngram_sets(docs, n).localCheckpoint(
-        eager=True, storageLevel=_disk_only()
-    )
+    gsets = word_ngram_sets(docs, n).transform(materialize)
     g = gsets.select("doc_id", F.explode("gs").alias("gram"))
     # gram document frequencies materialized once (vocabulary-sized):
     # consumed by the hot cut on every g2 consumer AND the driver-side
@@ -830,7 +813,7 @@ def ngram_jaccard_pairs(
     dfreq = (
         g.groupBy("gram")
         .agg(F.count(F.lit(1)).alias("__df"))
-        .localCheckpoint(eager=True, storageLevel=_disk_only())
+        .transform(materialize)
     )
     hot = dfreq.filter(F.col("__df") > max_doc_freq).select("gram")
     g2 = g.join(hot, "gram", "left_anti")
@@ -864,7 +847,7 @@ def ngram_jaccard_pairs(
     docinfo = (
         g2.groupBy("doc_id")
         .agg(F.count(F.lit(1)).alias("sz"), hmask_agg.alias("hmask"))
-        .localCheckpoint(eager=True, storageLevel=_disk_only())
+        .transform(materialize)
     )
     gl = g2
     if heavy:
@@ -1000,7 +983,9 @@ def ngram_jaccard_verify(
         # the pair list is consumed TWICE below (doc prune + the verify
         # join), so it is materialized once — without this the upstream
         # blocking chain (minhash/simhash) would execute twice.
-        pairs = pairs.select("doc_a", "doc_b").localCheckpoint()
+        pairs = pairs.select("doc_a", "doc_b").transform(
+            materialize, disk=False
+        )
         cand_docs = (
             pairs.select(F.col("doc_a").alias("doc_id"))
             .union(pairs.select(F.col("doc_b").alias("doc_id")))
@@ -1034,7 +1019,7 @@ def ngram_jaccard_verify(
         # because the per-side column renames make the subtrees unequal).
         # It is bounded here by construction: at most `broadcast_docs`
         # gram rows, the same bound the broadcast itself relies on.
-        gsets = F.broadcast(gsets.localCheckpoint())
+        gsets = F.broadcast(materialize(gsets, disk=False))
     return (
         pairs
         .join(
@@ -1161,7 +1146,10 @@ def _driver_union_find(session, edge_rows, id_type):
     component = min reachable id: union always keeps the smaller root, so
     every tree root is its component's minimum — identical to the
     min-label fixpoint.  Self-loop rows (u == v) register the node without
-    a union, matching the propagation variant's node set.
+    a union, matching the propagation variant's node set.  NULL endpoints
+    (dirty input) are skipped — None is not orderable against real ids,
+    and the distributed path's equi-joins never propagate through a null
+    key either, so neither path unions across one.
 
     pandas in, not a list of tuples: the tuple path pickles and
     type-verifies row by row (~0.55 s at 10k rows, measured); the pandas
@@ -1182,10 +1170,12 @@ def _driver_union_find(session, edge_rows, id_type):
         return r
 
     for u, v in edge_rows:
+        if u is None or v is None:
+            continue
         ru, rv = find(u), find(v)
         if ru != rv:
             parent[max(ru, rv)] = min(ru, rv)  # root stays the min id
-    nodes = {n for uv in edge_rows for n in uv}
+    nodes = {n for uv in edge_rows for n in uv if n is not None}
     out_rows = [(n, find(n)) for n in sorted(nodes)]
     import pandas as pd
 
@@ -1241,7 +1231,7 @@ def connected_components(
     e = (
         pairs.select(F.col(a_col).alias("src"), F.col(b_col).alias("dst"))
         .distinct()
-        .localCheckpoint(eager=True, storageLevel=_disk_only())
+        .transform(materialize)
     )
     if driver_threshold and e.count() <= driver_threshold:
         # union-find is undirected: the directed distinct list carries the
@@ -1378,6 +1368,7 @@ def embedding_neardup_pairs(
     threshold: float = 0.99,
     bucket_col: str | None = "label",
     arrow: bool = True,
+    max_bucket: int = 1 << 15,
 ) -> DataFrame:
     """Near-duplicate vectors by cosine within a coarse bucket.
     bucket_col=None derives the bucket from the embedding's own sign bits
@@ -1392,15 +1383,26 @@ def embedding_neardup_pairs(
     buckets; 6dp-equal, pinned — the kernel multiplies the SAME raw
     vectors and divides by the same norm product, so only the summation
     order differs).  Memory is bounded blockwise (1024 x |bucket| per
-    task), and the per-bucket quadratic candidate count is the same
-    quantity the bucket granularity already bounds for the join path.
-    `arrow=False` keeps the pure-expression self-join twin."""
+    task) EXCEPT that applyInPandas hands each group to one worker
+    whole, so buckets above `max_bucket` members (a boilerplate label, a
+    degenerate sign bucket) route to the expression self-join instead,
+    which streams through the shuffle machinery — the skew guard is one
+    narrow bucket-count aggregation, and when no bucket exceeds the cap
+    (every corpus measured) the kernel plan is unchanged.
+    `arrow=False` keeps the pure-expression self-join twin for every
+    bucket.
+
+    ZERO-NORM vectors (cosine undefined) never pair on either path: the
+    kernel's nan cosines fail the threshold, and the expression join
+    filters norm > 0 before dividing — degenerate vectors silently drop
+    from pair output rather than raising, by contract."""
     if bucket_col is None:
         from redistimeseries_spark.pipeline.similarity import sign_bucket
 
         bucket = sign_bucket(F.col("embedding").cast("array<double>"))
     else:
         bucket = F.col(bucket_col)
+    id_type = emb.schema["vec_id"].dataType
     if arrow:
         import numpy as np
         import pandas as pd
@@ -1409,6 +1411,13 @@ def embedding_neardup_pairs(
             "vec_id",
             bucket.alias("bucket"),
             F.col("embedding").cast("array<double>").alias("v"),
+        )
+        out_schema = T.StructType(
+            [
+                T.StructField("vec_a", id_type),
+                T.StructField("vec_b", id_type),
+                T.StructField("cos", T.DoubleType()),
+            ]
         )
 
         def fn(pdf: pd.DataFrame) -> pd.DataFrame:
@@ -1419,9 +1428,8 @@ def embedding_neardup_pairs(
             out_a, out_b, out_c = [], [], []
             blk, n = 1024, len(pdf)
             # 0-norm vectors yield nan cosines, which fail >= threshold
-            # and drop out (the ANSI expression path RAISES
-            # DIVIDE_BY_ZERO on them instead — the kernel is the more
-            # tolerant of the two on this degenerate input)
+            # and drop out (the same never-pair contract the expression
+            # path implements with its norm > 0 filter)
             with np.errstate(divide="ignore", invalid="ignore"):
                 for s in range(0, n, blk):
                     e = min(s + blk, n)
@@ -1439,28 +1447,65 @@ def embedding_neardup_pairs(
                 }
             )
 
-        return (
+        def kernel_pairs(frame):
+            return (
+                frame.groupBy("bucket")
+                .applyInPandas(fn, out_schema)
+                .select("vec_a", "vec_b", F.round("cos", 6).alias("cos"))
+            )
+
+        # skew guard: one narrow (bucket -> count) aggregation; the list
+        # of oversized buckets is corpus/max_bucket-bounded (tiny), and
+        # with none — the common case — the kernel plan below is exactly
+        # the unguarded one.
+        bigb = (
             da.groupBy("bucket")
-            .applyInPandas(fn, "vec_a long, vec_b long, cos double")
-            .select("vec_a", "vec_b", F.round("cos", 6).alias("cos"))
+            .agg(F.count(F.lit(1)).alias("__n"))
+            .filter(F.col("__n") > max_bucket)
+            .select("bucket")
         )
+        if max_bucket and bigb.count() > 0:
+            da = da.transform(materialize)
+            small = da.join(F.broadcast(bigb), "bucket", "left_anti")
+            big = da.join(F.broadcast(bigb), "bucket", "left_semi")
+            return kernel_pairs(small).unionByName(
+                _embedding_expr_pairs(_with_norm(big), threshold)
+            )
+        return kernel_pairs(da)
     d = emb.select(
         "vec_id",
         bucket.alias("bucket"),
         F.col("embedding").cast("array<double>").alias("v"),
-        F.sqrt(
-            F.aggregate(
-                F.transform(F.col("embedding").cast("array<double>"), lambda x: x * x),
-                F.lit(0.0),
-                lambda acc, x: acc + x,
-            )
-        ).alias("norm"),
     )
     # materialized once: both self-join sides read this frame, and the
     # bucket + norm projection is an interpreted fold over every vector —
     # re-aliased subtrees defeat exchange reuse (the LSH band-table
     # failure), so without this it computes twice.
-    d = d.localCheckpoint(eager=True, storageLevel=_disk_only())
+    d = _with_norm(d).transform(materialize)
+    return _embedding_expr_pairs(d, threshold)
+
+
+def _with_norm(d: DataFrame) -> DataFrame:
+    """(vec_id, bucket, v) + the vector's L2 norm."""
+    return d.withColumn(
+        "norm",
+        F.sqrt(
+            F.aggregate(
+                F.transform(F.col("v"), lambda x: x * x),
+                F.lit(0.0),
+                lambda acc, x: acc + x,
+            )
+        ),
+    )
+
+
+def _embedding_expr_pairs(d: DataFrame, threshold: float) -> DataFrame:
+    """The pure-expression bucket self-join over a (vec_id, bucket, v,
+    norm) frame: per-pair zip_with/aggregate dot, streamed through the
+    shuffle machinery (per-task memory is shuffle-bounded, not
+    bucket-bounded — the oversized-bucket fallback of the kernel path).
+    norm > 0 on both sides keeps the 0-norm never-pair contract without
+    tripping ANSI DIVIDE_BY_ZERO."""
     a, b = d.alias("a"), d.alias("b")
     dot = F.aggregate(
         F.zip_with(F.col("a.v"), F.col("b.v"), lambda x, y: x * y),
@@ -1471,7 +1516,9 @@ def embedding_neardup_pairs(
         a.join(
             b,
             (F.col("a.bucket") == F.col("b.bucket"))
-            & (F.col("a.vec_id") < F.col("b.vec_id")),
+            & (F.col("a.vec_id") < F.col("b.vec_id"))
+            & (F.col("a.norm") > F.lit(0.0))
+            & (F.col("b.norm") > F.lit(0.0)),
         )
         .select(
             F.col("a.vec_id").alias("vec_a"),

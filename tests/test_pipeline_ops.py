@@ -2729,15 +2729,61 @@ def test_embed_neardup_arrow_matches_expression(spark):
             }
             assert old == new, (mode, thr)
             assert len(new) > 0
-    # zero vectors: the ANSI expression path raises DIVIDE_BY_ZERO (it
-    # never tolerated them); the kernel drops them (nan cosine fails the
-    # threshold) — kernel-only check, divergence documented in-code
+    # zero vectors NEVER PAIR on either path (round 12 contract: the
+    # kernel's nan cosine fails the threshold, the expression join
+    # filters norm > 0 before dividing)
     embz = spark.createDataFrame(
         rows + [(5000, "b0", [0.0] * 16)],
         "vec_id long, label string, embedding array<double>",
     )
-    z = {
-        (r.vec_a, r.vec_b)
-        for r in embedding_neardup_pairs(embz, 0.5, "label", arrow=True).collect()
-    }
-    assert all(5000 not in k for k in z) and len(z) > 0
+    for arrow_mode in (True, False):
+        z = {
+            (r.vec_a, r.vec_b)
+            for r in embedding_neardup_pairs(
+                embz, 0.5, "label", arrow=arrow_mode
+            ).collect()
+        }
+        assert all(5000 not in k for k in z) and len(z) > 0, arrow_mode
+
+
+def test_embed_neardup_skew_guard_and_id_types(spark):
+    """max_bucket routes oversized buckets through the expression join —
+    output identical to the unguarded kernel — and the kernel derives
+    vec_a/vec_b from the input's vec_id type (string ids supported)."""
+    import random
+
+    from redistimeseries_spark.pipeline.dedup import embedding_neardup_pairs
+
+    rnd = random.Random(13)
+    rows = []
+    for i in range(60):
+        base = [rnd.gauss(0, 1) for _ in range(8)]
+        # b0 is the "giant" bucket (40 members), b1 small (20)
+        rows.append((i, "b0" if i < 40 else "b1", base))
+        if i % 5 == 0:
+            rows.append(
+                (100 + i, "b0" if i < 40 else "b1",
+                 [x + rnd.gauss(0, 0.001) for x in base])
+            )
+    emb = spark.createDataFrame(
+        rows, "vec_id long, label string, embedding array<double>"
+    )
+    unguarded = sorted(
+        tuple(r)
+        for r in embedding_neardup_pairs(emb, 0.9, "label").collect()
+    )
+    guarded = sorted(
+        tuple(r)
+        for r in embedding_neardup_pairs(
+            emb, 0.9, "label", max_bucket=30
+        ).collect()
+    )
+    assert unguarded == guarded and len(guarded) > 0
+    embs = spark.createDataFrame(
+        [(f"id{i}", lab, v) for i, (_, lab, v) in enumerate(rows)],
+        "vec_id string, label string, embedding array<double>",
+    )
+    got = embedding_neardup_pairs(embs, 0.9, "label").collect()
+    assert len(got) > 0 and all(
+        isinstance(r.vec_a, str) and isinstance(r.vec_b, str) for r in got
+    )
