@@ -11,7 +11,6 @@ from __future__ import annotations
 
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
-from redistimeseries_spark.materialize import materialize
 
 from redistimeseries_spark.pipeline.dedup import WORD_RE
 
@@ -471,20 +470,8 @@ def repetition_signals(docs: DataFrame) -> DataFrame:
             lambda x: F.struct(F.lit("B").alias("kind"), x.alias("tok")),
         ),
     )
-    # explode_outer + a post-generate not-null filter, NOT explode: the
-    # optimizer infers a `size(tagged) > 0` row filter from a plain
-    # explode and pushes it below the exchange into the scan, where the
-    # whole interpreted split/transform/concat pipeline evaluates a
-    # SECOND time at the input's partitioning (the word_ngrams defect,
-    # round 12).  The filter on the GENERATED column cannot be pushed
-    # below the generate, and the tagged structs are never null
-    # elements, so explode_outer + filter is row-for-row explode.
-    toks = (
-        pre.select("doc_id", F.explode_outer(tagged).alias("t"))
-        .filter(F.col("t").isNotNull())
-        .select(
-            "doc_id", F.col("t.kind").alias("kind"), F.col("t.tok").alias("tok")
-        )
+    toks = pre.select("doc_id", F.explode(tagged).alias("t")).select(
+        "doc_id", F.col("t.kind").alias("kind"), F.col("t.tok").alias("tok")
     )
     stats = (
         toks.groupBy("doc_id", "kind", "tok")
@@ -562,13 +549,15 @@ def char_ngram_lm_scores(docs: DataFrame, n: int = 3) -> DataFrame:
     # the model is materialized too — it is vocab-bounded (|charset|^n
     # rows) yet its two consumers (the total aggregate and the join
     # build) would each re-run the full corpus aggregation otherwise.
-    gsets = materialize(
-        norm.select("doc_id", grams_expr.alias("__gs"))
+    from pyspark.storagelevel import StorageLevel
+
+    gsets = norm.select("doc_id", grams_expr.alias("__gs")).localCheckpoint(
+        eager=True, storageLevel=StorageLevel.DISK_ONLY
     )
     occ = gsets.select("doc_id", F.explode("__gs").alias("gram"))
     model = occ.groupBy("gram").agg(
         F.count(F.lit(1)).alias("cnt")
-    ).transform(materialize, disk=False)
+    ).localCheckpoint()
     total = model.agg(F.sum("cnt").alias("total"))
     scored = (
         occ.join(model, "gram")
