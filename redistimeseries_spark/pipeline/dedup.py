@@ -1105,6 +1105,11 @@ def dedup_pipeline(
         F.count(F.lit(1)).alias("n"), F.count_distinct("__fp").alias("g")
     ).collect()[0]
     if st.n > st.g:
+        # the fingerprint frame feeds the rep aggregation AND its join
+        # probe — materialized once so the corpus md5 pass runs once
+        # more, not twice more (re-aliased subtrees defeat exchange
+        # reuse); the unique-corpus branch skips the storage entirely
+        fp = materialize(fp)
         reps = fp.groupBy("__fp").agg(F.min("doc_id").alias("__rep"))
         fp = fp.join(reps, "__fp").select("doc_id", "__rep")
         rep_docs = docs.join(
